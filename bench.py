@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark harness: run the engine's headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "total_query_sec", "value": N, "unit": "sec",
+   "queries": {"<name>": sec, ...}, "sf": 0.1}
+
+Each query executes its full plan via the `noop` sink (no driver-side
+collect, no output I/O skew) — the timing measures scan + shuffle +
+compute, which is what matters at scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from legendary_data_pipeline_spark.queries import REGISTRY  # noqa: E402
+from legendary_data_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return -1.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    only = os.environ.get("LDP_BENCH_QUERIES")
+    names = sorted(only.split(",")) if only else sorted(REGISTRY)
+    unknown = [n for n in names if n not in REGISTRY]
+    if unknown:
+        sys.exit(
+            f"unknown query names in LDP_BENCH_QUERIES: {unknown}; "
+            f"available: {sorted(REGISTRY)}"
+        )
+
+    spark = get_spark(
+        app_name="ldp-bench",
+        master=f"local[{cpus}]",
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm up the JVM + parquet footer caches outside the timed region.
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        spec = REGISTRY[name]
+        start = time.perf_counter()
+        df = spec.spark_fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(sf_dir),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,53 @@
+"""Warehouse catalog: loaders for the driver-generated parquet tables.
+
+Models the reference's PostgreSQL table catalog (SURVEY.md §1.4) as
+parquet-backed DataFrames. At 100 TB each of these would be a
+date-partitioned parquet/Delta table; the loaders keep scans lazy so
+Catalyst performs column pruning + predicate pushdown into the parquet
+reader — never pre-materialize.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimensions a planner should always broadcast in joins.
+BROADCAST_DIMS: frozenset[str] = frozenset({"region", "nation", "supplier", "part"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one warehouse table lazily from `sf_dir`.
+
+    `events.ts` is nanosecond-precision parquet; Spark loads it as integer
+    nanos (via nanosAsLong) and downstream event-time logic uses integer
+    arithmetic (see `functions.time_fns`), which is exact and portable.
+    """
+    if name == "events":
+        # Runtime-settable; required for TIMESTAMP(NANOS) parquet columns.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view (for spark.sql(...) plans)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,48 @@
+"""Text sanitization / normalization expressions.
+
+Re-expresses the reference's string helpers:
+- `sanitizeField` — strip CR/LF/NUL, collapse whitespace, trim
+  (reference `scripts/feeds/exportGoogleMerchantFeed.mjs:84-99`)
+- header normalization — trim, lower, whitespace→`_`, strip non-word
+  (reference `scripts/pricing/01_import_pricecharting_csv.js:92-98`)
+- slug/URL building (reference `exportGoogleMerchantFeed.mjs:23-27,115-118`)
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def sanitize_field(col: Column) -> Column:
+    """Strip control chars, collapse runs of whitespace, trim."""
+    no_ctl = F.regexp_replace(col, r"[\x00-\x1F\x7F]", " ")
+    collapsed = F.regexp_replace(no_ctl, r"\s+", " ")
+    return F.trim(collapsed)
+
+
+def slugify(col: Column) -> Column:
+    """Lowercase, non-alphanumeric runs → '-', trim dashes.
+
+    Used for URL building; output is URL-safe by construction so no
+    percent-encoding step is needed (mjs:115-118 uses encodeURIComponent
+    on arbitrary slugs; our slugs are restricted to [a-z0-9-]).
+    """
+    lowered = F.lower(col)
+    dashed = F.regexp_replace(lowered, r"[^a-z0-9]+", "-")
+    return F.regexp_replace(dashed, r"^-+|-+$", "")
+
+
+def product_url(site_base: str, slug_col: Column) -> Column:
+    """`https://site/products/<slug>` (mjs:115-118)."""
+    return F.concat(F.lit(site_base.rstrip("/") + "/products/"), slug_col)
+
+
+def normalize_header(name: str) -> str:
+    """Driver-side (Python) CSV header normalization (01:92-98)."""
+    out = name.strip().lower()
+    out = re.sub(r"\s+", "_", out)
+    out = re.sub(r"[^a-z0-9_]", "", out)
+    return out

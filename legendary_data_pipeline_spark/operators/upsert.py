@@ -1,0 +1,113 @@
+"""Idempotent keyed sinks on immutable parquet (SURVEY.md §2.1 S5-S8).
+
+The reference's writers are all idempotent-by-key against Postgres:
+- S5 `INSERT ... ON CONFLICT ... DO UPDATE` (01:171-186, 03:191-197, 10:85-92)
+- S6 UPDATE-then-INSERT-missing via NOT EXISTS (02:159-193)
+- S7 DELETE date-partition then INSERT (revalueCollection.mjs:134-165)
+- S8 bulk keyed UPDATE FROM VALUES (revalueCollection.mjs:107-129)
+
+Core Spark has no MERGE on plain parquet, so the engine implements upsert
+as a *logical* operator (pure DataFrame, oracle-checkable) plus physical
+writers:
+
+- `upsert(existing, updates, keys)` — union + window-dedup preferring
+  updates. One shuffle on the key columns; at scale the key set should be
+  the table's bucket/partition key so the shuffle co-locates with the
+  write layout.
+- `write_upsert_partitioned` — S7's shape: dynamic partition overwrite on
+  `as_of_date`-style partition columns; only touched partitions rewrite,
+  which is the scalable idempotency story for daily snapshot tables.
+
+Null-safe key matching (P8: `IS NOT DISTINCT FROM`, 02:172) is supported
+because snapshot conflict keys include a nullable `condition` column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+_PRECEDENCE = "__ldp_precedence"
+_ROWNUM = "__ldp_rn"
+
+
+def upsert(
+    existing: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    order_within_source: Sequence[Column] = (),
+) -> DataFrame:
+    """S5/S6/S8 semantics: rows from `updates` win on key collision.
+
+    `order_within_source` breaks ties among duplicate keys *within* the
+    same source (first row under that ordering wins), keeping the result
+    deterministic — stricter than the reference, whose ON CONFLICT takes
+    whichever arrives last.
+    """
+    tagged_new = updates.withColumn(_PRECEDENCE, F.lit(0))
+    tagged_old = existing.withColumn(_PRECEDENCE, F.lit(1))
+    unioned = tagged_new.unionByName(tagged_old)
+    order = [F.col(_PRECEDENCE).asc(), *order_within_source]
+    window = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
+    return (
+        unioned.withColumn(_ROWNUM, F.row_number().over(window))
+        .filter(F.col(_ROWNUM) == 1)
+        .drop(_ROWNUM, _PRECEDENCE)
+    )
+
+
+def insert_missing(
+    existing: DataFrame, updates: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """S6's INSERT-missing half: rows of `updates` whose key is absent
+    from `existing` (null-safe anti join, P8)."""
+    cond = None
+    for k in keys:
+        clause = updates[k].eqNullSafe(existing[k])
+        cond = clause if cond is None else cond & clause
+    return updates.join(existing, on=cond, how="left_anti")
+
+
+def write_upsert_parquet(
+    existing_path: str,
+    updates: DataFrame,
+    keys: Sequence[str],
+    spark: SparkSession,
+    order_within_source: Sequence[Column] = (),
+) -> None:
+    """S5 physical writer for non-partitioned tables.
+
+    Reads current state, merges, writes to a new location-in-time then
+    atomically swaps via overwrite. For partitioned daily-snapshot tables
+    prefer `write_upsert_partitioned` (rewrites only touched dates).
+    """
+    try:
+        existing = spark.read.parquet(existing_path)
+    except Exception:
+        existing = None
+    if existing is None:
+        merged = updates
+    else:
+        merged = upsert(existing, updates, keys, order_within_source)
+    # Materialize before overwriting the path we read from.
+    merged = merged.localCheckpoint(eager=True)
+    merged.write.mode("overwrite").parquet(existing_path)
+
+
+def write_upsert_partitioned(
+    existing_path: str,
+    updates: DataFrame,
+    partition_cols: Sequence[str],
+    spark: SparkSession,
+) -> None:
+    """S7 physical writer: replace exactly the partitions present in
+    `updates` (dynamic partition overwrite) — the delete-then-insert-date
+    pattern, minus the full-table rewrite."""
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        updates.write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .parquet(existing_path)
+    )

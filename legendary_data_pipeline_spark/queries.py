@@ -1,0 +1,643 @@
+"""Named query registry — the driver-contract surface.
+
+Each entry pairs a PySpark DataFrame program with the equivalent ANSI SQL
+(run by DuckDB on the same parquet) so the correctness driver can
+hash-compare results at sf0.01. Names reference SURVEY.md §2 operator ids.
+
+Cross-engine determinism conventions (why the queries look the way they
+do — the driver compares order-insensitive VALUE HASHES, so every output
+cell must be bit-identical across Spark and DuckDB):
+
+- Money: parse/compute in DecimalType, emit integer cents (LongType).
+  Never sum raw doubles (float addition order differs across engines).
+- Temporal: emit formatted strings (`yyyy-MM-dd`) — avoids tz/precision
+  representation differences. `events.ts` is handled as integer
+  nanoseconds end-to-end (Spark cannot read TIMESTAMP(NANOS) parquet
+  natively; DuckDB can — integer math sidesteps both).
+- Ranking: every window ordering is a total order (unique tie-breaker
+  columns appended) so row_number picks identical rows in both engines.
+- Percentiles: `percentile()` (exact) matches DuckDB `quantile_cont`
+  bit-for-bit on doubles — verified, and covered by tests.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from legendary_data_pipeline_spark.catalog import load_table
+from legendary_data_pipeline_spark.functions.money import (
+    cents_to_display,
+    parse_money_to_cents,
+)
+from legendary_data_pipeline_spark.functions.priority import priority_rank
+from legendary_data_pipeline_spark.functions.text import sanitize_field
+from legendary_data_pipeline_spark.operators.ranking import best_of_group
+from legendary_data_pipeline_spark.operators.unpivot import unpivot
+from legendary_data_pipeline_spark.operators.upsert import upsert
+from legendary_data_pipeline_spark.session import ensure_engine_confs
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    spark_fn: SparkQuery
+    oracle: str | None  # DuckDB SQL; None → driver does rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn: SparkQuery) -> SparkQuery:
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_engine_confs(spark)
+            return fn(spark, sf_dir)
+
+        REGISTRY[name] = QuerySpec(name, wrapped, oracle, doc)
+        return wrapped
+
+    return deco
+
+
+def queries() -> dict[str, SparkQuery]:
+    return {name: spec.spark_fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle
+    }
+
+
+# ---------------------------------------------------------------------------
+# shared expression snippets
+# ---------------------------------------------------------------------------
+
+def _cents(col_name: str) -> F.Column:
+    """Exact double→integer-cents conversion (money convention)."""
+    return (
+        F.round(F.col(col_name).cast("decimal(18,2)") * 100, 0).cast("long")
+    )
+
+
+def _cents_sql(expr: str) -> str:
+    return f"CAST(round(CAST({expr} AS DECIMAL(18,2)) * 100, 0) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# W1/W2/A4 — priority-ranked best-of-group (the reference's flagship)
+# ---------------------------------------------------------------------------
+
+_W1_SRC_LADDER = {"N": 10, "A": 20, "R": 30}
+_W1_TYPE_LADDER = {"O": 10, "F": 20}
+
+
+@register(
+    "w1_priority_best_of_day",
+    f"""
+    WITH ranked AS (
+      SELECT l_orderkey, l_returnflag, l_linestatus, l_extendedprice, l_linenumber,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_orderkey
+               ORDER BY CASE l_returnflag WHEN 'N' THEN 10 WHEN 'A' THEN 20 WHEN 'R' THEN 30 ELSE 99 END ASC,
+                        CASE l_linestatus WHEN 'O' THEN 10 WHEN 'F' THEN 20 ELSE 90 END ASC,
+                        l_extendedprice DESC, l_linenumber ASC) AS rn
+      FROM lineitem)
+    SELECT l_orderkey,
+           l_returnflag AS best_source,
+           l_linestatus AS best_type,
+           {_cents_sql('l_extendedprice')} AS value_cents
+    FROM ranked WHERE rn = 1
+    """,
+    doc="Priority-ladder best-of-group (reference 03_build_market_price_daily.js:107-170): "
+    "rank rows per group by two CASE ladders then value DESC, keep rn=1.",
+)
+def w1_priority_best_of_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    src_rank = priority_rank(F.col("l_returnflag"), _W1_SRC_LADDER, 99)
+    type_rank = priority_rank(F.col("l_linestatus"), _W1_TYPE_LADDER, 90)
+    best = best_of_group(
+        li,
+        ["l_orderkey"],
+        [
+            src_rank.asc(),
+            type_rank.asc(),
+            F.col("l_extendedprice").desc(),
+            F.col("l_linenumber").asc(),
+        ],
+    )
+    return best.select(
+        "l_orderkey",
+        F.col("l_returnflag").alias("best_source"),
+        F.col("l_linestatus").alias("best_type"),
+        _cents("l_extendedprice").alias("value_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1/A2/A6/J9/P6 — percentile rollup over a trailing window + last-sale
+# ---------------------------------------------------------------------------
+
+@register(
+    "a1_percentile_rollup_180d",
+    """
+    WITH cutoff AS (SELECT max(l_shipdate) - INTERVAL 180 DAY AS c FROM lineitem),
+    w AS (SELECT l.* FROM lineitem l, cutoff WHERE l.l_shipdate >= cutoff.c),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY l_returnflag, l_linestatus
+        ORDER BY l_shipdate DESC, l_extendedprice DESC, l_orderkey DESC, l_linenumber DESC) AS rn
+      FROM w),
+    stats AS (
+      SELECT l_returnflag, l_linestatus,
+             quantile_cont(l_extendedprice, 0.25) AS p25,
+             quantile_cont(l_extendedprice, 0.5)  AS p50,
+             quantile_cont(l_extendedprice, 0.75) AS p75,
+             COUNT(*) AS sales_count,
+             strftime(max(l_shipdate), '%Y-%m-%d') AS last_ship,
+             max(CASE WHEN rn = 1 THEN l_extendedprice END) AS last_sale_price
+      FROM ranked GROUP BY l_returnflag, l_linestatus)
+    SELECT *, CASE WHEN sales_count >= 10 THEN 'A' WHEN sales_count >= 5 THEN 'B'
+                   WHEN sales_count >= 2 THEN 'C' ELSE 'D' END AS confidence
+    FROM stats
+    """,
+    doc="Percentile stats + deterministic last-sale over a 180-day lookback "
+    "(reference 10_rollup_market_values_daily.mjs:33-92). The correlated "
+    "LIMIT-1 subquery becomes a window top-1 in the same shuffle as the agg.",
+)
+def a1_percentile_rollup_180d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.rollup import percentile_rollup
+
+    li = load_table(spark, sf_dir, "lineitem")
+    max_ship = li.agg(F.max("l_shipdate").alias("max_ship"))
+    windowed = li.join(F.broadcast(max_ship)).filter(
+        F.col("l_shipdate") >= F.col("max_ship") - F.expr("INTERVAL 180 DAYS")
+    )
+    rolled = percentile_rollup(
+        windowed,
+        ["l_returnflag", "l_linestatus"],
+        value_col="l_extendedprice",
+        ts_col="l_shipdate",
+        tie_breakers=["l_extendedprice", "l_orderkey", "l_linenumber"],
+    )
+    return rolled.select(
+        "l_returnflag",
+        "l_linestatus",
+        "p25",
+        "p50",
+        "p75",
+        "sales_count",
+        F.date_format("last_ts", "yyyy-MM-dd").alias("last_ship"),
+        F.col("last_value").alias("last_sale_price"),
+        "confidence",
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3 — per-user totals (replaces the reference's driver-side Map loop)
+# ---------------------------------------------------------------------------
+
+@register(
+    "a3_user_event_totals",
+    """
+    SELECT user_id,
+           COUNT(*) AS events,
+           CAST(SUM(CAST(round(CAST(value AS DECIMAL(18,2)) * 100, 0) AS BIGINT)) AS BIGINT)
+             AS total_value_cents,
+           COUNT(DISTINCT event_type) AS distinct_event_types
+    FROM events GROUP BY user_id
+    """,
+    doc="Per-user aggregation (reference revalueCollection.mjs:56-103): the "
+    "single-threaded JS Map accumulator becomes one groupBy with map-side "
+    "partial aggregation. Money summed as integer cents.",
+)
+def a3_user_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("events"),
+        F.sum(_cents("value")).alias("total_value_cents"),
+        F.countDistinct("event_type").alias("distinct_event_types"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 — cast-bridged equi join
+# ---------------------------------------------------------------------------
+
+@register(
+    "j1_cast_bridged_join",
+    f"""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS orders,
+           CAST(SUM({_cents_sql('o.o_totalprice')}) AS BIGINT) AS total_cents
+    FROM orders o
+    JOIN customer c ON CAST(o.o_custkey AS VARCHAR) = CAST(c.c_custkey AS VARCHAR)
+    GROUP BY c.c_mktsegment
+    """,
+    doc="Cast-bridged inner equi join (reference 02_normalize_scryfall_prices.js:84-85: "
+    "`scr.id::text = mi.canonical_id`).",
+)
+def j1_cast_bridged_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = orders.join(
+        customer,
+        orders["o_custkey"].cast("string") == customer["c_custkey"].cast("string"),
+        "inner",
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("orders"),
+        F.sum(_cents("o_totalprice")).alias("total_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3/J4/J5 — compound-predicate left outer join
+# ---------------------------------------------------------------------------
+
+@register(
+    "j3_compound_left_join",
+    """
+    SELECT o.o_orderkey, o.o_orderstatus, c.c_name
+    FROM orders o
+    LEFT JOIN customer c ON o.o_orderstatus = 'O' AND o.o_custkey = c.c_custkey
+    """,
+    doc="Left join with a compound predicate mixing a constant filter into the "
+    "join condition (reference exportGoogleMerchantFeed.mjs:271-281: "
+    "`p.game='pokemon' AND tcg.id = p.card_id`).",
+)
+def j3_compound_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return orders.join(
+        customer,
+        (orders["o_orderstatus"] == "O")
+        & (orders["o_custkey"] == customer["c_custkey"]),
+        "left",
+    ).select("o_orderkey", "o_orderstatus", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# J6/P8 — null-safe anti join (insert-missing)
+# ---------------------------------------------------------------------------
+
+@register(
+    "j6_anti_join_missing",
+    """
+    SELECT l.l_orderkey, l.l_linenumber
+    FROM lineitem l
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_orderstatus = 'F'
+        AND o.o_orderkey IS NOT DISTINCT FROM l.l_orderkey)
+    """,
+    doc="Anti join via NOT EXISTS with null-safe key equality (reference "
+    "02_normalize_scryfall_prices.js:183-192 + IS NOT DISTINCT FROM at :172).",
+)
+def j6_anti_join_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    target = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    return li.join(
+        target, li["l_orderkey"].eqNullSafe(target["o_orderkey"]), "left_anti"
+    ).select("l_orderkey", "l_linenumber")
+
+
+# ---------------------------------------------------------------------------
+# J7/J8/F12/U2 — broadcast multi-source price resolution with fallback
+# ---------------------------------------------------------------------------
+
+@register(
+    "j7_price_resolution_coalesce",
+    f"""
+    WITH tp AS (
+      SELECT p_partkey, {_cents_sql('p_retailprice')} AS tp_cents
+      FROM part WHERE p_size % 3 <> 0),
+    eb AS (
+      SELECT p_partkey, ({_cents_sql('p_retailprice')} * 9) // 10 AS eb_cents
+      FROM part WHERE p_size % 2 = 0)
+    SELECT l.l_orderkey, l.l_linenumber,
+           COALESCE(tp.tp_cents, eb.eb_cents) AS resolved_cents,
+           CASE WHEN tp.tp_cents IS NOT NULL THEN 'tcgplayer'
+                WHEN eb.eb_cents IS NOT NULL THEN 'ebay'
+                ELSE 'none' END AS price_source
+    FROM lineitem l
+    LEFT JOIN tp ON tp.p_partkey = l.l_partkey
+    LEFT JOIN eb ON eb.p_partkey = l.l_partkey
+    """,
+    doc="Multi-source price resolution (reference revalueCollection.mjs:50-54,"
+    "186-290): the driver-side hash Maps become broadcast hash joins; the "
+    "eBay-fallback-when-absent rule (mjs:214-224) becomes COALESCE over "
+    "left-join results.",
+)
+def j7_price_resolution_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    tp = part.filter(F.col("p_size") % 3 != 0).select(
+        F.col("p_partkey").alias("tp_key"), _cents("p_retailprice").alias("tp_cents")
+    )
+    eb = part.filter(F.col("p_size") % 2 == 0).select(
+        F.col("p_partkey").alias("eb_key"),
+        F.expr(
+            "(CAST(round(CAST(p_retailprice AS DECIMAL(18,2)) * 100, 0) AS BIGINT) * 9) DIV 10"
+        ).alias("eb_cents"),
+    )
+    resolved = (
+        li.join(F.broadcast(tp), li["l_partkey"] == tp["tp_key"], "left")
+        .join(F.broadcast(eb), li["l_partkey"] == eb["eb_key"], "left")
+    )
+    return resolved.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.coalesce(F.col("tp_cents"), F.col("eb_cents")).alias("resolved_cents"),
+        F.when(F.col("tp_cents").isNotNull(), "tcgplayer")
+        .when(F.col("eb_cents").isNotNull(), "ebay")
+        .otherwise("none")
+        .alias("price_source"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2/U1/P4 — lateral unpivot
+# ---------------------------------------------------------------------------
+
+@register(
+    "j2_unpivot_part_metrics",
+    f"""
+    SELECT * FROM (
+      SELECT p_partkey, 'retail_cents' AS metric,
+             {_cents_sql('p_retailprice')} AS value FROM part
+      UNION ALL
+      SELECT p_partkey, 'size' AS metric, CAST(p_size AS BIGINT) AS value FROM part
+    ) u WHERE value IS NOT NULL AND value > 0
+    """,
+    doc="Wide→long unpivot (reference 02_normalize_scryfall_prices.js:101-153 "
+    "CROSS JOIN LATERAL (VALUES ...)): inline generator per row, no shuffle; "
+    "null/non-positive values dropped (P4, 02:154-155).",
+)
+def j2_unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    long_df = unpivot(
+        part,
+        ["p_partkey"],
+        [
+            ("retail_cents", _cents("p_retailprice")),
+            ("size", F.col("p_size").cast("long")),
+        ],
+        key_name="metric",
+        value_name="value",
+        drop_null_values=True,
+    )
+    return long_df.filter(F.col("value") > 0)
+
+
+# ---------------------------------------------------------------------------
+# F1 — money-string parsing (reference centsFromMoney)
+# ---------------------------------------------------------------------------
+
+@register(
+    "f1_money_parse_cents",
+    f"""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_linenumber = 7 THEN NULL
+                ELSE {_cents_sql('l_extendedprice')} END AS parsed_cents
+    FROM lineitem
+    """,
+    doc="Money-string → integer cents (reference 01_import_pricecharting_csv.js:78-90). "
+    "Spark side renders '$1,234.56' strings (integer string-building) then "
+    "parses them back; the oracle computes the expected cents directly, so "
+    "this checks the full parse path incl. junk rejection.",
+)
+def f1_money_parse_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = _cents("l_extendedprice")
+    whole = F.floor(cents / 100).cast("long")
+    frac = F.lpad((cents % 100).cast("string"), 2, "0")
+    # Thousands separators on the whole part exercise the '[$,]' strip.
+    with_commas = F.regexp_replace(
+        whole.cast("string"), r"(\d)(?=(\d{3})+$)", r"$1,"
+    )
+    money_str = F.when(F.col("l_linenumber") == 7, F.lit("N/A")).otherwise(
+        F.concat(F.lit("$"), with_commas, F.lit("."), frac)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        parse_money_to_cents(money_str).alias("parsed_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F4 — cents → display money string
+# ---------------------------------------------------------------------------
+
+@register(
+    "f4_cents_display",
+    f"""
+    SELECT o_orderkey,
+           CAST({_cents_sql('o_totalprice')} // 100 AS VARCHAR) || '.' ||
+           lpad(CAST({_cents_sql('o_totalprice')} % 100 AS VARCHAR), 2, '0') ||
+           ' USD' AS display_price
+    FROM orders
+    """,
+    doc="Integer-cents → '1234.56 USD' display string (reference "
+    "exportGoogleMerchantFeed.mjs:78-82) with pure integer string building.",
+)
+def f4_cents_display(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        cents_to_display(_cents("o_totalprice")).alias("display_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F5 — field sanitization + token counting
+# ---------------------------------------------------------------------------
+
+@register(
+    "f5_sanitize_documents",
+    r"""
+    SELECT doc_id,
+           substr(trim(regexp_replace(regexp_replace(text, '[\x00-\x1F\x7F]', ' ', 'g'),
+                                      '\s+', ' ', 'g')), 1, 60) AS head,
+           length(trim(regexp_replace(regexp_replace(text, '[\x00-\x1F\x7F]', ' ', 'g'),
+                                      '\s+', ' ', 'g'))) AS clean_len,
+           len(regexp_split_to_array(trim(text), '\s+')) AS token_count
+    FROM documents
+    """,
+    doc="Field sanitization (reference exportGoogleMerchantFeed.mjs:84-99): "
+    "strip control chars, collapse whitespace, trim; plus whitespace "
+    "tokenization stats.",
+)
+def f5_sanitize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    clean = sanitize_field(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.substring(clean, 1, 60).alias("head"),
+        F.length(clean).alias("clean_len"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("token_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F8/F9/P3/P9 — JSON extraction with guarded casts
+# ---------------------------------------------------------------------------
+
+@register(
+    "f8_json_extract_events",
+    """
+    SELECT event_type,
+           COUNT(*) AS events,
+           CAST(SUM(CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^[0-9]+$')
+                         THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END) AS BIGINT)
+             AS sum_k,
+           CAST(MAX(CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^[0-9]+$')
+                         THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END) AS BIGINT)
+             AS max_k
+    FROM events GROUP BY event_type
+    """,
+    doc="JSON path extraction + regex-guarded numeric cast (reference "
+    "02_normalize_scryfall_prices.js:82-88 `payload->...`; guard pattern from "
+    "revalueCollection.mjs:196-200).",
+)
+def f8_json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k_str = F.get_json_object(F.col("props"), "$.k")
+    k = F.when(k_str.rlike("^[0-9]+$"), k_str).cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("events"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J9/O3 — latest row per group (correlated LIMIT-1 → window top-1)
+# ---------------------------------------------------------------------------
+
+@register(
+    "o3_latest_order_per_customer",
+    f"""
+    WITH ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders)
+    SELECT o_custkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS last_order_date,
+           {_cents_sql('o_totalprice')} AS last_total_cents
+    FROM ranked WHERE rn = 1
+    """,
+    doc="Latest-row-per-group: the reference's correlated `ORDER BY sold_at "
+    "DESC LIMIT 1` subquery (10_rollup_market_values_daily.mjs:69-75) as a "
+    "window top-1 with a deterministic tie-breaker.",
+)
+def o3_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    latest = best_of_group(
+        orders,
+        ["o_custkey"],
+        [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()],
+    )
+    return latest.select(
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("last_order_date"),
+        _cents("o_totalprice").alias("last_total_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S5/S6/S8 — upsert semantics as a pure (oracle-checkable) query
+# ---------------------------------------------------------------------------
+
+@register(
+    "s5_upsert_semantics",
+    f"""
+    WITH target AS (
+      SELECT l_orderkey, l_linenumber, {_cents_sql('l_extendedprice')} AS value_cents
+      FROM lineitem WHERE l_linenumber <= 4),
+    src AS (
+      SELECT l_orderkey, l_linenumber, {_cents_sql('l_extendedprice')} * 2 AS value_cents
+      FROM lineitem WHERE l_linenumber >= 4),
+    unioned AS (
+      SELECT *, 0 AS prec FROM src
+      UNION ALL
+      SELECT *, 1 AS prec FROM target),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY l_orderkey, l_linenumber
+        ORDER BY prec ASC, value_cents DESC) AS rn
+      FROM unioned)
+    SELECT l_orderkey, l_linenumber, value_cents FROM ranked WHERE rn = 1
+    """,
+    doc="Keyed upsert (reference `INSERT ... ON CONFLICT DO UPDATE`, "
+    "01:171-186 / 03:191-197 / 10:85-92) as union + key-window dedup with "
+    "updates taking precedence — the plain-parquet MERGE fallback.",
+)
+def s5_upsert_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    target = li.filter(F.col("l_linenumber") <= 4).select(
+        "l_orderkey", "l_linenumber", _cents("l_extendedprice").alias("value_cents")
+    )
+    src = li.filter(F.col("l_linenumber") >= 4).select(
+        "l_orderkey",
+        "l_linenumber",
+        (_cents("l_extendedprice") * 2).alias("value_cents"),
+    )
+    # The synthetic data contains duplicate (orderkey, linenumber) keys, so
+    # a within-source tie-break keeps the merged pick deterministic.
+    return upsert(
+        target,
+        src,
+        ["l_orderkey", "l_linenumber"],
+        order_within_source=[F.col("value_cents").desc()],
+    )
+
+
+# ---------------------------------------------------------------------------
+# O1 — global ordering with NULLS LAST + rank
+# ---------------------------------------------------------------------------
+
+@register(
+    "o1_rank_nulls_last",
+    """
+    WITH src AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE o_orderdate END AS d
+      FROM orders),
+    ranked AS (
+      SELECT o_orderkey, d,
+             ROW_NUMBER() OVER (ORDER BY d ASC NULLS LAST, o_orderkey ASC) AS rn
+      FROM src)
+    SELECT rn, o_orderkey, strftime(d, '%Y-%m-%d') AS order_date
+    FROM ranked WHERE rn <= 100
+    """,
+    doc="Total ordering with explicit null placement (reference "
+    "exportGoogleMerchantFeed.mjs:311 `ORDER BY created_at ASC NULLS LAST, "
+    "title ASC`), materialized as a rank so the result set is checkable.",
+)
+def o1_rank_nulls_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    src = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 10 == 0, None)
+        .otherwise(F.col("o_orderdate"))
+        .alias("d"),
+    )
+    window = Window.orderBy(F.asc_nulls_last("d"), F.asc("o_orderkey"))
+    return (
+        src.withColumn("rn", F.row_number().over(window))
+        .filter(F.col("rn") <= 100)
+        .select("rn", "o_orderkey", F.date_format("d", "yyyy-MM-dd").alias("order_date"))
+    )

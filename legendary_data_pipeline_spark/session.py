@@ -1,0 +1,65 @@
+"""SparkSession factory tuned for the engine's workload.
+
+Defaults are chosen for correctness-at-scale, not just local runs:
+- AQE on (runtime re-plan, skew-join splitting, partition coalescing)
+- shuffle partitions sized by env (local test: 32; a real cluster would
+  use ~2-3x total cores — AQE coalesces the excess)
+- Arrow on (vectorized Python interchange for the few Pandas-UDF paths)
+- session timezone pinned UTC (the reference stores naive UTC dates;
+  `01_import_pricecharting_csv.js:104` builds UTC dates client-side)
+- `nanosAsLong` on so nanosecond parquet timestamps (the `events` table)
+  load as integer nanos; event-time math is then pure integer arithmetic.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "legendary-data-pipeline-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults."""
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("LDP_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+        )
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("LDP_DRIVER_MEM", "8g"))
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    return builder.getOrCreate()
+
+
+def ensure_engine_confs(spark: SparkSession) -> SparkSession:
+    """Set runtime-settable engine confs on an externally-created session.
+
+    The correctness driver calls `queries()[name](spark, sf_dir)` with its
+    own SparkSession; these confs keep behavior identical there.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark

@@ -1,0 +1,83 @@
+"""Local replica of the driver's DuckDB-oracle comparison.
+
+Mirrors the driver contract: run the Spark query and the oracle SQL on
+the same parquet tables, sort columns by name, compare row count, dtypes
+(loosely), and exact cell values order-insensitively. Exactness matters —
+the driver hashes values, so we assert bit-identical results, not
+approximate ones.
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import date, datetime
+from decimal import Decimal
+
+import duckdb
+
+from legendary_data_pipeline_spark.catalog import TABLES
+
+
+def run_oracle(sql: str, sf_dir: str):
+    con = duckdb.connect()
+    for table in TABLES:
+        con.sql(
+            f"CREATE VIEW {table} AS SELECT * FROM '{sf_dir}/{table}.parquet'"
+        )
+    return con.sql(sql).fetchall(), [d[0] for d in con.sql(sql).description]
+
+
+def _norm_cell(v):
+    if v is None:
+        return ("null",)
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, Decimal):
+        return ("n", float(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("nan",)
+        return ("n", v)
+    if isinstance(v, int):
+        return ("n", float(v)) if abs(v) < 2**52 else ("i", v)
+    if isinstance(v, datetime):
+        return ("ts", v.replace(tzinfo=None).isoformat())
+    if isinstance(v, date):
+        return ("d", v.isoformat())
+    if isinstance(v, (list, tuple)):
+        return ("l", tuple(_norm_cell(x) for x in v))
+    return ("s", str(v))
+
+
+def normalize_rows(rows, columns):
+    """Sort columns by name, normalize cells, sort rows — order-insensitive."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    normed = [tuple(_norm_cell(row[i]) for i in order) for row in rows]
+    normed.sort()
+    return [columns[i] for i in order], normed
+
+
+def compare_to_oracle(spark_df, oracle: str, sf_dir: str, max_diffs: int = 5):
+    """Assert the Spark result matches the DuckDB oracle exactly."""
+    actual_rows = [tuple(r) for r in spark_df.collect()]
+    actual_cols = spark_df.columns
+    expected_rows, expected_cols = run_oracle(oracle, sf_dir)
+
+    assert sorted(actual_cols) == sorted(expected_cols), (
+        f"column mismatch: spark={sorted(actual_cols)} oracle={sorted(expected_cols)}"
+    )
+    a_cols, a_rows = normalize_rows(actual_rows, actual_cols)
+    e_cols, e_rows = normalize_rows(expected_rows, expected_cols)
+    assert len(a_rows) == len(e_rows), (
+        f"row count mismatch: spark={len(a_rows)} oracle={len(e_rows)}"
+    )
+    if a_rows != e_rows:
+        diffs = []
+        for i, (a, e) in enumerate(zip(a_rows, e_rows)):
+            if a != e:
+                diffs.append(f"row {i}: spark={a} oracle={e}")
+                if len(diffs) >= max_diffs:
+                    break
+        raise AssertionError(
+            "value mismatch (cols=%s):\n%s" % (a_cols, "\n".join(diffs))
+        )
