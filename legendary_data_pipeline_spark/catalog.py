@@ -47,6 +47,22 @@ def load_tables(
     return {name: load_table(spark, sf_dir, name) for name in names}
 
 
+def load_distributed(
+    spark: SparkSession, sf_dir: str, name: str, partitions: int | None = None
+) -> DataFrame:
+    """Load + round-robin repartition to the session's parallelism.
+
+    Small single-file parquet inputs (the local testdata) arrive as ONE
+    scan partition, serializing any expensive per-row compute. A real
+    100 TB table already has thousands of scan splits — use plain
+    `load_table` there; this helper is for compute-heavy operators over
+    inputs whose file layout under-splits.
+    """
+    df = load_table(spark, sf_dir, name)
+    n = partitions or spark.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view (for spark.sql(...) plans)."""
     for name in TABLES:

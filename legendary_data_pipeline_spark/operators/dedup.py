@@ -1,0 +1,247 @@
+"""Document deduplication operators (SURVEY.md §2.11, north-star mandate).
+
+Beyond-reference operators for LLM-training-data pipelines, over the
+`documents` table (`doc_id, text, lang, source, n_chars`):
+
+- exact dedup       — sha256 grouping (one shuffle on the hash)
+- MinHash + LSH     — word-shingle → portable minhash signature → banded
+                      bucketing → candidate pairs → exact-Jaccard verify
+- SimHash           — 60-bit sign fingerprint over token hashes
+- n-gram Jaccard    — exact set similarity on candidate (or all) pairs
+
+Scale design (100 TB): signatures are computed with ARRAY higher-order
+functions (`transform`/`aggregate`) — per-row, no explode, no shuffle —
+so the only shuffles are (a) the band-bucket groupBy/self-join, whose
+bucket sizes LSH keeps small for non-duplicate data, and (b) the final
+pair dedup. Hash functions are md5-based (`functions.hashing`) so every
+step stays bit-reproducible in DuckDB/Postgres for oracle checking —
+swap in xxhash64 for raw speed once cross-engine checking isn't needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from legendary_data_pipeline_spark.functions.hashing import (
+    HEX_DIGITS,
+    md5_long,
+)
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per distinct text: content hash, keeper id (min), dup count."""
+    return df.groupBy(F.sha2(F.col(text_col), 256).alias("text_sha")).agg(
+        F.min(id_col).alias("keeper_id"),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep exactly the min-id row per distinct text (deterministic)."""
+    from pyspark.sql import Window
+
+    window = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(
+        F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(window))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling + minhash (portable hashes; array ops — no explode)
+# ---------------------------------------------------------------------------
+
+def tokens_expr(text_col: str = "text") -> Column:
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def shingles_expr(text_col: str = "text", n: int = 3) -> Column:
+    """Word n-gram shingles as an array column (rows with <n tokens → empty).
+
+    Pure array expression: `transform(sequence(...))` over the token array,
+    evaluated per-row inside the scan stage.
+    """
+    toks = tokens_expr(text_col)
+
+    # Bind the token array as a lambda variable so the regex split is
+    # evaluated ONCE per row. Referencing `toks` directly inside the
+    # shingle lambda would inline the split into every element_at —
+    # O(tokens² · regex) per row (higher-order fns are interpreted, no
+    # codegen CSE). transform(array(toks), t -> ...)[0] forces a single
+    # evaluation point.
+    def grams_of(t: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.size(t) - n)
+        return F.transform(
+            idx,
+            # element_at is 1-based; j is the 0-based shingle start.
+            lambda j: F.concat_ws(
+                " ", *[F.element_at(t, j + k + 1) for k in range(n)]
+            ),
+        )
+
+    grams = F.transform(F.array(toks), grams_of)[0]
+    # Guard: sequence(0, negative) would count downward; emit empty array.
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """doc_id + h0..h{num_hashes-1} minhash signature columns.
+
+    One md5 per shingle (the expensive part), then the affine 31-bit
+    family generates all `num_hashes` permutation hashes arithmetically.
+    Shape: explode shingles → hash → ONE groupBy with `num_hashes` min
+    aggregates. The mins are plain arithmetic inside whole-stage codegen
+    and combine map-side, so the shuffle carries `num_hashes` longs per
+    doc — this beats array-lambda variants, which Catalyst's projection
+    collapse makes recompute the hash array per output column.
+    Rows with fewer than `shingle_n` tokens are dropped (no shingles).
+    """
+    from legendary_data_pipeline_spark.functions.hashing import (
+        MERSENNE_P,
+        hash_family_params,
+        md5_long,
+    )
+
+    exploded = df.select(
+        F.col(id_col), F.explode(shingles_expr(text_col, shingle_n)).alias("__s")
+    )
+    based = exploded.select(
+        F.col(id_col), (md5_long(F.col("__s")) % MERSENNE_P).alias("__hb")
+    )
+    aggs = [
+        F.min((F.col("__hb") * F.lit(a) + F.lit(b)) % MERSENNE_P).alias(f"h{i}")
+        for i, (a, b) in enumerate(hash_family_params(num_hashes))
+    ]
+    return based.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Banded LSH: docs sharing any full band of the signature become a
+    candidate pair (id_a < id_b, distinct).
+
+    One explode (×bands), one shuffle on (band_idx, band_key), then a
+    within-bucket self-join. At scale, cap pathological buckets before
+    the join (a bucket of size B yields B² pairs).
+    """
+    # The band self-join probes `signatures` twice; cache the (tiny:
+    # num_hashes longs per doc) signature frame so the upstream shingle
+    # pipeline isn't recomputed per join side.
+    signatures = signatures.cache()
+    rows_per_band = num_hashes // bands
+    band_structs = []
+    for b in range(bands):
+        member_cols = [
+            F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)
+        ]
+        band_key = md5_long(F.concat_ws("_", *[c.cast("string") for c in member_cols]))
+        band_structs.append(
+            F.struct(F.lit(b).alias("band_idx"), band_key.alias("band_key"))
+        )
+    banded = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("band")
+    ).select(id_col, "band.band_idx", "band.band_key")
+
+    left = banded.select(
+        F.col(id_col).alias("id_a"), "band_idx", "band_key"
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"), "band_idx", "band_key"
+    )
+    return (
+        left.join(right, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for the given candidate pairs."""
+    sets_df = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(shingles_expr(text_col, shingle_n)).alias("__set"),
+    )
+    # Probed twice (both pair sides) — cache the per-doc sets so the
+    # shingle computation runs once. At scale, prefer writing sets to a
+    # staging table keyed by id and bucket-joining.
+    sets_df = sets_df.cache()
+    a = sets_df.select(F.col("__id").alias("id_a"), F.col("__set").alias("set_a"))
+    b = sets_df.select(F.col("__id").alias("id_b"), F.col("__set").alias("set_b"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.size(F.array_union("set_a", "set_b"))
+    return joined.select(
+        "id_a",
+        "id_b",
+        (inter.cast("double") / union.cast("double")).alias("jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60  # md5_long yields 60-bit values
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """60-bit SimHash per document (frequency-weighted sign fingerprint).
+
+    Explodes tokens then computes all 60 bit-majorities in ONE groupBy
+    (map-side partial aggregation keeps the shuffle tiny: 61 longs/doc).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_expr(text_col)).alias("__tok")
+    ).withColumn("__h", md5_long(F.col("__tok")))
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.sum(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1))).alias(f"__s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    counted = toks.groupBy(id_col).agg(*aggs)
+    fingerprint = None
+    for b in range(SIMHASH_BITS):
+        bit = F.when(
+            F.col(f"__s{b}") * 2 > F.col("__n"),
+            F.shiftleft(F.lit(1).cast("long"), b),
+        ).otherwise(F.lit(0).cast("long"))
+        fingerprint = bit if fingerprint is None else fingerprint + bit
+    return counted.select(
+        F.col(id_col), fingerprint.alias("simhash"), F.col("__n").alias("token_count")
+    )
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Hamming distance between two simhash longs."""
+    return F.bit_count(a.bitwiseXOR(b))

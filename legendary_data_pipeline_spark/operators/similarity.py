@@ -1,0 +1,156 @@
+"""Similarity search over embedding columns (SURVEY.md §2.11).
+
+`embeddings` table: `vec_id, embedding array<float>, label`.
+
+- `cosine_topk` — brute-force exact top-k: candidate join (optionally
+  label-blocked) → cosine via array `zip_with`/`aggregate` (JVM-side,
+  no Python) → window top-k. The baseline; exact and oracle-checkable.
+- `lsh_bucket_topk` — scale path: random-hyperplane-style signs from
+  deterministic md5 projections bucket vectors; top-k runs within
+  buckets only. Approximate (rows-only check).
+
+Scale design (100 TB): brute force is O(Q×N); block it (label, LSH
+bucket, IVF coarse centroid) so each probe touches a small candidate
+set. The query side should be broadcast when small. Math stays in
+`array<double>` to make results reproducible across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from legendary_data_pipeline_spark.operators.ranking import top_k_per_group
+
+
+def _as_double(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def dot_expr(a: str, b: str) -> Column:
+    """Sequential-fold dot product (deterministic summation order)."""
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(a: str) -> Column:
+    return F.sqrt(
+        F.aggregate(F.col(a), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    k: int = 3,
+    query_filter: Column | None = None,
+    block_on_label: bool = True,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    Rounds the similarity before ranking so ordering (and therefore the
+    selected top-k) is stable across engines/retries; ties break on
+    neighbor id.
+    """
+    base = embeddings.select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("vec")
+    )
+    queries = base if query_filter is None else base.filter(query_filter)
+    queries = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("vec").alias("q_vec"),
+        norm_expr("vec").alias("q_norm"),
+    )
+    cands = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("c_label"),
+        F.col("vec").alias("c_vec"),
+        norm_expr("vec").alias("c_norm"),
+    )
+    if block_on_label:
+        joined = queries.join(cands, F.col("q_label") == F.col("c_label"))
+    else:
+        joined = queries.crossJoin(cands)
+    joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
+    cos = F.round(
+        dot_expr("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")),
+        round_digits,
+    )
+    scored = joined.select("query_id", "neighbor_id", cos.alias("cos_sim"))
+    return top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
+        k=k,
+        rank_col="rank",
+    ).select("query_id", "neighbor_id", "rank", "cos_sim")
+
+
+def lsh_bucket_topk(
+    embeddings: DataFrame,
+    planes: int = 8,
+    k: int = 3,
+    query_filter: Column | None = None,
+) -> DataFrame:
+    """Approximate top-k: sign-bucket vectors, search within buckets.
+
+    The "hyperplanes" are deterministic pseudo-random ±1 projections
+    derived from md5 of (plane, dimension) — reproducible without any
+    stored model. Recall improves with fewer planes (bigger buckets) or
+    multi-probe; this is the scale path, checked rows-only.
+    """
+    base = embeddings.select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("vec")
+    )
+
+    def plane_sign(p: int) -> Column:
+        # ±1 per (plane, dim): bit p of md5(dim index) — deterministic.
+        signs = F.expr(
+            f"transform(sequence(0, size(vec) - 1), __d -> "
+            f"CASE WHEN (CAST(conv(substring(md5(concat('{p}:', __d)), 1, 15), 16, 10) AS BIGINT) % 2) = 0 "
+            f"THEN 1.0 ELSE -1.0 END)"
+        )
+        proj = F.aggregate(
+            F.zip_with(F.col("vec"), signs, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    bucket = None
+    for p in range(planes):
+        bit = plane_sign(p) * (2**p)
+        bucket = bit if bucket is None else bucket + bit
+    bucketed = base.withColumn("bucket", bucket)
+
+    queries = bucketed if query_filter is None else bucketed.filter(query_filter)
+    queries = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("bucket").alias("q_bucket"),
+        F.col("vec").alias("q_vec"),
+        norm_expr("vec").alias("q_norm"),
+    )
+    cands = bucketed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("bucket").alias("c_bucket"),
+        F.col("vec").alias("c_vec"),
+        norm_expr("vec").alias("c_norm"),
+    )
+    joined = queries.join(cands, F.col("q_bucket") == F.col("c_bucket")).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    cos = F.round(
+        dot_expr("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")), 6
+    )
+    scored = joined.select("query_id", "neighbor_id", cos.alias("cos_sim"))
+    return top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
+        k=k,
+        rank_col="rank",
+    ).select("query_id", "neighbor_id", "rank", "cos_sim")

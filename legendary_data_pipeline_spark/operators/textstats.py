@@ -1,0 +1,129 @@
+"""Text analysis operators (SURVEY.md §2.11): language-ID heuristic,
+quality scoring, token counting, document fingerprinting.
+
+All pure column expressions (JVM-side); ratios are exact integer
+divisions cast to double so results are bit-reproducible in the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from legendary_data_pipeline_spark.functions.hashing import md5_long
+from legendary_data_pipeline_spark.operators.dedup import tokens_expr
+
+#: generic English-ish stopwords intersected with the corpus vocabulary
+STOPWORDS: tuple[str, ...] = ("the", "a")
+
+#: marker-word lists for the n-gram/keyword language-ID heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "merge", "window"),
+    "en": ("the", "a", "query", "join"),
+    "es": ("el", "la", "los", "scan", "filter"),
+    "fr": ("le", "la", "les", "sort", "order"),
+    "zh": ("hash", "vector", "stream"),
+}
+
+FINGERPRINT_MOD = 1_000_000_007
+
+
+def _count_in(tokens: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(tokens, lambda t: t.isin(*words)))
+
+
+def token_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc token counts + stopword counts (basis for ratios)."""
+    toks = tokens_expr(text_col)
+    return df.withColumn("__toks", toks).select(
+        F.col(id_col),
+        F.size("__toks").cast("long").alias("token_count"),
+        _count_in(F.col("__toks"), STOPWORDS).cast("long").alias("stopword_count"),
+        F.length(F.trim(F.col(text_col))).cast("long").alias("char_count"),
+    )
+
+
+def quality_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Integer quality score (0-100) from length / stopword / shape
+    heuristics, with a high/medium/low bucket.
+
+    Thresholds compare exact int-ratio doubles, so scoring is
+    deterministic across engines.
+    """
+    stats = token_stats(df, id_col, text_col)
+    tc = F.col("token_count").cast("double")
+    stop_ratio = F.col("stopword_count").cast("double") / tc
+    chars_per_tok = F.col("char_count").cast("double") / tc
+    length_pts = F.when(
+        (F.col("token_count") >= 20) & (F.col("token_count") <= 400), 40
+    ).otherwise(10)
+    stop_pts = F.when((stop_ratio >= 0.02) & (stop_ratio <= 0.6), 30).otherwise(10)
+    shape_pts = F.when((chars_per_tok >= 3.0) & (chars_per_tok <= 12.0), 30).otherwise(
+        10
+    )
+    score = (length_pts + stop_pts + shape_pts).cast("int")
+    bucket = (
+        F.when(score >= 80, "high").when(score >= 50, "medium").otherwise("low")
+    )
+    return stats.select(
+        id_col,
+        "token_count",
+        score.alias("quality_score"),
+        bucket.alias("quality_bucket"),
+    )
+
+
+def lang_id(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keyword-profile language ID: count marker hits per language,
+    predict the argmax (ties → alphabetically first language).
+
+    A real deployment would use char-n-gram profiles per language; the
+    operator shape (N profile scores → deterministic argmax) is the same.
+    """
+    out = df.withColumn("__toks", tokens_expr(text_col))
+    langs = sorted(LANG_MARKERS)
+    for lang in langs:
+        out = out.withColumn(
+            f"score_{lang}",
+            _count_in(F.col("__toks"), LANG_MARKERS[lang]).cast("long"),
+        )
+    predicted: Column | None = None
+    # Alphabetical order + >= gives ties to the alphabetically-first lang.
+    for lang in langs:
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            clause = F.col(f"score_{lang}") >= F.col(f"score_{other}")
+            cond = clause if cond is None else cond & clause
+        predicted = (
+            F.when(cond, lang) if predicted is None else predicted.when(cond, lang)
+        )
+    assert predicted is not None
+    return out.select(
+        id_col,
+        *[F.col(f"score_{lang}") for lang in langs],
+        predicted.otherwise(langs[-1]).alias("predicted_lang"),
+    )
+
+
+def fingerprint(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Order-insensitive bag-of-words fingerprint:
+    sum(md5_60bit(token) mod p) mod p, p = 1e9+7 — overflow-safe in
+    signed 64-bit even for million-token documents."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_expr(text_col)).alias("__tok")
+    )
+    h = md5_long(F.col("__tok")) % FINGERPRINT_MOD
+    return toks.groupBy(id_col).agg(
+        (F.sum(h) % FINGERPRINT_MOD).alias("fingerprint"),
+        F.count(F.lit(1)).alias("token_count"),
+    )

@@ -484,8 +484,8 @@ def f5_sanitize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.substring(clean, 1, 60).alias("head"),
-        F.length(clean).alias("clean_len"),
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("token_count"),
+        F.length(clean).cast("long").alias("clean_len"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("token_count"),
     )
 
 
@@ -637,7 +637,12 @@ def o1_rank_nulls_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     window = Window.orderBy(F.asc_nulls_last("d"), F.asc("o_orderkey"))
     return (
-        src.withColumn("rn", F.row_number().over(window))
+        src.withColumn("rn", F.row_number().over(window).cast("long"))
         .filter(F.col("rn") <= 100)
         .select("rn", "o_orderkey", F.date_format("d", "yyyy-MM-dd").alias("order_date"))
     )
+
+
+# Extension query modules register themselves on import (kept at the tail
+# so `register` and the core entries above are fully defined first).
+from legendary_data_pipeline_spark import queries_llm  # noqa: E402,F401

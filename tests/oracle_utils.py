@@ -24,7 +24,37 @@ def run_oracle(sql: str, sf_dir: str):
         con.sql(
             f"CREATE VIEW {table} AS SELECT * FROM '{sf_dir}/{table}.parquet'"
         )
-    return con.sql(sql).fetchall(), [d[0] for d in con.sql(sql).description]
+    rel = con.sql(sql)
+    return rel.fetchall(), list(rel.columns), [str(t) for t in rel.types]
+
+
+_DUCK_TO_CANON = {
+    "BIGINT": "bigint",
+    "INTEGER": "int",
+    "SMALLINT": "smallint",
+    "DOUBLE": "double",
+    "FLOAT": "float",
+    "VARCHAR": "string",
+    "BOOLEAN": "boolean",
+    "DATE": "date",
+    "TIMESTAMP": "timestamp",
+    "TIMESTAMP_NS": "timestamp",
+    "HUGEINT": "hugeint",
+}
+
+
+def canon_types(columns, types) -> dict[str, str]:
+    return {c: _DUCK_TO_CANON.get(t, t.lower()) for c, t in zip(columns, types)}
+
+
+def spark_canon_types(df) -> dict[str, str]:
+    out = {}
+    for name, dtype in df.dtypes:
+        d = dtype
+        if d == "timestamp_ntz":
+            d = "timestamp"
+        out[name] = d
+    return out
 
 
 def _norm_cell(v):
@@ -61,11 +91,19 @@ def compare_to_oracle(spark_df, oracle: str, sf_dir: str, max_diffs: int = 5):
     """Assert the Spark result matches the DuckDB oracle exactly."""
     actual_rows = [tuple(r) for r in spark_df.collect()]
     actual_cols = spark_df.columns
-    expected_rows, expected_cols = run_oracle(oracle, sf_dir)
+    expected_rows, expected_cols, expected_types = run_oracle(oracle, sf_dir)
 
     assert sorted(actual_cols) == sorted(expected_cols), (
         f"column mismatch: spark={sorted(actual_cols)} oracle={sorted(expected_cols)}"
     )
+    spark_types = spark_canon_types(spark_df)
+    duck_types = canon_types(expected_cols, expected_types)
+    type_diffs = {
+        c: (spark_types[c], duck_types[c])
+        for c in spark_types
+        if spark_types[c] != duck_types[c]
+    }
+    assert not type_diffs, f"dtype mismatch (spark, oracle): {type_diffs}"
     a_cols, a_rows = normalize_rows(actual_rows, actual_cols)
     e_cols, e_rows = normalize_rows(expected_rows, expected_cols)
     assert len(a_rows) == len(e_rows), (
