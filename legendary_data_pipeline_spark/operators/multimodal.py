@@ -1,0 +1,131 @@
+"""Multimodal column plumbing (SURVEY.md §2.11): image/audio/video as
+opaque binary columns with typed metadata, processed via Arrow-batched
+`mapInPandas`.
+
+The Spark-side shape is real and tested — schema contract, partition
+sizing, Pandas-UDF batch signature; only the codec itself is stubbed
+(`decode_image_real` raises NotImplementedError: pillow/ffmpeg are not
+in this container). `fake_decode_meta` is a deterministic stand-in that
+exercises the identical plumbing.
+
+Scale notes: binary payloads dominate row size — keep
+`spark.sql.files.maxPartitionBytes` low enough that a partition of
+payloads fits executor memory, and select metadata columns only
+(column pruning) when the payload isn't needed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, mime string, payload binary, "
+    "meta_json string"
+)
+
+DECODED_SCHEMA = (
+    "media_id long, kind string, n_bytes long, sha256 string, "
+    "width int, height int, n_frames int"
+)
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Build a synthetic media table from `documents` (payload = utf-8
+    text bytes) — deterministic fixture for the plumbing tests."""
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    mime = (
+        F.when(kind == "image", "image/png")
+        .when(kind == "audio", "audio/wav")
+        .otherwise("video/mp4")
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        mime.alias("mime"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.to_json(F.struct(F.col("lang"), F.col("source"))).alias("meta_json"),
+    )
+
+
+def decode_image_real(payload: bytes) -> tuple[int, int]:
+    """Real image decode — requires an imaging library not present in
+    this environment. The plumbing around it is fully wired; swap this
+    implementation when PIL/opencv is available."""
+    raise NotImplementedError(
+        "image codec not available in this container; use fake_decode_meta"
+    )
+
+
+def fake_decode_meta(payload: bytes, kind: str) -> tuple[int, int, int]:
+    """Deterministic stand-in decoder: derives (width, height, n_frames)
+    from the payload hash — stable across runs/engines, so tests can
+    assert exact values."""
+    digest = hashlib.sha256(payload).digest()
+    width = 64 + digest[0] % 192
+    height = 64 + digest[1] % 192
+    n_frames = 1 if kind == "image" else 1 + digest[2] % 120
+    return width, height, n_frames
+
+
+def extract_media_meta(media: DataFrame, use_real_codec: bool = False) -> DataFrame:
+    """Arrow-batched decode/feature pass over binary payloads.
+
+    `mapInPandas` streams Arrow record batches through Python — payloads
+    never materialize row-at-a-time through pickling. Output rows carry
+    metadata only (no payload) so downstream plans stay narrow.
+    """
+
+    def decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in batches:
+            payloads = batch["payload"]
+            kinds = batch["kind"]
+            widths, heights, frames, shas, sizes = [], [], [], [], []
+            for payload, kind in zip(payloads, kinds):
+                data = bytes(payload)
+                if use_real_codec and kind == "image":
+                    width, height = decode_image_real(data)
+                    n_frames = 1
+                else:
+                    width, height, n_frames = fake_decode_meta(data, kind)
+                widths.append(width)
+                heights.append(height)
+                frames.append(n_frames)
+                shas.append(hashlib.sha256(data).hexdigest())
+                sizes.append(len(data))
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"],
+                    "kind": kinds,
+                    "n_bytes": sizes,
+                    "sha256": shas,
+                    "width": widths,
+                    "height": heights,
+                    "n_frames": frames,
+                }
+            )
+
+    return media.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
+
+
+def sample_frame_offsets(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame-sampling plan for video rows: explode deterministic frame
+    indices (0, n, 2n, ...) from the decoded frame count — pure column
+    expressions; the (stubbed) frame extraction would be another
+    mapInPandas over (payload, frame_idx)."""
+    decoded = extract_media_meta(media.filter(F.col("kind") == "video"))
+    return decoded.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
+        ).alias("frame_idx"),
+    )

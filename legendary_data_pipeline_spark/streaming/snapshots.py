@@ -1,0 +1,112 @@
+"""Streaming daily snapshots over the `events` stream.
+
+The reference is batch-only: cron re-runs rebuild daily snapshot tables
+idempotently (SURVEY.md §2.9). The streaming equivalents keep the same
+table contracts but maintain them continuously:
+
+- tumbling 1-day windows + watermark  ≈ the daily re-run of 02/03
+- `foreachBatch` keyed upsert         ≈ `INSERT ... ON CONFLICT` (S5)
+- watermark-late rows                  ≈ the reference's idempotent rerun
+
+Event time: `events.ts` is integer nanoseconds; it converts to a
+timestamp column at the stream edge (`timestamp_micros(ts DIV 1000)`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-based event stream (parquet files appearing under `path`)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def with_event_time(events: DataFrame) -> DataFrame:
+    return events.withColumn(
+        "event_time", F.timestamp_micros(F.expr("ts DIV 1000"))
+    )
+
+
+def daily_event_rollup_stream(
+    events: DataFrame, watermark: str = "2 days"
+) -> DataFrame:
+    """Tumbling-day rollup with late-data tolerance.
+
+    Batch equivalent: the `e_daily_event_rollup` query. The watermark
+    bounds state: windows older than it finalize and evict — the
+    streaming answer to the reference's "re-run the day" idempotency.
+    (approx_count_distinct replaces exact distinct — exact per-key
+    distinct in streaming state is unbounded.)
+    """
+    timed = with_event_time(events).withWatermark("event_time", watermark)
+    cents = F.round(F.col("value").cast("decimal(18,2)") * 100, 0).cast("long")
+    return timed.groupBy(
+        F.window("event_time", "1 day").alias("win"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("events"),
+        F.sum(cents).alias("total_value_cents"),
+        F.approx_count_distinct("user_id").alias("approx_unique_users"),
+    ).select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "events",
+        "total_value_cents",
+        "approx_unique_users",
+    )
+
+
+def upsert_sink(target_path: str, keys: list[str]):
+    """`foreachBatch` writer applying S5 upsert semantics per micro-batch.
+
+    Each micro-batch MERGEs into the parquet target by key — re-delivered
+    windows (late data re-finalization, restarts) overwrite their prior
+    rows instead of duplicating: exactly the reference's ON CONFLICT
+    rerun story, continuously.
+    """
+    from legendary_data_pipeline_spark.operators.upsert import (
+        write_upsert_parquet,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        write_upsert_parquet(
+            target_path, batch_df, keys, batch_df.sparkSession
+        )
+
+    return write_batch
+
+
+def run_daily_rollup_once(
+    spark: SparkSession,
+    events_path: str,
+    target_path: str,
+    checkpoint_path: str,
+    watermark: str = "2 days",
+) -> None:
+    """Process all available events once (Trigger.AvailableNow) and stop.
+
+    This is the cron-replacement entry point: each invocation drains new
+    files, updates the snapshot table idempotently, and exits.
+    """
+    stream = read_events_stream(spark, events_path)
+    rolled = daily_event_rollup_stream(stream, watermark)
+    query = (
+        rolled.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(upsert_sink(target_path, ["day", "event_type"]))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()

@@ -1,0 +1,101 @@
+"""Sources/sinks: CSV alias reader, feed writer, run log, upsert writers."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from legendary_data_pipeline_spark.sources.csv_alias import (
+    PRICECHARTING_ALIASES,
+    read_csv_with_aliases,
+)
+from legendary_data_pipeline_spark.sources.feed_writer import (
+    collect_single_file,
+    write_feed,
+)
+from legendary_data_pipeline_spark.sources.runlog import (
+    current_runs,
+    finish_run,
+    sha256_file,
+    start_run,
+)
+
+CSV_BODY = (
+    "Id,Product-Name,Console-Name,Loose-Price,CIB-Price,release-date\r\n"
+    '1001,"Charizard, Base Set",Pokemon,"$1,234.56",$99.00,1999-01-09\r\n'
+    '1002,"Pikachu ""Promo""",Pokemon,$5.00,,2000-05-01\r\n'
+    ",Missing Id,Pokemon,$1.00,,2001-01-01\r\n"
+)
+
+
+@pytest.fixture()
+def csv_path(tmp_path):
+    path = tmp_path / "prices.csv"
+    path.write_text(CSV_BODY)
+    return str(path)
+
+
+def test_csv_alias_resolution(spark, csv_path):
+    df = read_csv_with_aliases(spark, csv_path, PRICECHARTING_ALIASES)
+    assert set(PRICECHARTING_ALIASES) == set(df.columns)
+    rows = {r.pricecharting_id: r for r in df.collect()}
+    # quoted comma + escaped quotes survive
+    assert rows["1001"].product_name == "Charizard, Base Set"
+    assert rows["1002"].product_name == 'Pikachu "Promo"'
+    # header variants resolve: Loose-Price → loose_price
+    assert rows["1001"].loose_price == "$1,234.56"
+    # missing variant columns materialize as nulls
+    assert rows["1001"].new_price is None
+
+
+def test_feed_writer_tsv_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("1", "Tab\there", "line\nbreak"), ("2", "plain", 'quote"s')],
+        "id string, title string, description string",
+    )
+    out_dir = str(tmp_path / "feed")
+    write_feed(df, out_dir, fmt="tsv")
+    flat = collect_single_file(out_dir, str(tmp_path / "feed.tsv"))
+    raw = open(flat, "rb").read().decode()
+    lines = raw.split("\r\n")
+    assert lines[0] == "id\ttitle\tdescription"
+    body = dict(line.split("\t", 1) for line in lines[1:] if line)
+    # tabs and newlines collapsed to single spaces inside fields
+    assert body["1"] == "Tab here\tline break"
+
+    back = (
+        spark.read.option("header", "true").option("sep", "\t").csv(out_dir)
+    )
+    assert back.count() == 2
+
+
+def test_feed_writer_csv_quoting(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("1", "has,comma"), ("2", 'has"quote')], "id string, title string"
+    )
+    out_dir = str(tmp_path / "feedcsv")
+    write_feed(df, out_dir, fmt="csv")
+    back = (
+        spark.read.option("header", "true")
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(out_dir)
+    )
+    vals = {r.id: r.title for r in back.collect()}
+    assert vals == {"1": "has,comma", "2": 'has"quote'}
+
+
+def test_runlog_lifecycle(spark, tmp_path, csv_path):
+    log_path = str(tmp_path / "runs")
+    digest = sha256_file(csv_path)
+    assert len(digest) == 64
+    run_id = start_run(
+        spark, log_path, "import", file_name="prices.csv", file_sha256=digest
+    )
+    finish_run(spark, log_path, run_id, "import", row_count=2)
+    state = current_runs(spark, log_path).collect()
+    assert len(state) == 1
+    assert state[0].status == "finished"
+    assert state[0].row_count == 2

@@ -1,0 +1,90 @@
+"""Structured Streaming analogues: availableNow drain ≈ batch rollup."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from legendary_data_pipeline_spark.streaming.snapshots import (
+    daily_event_rollup_stream,
+    run_daily_rollup_once,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _batch_expected(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    cents = F.round(F.col("value").cast("decimal(18,2)") * 100, 0).cast("long")
+    day = F.date_format(
+        F.expr("date_add(DATE '1970-01-01', CAST(ts DIV 86400000000000 AS INT))"),
+        "yyyy-MM-dd",
+    )
+    return {
+        (r.day, r.event_type): (r.events, r.total_value_cents)
+        for r in ev.groupBy(day.alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("events"), F.sum(cents).alias("total_value_cents"))
+        .collect()
+    }
+
+
+def test_streaming_daily_rollup_matches_batch(spark, tmp_path):
+    events_dir = tmp_path / "events_in"
+    events_dir.mkdir()
+    shutil.copyfile(
+        f"{SF_DIR}/events.parquet", events_dir / "events-000.parquet"
+    )
+    target = str(tmp_path / "daily")
+    checkpoint = str(tmp_path / "ckpt")
+
+    run_daily_rollup_once(spark, str(events_dir), target, checkpoint)
+    got = {
+        (r.day, r.event_type): (r.events, r.total_value_cents)
+        for r in spark.read.parquet(target).collect()
+    }
+    expected = _batch_expected(spark)
+    assert got == expected
+
+    # drain again with no new files — stream is a no-op, table unchanged
+    run_daily_rollup_once(spark, str(events_dir), target, checkpoint)
+    again = {
+        (r.day, r.event_type): (r.events, r.total_value_cents)
+        for r in spark.read.parquet(target).collect()
+    }
+    assert again == expected
+
+    # late/replayed data: re-deliver the same file under a new name with a
+    # FRESH checkpoint (a rerun) — upsert converges, no duplicate rows
+    shutil.copyfile(
+        f"{SF_DIR}/events.parquet", events_dir / "events-001.parquet"
+    )
+    run_daily_rollup_once(
+        spark, str(events_dir), target, str(tmp_path / "ckpt2")
+    )
+    replayed = spark.read.parquet(target)
+    assert replayed.groupBy("day", "event_type").count().filter(
+        F.col("count") > 1
+    ).count() == 0
+    # doubled input → doubled counts, still keyed correctly
+    doubled = {
+        (r.day, r.event_type): (r.events, r.total_value_cents)
+        for r in replayed.collect()
+    }
+    assert doubled == {
+        k: (e * 2, c * 2) for k, (e, c) in expected.items()
+    }
+
+
+def test_stream_plan_is_streaming(spark, tmp_path):
+    events_dir = tmp_path / "ev"
+    events_dir.mkdir()
+    shutil.copyfile(f"{SF_DIR}/events.parquet", events_dir / "e.parquet")
+    from legendary_data_pipeline_spark.streaming.snapshots import (
+        read_events_stream,
+    )
+
+    stream = read_events_stream(spark, str(events_dir))
+    rolled = daily_event_rollup_stream(stream)
+    assert rolled.isStreaming

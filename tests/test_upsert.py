@@ -1,0 +1,80 @@
+"""Idempotent writers (S5-S8) against real parquet in tmp dirs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from legendary_data_pipeline_spark.operators.upsert import (
+    insert_missing,
+    upsert,
+    write_upsert_parquet,
+    write_upsert_partitioned,
+)
+
+
+def test_upsert_updates_win(spark):
+    existing = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k int, name string, v int"
+    )
+    updates = spark.createDataFrame(
+        [(2, "b2", 21), (3, "c", 30)], "k int, name string, v int"
+    )
+    merged = {r.k: (r.name, r.v) for r in upsert(existing, updates, ["k"]).collect()}
+    assert merged == {1: ("a", 10), 2: ("b2", 21), 3: ("c", 30)}
+
+
+def test_upsert_null_keys_collapse(spark):
+    """Null-safe conflict keys (P8): NULL condition matches NULL."""
+    existing = spark.createDataFrame(
+        [(1, None, 10)], "k int, cond string, v int"
+    )
+    updates = spark.createDataFrame([(1, None, 99)], "k int, cond string, v int")
+    out = upsert(existing, updates, ["k", "cond"]).collect()
+    assert len(out) == 1 and out[0].v == 99
+
+
+def test_insert_missing_null_safe(spark):
+    existing = spark.createDataFrame(
+        [(1, None), (2, "x")], "k int, cond string"
+    )
+    updates = spark.createDataFrame(
+        [(1, None), (2, "y"), (3, None)], "k int, cond string"
+    )
+    missing = {(r.k, r.cond) for r in insert_missing(existing, updates, ["k", "cond"]).collect()}
+    assert missing == {(2, "y"), (3, None)}
+
+
+def test_write_upsert_parquet_idempotent(spark, tmp_path):
+    path = str(tmp_path / "t")
+    first = spark.createDataFrame([(1, 10), (2, 20)], "k int, v int")
+    write_upsert_parquet(path, first, ["k"], spark)
+    second = spark.createDataFrame([(2, 21), (3, 30)], "k int, v int")
+    write_upsert_parquet(path, second, ["k"], spark)
+    # re-run the same batch — converges, no duplicates (S5 idempotency)
+    write_upsert_parquet(path, second, ["k"], spark)
+    state = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert state == {1: 10, 2: 21, 3: 30}
+
+
+def test_write_upsert_partitioned_replaces_only_touched(spark, tmp_path):
+    path = str(tmp_path / "daily")
+    day1 = spark.createDataFrame(
+        [("2024-01-01", 1, 10), ("2024-01-02", 1, 20)],
+        "as_of_date string, k int, v int",
+    ).withColumn("as_of_date", F.col("as_of_date").cast("date"))
+    write_upsert_partitioned(path, day1, ["as_of_date"], spark)
+    day2 = spark.createDataFrame(
+        [("2024-01-02", 1, 99), ("2024-01-02", 2, 50)],
+        "as_of_date string, k int, v int",
+    ).withColumn("as_of_date", F.col("as_of_date").cast("date"))
+    write_upsert_partitioned(path, day2, ["as_of_date"], spark)
+    state = {
+        (str(r.as_of_date), r.k): r.v
+        for r in spark.read.parquet(path).collect()
+    }
+    # day1 untouched; day2 fully replaced (delete-then-insert semantics, S7)
+    assert state == {
+        ("2024-01-01", 1): 10,
+        ("2024-01-02", 1): 99,
+        ("2024-01-02", 2): 50,
+    }
