@@ -207,6 +207,66 @@ def jaccard_pairs(
     )
 
 
+def ngram_jaccard_blocked(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    block_col: str = "lang",
+    length_col: str = "n_chars",
+    length_bucket: int = 200,
+    min_jaccard: float = 0.1,
+    dup_threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs with scalable blocking.
+
+    Candidate pairs are restricted to docs sharing `block_col` whose
+    length buckets (`length_col DIV length_bucket`) differ by at most 1 —
+    near-duplicates have near-identical length, so block sizes stay
+    bounded while true dups can't straddle a boundary unseen. The
+    quadratic Jaccard step then runs only inside these small blocks; at
+    100 TB the block key becomes the shuffle/bucketing key and bucket
+    width tunes block size.
+
+    The neighbor probe is one ±1 bucket explode on the right side (each
+    unordered pair matches exactly one probe value, so no distinct needed).
+    """
+    sets_df = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(block_col).alias("__blk"),
+        (F.col(length_col).cast("long") / length_bucket).cast("long").alias("__bkt"),
+        F.array_distinct(shingles_expr(text_col, shingle_n)).alias("__set"),
+    ).filter(F.size("__set") > 0)
+    left = sets_df.select(
+        F.col("__id").alias("id_a"),
+        F.col("__blk").alias("blk_a"),
+        F.col("__bkt").alias("bkt_a"),
+        F.col("__set").alias("set_a"),
+    )
+    right = sets_df.select(
+        F.col("__id").alias("id_b"),
+        F.col("__blk").alias("blk_b"),
+        F.explode(
+            F.array(F.col("__bkt") - 1, F.col("__bkt"), F.col("__bkt") + 1)
+        ).alias("probe"),
+        F.col("__set").alias("set_b"),
+    )
+    joined = left.join(
+        right,
+        (F.col("blk_a") == F.col("blk_b"))
+        & (F.col("bkt_a") == F.col("probe"))
+        & (F.col("id_a") < F.col("id_b")),
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.size(F.array_union("set_a", "set_b"))
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        joined.select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= min_jaccard)
+        .withColumn("is_dup", F.col("jaccard") >= dup_threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------

@@ -90,6 +90,53 @@ def cosine_topk(
     ).select("query_id", "neighbor_id", "rank", "cos_sim")
 
 
+def embedding_cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    block_on_label: bool = True,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cos ≥ threshold).
+
+    The dedup-by-embedding operator: label-blocked self-join (at 100 TB,
+    block on an LSH bucket or IVF centroid instead of / in addition to
+    the label), cosine JVM-side, threshold filter pushed into the join
+    output before any further shuffle.
+    """
+    base = embeddings.select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("vec")
+    ).select(
+        "vec_id", "label", "vec", norm_expr("vec").alias("nrm")
+    )
+    a = base.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("label_a"),
+        F.col("vec").alias("vec_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("label_b"),
+        F.col("vec").alias("vec_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    if block_on_label:
+        cond = (F.col("label_a") == F.col("label_b")) & (
+            F.col("id_a") < F.col("id_b")
+        )
+    else:
+        cond = F.col("id_a") < F.col("id_b")
+    joined = a.join(b, cond)
+    cos = F.round(
+        dot_expr("vec_a", "vec_b") / (F.col("nrm_a") * F.col("nrm_b")),
+        round_digits,
+    )
+    return (
+        joined.select("id_a", "id_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def lsh_bucket_topk(
     embeddings: DataFrame,
     planes: int = 8,

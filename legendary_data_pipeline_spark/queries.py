@@ -643,6 +643,174 @@ def o1_rank_nulls_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# U2 — union-by-name of tagged sources
+# ---------------------------------------------------------------------------
+
+@register(
+    "u2_union_tagged_sources",
+    f"""
+    SELECT 'customer' AS source, CAST(c_custkey AS BIGINT) AS entity_id,
+           c_name AS name, {_cents_sql('c_acctbal')} AS acctbal_cents
+    FROM customer
+    UNION ALL
+    SELECT 'supplier' AS source, CAST(s_suppkey AS BIGINT) AS entity_id,
+           s_name AS name, {_cents_sql('s_acctbal')} AS acctbal_cents
+    FROM supplier
+    """,
+    doc="Union of per-source tables tagged with a literal source column "
+    "(reference revalueCollection.mjs:50-54,279-290: three per-game price "
+    "loaders merged by game dispatch → unionByName with a `game` literal).",
+)
+def u2_union_tagged_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    c = customer.select(
+        F.lit("customer").alias("source"),
+        F.col("c_custkey").cast("long").alias("entity_id"),
+        F.col("c_name").alias("name"),
+        _cents("c_acctbal").alias("acctbal_cents"),
+    )
+    s = supplier.select(
+        F.lit("supplier").alias("source"),
+        F.col("s_suppkey").cast("long").alias("entity_id"),
+        F.col("s_name").alias("name"),
+        _cents("s_acctbal").alias("acctbal_cents"),
+    )
+    return c.unionByName(s)
+
+
+# ---------------------------------------------------------------------------
+# F7 — URL/slug building
+# ---------------------------------------------------------------------------
+
+@register(
+    "f7_url_slug_link",
+    """
+    SELECT p_partkey,
+           'https://example.com/products/' ||
+           regexp_replace(regexp_replace(lower(trim(p_name)), '[^a-z0-9]+', '-', 'g'),
+                          '(^-)|(-$)', '', 'g') AS link
+    FROM part
+    """,
+    doc="Product URL building from a name (reference "
+    "exportGoogleMerchantFeed.mjs:23-27,115-118: origin + encoded slug "
+    "path): lowercase slugification + origin concat, all JVM-side regex.",
+)
+def f7_url_slug_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    slug = F.regexp_replace(
+        F.regexp_replace(F.lower(F.trim(F.col("p_name"))), "[^a-z0-9]+", "-"),
+        "(^-)|(-$)",
+        "",
+    )
+    return part.select(
+        "p_partkey",
+        F.concat(F.lit("https://example.com/products/"), slug).alias("link"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F10/F11 — conditional feed mapping + sale-price swap
+# ---------------------------------------------------------------------------
+
+@register(
+    "f10_conditional_feed_mapping",
+    f"""
+    WITH src AS (
+      SELECT l_orderkey, l_linenumber, l_linestatus, l_quantity,
+             {_cents_sql('l_extendedprice')} AS price_cents,
+             CASE WHEN l_orderkey % 3 = 0
+                  THEN ({_cents_sql('l_extendedprice')} * 11) // 10
+                  ELSE ({_cents_sql('l_extendedprice')} * 9) // 10 END AS compare_at_cents
+      FROM lineitem)
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_linestatus = 'F' OR l_quantity <= 0
+                THEN 'out_of_stock' ELSE 'in_stock' END AS availability,
+           CASE WHEN l_quantity >= 25 THEN 'true' ELSE 'false' END AS is_bundle,
+           CASE WHEN compare_at_cents > price_cents
+                THEN compare_at_cents ELSE price_cents END AS display_price_cents,
+           CASE WHEN compare_at_cents > price_cents
+                THEN price_cents END AS sale_price_cents
+    FROM src
+    """,
+    doc="Conditional feed mapping (reference exportGoogleMerchantFeed.mjs:"
+    "120-151 availability/bundle CASE chains) + the sale-price swap "
+    "(mjs:324-338: when compare_at > price, display compare_at and mark "
+    "price as the sale price).",
+)
+def f10_conditional_feed_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    price = _cents("l_extendedprice")
+    compare_at = F.when(
+        F.col("l_orderkey") % 3 == 0,
+        F.floor(price * 11 / 10).cast("long"),
+    ).otherwise(F.floor(price * 9 / 10).cast("long"))
+    src = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_linestatus",
+        "l_quantity",
+        price.alias("price_cents"),
+        compare_at.alias("compare_at_cents"),
+    )
+    swap = F.col("compare_at_cents") > F.col("price_cents")
+    return src.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(
+            (F.col("l_linestatus") == "F") | (F.col("l_quantity") <= 0),
+            "out_of_stock",
+        )
+        .otherwise("in_stock")
+        .alias("availability"),
+        F.when(F.col("l_quantity") >= 25, "true")
+        .otherwise("false")
+        .alias("is_bundle"),
+        F.when(swap, F.col("compare_at_cents"))
+        .otherwise(F.col("price_cents"))
+        .alias("display_price_cents"),
+        F.when(swap, F.col("price_cents")).alias("sale_price_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F14 — provenance JSON construction
+# ---------------------------------------------------------------------------
+
+@register(
+    "f14_provenance_json",
+    f"""
+    SELECT l_orderkey, l_linenumber,
+           CAST(to_json(list_value(struct_pack(
+             source := l_returnflag,
+             price_type := l_linestatus,
+             value_cents := {_cents_sql('l_extendedprice')}))) AS VARCHAR)
+             AS sources_used
+    FROM lineitem
+    """,
+    doc="Provenance JSON construction (reference jsonb_build_object/array, "
+    "02_normalize_scryfall_prices.js:111 + 03:159-166): "
+    "to_json(array(struct(...))) — compact JSON is byte-identical across "
+    "Spark and DuckDB for string/integer fields.",
+)
+def f14_provenance_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.to_json(
+            F.array(
+                F.struct(
+                    F.col("l_returnflag").alias("source"),
+                    F.col("l_linestatus").alias("price_type"),
+                    _cents("l_extendedprice").alias("value_cents"),
+                )
+            )
+        ).alias("sources_used"),
+    )
+
+
 # Extension query modules register themselves on import (kept at the tail
 # so `register` and the core entries above are fully defined first).
 from legendary_data_pipeline_spark import queries_llm  # noqa: E402,F401

@@ -58,8 +58,25 @@ def ensure_engine_confs(spark: SparkSession) -> SparkSession:
     """Set runtime-settable engine confs on an externally-created session.
 
     The correctness driver calls `queries()[name](spark, sf_dir)` with its
-    own SparkSession; these confs keep behavior identical there.
+    own SparkSession; these confs keep behavior (and plan shape) identical
+    there. Only runtime-settable keys belong here — JVM-level settings
+    (driver memory, etc.) live in `get_spark`.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        parallelism = spark.sparkContext.defaultParallelism
+    except Exception:
+        parallelism = DEFAULT_SHUFFLE_PARTITIONS
+    # 2x cores, floor 32: enough splits to keep every core busy while AQE
+    # coalesces away the excess. Avoids the 200-partition default that
+    # shreds small-SF runs into scheduler overhead.
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(max(DEFAULT_SHUFFLE_PARTITIONS, 2 * parallelism)),
+    )
     return spark
