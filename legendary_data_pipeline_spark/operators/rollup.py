@@ -7,9 +7,10 @@ sale (correlated `ORDER BY sold_at DESC LIMIT 1` subquery), and an
 A/B/C/D confidence bucket from the sample count (10:78-83).
 
 Spark-first notes:
-- the correlated last-sale subquery becomes a window top-1 computed in
-  the SAME shuffle as the group-by (both partition on the group keys) —
-  no re-join, unlike the reference's stats-CTE + correlated lookup.
+- the correlated last-sale subquery becomes `max_by(value,
+  struct(ts, tie_breakers...))` inside the SAME groupBy as the
+  percentiles — one aggregation, map-side combinable, no window sort
+  and no re-join, unlike the reference's stats-CTE + correlated lookup.
 - `percentile(...)` is exact (matches `percentile_cont` on doubles
   bit-for-bit); at 100 TB swap in `percentile_approx` — the API keeps
   the choice a parameter.
@@ -19,7 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -46,21 +47,20 @@ def percentile_rollup(
 
     `tie_breakers` complete the ordering for the "latest" row so the
     last-value is deterministic when `ts_col` ties (the reference's
-    `LIMIT 1` is nondeterministic there).
+    `LIMIT 1` is nondeterministic there). The "latest" ordering is the
+    lexicographic max of struct(ts, *tie_breakers) — all components
+    descend, which is exactly the reference's `ORDER BY sold_at DESC`.
     """
-    order = [F.col(ts_col).desc()] + [F.col(c).desc() for c in tie_breakers]
-    window = Window.partitionBy(*group_keys).orderBy(*order)
-    ranked = df.withColumn("__rn", F.row_number().over(window))
-
     pcts = ", ".join(str(p) for p in percentiles)
     pct_fn = "percentile" if exact else "percentile_approx"
+    latest_key = F.struct(F.col(ts_col), *[F.col(c) for c in tie_breakers])
     aggs = [
         F.expr(f"{pct_fn}({value_col}, array({pcts}))").alias("__pcts"),
         F.count(F.lit(1)).alias("sales_count"),
         F.max(ts_col).alias("last_ts"),
-        F.max(F.when(F.col("__rn") == 1, F.col(value_col))).alias("last_value"),
+        F.max_by(F.col(value_col), latest_key).alias("last_value"),
     ]
-    out = ranked.groupBy(*group_keys).agg(*aggs)
+    out = df.groupBy(*group_keys).agg(*aggs)
     for i, p in enumerate(percentiles):
         label = str(int(p * 100))
         out = out.withColumn(f"p{label}", F.col("__pcts")[i])

@@ -149,18 +149,25 @@ def lsh_bucket_topk(
     derived from md5 of (plane, dimension) — reproducible without any
     stored model. Recall improves with fewer planes (bigger buckets) or
     multi-probe; this is the scale path, checked rows-only.
+
+    The sign matrix depends only on (plane, dim), so it is computed ONCE
+    driver-side (Python md5 == engine md5) and shipped as literal arrays
+    — per-row work is just `planes` fused multiply-adds over the vector,
+    not per-row hashing.
     """
+    import hashlib
+
     base = embeddings.select(
         "vec_id", "label", _as_double(F.col("embedding")).alias("vec")
     )
+    dim = base.select(F.size("vec").alias("d")).first()["d"]
+
+    def sign_of(p: int, d: int) -> float:
+        h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:15], 16)
+        return 1.0 if h % 2 == 0 else -1.0
 
     def plane_sign(p: int) -> Column:
-        # ±1 per (plane, dim): bit p of md5(dim index) — deterministic.
-        signs = F.expr(
-            f"transform(sequence(0, size(vec) - 1), __d -> "
-            f"CASE WHEN (CAST(conv(substring(md5(concat('{p}:', __d)), 1, 15), 16, 10) AS BIGINT) % 2) = 0 "
-            f"THEN 1.0 ELSE -1.0 END)"
-        )
+        signs = F.array(*[F.lit(sign_of(p, d)) for d in range(dim)])
         proj = F.aggregate(
             F.zip_with(F.col("vec"), signs, lambda x, s: x * s),
             F.lit(0.0),

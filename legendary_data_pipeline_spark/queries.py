@@ -422,9 +422,9 @@ def f1_money_parse_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole = F.floor(cents / 100).cast("long")
     frac = F.lpad((cents % 100).cast("string"), 2, "0")
     # Thousands separators on the whole part exercise the '[$,]' strip.
-    with_commas = F.regexp_replace(
-        whole.cast("string"), r"(\d)(?=(\d{3})+$)", r"$1,"
-    )
+    # format_number on the integer part groups with commas exactly (no
+    # float rounding involved) and avoids a quadratic lookahead regex.
+    with_commas = F.format_number(whole, 0)
     money_str = F.when(F.col("l_linenumber") == 7, F.lit("N/A")).otherwise(
         F.concat(F.lit("$"), with_commas, F.lit("."), frac)
     )
