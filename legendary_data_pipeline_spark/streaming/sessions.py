@@ -1,0 +1,152 @@
+"""Custom stateful streaming operator: gap-based user sessionization.
+
+The reference has no streaming surface (SURVEY.md §2.9) — this is the
+additive `applyInPandasWithState` showcase the engine exposes for
+event streams: group events by user, close a session when no event
+arrives within `gap` seconds, emit one row per closed session.
+
+Why `applyInPandasWithState` and not a windowed agg: session windows
+have data-dependent extents; the state (current session start / last
+seen / running aggregates) must live across micro-batches. State is
+bounded per key (a handful of scalars) and evicted via timeout — the
+watermark-driven equivalent of closing idle sessions.
+
+Batch parity: `sessionize_batch` computes identical sessions with a
+lag/cumsum window cascade — used by tests to cross-check the stateful
+path, and usable directly for backfills (same semantics, one shuffle +
+two window passes).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, total_value double"
+)
+
+# Timestamps are carried as INTEGER microseconds in state — float seconds
+# would round-trip with sub-microsecond noise that Arrow refuses to cast
+# back to timestamp[us] (and would break parity with the batch path).
+_STATE_SCHEMA = "start long, last long, n long, total double"
+
+
+def sessionize_stream(
+    events: DataFrame, gap_seconds: int = 1800, watermark: str = "1 hour"
+) -> DataFrame:
+    """Stateful sessionization over a streaming events frame.
+
+    `events` needs `event_time timestamp, user_id long, value double`
+    (see `snapshots.with_event_time`). Emits closed sessions only —
+    a session closes when the EVENT-TIME timeout fires: the watermark
+    passes `last_event + gap`, i.e. closing is data-driven and
+    replayable, not wall-clock dependent.
+    """
+
+    def update(
+        key: tuple[Any, ...],
+        batches: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        (user_id,) = key
+        gap_us = gap_seconds * 1_000_000
+        if state.hasTimedOut:
+            start, last, n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start, unit="us")],
+                    "session_end": [pd.Timestamp(last, unit="us")],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+            return
+
+        rows = pd.concat(list(batches), ignore_index=True)
+        # event_time arrives as datetime64[ns]; state works in int micros.
+        micros = rows["event_time"].astype("int64") // 1000
+        closed: list[tuple[int, int, int, float]] = []
+        if state.exists:
+            start, last, n, total = state.get
+        else:
+            start = last = int(micros.min())
+            n, total = 0, 0.0
+        ordered = rows.assign(__t=micros).sort_values("__t")
+        for t, v in zip(ordered["__t"], ordered["value"].fillna(0.0)):
+            t = int(t)
+            if t - last > gap_us:
+                closed.append((start, last, n, total))
+                start, n, total = t, 0, 0.0
+            last = max(last, t)
+            n += 1
+            total += float(v)
+        state.update((start, last, n, total))
+        # Close when the watermark passes last_event + gap (ms epoch).
+        state.setTimeoutTimestamp(last // 1000 + gap_seconds * 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [
+                        pd.Timestamp(c[0], unit="us") for c in closed
+                    ],
+                    "session_end": [
+                        pd.Timestamp(c[1], unit="us") for c in closed
+                    ],
+                    "n_events": [c[2] for c in closed],
+                    "total_value": [c[3] for c in closed],
+                }
+            )
+
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def sessionize_batch(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Batch sessionization with identical semantics (backfill path).
+
+    lag → gap flag → cumulative sum = session id, then one groupBy.
+    Two window passes + one aggregation, all partitioned by user — a
+    single shuffle on `user_id` at scale.
+    """
+    by_user = Window.partitionBy("user_id").orderBy("event_time")
+    gap = F.col("event_time").cast("double") - F.lag(
+        F.col("event_time").cast("double")
+    ).over(by_user)
+    flagged = events.withColumn(
+        "__new_session",
+        F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0),
+    ).withColumn(
+        "__session_idx",
+        F.sum("__new_session").over(
+            by_user.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        flagged.groupBy("user_id", "__session_idx")
+        .agg(
+            F.min("event_time").alias("session_start"),
+            F.max("event_time").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("total_value"),
+        )
+        .drop("__session_idx")
+    )
