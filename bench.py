@@ -52,8 +52,30 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm up the JVM + parquet footer caches outside the timed region.
+    # Warm up the JVM + parquet footer caches outside the timed region:
+    # JIT the hot codegen paths (scan, window, join, HOF, md5) on a tiny
+    # slice so first-timed-query numbers measure the query, not the JVM.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    warm = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .limit(5000)
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+            ),
+        )
+        .withColumn("__h", F.conv(F.substring(F.md5("l_returnflag"), 1, 15), 16, 10))
+        .withColumn("__t", F.split(F.trim("l_returnflag"), r"\s+"))
+        .withColumn("__g", F.transform(F.col("__t"), lambda x: F.concat(x, F.lit("!"))))
+    )
+    warm.join(warm.select(F.col("l_orderkey").alias("k")).limit(100),
+              warm["l_orderkey"] == F.col("k")).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for name in names:

