@@ -1,0 +1,271 @@
+"""Command-line entry points for the five pipeline jobs.
+
+Mirrors the reference's script surface (README.md:22-33 run order and
+flags: `--date/--since/--until/--all-dates/--currency`,
+`03_build_market_price_daily.js:54-63`; `--game --file`
+`01_import_pricecharting_csv.js:100-117`) over a parquet warehouse
+directory: each table lives at `<warehouse>/<name>`, writers are the
+idempotent sinks from `operators.upsert`, and every run is recorded in
+`<warehouse>/pipeline_runs` (S10).
+
+    python -m legendary_data_pipeline_spark.cli import-pricecharting \
+        --warehouse /data/wh --file prices.csv --game pokemon --date 2026-08-13
+    python -m legendary_data_pipeline_spark.cli build-daily \
+        --warehouse /data/wh --since 2026-08-01 --until 2026-08-13
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from datetime import date as _date
+
+from pyspark.sql import DataFrame, SparkSession
+
+from legendary_data_pipeline_spark.plans import jobs
+from legendary_data_pipeline_spark.session import get_spark
+from legendary_data_pipeline_spark.sources.csv_alias import (
+    PRICECHARTING_ALIASES,
+    read_csv_with_aliases,
+)
+from legendary_data_pipeline_spark.sources.feed_writer import write_feed
+from legendary_data_pipeline_spark.sources.runlog import (
+    finish_run,
+    sha256_file,
+    start_run,
+)
+
+
+def _table(warehouse: str, name: str) -> str:
+    return f"{warehouse.rstrip('/')}/{name}"
+
+
+def _read(spark: SparkSession, warehouse: str, name: str) -> DataFrame:
+    return spark.read.parquet(_table(warehouse, name))
+
+
+def _today() -> str:
+    return _date.today().isoformat()
+
+
+def cmd_import_pricecharting(spark: SparkSession, args) -> int:
+    from legendary_data_pipeline_spark.operators.upsert import (
+        write_upsert_parquet,
+    )
+
+    log = _table(args.warehouse, "pipeline_runs")
+    run_id = start_run(
+        spark,
+        log,
+        "import_pricecharting",
+        file_name=args.file,
+        file_sha256=sha256_file(args.file),
+    )
+    aliased = read_csv_with_aliases(spark, args.file, PRICECHARTING_ALIASES)
+    out = jobs.import_pricecharting(aliased, args.game, args.date)
+    write_upsert_parquet(
+        _table(args.warehouse, "pricecharting_prices_raw"),
+        out,
+        ["game", "pricecharting_id", "source_date"],
+        spark,
+    )
+    n = spark.read.parquet(
+        _table(args.warehouse, "pricecharting_prices_raw")
+    ).count()
+    finish_run(spark, log, run_id, "import_pricecharting", n)
+    return 0
+
+
+def cmd_normalize_scryfall(spark: SparkSession, args) -> int:
+    from legendary_data_pipeline_spark.operators.upsert import (
+        write_upsert_parquet,
+    )
+    from pyspark.sql import functions as F
+
+    log = _table(args.warehouse, "pipeline_runs")
+    run_id = start_run(spark, log, "normalize_scryfall")
+    out = jobs.normalize_scryfall(
+        _read(spark, args.warehouse, "scryfall_cards_raw"),
+        _read(spark, args.warehouse, "market_items"),
+        args.date,
+    )
+    write_upsert_parquet(
+        _table(args.warehouse, "market_price_snapshots"),
+        out,
+        [
+            "market_item_id",
+            "source",
+            "as_of_date",
+            "currency",
+            "price_type",
+            "condition",
+        ],
+        spark,
+        order_within_source=[F.col("value_cents").desc()],
+    )
+    finish_run(spark, log, run_id, "normalize_scryfall", out.count())
+    return 0
+
+
+def cmd_build_daily(spark: SparkSession, args) -> int:
+    from legendary_data_pipeline_spark.operators.upsert import (
+        write_upsert_partitioned,
+    )
+
+    log = _table(args.warehouse, "pipeline_runs")
+    run_id = start_run(spark, log, "build_market_price_daily")
+    out = jobs.build_market_price_daily(
+        _read(spark, args.warehouse, "market_price_snapshots"),
+        date=None if args.all_dates else args.date,
+        since=args.since,
+        until=args.until,
+        currency=args.currency,
+    )
+    write_upsert_partitioned(
+        _table(args.warehouse, "market_price_daily"),
+        out,
+        ["as_of_date"],
+        spark,
+    )
+    finish_run(spark, log, run_id, "build_market_price_daily", out.count())
+    return 0
+
+
+def cmd_rollup_values(spark: SparkSession, args) -> int:
+    from legendary_data_pipeline_spark.operators.upsert import (
+        write_upsert_partitioned,
+    )
+
+    log = _table(args.warehouse, "pipeline_runs")
+    run_id = start_run(spark, log, "rollup_market_values")
+    out = jobs.rollup_market_values(
+        _read(spark, args.warehouse, "market_sales_comps"), args.date
+    )
+    write_upsert_partitioned(
+        _table(args.warehouse, "market_values_daily"),
+        out,
+        ["as_of_date"],
+        spark,
+    )
+    finish_run(spark, log, run_id, "rollup_market_values", out.count())
+    return 0
+
+
+def cmd_export_feed(spark: SparkSession, args) -> int:
+    def opt(name: str) -> DataFrame | None:
+        try:
+            return _read(spark, args.warehouse, name)
+        except Exception:
+            return None  # optional table — probed like the reference's try/catch
+
+    log = _table(args.warehouse, "pipeline_runs")
+    run_id = start_run(spark, log, "export_feed")
+    feed = jobs.export_google_merchant_feed(
+        _read(spark, args.warehouse, "products"),
+        opt("tcg_cards"),
+        opt("ygo_card_images"),
+        opt("scryfall_cards_raw"),
+        site_base=args.site_base,
+    )
+    write_feed(feed, args.out, fmt=args.format)
+    finish_run(spark, log, run_id, "export_feed", feed.count())
+    return 0
+
+
+def cmd_revalue(spark: SparkSession, args) -> int:
+    from legendary_data_pipeline_spark.operators.upsert import (
+        write_upsert_partitioned,
+        write_upsert_parquet,
+    )
+
+    def opt(name: str) -> DataFrame | None:
+        try:
+            return _read(spark, args.warehouse, name)
+        except Exception:
+            return None
+
+    log = _table(args.warehouse, "pipeline_runs")
+    run_id = start_run(spark, log, "revalue_collection")
+    prices = jobs.resolve_prices(
+        _read(spark, args.warehouse, "tcg_card_prices_tcgplayer"),
+        _read(spark, args.warehouse, "ygo_card_prices"),
+        _read(spark, args.warehouse, "mtg_prices_effective"),
+        tcg_ebay=opt("tcg_card_prices_ebay"),
+    )
+    items = _read(spark, args.warehouse, "user_collection_items")
+    updates, valuations = jobs.revalue_collection(items, prices, args.date)
+    # S7: replace the day's valuations FIRST — `valuations` lineage scans
+    # the items files, which the S8 rewrite below replaces.
+    write_upsert_partitioned(
+        _table(args.warehouse, "user_collection_daily_valuations"),
+        valuations,
+        ["as_of_date"],
+        spark,
+    )
+    n_valuations = valuations.count()
+    # S8: bulk keyed update of item values (join replaces the column).
+    refreshed = items.drop("last_value_cents").join(
+        updates.select("id", "last_value_cents"), "id", "left"
+    )
+    write_upsert_parquet(
+        _table(args.warehouse, "user_collection_items"), refreshed, ["id"], spark
+    )
+    finish_run(spark, log, run_id, "revalue_collection", n_valuations)
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(prog="legendary_data_pipeline_spark")
+    parser.add_argument("--master", default=None)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    def common(p):
+        p.add_argument("--warehouse", required=True)
+        p.add_argument("--date", default=_today())
+
+    p = sub.add_parser("import-pricecharting")
+    common(p)
+    p.add_argument("--file", required=True)
+    p.add_argument("--game", required=True, choices=sorted(jobs.VALID_GAMES))
+    p.set_defaults(fn=cmd_import_pricecharting)
+
+    p = sub.add_parser("normalize-scryfall")
+    common(p)
+    p.set_defaults(fn=cmd_normalize_scryfall)
+
+    p = sub.add_parser("build-daily")
+    common(p)
+    p.add_argument("--since", default=None)
+    p.add_argument("--until", default=None)
+    p.add_argument("--currency", default=None)
+    p.add_argument("--all-dates", action="store_true")
+    p.set_defaults(fn=cmd_build_daily)
+
+    p = sub.add_parser("rollup-values")
+    common(p)
+    p.set_defaults(fn=cmd_rollup_values)
+
+    p = sub.add_parser("export-feed")
+    common(p)
+    p.add_argument("--out", required=True)
+    p.add_argument("--format", default="tsv", choices=["tsv", "csv"])
+    p.add_argument("--site-base", default="https://example.com")
+    p.set_defaults(fn=cmd_export_feed)
+
+    p = sub.add_parser("revalue")
+    common(p)
+    p.set_defaults(fn=cmd_revalue)
+    return parser
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    spark = get_spark(app_name=f"ldp-{args.command}", master=args.master)
+    try:
+        return args.fn(spark, args)
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

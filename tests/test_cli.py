@@ -1,0 +1,122 @@
+"""End-to-end CLI pipeline over a tmp warehouse (reference run order)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from legendary_data_pipeline_spark import cli
+
+
+def _run(spark, argv):
+    args = cli.build_parser().parse_args(argv)
+    assert args.fn(spark, args) == 0
+
+
+def test_cli_pipeline_end_to_end(spark, tmp_path, monkeypatch):
+    wh = str(tmp_path / "wh")
+    monkeypatch.setattr(cli, "get_spark", lambda **kw: spark)
+
+    # 01: import a vendor CSV
+    csv = tmp_path / "prices.csv"
+    csv.write_text(
+        "id,product-name,console-name,loose-price,release-date\r\n"
+        '7,"Blastoise, Base",Pokemon,"$1,000.50",1999-01-09\r\n'
+        "8,Charizard,Pokemon,$50.25,1999-01-09\r\n"
+    )
+    _run(spark, [
+        "import-pricecharting", "--warehouse", wh, "--file", str(csv),
+        "--game", "pokemon", "--date", "2024-06-01",
+    ])
+    raw = spark.read.parquet(f"{wh}/pricecharting_prices_raw")
+    assert raw.count() == 2
+    # rerun converges (S5 idempotency)
+    _run(spark, [
+        "import-pricecharting", "--warehouse", wh, "--file", str(csv),
+        "--game", "pokemon", "--date", "2024-06-01",
+    ])
+    assert spark.read.parquet(f"{wh}/pricecharting_prices_raw").count() == 2
+
+    # 02: normalize scryfall payloads
+    spark.createDataFrame(
+        [("c1", json.dumps({"prices": {"usd": "1.23", "eur": "4.00"}}))],
+        "id string, payload string",
+    ).write.parquet(f"{wh}/scryfall_cards_raw")
+    spark.createDataFrame(
+        [(11, "mtg", "scryfall", "c1")],
+        "id long, game string, canonical_source string, canonical_id string",
+    ).write.parquet(f"{wh}/market_items")
+    _run(spark, ["normalize-scryfall", "--warehouse", wh, "--date", "2024-06-01"])
+    snaps = spark.read.parquet(f"{wh}/market_price_snapshots")
+    assert snaps.count() == 2  # usd + eur
+
+    # 03: best-of-day rollup
+    _run(spark, ["build-daily", "--warehouse", wh, "--all-dates"])
+    daily = spark.read.parquet(f"{wh}/market_price_daily")
+    # one best row per (item, date, CURRENCY) — the reference's PK (03:191)
+    by_cur = {r.currency: r.value_cents for r in daily.collect()}
+    assert by_cur == {"USD": 123, "EUR": 400}
+
+    # 10: sales rollup
+    spark.createDataFrame(
+        [("chz", "PSA10", 100.0, "2024-05-20 12:00:00")],
+        "card_key string, grade string, sold_price_usd double, sold_at string",
+    ).withColumn("sold_at", F.col("sold_at").cast("timestamp")).write.parquet(
+        f"{wh}/market_sales_comps"
+    )
+    _run(spark, ["rollup-values", "--warehouse", wh, "--date", "2024-06-01"])
+    assert spark.read.parquet(f"{wh}/market_values_daily").count() == 1
+
+    # feeds: minimal products table, optional image dims absent
+    spark.createDataFrame(
+        [("p1", "Blastoise", "blastoise", "pokemon", "single", False, False,
+          None, None, "NM", 10000, None, "single", 1, "active", None, "d",
+          None, None)],
+        "id string, title string, slug string, game string, format string,"
+        " sealed boolean, is_graded boolean, grader string, grade_x10 int,"
+        " condition string, price_cents long, compare_at_cents long,"
+        " inventory_type string, quantity int, status string, subtitle string,"
+        " description string, created_at timestamp, card_id string",
+    ).write.parquet(f"{wh}/products")
+    feed_out = str(tmp_path / "feed")
+    _run(spark, [
+        "export-feed", "--warehouse", wh, "--out", feed_out, "--format", "tsv",
+    ])
+    feed = spark.read.option("header", "true").option("sep", "\t").csv(feed_out)
+    assert feed.count() == 1 and feed.first()["price"] == "100.00 USD"
+
+    # revalue
+    spark.createDataFrame(
+        [("pk1", 12.5, None, None, None, None, None, None)],
+        "card_id string, market_price double, mid_price double, normal string,"
+        " reverse_holofoil string, holofoil string,"
+        " first_edition_holofoil string, first_edition_normal string",
+    ).write.parquet(f"{wh}/tcg_card_prices_tcgplayer")
+    spark.createDataFrame(
+        [("yg1", "2.00", None, None, None, None)],
+        "card_id string, tcgplayer_price string, cardmarket_price string,"
+        " amazon_price string, coolstuffinc_price string, ebay_price string",
+    ).write.parquet(f"{wh}/ygo_card_prices")
+    spark.createDataFrame(
+        [("mg1", 5.0)], "scryfall_id string, effective_usd double"
+    ).write.parquet(f"{wh}/mtg_prices_effective")
+    spark.createDataFrame(
+        [("i1", "u1", "pokemon", "pk1", 2, 100, None)],
+        "id string, user_id string, game string, card_id string,"
+        " quantity int, cost_cents long, last_value_cents long",
+    ).write.parquet(f"{wh}/user_collection_items")
+    _run(spark, ["revalue", "--warehouse", wh, "--date", "2024-06-01"])
+    items = spark.read.parquet(f"{wh}/user_collection_items")
+    assert items.first().last_value_cents == 1250
+    vals = spark.read.parquet(f"{wh}/user_collection_daily_valuations")
+    assert vals.first().total_value_cents == 2500
+
+    # run log recorded start+finish for every job
+    runs = spark.read.parquet(f"{wh}/pipeline_runs")
+    by_job = {
+        r.job: r["count"]
+        for r in runs.groupBy("job").count().collect()
+    }
+    assert by_job["import_pricecharting"] == 4  # 2 runs x (start+finish)
+    assert all(v % 2 == 0 for v in by_job.values())

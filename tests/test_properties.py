@@ -1,0 +1,133 @@
+"""Property-based tests (hypothesis): invariants a single example can miss.
+
+Batched: each property collects its examples driver-side first, then runs
+ONE Spark job over all of them — hypothesis drives data generation, Spark
+evaluates the column expressions being tested.
+"""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from legendary_data_pipeline_spark.functions.money import (
+    cents_to_display,
+    parse_money_to_cents,
+)
+from legendary_data_pipeline_spark.operators.upsert import upsert
+
+
+# ---------------------------------------------------------------------------
+# money round-trip: render cents → parse back → identical cents
+# ---------------------------------------------------------------------------
+
+def test_money_roundtrip_property(spark):
+    cents_list = st.lists(
+        st.integers(min_value=0, max_value=10**13), min_size=1, max_size=200
+    )
+
+    @settings(max_examples=20, deadline=None)
+    @given(cents_list)
+    def check(values):
+        df = spark.createDataFrame([(v,) for v in values], "cents long")
+        out = df.select(
+            "cents",
+            parse_money_to_cents(
+                F.regexp_replace(cents_to_display(F.col("cents")), " USD", "")
+            ).alias("back"),
+        )
+        assert all(r.cents == r.back for r in out.collect())
+
+    check()
+
+
+def test_money_parse_matches_python_decimal(spark):
+    money_strings = st.lists(
+        st.one_of(
+            st.from_regex(r"\$?[0-9]{1,9}(\.[0-9]{1,4})?", fullmatch=True),
+            st.just("N/A"),
+            st.just(""),
+            st.just("12,345.67"),
+            st.just("$0.005"),
+        ),
+        min_size=1,
+        max_size=100,
+    )
+
+    def expected(s: str) -> int | None:
+        cleaned = s.strip().replace("$", "").replace(",", "")
+        import re
+
+        if not re.fullmatch(r"-?\d+(\.\d+)?", cleaned):
+            return None
+        return int(
+            (Decimal(cleaned) * 100).quantize(Decimal("1"), ROUND_HALF_UP)
+        )
+
+    @settings(max_examples=20, deadline=None)
+    @given(money_strings)
+    def check(strings):
+        df = spark.createDataFrame([(s,) for s in strings], "s string")
+        got = [
+            r.cents
+            for r in df.select(parse_money_to_cents(F.col("s")).alias("cents"))
+            .collect()
+        ]
+        assert got == [expected(s) for s in strings]
+
+    check()
+
+
+# ---------------------------------------------------------------------------
+# upsert laws: updates win, idempotent, key-complete
+# ---------------------------------------------------------------------------
+
+def test_upsert_laws_property(spark):
+    rows = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),  # key
+            st.integers(min_value=0, max_value=10**6),  # value
+        ),
+        min_size=0,
+        max_size=40,
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(rows, rows)
+    def check(existing_rows, update_rows):
+        schema = "k int, v int"
+        existing = spark.createDataFrame(existing_rows or [(None, None)], schema)
+        if not existing_rows:
+            existing = existing.filter(F.col("k").isNotNull())
+        updates = spark.createDataFrame(update_rows or [(None, None)], schema)
+        if not update_rows:
+            updates = updates.filter(F.col("k").isNotNull())
+
+        tie = [F.col("v").desc()]
+        merged = {
+            r.k: r.v
+            for r in upsert(existing, updates, ["k"], tie).collect()
+        }
+
+        update_keys = {k for k, _ in update_rows}
+        existing_keys = {k for k, _ in existing_rows}
+        # key-complete
+        assert set(merged) == update_keys | existing_keys
+        for k, v in merged.items():
+            if k in update_keys:
+                # updates win; deterministic pick = max v within updates
+                assert v == max(uv for uk, uv in update_rows if uk == k)
+            else:
+                assert v == max(ev for ek, ev in existing_rows if ek == k)
+
+        # idempotent: applying the same updates again changes nothing
+        merged_df = upsert(existing, updates, ["k"], tie)
+        again = {
+            r.k: r.v for r in upsert(merged_df, updates, ["k"], tie).collect()
+        }
+        assert again == merged
+
+    check()
