@@ -811,6 +811,120 @@ def f14_provenance_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Beyond-reference window analytics: rolling frames, lag, grouping sets.
+# The reference has none of these (SURVEY §2.5/§2.4 notes); a complete
+# engine surface needs them, and each is exactly oracle-checkable.
+# ---------------------------------------------------------------------------
+
+@register(
+    "w3_rolling_7d_stats",
+    f"""
+    WITH daily AS (
+      SELECT l_returnflag,
+             CAST(date_diff('day', DATE '1970-01-01', l_shipdate) AS BIGINT) AS epoch_day,
+             CAST(SUM({_cents_sql('l_extendedprice')}) AS BIGINT) AS day_cents,
+             COUNT(*) AS day_rows
+      FROM lineitem GROUP BY 1, 2)
+    SELECT l_returnflag, epoch_day, day_cents,
+           CAST(SUM(day_cents) OVER w AS BIGINT) AS rolling_7d_cents,
+           CAST(SUM(day_rows) OVER w AS BIGINT) AS rolling_7d_rows
+    FROM daily
+    WINDOW w AS (PARTITION BY l_returnflag ORDER BY epoch_day
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Rolling 7-day totals per group: RANGE frame over integer epoch "
+    "days — the sliding-window analytic missing from the reference "
+    "(its 180-day lookback is a filter, not a frame). Pre-aggregating "
+    "to one row per (group, day) BEFORE the window keeps frame state "
+    "tiny at scale.",
+)
+def w3_rolling_7d_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        "l_returnflag",
+        F.datediff(F.col("l_shipdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("epoch_day"),
+    ).agg(
+        F.sum(_cents("l_extendedprice")).alias("day_cents"),
+        F.count(F.lit(1)).alias("day_rows"),
+    )
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("epoch_day")
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "l_returnflag",
+        "epoch_day",
+        "day_cents",
+        F.sum("day_cents").over(w).alias("rolling_7d_cents"),
+        F.sum("day_rows").over(w).alias("rolling_7d_rows"),
+    )
+
+
+@register(
+    "w4_day_over_day_lag",
+    f"""
+    WITH daily AS (
+      SELECT l_returnflag,
+             strftime(l_shipdate, '%Y-%m-%d') AS ship_day,
+             CAST(SUM({_cents_sql('l_extendedprice')}) AS BIGINT) AS day_cents
+      FROM lineitem GROUP BY 1, 2)
+    SELECT l_returnflag, ship_day, day_cents,
+           lag(day_cents) OVER (PARTITION BY l_returnflag ORDER BY ship_day)
+             AS prev_day_cents,
+           day_cents - lag(day_cents) OVER (PARTITION BY l_returnflag ORDER BY ship_day)
+             AS delta_cents
+    FROM daily
+    """,
+    doc="Day-over-day deltas via lag(): the price-movement analytic a "
+    "market-price engine needs on top of the daily snapshot tables "
+    "(market_price_daily day-over-day is the production use).",
+)
+def w4_day_over_day_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        "l_returnflag",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day"),
+    ).agg(F.sum(_cents("l_extendedprice")).alias("day_cents"))
+    w = Window.partitionBy("l_returnflag").orderBy("ship_day")
+    prev = F.lag("day_cents").over(w)
+    return daily.select(
+        "l_returnflag",
+        "ship_day",
+        "day_cents",
+        prev.alias("prev_day_cents"),
+        (F.col("day_cents") - prev).alias("delta_cents"),
+    )
+
+
+@register(
+    "a7_rollup_totals",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM({_cents_sql('l_extendedprice')}) AS BIGINT) AS revenue_cents,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="Hierarchical subtotals via ROLLUP (group, group+status, grand "
+    "total) — one pass, no self-union; the reporting shape the "
+    "reference would need N queries for.",
+)
+def a7_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(_cents("l_extendedprice")).alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 # Extension query modules register themselves on import (kept at the tail
 # so `register` and the core entries above are fully defined first).
 from legendary_data_pipeline_spark import queries_llm  # noqa: E402,F401

@@ -50,7 +50,10 @@ def ship_package(spark: SparkSession) -> None:
                 )
                 zf.write(src, arcname)
         os.replace(tmp, dest)
-    spark.sparkContext.addPyFile(dest)
+    sc = spark.sparkContext
+    if not getattr(sc, "_ldp_pkg_shipped", False):
+        sc.addPyFile(dest)
+        sc._ldp_pkg_shipped = True
 
 
 def get_spark(
