@@ -90,6 +90,94 @@ def cosine_topk(
     ).select("query_id", "neighbor_id", "rank", "cos_sim")
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    k: int = 3,
+    query_filter: Column | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style approximate top-k: KMeans coarse quantizer + multi-probe.
+
+    Train a small KMeans codebook (`pyspark.ml`), assign every vector to
+    its nearest centroid (the inverted list), and search each query only
+    against its `n_probe` closest lists. The classic IVF trade: recall
+    rises with n_probe, cost falls with n_centroids. At 100 TB the
+    codebook is trained on a sample and the assignment is a broadcast of
+    `n_centroids` vectors — no shuffle on the corpus beyond the top-k.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = embeddings.select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("vec")
+    ).withColumn("features", array_to_vector("vec"))
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="features")
+    model = km.fit(base)
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    spark = embeddings.sparkSession
+    centers_df = spark.createDataFrame(
+        centers, "centroid_id int, center array<double>"
+    )
+
+    # Distance of every vector to every centroid (n_centroids is tiny —
+    # a broadcast nested loop), ranked to build assignments and probes.
+    with_centers = base.crossJoin(F.broadcast(centers_df))
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("vec"), F.col("center"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    ranked = with_centers.select(
+        "vec_id", "label", "vec", "centroid_id", dist.alias("dist")
+    )
+    assignment = top_k_per_group(
+        ranked, ["vec_id"], [F.col("dist").asc(), F.col("centroid_id").asc()],
+        k=1, rank_col="__r",
+    ).select("vec_id", "label", "vec", "centroid_id")
+    probes = top_k_per_group(
+        ranked, ["vec_id"], [F.col("dist").asc(), F.col("centroid_id").asc()],
+        k=n_probe, rank_col="__r",
+    ).select("vec_id", "centroid_id")
+
+    cands = assignment.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("vec").alias("c_vec"),
+        norm_expr("vec").alias("c_norm"),
+        "centroid_id",
+    )
+    queries = assignment if query_filter is None else assignment.filter(query_filter)
+    queries = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("q_vec"),
+        norm_expr("vec").alias("q_norm"),
+    ).join(
+        probes.select(F.col("vec_id").alias("query_id"), "centroid_id"),
+        "query_id",
+    )
+    joined = queries.join(cands, "centroid_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    cos = F.round(
+        dot_expr("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")), 6
+    )
+    scored = joined.select(
+        "query_id", "neighbor_id", cos.alias("cos_sim")
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    return top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
+        k=k,
+        rank_col="rank",
+    ).select("query_id", "neighbor_id", "rank", "cos_sim")
+
+
 def embedding_cosine_pairs(
     embeddings: DataFrame,
     threshold: float = 0.35,

@@ -68,6 +68,45 @@ def daily_event_rollup_stream(
     )
 
 
+def sliding_stats_stream(
+    events: DataFrame,
+    window_days: int = 7,
+    slide_days: int = 1,
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Sliding-window value stats per event_type — the streaming analogue
+    of the 180-day rollup (10_rollup_market_values_daily.mjs:33-48).
+
+    Exact percentiles are unbounded-state in streaming, so this uses
+    `percentile_approx` (bounded sketch state, mergeable across window
+    panes) — the same substitution the batch rollup documents for
+    100 TB. Window panes: `window_days` wide, sliding every
+    `slide_days`.
+    """
+    timed = with_event_time(events).withWatermark("event_time", watermark)
+    return timed.groupBy(
+        F.window(
+            "event_time", f"{window_days} days", f"{slide_days} days"
+        ).alias("win"),
+        F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("events"),
+        F.expr("percentile_approx(value, array(0.25, 0.5, 0.75), 10000)").alias(
+            "value_quartiles"
+        ),
+        F.max("value").alias("max_value"),
+    ).select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd").alias("window_start"),
+        F.date_format(F.col("win.end"), "yyyy-MM-dd").alias("window_end"),
+        "event_type",
+        "events",
+        F.col("value_quartiles")[0].alias("p25"),
+        F.col("value_quartiles")[1].alias("p50"),
+        F.col("value_quartiles")[2].alias("p75"),
+        "max_value",
+    )
+
+
 def upsert_sink(target_path: str, keys: list[str]):
     """`foreachBatch` writer applying S5 upsert semantics per micro-batch.
 
