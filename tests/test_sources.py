@@ -99,3 +99,29 @@ def test_runlog_lifecycle(spark, tmp_path, csv_path):
     assert len(state) == 1
     assert state[0].status == "finished"
     assert state[0].row_count == 2
+
+
+# ---------------------------------------------------------------------------
+# JDBC option builder (S3 live path) — pure config, no live DB needed
+# ---------------------------------------------------------------------------
+
+def test_jdbc_options_partitioned():
+    from legendary_data_pipeline_spark.sources.jdbc import jdbc_options
+
+    opts = jdbc_options(
+        "jdbc:postgresql://db/x", "market_price_daily",
+        partition_column="market_item_id", lower_bound=0,
+        upper_bound=1_000_000, num_partitions=8,
+    )
+    assert opts["partitionColumn"] == "market_item_id"
+    assert opts["numPartitions"] == "8"
+    assert opts["fetchsize"] == "10000"
+
+
+def test_jdbc_options_requires_bounds():
+    import pytest as _pytest
+
+    from legendary_data_pipeline_spark.sources.jdbc import jdbc_options
+
+    with _pytest.raises(ValueError):
+        jdbc_options("jdbc:postgresql://db/x", "t", partition_column="id")

@@ -78,3 +78,23 @@ def test_write_upsert_partitioned_replaces_only_touched(spark, tmp_path):
         ("2024-01-02", 1): 99,
         ("2024-01-02", 2): 50,
     }
+
+
+def test_write_upsert_auto_falls_back_to_parquet(spark, tmp_path):
+    """Without Delta in the environment, auto upsert uses the documented
+    parquet fallback and still converges."""
+    from legendary_data_pipeline_spark.operators.upsert import (
+        delta_available,
+        write_upsert_auto,
+    )
+
+    path = str(tmp_path / "auto")
+    first = spark.createDataFrame([(1, 10)], "k int, v int")
+    mode = write_upsert_auto(path, first, ["k"], spark)
+    assert mode == ("delta" if delta_available(spark) else "parquet")
+    second = spark.createDataFrame([(1, 11), (2, 20)], "k int, v int")
+    write_upsert_auto(path, second, ["k"], spark)
+    state = {r.k: r.v for r in spark.read.parquet(path).collect()} \
+        if mode == "parquet" else \
+        {r.k: r.v for r in spark.read.format("delta").load(path).collect()}
+    assert state == {1: 11, 2: 20}
