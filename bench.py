@@ -76,6 +76,17 @@ def main() -> None:
               warm["l_orderkey"] == F.col("k")).write.format("noop").mode(
         "overwrite"
     ).save()
+    # pyspark.ml one-time init (BLAS, ml codegen) — used by the IVF query.
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    tiny = (
+        spark.range(64)
+        .select(F.array(F.rand(seed=1), F.rand(seed=2)).alias("arr"))
+        .withColumn("features", array_to_vector("arr"))
+        .coalesce(1)
+    )
+    KMeans(k=2, seed=1, maxIter=2).fit(tiny)
 
     timings: dict[str, float] = {}
     for name in names:

@@ -92,8 +92,8 @@ def cosine_topk(
 
 def ivf_topk(
     embeddings: DataFrame,
-    n_centroids: int = 8,
-    n_probe: int = 2,
+    n_centroids: int = 32,
+    n_probe: int = 4,
     k: int = 3,
     query_filter: Column | None = None,
     seed: int = 42,
@@ -113,8 +113,22 @@ def ivf_topk(
     base = embeddings.select(
         "vec_id", "label", _as_double(F.col("embedding")).alias("vec")
     ).withColumn("features", array_to_vector("vec"))
-    km = KMeans(k=n_centroids, seed=seed, featuresCol="features")
-    model = km.fit(base)
+    # KMeans iterates over its input — cache the (tiny) feature frame so
+    # each iteration doesn't re-scan/re-cast the source. A coarse
+    # quantizer doesn't need convergence: few iterations on a sample
+    # give the same bucketing quality (the standard IVF training shape:
+    # train on a sample, assign everything).
+    # Coalesce hard: the sample is tiny and every KMeans iteration
+    # schedules one task per partition — 64 partitions of ~15 rows each
+    # is pure scheduler overhead.
+    train = base.select("features").sample(0.2, seed=seed).coalesce(4).cache()
+    if train.count() < n_centroids * 10:
+        train.unpersist()
+        train = base.select("features").coalesce(4).cache()
+        train.count()
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="features", maxIter=8)
+    model = km.fit(train)
+    train.unpersist()
     centers = [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
@@ -123,9 +137,22 @@ def ivf_topk(
         centers, "centroid_id int, center array<double>"
     )
 
-    # Distance of every vector to every centroid (n_centroids is tiny —
-    # a broadcast nested loop), ranked to build assignments and probes.
-    with_centers = base.crossJoin(F.broadcast(centers_df))
+    # Inverted lists: the model's native JVM assignment (one pass, no
+    # per-row Python or interpreted distance lambdas).
+    assignment = model.transform(base).select(
+        "vec_id", "label", "vec", F.col("prediction").alias("centroid_id")
+    )
+    cands = assignment.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("vec").alias("c_vec"),
+        norm_expr("vec").alias("c_norm"),
+        "centroid_id",
+    )
+
+    # Probe lists: centroid distances computed for QUERY vectors only —
+    # queries × n_centroids stays tiny even when the corpus doesn't.
+    q_base = base if query_filter is None else base.filter(query_filter)
+    with_centers = q_base.crossJoin(F.broadcast(centers_df))
     dist = F.sqrt(
         F.aggregate(
             F.zip_with(F.col("vec"), F.col("center"), lambda a, b: (a - b) * (a - b)),
@@ -134,31 +161,17 @@ def ivf_topk(
         )
     )
     ranked = with_centers.select(
-        "vec_id", "label", "vec", "centroid_id", dist.alias("dist")
+        "vec_id", "vec", "centroid_id", dist.alias("dist")
     )
-    assignment = top_k_per_group(
-        ranked, ["vec_id"], [F.col("dist").asc(), F.col("centroid_id").asc()],
-        k=1, rank_col="__r",
-    ).select("vec_id", "label", "vec", "centroid_id")
     probes = top_k_per_group(
         ranked, ["vec_id"], [F.col("dist").asc(), F.col("centroid_id").asc()],
         k=n_probe, rank_col="__r",
-    ).select("vec_id", "centroid_id")
-
-    cands = assignment.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("vec").alias("c_vec"),
-        norm_expr("vec").alias("c_norm"),
-        "centroid_id",
     )
-    queries = assignment if query_filter is None else assignment.filter(query_filter)
-    queries = queries.select(
+    queries = probes.select(
         F.col("vec_id").alias("query_id"),
         F.col("vec").alias("q_vec"),
         norm_expr("vec").alias("q_norm"),
-    ).join(
-        probes.select(F.col("vec_id").alias("query_id"), "centroid_id"),
-        "query_id",
+        "centroid_id",
     )
     joined = queries.join(cands, "centroid_id").filter(
         F.col("query_id") != F.col("neighbor_id")
