@@ -812,6 +812,90 @@ def f14_provenance_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# F8 typed variant — from_json with an explicit schema (the preferred
+# production idiom: one parse per row into a struct, then field access)
+# ---------------------------------------------------------------------------
+
+@register(
+    "f8_typed_json_struct",
+    """
+    SELECT event_type,
+           COUNT(*) AS events,
+           CAST(SUM(CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^[0-9]+$')
+                         THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END) AS BIGINT)
+             AS sum_k,
+           COUNT(json_extract_string(props, '$.s')) AS with_s,
+           COUNT(DISTINCT json_extract_string(props, '$.s')) AS distinct_s
+    FROM events GROUP BY event_type
+    """,
+    doc="Typed JSON extraction: from_json(props, schema) parses ONCE per "
+    "row into a struct (vs one get_json_object walk per field in f8) — "
+    "the production idiom for hot JSON paths (SURVEY §2.8 F8/F9; "
+    "hard-part (d): prefer typed from_json schemas per source).",
+)
+def f8_typed_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "p", F.from_json(F.col("props"), "k string, s string")
+    )
+    k = F.when(F.col("p.k").rlike("^[0-9]+$"), F.col("p.k")).cast("long")
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("events"),
+        F.sum(k).alias("sum_k"),
+        F.count("p.s").alias("with_s"),
+        F.countDistinct("p.s").alias("distinct_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F2 — SQL-style money cleaning (strip everything but digits/dot/minus)
+# ---------------------------------------------------------------------------
+
+@register(
+    "f2_sql_money_clean",
+    f"""
+    WITH dirty AS (
+      SELECT p_partkey,
+             CASE p_partkey % 4
+               WHEN 0 THEN 'EUR ' || CAST(p_retailprice AS VARCHAR) || ' kr'
+               WHEN 1 THEN '$' || CAST(p_retailprice AS VARCHAR)
+               WHEN 2 THEN 'ca. ' || CAST(p_retailprice AS VARCHAR) || ' USD'
+               ELSE '' END AS raw
+      FROM part),
+    cleaned AS (
+      SELECT p_partkey, raw,
+             regexp_replace(raw, '[^0-9.\\-]', '', 'g') AS c
+      FROM dirty)
+    SELECT p_partkey, raw,
+           CAST(round(CAST(CASE WHEN regexp_matches(c, '^-?[0-9]+(\\.[0-9]+)?$')
+                                THEN c END AS DECIMAL(24,6)) * 100, 0) AS BIGINT)
+             AS value_cents
+    FROM cleaned
+    """,
+    doc="SQL-style money cleaning (reference 02_normalize_scryfall_prices"
+    ".js:108-109): strip non-[0-9.-], NULLIF empty, cast, ROUND(*100) to "
+    "integer cents — junk-tolerant vendor-price normalization.",
+)
+def f2_sql_money_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.functions.money import (
+        sql_money_clean_cents,
+    )
+
+    part = load_table(spark, sf_dir, "part")
+    price_str = F.col("p_retailprice").cast("string")
+    raw = (
+        F.when(F.col("p_partkey") % 4 == 0, F.concat(F.lit("EUR "), price_str, F.lit(" kr")))
+        .when(F.col("p_partkey") % 4 == 1, F.concat(F.lit("$"), price_str))
+        .when(F.col("p_partkey") % 4 == 2, F.concat(F.lit("ca. "), price_str, F.lit(" USD")))
+        .otherwise(F.lit(""))
+    )
+    src = part.select("p_partkey", raw.alias("raw"))
+    return src.select(
+        "p_partkey", "raw", sql_money_clean_cents(F.col("raw")).alias("value_cents")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Beyond-reference window analytics: rolling frames, lag, grouping sets.
 # The reference has none of these (SURVEY §2.5/§2.4 notes); a complete
 # engine surface needs them, and each is exactly oracle-checkable.
