@@ -33,7 +33,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     `events.ts` is nanosecond-precision parquet; Spark loads it as integer
     nanos (via nanosAsLong) and downstream event-time logic uses integer
-    arithmetic (see `functions.time_fns`), which is exact and portable.
+    arithmetic (`ts DIV 86400000000000` for days, `ts DIV 1000` for
+    micros — see the event queries), which is exact and portable.
     """
     if name == "events":
         # Runtime-settable; required for TIMESTAMP(NANOS) parquet columns.

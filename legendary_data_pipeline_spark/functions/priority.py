@@ -29,15 +29,22 @@ SOURCE_PRIORITY: dict[str, int] = {
 }
 SOURCE_PRIORITY_DEFAULT = 99
 
+# Exact reference values (03:129-145): the ORDER is the semantics —
+# note low < high < loose, and the cib/new/graded/foil/etched tiers.
 PRICE_TYPE_PRIORITY: dict[str, int] = {
     "market": 10,
-    "trend": 20,
-    "mid": 30,
-    "avg_7d": 40,
-    "avg_30d": 50,
-    "low": 60,
-    "loose": 60,
-    "high": 70,
+    "trend": 12,
+    "mid": 14,
+    "avg_7d": 16,
+    "avg_30d": 18,
+    "low": 22,
+    "high": 24,
+    "loose": 30,
+    "cib": 32,
+    "new": 34,
+    "graded": 36,
+    "foil": 60,
+    "etched": 62,
     "tix": 80,
 }
 PRICE_TYPE_PRIORITY_DEFAULT = 90

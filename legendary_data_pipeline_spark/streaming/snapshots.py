@@ -68,6 +68,22 @@ def daily_event_rollup_stream(
     )
 
 
+def dedup_events_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup of re-delivered events.
+
+    `dropDuplicatesWithinWatermark` keeps state only for the watermark
+    horizon — the streaming form of the exact-dedup operator: an event
+    re-delivered within the window is dropped, state is bounded, and
+    at-least-once upstream delivery collapses to exactly-once downstream.
+    """
+    timed = with_event_time(events).withWatermark("event_time", watermark)
+    return timed.dropDuplicatesWithinWatermark(keys or ["event_id"])
+
+
 def sliding_stats_stream(
     events: DataFrame,
     window_days: int = 7,

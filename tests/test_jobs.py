@@ -128,6 +128,25 @@ def test_build_market_price_daily_priority(spark):
     )
 
 
+def test_price_type_ladder_matches_reference(spark):
+    """Pin the exact 03:129-145 ladder: low < high < loose < cib < new <
+    graded < foil < etched < tix < unknown."""
+    snaps = spark.createDataFrame(
+        [
+            (1, "ebay", "2024-06-01", "USD", pt, None, 100 + i, "{}")
+            for i, pt in enumerate(
+                ["tix", "etched", "foil", "graded", "new", "cib",
+                 "loose", "high", "low"]
+            )
+        ],
+        "market_item_id long, source string, as_of_date string, currency string,"
+        " price_type string, condition string, value_cents long, raw string",
+    ).withColumn("as_of_date", F.col("as_of_date").cast("date"))
+    best = jobs.build_market_price_daily(snaps).collect()
+    assert len(best) == 1
+    assert json.loads(best[0].sources_used)[0]["price_type"] == "low"
+
+
 # ---------------------------------------------------------------------------
 # 10 rollup
 # ---------------------------------------------------------------------------

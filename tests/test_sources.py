@@ -125,3 +125,16 @@ def test_jdbc_options_requires_bounds():
 
     with _pytest.raises(ValueError):
         jdbc_options("jdbc:postgresql://db/x", "t", partition_column="id")
+
+
+def test_kafka_options_builder():
+    from legendary_data_pipeline_spark.streaming.kafka import kafka_options
+
+    opts = kafka_options(
+        "b1:9092,b2:9092", "events", starting_offsets="earliest",
+        max_offsets_per_trigger=100_000, min_partitions=64,
+    )
+    assert opts["kafka.bootstrap.servers"] == "b1:9092,b2:9092"
+    assert opts["subscribe"] == "events"
+    assert opts["maxOffsetsPerTrigger"] == "100000"
+    assert opts["minPartitions"] == "64"

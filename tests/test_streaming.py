@@ -88,3 +88,41 @@ def test_stream_plan_is_streaming(spark, tmp_path):
     stream = read_events_stream(spark, str(events_dir))
     rolled = daily_event_rollup_stream(stream)
     assert rolled.isStreaming
+
+
+def test_streaming_dedup_drops_redelivered(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a re-delivered file adds no rows."""
+    import shutil as _sh
+
+    from legendary_data_pipeline_spark.streaming.snapshots import (
+        dedup_events_stream,
+        read_events_stream,
+    )
+
+    events_dir = tmp_path / "ev"
+    events_dir.mkdir()
+    _sh.copyfile(f"{SF_DIR}/events.parquet", events_dir / "a.parquet")
+    # same events delivered twice under a different file name
+    _sh.copyfile(f"{SF_DIR}/events.parquet", events_dir / "b.parquet")
+
+    deduped = dedup_events_stream(read_events_stream(spark, str(events_dir)))
+    assert deduped.isStreaming
+    out = str(tmp_path / "out")
+    (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    n_unique = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_id")
+        .distinct()
+        .count()
+    )
+    got = spark.read.parquet(out)
+    assert got.count() == n_unique
+    assert got.select("event_id").distinct().count() == n_unique
