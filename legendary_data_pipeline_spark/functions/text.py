@@ -24,15 +24,34 @@ def sanitize_field(col: Column) -> Column:
 
 
 def slugify(col: Column) -> Column:
-    """Lowercase, non-alphanumeric runs → '-', trim dashes.
-
-    Used for URL building; output is URL-safe by construction so no
-    percent-encoding step is needed (mjs:115-118 uses encodeURIComponent
-    on arbitrary slugs; our slugs are restricted to [a-z0-9-]).
-    """
+    """Lowercase, non-alphanumeric runs → '-', trim dashes (slug
+    GENERATION — for building new URL-safe slugs from titles)."""
     lowered = F.lower(col)
     dashed = F.regexp_replace(lowered, r"[^a-z0-9]+", "-")
     return F.regexp_replace(dashed, r"^-+|-+$", "")
+
+
+def encode_uri_component(col: Column) -> Column:
+    """JS `encodeURIComponent` semantics (mjs:115-118) as expressions.
+
+    Spark's `url_encode` is Java URLEncoder (form encoding): space→'+'
+    and !'()*~ get percent-encoded. The standard fix-up chain converts
+    its output to encodeURIComponent's exactly (both UTF-8 underneath):
+    '+'→%20 and un-encode !'()*~ — the characters encodeURIComponent
+    leaves literal.
+    """
+    encoded = F.url_encode(col)
+    for src, dst in (
+        ("+", "%20"),
+        ("%21", "!"),
+        ("%27", "'"),
+        ("%28", "("),
+        ("%29", ")"),
+        ("%2A", "*"),
+        ("%7E", "~"),
+    ):
+        encoded = F.replace(encoded, F.lit(src), F.lit(dst))
+    return encoded
 
 
 def product_url(site_base: str, slug_col: Column) -> Column:

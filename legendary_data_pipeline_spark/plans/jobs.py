@@ -29,9 +29,9 @@ from legendary_data_pipeline_spark.functions.priority import (
     priority_rank,
 )
 from legendary_data_pipeline_spark.functions.text import (
+    encode_uri_component,
     product_url,
     sanitize_field,
-    slugify,
 )
 from legendary_data_pipeline_spark.operators.ranking import best_of_group
 
@@ -441,7 +441,9 @@ def export_google_merchant_feed(
         .otherwise(F.lit("Collector-quality single"))
     )
 
-    link = product_url(site_base, slugify(F.col("p.slug")))
+    # encodeURIComponent on the RAW slug — the reference does not
+    # slugify (mjs:115-118); 'blue eyes!!' becomes 'blue%20eyes!!'.
+    link = product_url(site_base, encode_uri_component(F.col("p.slug")))
     is_bundle = F.when(
         (F.col("p.format") == "bundle") | F.col("p.sealed"), "true"
     ).otherwise("false")

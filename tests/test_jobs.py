@@ -252,8 +252,8 @@ def test_export_feed_full(spark):
     assert rows["p1"]["product highlight"] == "PSA Grade 9.5 collectible"
     assert rows["p4"]["product highlight"] == "Factory sealed product"
     assert rows["p4"]["is bundle"] == "true"
-    # slug URL building
-    assert rows["p2"]["link"] == "https://example.com/products/blue-eyes"
+    # slug URL building: encodeURIComponent on the raw slug (mjs:115-118)
+    assert rows["p2"]["link"] == "https://example.com/products/blue%20eyes!!"
 
 
 def test_export_feed_without_card_id_column(spark):
