@@ -23,8 +23,10 @@ from legendary_data_pipeline_spark.functions.text import normalize_header
 #: logical field → normalized header variants, after the reference's
 #: PriceCharting CSV surface (01:133-212).
 PRICECHARTING_ALIASES: dict[str, tuple[str, ...]] = {
-    "pricecharting_id": ("id", "pricecharting_id"),
-    "product_name": ("productname", "product_name"),
+    # full getCell variant lists (01:194-212): id|pricecharting_id|
+    # product_id and product-name|product_name|name
+    "pricecharting_id": ("id", "pricecharting_id", "product_id"),
+    "product_name": ("productname", "product_name", "name"),
     "console_name": ("consolename", "console_name"),
     "release_date": ("releasedate", "release_date"),
     "loose_price": ("looseprice", "loose_price", "loose_price_cents"),
