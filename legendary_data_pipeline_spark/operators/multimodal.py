@@ -117,6 +117,77 @@ def extract_media_meta(media: DataFrame, use_real_codec: bool = False) -> DataFr
     return media.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "media_id long, width int, height int, target_w int, target_h int, "
+    "resized_payload binary"
+)
+
+
+def resize_plan(
+    media: DataFrame, max_side: int = 256, use_real_codec: bool = False
+) -> DataFrame:
+    """Image-resize stage: aspect-preserving fit into max_side×max_side.
+
+    The Spark plumbing is real — decoded dims feed a pure-expression
+    target-size computation, and the pixel transform runs as a second
+    Arrow-batched mapInPandas over (payload, target dims). The pixel
+    codec itself is stubbed (no imaging library in this container): the
+    stand-in emits the sha256 of (payload, target dims) as the
+    "resized" bytes, deterministic so tests assert exact values.
+    """
+    decoded = extract_media_meta(media.filter(F.col("kind") == "image"))
+    scale = F.greatest(F.col("width"), F.col("height")) / F.lit(max_side)
+    with_targets = (
+        decoded.join(media.select("media_id", "payload"), "media_id")
+        .withColumn(
+            "target_w",
+            F.when(scale <= 1, F.col("width"))
+            .otherwise(F.floor(F.col("width") / scale))
+            .cast("int"),
+        )
+        .withColumn(
+            "target_h",
+            F.when(scale <= 1, F.col("height"))
+            .otherwise(F.floor(F.col("height") / scale))
+            .cast("int"),
+        )
+    )
+
+    def resize_batches(batches):
+        import hashlib as _hashlib
+
+        import pandas as pd
+
+        for batch in batches:
+            out_bytes = []
+            for payload, tw, th in zip(
+                batch["payload"], batch["target_w"], batch["target_h"]
+            ):
+                if use_real_codec:
+                    raise NotImplementedError(
+                        "pixel resize needs an imaging library; "
+                        "not available in this container"
+                    )
+                digest = _hashlib.sha256(
+                    bytes(payload) + f":{tw}x{th}".encode()
+                ).digest()
+                out_bytes.append(digest)
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"],
+                    "width": batch["width"],
+                    "height": batch["height"],
+                    "target_w": batch["target_w"],
+                    "target_h": batch["target_h"],
+                    "resized_payload": out_bytes,
+                }
+            )
+
+    return with_targets.select(
+        "media_id", "width", "height", "target_w", "target_h", "payload"
+    ).mapInPandas(resize_batches, schema=RESIZED_SCHEMA)
+
+
 def sample_frame_offsets(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame-sampling plan for video rows: explode deterministic frame
     indices (0, n, 2n, ...) from the decoded frame count — pure column

@@ -285,7 +285,7 @@ def rollup_market_values(
         F.col("p75").cast(dec).alias("range_high_usd"),
         F.col("last_value").cast(dec).alias("last_sale_usd"),
         F.col("last_ts").alias("last_sale_at"),
-        F.col("sales_count").cast("int").alias(f"sales_count_{180}d"),
+        F.col("sales_count").cast("int").alias(f"sales_count_{lookback_days}d"),
         "confidence",
     )
 

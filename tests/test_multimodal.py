@@ -62,3 +62,35 @@ def test_frame_sampling(media):
         by_media.setdefault(r.media_id, []).append(r.frame_idx)
     for idxs in by_media.values():
         assert idxs == list(range(0, max(idxs) + 1, 10))
+
+
+def test_resize_plan_targets_and_determinism(spark):
+    import hashlib
+
+    from legendary_data_pipeline_spark.operators.multimodal import (
+        fake_decode_meta,
+        media_from_documents,
+        resize_plan,
+    )
+
+    docs = spark.createDataFrame(
+        [(3, "x" * 50, "en", "s", 50), (6, "y" * 80, "en", "s", 80)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    media = media_from_documents(docs)  # doc_id % 3 == 0 → image
+    rows = {r.media_id: r for r in resize_plan(media, max_side=64).collect()}
+    assert set(rows) == {3, 6}
+    for media_id, text in ((3, "x" * 50), (6, "y" * 80)):
+        payload = text.encode()
+        w, h, _ = fake_decode_meta(payload, "image")
+        r = rows[media_id]
+        assert (r.width, r.height) == (w, h)
+        scale = max(w, h) / 64
+        expect_w = w if scale <= 1 else int(w // scale)
+        expect_h = h if scale <= 1 else int(h // scale)
+        assert (r.target_w, r.target_h) == (expect_w, expect_h)
+        assert max(r.target_w, r.target_h) <= 64
+        expected = hashlib.sha256(
+            payload + f":{expect_w}x{expect_h}".encode()
+        ).digest()
+        assert bytes(r.resized_payload) == expected
