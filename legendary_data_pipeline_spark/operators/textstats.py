@@ -33,12 +33,20 @@ def _count_in(tokens: Column, words: tuple[str, ...]) -> Column:
 
 
 def token_stats(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Per-doc token counts + stopword counts (basis for ratios)."""
+    """Per-doc token counts + stopword counts (basis for ratios).
+
+    `keep_cols` pass through untouched — lets callers fuse other per-row
+    columns into the same projection instead of joining back by id.
+    """
     toks = tokens_expr(text_col)
     return df.withColumn("__toks", toks).select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         F.size("__toks").cast("long").alias("token_count"),
         _count_in(F.col("__toks"), STOPWORDS).cast("long").alias("stopword_count"),
         F.length(F.trim(F.col(text_col))).cast("long").alias("char_count"),
@@ -46,7 +54,10 @@ def token_stats(
 
 
 def quality_score(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Integer quality score (0-100) from length / stopword / shape
     heuristics, with a high/medium/low bucket.
@@ -54,7 +65,7 @@ def quality_score(
     Thresholds compare exact int-ratio doubles, so scoring is
     deterministic across engines.
     """
-    stats = token_stats(df, id_col, text_col)
+    stats = token_stats(df, id_col, text_col, keep_cols)
     tc = F.col("token_count").cast("double")
     stop_ratio = F.col("stopword_count").cast("double") / tc
     chars_per_tok = F.col("char_count").cast("double") / tc
@@ -71,6 +82,7 @@ def quality_score(
     )
     return stats.select(
         id_col,
+        *keep_cols,
         "token_count",
         score.alias("quality_score"),
         bucket.alias("quality_bucket"),
@@ -78,7 +90,10 @@ def quality_score(
 
 
 def lang_id(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Keyword-profile language ID: count marker hits per language,
     predict the argmax (ties → alphabetically first language).
@@ -108,6 +123,7 @@ def lang_id(
     assert predicted is not None
     return out.select(
         id_col,
+        *keep_cols,
         *[F.col(f"score_{lang}") for lang in langs],
         predicted.otherwise(langs[-1]).alias("predicted_lang"),
     )
