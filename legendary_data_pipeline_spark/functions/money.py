@@ -28,6 +28,12 @@ def parse_money_to_cents(col: Column) -> Column:
 
     Mirrors `centsFromMoney` (01:78-90): strip `$`/`,`, validate, round
     half-up at the 4th decimal guard to integer cents.
+
+    Known divergence (documented, negative .5 cents only): JS
+    `Math.round` rounds -0.125 dollars to -12 cents (toward +inf);
+    decimal HALF_UP rounds away from zero to -13. Vendor prices are
+    non-negative in practice, and the reference rejects '-' via its own
+    regex path anyway.
     """
     cleaned = F.regexp_replace(F.trim(col), r"[$,]", "")
     guarded = F.when(cleaned.rlike(_NUMERIC_RE), cleaned)

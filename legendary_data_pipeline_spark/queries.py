@@ -989,6 +989,30 @@ def w4_day_over_day_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a8_cube_grouping_id",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+             AS grouping_id,
+           CAST(SUM({_cents_sql('l_extendedprice')}) AS BIGINT) AS revenue_cents,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="Full CUBE with grouping_id disambiguation: all 2^2 grouping-set "
+    "combinations in one pass — grouping_id tells a NULL group value "
+    "apart from a NULL subtotal marker.",
+)
+def a8_cube_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("long").alias("grouping_id"),
+        F.sum(_cents("l_extendedprice")).alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
     "a7_rollup_totals",
     f"""
     SELECT l_returnflag, l_linestatus,
