@@ -812,6 +812,69 @@ def f14_provenance_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# J11 — semi join (EXISTS): the complement of J6's anti join
+# ---------------------------------------------------------------------------
+
+@register(
+    "j11_semi_join_exists",
+    """
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    """,
+    doc="Left semi join (EXISTS): customers with at least one open order. "
+    "The reference only has NOT EXISTS (J6); the semi form completes the "
+    "existence-join family — no duplication of the left side, right side "
+    "never projected.",
+)
+def j11_semi_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    open_orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "O"
+    )
+    return customer.join(
+        open_orders,
+        customer["c_custkey"] == open_orders["o_custkey"],
+        "left_semi",
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# U3 — pivot (long → wide): the inverse of J2's unpivot
+# ---------------------------------------------------------------------------
+
+@register(
+    "u3_pivot_wide",
+    f"""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                    THEN {_cents_sql('l_extendedprice')} END) AS BIGINT)
+             AS open_cents,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                    THEN {_cents_sql('l_extendedprice')} END) AS BIGINT)
+             AS finished_cents,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Pivot long→wide (inverse of J2's unpivot): one output column per "
+    "pivot value via conditional aggregation — explicit value list, so no "
+    "extra distinct-values pass and a stable schema at any scale.",
+)
+def u3_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = _cents("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.when(F.col("l_linestatus") == "O", cents)).alias("open_cents"),
+        F.sum(F.when(F.col("l_linestatus") == "F", cents)).alias(
+            "finished_cents"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # F8 typed variant — from_json with an explicit schema (the preferred
 # production idiom: one parse per row into a struct, then field access)
 # ---------------------------------------------------------------------------
