@@ -126,7 +126,9 @@ def ivf_topk(
         train.unpersist()
         train = base.select("features").coalesce(4).cache()
         train.count()
-    km = KMeans(k=n_centroids, seed=seed, featuresCol="features", maxIter=8)
+    # A coarse quantizer needs rough centroids, not convergence — 5
+    # iterations on the sample is plenty for list balance.
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="features", maxIter=5)
     model = km.fit(train)
     train.unpersist()
     centers = [

@@ -120,6 +120,40 @@ def sessionize_stream(
     )
 
 
+def run_sessionize_once(
+    spark,
+    events_path: str,
+    target_path: str,
+    checkpoint_path: str,
+    gap_seconds: int = 1800,
+    watermark: str = "1 hour",
+) -> None:
+    """Drain available events once, append closed sessions to a parquet
+    table, and exit — the cron-replacement entry point (mirrors
+    snapshots.run_daily_rollup_once). Closed sessions are append-only
+    facts keyed by (user_id, session_start); re-runs resume from the
+    checkpoint so nothing re-emits.
+    """
+    from legendary_data_pipeline_spark.streaming.snapshots import (
+        read_events_stream,
+        with_event_time,
+    )
+
+    stream = with_event_time(read_events_stream(spark, events_path))
+    sessions = sessionize_stream(
+        stream, gap_seconds=gap_seconds, watermark=watermark
+    )
+    (
+        sessions.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", target_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def sessionize_batch(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     """Batch sessionization with identical semantics (backfill path).
 

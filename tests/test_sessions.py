@@ -110,3 +110,36 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     }
     assert got == expected
     assert len(got) > 0
+
+
+def test_run_sessionize_once_resumes_from_checkpoint(spark, tmp_path):
+    """The cron-replacement entry point: drains, appends, and a re-run
+    with the same checkpoint emits nothing new."""
+    from legendary_data_pipeline_spark.streaming.sessions import (
+        run_sessionize_once,
+    )
+
+    events_dir = tmp_path / "ev"
+    events_dir.mkdir()
+    shutil.copyfile(f"{SF_DIR}/events.parquet", events_dir / "a.parquet")
+    out = str(tmp_path / "sessions")
+    ckpt = str(tmp_path / "ckpt")
+
+    run_sessionize_once(spark, str(events_dir), out, ckpt, gap_seconds=GAP,
+                        watermark="0 seconds")
+    # sentinel advances the watermark so real sessions close
+    raw = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    max_ts = raw.agg(F.max("ts")).first()[0]
+    spark.createDataFrame(
+        [(10**9, max_ts + (3 * GAP) * 10**9, SENTINEL_USER, "s", 0.0, "{}")],
+        "event_id long, ts long, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("append").parquet(str(events_dir))
+    run_sessionize_once(spark, str(events_dir), out, ckpt, gap_seconds=GAP,
+                        watermark="0 seconds")
+    n = spark.read.parquet(out).count()
+    assert n > 0
+    # no new files → re-run is a no-op
+    run_sessionize_once(spark, str(events_dir), out, ckpt, gap_seconds=GAP,
+                        watermark="0 seconds")
+    assert spark.read.parquet(out).count() == n
