@@ -12,6 +12,7 @@ from legendary_data_pipeline_spark.functions.money import (
 )
 from legendary_data_pipeline_spark.functions.priority import priority_rank
 from legendary_data_pipeline_spark.functions.text import (
+    encode_uri_component,
     normalize_header,
     sanitize_field,
     slugify,
@@ -23,6 +24,7 @@ __all__ = [
     "parse_money_to_cents",
     "sql_money_clean_cents",
     "priority_rank",
+    "encode_uri_component",
     "normalize_header",
     "sanitize_field",
     "slugify",

@@ -842,6 +842,62 @@ def j11_semi_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# J12 — full outer join (both-sides-preserved reconciliation)
+# ---------------------------------------------------------------------------
+
+@register(
+    "j12_full_outer_reconcile",
+    f"""
+    WITH c AS (
+      SELECT c_nationkey AS nationkey, COUNT(*) AS customers,
+             CAST(SUM({_cents_sql('c_acctbal')}) AS BIGINT) AS cust_bal_cents
+      FROM customer WHERE c_acctbal > 0 GROUP BY 1),
+    s AS (
+      SELECT s_nationkey AS nationkey, COUNT(*) AS suppliers,
+             CAST(SUM({_cents_sql('s_acctbal')}) AS BIGINT) AS supp_bal_cents
+      FROM supplier WHERE s_acctbal > 0 GROUP BY 1)
+    SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+           COALESCE(c.customers, 0) AS customers,
+           COALESCE(s.suppliers, 0) AS suppliers,
+           COALESCE(c.cust_bal_cents, 0) AS cust_bal_cents,
+           COALESCE(s.supp_bal_cents, 0) AS supp_bal_cents
+    FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+    """,
+    doc="Full outer join: reconcile two aggregates keeping keys present "
+    "on either side (the vendor-price reconciliation shape used inside "
+    "resolve_prices' eBay fallback). Not in the reference's join "
+    "repertoire — completes inner/left/semi/anti/full-outer coverage.",
+)
+def j12_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    c = (
+        customer.filter(F.col("c_acctbal") > 0)
+        .groupBy(F.col("c_nationkey").alias("c_key"))
+        .agg(
+            F.count(F.lit(1)).alias("customers"),
+            F.sum(_cents("c_acctbal")).alias("cust_bal_cents"),
+        )
+    )
+    s = (
+        supplier.filter(F.col("s_acctbal") > 0)
+        .groupBy(F.col("s_nationkey").alias("s_key"))
+        .agg(
+            F.count(F.lit(1)).alias("suppliers"),
+            F.sum(_cents("s_acctbal")).alias("supp_bal_cents"),
+        )
+    )
+    joined = c.join(s, c["c_key"] == s["s_key"], "full_outer")
+    return joined.select(
+        F.coalesce(F.col("c_key"), F.col("s_key")).alias("nationkey"),
+        F.coalesce(F.col("customers"), F.lit(0)).alias("customers"),
+        F.coalesce(F.col("suppliers"), F.lit(0)).alias("suppliers"),
+        F.coalesce(F.col("cust_bal_cents"), F.lit(0)).alias("cust_bal_cents"),
+        F.coalesce(F.col("supp_bal_cents"), F.lit(0)).alias("supp_bal_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # U3 — pivot (long → wide): the inverse of J2's unpivot
 # ---------------------------------------------------------------------------
 
