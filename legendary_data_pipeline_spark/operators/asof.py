@@ -1,0 +1,100 @@
+"""As-of join: match each left row to the LATEST right row with
+right_ts <= left_ts per key (SURVEY.md §2.3 notes the reference lacks
+range/as-of joins; this is the brief's named custom operator).
+
+Spark has no native as-of join. The scalable implementation here is the
+union + carry-forward trick:
+
+1. tag right rows 0, left rows 1; union on (keys, ts, tag, payloads)
+2. ONE window, partitioned by key, ordered by (ts, tag, tie): a
+   `last(col, ignorenulls=True)` frame carries each right payload
+   forward in time
+3. keep left rows — each now holds the most recent right payload
+
+One shuffle on the key, no range-explosion join, no per-key driver
+loops — at 100 TB this is a sort within each key partition, and with
+the input bucketed by key it is shuffle-free. (The naive alternative —
+non-equi join `l.ts >= r.ts` + top-1 — builds O(L×R) pairs per key
+before pruning.)
+
+Ties: right rows are deduplicated to one row per (key, ts) first
+(callers pick the winner via `right_tiebreak`), so results are
+deterministic — engines disagree on which of several equal-ts right
+rows ASOF picks otherwise.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_TAG = "__asof_tag"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_payload: Sequence[str],
+    right_tiebreak: Column | None = None,
+) -> DataFrame:
+    """Left as-of join. Output = all left columns + `right_payload`
+    columns (null when no right row precedes the left row's timestamp).
+
+    `right_ts <= left_ts` is inclusive: a right row at exactly the left
+    timestamp matches (right rows sort before left rows on ties).
+    """
+    keys = list(on)
+    # one right row per (key, ts): latest under the tiebreak ordering
+    if right_tiebreak is not None:
+        w_dedup = Window.partitionBy(*keys, right_ts).orderBy(
+            right_tiebreak.desc()
+        )
+        right = (
+            right.withColumn("__rn", F.row_number().over(w_dedup))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    left_cols = [c for c in left.columns if c not in keys and c != left_ts]
+    r_tagged = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias(_TAG),
+        *[F.col(c) for c in right_payload],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
+    )
+    l_tagged = left.select(
+        *keys,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias(_TAG),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(c)
+            for c in right_payload
+        ],
+        *[F.col(c) for c in left_cols],
+    )
+    unioned = r_tagged.unionByName(l_tagged)
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts").asc(), F.col(_TAG).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        *keys,
+        "__ts",
+        _TAG,
+        *[F.col(c) for c in left_cols],
+        *[
+            F.last(F.col(c), ignorenulls=True).over(w).alias(c)
+            for c in right_payload
+        ],
+    )
+    return carried.filter(F.col(_TAG) == 1).drop(_TAG).withColumnRenamed(
+        "__ts", left_ts
+    )
