@@ -99,12 +99,28 @@ def shingles_expr(text_col: str = "text", n: int = 3) -> Column:
     )
 
 
+def shingle_sets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, set) distinct-shingle frame — the shared input of MinHash
+    signatures AND exact-Jaccard verification. Cache it when both
+    consumers run in one pipeline (the shingling pass is the hot cost)."""
+    return df.select(
+        F.col(id_col),
+        F.array_distinct(shingles_expr(text_col, shingle_n)).alias("__set"),
+    ).filter(F.size("__set") > 0)
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 16,
     shingle_n: int = 3,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """doc_id + h0..h{num_hashes-1} minhash signature columns.
 
@@ -116,6 +132,10 @@ def minhash_signatures(
     doc — this beats array-lambda variants, which Catalyst's projection
     collapse makes recompute the hash array per output column.
     Rows with fewer than `shingle_n` tokens are dropped (no shingles).
+
+    Pass `sets` (a `shingle_sets` frame, ideally cached) to share the
+    shingling pass with other consumers — min over DISTINCT shingles is
+    identical to min over all shingles.
     """
     from legendary_data_pipeline_spark.functions.hashing import (
         MERSENNE_P,
@@ -123,8 +143,10 @@ def minhash_signatures(
         md5_long,
     )
 
-    exploded = df.select(
-        F.col(id_col), F.explode(shingles_expr(text_col, shingle_n)).alias("__s")
+    if sets is None:
+        sets = shingle_sets(df, id_col, text_col, shingle_n)
+    exploded = sets.select(
+        F.col(id_col), F.explode(F.col("__set")).alias("__s")
     )
     based = exploded.select(
         F.col(id_col), (md5_long(F.col("__s")) % MERSENNE_P).alias("__hb")
@@ -187,16 +209,20 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact shingle-set Jaccard for the given candidate pairs."""
-    sets_df = df.select(
-        F.col(id_col).alias("__id"),
-        F.array_distinct(shingles_expr(text_col, shingle_n)).alias("__set"),
+    """Exact shingle-set Jaccard for the given candidate pairs.
+
+    Pass a cached `shingle_sets` frame via `sets` to share shingling
+    with signature computation in the same pipeline.
+    """
+    if sets is None:
+        # Probed twice (both pair sides) — cache so shingling runs once.
+        # At scale, prefer writing sets to a staging table keyed by id.
+        sets = shingle_sets(df, id_col, text_col, shingle_n).cache()
+    sets_df = sets.select(
+        F.col(id_col).alias("__id"), F.col("__set")
     )
-    # Probed twice (both pair sides) — cache the per-doc sets so the
-    # shingle computation runs once. At scale, prefer writing sets to a
-    # staging table keyed by id and bucket-joining.
-    sets_df = sets_df.cache()
     a = sets_df.select(F.col("__id").alias("id_a"), F.col("__set").alias("set_a"))
     b = sets_df.select(F.col("__id").alias("id_b"), F.col("__set").alias("set_b"))
     joined = pairs.join(a, "id_a").join(b, "id_b")

@@ -842,6 +842,45 @@ def j11_semi_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# W5 — ntile deciles (price-tier bucketing)
+# ---------------------------------------------------------------------------
+
+@register(
+    "w5_price_deciles",
+    f"""
+    WITH t AS (
+      SELECT p_partkey, {_cents_sql('p_retailprice')} AS price_cents,
+             NTILE(10) OVER (ORDER BY p_retailprice ASC, p_partkey ASC) AS decile
+      FROM part)
+    SELECT CAST(decile AS INTEGER) AS decile,
+           COUNT(*) AS parts,
+           MIN(price_cents) AS min_cents,
+           MAX(price_cents) AS max_cents
+    FROM t GROUP BY decile
+    """,
+    doc="NTILE decile bucketing over retail price (market price-tier "
+    "segmentation) with a total-order tie-break, aggregated per decile. "
+    "Note: a global NTILE is single-partition — at 100 TB use "
+    "percentile_approx cut points + a bucket join instead; this is the "
+    "exact small-dimension form.",
+)
+def w5_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    part = load_table(spark, sf_dir, "part")
+    w = Window.orderBy(F.asc("p_retailprice"), F.asc("p_partkey"))
+    t = part.select(
+        _cents("p_retailprice").alias("price_cents"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+    return t.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("parts"),
+        F.min("price_cents").alias("min_cents"),
+        F.max("price_cents").alias("max_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # J12 — full outer join (both-sides-preserved reconciliation)
 # ---------------------------------------------------------------------------
 
