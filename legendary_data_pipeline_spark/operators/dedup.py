@@ -327,19 +327,37 @@ _SIMHASH_PACK = 4  # bit-counters per packed long (16 bits each)
 
 
 def simhash(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pack: int = _SIMHASH_PACK,
 ) -> DataFrame:
     """60-bit SimHash per document (frequency-weighted sign fingerprint).
 
     Explodes tokens then computes all 60 bit-majorities in ONE groupBy.
-    The counters are PACKED four per long (16 bits each → safe to 65k
-    tokens/doc): 16 aggregate columns instead of 61 keeps whole-stage
-    codegen small — the naive 61-agg plan spent multiple seconds just
-    COMPILING. The fingerprint is reconstructed post-agg with one array
-    higher-order pass (5k rows × 60 elements — negligible interpreted
-    work) instead of a 60-term when() chain.
+    The counters are PACKED `pack` per long (64/pack bits each): 16
+    aggregate columns instead of 61 keeps whole-stage codegen small — the
+    naive 61-agg plan spent multiple seconds just COMPILING. The
+    fingerprint is reconstructed post-agg with one array higher-order
+    pass (5k rows × 60 elements — negligible interpreted work) instead
+    of a 60-term when() chain.
+
+    Overflow guard: a packed counter saturates at 2^(64/pack)−1 tokens
+    (65,535 for the default pack=4) — beyond that a counter would bleed
+    into its neighbor and corrupt the fingerprint silently. Documents
+    whose token_count exceeds the capacity get a NULL fingerprint
+    instead (token_count is still reported). For long-document corpora
+    pass pack=2 (32-bit counters, capacity 4.29e9 tokens) at the cost of
+    twice the aggregate columns.
     """
-    groups = SIMHASH_BITS // _SIMHASH_PACK
+    if pack not in (1, 2, 4):
+        raise ValueError(f"pack must be 1, 2, or 4, got {pack}")
+    counter_bits = 64 // pack
+    # Top counter must also hold the carry-free sum: keep one sign bit.
+    capacity = (1 << (counter_bits if pack == 1 else counter_bits)) - 1
+    if pack == 1:
+        capacity = (1 << 62) - 1  # single counter per long, no packing
+    groups = -(-SIMHASH_BITS // pack)  # ceil
     toks = df.select(
         F.col(id_col), F.explode(tokens_expr(text_col)).alias("__tok")
     ).withColumn("__h", md5_long(F.col("__tok")))
@@ -347,19 +365,23 @@ def simhash(
     aggs = [F.count(F.lit(1)).alias("__n")]
     for g in range(groups):
         contrib = None
-        for i in range(_SIMHASH_PACK):
-            b = g * _SIMHASH_PACK + i
+        for i in range(pack):
+            b = g * pack + i
+            if b >= SIMHASH_BITS:
+                break
             term = F.shiftleft(
-                F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)), i * 16
+                F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)),
+                i * counter_bits,
             )
             contrib = term if contrib is None else contrib + term
         aggs.append(F.sum(contrib).alias(f"__g{g}"))
     counted = toks.groupBy(id_col).agg(*aggs)
 
+    mask = (1 << counter_bits) - 1 if pack > 1 else (1 << 62) - 1
     counts = F.array(
         *[
-            F.shiftright(F.col(f"__g{b // _SIMHASH_PACK}"), (b % _SIMHASH_PACK) * 16)
-            .bitwiseAND(F.lit(0xFFFF))
+            F.shiftright(F.col(f"__g{b // pack}"), (b % pack) * counter_bits)
+            .bitwiseAND(F.lit(mask))
             for b in range(SIMHASH_BITS)
         ]
     )
@@ -378,10 +400,95 @@ def simhash(
         lambda acc, x: acc + x,
     )
     return with_counts.select(
-        F.col(id_col), fingerprint.alias("simhash"), F.col("__n").alias("token_count")
+        F.col(id_col),
+        F.when(F.col("__n") <= capacity, fingerprint).alias("simhash"),
+        F.col("__n").alias("token_count"),
     )
 
 
 def hamming_distance(a: Column, b: Column) -> Column:
     """Hamming distance between two simhash longs."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_band_pairs(
+    fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    fingerprint_col: str = "simhash",
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """SimHash near-dup pairs: banded candidate generation + exact
+    hamming verification.
+
+    The 60-bit fingerprint splits into `bands` equal bit-slices
+    (4 × 15 bits by default). Two fingerprints within hamming distance
+    `max_hamming` < `bands` differ in fewer bits than there are bands, so
+    by pigeonhole they agree on at least one FULL band — banding has
+    perfect recall at the threshold while the quadratic compare runs
+    only inside (band_idx, band_val) buckets. The verify step is one
+    bit_count(xor) per candidate — cheaper than the MinHash pipeline's
+    array intersections by orders of magnitude.
+
+    `max_bucket_size` guards the B² self-join blowup on pathological
+    buckets (e.g. a boilerplate corpus where thousands of docs share a
+    band): buckets larger than the cap are dropped from candidate
+    generation entirely — near-dup mining on such clusters belongs to
+    exact dedup (identical band ⇒ likely identical text) or a re-banding
+    pass with more bits. NULL fingerprints (overflow guard) never pair.
+    """
+    bits_per_band = SIMHASH_BITS // bands
+    band_mask = (1 << bits_per_band) - 1
+    fp = fingerprints.select(
+        F.col(id_col), F.col(fingerprint_col).alias("__fp")
+    ).filter(F.col("__fp").isNotNull())
+    fp = fp.cache()
+    banded = fp.select(
+        F.col(id_col),
+        F.col("__fp"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright(F.col("__fp"), b * bits_per_band)
+                        .bitwiseAND(F.lit(band_mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "__fp", "band.band_idx", "band.band_val")
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        counts = Window.partitionBy("band_idx", "band_val")
+        banded = banded.withColumn(
+            "__bucket_n", F.count(F.lit(1)).over(counts)
+        ).filter(F.col("__bucket_n") <= max_bucket_size)
+    left = banded.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__fp").alias("fp_a"),
+        "band_idx",
+        "band_val",
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__fp").alias("fp_b"),
+        "band_idx",
+        "band_val",
+    )
+    pairs = (
+        left.join(right, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            hamming_distance(F.col("fp_a"), F.col("fp_b")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs

@@ -9,13 +9,28 @@ from __future__ import annotations
 
 import pytest
 
-from legendary_data_pipeline_spark.queries import REGISTRY
+from legendary_data_pipeline_spark.queries import (
+    DRIVER_QUERY_CAP,
+    REGISTRY,
+    SHADOW_REGISTRY,
+)
 from tests.oracle_utils import compare_to_oracle
 
+_ALL = {**REGISTRY, **SHADOW_REGISTRY}
 
-@pytest.mark.parametrize("name", sorted(REGISTRY))
+
+def test_registry_within_driver_cap():
+    """The driver's correctness gate records rows for the first
+    DRIVER_QUERY_CAP entries only — a larger registry would silently
+    lose correctness rows (observed round 1: 51 registered, 50 recorded).
+    Extra oracle-paired queries belong in SHADOW_REGISTRY."""
+    assert len(REGISTRY) <= DRIVER_QUERY_CAP
+    assert not set(REGISTRY) & set(SHADOW_REGISTRY)
+
+
+@pytest.mark.parametrize("name", sorted(_ALL))
 def test_query_matches_oracle(spark, sf_dir, name):
-    spec = REGISTRY[name]
+    spec = _ALL[name]
     df = spec.spark_fn(spark, sf_dir)
     assert df.columns, f"{name}: empty schema"
     if spec.oracle is None:
