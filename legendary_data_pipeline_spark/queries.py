@@ -652,23 +652,30 @@ def s5_upsert_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Total ordering with explicit null placement (reference "
     "exportGoogleMerchantFeed.mjs:311 `ORDER BY created_at ASC NULLS LAST, "
-    "title ASC`), materialized as a rank so the result set is checkable.",
+    "title ASC`), materialized as a rank so the result set is checkable. "
+    "Scale-safe: rather than a global row_number window (single-partition "
+    "sort of the whole table), the top-100 is taken with orderBy().limit() "
+    "— Spark's TakeOrderedAndProject keeps a bounded per-partition heap "
+    "and merges 100 rows per partition on the driver — and only the 100 "
+    "surviving rows are ranked (a window over ≤limit rows by contract).",
 )
 def o1_rank_nulls_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     orders = load_table(spark, sf_dir, "orders")
+    order_spec = [F.asc_nulls_last("d"), F.asc("o_orderkey")]
     src = orders.select(
         "o_orderkey",
         F.when(F.col("o_orderkey") % 10 == 0, None)
         .otherwise(F.col("o_orderdate"))
         .alias("d"),
     )
-    window = Window.orderBy(F.asc_nulls_last("d"), F.asc("o_orderkey"))
-    return (
-        src.withColumn("rn", F.row_number().over(window).cast("long"))
-        .filter(F.col("rn") <= 100)
-        .select("rn", "o_orderkey", F.date_format("d", "yyyy-MM-dd").alias("order_date"))
+    top = src.orderBy(*order_spec).limit(100)
+    window = Window.orderBy(*order_spec)
+    return top.select(
+        F.row_number().over(window).cast("long").alias("rn"),
+        "o_orderkey",
+        F.date_format("d", "yyyy-MM-dd").alias("order_date"),
     )
 
 
@@ -888,21 +895,42 @@ def j11_semi_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM t GROUP BY decile
     """,
     doc="NTILE decile bucketing over retail price (market price-tier "
-    "segmentation) with a total-order tie-break, aggregated per decile. "
-    "Note: a global NTILE is single-partition — at 100 TB use "
-    "percentile_approx cut points + a bucket join instead; this is the "
-    "exact small-dimension form.",
+    "segmentation; decile/tier shape of reference "
+    "10_rollup_market_values_daily.mjs:39-48) with a total-order "
+    "tie-break, aggregated per decile. Scale-safe: a naive global "
+    "NTILE window is a single-partition funnel — this plan instead "
+    "computes an exact distributed global row_number (percentile-sketch "
+    "bucket bounds → per-bucket rank → broadcast cumulative offsets) "
+    "and derives "
+    "the NTILE bucket arithmetically (floor((rn−1)·k/N)+1, the SQL "
+    "standard's assignment), which the NTILE oracle matches exactly. "
+    "Every window in the plan is bounded: per-range-bucket ranks plus "
+    "a metadata-sized (one row per partition) offset pass.",
 )
 def w5_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from legendary_data_pipeline_spark.operators.ranking import (
+        global_row_number,
+        ntile_from_rank,
+    )
 
     part = load_table(spark, sf_dir, "part")
-    w = Window.orderBy(F.asc("p_retailprice"), F.asc("p_partkey"))
     t = part.select(
         _cents("p_retailprice").alias("price_cents"),
-        F.ntile(10).over(w).alias("decile"),
+        F.col("p_retailprice"),
+        F.col("p_partkey"),
     )
-    return t.groupBy("decile").agg(
+    ranked = global_row_number(
+        t,
+        bucket_by=F.col("p_retailprice"),
+        order_by=[F.asc("p_retailprice"), F.asc("p_partkey")],
+        rn_col="__rn",
+        total_col="__n",
+    )
+    deciled = ranked.select(
+        "price_cents",
+        ntile_from_rank(F.col("__rn"), F.col("__n"), 10).alias("decile"),
+    )
+    return deciled.groupBy("decile").agg(
         F.count(F.lit(1)).alias("parts"),
         F.min("price_cents").alias("min_cents"),
         F.max("price_cents").alias("max_cents"),
