@@ -17,6 +17,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from legendary_data_pipeline_spark.queries import REGISTRY  # noqa: E402
@@ -76,17 +78,18 @@ def main() -> None:
               warm["l_orderkey"] == F.col("k")).write.format("noop").mode(
         "overwrite"
     ).save()
-    # pyspark.ml one-time init (BLAS, ml codegen) — used by the IVF query.
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    # Python-worker + Arrow-serde spin-up (used by the pandas_udf /
+    # mapInPandas paths: IVF assignment, multimodal) — one trivial
+    # vectorized UDF so the timed queries measure work, not worker forks.
+    from pyspark.sql.functions import pandas_udf
 
-    tiny = (
-        spark.range(64)
-        .select(F.array(F.rand(seed=1), F.rand(seed=2)).alias("arr"))
-        .withColumn("features", array_to_vector("arr"))
-        .coalesce(1)
-    )
-    KMeans(k=2, seed=1, maxIter=2).fit(tiny)
+    @pandas_udf("double")
+    def __warm(s: pd.Series) -> pd.Series:
+        return s * 1.0
+
+    spark.range(1000).select(
+        __warm(F.col("id").cast("double"))
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in names:

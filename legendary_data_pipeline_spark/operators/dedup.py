@@ -163,13 +163,21 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Banded LSH: docs sharing any full band of the signature become a
     candidate pair (id_a < id_b, distinct).
 
     One explode (×bands), one shuffle on (band_idx, band_key), then a
-    within-bucket self-join. At scale, cap pathological buckets before
-    the join (a bucket of size B yields B² pairs).
+    within-bucket self-join.
+
+    `max_bucket_size` guards the B² self-join blowup on pathological
+    buckets (a boilerplate/duplicated corpus can put thousands of docs
+    in one band bucket — at 100 TB that single bucket IS the job's
+    runtime). Buckets above the cap are dropped from candidate
+    generation: identical bands at that multiplicity mean near-identical
+    docs, which exact dedup (`dedup_exact_sha`-style) catches at a
+    fraction of the cost; run it first on such corpora.
     """
     # The band self-join probes `signatures` twice; cache the (tiny:
     # num_hashes longs per doc) signature frame so the upstream shingle
@@ -188,6 +196,13 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("band")
     ).select(id_col, "band.band_idx", "band.band_key")
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        counts = Window.partitionBy("band_idx", "band_key")
+        banded = banded.withColumn(
+            "__bucket_n", F.count(F.lit(1)).over(counts)
+        ).filter(F.col("__bucket_n") <= max_bucket_size)
 
     left = banded.select(
         F.col(id_col).alias("id_a"), "band_idx", "band_key"
@@ -342,19 +357,23 @@ def simhash(
     pass (5k rows × 60 elements — negligible interpreted work) instead
     of a 60-term when() chain.
 
-    Overflow guard: a packed counter saturates at 2^(64/pack)−1 tokens
-    (65,535 for the default pack=4) — beyond that a counter would bleed
-    into its neighbor and corrupt the fingerprint silently. Documents
-    whose token_count exceeds the capacity get a NULL fingerprint
-    instead (token_count is still reported). For long-document corpora
-    pass pack=2 (32-bit counters, capacity 4.29e9 tokens) at the cost of
-    twice the aggregate columns.
+    Overflow guard: the TOP packed field owns the long's sign bit, so
+    the carry-free capacity is 2^(64/pack − 1)−1 tokens (32,767 for the
+    default pack=4; 2^31−1 ≈ 2.1e9 for pack=2) — one more and the
+    running sum crosses Long.MAX. Under Spark 4's ANSI default a plain
+    `sum` would then throw ARITHMETIC_OVERFLOW and kill the whole query,
+    so the packed counters use `try_sum` (NULL on overflow) and the
+    fingerprint is NULLed for any document whose token_count exceeds the
+    capacity (token_count is still reported). For long-document corpora
+    pass pack=2 at the cost of twice the aggregate columns.
     """
     if pack not in (1, 2, 4):
         raise ValueError(f"pack must be 1, 2, or 4, got {pack}")
     counter_bits = 64 // pack
-    # Top counter must also hold the carry-free sum: keep one sign bit.
-    capacity = (1 << (counter_bits if pack == 1 else counter_bits)) - 1
+    # The top field's high bit is the long's sign bit: capacity is one
+    # bit less than the field width, so every per-counter total (each
+    # bounded by token_count) keeps the full packed sum below Long.MAX.
+    capacity = (1 << (counter_bits - 1)) - 1
     if pack == 1:
         capacity = (1 << 62) - 1  # single counter per long, no packing
     groups = -(-SIMHASH_BITS // pack)  # ceil
@@ -374,7 +393,9 @@ def simhash(
                 i * counter_bits,
             )
             contrib = term if contrib is None else contrib + term
-        aggs.append(F.sum(contrib).alias(f"__g{g}"))
+        # try_sum: NULL instead of ANSI ARITHMETIC_OVERFLOW for docs past
+        # capacity — the <= capacity guard below NULLs their fingerprint.
+        aggs.append(F.try_sum(contrib).alias(f"__g{g}"))
     counted = toks.groupBy(id_col).agg(*aggs)
 
     mask = (1 << counter_bits) - 1 if pack > 1 else (1 << 62) - 1

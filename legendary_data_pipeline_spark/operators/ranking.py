@@ -79,6 +79,7 @@ def global_row_number(
     total_col: str | None = None,
     num_buckets: int = 64,
     accuracy: int = 100,
+    nulls: str = "first",
 ) -> DataFrame:
     """Exact GLOBAL row_number without funneling the data through one
     partition — the scale-safe substitute for `Window.orderBy(...)` with
@@ -113,6 +114,14 @@ def global_row_number(
     (unique tie-breaker appended) or ranking is nondeterministic — same
     contract as any deterministic ranking (see module notes).
 
+    NULL `bucket_by` values get a dedicated sentinel bucket placed per
+    `nulls` ("first" = before every value bucket, matching Spark's
+    default ASC NULLS FIRST; "last" = after, for `asc_nulls_last`/DESC
+    order specs). percentile_approx ignores NULLs, so without explicit
+    routing they would silently fall through the when() tree into the
+    lowest value bucket — wrong for nulls-last orderings. `nulls` must
+    agree with how `order_by` places NULLs.
+
     `total_col` additionally attaches the global row count to every row
     (free — it rides the same broadcast metadata frame), for rank-derived
     analytics like NTILE that need N.
@@ -123,12 +132,18 @@ def global_row_number(
     # LSH sign matrix) so the per-row bucket lookup compiles to a
     # codegen'd binary-search CASE tree — depth log2(num_buckets)
     # comparisons — instead of an interpreted array traversal.
+    if nulls not in ("first", "last"):
+        raise ValueError(f"nulls must be 'first' or 'last', got {nulls!r}")
     row = df.agg(
         F.percentile_approx(bucket_by, qs, F.lit(accuracy)).alias("__bounds")
     ).first()
     bounds = sorted(set(row["__bounds"] or []))
+    null_bucket = -1 if nulls == "first" else len(bounds) + 1
     with_bucket = df.withColumn(
-        "__bucket", _bucket_search_tree(bucket_by, bounds)
+        "__bucket",
+        F.when(bucket_by.isNull(), F.lit(null_bucket)).otherwise(
+            _bucket_search_tree(bucket_by, bounds)
+        ),
     )
 
     local_w = Window.partitionBy("__bucket").orderBy(*order_by)

@@ -17,6 +17,8 @@ set. The query side should be broadcast when small. Math stays in
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -90,6 +92,36 @@ def cosine_topk(
     ).select("query_id", "neighbor_id", "rank", "cos_sim")
 
 
+def _lloyd_codebook(X, n_centroids: int, iters: int, seed: int):
+    """Driver-side Lloyd k-means over a bounded sample (numpy).
+
+    The IVF coarse quantizer does not need convergence or distribution —
+    the standard shape (FAISS-style) is: train the codebook on a small
+    sample, then assign the full corpus in one broadcast pass. Training
+    cost is O(sample × k × iters) on the driver, independent of corpus
+    size; the previous pyspark.ml KMeans spent ~20× the numpy cost on
+    ml-session init and per-iteration job scheduling for identical
+    bucketing quality.
+
+    Deterministic: seeded init, stable argmin tie-break (lowest centroid
+    id), empty clusters keep their previous center.
+    """
+    rng = np.random.RandomState(seed)
+    n = len(X)
+    k = min(n_centroids, n)
+    C = X[rng.choice(n, size=k, replace=False)].copy()
+    for _ in range(iters):
+        # ||x-c||² argmin via the expanded form; ||x||² is rank-constant.
+        d2 = X @ C.T * (-2.0) + (C * C).sum(axis=1)[None, :]
+        assign = d2.argmin(axis=1)
+        counts = np.bincount(assign, minlength=k).astype(np.float64)
+        sums = np.zeros_like(C)
+        np.add.at(sums, assign, X)
+        nonempty = counts > 0
+        C[nonempty] = sums[nonempty] / counts[nonempty, None]
+    return C
+
+
 def ivf_topk(
     embeddings: DataFrame,
     n_centroids: int = 32,
@@ -97,93 +129,125 @@ def ivf_topk(
     k: int = 3,
     query_filter: Column | None = None,
     seed: int = 42,
+    max_train: int = 4096,
+    train_fraction: float = 0.2,
 ) -> DataFrame:
-    """IVF-style approximate top-k: KMeans coarse quantizer + multi-probe.
+    """IVF-style approximate top-k: sampled codebook + multi-probe lists.
 
-    Train a small KMeans codebook (`pyspark.ml`), assign every vector to
-    its nearest centroid (the inverted list), and search each query only
-    against its `n_probe` closest lists. The classic IVF trade: recall
-    rises with n_probe, cost falls with n_centroids. At 100 TB the
-    codebook is trained on a sample and the assignment is a broadcast of
-    `n_centroids` vectors — no shuffle on the corpus beyond the top-k.
+    Train a small coarse-quantizer codebook driver-side on a bounded
+    sample (`_lloyd_codebook`), assign every corpus vector to its nearest
+    centroid (the inverted list), and search each query only against its
+    `n_probe` closest lists. The classic IVF trade: recall rises with
+    n_probe, cost falls with n_centroids.
+
+    100 TB shape: the codebook sample is capped (`max_train` rows — a
+    metadata-scale driver action, NOT a data-path collect), the centroid
+    matrix ships to executors inside the Arrow-batched assignment UDF
+    (n_centroids × dim doubles — kilobytes), and both assignment passes
+    are one vectorized numpy matmul per Arrow batch. Scoring runs as a
+    blocked matmul PER INVERTED LIST (cogrouped `applyInPandas`): each
+    task gets one list's query block and candidate block and scores them
+    with a single `Q @ C.T` — the FAISS search shape — instead of
+    exploding (query × candidate) pair rows through Spark's interpreted
+    array fold (which made the pair join the bottleneck: ~64 interpreted
+    lambda steps per dot product). The per-list local top-k keeps the
+    final global window at ≤ n_probe·k rows per query.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.functions import pandas_udf
 
     base = embeddings.select(
         "vec_id", "label", _as_double(F.col("embedding")).alias("vec")
-    ).withColumn("features", array_to_vector("vec"))
-    # KMeans iterates over its input — cache the (tiny) feature frame so
-    # each iteration doesn't re-scan/re-cast the source. A coarse
-    # quantizer doesn't need convergence: few iterations on a sample
-    # give the same bucketing quality (the standard IVF training shape:
-    # train on a sample, assign everything).
-    # Coalesce hard: the sample is tiny and every KMeans iteration
-    # schedules one task per partition — 64 partitions of ~15 rows each
-    # is pure scheduler overhead.
-    train = base.select("features").sample(0.2, seed=seed).coalesce(4).cache()
-    if train.count() < n_centroids * 10:
-        train.unpersist()
-        train = base.select("features").coalesce(4).cache()
-        train.count()
-    # A coarse quantizer needs rough centroids, not convergence — 5
-    # iterations on the sample is plenty for list balance.
-    km = KMeans(k=n_centroids, seed=seed, featuresCol="features", maxIter=5)
-    model = km.fit(train)
-    train.unpersist()
-    centers = [
-        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-    ]
-    spark = embeddings.sparkSession
-    centers_df = spark.createDataFrame(
-        centers, "centroid_id int, center array<double>"
     )
+    # Bounded, deterministic training sample: Bernoulli sample, then a
+    # tiny sort+limit so the collected set is a pure function of the
+    # data (not of partition scheduling).
+    sample = (
+        base.select("vec_id", "vec")
+        .sample(train_fraction, seed=seed)
+        .orderBy("vec_id")
+        .limit(max_train)
+        .collect()
+    )
+    if len(sample) < n_centroids * 4:
+        sample = base.select("vec_id", "vec").orderBy("vec_id").limit(max_train).collect()
+    if not sample:
+        spark = embeddings.sparkSession
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, cos_sim double"
+        )
+    X = np.asarray([row["vec"] for row in sample], dtype=np.float64)
+    C = _lloyd_codebook(X, n_centroids, iters=5, seed=seed)
+    c_norm2 = (C * C).sum(axis=1)
 
-    # Inverted lists: the model's native JVM assignment (one pass, no
-    # per-row Python or interpreted distance lambdas).
-    assignment = model.transform(base).select(
-        "vec_id", "label", "vec", F.col("prediction").alias("centroid_id")
-    )
-    cands = assignment.select(
+    def _scores(series: pd.Series):
+        V = np.stack(series.to_numpy())
+        # ||v-c||² up to the rank-constant ||v||²: one matmul per batch.
+        return V @ C.T * (-2.0) + c_norm2[None, :]
+
+    @pandas_udf("int")
+    def nearest_list(series: pd.Series) -> pd.Series:
+        return pd.Series(_scores(series).argmin(axis=1).astype("int32"))
+
+    @pandas_udf("array<int>")
+    def probe_lists(series: pd.Series) -> pd.Series:
+        # stable argsort: ties break on lowest centroid id, deterministic.
+        order = np.argsort(_scores(series), axis=1, kind="stable")
+        return pd.Series(list(order[:, :n_probe].astype("int32")))
+
+    cands = base.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("vec").alias("c_vec"),
-        norm_expr("vec").alias("c_norm"),
-        "centroid_id",
+        nearest_list("vec").alias("centroid_id"),
     )
 
-    # Probe lists: centroid distances computed for QUERY vectors only —
-    # queries × n_centroids stays tiny even when the corpus doesn't.
     q_base = base if query_filter is None else base.filter(query_filter)
-    with_centers = q_base.crossJoin(F.broadcast(centers_df))
-    dist = F.sqrt(
-        F.aggregate(
-            F.zip_with(F.col("vec"), F.col("center"), lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    ranked = with_centers.select(
-        "vec_id", "vec", "centroid_id", dist.alias("dist")
-    )
-    probes = top_k_per_group(
-        ranked, ["vec_id"], [F.col("dist").asc(), F.col("centroid_id").asc()],
-        k=n_probe, rank_col="__r",
-    )
-    queries = probes.select(
+    queries = q_base.select(
         F.col("vec_id").alias("query_id"),
         F.col("vec").alias("q_vec"),
-        norm_expr("vec").alias("q_norm"),
-        "centroid_id",
+        F.explode(probe_lists("vec")).alias("centroid_id"),
     )
-    joined = queries.join(cands, "centroid_id").filter(
-        F.col("query_id") != F.col("neighbor_id")
+
+    def _score_list(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"query_id": pd.Series(dtype="int64"),
+             "neighbor_id": pd.Series(dtype="int64"),
+             "cos_sim": pd.Series(dtype="float64")}
+        )
+        if qpdf.empty or cpdf.empty:
+            return empty
+        Q = np.stack(qpdf["q_vec"].to_numpy())
+        Cm = np.stack(cpdf["c_vec"].to_numpy())
+        qn = np.linalg.norm(Q, axis=1)
+        cn = np.linalg.norm(Cm, axis=1)
+        sims = np.round((Q @ Cm.T) / (qn[:, None] * cn[None, :]), 6)
+        qids = qpdf["query_id"].to_numpy()
+        nids = cpdf["neighbor_id"].to_numpy()
+        out_q, out_n, out_s = [], [], []
+        for i, qid in enumerate(qids):
+            row = sims[i]
+            mask = nids != qid
+            cand_n, cand_s = nids[mask], row[mask]
+            if cand_n.size == 0:
+                continue
+            # top-k by (cos desc, neighbor_id asc) — exact local order so
+            # the union of per-list top-k contains the global top-k.
+            order = np.lexsort((cand_n, -cand_s))[:k]
+            out_q.extend([qid] * len(order))
+            out_n.extend(cand_n[order])
+            out_s.extend(cand_s[order])
+        if not out_q:
+            return empty
+        return pd.DataFrame(
+            {"query_id": np.asarray(out_q, dtype="int64"),
+             "neighbor_id": np.asarray(out_n, dtype="int64"),
+             "cos_sim": np.asarray(out_s, dtype="float64")}
+        )
+
+    scored = (
+        queries.groupBy("centroid_id")
+        .cogroup(cands.groupBy("centroid_id"))
+        .applyInPandas(_score_list, "query_id long, neighbor_id long, cos_sim double")
     )
-    cos = F.round(
-        dot_expr("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")), 6
-    )
-    scored = joined.select(
-        "query_id", "neighbor_id", cos.alias("cos_sim")
-    ).dropDuplicates(["query_id", "neighbor_id"])
     return top_k_per_group(
         scored,
         ["query_id"],

@@ -79,6 +79,39 @@ def test_degenerate_all_equal_values(spark):
     assert rows == [(i, i + 1) for i in range(100)]
 
 
+@pytest.mark.parametrize("nulls", ["first", "last"])
+def test_null_bucket_routing_matches_order_spec(spark, nulls):
+    df = spark.range(0, 500).select(
+        F.col("id"),
+        F.when(F.col("id") % 9 == 0, None)
+        .otherwise((F.col("id") % 7).cast("double"))
+        .alias("v"),
+    )
+    v_order = F.asc_nulls_first("v") if nulls == "first" else F.asc_nulls_last("v")
+    got = global_row_number(
+        df,
+        bucket_by=F.col("v"),
+        order_by=[v_order, F.asc("id")],
+        rn_col="rn",
+        num_buckets=8,
+        nulls=nulls,
+    )
+    naive = df.withColumn(
+        "rn_naive",
+        F.row_number().over(Window.orderBy(v_order, F.asc("id"))).cast("long"),
+    )
+    diffs = got.join(naive, "id").filter(F.col("rn") != F.col("rn_naive")).count()
+    assert diffs == 0
+
+
+def test_null_bucket_rejects_bad_spec(spark):
+    df = spark.range(3).select(F.col("id"), F.col("id").cast("double").alias("v"))
+    with pytest.raises(ValueError, match="nulls must be"):
+        global_row_number(
+            df, bucket_by=F.col("v"), order_by=[F.asc("v")], nulls="middle"
+        )
+
+
 def test_plan_has_no_data_sized_single_partition_window(spark, skewed_df):
     """The ONLY single-partition exchange allowed is the metadata offsets
     frame (post-aggregation, ≤num_buckets rows). The data-path window
@@ -91,17 +124,17 @@ def test_plan_has_no_data_sized_single_partition_window(spark, skewed_df):
         num_buckets=16,
     )
     plan = got._jdf.queryExecution().executedPlan().toString()
-    for line in plan.splitlines():
-        if "Exchange SinglePartition" in line:
-            continue  # located below: must sit above an aggregate only
     # Data-path window is bucket-partitioned:
     assert "windowspecdefinition(__bucket" in plan
-    # The single-partition exchanges must all feed the tiny counts frame
-    # (they appear under a HashAggregate of __bucket), never the raw scan:
-    import re
-
+    # Every single-partition exchange must feed the metadata counts frame:
+    # its input subtree (the text after the marker, before any further
+    # Exchange) must start with the per-__bucket counts HashAggregate,
+    # never a data-sized scan/sort.
     segments = plan.split("Exchange SinglePartition")
+    assert len(segments) > 1, "expected the metadata offsets exchange"
     for seg in segments[1:]:
-        assert "HashAggregate" in seg.split("Exchange", 1)[0] or (
-            "HashAggregate" in seg[:400]
-        ), "SinglePartition exchange not above an aggregated (metadata) frame"
+        subtree = seg.split("Exchange", 1)[0]
+        assert "HashAggregate" in subtree and "__bucket" in subtree, (
+            "SinglePartition exchange not above the __bucket counts "
+            f"aggregate:\n{subtree[:600]}"
+        )
