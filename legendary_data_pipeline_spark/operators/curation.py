@@ -1,0 +1,251 @@
+"""Corpus-curation operators for training-data pipelines (SURVEY.md §2.11):
+decontamination, PII scrubbing, repetition-based quality, stratified
+sampling, and sequence packing over the `documents` table.
+
+All expressions stay JVM-side (built-in functions, no Python on the data
+plane) and every hash uses the portable md5→60-bit scheme
+(`functions.hashing`) so each operator is exactly replayable in DuckDB
+for the correctness oracle.
+
+Scale notes (100 TB) per operator are on the functions below; the common
+theme: the corpus-sized side never shuffles on anything except the one
+key the operator semantically requires, and the auxiliary side
+(benchmark shingles, sampling rates, pack budgets) is broadcast.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from legendary_data_pipeline_spark.functions.hashing import seeded_md5_long
+from legendary_data_pipeline_spark.operators.dedup import shingle_sets
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+
+def contamination_flags(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Flag training documents sharing any word-`shingle_n`-gram with the
+    benchmark set (the standard n-gram-overlap eval-decontamination rule,
+    e.g. GPT-3 appendix C / PaLM-style 8-gram checks — n is a knob).
+
+    Returns `train` + `contaminated` boolean.
+
+    100 TB shape: the benchmark side is eval suites — thousands of docs,
+    not terabytes — so its distinct shingle set is broadcast and the
+    corpus-side probe is a broadcast LEFT SEMI join: no shuffle of the
+    training corpus at all. Shingling is one generator pass per side
+    (`shingle_sets`, array slices fused in codegen).
+    """
+    train_sh = shingle_sets(train, id_col, text_col, shingle_n).select(
+        F.col(id_col), F.explode("__set").alias("__s")
+    )
+    bench_sh = (
+        shingle_sets(benchmark, id_col, text_col, shingle_n)
+        .select(F.explode("__set").alias("__s"))
+        .distinct()
+    )
+    hit_ids = (
+        train_sh.join(F.broadcast(bench_sh), "__s", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    return train.join(hit_ids, id_col, "left").withColumn(
+        "contaminated", F.coalesce(F.col("__hit"), F.lit(False))
+    ).drop("__hit")
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+#: deliberately RE2-safe patterns (no backrefs/lookaround) so the exact
+#: same regex runs in Spark (Java regex) and DuckDB (RE2) oracles.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Occurrence counts per PII class (regexp_count, JVM-side)."""
+    return {
+        "emails": F.regexp_count(text, F.lit(EMAIL_RE)),
+        "phones": F.regexp_count(text, F.lit(PHONE_RE)),
+        "ipv4s": F.regexp_count(text, F.lit(IPV4_RE)),
+    }
+
+
+def scrub_pii(text: Column) -> Column:
+    """Mask all PII classes with typed placeholder tokens.
+
+    Order matters: emails first (an email's domain could otherwise be
+    clipped by the ipv4 rule for numeric domains), then phones, then
+    bare IPs. Pure `regexp_replace` chain — whole-stage codegen, no
+    Python, linear scans per pattern.
+    """
+    out = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PHONE_RE, "<PHONE>")
+    return F.regexp_replace(out, IPV4_RE, "<IP>")
+
+
+# ---------------------------------------------------------------------------
+# repetition / quality (Gopher-style)
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_token_max_frac: float = 0.20,
+    dup_bigram_max_frac: float = 0.40,
+) -> DataFrame:
+    """Per-document repetition signals + a keep/drop gate, after the
+    Gopher repetition-removal rules (Rae et al. 2021 §A1.1): fraction of
+    tokens taken by the single most frequent token, and fraction of
+    duplicated bigrams. Docs exceeding either threshold are `low_quality`.
+
+    One explode → one two-level aggregation per signal, merged by id.
+    Both signals are map-side combinable counts; the only shuffle key is
+    the doc id, and the fan-in per doc is bounded by document length —
+    no skew beyond document size itself (cap extreme docs upstream).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__t"),
+    ).filter(F.size("__t") > 0)
+
+    unigram = toks.select(F.col(id_col), F.explode("__t").alias("__w"))
+    uni_counts = unigram.groupBy(id_col, "__w").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    uni_stats = uni_counts.groupBy(id_col).agg(
+        F.sum("__c").alias("n_tokens"),
+        F.max("__c").alias("__top_c"),
+    )
+
+    bigrams = toks.filter(F.size("__t") >= 2).select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("__t"), 1, F.size("__t") - 1),
+                F.slice(F.col("__t"), 2, F.size("__t") - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("__bg"),
+    )
+    bg_counts = bigrams.groupBy(id_col, "__bg").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    bg_stats = bg_counts.groupBy(id_col).agg(
+        F.sum("__c").alias("__n_bg"),
+        # a bigram occurring c times contributes c−1 duplicated instances
+        F.sum(F.col("__c") - 1).alias("__dup_bg"),
+    )
+
+    top_frac = F.col("__top_c").cast("double") / F.col("n_tokens").cast("double")
+    dup_frac = F.col("__dup_bg").cast("double") / F.col("__n_bg").cast("double")
+    return (
+        uni_stats.join(bg_stats, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.round(top_frac, 6).alias("top_token_frac"),
+            F.round(F.coalesce(dup_frac, F.lit(0.0)), 6).alias("dup_bigram_frac"),
+        )
+        .withColumn(
+            "low_quality",
+            (F.col("top_token_frac") > top_token_max_frac)
+            | (F.col("dup_bigram_frac") > dup_bigram_max_frac),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    rates: Mapping[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 7,
+    default_rate: float = 0.0,
+    keep_col: str = "keep",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff
+    `seeded_md5(id) mod 10_000 < rate·10_000` for its stratum's rate —
+    the corpus-mixing primitive (e.g. up/down-weighting sources or
+    languages when composing a training mix).
+
+    Hash-gated (not `sample()`): membership is a pure function of the id,
+    so reruns, retries, and other engines (the DuckDB oracle) select the
+    IDENTICAL subset — reproducible mixes are non-negotiable for training
+    pipelines. Pure column expressions; the rate ladder is a literal
+    CASE tree (strata counts are small); zero shuffles added.
+    """
+    bucket = seeded_md5_long(F.col(id_col).cast("string"), seed) % 10_000
+    rate_expr: Column = F.lit(int(default_rate * 10_000))
+    for stratum, rate in sorted(rates.items()):
+        rate_expr = (
+            F.when(F.col(stratum_col) == stratum, F.lit(int(rate * 10_000)))
+            .otherwise(rate_expr)
+        )
+    return df.withColumn(keep_col, bucket < rate_expr)
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget_tokens: int,
+    shard_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget packs: concat-then-chunk
+    packing (the streaming strategy production training pipelines use —
+    order documents deterministically, accumulate token counts, cut a
+    new pack when the running total crosses the budget).
+
+    pack_id = floor((cumsum(tokens) − tokens) / budget) within each
+    shard: a document lands in the pack where its FIRST token falls.
+    Documents longer than the budget span packs conceptually; they keep
+    the pack of their first token (chunking within a doc is the
+    tokenizer's job downstream).
+
+    The window partitions by `shard_col` — at 100 TB use a composite
+    shard (e.g. lang × hash-bucket) sized so each shard's token stream
+    fits a task; packing quality is unaffected because budgets are per
+    shard anyway. No single-partition stage exists in this plan.
+    """
+    tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    w = Window.partitionBy(shard_col).orderBy(id_col)
+    cum = F.sum("n_tokens").over(w)
+    return (
+        df.select(
+            F.col(shard_col),
+            F.col(id_col),
+            tokens.alias("n_tokens"),
+        )
+        .withColumn(
+            "pack_id",
+            F.floor((cum - F.col("n_tokens")) / F.lit(budget_tokens)).cast("long"),
+        )
+    )

@@ -1283,3 +1283,4 @@ def a7_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Extension query modules register themselves on import (kept at the tail
 # so `register` and the core entries above are fully defined first).
 from legendary_data_pipeline_spark import queries_llm  # noqa: E402,F401
+from legendary_data_pipeline_spark import queries_curation  # noqa: E402,F401

@@ -1,0 +1,333 @@
+"""Corpus-curation queries (SURVEY.md §2.11 extension surface):
+decontamination, PII scrubbing, repetition quality, stratified sampling,
+and sequence packing — the operations a training-data pipeline runs
+between raw crawl and tokenizer.
+
+All five are registered in the SHADOW registry (the driver gate is
+capped at 50 entries; see queries.DRIVER_QUERY_CAP) but carry full
+DuckDB oracles and run through the same golden-query pytest harness
+(tests/test_queries_oracle.py) as the driver-visible entries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from legendary_data_pipeline_spark.catalog import load_table
+from legendary_data_pipeline_spark.functions.hashing import seeded_md5_long_sql
+from legendary_data_pipeline_spark.operators import curation as C
+from legendary_data_pipeline_spark.queries import register_shadow
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments
+# ---------------------------------------------------------------------------
+
+_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+def _shingle_expr(n: int) -> str:
+    """DuckDB expression for word-n-gram shingles over token array `t`
+    (mirrors operators.dedup.shingle_sets: space-joined n consecutive
+    tokens, positions 1..len-n+1)."""
+    parts = " || ' ' || ".join(f"t[__j + {i}]" for i in range(n))
+    return (
+        f"unnest(list_transform(range(1, len(t) - {n} + 2), __j -> {parts}))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+_DECON_N = 4
+
+
+@register_shadow(
+    "curation_decontaminate",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT doc_id, source, {_shingle_expr(_DECON_N)} AS s
+      FROM toks WHERE len(t) >= {_DECON_N}),
+    bench AS (SELECT DISTINCT s FROM sh WHERE source = 'src0'),
+    hits AS (
+      SELECT DISTINCT t.doc_id
+      FROM sh t JOIN bench b USING (s)
+      WHERE t.source <> 'src0')
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(COALESCE(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.source <> 'src0'
+    GROUP BY d.source
+    """,
+    doc="Eval-set decontamination: flag training docs sharing any word "
+    "4-gram with the benchmark slice (source='src0'), the GPT-3/PaLM "
+    "n-gram-overlap rule. The benchmark shingle set is broadcast and the "
+    "corpus side is a broadcast LEFT SEMI probe — the training corpus "
+    "never shuffles. Aggregated per source for a compact checkable "
+    "result.",
+)
+def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    flagged = C.contamination_flags(train, bench, shingle_n=_DECON_N)
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("contaminated").cast("long")).alias("n_contaminated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# Synthetic PII injection (the fixture corpus is PII-free by
+# construction): every doc gets an email, every 3rd a phone, every 7th
+# an IPv4 — deterministic from doc_id so the oracle replays it exactly.
+_PII_TEXT_SQL = """
+      trim(text) || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+      || CASE WHEN doc_id % 3 = 0
+              THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                   || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END
+      || CASE WHEN doc_id % 7 = 0
+              THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                   || '.' || CAST(doc_id % 254 AS VARCHAR)
+              ELSE '' END
+"""
+
+
+@register_shadow(
+    "curation_pii_scrub",
+    f"""
+    WITH pii AS (
+      SELECT doc_id, {_PII_TEXT_SQL} AS ptext FROM documents),
+    scrubbed AS (
+      SELECT doc_id, ptext,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(ptext,
+                   '{C.EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{C.PHONE_RE}', '<PHONE>', 'g'),
+               '{C.IPV4_RE}', '<IP>', 'g') AS clean
+      FROM pii)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(ptext, '{C.EMAIL_RE}')) AS INTEGER)
+             AS emails,
+           CAST(len(regexp_extract_all(ptext, '{C.PHONE_RE}')) AS INTEGER)
+             AS phones,
+           CAST(len(regexp_extract_all(ptext, '{C.IPV4_RE}')) AS INTEGER)
+             AS ipv4s,
+           CAST(len(regexp_extract_all(clean, '{C.EMAIL_RE}'))
+                + len(regexp_extract_all(clean, '{C.PHONE_RE}'))
+                + len(regexp_extract_all(clean, '{C.IPV4_RE}')) AS INTEGER)
+             AS residual_pii,
+           clean
+    FROM scrubbed
+    """,
+    doc="PII detection + masking: count and mask emails/phones/IPv4s "
+    "with RE2-safe patterns that run identically in Spark (Java regex) "
+    "and the DuckDB oracle. The fixture corpus is PII-free, so "
+    "deterministic synthetic PII is injected from doc_id first; "
+    "residual_pii proves the scrub converges to zero. Pure "
+    "regexp_replace/regexp_count chains — whole-stage codegen, no "
+    "Python on the data plane.",
+)
+def curation_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    phone = F.when(
+        did % 3 == 0,
+        F.concat(
+            F.lit(" call 555-"),
+            F.lpad((did % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise("")
+    ip = F.when(
+        did % 7 == 0,
+        F.concat(
+            F.lit(" from 10.0."),
+            (did % 256).cast("string"),
+            F.lit("."),
+            (did % 254).cast("string"),
+        ),
+    ).otherwise("")
+    ptext = F.concat(
+        F.trim("text"),
+        F.lit(" contact user"),
+        did.cast("string"),
+        F.lit("@example.com"),
+        phone,
+        ip,
+    )
+    pii = docs.select(did, ptext.alias("ptext"))
+    counts = C.pii_counts(F.col("ptext"))
+    clean = C.scrub_pii(F.col("ptext"))
+    out = pii.select(
+        "doc_id",
+        counts["emails"].alias("emails"),
+        counts["phones"].alias("phones"),
+        counts["ipv4s"].alias("ipv4s"),
+        clean.alias("clean"),
+    )
+    residual = (
+        F.regexp_count(F.col("clean"), F.lit(C.EMAIL_RE))
+        + F.regexp_count(F.col("clean"), F.lit(C.PHONE_RE))
+        + F.regexp_count(F.col("clean"), F.lit(C.IPV4_RE))
+    )
+    return out.select(
+        "doc_id", "emails", "phones", "ipv4s",
+        residual.alias("residual_pii"), "clean",
+    )
+
+
+# ---------------------------------------------------------------------------
+# repetition quality
+# ---------------------------------------------------------------------------
+
+
+@register_shadow(
+    "curation_repetition_quality",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents WHERE len({_TOKS}) > 0),
+    uni AS (SELECT doc_id, unnest(t) AS w FROM toks),
+    uc AS (SELECT doc_id, w, COUNT(*) AS c FROM uni GROUP BY doc_id, w),
+    us AS (SELECT doc_id, SUM(c) AS n_tokens, MAX(c) AS top_c
+           FROM uc GROUP BY doc_id),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                    __j -> t[__j] || ' ' || t[__j + 1])) AS b
+      FROM toks WHERE len(t) >= 2),
+    bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b),
+    bs AS (SELECT doc_id, SUM(c) AS n_bg, SUM(c - 1) AS dup_bg
+           FROM bc GROUP BY doc_id)
+    SELECT us.doc_id,
+           CAST(us.n_tokens AS BIGINT) AS n_tokens,
+           round(CAST(us.top_c AS DOUBLE) / CAST(us.n_tokens AS DOUBLE), 6)
+             AS top_token_frac,
+           round(COALESCE(CAST(bs.dup_bg AS DOUBLE)
+                          / CAST(bs.n_bg AS DOUBLE), 0.0), 6)
+             AS dup_bigram_frac,
+           (round(CAST(us.top_c AS DOUBLE) / CAST(us.n_tokens AS DOUBLE), 6)
+              > 0.20
+            OR round(COALESCE(CAST(bs.dup_bg AS DOUBLE)
+                              / CAST(bs.n_bg AS DOUBLE), 0.0), 6) > 0.40)
+             AS low_quality
+    FROM us LEFT JOIN bs USING (doc_id)
+    """,
+    doc="Gopher-style repetition gate (Rae et al. 2021 A1.1): fraction "
+    "of tokens held by the most frequent token and fraction of "
+    "duplicated bigrams, thresholded to a keep/drop flag. Two map-side "
+    "combinable count aggregations keyed by doc id — no skew beyond "
+    "document length.",
+)
+def curation_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return C.repetition_stats(docs).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "top_token_frac",
+        "dup_bigram_frac",
+        "low_quality",
+    )
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling
+# ---------------------------------------------------------------------------
+
+_RATES = {"en": 0.5, "de": 0.25, "zh": 0.1}
+_DEFAULT_RATE = 0.05
+_SAMPLE_SEED = 7
+
+
+def _rate_ladder_sql() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{stratum}' THEN {int(rate * 10_000)}"
+        for stratum, rate in sorted(_RATES.items())
+    )
+    return f"CASE {whens} ELSE {int(_DEFAULT_RATE * 10_000)} END"
+
+
+@register_shadow(
+    "curation_stratified_sample",
+    f"""
+    WITH gated AS (
+      SELECT lang, doc_id,
+             ({seeded_md5_long_sql("CAST(doc_id AS VARCHAR)", _SAMPLE_SEED)}
+               % 10000) < {_rate_ladder_sql()} AS keep
+      FROM documents)
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           MIN(CASE WHEN keep THEN doc_id END) AS first_kept,
+           MAX(CASE WHEN keep THEN doc_id END) AS last_kept
+    FROM gated GROUP BY lang
+    """,
+    doc="Deterministic corpus-mix sampling: per-language keep rates "
+    "applied via a seeded md5 hash gate on doc_id, so the selected "
+    "subset is a pure function of the data — identical across reruns, "
+    "retries, and engines (the property training-mix reproducibility "
+    "depends on; Spark's sample() cannot give it). Pure column "
+    "expressions, zero added shuffles.",
+)
+def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    gated = C.stratified_hash_sample(
+        docs, _RATES, default_rate=_DEFAULT_RATE, seed=_SAMPLE_SEED
+    )
+    keep_id = F.when(F.col("keep"), F.col("doc_id"))
+    return gated.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.min(keep_id).alias("first_kept"),
+        F.max(keep_id).alias("last_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 256
+
+
+@register_shadow(
+    "curation_pack_sequences",
+    f"""
+    WITH t AS (
+      SELECT lang, doc_id, len({_TOKS}) AS n_tokens FROM documents),
+    c AS (
+      SELECT lang, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+      FROM t)
+    SELECT lang,
+           CAST(FLOOR((cum - n_tokens) / {_PACK_BUDGET}.0) AS BIGINT)
+             AS pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+    FROM c GROUP BY lang, pack_id
+    """,
+    doc="Sequence packing (concat-then-chunk): order docs "
+    "deterministically within each language shard, accumulate token "
+    "counts, cut a pack every 256 tokens — the streaming packing "
+    "strategy training pipelines use ahead of tokenization. The window "
+    "partitions by shard only (at scale: lang x hash-bucket composite), "
+    "never a global sort.",
+)
+def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    packed = C.pack_sequences(docs, budget_tokens=_PACK_BUDGET)
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_tokens").cast("long")).alias("pack_tokens"),
+    )
