@@ -295,6 +295,81 @@ def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# per-source caps
+# ---------------------------------------------------------------------------
+
+_CAP_K = 10
+
+# Mirrors queries_llm._QUALITY_SQL_STATS + the text_quality_score ladder;
+# kept inline (with `source`) so this oracle is self-contained. The
+# stopword list is generated from the operator's constant to prevent
+# drift.
+from legendary_data_pipeline_spark.operators.textstats import (  # noqa: E402
+    STOPWORDS as _STOPWORDS,
+)
+
+_STOP_IN = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+_QUALITY_Q_SQL = f"""
+    s AS (SELECT doc_id, source,
+                 CAST(len({_TOKS}) AS BIGINT) AS token_count,
+                 CAST(len(list_filter({_TOKS},
+                      __x -> __x IN ({_STOP_IN}))) AS BIGINT)
+                   AS stopword_count,
+                 CAST(length(trim(text)) AS BIGINT) AS char_count
+          FROM documents),
+    sc AS (
+      SELECT doc_id, source,
+             (CASE WHEN token_count BETWEEN 20 AND 400 THEN 40 ELSE 10 END
+            + CASE WHEN CAST(stopword_count AS DOUBLE) / CAST(token_count AS DOUBLE)
+                        BETWEEN 0.02 AND 0.6 THEN 30 ELSE 10 END
+            + CASE WHEN CAST(char_count AS DOUBLE) / CAST(token_count AS DOUBLE)
+                        BETWEEN 3.0 AND 12.0 THEN 30 ELSE 10 END) AS q
+      FROM s)
+"""
+
+
+@register_shadow(
+    "curation_cap_per_source",
+    f"""
+    WITH {_QUALITY_Q_SQL},
+    r AS (
+      SELECT source, doc_id, CAST(q AS INTEGER) AS quality_score,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY q DESC, doc_id ASC) AS rn
+      FROM sc)
+    SELECT source, doc_id, quality_score, CAST(rn AS BIGINT) AS src_rank
+    FROM r WHERE rn <= {_CAP_K}
+    """,
+    doc="Per-source document cap (the crawl-pipeline per-domain cap): "
+    "keep the top-10 docs per source by quality score, deterministic "
+    "doc_id tie-break. One window partitioned by source — rank evaluated "
+    "inside the window stage, never a global sort; at 100 TB the "
+    "partition key is the domain, whose cardinality scales with the "
+    "corpus, so the shuffle stays balanced.",
+)
+def curation_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.ranking import top_k_per_group
+    from legendary_data_pipeline_spark.operators.textstats import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_score(docs, keep_cols=("source",)).select(
+        "source", "doc_id", "quality_score"
+    )
+    capped = top_k_per_group(
+        scored,
+        ["source"],
+        [F.col("quality_score").desc(), F.col("doc_id").asc()],
+        k=_CAP_K,
+        rank_col="src_rank",
+    )
+    return capped.select(
+        "source", "doc_id", "quality_score",
+        F.col("src_rank").cast("long").alias("src_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # sequence packing
 # ---------------------------------------------------------------------------
 
