@@ -295,6 +295,63 @@ def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# vocabulary building
+# ---------------------------------------------------------------------------
+
+_VOCAB_K = 100
+
+
+@register_shadow(
+    "curation_vocab_topk",
+    f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS}) AS w FROM documents),
+    tot AS (SELECT COUNT(*) AS n FROM toks),
+    c AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w),
+    top AS (
+      SELECT w, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, w ASC) AS rk
+      FROM c ORDER BY cnt DESC, w ASC LIMIT {_VOCAB_K})
+    SELECT w AS token,
+           CAST(cnt AS BIGINT) AS n_occurrences,
+           CAST(rk AS BIGINT) AS vocab_rank,
+           round(CAST(SUM(cnt) OVER (ORDER BY rk) AS DOUBLE)
+                 / (SELECT CAST(n AS DOUBLE) FROM tot), 6) AS coverage
+    FROM top
+    """,
+    doc="Corpus vocabulary: top-100 tokens by frequency with cumulative "
+    "corpus coverage — the tokenizer-training precursor. The token count "
+    "is one map-side-combinable groupBy; the top-K is "
+    "TakeOrderedAndProject (bounded per-partition heaps, never a full "
+    "sort); the only windows run over the K selected rows and the "
+    "grand-total aggregate is a one-row broadcast.",
+)
+def curation_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    )
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.col("cnt").desc(), F.col("w").asc()).limit(_VOCAB_K)
+    rk_w = Window.orderBy(F.col("cnt").desc(), F.col("w").asc())
+    cum_w = rk_w.rowsBetween(Window.unboundedPreceding, 0)
+    ranked = top.select(
+        F.col("w").alias("token"),
+        F.col("cnt").alias("n_occurrences"),
+        F.row_number().over(rk_w).cast("long").alias("vocab_rank"),
+        F.sum("cnt").over(cum_w).cast("double").alias("__cum"),
+    )
+    return ranked.join(F.broadcast(total)).select(
+        "token",
+        "n_occurrences",
+        "vocab_rank",
+        F.round(F.col("__cum") / F.col("n").cast("double"), 6).alias("coverage"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # per-source caps
 # ---------------------------------------------------------------------------
 
