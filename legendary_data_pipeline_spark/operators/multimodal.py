@@ -200,3 +200,25 @@ def sample_frame_offsets(media: DataFrame, every_n: int = 10) -> DataFrame:
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+def audio_window_offsets(media: DataFrame, window_s: int = 5) -> DataFrame:
+    """Audio segmentation plan: fixed-duration windows [start_s, end_s)
+    over each audio row's decoded duration (the stand-in codec reports
+    duration in the n_frames slot for audio). Same shape as video frame
+    sampling: metadata decode via Arrow mapInPandas, then a pure-column
+    explode — the (stubbed) sample extraction would be one more
+    mapInPandas over (payload, start_s, end_s)."""
+    decoded = extract_media_meta(media.filter(F.col("kind") == "audio"))
+    windows = decoded.select(
+        "media_id",
+        F.col("n_frames").alias("__dur"),
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(window_s))
+        ).alias("start_s"),
+    )
+    return windows.select(
+        "media_id",
+        "start_s",
+        F.least(F.col("start_s") + window_s, F.col("__dur")).alias("end_s"),
+    )
