@@ -295,6 +295,41 @@ def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# skew-safe aggregation (oracle-paired proof of equivalence)
+# ---------------------------------------------------------------------------
+
+
+@register_shadow(
+    "skew_salted_user_totals",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(round(CAST(value AS DECIMAL(18,2)) * 100, 0)
+                         AS BIGINT)) AS BIGINT) AS sum_value_cents
+    FROM events GROUP BY user_id
+    """,
+    doc="Salted two-phase aggregation vs the plain GROUP BY oracle: the "
+    "skew-mitigation path (partial aggregate per (key, salt), merge per "
+    "key) must be value-identical to the direct aggregation — money as "
+    "integer cents keeps the sum associative so salting cannot change "
+    "the result. This pins the operator a hot-key corpus needs at "
+    "100 TB (one giant key no longer lands in one task).",
+)
+def skew_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.skew import salted_count_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value").cast("decimal(18,2)") * 100, 0).cast("long")
+    base = ev.select("user_id", cents.alias("value_cents"))
+    out = salted_count_sum(base, ["user_id"], "value_cents", salt_buckets=16)
+    return out.select(
+        "user_id",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("sum_value_cents").cast("long").alias("sum_value_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # vocabulary building
 # ---------------------------------------------------------------------------
 
