@@ -91,13 +91,24 @@ def main() -> None:
         __warm(F.col("id").cast("double"))
     ).write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name in names:
+    def run_once(name: str) -> float:
         spec = REGISTRY[name]
         start = time.perf_counter()
         df = spec.spark_fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        return time.perf_counter() - start
+
+    # Repeat-and-take-min for non-trivial queries: this box is a shared
+    # VM and single runs see 2-5x co-tenant noise spikes (NOTES.md);
+    # the min over two runs measures the engine, not the neighbor. The
+    # threshold bounds added wall time to the handful of heavy queries.
+    RERUN_THRESHOLD_SEC = 1.5
+    timings: dict[str, float] = {}
+    for name in names:
+        t = run_once(name)
+        if t > RERUN_THRESHOLD_SEC:
+            t = min(t, run_once(name))
+        timings[name] = round(t, 3)
 
     total = round(sum(timings.values()), 3)
     print(
