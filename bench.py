@@ -102,12 +102,18 @@ def main() -> None:
     # VM and single runs see 2-5x co-tenant noise spikes (NOTES.md);
     # the min over two runs measures the engine, not the neighbor. The
     # threshold bounds added wall time to the handful of heavy queries.
+    # Caches are cleared between runs so the rerun is data-cold (several
+    # dedup queries .cache() intermediates; without this the second run
+    # would time a cache hit, not the pipeline) — and after each query so
+    # cached blocks never accumulate across the bench.
     RERUN_THRESHOLD_SEC = 1.5
     timings: dict[str, float] = {}
     for name in names:
         t = run_once(name)
         if t > RERUN_THRESHOLD_SEC:
+            spark.catalog.clearCache()
             t = min(t, run_once(name))
+        spark.catalog.clearCache()
         timings[name] = round(t, 3)
 
     total = round(sum(timings.values()), 3)

@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from legendary_data_pipeline_spark.functions.hashing import seeded_md5_long
-from legendary_data_pipeline_spark.operators.dedup import shingle_sets
+from legendary_data_pipeline_spark.operators.dedup import shingle_sets, tokens_expr
 
 # ---------------------------------------------------------------------------
 # decontamination
@@ -123,7 +123,7 @@ def repetition_stats(
     """
     toks = df.select(
         F.col(id_col),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("__t"),
+        tokens_expr(text_col).alias("__t"),
     ).filter(F.size("__t") > 0)
 
     unigram = toks.select(F.col(id_col), F.explode("__t").alias("__w"))
@@ -198,11 +198,15 @@ def stratified_hash_sample(
     CASE tree (strata counts are small); zero shuffles added.
     """
     bucket = seeded_md5_long(F.col(id_col).cast("string"), seed) % 10_000
-    rate_expr: Column = F.lit(int(default_rate * 10_000))
+    # round(), not int(): float products like 0.57*10000 land at
+    # 5699.999…, and truncation would silently drop the top bucket the
+    # contract says to keep.
+    rate_expr: Column = F.lit(int(round(default_rate * 10_000)))
     for stratum, rate in sorted(rates.items()):
         rate_expr = (
-            F.when(F.col(stratum_col) == stratum, F.lit(int(rate * 10_000)))
-            .otherwise(rate_expr)
+            F.when(
+                F.col(stratum_col) == stratum, F.lit(int(round(rate * 10_000)))
+            ).otherwise(rate_expr)
         )
     return df.withColumn(keep_col, bucket < rate_expr)
 
@@ -235,7 +239,7 @@ def pack_sequences(
     fits a task; packing quality is unaffected because budgets are per
     shard anyway. No single-partition stage exists in this plan.
     """
-    tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    tokens = F.size(tokens_expr(text_col))
     w = Window.partitionBy(shard_col).orderBy(id_col)
     cum = F.sum("n_tokens").over(w)
     return (

@@ -76,10 +76,11 @@ def connected_components(
             )
         ).localCheckpoint(eager=True)
         changed = updated.filter(F.col("__new") < F.col("component")).count()
+        # One checkpoint per round is enough: `labels` is a depth-one
+        # projection of the already-checkpointed `updated` frame.
         labels = updated.select("node", F.col("__new").alias("component"))
         if changed == 0:
             return labels
-        labels = labels.localCheckpoint(eager=True)
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} rounds"
     )

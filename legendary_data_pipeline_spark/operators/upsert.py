@@ -88,7 +88,10 @@ def write_upsert_parquet(
     except Exception:
         existing = None
     if existing is None:
-        merged = updates
+        # First write still needs within-source key dedup (duplicate keys
+        # inside one batch must collapse exactly as they would on merge);
+        # an empty existing side reuses the identical window semantics.
+        merged = upsert(updates.limit(0), updates, keys, order_within_source)
     else:
         merged = upsert(existing, updates, keys, order_within_source)
     # Materialize before overwriting the path we read from.

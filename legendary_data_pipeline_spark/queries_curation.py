@@ -368,7 +368,9 @@ def curation_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
     )
     counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
-    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    # Grand total from the (small) counts frame — NOT a second
+    # split+explode scan of the corpus.
+    total = counts.agg(F.sum("cnt").alias("n"))
     top = counts.orderBy(F.col("cnt").desc(), F.col("w").asc()).limit(_VOCAB_K)
     rk_w = Window.orderBy(F.col("cnt").desc(), F.col("w").asc())
     cum_w = rk_w.rowsBetween(Window.unboundedPreceding, 0)

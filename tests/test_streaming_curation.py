@@ -15,8 +15,6 @@ from legendary_data_pipeline_spark.streaming.curation import (
     run_curation_once,
 )
 
-SF_DIR = "/root/testdata/sf0.001"
-
 _CONTENT_COLS = (
     "lang",
     "source",
@@ -37,11 +35,11 @@ def _by_sha(df):
     }
 
 
-def test_stream_matches_batch_and_merges_duplicates(spark, tmp_path):
+def test_stream_matches_batch_and_merges_duplicates(spark, sf_dir, tmp_path):
     docs_dir = tmp_path / "docs_in"
     docs_dir.mkdir()
     shutil.copyfile(
-        f"{SF_DIR}/documents.parquet", docs_dir / "docs-000.parquet"
+        f"{sf_dir}/documents.parquet", docs_dir / "docs-000.parquet"
     )
     target = str(tmp_path / "curated")
     checkpoint = str(tmp_path / "ckpt")
@@ -49,7 +47,7 @@ def test_stream_matches_batch_and_merges_duplicates(spark, tmp_path):
     run_curation_once(spark, str(docs_dir), target, checkpoint)
     got = _by_sha(spark.read.parquet(target))
 
-    batch = curate_documents(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+    batch = curate_documents(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     expected = _by_sha(batch.dropDuplicates(["text_sha"]))
 
     assert got == expected
@@ -63,7 +61,7 @@ def test_stream_matches_batch_and_merges_duplicates(spark, tmp_path):
 
     # … and delivering a duplicate-content file MERGEs, not duplicates:
     shutil.copyfile(
-        f"{SF_DIR}/documents.parquet", docs_dir / "docs-001.parquet"
+        f"{sf_dir}/documents.parquet", docs_dir / "docs-001.parquet"
     )
     run_curation_once(spark, str(docs_dir), target, checkpoint)
     after = _by_sha(spark.read.parquet(target))

@@ -56,6 +56,24 @@ def test_write_upsert_parquet_idempotent(spark, tmp_path):
     assert state == {1: 10, 2: 21, 3: 30}
 
 
+def test_write_upsert_parquet_first_batch_dedupes_keys(spark, tmp_path):
+    """Duplicate keys INSIDE the very first batch must collapse exactly
+    as they would on a merge into an existing table (regression: the
+    no-existing-target branch used to write updates verbatim)."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "fresh")
+    batch = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20)], "k int, v int"
+    )
+    write_upsert_parquet(
+        path, batch, ["k"], spark, order_within_source=[F.col("v").desc()]
+    )
+    state = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert state == {1: 11, 2: 20}
+    assert spark.read.parquet(path).count() == 2
+
+
 def test_write_upsert_partitioned_replaces_only_touched(spark, tmp_path):
     path = str(tmp_path / "daily")
     day1 = spark.createDataFrame(
