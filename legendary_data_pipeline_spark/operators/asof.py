@@ -41,13 +41,27 @@ def asof_join(
     right_ts: str,
     right_payload: Sequence[str],
     right_tiebreak: Column | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join. Output = all left columns + `right_payload`
-    columns (null when no right row precedes the left row's timestamp).
+    columns (null when no right row qualifies for the left row's
+    timestamp).
 
-    `right_ts <= left_ts` is inclusive: a right row at exactly the left
-    timestamp matches (right rows sort before left rows on ties).
+    `direction`:
+    - "backward" (default): LATEST right row with right_ts <= left_ts
+      (attribution: the click before the purchase).
+    - "forward": EARLIEST right row with right_ts >= left_ts
+      (next-event: the purchase after the click) — same union + one
+      window plan, ordered descending so the carry runs backward in
+      time.
+
+    Both bounds are inclusive: a right row at exactly the left timestamp
+    matches (right rows sort before left rows on timestamp ties).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"direction must be 'backward' or 'forward', got {direction!r}"
+        )
     keys = list(on)
     # one right row per (key, ts): latest under the tiebreak ordering
     if right_tiebreak is not None:
@@ -80,9 +94,12 @@ def asof_join(
     )
     unioned = r_tagged.unionByName(l_tagged)
 
+    ts_order = (
+        F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
+    )
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__ts").asc(), F.col(_TAG).asc())
+        .orderBy(ts_order, F.col(_TAG).asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.select(

@@ -1,0 +1,73 @@
+"""asof_join direction semantics on hand-built frames."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from legendary_data_pipeline_spark.operators.asof import asof_join
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 25, "b"), (2, 5, "c")],
+        "k int, lt long, lpay string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "r10"), (1, 20, "r20"), (1, 30, "r30"), (2, 50, "r50")],
+        "k int, rt long, rpay string",
+    )
+    return left, right
+
+
+def _rows(df):
+    return {(r["k"], r["lt"]): (r["rpay"], r["rt"]) for r in df.collect()}
+
+
+def test_backward_latest_at_or_before(spark, frames):
+    left, right = frames
+    got = _rows(
+        asof_join(left, right, ["k"], "lt", "rt", ["rpay", "rt"])
+    )
+    assert got == {
+        (1, 10): ("r10", 10),   # inclusive at equal ts
+        (1, 25): ("r20", 20),
+        (2, 5): (None, None),   # nothing at or before
+    }
+
+
+def test_forward_earliest_at_or_after(spark, frames):
+    left, right = frames
+    got = _rows(
+        asof_join(
+            left, right, ["k"], "lt", "rt", ["rpay", "rt"],
+            direction="forward",
+        )
+    )
+    assert got == {
+        (1, 10): ("r10", 10),   # inclusive at equal ts
+        (1, 25): ("r30", 30),
+        (2, 5): ("r50", 50),
+    }
+
+
+def test_direction_validation(spark, frames):
+    left, right = frames
+    with pytest.raises(ValueError, match="direction must be"):
+        asof_join(
+            left, right, ["k"], "lt", "rt", ["rpay"], direction="nearest"
+        )
+
+
+def test_forward_tiebreak_dedups_equal_ts(spark):
+    left = spark.createDataFrame([(1, 10)], "k int, lt long")
+    right = spark.createDataFrame(
+        [(1, 20, "low"), (1, 20, "high")], "k int, rt long, rpay string"
+    )
+    got = asof_join(
+        left, right, ["k"], "lt", "rt", ["rpay"],
+        right_tiebreak=F.col("rpay"),
+        direction="forward",
+    ).collect()
+    assert [r["rpay"] for r in got] == ["low"]
