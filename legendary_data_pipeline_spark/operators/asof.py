@@ -54,13 +54,19 @@ def asof_join(
       (next-event: the purchase after the click) — same union + one
       window plan, ordered descending so the carry runs backward in
       time.
+    - "nearest": whichever of the backward/forward candidates is closer
+      in time; ties prefer backward. Computed with BOTH window passes
+      over the SAME unioned/shuffled frame — one exchange on the key,
+      two in-partition sorts. Requires a numeric timestamp column
+      (distances are compared arithmetically).
 
-    Both bounds are inclusive: a right row at exactly the left timestamp
+    All bounds are inclusive: a right row at exactly the left timestamp
     matches (right rows sort before left rows on timestamp ties).
     """
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
-            f"direction must be 'backward' or 'forward', got {direction!r}"
+            "direction must be 'backward', 'forward', or 'nearest', "
+            f"got {direction!r}"
         )
     keys = list(on)
     # one right row per (key, ts): latest under the tiebreak ordering
@@ -94,24 +100,52 @@ def asof_join(
     )
     unioned = r_tagged.unionByName(l_tagged)
 
-    ts_order = (
-        F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
-    )
-    w = (
+    w_back = (
         Window.partitionBy(*keys)
-        .orderBy(ts_order, F.col(_TAG).asc())
+        .orderBy(F.col("__ts").asc(), F.col(_TAG).asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = unioned.select(
-        *keys,
-        "__ts",
-        _TAG,
-        *[F.col(c) for c in left_cols],
-        *[
-            F.last(F.col(c), ignorenulls=True).over(w).alias(c)
-            for c in right_payload
-        ],
+    w_fwd = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts").desc(), F.col(_TAG).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
+    if direction in ("backward", "forward"):
+        w = w_back if direction == "backward" else w_fwd
+        carried = unioned.select(
+            *keys,
+            "__ts",
+            _TAG,
+            *[F.col(c) for c in left_cols],
+            *[
+                F.last(F.col(c), ignorenulls=True).over(w).alias(c)
+                for c in right_payload
+            ],
+        )
+    else:
+        # Right rows carry their own __ts; left rows see the matched
+        # right timestamp per direction via the tag guard.
+        right_ts_marker = F.when(F.col(_TAG) == 0, F.col("__ts"))
+        back_ts = F.last(right_ts_marker, ignorenulls=True).over(w_back)
+        fwd_ts = F.last(right_ts_marker, ignorenulls=True).over(w_fwd)
+        use_back = fwd_ts.isNull() | (
+            back_ts.isNotNull()
+            & ((F.col("__ts") - back_ts) <= (fwd_ts - F.col("__ts")))
+        )
+        carried = unioned.select(
+            *keys,
+            "__ts",
+            _TAG,
+            *[F.col(c) for c in left_cols],
+            *[
+                F.when(
+                    use_back, F.last(F.col(c), ignorenulls=True).over(w_back)
+                )
+                .otherwise(F.last(F.col(c), ignorenulls=True).over(w_fwd))
+                .alias(c)
+                for c in right_payload
+            ],
+        )
     return carried.filter(F.col(_TAG) == 1).drop(_TAG).withColumnRenamed(
         "__ts", left_ts
     )

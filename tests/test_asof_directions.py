@@ -52,11 +52,45 @@ def test_forward_earliest_at_or_after(spark, frames):
     }
 
 
+def test_nearest_picks_closer_side_tie_prefers_backward(spark):
+    left = spark.createDataFrame(
+        [(1, 12), (1, 18), (1, 25), (2, 5)], "k int, lt long"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "r10"), (1, 20, "r20"), (2, 50, "r50")],
+        "k int, rt long, rpay string",
+    )
+    got = {
+        (r["k"], r["lt"]): (r["rpay"], r["rt"])
+        for r in asof_join(
+            left, right, ["k"], "lt", "rt", ["rpay", "rt"],
+            direction="nearest",
+        ).collect()
+    }
+    assert got == {
+        (1, 12): ("r10", 10),   # back dist 2 < fwd dist 8
+        (1, 18): ("r20", 20),   # fwd dist 2 < back dist 8
+        (1, 25): ("r20", 20),   # no forward candidate -> backward
+        (2, 5): ("r50", 50),    # no backward candidate -> forward
+    }
+
+
+def test_nearest_equidistant_prefers_backward(spark):
+    left = spark.createDataFrame([(1, 15)], "k int, lt long")
+    right = spark.createDataFrame(
+        [(1, 10, "back"), (1, 20, "fwd")], "k int, rt long, rpay string"
+    )
+    got = asof_join(
+        left, right, ["k"], "lt", "rt", ["rpay"], direction="nearest"
+    ).collect()
+    assert [r["rpay"] for r in got] == ["back"]
+
+
 def test_direction_validation(spark, frames):
     left, right = frames
     with pytest.raises(ValueError, match="direction must be"):
         asof_join(
-            left, right, ["k"], "lt", "rt", ["rpay"], direction="nearest"
+            left, right, ["k"], "lt", "rt", ["rpay"], direction="sideways"
         )
 
 
