@@ -211,6 +211,34 @@ def stratified_hash_sample(
     return df.withColumn(keep_col, bucket < rate_expr)
 
 
+def stratified_take_n(
+    df: DataFrame,
+    n: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 7,
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Exactly min(n, |stratum|) rows per stratum, selected and ordered
+    by a seeded hash of the id — the count-based companion to
+    `stratified_hash_sample` (rate-based). Use it when the mix recipe
+    says "N documents per language/source", not "x% of each".
+
+    Hash-ordering makes the selection a uniform random sample that is a
+    pure function of the data: reruns, retries, and other engines pick
+    the identical N. One window partitioned by the stratum; the rank is
+    evaluated inside the window stage, so each partition does a bounded
+    top-N, never a global sort.
+    """
+    from legendary_data_pipeline_spark.operators.ranking import top_k_per_group
+
+    order = [
+        seeded_md5_long(F.col(id_col).cast("string"), seed).asc(),
+        F.col(id_col).asc(),
+    ]
+    return top_k_per_group(df, [stratum_col], order, k=n, rank_col=rank_col)
+
+
 # ---------------------------------------------------------------------------
 # sequence packing
 # ---------------------------------------------------------------------------

@@ -294,6 +294,40 @@ def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TAKE_N = 15
+_TAKE_SEED = 7
+
+
+@register_shadow(
+    "curation_stratified_take_n",
+    f"""
+    WITH ranked AS (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY {seeded_md5_long_sql("CAST(doc_id AS VARCHAR)", _TAKE_SEED)} ASC,
+                        doc_id ASC) AS rn
+      FROM documents)
+    SELECT lang, doc_id, CAST(rn AS BIGINT) AS sample_rank
+    FROM ranked WHERE rn <= {_TAKE_N}
+    """,
+    doc="Count-based stratified sampling: exactly 15 docs per language, "
+    "selected and ordered by a seeded md5 hash of the id — the 'N per "
+    "stratum' mix recipe, deterministic across engines and reruns. One "
+    "window per stratum with an in-stage top-N, never a global sort.",
+)
+def curation_stratified_take_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.curation import stratified_take_n
+
+    docs = load_table(spark, sf_dir, "documents")
+    taken = stratified_take_n(
+        docs.select("lang", "doc_id"), n=_TAKE_N, seed=_TAKE_SEED
+    )
+    return taken.select(
+        "lang", "doc_id", F.col("sample_rank").cast("long").alias("sample_rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # skew-safe aggregation (oracle-paired proof of equivalence)
 # ---------------------------------------------------------------------------
