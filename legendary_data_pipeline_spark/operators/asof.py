@@ -68,6 +68,18 @@ def asof_join(
             "direction must be 'backward', 'forward', or 'nearest', "
             f"got {direction!r}"
         )
+    if direction == "nearest":
+        from pyspark.sql.types import NumericType
+
+        for schema, col in ((left.schema, left_ts), (right.schema, right_ts)):
+            dtype = schema[col].dataType
+            if not isinstance(dtype, NumericType):
+                raise TypeError(
+                    "asof_join(direction='nearest') requires numeric "
+                    "timestamp columns (time distances are compared "
+                    f"arithmetically); {col!r} is {dtype.simpleString()} — "
+                    "cast to epoch seconds/millis first"
+                )
     keys = list(on)
     # one right row per (key, ts): latest under the tiebreak ordering
     if right_tiebreak is not None:

@@ -174,10 +174,15 @@ def lsh_candidate_pairs(
     `max_bucket_size` guards the B² self-join blowup on pathological
     buckets (a boilerplate/duplicated corpus can put thousands of docs
     in one band bucket — at 100 TB that single bucket IS the job's
-    runtime). Buckets above the cap are dropped from candidate
-    generation: identical bands at that multiplicity mean near-identical
-    docs, which exact dedup (`dedup_exact_sha`-style) catches at a
-    fraction of the cost; run it first on such corpora.
+    runtime). Buckets above the cap are SAMPLED down to the cap — the
+    cap-many members with the smallest hashed id survive (a uniform,
+    deterministic draw; buckets at or under the cap are untouched) — so
+    the per-bucket join cost is bounded at cap² while recall inside the
+    bucket degrades gracefully instead of cliffing to zero. Near-dups
+    whose only shared band is over-cap can still be missed; identical
+    bands at that multiplicity usually mean near-identical docs, which
+    exact dedup (`dedup_exact_sha`-style) catches at a fraction of the
+    cost — run it first on such corpora.
     """
     # The band self-join probes `signatures` twice; cache the (tiny:
     # num_hashes longs per doc) signature frame so the upstream shingle
@@ -199,10 +204,18 @@ def lsh_candidate_pairs(
     if max_bucket_size is not None:
         from pyspark.sql import Window
 
-        counts = Window.partitionBy("band_idx", "band_key")
-        banded = banded.withColumn(
-            "__bucket_n", F.count(F.lit(1)).over(counts)
-        ).filter(F.col("__bucket_n") <= max_bucket_size)
+        # row_number ≤ cap rides Spark's WindowGroupLimit: each bucket
+        # does a bounded top-cap, never a full sort materialization. The
+        # order key is a hash of the id alone, so the surviving sample is
+        # a pure function of the data (layout-independent).
+        w = Window.partitionBy("band_idx", "band_key").orderBy(
+            md5_long(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+        )
+        banded = (
+            banded.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_bucket_size)
+            .drop("__rn")
+        )
 
     left = banded.select(
         F.col(id_col).alias("id_a"), "band_idx", "band_key"
@@ -454,10 +467,13 @@ def simhash_band_pairs(
 
     `max_bucket_size` guards the B² self-join blowup on pathological
     buckets (e.g. a boilerplate corpus where thousands of docs share a
-    band): buckets larger than the cap are dropped from candidate
-    generation entirely — near-dup mining on such clusters belongs to
-    exact dedup (identical band ⇒ likely identical text) or a re-banding
-    pass with more bits. NULL fingerprints (overflow guard) never pair.
+    band): over-cap buckets are sampled down to the cap (hash-smallest
+    ids survive — deterministic, layout-independent; buckets at or under
+    the cap are untouched), bounding the per-bucket join at cap² with
+    gracefully degrading recall instead of a cliff. Full near-dup mining
+    on such clusters still belongs to exact dedup (identical band ⇒
+    likely identical text) or a re-banding pass with more bits. NULL
+    fingerprints (overflow guard) never pair.
     """
     bits_per_band = SIMHASH_BITS // bands
     band_mask = (1 << bits_per_band) - 1
@@ -485,10 +501,14 @@ def simhash_band_pairs(
     if max_bucket_size is not None:
         from pyspark.sql import Window
 
-        counts = Window.partitionBy("band_idx", "band_val")
-        banded = banded.withColumn(
-            "__bucket_n", F.count(F.lit(1)).over(counts)
-        ).filter(F.col("__bucket_n") <= max_bucket_size)
+        w = Window.partitionBy("band_idx", "band_val").orderBy(
+            md5_long(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+        )
+        banded = (
+            banded.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_bucket_size)
+            .drop("__rn")
+        )
     left = banded.select(
         F.col(id_col).alias("id_a"),
         F.col("__fp").alias("fp_a"),

@@ -155,15 +155,26 @@ def ivf_topk(
     """
     from pyspark.sql.functions import pandas_udf
 
+    from legendary_data_pipeline_spark.functions.hashing import (
+        seeded_md5_long,
+    )
+
     base = embeddings.select(
         "vec_id", "label", _as_double(F.col("embedding")).alias("vec")
     )
-    # Bounded, deterministic training sample: Bernoulli sample, then a
-    # tiny sort+limit so the collected set is a pure function of the
-    # data (not of partition scheduling).
+    # Bounded, layout-independent training sample: membership is gated on
+    # a seeded hash of vec_id (like stratified_hash_sample), NOT
+    # DataFrame.sample(), whose Bernoulli draw seeds per-partition and so
+    # changes with the input's partition layout. Hash gate + sort + limit
+    # makes the collected set — and hence the codebook and the
+    # approximate results — a pure function of the data.
+    gate = (
+        seeded_md5_long(F.col("vec_id").cast("string"), seed) % 10_000
+        < int(round(train_fraction * 10_000))
+    )
     sample = (
         base.select("vec_id", "vec")
-        .sample(train_fraction, seed=seed)
+        .filter(gate)
         .orderBy("vec_id")
         .limit(max_train)
         .collect()

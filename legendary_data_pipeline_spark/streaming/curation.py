@@ -11,9 +11,11 @@ table keyed by content hash, so re-delivered or duplicate documents
 overwrite their prior row instead of duplicating — the reference's
 ON CONFLICT rerun semantics (SURVEY §2.1 S5), applied continuously.
 At scale this is the standard "curated table with exactly-one-row-per-
-content-hash" shape; which duplicate doc_id wins is last-write, but
-every content-derived column (scores, langid, scrubbed text) is
-identical across duplicates by construction.
+content-hash" shape. Within a micro-batch the surviving row per content
+hash is the MIN doc_id (`order_within_source` below) — non-content
+columns (doc_id, lang, source) can differ across duplicates of the same
+text, so the tiebreak keeps reruns byte-identical; across batches the
+winner is last-write, as in the reference's ON CONFLICT.
 """
 
 from __future__ import annotations
@@ -74,7 +76,13 @@ def run_curation_once(
     query = (
         curated.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_path)
-        .foreachBatch(upsert_sink(target_path, ["text_sha"]))
+        .foreachBatch(
+            upsert_sink(
+                target_path,
+                ["text_sha"],
+                order_within_source=[F.col("doc_id").asc()],
+            )
+        )
         .trigger(availableNow=True)
         .start()
     )

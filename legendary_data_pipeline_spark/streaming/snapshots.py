@@ -123,13 +123,19 @@ def sliding_stats_stream(
     )
 
 
-def upsert_sink(target_path: str, keys: list[str]):
+def upsert_sink(target_path: str, keys: list[str], order_within_source=()):
     """`foreachBatch` writer applying S5 upsert semantics per micro-batch.
 
     Each micro-batch MERGEs into the parquet target by key — re-delivered
     windows (late data re-finalization, restarts) overwrite their prior
     rows instead of duplicating: exactly the reference's ON CONFLICT
     rerun story, continuously.
+
+    `order_within_source` (passed through to `upsert`) picks the
+    surviving row when ONE micro-batch carries several rows with the
+    same key — leave it empty only when every non-key column is a pure
+    function of the key, otherwise the kept row is nondeterministic
+    across reruns.
     """
     from legendary_data_pipeline_spark.operators.upsert import (
         write_upsert_parquet,
@@ -137,7 +143,11 @@ def upsert_sink(target_path: str, keys: list[str]):
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         write_upsert_parquet(
-            target_path, batch_df, keys, batch_df.sparkSession
+            target_path,
+            batch_df,
+            keys,
+            batch_df.sparkSession,
+            order_within_source,
         )
 
     return write_batch

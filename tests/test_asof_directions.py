@@ -105,3 +105,21 @@ def test_forward_tiebreak_dedups_equal_ts(spark):
         direction="forward",
     ).collect()
     assert [r["rpay"] for r in got] == ["low"]
+
+
+def test_nearest_rejects_non_numeric_ts(spark):
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:15")], "k int, lt string"
+    ).select("k", F.col("lt").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:10", "r")], "k int, rt string, rpay string"
+    ).select("k", F.col("rt").cast("timestamp"), "rpay")
+    with pytest.raises(TypeError, match="numeric"):
+        asof_join(
+            left, right, ["k"], "lt", "rt", ["rpay"], direction="nearest"
+        )
+    # backward/forward are ordering-only: timestamps remain fine there.
+    got = asof_join(
+        left, right, ["k"], "lt", "rt", ["rpay"], direction="backward"
+    ).collect()
+    assert [r["rpay"] for r in got] == ["r"]

@@ -2,8 +2,10 @@
 
 Adversarial corpus: every document identical ⇒ every (band, key) bucket
 holds ALL documents, and the uncapped self-join is B² per band. The cap
-must drop those buckets (yielding zero candidates — exact dedup's job)
-while leaving benign corpora untouched.
+must SAMPLE those buckets down to `max_bucket_size` members (bounding
+the join at cap² with a deterministic, layout-independent draw — the
+cap-many hash-smallest ids survive) while leaving benign corpora
+untouched.
 """
 
 from __future__ import annotations
@@ -18,6 +20,7 @@ from legendary_data_pipeline_spark.operators.dedup import (
 )
 
 N_IDENTICAL = 200
+CAP = 50
 
 
 def _identical_corpus(spark):
@@ -30,13 +33,30 @@ def _identical_corpus(spark):
     )
 
 
-def test_minhash_lsh_cap_drops_pathological_buckets(spark):
+def test_minhash_lsh_cap_samples_pathological_buckets(spark):
     docs = _identical_corpus(spark)
     sigs = minhash_signatures(docs)
-    capped = lsh_candidate_pairs(sigs, max_bucket_size=50)
-    assert capped.count() == 0
+    capped = lsh_candidate_pairs(sigs, max_bucket_size=CAP)
+    # Identical docs ⇒ identical signatures ⇒ every band bucket holds the
+    # SAME surviving id set (the order key depends only on doc_id), so
+    # the distinct pair count is exactly C(cap, 2) — bounded, not zero:
+    # recall degrades gracefully instead of cliffing.
+    assert capped.count() == CAP * (CAP - 1) // 2
+    # Survivors are a subset of the corpus and pair only among themselves.
+    ids = {
+        r[0]
+        for r in capped.select(F.explode(F.array("id_a", "id_b"))).collect()
+    }
+    assert len(ids) == CAP and ids <= set(range(N_IDENTICAL))
+    # Determinism: same data, fresh plan ⇒ identical surviving pair set.
+    again = lsh_candidate_pairs(
+        minhash_signatures(_identical_corpus(spark)), max_bucket_size=CAP
+    )
+    assert {(r[0], r[1]) for r in again.collect()} == {
+        (r[0], r[1]) for r in capped.collect()
+    }
     # Uncapped on a small clone set still works (sanity: the cap is the
-    # only thing that removed them).
+    # only thing that bounded them).
     few = lsh_candidate_pairs(
         minhash_signatures(_identical_corpus(spark).limit(5))
     )
@@ -58,10 +78,10 @@ def test_minhash_lsh_cap_keeps_benign_buckets(spark, sf_dir):
     assert capped == uncapped
 
 
-def test_simhash_band_cap_drops_pathological_buckets(spark):
+def test_simhash_band_cap_samples_pathological_buckets(spark):
     docs = _identical_corpus(spark)
     fp = simhash(docs)
-    capped = simhash_band_pairs(fp, max_bucket_size=50)
-    assert capped.count() == 0
+    capped = simhash_band_pairs(fp, max_bucket_size=CAP)
+    assert capped.count() == CAP * (CAP - 1) // 2
     few = simhash_band_pairs(simhash(_identical_corpus(spark).limit(5)))
     assert few.count() == 5 * 4 // 2
