@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from fractions import Fraction
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -114,6 +116,72 @@ def shingle_sets(
     ).filter(F.size("__set") > 0)
 
 
+def hashed_shingle_sets(
+    df: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    sets: DataFrame | None = None,
+) -> DataFrame:
+    """(id, __hset) frame: each document's distinct shingles as a SORTED
+    array of their 60-bit md5 hashes.
+
+    This is the preferred shared representation for the similarity
+    pipeline: MinHash signatures derive from it by explode + mod (the
+    md5 is computed exactly once per shingle), and the exact-Jaccard
+    verify stage intersects the int64 arrays in vectorized numpy instead
+    of Spark's interpreted string `array_intersect` — per-PAIR work in
+    Arrow, per-ROW work (this hashing pass) in the JVM scan stage.
+
+    Set sizes and intersection counts match the string-set versions
+    exactly unless two distinct shingles of one document collide in 60
+    bits (birthday bound ~2^30 shingles per doc — not a real corpus).
+    Pass `sets` (a `shingle_sets` frame) to build from an existing
+    string-shingle pass instead of re-shingling `df`.
+    """
+    if sets is None:
+        sets = shingle_sets(df, id_col, text_col, shingle_n)
+    return sets.select(
+        F.col(id_col),
+        F.array_sort(F.transform("__set", md5_long)).alias("__hset"),
+    )
+
+
+def _intersect_sizes_udf():
+    """pandas_udf: per-row |a ∩ b| for two array<long> columns whose
+    elements are distinct within each row.
+
+    Vectorized across the whole Arrow batch: pairs are flattened to
+    (row_idx, value) tuples, lexsorted once, and intersections counted
+    as adjacent duplicates — no per-pair Python beyond array collection.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def inter_size(a: pd.Series, b: pd.Series) -> pd.Series:
+        n = len(a)
+        if n == 0:
+            return pd.Series([], dtype="int32")
+        av = [np.asarray(x, dtype=np.int64) for x in a]
+        bv = [np.asarray(x, dtype=np.int64) for x in b]
+        la = np.array([x.size for x in av], dtype=np.int64)
+        lb = np.array([x.size for x in bv], dtype=np.int64)
+        total = int(la.sum() + lb.sum())
+        if total == 0:
+            return pd.Series(np.zeros(n, dtype="int32"))
+        idx = np.concatenate(
+            [np.repeat(np.arange(n), la), np.repeat(np.arange(n), lb)]
+        )
+        val = np.concatenate(av + bv)
+        order = np.lexsort((val, idx))
+        si, sv = idx[order], val[order]
+        dup = (si[1:] == si[:-1]) & (sv[1:] == sv[:-1])
+        counts = np.bincount(si[1:][dup], minlength=n)
+        return pd.Series(counts.astype("int32"))
+
+    return inter_size
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -121,6 +189,7 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_n: int = 3,
     sets: DataFrame | None = None,
+    hsets: DataFrame | None = None,
 ) -> DataFrame:
     """doc_id + h0..h{num_hashes-1} minhash signature columns.
 
@@ -133,9 +202,11 @@ def minhash_signatures(
     collapse makes recompute the hash array per output column.
     Rows with fewer than `shingle_n` tokens are dropped (no shingles).
 
-    Pass `sets` (a `shingle_sets` frame, ideally cached) to share the
-    shingling pass with other consumers — min over DISTINCT shingles is
-    identical to min over all shingles.
+    Pass `sets` (a `shingle_sets` frame) or `hsets` (a
+    `hashed_shingle_sets` frame, preferred — the md5s are already done
+    and signatures reduce to explode + mod + min), ideally cached, to
+    share the shingling/hashing pass with other consumers — min over
+    DISTINCT shingles is identical to min over all shingles.
     """
     from legendary_data_pipeline_spark.functions.hashing import (
         MERSENNE_P,
@@ -143,14 +214,19 @@ def minhash_signatures(
         md5_long,
     )
 
-    if sets is None:
-        sets = shingle_sets(df, id_col, text_col, shingle_n)
-    exploded = sets.select(
-        F.col(id_col), F.explode(F.col("__set")).alias("__s")
-    )
-    based = exploded.select(
-        F.col(id_col), (md5_long(F.col("__s")) % MERSENNE_P).alias("__hb")
-    )
+    if hsets is not None:
+        based = hsets.select(
+            F.col(id_col), F.explode(F.col("__hset")).alias("__h")
+        ).select(F.col(id_col), (F.col("__h") % MERSENNE_P).alias("__hb"))
+    else:
+        if sets is None:
+            sets = shingle_sets(df, id_col, text_col, shingle_n)
+        exploded = sets.select(
+            F.col(id_col), F.explode(F.col("__set")).alias("__s")
+        )
+        based = exploded.select(
+            F.col(id_col), (md5_long(F.col("__s")) % MERSENNE_P).alias("__hb")
+        )
     aggs = [
         F.min((F.col("__hb") * F.lit(a) + F.lit(b)) % MERSENNE_P).alias(f"h{i}")
         for i, (a, b) in enumerate(hash_family_params(num_hashes))
@@ -238,28 +314,54 @@ def jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     sets: DataFrame | None = None,
+    hsets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for the given candidate pairs.
 
-    Pass a cached `shingle_sets` frame via `sets` to share shingling
-    with signature computation in the same pipeline.
+    Verification runs on HASHED shingle sets: the candidate join carries
+    sorted int64 arrays, and |A ∩ B| is computed batch-vectorized in
+    numpy (`_intersect_sizes_udf`) — Spark's string `array_intersect` is
+    interpreted per pair and was the engine's top bench cost. Jaccard =
+    inter / (|A| + |B| − inter), identical to the string-set value
+    (collision odds are negligible; see `hashed_shingle_sets`).
+
+    Pass a cached `hashed_shingle_sets` frame via `hsets` (preferred) or
+    a `shingle_sets` frame via `sets` to share the shingling/hashing
+    pass with signature computation in the same pipeline.
     """
-    if sets is None:
-        # Probed twice (both pair sides) — cache so shingling runs once.
-        # At scale, prefer writing sets to a staging table keyed by id.
-        sets = shingle_sets(df, id_col, text_col, shingle_n).cache()
-    sets_df = sets.select(
-        F.col(id_col).alias("__id"), F.col("__set")
+    if hsets is None:
+        if sets is None:
+            # Probed twice (both pair sides) — cache so shingling runs
+            # once. At scale, prefer a staging table keyed by id.
+            hsets = hashed_shingle_sets(
+                df, id_col, text_col, shingle_n
+            ).cache()
+        else:
+            hsets = hashed_shingle_sets(None, id_col, sets=sets)
+    hs = hsets.select(F.col(id_col).alias("__id"), F.col("__hset"))
+    a = hs.select(
+        F.col("__id").alias("id_a"),
+        F.col("__hset").alias("hset_a"),
+        F.size("__hset").alias("__sa"),
     )
-    a = sets_df.select(F.col("__id").alias("id_a"), F.col("__set").alias("set_a"))
-    b = sets_df.select(F.col("__id").alias("id_b"), F.col("__set").alias("set_b"))
-    joined = pairs.join(a, "id_a").join(b, "id_b")
-    inter = F.size(F.array_intersect("set_a", "set_b"))
-    union = F.size(F.array_union("set_a", "set_b"))
+    b = hs.select(
+        F.col("__id").alias("id_b"),
+        F.col("__hset").alias("hset_b"),
+        F.size("__hset").alias("__sb"),
+    )
+    inter_size = _intersect_sizes_udf()
+    joined = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("__inter", inter_size("hset_a", "hset_b"))
+    )
+    union = F.col("__sa") + F.col("__sb") - F.col("__inter")
     return joined.select(
         "id_a",
         "id_b",
-        (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        (F.col("__inter").cast("double") / union.cast("double")).alias(
+            "jaccard"
+        ),
     )
 
 
@@ -284,63 +386,98 @@ def ngram_jaccard_blocked(
     100 TB the block key becomes the shuffle/bucketing key and bucket
     width tunes block size.
 
-    The neighbor probe is one ±1 bucket explode on the right side (each
-    unordered pair matches exactly one probe value, so no distinct needed).
+    Verification is the IVF cogrouped shape, NOT a pair join: a pair
+    join would ship each doc's shingle set once per candidate pair
+    (at sf0.1 that is ~180× duplication — ~56M array elements through
+    Arrow for a 300k-shingle corpus), and Spark's own string
+    `array_intersect` evaluates interpreted per pair. Instead each doc's
+    sorted int64 hash set crosses to Python ONCE per group (docs are
+    exploded into groups g = bkt and bkt+1; a pair with |Δbkt| ≤ 1 is
+    scored in exactly the one group where max(bkt_a, bkt_b) == g), and
+    ALL pairwise intersection counts inside a group come from a single
+    one-hot matmul (X @ X.T — float32 is exact for these counts). The
+    min-Jaccard threshold is applied inside the kernel as EXACT integer
+    math (jaccard ≥ p/q ⟺ inter·(p+q) ≥ p·(|A|+|B|)), so only
+    surviving pairs return to the JVM.
+
+    Per-group memory is n_docs × distinct_shingles one-hot floats; the
+    blocking contract (length buckets inside a language) is what bounds
+    it — shrink `length_bucket` if a block outgrows a task.
     """
+    frac = Fraction(str(min_jaccard)).limit_denominator(1_000_000)
+    p, q = frac.numerator, frac.denominator
+
     sets_df = df.select(
         F.col(id_col).alias("__id"),
         F.col(block_col).alias("__blk"),
         F.floor(F.col(length_col).cast("long") / length_bucket).cast("long").alias("__bkt"),
-        F.array_distinct(shingles_expr(text_col, shingle_n)).alias("__set"),
-    ).filter(F.size("__set") > 0)
-    # Both join sides scan the shingle sets — cache so they compute once.
-    sets_df = sets_df.cache()
-    left = sets_df.select(
-        F.col("__id").alias("id_a"),
-        F.col("__blk").alias("blk_a"),
-        F.col("__bkt").alias("bkt_a"),
-        F.col("__set").alias("set_a"),
-        F.size("__set").alias("size_a"),
+        F.array_sort(
+            F.transform(
+                F.array_distinct(shingles_expr(text_col, shingle_n)), md5_long
+            )
+        ).alias("__hset"),
+    ).filter(F.size("__hset") > 0)
+    grouped = sets_df.select(
+        "__id",
+        "__bkt",
+        "__hset",
+        "__blk",
+        F.explode(F.array(F.col("__bkt"), F.col("__bkt") + 1)).alias("__g"),
     )
-    right = sets_df.select(
-        F.col("__id").alias("id_b"),
-        F.col("__blk").alias("blk_b"),
-        F.explode(
-            F.array(F.col("__bkt") - 1, F.col("__bkt"), F.col("__bkt") + 1)
-        ).alias("probe"),
-        F.col("__set").alias("set_b"),
-        F.size("__set").alias("size_b"),
+
+    def _score_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "inter": pd.Series(dtype="int64"),
+                "size_a": pd.Series(dtype="int64"),
+                "size_b": pd.Series(dtype="int64"),
+            }
+        )
+        n = len(pdf)
+        if n < 2:
+            return empty
+        g = int(pdf["__g"].iloc[0])
+        ids = pdf["__id"].to_numpy()
+        bkts = pdf["__bkt"].to_numpy()
+        hsets = [np.asarray(x, dtype=np.int64) for x in pdf["__hset"]]
+        lens = np.array([x.size for x in hsets], dtype=np.int64)
+        flat = np.concatenate(hsets)
+        uniq, inv = np.unique(flat, return_inverse=True)
+        X = np.zeros((n, uniq.size), dtype=np.float32)
+        X[np.repeat(np.arange(n), lens), inv] = 1.0
+        inter = np.rint(X @ X.T).astype(np.int64)
+        iu, ju = np.triu_indices(n, k=1)
+        itr = inter[iu, ju]
+        keep = (np.maximum(bkts[iu], bkts[ju]) == g) & (
+            itr * (p + q) >= p * (lens[iu] + lens[ju])
+        )
+        iu, ju, itr = iu[keep], ju[keep], itr[keep]
+        if iu.size == 0:
+            return empty
+        swap = ids[iu] > ids[ju]
+        a_idx = np.where(swap, ju, iu)
+        b_idx = np.where(swap, iu, ju)
+        return pd.DataFrame(
+            {
+                "id_a": ids[a_idx],
+                "id_b": ids[b_idx],
+                "inter": itr,
+                "size_a": lens[a_idx],
+                "size_b": lens[b_idx],
+            }
+        )
+
+    scored = grouped.groupBy("__blk", "__g").applyInPandas(
+        _score_block,
+        "id_a long, id_b long, inter long, size_a long, size_b long",
     )
-    joined = left.join(
-        right,
-        (F.col("blk_a") == F.col("blk_b"))
-        & (F.col("bkt_a") == F.col("probe"))
-        & (F.col("id_a") < F.col("id_b")),
-    )
-    # |A ∪ B| = |A| + |B| − |A ∩ B|: one array traversal per pair instead
-    # of materializing the union array (the pair compare is the hot loop).
-    inter = F.size(F.array_intersect("set_a", "set_b"))
-    with_inter = joined.select(
-        "id_a", "id_b", "size_a", "size_b", inter.alias("__inter")
-    )
-    # Threshold as an EXACT integer inequality: jaccard >= p/q ⟺
-    # inter·(p+q) >= p·(|A|+|B|). Catalyst pushes this filter into the
-    # join condition; the float form `jaccard >= t` would substitute the
-    # whole quotient there and compute array_intersect twice per
-    # candidate pair. The integer form keeps the pushed condition to one
-    # intersect and is boundary-exact (no float compare at the cut).
-    frac = Fraction(str(min_jaccard)).limit_denominator(1_000_000)
-    p, q = frac.numerator, frac.denominator
-    keep = F.col("__inter") * (p + q) >= p * (
-        F.col("size_a") + F.col("size_b")
-    )
-    jac = F.col("__inter").cast("double") / (
-        F.col("size_a") + F.col("size_b") - F.col("__inter")
+    jac = F.col("inter").cast("double") / (
+        F.col("size_a") + F.col("size_b") - F.col("inter")
     ).cast("double")
-    return (
-        with_inter.filter(keep)
-        .select("id_a", "id_b", jac.alias("jaccard"))
-        .withColumn("is_dup", F.col("jaccard") >= dup_threshold)
+    return scored.select("id_a", "id_b", jac.alias("jaccard")).withColumn(
+        "is_dup", F.col("jaccard") >= dup_threshold
     )
 
 
