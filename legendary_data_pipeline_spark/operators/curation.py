@@ -250,6 +250,8 @@ def pack_sequences(
     shard_col: str = "lang",
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_shard_buckets: int | None = None,
+    shard_seed: int = 7,
 ) -> DataFrame:
     """Assign documents to fixed-token-budget packs: concat-then-chunk
     packing (the streaming strategy production training pipelines use —
@@ -259,25 +261,100 @@ def pack_sequences(
     pack_id = floor((cumsum(tokens) − tokens) / budget) within each
     shard: a document lands in the pack where its FIRST token falls.
     Documents longer than the budget span packs conceptually; they keep
-    the pack of their first token (chunking within a doc is the
-    tokenizer's job downstream).
+    the pack of their first token (`chunk_sequences` is the companion
+    that splits them across packs).
 
-    The window partitions by `shard_col` — at 100 TB use a composite
-    shard (e.g. lang × hash-bucket) sized so each shard's token stream
-    fits a task; packing quality is unaffected because budgets are per
-    shard anyway. No single-partition stage exists in this plan.
+    `n_shard_buckets` is the 100 TB knob: when set, the shard key
+    becomes (shard_col, shard_bucket) with shard_bucket =
+    seeded_md5(id) mod n_shard_buckets — a composite shard (e.g.
+    lang × 4096 buckets) sized so each shard's token stream fits one
+    task, since the cumulative-sum window sorts WITHIN one partition per
+    shard. Packing quality is unaffected (budgets are per shard anyway)
+    and the bucket is a pure hash of the id, so the layout is
+    reproducible across engines/reruns. Output gains a `shard_bucket`
+    column; pack_id is per (shard, bucket). No single-partition stage
+    exists in this plan at any setting.
     """
     tokens = F.size(tokens_expr(text_col))
-    w = Window.partitionBy(shard_col).orderBy(id_col)
+    base = df.select(
+        F.col(shard_col), F.col(id_col), tokens.alias("n_tokens")
+    )
+    if n_shard_buckets is not None:
+        bucket = (
+            seeded_md5_long(F.col(id_col).cast("string"), shard_seed)
+            % n_shard_buckets
+        )
+        base = base.withColumn("shard_bucket", bucket)
+        w = Window.partitionBy(shard_col, "shard_bucket").orderBy(id_col)
+    else:
+        w = Window.partitionBy(shard_col).orderBy(id_col)
     cum = F.sum("n_tokens").over(w)
-    return (
-        df.select(
-            F.col(shard_col),
-            F.col(id_col),
-            tokens.alias("n_tokens"),
+    return base.withColumn(
+        "pack_id",
+        F.floor((cum - F.col("n_tokens")) / F.lit(budget_tokens)).cast("long"),
+    )
+
+
+def chunk_sequences(
+    df: DataFrame,
+    budget_tokens: int,
+    shard_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shard_buckets: int | None = None,
+    shard_seed: int = 7,
+) -> DataFrame:
+    """Pack assignment that SPLITS over-budget documents across packs —
+    the other packing strategy real training pipelines use (every pack
+    is exactly `budget_tokens` full except each shard's last).
+
+    The concatenated token stream of a shard places each document at
+    positions [cum − n_tokens, cum); the document emits one row per
+    pack that range overlaps (posexplode over the pack-id sequence),
+    with `chunk_tokens` = overlap length and `chunk_idx` numbering the
+    doc's chunks from 0. Σ chunk_tokens = n_tokens per doc, and every
+    pack's Σ chunk_tokens = budget (except the shard tail) — both are
+    assertable invariants.
+
+    Same sharding contract as `pack_sequences`, including the
+    `n_shard_buckets` composite-shard knob for 100 TB. The explode adds
+    ceil(n_tokens/budget) − 1 extra rows per doc — proportional to the
+    data already being read, never quadratic.
+    """
+    tokens = F.size(tokens_expr(text_col))
+    base = df.select(
+        F.col(shard_col), F.col(id_col), tokens.alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    if n_shard_buckets is not None:
+        bucket = (
+            seeded_md5_long(F.col(id_col).cast("string"), shard_seed)
+            % n_shard_buckets
         )
-        .withColumn(
-            "pack_id",
-            F.floor((cum - F.col("n_tokens")) / F.lit(budget_tokens)).cast("long"),
-        )
+        base = base.withColumn("shard_bucket", bucket)
+        w = Window.partitionBy(shard_col, "shard_bucket").orderBy(id_col)
+        keep_cols = [shard_col, "shard_bucket", id_col, "n_tokens"]
+    else:
+        w = Window.partitionBy(shard_col).orderBy(id_col)
+        keep_cols = [shard_col, id_col, "n_tokens"]
+    spanned = base.withColumn("__end", F.sum("n_tokens").over(w)).withColumn(
+        "__start", F.col("__end") - F.col("n_tokens")
+    )
+    first_pack = F.floor(F.col("__start") / F.lit(budget_tokens))
+    last_pack = F.floor((F.col("__end") - 1) / F.lit(budget_tokens))
+    chunked = spanned.select(
+        *keep_cols,
+        "__start",
+        "__end",
+        F.posexplode(F.sequence(first_pack, last_pack)).alias(
+            "chunk_idx", "pack_id"
+        ),
+    )
+    chunk_tokens = F.least(
+        F.col("__end"), (F.col("pack_id") + 1) * budget_tokens
+    ) - F.greatest(F.col("__start"), F.col("pack_id") * budget_tokens)
+    return chunked.select(
+        *keep_cols,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("pack_id").cast("long").alias("pack_id"),
+        chunk_tokens.cast("long").alias("chunk_tokens"),
     )

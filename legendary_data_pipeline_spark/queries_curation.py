@@ -534,3 +534,96 @@ def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("n_tokens").cast("long")).alias("pack_tokens"),
     )
+
+
+_PACK_SHARD_BUCKETS = 8
+_PACK_SHARD_SEED = 7
+
+
+@register_shadow(
+    "curation_pack_composite_shards",
+    f"""
+    WITH t AS (
+      SELECT lang, doc_id,
+             ({seeded_md5_long_sql("CAST(doc_id AS VARCHAR)", _PACK_SHARD_SEED)}
+              % {_PACK_SHARD_BUCKETS}) AS shard_bucket,
+             len({_TOKS}) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT lang, shard_bucket, doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY lang, shard_bucket ORDER BY doc_id
+             ) AS BIGINT) AS cum
+      FROM t)
+    SELECT lang,
+           CAST(shard_bucket AS BIGINT) AS shard_bucket,
+           CAST(FLOOR((cum - n_tokens) / {_PACK_BUDGET}.0) AS BIGINT)
+             AS pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+    FROM c GROUP BY lang, shard_bucket, pack_id
+    """,
+    doc="Composite-shard sequence packing — the 100 TB layout: the "
+    "cumulative-sum window partitions by (lang, seeded-hash bucket) so "
+    "no shard's token stream outgrows one task, while pack budgets stay "
+    "exact per shard. The bucket is a pure function of doc_id (same "
+    "md5-based gate as stratified sampling), so DuckDB replays the "
+    "identical layout — the shard fan-out itself is hash-checked.",
+)
+def curation_pack_composite_shards(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    packed = C.pack_sequences(
+        docs,
+        budget_tokens=_PACK_BUDGET,
+        n_shard_buckets=_PACK_SHARD_BUCKETS,
+        shard_seed=_PACK_SHARD_SEED,
+    )
+    return packed.groupBy("lang", "shard_bucket", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_tokens").cast("long")).alias("pack_tokens"),
+    )
+
+
+@register_shadow(
+    "curation_chunk_sequences",
+    f"""
+    WITH t AS (
+      SELECT lang, doc_id, len({_TOKS}) AS n_tokens FROM documents),
+    c AS (
+      SELECT lang, doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+             ) AS BIGINT) AS cum
+      FROM t WHERE n_tokens > 0),
+    s AS (
+      SELECT lang, doc_id, n_tokens,
+             cum - n_tokens AS st, cum AS en
+      FROM c),
+    ch AS (
+      SELECT lang, doc_id, st, en,
+             unnest(range(st // {_PACK_BUDGET},
+                          (en - 1) // {_PACK_BUDGET} + 1)) AS pack_id
+      FROM s)
+    SELECT lang, doc_id,
+           CAST(pack_id - st // {_PACK_BUDGET} AS BIGINT) AS chunk_idx,
+           CAST(pack_id AS BIGINT) AS pack_id,
+           CAST(LEAST(en, (pack_id + 1) * {_PACK_BUDGET})
+                - GREATEST(st, pack_id * {_PACK_BUDGET}) AS BIGINT)
+             AS chunk_tokens
+    FROM ch
+    """,
+    doc="Doc-chunking packing companion: over-budget documents SPLIT "
+    "across packs (posexplode over the pack range each doc's token span "
+    "overlaps), so every pack is exactly full except each shard's last. "
+    "One explode proportional to input size; the only shuffle is the "
+    "per-shard cumulative-sum window — same sharding contract as "
+    "pack_sequences, including the composite-shard knob.",
+)
+def curation_chunk_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = C.chunk_sequences(docs, budget_tokens=_PACK_BUDGET)
+    return chunks.select(
+        "lang", "doc_id", "chunk_idx", "pack_id", "chunk_tokens"
+    )

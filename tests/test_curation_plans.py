@@ -77,3 +77,78 @@ def test_pack_sequences_budget_arithmetic(spark, sf_dir):
     for lang, _doc, _n, pack in rows:
         assert pack >= seen.get(lang, 0)
         seen[lang] = pack
+
+
+def test_composite_shard_partitions_window_by_bucket(spark, sf_dir):
+    from legendary_data_pipeline_spark.operators.curation import (
+        chunk_sequences,
+    )
+
+    docs = _docs(spark, sf_dir)
+    packed = pack_sequences(docs, budget_tokens=256, n_shard_buckets=8)
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    # The cumsum window must partition by (lang, shard_bucket), never by
+    # lang alone — no shard-sized single window partition at scale.
+    spec_at = plan.find("windowspecdefinition(lang")
+    assert spec_at != -1
+    spec = plan[spec_at : plan.index(")", spec_at)]
+    assert "shard_bucket" in spec
+    # Every lang splits into >1 bucket on real data (the point of the knob).
+    spread = (
+        packed.groupBy("lang")
+        .agg(F.countDistinct("shard_bucket").alias("n_buckets"))
+        .collect()
+    )
+    assert spread and all(r["n_buckets"] > 1 for r in spread)
+    # Composite packing conserves tokens and doc counts vs plain packing.
+    plain = pack_sequences(docs, budget_tokens=256)
+    assert (
+        packed.agg(F.sum("n_tokens")).first()[0]
+        == plain.agg(F.sum("n_tokens")).first()[0]
+    )
+    assert packed.count() == plain.count()
+
+    # chunk_sequences honors the same composite knob.
+    chunks = chunk_sequences(docs, budget_tokens=256, n_shard_buckets=8)
+    assert "shard_bucket" in chunks.columns
+
+
+def test_chunk_sequences_invariants(spark, sf_dir):
+    from legendary_data_pipeline_spark.operators.curation import (
+        chunk_sequences,
+    )
+
+    budget = 256
+    docs = _docs(spark, sf_dir)
+    chunks = chunk_sequences(docs, budget_tokens=budget).cache()
+    # Conservation: each doc's chunk tokens sum to its token count.
+    bad = (
+        chunks.groupBy("lang", "doc_id", "n_tokens")
+        .agg(F.sum("chunk_tokens").alias("s"))
+        .filter(F.col("s") != F.col("n_tokens"))
+        .count()
+    )
+    assert bad == 0
+    # Fullness: every pack holds exactly `budget` tokens except the last
+    # pack of each shard.
+    per_pack = chunks.groupBy("lang", "pack_id").agg(
+        F.sum("chunk_tokens").alias("tok")
+    )
+    last = per_pack.groupBy("lang").agg(F.max("pack_id").alias("last_pack"))
+    partial = (
+        per_pack.join(last, "lang")
+        .filter(
+            (F.col("pack_id") != F.col("last_pack"))
+            & (F.col("tok") != budget)
+        )
+        .count()
+    )
+    assert partial == 0
+    # Chunk indices are dense from 0 per doc.
+    idx = chunks.groupBy("doc_id").agg(
+        F.min("chunk_idx").alias("lo"),
+        F.max("chunk_idx").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    assert idx.filter((F.col("lo") != 0) | (F.col("hi") != F.col("n") - 1)).count() == 0
+    chunks.unpersist()
