@@ -7,23 +7,39 @@ emitted). This module turns an edge list into a (node, component)
 mapping with component = min reachable node id — deterministic and
 order-free.
 
-Algorithm: iterative min-label propagation. Each round every node takes
-the minimum label among itself and its neighbors; convergence when no
-label changes. Rounds needed = graph diameter. For near-dup graphs this
-is small (duplicate groups are near-cliques: LSH emits most intra-group
-pairs, so diameters are 1-3), which makes plain propagation the right
-trade against the more complex O(log n)-round large-star/small-star
-scheme — each round here is ONE shuffle join + ONE aggregation.
+Two algorithms, selected by `algorithm`:
+
+- ``propagation`` — iterative min-label propagation: each round every
+  node takes the minimum label among itself and its neighbors; rounds
+  needed = graph diameter. For near-dup graphs this is the right trade
+  (duplicate groups are near-cliques: LSH emits most intra-group pairs,
+  so diameters are 1-3) and each round is ONE shuffle join + ONE
+  aggregation.
+- ``star`` — alternating large-star / small-star contraction
+  (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected
+  Components in MapReduce and Beyond", SoCC'14): each round rewires
+  every node toward its neighborhood minimum, halving tree heights, so
+  convergence is O(log n) rounds REGARDLESS of diameter. The per-round
+  cost is higher (two grouped passes over the edge set), which is why
+  it is not the default for near-clique dedup graphs.
+- ``auto`` (default) — start with propagation; if the per-round
+  changed-count stops shrinking geometrically (the signature of a long
+  chain marching a constant-size frontier one hop per round), contract
+  the graph by the labels learned so far and finish with star rounds.
+  Near-clique inputs never trigger the switch and pay nothing.
 
 Scale notes (100 TB):
-- State per round is (node, label) pairs — two longs per node appearing
-  in any edge, NOT the corpus.
+- State per round is (node, label) / (u, v) pairs — two longs per node
+  appearing in any edge, NOT the corpus.
 - Lineage is truncated every round (`localCheckpoint`); without it the
   iterated join plan grows exponentially and the driver dies at plan
   optimization long before data volume matters. On a cluster prefer
   `checkpoint()` with a checkpoint dir for fault tolerance.
 - The convergence check is one count() action per round on the changed
-  set — metadata-scale.
+  set — metadata-scale. Star convergence compares successive edge sets
+  (count + anti-join emptiness), also edge-scale metadata.
+- A single chain-shaped component no longer fails the job: ``auto``
+  detects the stall and finishes in O(log n) star rounds.
 """
 
 from __future__ import annotations
@@ -31,26 +47,41 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Propagation is considered stalled when a round retires fewer than
+# (1 - _STALL_RATIO) of the previous round's changed labels. A chain
+# retires a constant number per round (ratio → 1); a near-clique
+# retires almost everything in the first round or two.
+_STALL_RATIO = 0.75
+
 
 def connected_components(
     edges: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 25,
+    algorithm: str = "auto",
 ) -> DataFrame:
     """(node, component) for every node in `edges`; component is the
     minimum node id reachable through the undirected edge set.
 
-    Raises RuntimeError if not converged within `max_iterations` (the
-    bound is a safety rail — diameter-many rounds are needed, and a
-    duplicate-cluster graph's diameter is small).
+    `algorithm` ∈ {"auto", "propagation", "star"} — see module
+    docstring. Raises RuntimeError if not converged within
+    `max_iterations` rounds of the selected algorithm ("auto" applies
+    the budget to each leg; the star leg converges in O(log n) rounds,
+    so only an absurdly small budget can trip it).
     """
+    if algorithm not in ("auto", "propagation", "star"):
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
+
     sym = (
         edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
     )
     sym = sym.localCheckpoint(eager=True)
+
+    if algorithm == "star":
+        return _star_components(sym, max_iterations)
 
     labels = (
         sym.select(F.col("src").alias("node"))
@@ -59,6 +90,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    prev_changed: int | None = None
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym["dst"] == labels["node"])
@@ -81,8 +113,138 @@ def connected_components(
         labels = updated.select("node", F.col("__new").alias("component"))
         if changed == 0:
             return labels
+        if (
+            algorithm == "auto"
+            and prev_changed is not None
+            and changed >= prev_changed * _STALL_RATIO
+        ):
+            return _finish_with_star(sym, labels, max_iterations)
+        prev_changed = changed
+    if algorithm == "auto":
+        return _finish_with_star(sym, labels, max_iterations)
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} rounds"
+    )
+
+
+def _finish_with_star(
+    sym: DataFrame, labels: DataFrame, max_iterations: int
+) -> DataFrame:
+    """Contract the graph by the partial propagation labels, solve the
+    contracted graph with star rounds, and compose the two mappings.
+
+    The contracted graph has one node per current partial component, so
+    the expensive star rounds run on an already-shrunk edge set."""
+    la = labels.select(
+        F.col("node").alias("src"), F.col("component").alias("__ca")
+    )
+    lb = labels.select(
+        F.col("node").alias("dst"), F.col("component").alias("__cb")
+    )
+    contracted = (
+        sym.join(la, "src")
+        .join(lb, "dst")
+        .select(F.col("__ca").alias("src"), F.col("__cb").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    contracted = (
+        contracted.union(
+            contracted.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if contracted.isEmpty():
+        return labels
+    meta = _star_components(contracted, max_iterations).select(
+        F.col("node").alias("__mn"), F.col("component").alias("__mc")
+    )
+    return (
+        labels.join(meta, labels["component"] == meta["__mn"], "left")
+        .select(
+            "node",
+            F.coalesce(F.col("__mc"), F.col("component")).alias("component"),
+        )
+    )
+
+
+def _star_components(sym: DataFrame, max_iterations: int) -> DataFrame:
+    """Alternating large-star / small-star over a symmetric edge list
+    (columns src, dst; no self-loops on input beyond src==dst rows,
+    which are dropped). Returns (node, component).
+
+    Large-star: each node u with neighborhood Γ(u) links every strictly
+    LARGER neighbor to m = min(Γ(u) ∪ {u}). Small-star: with edges
+    directed large→small, u links every remaining member of
+    Γ(u) ∪ {u} to m. Each pair of rounds at least halves the height of
+    every tree, giving O(log n) convergence on any shape.
+    """
+    nodes = sym.select(F.col("src").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    e = (
+        sym.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_count = -1
+    for _ in range(max_iterations):
+        # Large-star over the symmetric view of e.
+        d = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = d.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("__m")
+        )
+        large = (
+            d.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("__m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # Small-star: edges already point large→small after large-star
+        # re-orientation below; direct explicitly to be safe.
+        s = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        smins = s.groupBy("u").agg(F.min("v").alias("__m"))
+        joined = s.join(smins, "u")
+        small = (
+            joined.select(F.col("u"), F.col("__m").alias("v"))
+            .union(
+                joined.filter(F.col("v") != F.col("__m")).select(
+                    F.col("v").alias("u"), F.col("__m").alias("v")
+                )
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n = small.count()
+        if n == prev_count and small.exceptAll(e).isEmpty():
+            e = small
+            break
+        prev_count = n
+        e = small
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds"
+        )
+    # Converged edge set is a star forest (child → root). Roots label
+    # themselves; isolated-after-filter nodes (self-loop-only inputs)
+    # fall back to their own id via the left join on the node universe.
+    lab = (
+        e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        .union(e.select(F.col("v").alias("node"), F.col("v").alias("component")))
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )
+    return (
+        nodes.join(lab, "node", "left")
+        .select(
+            "node", F.coalesce(F.col("component"), F.col("node")).alias("component")
+        )
     )
 
 

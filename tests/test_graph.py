@@ -43,10 +43,60 @@ def test_label_flows_against_edge_direction(spark):
     assert got == [(1, 1), (2, 1), (3, 1), (4, 1), (5, 1)]
 
 
-def test_max_iterations_guard(spark):
+def test_max_iterations_guard_propagation(spark):
     edges = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)])
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iterations=2)
+        connected_components(edges, max_iterations=2, algorithm="propagation")
+
+
+def _chain(n, base=0):
+    return [(base + i, base + i + 1) for i in range(n - 1)]
+
+
+def test_star_solves_long_chain_in_log_rounds(spark):
+    # 200-node path: diameter 199. Propagation needs 199 rounds; star
+    # must finish within a 12-round budget (~2·log2 n) or the O(log n)
+    # contract is broken.
+    edges = _edges(spark, _chain(200, base=1000))
+    got = _collect(connected_components(edges, max_iterations=12, algorithm="star"))
+    assert got == [(1000 + i, 1000) for i in range(200)]
+
+
+def test_star_matches_propagation_on_mixed_shapes(spark):
+    # chain + clique + pair + self-loop-only node, shuffled ids
+    pairs = (
+        _chain(30, base=500)
+        + [(7, 9), (9, 3), (3, 7), (3, 9)]
+        + [(101, 100)]
+        + [(42, 42)]
+    )
+    edges = _edges(spark, pairs)
+    star = _collect(connected_components(edges, algorithm="star"))
+    prop = _collect(
+        connected_components(edges, max_iterations=40, algorithm="propagation")
+    )
+    assert star == prop
+
+
+def test_auto_switches_to_star_on_high_diameter(spark):
+    # Propagation alone would need 299 rounds — far over the 25-round
+    # budget. auto must detect the stalled frontier and finish via star.
+    edges = _edges(spark, _chain(300, base=1))
+    got = _collect(connected_components(edges, max_iterations=25))
+    assert got == [(1 + i, 1) for i in range(300)]
+
+
+def test_auto_near_clique_stays_on_propagation_path(spark):
+    # Near-clique graphs converge in 1-2 rounds; result identical.
+    edges = _edges(spark, [(1, 2), (2, 3), (1, 3), (10, 11)])
+    got = _collect(connected_components(edges))
+    assert got == [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)]
+
+
+def test_rejects_unknown_algorithm(spark):
+    edges = _edges(spark, [(1, 2)])
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        connected_components(edges, algorithm="bfs")
 
 
 def test_canonical_members_summary(spark):
