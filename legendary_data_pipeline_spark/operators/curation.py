@@ -358,3 +358,99 @@ def chunk_sequences(
         F.col("pack_id").cast("long").alias("pack_id"),
         chunk_tokens.cast("long").alias("chunk_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# reproducible global shuffle + sharding
+# ---------------------------------------------------------------------------
+
+
+def shuffle_shard(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: int = 7,
+    shard_col: str = "shard",
+    pos_col: str = "shard_pos",
+) -> DataFrame:
+    """Reproducible global corpus shuffle: every row gets a (shard,
+    position) address that is a pure function of (id, seed) — the step
+    that turns a curated corpus into randomized training shards.
+
+    shard = seeded_md5(id) mod n_shards; position = rank of the seeded
+    hash within the shard (ties broken by id, so the permutation is
+    total even under hash collisions). Reading shards 0..n−1 in position
+    order replays one fixed uniform permutation of the corpus —
+    identical across reruns, retries, and engines, which `orderBy(rand())`
+    can never give.
+
+    Scale (100 TB): one shuffle on the shard key, then a per-shard sort
+    — `n_shards` is the knob that bounds sort size (pick shards of a few
+    GiB; 100k shards is fine — the shard key is a long). No global sort,
+    no single-partition stage, and changing `seed` re-deals every epoch.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    h = seeded_md5_long(F.col(id_col).cast("string"), seed)
+    w = Window.partitionBy(shard_col).orderBy(
+        F.col("__h").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__h", h)
+        .withColumn(shard_col, (F.col("__h") % n_shards).cast("long"))
+        .withColumn(pos_col, (F.row_number().over(w) - 1).cast("long"))
+        .drop("__h")
+    )
+
+
+# ---------------------------------------------------------------------------
+# data mixture: per-stratum repeat weights
+# ---------------------------------------------------------------------------
+
+
+def repeat_by_weight(
+    df: DataFrame,
+    weights: Mapping[str, float],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 11,
+    default_weight: float = 1.0,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Compose a training mixture by per-stratum REPEAT weights: weight
+    2.3 on a source emits every doc twice plus a deterministic 30% of
+    docs a third time; weight 0.4 keeps a 40% subset once; weight 0
+    drops the stratum. Emitted copies carry `epoch_col` = 0..k−1 so
+    downstream sharding can interleave epochs.
+
+    This is the up/down-weighting step of mixture recipes (à la
+    Pile/DoReMi source weights): copies = floor(w) + (seeded_md5(id)
+    mod 10000 < frac(w)·10000). The fractional copy is hash-gated on the
+    id — a pure function of the data, so the mix is identical across
+    reruns, retries, and engines, and the SAME ids get the extra copy
+    that `stratified_hash_sample` would select at rate frac(w) (one
+    consistent notion of "the first x% of a stratum").
+
+    Scale (100 TB): the weight ladder is a literal CASE tree (strata are
+    few); the only data motion is the explode, which multiplies rows by
+    the intended mixture factor — no shuffle is added. Feed the result
+    to `shuffle_shard` (keyed on id + epoch) to deal the mix into
+    shards.
+    """
+    w10k_expr: Column = F.lit(int(round(default_weight * 10_000)))
+    for stratum, wt in sorted(weights.items()):
+        if wt < 0:
+            raise ValueError(f"negative weight for {stratum!r}: {wt}")
+        w10k_expr = F.when(
+            F.col(stratum_col) == stratum, F.lit(int(round(wt * 10_000)))
+        ).otherwise(w10k_expr)
+    bucket = seeded_md5_long(F.col(id_col).cast("string"), seed) % 10_000
+    copies = (w10k_expr / 10_000).cast("long") + (
+        bucket < w10k_expr % 10_000
+    ).cast("long")
+    # sequence(0, -1) would produce a DESCENDING ramp, not an empty
+    # array — gate zero-copy rows explicitly.
+    epochs = F.when(
+        copies > 0, F.sequence(F.lit(0).cast("long"), copies - 1)
+    ).otherwise(F.array().cast("array<long>"))
+    return df.withColumn(epoch_col, F.explode(epochs))

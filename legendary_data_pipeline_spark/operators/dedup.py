@@ -8,14 +8,20 @@ Beyond-reference operators for LLM-training-data pipelines, over the
                       bucketing → candidate pairs → exact-Jaccard verify
 - SimHash           — 60-bit sign fingerprint over token hashes
 - n-gram Jaccard    — exact set similarity on candidate (or all) pairs
+- incremental dedup — new batch vs a persisted corpus hash/band index
 
-Scale design (100 TB): signatures are computed with ARRAY higher-order
-functions (`transform`/`aggregate`) — per-row, no explode, no shuffle —
-so the only shuffles are (a) the band-bucket groupBy/self-join, whose
-bucket sizes LSH keeps small for non-duplicate data, and (b) the final
-pair dedup. Hash functions are md5-based (`functions.hashing`) so every
-step stays bit-reproducible in DuckDB/Postgres for oracle checking —
-swap in xxhash64 for raw speed once cross-engine checking isn't needed.
+Scale design (100 TB): signatures hash each shingle ONCE (md5 in the
+scan stage), then explode + one groupBy whose `num_hashes` min
+aggregates combine map-side — the shuffle carries 16 longs per doc
+(measured 3x faster than per-row array-HOF variants, which are
+interpreted). The other shuffles are (a) the band-bucket self-join,
+whose bucket sizes LSH keeps small for non-duplicate data (capped +
+sampled for pathological corpora), and (b) the final pair dedup.
+Per-PAIR math (exact-Jaccard verify) runs batch-vectorized in
+Arrow/numpy, never in interpreted array expressions. Hash functions
+are md5-based (`functions.hashing`) so every step stays
+bit-reproducible in DuckDB/Postgres for oracle checking — swap in
+xxhash64 for raw speed once cross-engine checking isn't needed.
 """
 
 from __future__ import annotations
@@ -234,6 +240,32 @@ def minhash_signatures(
     return based.groupBy(id_col).agg(*aggs)
 
 
+def banded_keys(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, band_idx, band_key) rows — each doc's `bands` LSH bucket
+    keys, the persistable form of an LSH index. Store this frame
+    (partitioned/bucketed by (band_idx, band_key)) to support
+    incremental probing of new batches via `lsh_probe_pairs` without
+    re-signaturing the corpus."""
+    rows_per_band = num_hashes // bands
+    band_structs = []
+    for b in range(bands):
+        member_cols = [
+            F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)
+        ]
+        band_key = md5_long(F.concat_ws("_", *[c.cast("string") for c in member_cols]))
+        band_structs.append(
+            F.struct(F.lit(b).alias("band_idx"), band_key.alias("band_key"))
+        )
+    return signatures.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("band")
+    ).select(id_col, "band.band_idx", "band.band_key")
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -264,19 +296,7 @@ def lsh_candidate_pairs(
     # num_hashes longs per doc) signature frame so the upstream shingle
     # pipeline isn't recomputed per join side.
     signatures = signatures.cache()
-    rows_per_band = num_hashes // bands
-    band_structs = []
-    for b in range(bands):
-        member_cols = [
-            F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)
-        ]
-        band_key = md5_long(F.concat_ws("_", *[c.cast("string") for c in member_cols]))
-        band_structs.append(
-            F.struct(F.lit(b).alias("band_idx"), band_key.alias("band_key"))
-        )
-    banded = signatures.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("band")
-    ).select(id_col, "band.band_idx", "band.band_key")
+    banded = banded_keys(signatures, id_col, num_hashes, bands)
     if max_bucket_size is not None:
         from pyspark.sql import Window
 
@@ -670,3 +690,93 @@ def simhash_band_pairs(
         .distinct()
     )
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup (new batch vs existing corpus index)
+# ---------------------------------------------------------------------------
+
+
+def corpus_hash_index(
+    df: DataFrame, text_col: str = "text", sha_col: str = "text_sha"
+) -> DataFrame:
+    """Distinct content hashes of a corpus — the exact-dedup index an
+    ingestion pipeline persists between batches (32 bytes per distinct
+    text; at 100 TB this is the only corpus-derived state incremental
+    exact dedup ever reads or shuffles)."""
+    return df.select(F.sha2(F.col(text_col), 256).alias(sha_col)).distinct()
+
+
+def incremental_exact_dedup(
+    new_df: DataFrame,
+    corpus_index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sha_col: str = "text_sha",
+    status_col: str = "dedup_status",
+) -> DataFrame:
+    """Classify every NEW doc against an existing corpus and its own
+    batch: `corpus_dup` (text already in the corpus), `batch_dup` (first
+    seen in this batch, but a lower-id batch row owns it), `unique`
+    (this row is the batch's keeper and the text is new). Ingest rows
+    with status = 'unique'; append their hashes to the index.
+
+    Production dedup is incremental — re-grouping the full corpus per
+    arriving batch would read 100 TB to admit a few GB. Here the corpus
+    contributes only its hash index: the batch hashes once, left-joins
+    the index on the 32-byte hash, and ranks within its own (small)
+    batch for the new-vs-new decision. Statuses are deterministic
+    (min-id keeper, same convention as `exact_dedup`).
+    """
+    hashed = new_df.withColumn(sha_col, F.sha2(F.col(text_col), 256))
+    idx = corpus_index.select(sha_col).distinct().withColumn(
+        "__in_corpus", F.lit(True)
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy(sha_col).orderBy(F.col(id_col).asc())
+    )
+    return (
+        hashed.join(idx, sha_col, "left")
+        .withColumn("__rn", rn)
+        .withColumn(
+            status_col,
+            F.when(F.col("__in_corpus"), F.lit("corpus_dup"))
+            .when(F.col("__rn") > 1, F.lit("batch_dup"))
+            .otherwise(F.lit("unique")),
+        )
+        .drop("__in_corpus", "__rn")
+    )
+
+
+def lsh_probe_pairs(
+    new_banded: DataFrame,
+    corpus_banded: DataFrame,
+    id_col: str = "doc_id",
+    new_id: str = "id_new",
+    corpus_id: str = "id_corpus",
+) -> DataFrame:
+    """Near-dup candidates between a NEW batch and an existing corpus:
+    join the batch's band keys (`banded_keys` of its signatures) against
+    the corpus's persisted band index. Returns (id_new, id_corpus)
+    distinct pairs to verify with `jaccard_pairs`.
+
+    The corpus side is the stored (id, band_idx, band_key) index —
+    signatures are never recomputed, and with the index bucketed on
+    (band_idx, band_key) the probe is a co-located join where only the
+    (small) batch shuffles. Equivalent to the cross-group subset of
+    `lsh_candidate_pairs` over corpus ∪ batch (property-tested), at a
+    fraction of the cost.
+    """
+    left = new_banded.select(
+        F.col(id_col).alias(new_id), "band_idx", "band_key"
+    )
+    right = corpus_banded.select(
+        F.col(id_col).alias(corpus_id), "band_idx", "band_key"
+    )
+    return (
+        left.join(right, ["band_idx", "band_key"])
+        .select(new_id, corpus_id)
+        .distinct()
+    )

@@ -627,3 +627,95 @@ def curation_chunk_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunks.select(
         "lang", "doc_id", "chunk_idx", "pack_id", "chunk_tokens"
     )
+
+
+# ---------------------------------------------------------------------------
+# reproducible global shuffle + sharding
+# ---------------------------------------------------------------------------
+
+_SHUFFLE_SHARDS = 8
+_SHUFFLE_SEED = 7
+
+
+@register_shadow(
+    "curation_shuffle_shard",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             {seeded_md5_long_sql("CAST(doc_id AS VARCHAR)", _SHUFFLE_SEED)}
+               AS hh
+      FROM documents)
+    SELECT doc_id,
+           CAST(hh % {_SHUFFLE_SHARDS} AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY hh % {_SHUFFLE_SHARDS}
+             ORDER BY hh ASC, doc_id ASC) - 1 AS BIGINT) AS shard_pos
+    FROM h
+    """,
+    doc="Reproducible global corpus shuffle: every doc gets a (shard, "
+    "position) address from a seeded md5 of its id — one fixed uniform "
+    "permutation, identical across reruns/engines (orderBy(rand()) "
+    "cannot give this). One shuffle on the shard key + a per-shard "
+    "sort bounded by shard size; n_shards is the 100 TB knob.",
+)
+def curation_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dealt = C.shuffle_shard(
+        docs.select("doc_id"), n_shards=_SHUFFLE_SHARDS, seed=_SHUFFLE_SEED
+    )
+    return dealt.select("doc_id", "shard", "shard_pos")
+
+
+# ---------------------------------------------------------------------------
+# data mixture: per-source repeat weights
+# ---------------------------------------------------------------------------
+
+_MIX_WEIGHTS = {"src0": 0.0, "src1": 2.3, "src2": 0.5}
+_MIX_DEFAULT = 1.0
+_MIX_SEED = 11
+
+
+def _weight_ladder_sql() -> str:
+    whens = " ".join(
+        f"WHEN source = '{stratum}' THEN {int(round(wt * 10_000))}"
+        for stratum, wt in sorted(_MIX_WEIGHTS.items())
+    )
+    return f"CASE {whens} ELSE {int(round(_MIX_DEFAULT * 10_000))} END"
+
+
+@register_shadow(
+    "curation_mixture_repeat",
+    f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             {_weight_ladder_sql()} AS w10k,
+             ({seeded_md5_long_sql("CAST(doc_id AS VARCHAR)", _MIX_SEED)}
+               % 10000) AS bucket
+      FROM documents),
+    c AS (
+      SELECT doc_id, source,
+             (w10k // 10000)
+               + CASE WHEN bucket < (w10k % 10000) THEN 1 ELSE 0 END
+               AS copies
+      FROM w)
+    SELECT doc_id, source, CAST(unnest(range(copies)) AS BIGINT) AS epoch
+    FROM c WHERE copies > 0
+    """,
+    doc="Training-mixture composition by per-source repeat weights "
+    "(Pile/DoReMi-style): weight 2.3 emits every doc twice plus a "
+    "hash-gated 30% a third time; 0.5 keeps a deterministic half; 0 "
+    "drops the source. Copies carry an epoch index for downstream "
+    "shard interleaving. The gate is a seeded md5 of the id, so the "
+    "mix is a pure function of the data; no shuffle is added — rows "
+    "multiply by exactly the mixture factor.",
+)
+def curation_mixture_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = C.repeat_by_weight(
+        docs.select("doc_id", "source"),
+        _MIX_WEIGHTS,
+        stratum_col="source",
+        seed=_MIX_SEED,
+        default_weight=_MIX_DEFAULT,
+    )
+    return mixed.select("doc_id", "source", "epoch")
