@@ -266,6 +266,26 @@ def banded_keys(
     ).select(id_col, "band.band_idx", "band.band_key")
 
 
+def _cap_band_buckets(
+    banded: DataFrame, id_col: str, max_bucket_size: int
+) -> DataFrame:
+    """Deterministically sample each (band_idx, band_key) bucket down to
+    `max_bucket_size` members — the cap-many rows with the smallest
+    hashed id survive, a uniform layout-independent draw. row_number ≤
+    cap rides Spark's WindowGroupLimit: each bucket does a bounded
+    top-cap, never a full sort materialization."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_idx", "band_key").orderBy(
+        md5_long(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    return (
+        banded.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_bucket_size)
+        .drop("__rn")
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -298,20 +318,7 @@ def lsh_candidate_pairs(
     signatures = signatures.cache()
     banded = banded_keys(signatures, id_col, num_hashes, bands)
     if max_bucket_size is not None:
-        from pyspark.sql import Window
-
-        # row_number ≤ cap rides Spark's WindowGroupLimit: each bucket
-        # does a bounded top-cap, never a full sort materialization. The
-        # order key is a hash of the id alone, so the surviving sample is
-        # a pure function of the data (layout-independent).
-        w = Window.partitionBy("band_idx", "band_key").orderBy(
-            md5_long(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
-        )
-        banded = (
-            banded.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= max_bucket_size)
-            .drop("__rn")
-        )
+        banded = _cap_band_buckets(banded, id_col, max_bucket_size)
 
     left = banded.select(
         F.col(id_col).alias("id_a"), "band_idx", "band_key"
@@ -395,6 +402,8 @@ def ngram_jaccard_blocked(
     length_bucket: int = 25,
     min_jaccard: float = 0.1,
     dup_threshold: float = 0.5,
+    max_onehot_cells: int = 64_000_000,
+    max_block_docs: int = 16_384,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs with scalable blocking.
 
@@ -422,12 +431,27 @@ def ngram_jaccard_blocked(
 
     Per-group memory is n_docs × distinct_shingles one-hot floats; the
     blocking contract (length buckets inside a language) is what bounds
-    it — shrink `length_bucket` if a block outgrows a task.
+    it — shrink `length_bucket` if a block outgrows a task. Two guards
+    back that contract up instead of trusting it: a group whose one-hot
+    would exceed `max_onehot_cells` floats (default 64M ≈ 256 MB f32)
+    falls back to a row-chunked matmul with the same exact results at
+    bounded peak memory, and a group with more than `max_block_docs`
+    docs (whose n×n intersection matrix itself becomes the hazard)
+    raises with a tuning hint — an executor OOM would surface as an
+    opaque task death, this surfaces as "shrink length_bucket".
+
+    NULL handling: rows whose `block_col` is NULL are dropped before
+    grouping — NULL is "language unknown", not a language, and the
+    join-based blocking this kernel replaced never paired them either
+    (NULL = NULL is false in a join key). `id_col` may be any orderable
+    primitive type (string ids included); the output pair columns keep
+    its type.
     """
     frac = Fraction(str(min_jaccard)).limit_denominator(1_000_000)
     p, q = frac.numerator, frac.denominator
+    id_type = df.schema[id_col].dataType.simpleString()
 
-    sets_df = df.select(
+    sets_df = df.filter(F.col(block_col).isNotNull()).select(
         F.col(id_col).alias("__id"),
         F.col(block_col).alias("__blk"),
         F.floor(F.col(length_col).cast("long") / length_bucket).cast("long").alias("__bkt"),
@@ -448,8 +472,8 @@ def ngram_jaccard_blocked(
     def _score_block(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
             {
-                "id_a": pd.Series(dtype="int64"),
-                "id_b": pd.Series(dtype="int64"),
+                "id_a": pd.Series(dtype=object),
+                "id_b": pd.Series(dtype=object),
                 "inter": pd.Series(dtype="int64"),
                 "size_a": pd.Series(dtype="int64"),
                 "size_b": pd.Series(dtype="int64"),
@@ -458,6 +482,14 @@ def ngram_jaccard_blocked(
         n = len(pdf)
         if n < 2:
             return empty
+        if n > max_block_docs:
+            raise ValueError(
+                f"ngram_jaccard_blocked: block ({pdf['__blk'].iloc[0]!r}, "
+                f"g={pdf['__g'].iloc[0]}) has {n} docs > max_block_docs="
+                f"{max_block_docs}; its {n}x{n} intersection matrix would "
+                "risk an executor OOM. Shrink length_bucket (narrower "
+                "blocks) or raise max_block_docs if the task heap allows."
+            )
         g = int(pdf["__g"].iloc[0])
         ids = pdf["__id"].to_numpy()
         bkts = pdf["__bkt"].to_numpy()
@@ -465,9 +497,35 @@ def ngram_jaccard_blocked(
         lens = np.array([x.size for x in hsets], dtype=np.int64)
         flat = np.concatenate(hsets)
         uniq, inv = np.unique(flat, return_inverse=True)
-        X = np.zeros((n, uniq.size), dtype=np.float32)
-        X[np.repeat(np.arange(n), lens), inv] = 1.0
-        inter = np.rint(X @ X.T).astype(np.int64)
+        if n * uniq.size <= max_onehot_cells:
+            X = np.zeros((n, uniq.size), dtype=np.float32)
+            X[np.repeat(np.arange(n), lens), inv] = 1.0
+            inter = np.rint(X @ X.T).astype(np.int64)
+        else:
+            # Oversized block: same exact matmul, built a row-chunk at a
+            # time so peak memory is 2 chunks + the n×n result instead of
+            # the full one-hot.
+            starts = np.concatenate(([0], np.cumsum(lens)))
+            chunk = max(1, max_onehot_cells // (2 * max(uniq.size, 1)))
+            inter = np.zeros((n, n), dtype=np.int64)
+
+            def onehot(lo: int, hi: int) -> np.ndarray:
+                Xc = np.zeros((hi - lo, uniq.size), dtype=np.float32)
+                seg = inv[starts[lo] : starts[hi]]
+                rows = np.repeat(np.arange(hi - lo), lens[lo:hi])
+                Xc[rows, seg] = 1.0
+                return Xc
+
+            for lo in range(0, n, chunk):
+                hi = min(lo + chunk, n)
+                Xa = onehot(lo, hi)
+                for lo2 in range(lo, n, chunk):
+                    hi2 = min(lo2 + chunk, n)
+                    Xb = Xa if lo2 == lo else onehot(lo2, hi2)
+                    blockv = np.rint(Xa @ Xb.T).astype(np.int64)
+                    inter[lo:hi, lo2:hi2] = blockv
+                    if lo2 != lo:
+                        inter[lo2:hi2, lo:hi] = blockv.T
         iu, ju = np.triu_indices(n, k=1)
         itr = inter[iu, ju]
         keep = (np.maximum(bkts[iu], bkts[ju]) == g) & (
@@ -491,7 +549,7 @@ def ngram_jaccard_blocked(
 
     scored = grouped.groupBy("__blk", "__g").applyInPandas(
         _score_block,
-        "id_a long, id_b long, inter long, size_a long, size_b long",
+        f"id_a {id_type}, id_b {id_type}, inter long, size_a long, size_b long",
     )
     jac = F.col("inter").cast("double") / (
         F.col("size_a") + F.col("size_b") - F.col("inter")
@@ -756,6 +814,7 @@ def lsh_probe_pairs(
     id_col: str = "doc_id",
     new_id: str = "id_new",
     corpus_id: str = "id_corpus",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup candidates between a NEW batch and an existing corpus:
     join the batch's band keys (`banded_keys` of its signatures) against
@@ -768,7 +827,18 @@ def lsh_probe_pairs(
     (small) batch shuffles. Equivalent to the cross-group subset of
     `lsh_candidate_pairs` over corpus ∪ batch (property-tested), at a
     fraction of the cost.
+
+    `max_bucket_size` applies the same deterministic hash-smallest-id
+    bucket cap as `lsh_candidate_pairs` to BOTH sides: a pathological
+    corpus band bucket (boilerplate cluster) would otherwise join every
+    probing doc against the full bucket — the exact blowup the batch
+    path's cap bounds. Pre-capped persisted indexes can omit it.
     """
+    if max_bucket_size is not None:
+        new_banded = _cap_band_buckets(new_banded, id_col, max_bucket_size)
+        corpus_banded = _cap_band_buckets(
+            corpus_banded, id_col, max_bucket_size
+        )
     left = new_banded.select(
         F.col(id_col).alias(new_id), "band_idx", "band_key"
     )
