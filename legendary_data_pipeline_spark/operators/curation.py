@@ -20,7 +20,10 @@ from collections.abc import Mapping
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from legendary_data_pipeline_spark.functions.hashing import seeded_md5_long
+from legendary_data_pipeline_spark.functions.hashing import (
+    md5_long,
+    seeded_md5_long,
+)
 from legendary_data_pipeline_spark.operators.dedup import shingle_sets, tokens_expr
 
 # ---------------------------------------------------------------------------
@@ -454,3 +457,282 @@ def repeat_by_weight(
         copies > 0, F.sequence(F.lit(0).cast("long"), copies - 1)
     ).otherwise(F.array().cast("array<long>"))
     return df.withColumn(epoch_col, F.explode(epochs))
+
+
+# ---------------------------------------------------------------------------
+# boilerplate span removal
+# ---------------------------------------------------------------------------
+
+
+def span_frame(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 16,
+) -> DataFrame:
+    """(id, span_idx, span_text, span_hash) — each document cut into
+    consecutive non-overlapping `span_tokens`-token windows (the last
+    span keeps the remainder). The unit of corpus-level boilerplate
+    detection: headers, footers, navigation chrome, and license blurbs
+    repeat VERBATIM across documents at span granularity even when whole
+    documents differ.
+
+    Pure column expressions (split once, `transform(sequence(...))` of
+    array slices, one md5 per span) + one posexplode — span building
+    adds no shuffle; rows multiply by ~n_tokens/span_tokens.
+    """
+    if span_tokens < 1:
+        raise ValueError(f"span_tokens must be >= 1, got {span_tokens}")
+    toks = tokens_expr(text_col)
+
+    def spans_of(t: Column) -> Column:
+        n_spans = F.ceil(F.size(t) / F.lit(float(span_tokens))).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), n_spans - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(t, i * span_tokens + 1, span_tokens)
+            ),
+        )
+
+    spans = F.transform(F.array(toks), spans_of)[0]
+    exploded = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(F.size(toks) > 0, spans).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("span_idx", "span_text"),
+    )
+    return exploded.select(
+        id_col,
+        F.col("span_idx").cast("long").alias("span_idx"),
+        "span_text",
+        md5_long(F.col("span_text")).alias("span_hash"),
+    )
+
+
+def boilerplate_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 16,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document boilerplate profile: `n_spans`,
+    `n_boilerplate_spans` (spans whose text occurs in ≥ `min_docs`
+    DISTINCT documents corpus-wide), and `boilerplate_frac`.
+
+    The CCNet/RefinedWeb-style repeated-block signal, at span instead of
+    line granularity (the synthetic corpus has no newlines; on real data
+    pass line-split spans). Feed the frac into quality gates alongside
+    `repetition_stats` (intra-doc) — this one is the INTER-doc signal.
+
+    Scale (100 TB): span frequency is groupBy(span_hash) with
+    count(DISTINCT id) — two-level agg, map-side combinable, keyed on a
+    60-bit hash (uniform, no skew); the per-doc rollup shuffles on the
+    id. The span frame is built once and reused for both sides of the
+    flag join, whose key is again the uniform span_hash.
+    """
+    spans = span_frame(df, id_col, text_col, span_tokens)
+    freq = spans.groupBy("span_hash").agg(
+        F.count_distinct(F.col(id_col)).alias("__docs")
+    )
+    flagged = spans.join(
+        freq.filter(F.col("__docs") >= min_docs).select(
+            "span_hash", F.lit(True).alias("__boiler")
+        ),
+        "span_hash",
+        "left",
+    )
+    frac = F.col("n_boilerplate_spans").cast("double") / F.col(
+        "n_spans"
+    ).cast("double")
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.coalesce(F.col("__boiler"), F.lit(False)).cast("long")).alias(
+                "n_boilerplate_spans"
+            ),
+        )
+        .select(
+            id_col,
+            "n_spans",
+            "n_boilerplate_spans",
+            F.round(frac, 6).alias("boilerplate_frac"),
+        )
+    )
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 16,
+    min_docs: int = 2,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Remove corpus-level boilerplate spans from each document: the
+    companion transform to `boilerplate_span_stats` — spans repeated in
+    ≥ `min_docs` distinct docs are dropped and the survivors are
+    rejoined in original order. Documents that were ALL boilerplate
+    come back with an empty string (kept, so the caller decides the
+    drop policy).
+
+    Same shuffle profile as the stats pass; the rejoin aggregates
+    surviving (span_idx, span_text) structs per doc and sorts WITHIN the
+    row (array_sort on the struct — span counts are document-sized, not
+    corpus-sized).
+    """
+    spans = span_frame(df, id_col, text_col, span_tokens)
+    freq = spans.groupBy("span_hash").agg(
+        F.count_distinct(F.col(id_col)).alias("__docs")
+    )
+    kept = spans.join(
+        freq.filter(F.col("__docs") >= min_docs).select("span_hash"),
+        "span_hash",
+        "left_anti",
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("span_idx", "span_text"))
+                ),
+                lambda s: s["span_text"],
+            ),
+            " ",
+        ).alias(out_col)
+    )
+    return df.join(rebuilt, id_col, "left").withColumn(
+        out_col, F.coalesce(F.col(out_col), F.lit(""))
+    )
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling without replacement
+# ---------------------------------------------------------------------------
+
+
+def weighted_sample_n(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    stratum_col: str | None = None,
+    id_col: str = "doc_id",
+    seed: int = 13,
+    rank_col: str = "sample_rank",
+    key_decimals: int = 9,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement: exactly min(n, |stratum|)
+    rows per stratum (one global stratum when `stratum_col` is None),
+    inclusion probability increasing in `weight_col` — e.g. favor long
+    or high-quality documents when drawing a fixed-size training subset.
+
+    Efraimidis–Spirakis A-ES keys: key = u^(1/w) with u uniform in
+    (0,1]; the n largest keys are a weighted draw without replacement.
+    u derives from seeded_md5(id) — NOT rand() — so the draw is a pure
+    function of (data, seed): reruns, retries, and the DuckDB oracle
+    select the identical rows. Keys are rounded to `key_decimals` before
+    ranking (ties then broken by id) so the float pow() ranks
+    identically across engines — the same rounding contract the cosine
+    operators use.
+
+    Rows with NULL or non-positive weight are excluded (w→0 ⇒ key→0
+    in the limit, i.e. never preferred; excluding them makes that exact
+    instead of float-asymptotic).
+
+    Scale (100 TB): per-stratum window top-N rides WindowGroupLimit
+    (bounded heap per partition, no global sort); one shuffle on the
+    stratum key. For the unstratified case the window is global — wrap
+    with a composite stratum (hash buckets) and re-rank the n·buckets
+    survivors if a single reducer is ever the bottleneck.
+    """
+    from legendary_data_pipeline_spark.operators.ranking import top_k_per_group
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    u = (
+        seeded_md5_long(F.col(id_col).cast("string"), seed).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(1 << 60))
+    w = F.col(weight_col).cast("double")
+    key = F.round(F.pow(u, F.lit(1.0) / w), key_decimals)
+    filtered = df.filter(w > 0).withColumn("__key", key)
+    order = [F.col("__key").desc(), F.col(id_col).asc()]
+    groups = [stratum_col] if stratum_col is not None else []
+    return top_k_per_group(
+        filtered, groups, order, k=n, rank_col=rank_col
+    ).drop("__key")
+
+
+# ---------------------------------------------------------------------------
+# contamination scoring (graded companion to contamination_flags)
+# ---------------------------------------------------------------------------
+
+
+def contamination_scores(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    flag_threshold: float = 0.1,
+) -> DataFrame:
+    """Graded decontamination: per training doc, the FRACTION of its
+    distinct word-`shingle_n`-grams that appear anywhere in the
+    benchmark set (`contamination_frac`), plus `contaminated` =
+    frac ≥ `flag_threshold`.
+
+    The binary `contamination_flags` drops a doc for ONE shared shingle
+    — right for exact eval strings, too blunt for long docs that merely
+    quote a common phrase. The overlap fraction is what
+    threshold-tuning needs (the usual dial in published dedup/decontam
+    recipes).
+
+    Scale (100 TB): identical probe shape to `contamination_flags` —
+    benchmark shingles are eval-suite-sized, so the probe is a broadcast
+    join against the exploded training shingles; counting hits is one
+    groupBy(id) with map-side combine. The corpus never shuffles on
+    anything but the id.
+
+    Returns (id, n_shingles, n_contaminated, contamination_frac,
+    contaminated); docs with fewer than `shingle_n` tokens have no
+    shingles and are reported with n_shingles = 0, frac = 0.0.
+    """
+    train_sh = shingle_sets(train, id_col, text_col, shingle_n).select(
+        F.col(id_col), F.explode("__set").alias("__s")
+    )
+    bench_sh = (
+        shingle_sets(benchmark, id_col, text_col, shingle_n)
+        .select(F.explode("__set").alias("__s"))
+        .distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    probed = train_sh.join(F.broadcast(bench_sh), "__s", "left")
+    per_doc = probed.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(False)).cast("long")).alias(
+            "n_contaminated"
+        ),
+    )
+    frac = F.round(
+        F.col("n_contaminated").cast("double")
+        / F.col("n_shingles").cast("double"),
+        6,
+    )
+    ids = train.select(F.col(id_col))
+    return (
+        ids.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_shingles"), F.lit(0)).alias("n_shingles"),
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).alias(
+                "n_contaminated"
+            ),
+            F.coalesce(frac, F.lit(0.0)).alias("contamination_frac"),
+        )
+        .withColumn(
+            "contaminated", F.col("contamination_frac") >= flag_threshold
+        )
+    )

@@ -386,3 +386,47 @@ def lsh_bucket_topk(
         k=k,
         rank_col="rank",
     ).select("query_id", "neighbor_id", "rank", "cos_sim")
+
+
+def label_centroid_cosine(
+    embeddings: DataFrame,
+    round_digits: int = 6,
+    outlier_threshold: float = 0.5,
+) -> DataFrame:
+    """Embedding-hygiene pass: each vector's cosine to its label's mean
+    centroid, plus `is_outlier` (cos < `outlier_threshold`) — the
+    standard cheap screen for mislabeled / out-of-cluster embeddings
+    before they poison contrastive or retrieval training.
+
+    Plan shape (100 TB): centroids are label × dim — KiB-scale — so the
+    corpus joins a BROADCAST centroid frame on label and the cosine is
+    one deterministic `zip_with`/`aggregate` fold per row: the full
+    corpus is never exploded and never shuffles. Only the centroid
+    build shuffles, and that input is the posexploded corpus reduced by
+    map-side combine to labels × dim partials per task. Cosines are
+    rounded before comparison/threshold so results are engine-stable
+    (same contract as `cosine_topk`).
+    """
+    base = embeddings.select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("vec")
+    )
+    pos = base.select(
+        "label", F.posexplode("vec").alias("pos", "v")
+    )
+    cent = pos.groupBy("label", "pos").agg(F.avg("v").alias("c"))
+    centv = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s["c"],
+        ).alias("cvec")
+    )
+    joined = base.join(F.broadcast(centv), "label")
+    cos = F.round(
+        dot_expr("vec", "cvec") / (norm_expr("vec") * norm_expr("cvec")),
+        round_digits,
+    )
+    return joined.select(
+        "vec_id",
+        "label",
+        cos.alias("cos_to_centroid"),
+    ).withColumn("is_outlier", F.col("cos_to_centroid") < outlier_threshold)

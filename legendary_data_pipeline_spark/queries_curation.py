@@ -719,3 +719,212 @@ def curation_mixture_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_weight=_MIX_DEFAULT,
     )
     return mixed.select("doc_id", "source", "epoch")
+
+
+# ---------------------------------------------------------------------------
+# boilerplate span detection / removal
+# ---------------------------------------------------------------------------
+
+_SPAN_TOKENS = 12
+_BOILER_MIN_DOCS = 2
+
+# The fixture corpus has no repeated verbatim blocks, so the queries
+# graft a deterministic per-source header (24 tokens = exactly 2 spans)
+# onto every document — the oracle replays the same injection. On real
+# corpora the repeated blocks are the headers/footers themselves.
+_BOILER_TEXT_SQL = "repeat(source || '_boiler ', 24) || trim(text)"
+
+
+def _boiler_docs(docs: DataFrame) -> DataFrame:
+    header = F.repeat(F.concat(F.col("source"), F.lit("_boiler ")), 24)
+    return docs.select(
+        "doc_id", F.concat(header, F.trim(F.col("text"))).alias("text")
+    )
+
+
+_SPAN_CTES = f"""
+    boil AS (
+      SELECT doc_id, {_BOILER_TEXT_SQL} AS btext FROM documents),
+    toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(btext), '\\s+') AS t
+      FROM boil),
+    spans AS (
+      SELECT doc_id,
+             unnest(range(CAST(ceil(len(t) / {_SPAN_TOKENS}.0) AS BIGINT)))
+               AS span_idx,
+             unnest(list_transform(
+               range(CAST(ceil(len(t) / {_SPAN_TOKENS}.0) AS BIGINT)),
+               __i -> array_to_string(
+                 t[(__i*{_SPAN_TOKENS}+1):(__i*{_SPAN_TOKENS}+{_SPAN_TOKENS})],
+                 ' '))) AS span_text
+      FROM toks WHERE len(t) > 0),
+    freq AS (
+      SELECT span_text, COUNT(DISTINCT doc_id) AS docs
+      FROM spans GROUP BY span_text)
+"""
+
+
+@register_shadow(
+    "curation_boilerplate_stats",
+    f"""
+    WITH {_SPAN_CTES},
+    flagged AS (
+      SELECT s.doc_id,
+             CASE WHEN f.docs >= {_BOILER_MIN_DOCS} THEN 1 ELSE 0 END AS b
+      FROM spans s JOIN freq f USING (span_text))
+    SELECT doc_id,
+           COUNT(*) AS n_spans,
+           CAST(SUM(b) AS BIGINT) AS n_boilerplate_spans,
+           round(CAST(SUM(b) AS DOUBLE) / COUNT(*), 6) AS boilerplate_frac
+    FROM flagged GROUP BY doc_id
+    """,
+    doc="Inter-document boilerplate profile: each doc cut into "
+    f"{_SPAN_TOKENS}-token spans; spans whose text recurs in >= "
+    f"{_BOILER_MIN_DOCS} distinct docs corpus-wide are boilerplate "
+    "(CCNet/RefinedWeb repeated-block signal, the INTER-doc complement "
+    "of repetition_stats). Span frequency aggregates on a uniform "
+    "60-bit span hash — map-side combinable, no skew; the corpus "
+    "shuffles only on that hash and the doc id.",
+)
+def curation_boilerplate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _boiler_docs(load_table(spark, sf_dir, "documents"))
+    return C.boilerplate_span_stats(
+        docs, span_tokens=_SPAN_TOKENS, min_docs=_BOILER_MIN_DOCS
+    )
+
+
+@register_shadow(
+    "curation_strip_boilerplate",
+    f"""
+    WITH {_SPAN_CTES},
+    kept AS (
+      SELECT s.doc_id, s.span_idx, s.span_text
+      FROM spans s JOIN freq f USING (span_text)
+      WHERE f.docs < {_BOILER_MIN_DOCS}),
+    rebuilt AS (
+      SELECT doc_id,
+             array_to_string(list(span_text ORDER BY span_idx), ' ')
+               AS clean_text
+      FROM kept GROUP BY doc_id)
+    SELECT b.doc_id, COALESCE(r.clean_text, '') AS clean_text
+    FROM boil b LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    doc="Boilerplate REMOVAL: drop every span recurring across docs and "
+    "rejoin the survivors in original order (all-boilerplate docs come "
+    "back empty, caller decides the drop policy). Same shuffle profile "
+    "as the stats pass; the rejoin sorts spans WITHIN each row "
+    "(document-sized arrays), never across rows.",
+)
+def curation_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _boiler_docs(load_table(spark, sf_dir, "documents"))
+    stripped = C.strip_boilerplate(
+        docs, span_tokens=_SPAN_TOKENS, min_docs=_BOILER_MIN_DOCS
+    )
+    return stripped.select("doc_id", "clean_text")
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling without replacement
+# ---------------------------------------------------------------------------
+
+_WSAMPLE_N = 20
+_WSAMPLE_SEED = 13
+
+
+@register_shadow(
+    "curation_weighted_sample",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             round(pow(
+               (CAST({seeded_md5_long_sql("CAST(doc_id AS VARCHAR)", _WSAMPLE_SEED)}
+                     AS DOUBLE) + 1.0) / 1152921504606846976.0,
+               1.0 / CAST(n_chars AS DOUBLE)), 9) AS k
+      FROM documents WHERE n_chars > 0),
+    ranked AS (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY k DESC, doc_id ASC) AS rn
+      FROM keyed)
+    SELECT doc_id, lang, n_chars, CAST(rn AS BIGINT) AS sample_rank
+    FROM ranked WHERE rn <= {_WSAMPLE_N}
+    """,
+    doc="Weighted sampling WITHOUT replacement (Efraimidis-Spirakis "
+    "A-ES): top-N per language by key u^(1/w), u a seeded md5 of the "
+    "id, w = n_chars — longer docs are proportionally likelier, the "
+    "draw is a pure function of (data, seed), and keys are rounded "
+    "before ranking so every engine selects the identical subset. "
+    "Window top-N rides WindowGroupLimit; one shuffle on the stratum.",
+)
+def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    picked = C.weighted_sample_n(
+        docs.select("doc_id", "lang", "n_chars"),
+        _WSAMPLE_N,
+        weight_col="n_chars",
+        stratum_col="lang",
+        seed=_WSAMPLE_SEED,
+    )
+    return picked.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.col("sample_rank").cast("long").alias("sample_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# graded contamination scoring
+# ---------------------------------------------------------------------------
+
+_SCORE_N = 4
+_SCORE_THRESHOLD = 0.05
+
+
+@register_shadow(
+    "curation_contamination_score",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT doc_id, source, {_shingle_expr(_SCORE_N)} AS s
+      FROM toks WHERE len(t) >= {_SCORE_N}),
+    bench AS (
+      SELECT DISTINCT s FROM sh WHERE source = 'src0'),
+    tr AS (
+      SELECT DISTINCT doc_id, s FROM sh WHERE source <> 'src0'),
+    per AS (
+      SELECT t.doc_id,
+             COUNT(*) AS n_shingles,
+             CAST(SUM(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_contaminated
+      FROM tr t LEFT JOIN bench b USING (s)
+      GROUP BY t.doc_id)
+    SELECT d.doc_id,
+           COALESCE(p.n_shingles, 0) AS n_shingles,
+           COALESCE(p.n_contaminated, 0) AS n_contaminated,
+           COALESCE(round(CAST(p.n_contaminated AS DOUBLE)
+                          / CAST(p.n_shingles AS DOUBLE), 6), 0.0)
+             AS contamination_frac,
+           COALESCE(round(CAST(p.n_contaminated AS DOUBLE)
+                          / CAST(p.n_shingles AS DOUBLE), 6), 0.0)
+             >= {_SCORE_THRESHOLD} AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+    LEFT JOIN per p USING (doc_id)
+    """,
+    doc="Graded decontamination: per training doc, the fraction of its "
+    f"distinct word-{_SCORE_N}-grams found anywhere in the benchmark "
+    "slice (source='src0') — the tunable dial the binary "
+    "one-shared-shingle rule lacks. Benchmark shingles broadcast; hit "
+    "counting is one map-side-combinable groupBy on the doc id.",
+)
+def curation_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    return C.contamination_scores(
+        train,
+        bench,
+        shingle_n=_SCORE_N,
+        flag_threshold=_SCORE_THRESHOLD,
+    )

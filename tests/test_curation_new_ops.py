@@ -1,0 +1,107 @@
+"""Contract tests for the round-5 curation/embedding operators beyond
+their DuckDB-oracle rows: weighted-sampling statistics, boilerplate
+stripping semantics, and the centroid plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from legendary_data_pipeline_spark.operators.curation import (
+    boilerplate_span_stats,
+    strip_boilerplate,
+    weighted_sample_n,
+)
+from legendary_data_pipeline_spark.operators.similarity import (
+    label_centroid_cosine,
+)
+
+
+def _boiler_corpus(spark):
+    """3 'sources' x 40 docs; every doc = shared 8-token header + a
+    unique 8-token body (span_tokens=4 ⇒ header = spans 0-1)."""
+    rows = []
+    for s in range(3):
+        for i in range(40):
+            doc_id = s * 100 + i
+            header = f"hdr{s} " * 8
+            body = " ".join(f"w{doc_id}x{j}" for j in range(8))
+            rows.append((doc_id, header + body))
+    # One all-boilerplate doc per source (header only).
+    rows += [(s * 100 + 99, ("hdr%d " % s) * 8) for s in range(3)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_boilerplate_stats_and_strip(spark):
+    docs = _boiler_corpus(spark)
+    stats = {
+        r["doc_id"]: r
+        for r in boilerplate_span_stats(docs, span_tokens=4).collect()
+    }
+    # Regular doc: 4 spans, first 2 are the shared header.
+    assert stats[0]["n_spans"] == 4
+    assert stats[0]["n_boilerplate_spans"] == 2
+    assert stats[0]["boilerplate_frac"] == 0.5
+    # All-boilerplate doc.
+    assert stats[99]["n_boilerplate_spans"] == stats[99]["n_spans"] == 2
+
+    cleaned = {
+        r["doc_id"]: r["clean_text"]
+        for r in strip_boilerplate(docs, span_tokens=4).collect()
+    }
+    assert cleaned[0] == " ".join(f"w0x{j}" for j in range(8))
+    assert cleaned[99] == ""  # kept, empty — caller decides drop policy
+
+
+def test_weighted_sample_exact_n_and_weight_bias(spark):
+    # 200 light (w=1) + 200 heavy (w=50) docs in one stratum.
+    df = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.lit("en").alias("lang"),
+        F.when(F.col("id") < 200, F.lit(1)).otherwise(F.lit(50)).alias("w"),
+    )
+    picked = weighted_sample_n(df, 100, weight_col="w", stratum_col="lang")
+    rows = picked.collect()
+    assert len(rows) == 100
+    assert sorted(r["sample_rank"] for r in rows) == list(range(1, 101))
+    heavy = sum(1 for r in rows if r["doc_id"] >= 200)
+    # With 50x weight the heavy half should dominate the draw; under
+    # uniform sampling heavy ≈ 50 — even 3-sigma is < 73.
+    assert heavy > 80, f"heavy={heavy}, weighting had no effect"
+    # Zero/negative/NULL weights are excluded outright.
+    df2 = df.withColumn(
+        "w", F.when(F.col("doc_id") < 390, F.lit(0)).otherwise(F.col("w"))
+    )
+    surviving = weighted_sample_n(df2, 100, weight_col="w", stratum_col="lang")
+    assert {r["doc_id"] for r in surviving.collect()} == set(range(390, 400))
+    # Determinism: identical plan → identical draw.
+    again = weighted_sample_n(df, 100, weight_col="w", stratum_col="lang")
+    assert {r["doc_id"] for r in again.collect()} == {
+        r["doc_id"] for r in rows
+    }
+
+
+def test_centroid_plan_broadcasts_and_flags(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for label in (0, 1):
+        center = rng.normal(size=8)
+        for i in range(30):
+            v = center + rng.normal(scale=0.1, size=8)
+            rows.append((label * 100 + i, [float(x) for x in v], label))
+    # One far outlier per label (opposite direction of the center).
+    base = {r[2]: r[1] for r in rows}
+    rows.append((98, [-x for x in base[0]], 0))
+    rows.append((99, [-x for x in base[1]], 1))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = label_centroid_cosine(emb, outlier_threshold=0.5)
+    flagged = {r["vec_id"] for r in out.filter("is_outlier").collect()}
+    assert flagged == {98, 99}
+    # The corpus side must join the centroid frame by BROADCAST — the
+    # whole point of the plan is that the big side never shuffles.
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
