@@ -137,3 +137,35 @@ def test_simhash_pair_recall_vs_exact_jaccard(spark, sf_dir):
     print(f"\nSimHash recall of exact-Jaccard>=0.7 pairs: {recall:.3f} "
           f"({len(truth)} truth pairs, {len(simhash_pairs)} simhash pairs)")
     assert recall >= 0.7, f"simhash recall {recall:.3f} < 0.7"
+
+
+def test_ivf_pq_refined_recall_floor(spark, sf_dir):
+    """IVF-PQ with exact refine: recall floor at the registry defaults.
+
+    This fixture is PQ's worst case (near-uniform unit vectors — no
+    cluster structure for the codebooks to exploit), so the contract is
+    carried by the refine stage: measured ~0.86 on sf0.01 and sf0.001
+    at defaults (m=8, bits=8, n_probe=8, rerank_factor=8). The raw-ADC
+    path is also pinned — it must still beat the ~k/N random floor by a
+    wide margin, proving the codes carry signal even unrefined.
+    """
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    truth = _pairs(
+        S.cosine_topk(
+            emb, k=K, query_filter=_query_filter(), block_on_label=False
+        ).collect()
+    )
+    assert truth
+    refined = _pairs(
+        S.ivf_pq_topk(emb, k=K, query_filter=_query_filter()).collect()
+    )
+    recall = len(truth & refined) / len(truth)
+    assert recall >= 0.7, f"IVF-PQ refined recall@{K} {recall:.3f} < 0.7"
+    raw = _pairs(
+        S.ivf_pq_topk(
+            emb, k=K, query_filter=_query_filter(), rerank_factor=0
+        ).collect()
+    )
+    raw_recall = len(truth & raw) / len(truth)
+    assert raw_recall >= 0.2, f"raw ADC recall {raw_recall:.3f} < 0.2"
+    assert recall > raw_recall, "refine must improve on raw ADC here"
