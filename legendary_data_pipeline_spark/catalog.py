@@ -10,6 +10,8 @@ reader — never pre-materialize.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 TABLES: tuple[str, ...] = (
     "region",
@@ -28,17 +30,45 @@ TABLES: tuple[str, ...] = (
 BROADCAST_DIMS: frozenset[str] = frozenset({"region", "nation", "supplier", "part"})
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize `events.ts` to INTEGER EPOCH NANOS whatever the on-disk
+    representation.
+
+    The engine's event-time contract is integer nanos — every event
+    query does exact integer arithmetic (`ts DIV 86400000000000` for
+    days, `ts DIV 1000` for micros), which is portable across engines
+    (the DuckDB oracles use `epoch_us(ts)` and get identical values).
+    Generated data has shipped both as parquet TIMESTAMP(NANOS) (read as
+    long via `nanosAsLong`) and as TIMESTAMP(MICROS) NTZ; this shim
+    pins one engine-side type for both. The NTZ wall time is interpreted
+    as UTC (the engine's pinned session timezone), matching DuckDB's
+    naive-timestamp semantics.
+    """
+    if isinstance(df.schema["ts"].dataType, LongType):
+        return df
+    nanos = (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast(
+        "long"
+    )
+    return df.withColumn("ts", nanos)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one warehouse table lazily from `sf_dir`.
 
-    `events.ts` is nanosecond-precision parquet; Spark loads it as integer
-    nanos (via nanosAsLong) and downstream event-time logic uses integer
-    arithmetic (`ts DIV 86400000000000` for days, `ts DIV 1000` for
-    micros — see the event queries), which is exact and portable.
+    `events.ts` is normalized to integer epoch nanos — see
+    `normalize_event_ts` for the contract.
     """
     if name == "events":
-        # Runtime-settable; required for TIMESTAMP(NANOS) parquet columns.
+        # Runtime-settable; required for TIMESTAMP(NANOS) parquet
+        # columns, harmless otherwise.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The NTZ→nanos interpretation below is only deterministic under
+        # the engine's pinned UTC session timezone; pin it here too so a
+        # vanilla (driver) session gets the same answer.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return normalize_event_ts(
+            spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

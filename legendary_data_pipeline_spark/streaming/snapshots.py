@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 EVENTS_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
     "value double, props string"
 )
 
@@ -26,12 +26,20 @@ EVENTS_SCHEMA = (
 def read_events_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    """File-based event stream (parquet files appearing under `path`)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """File-based event stream (parquet files appearing under `path`).
+
+    `ts` arrives as parquet TIMESTAMP(MICROS) NTZ and is normalized to
+    the engine's integer-epoch-nanos contract (`catalog.
+    normalize_event_ts`) so every downstream operator sees the same
+    event-time type as the batch loaders.
+    """
+    from legendary_data_pipeline_spark.catalog import normalize_event_ts
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     reader = spark.readStream.schema(EVENTS_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.parquet(path)
+    return normalize_event_ts(reader.parquet(path))
 
 
 def with_event_time(events: DataFrame) -> DataFrame:

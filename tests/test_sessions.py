@@ -6,6 +6,7 @@ import shutil
 
 from pyspark.sql import functions as F
 
+from legendary_data_pipeline_spark.catalog import normalize_event_ts
 from legendary_data_pipeline_spark.streaming.sessions import (
     sessionize_batch,
     sessionize_stream,
@@ -52,6 +53,14 @@ def test_sessionize_batch_semantics(spark):
 SENTINEL_USER = -1
 
 
+def _ntz(nanos: int):
+    """Naive UTC datetime for a sentinel written as TIMESTAMP_NTZ (the
+    on-disk type of the regenerated events table)."""
+    import datetime as dt
+
+    return dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=nanos // 1000)
+
+
 def test_sessionize_stream_matches_batch(spark, tmp_path):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     events_dir = tmp_path / "ev"
@@ -80,12 +89,12 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
 
     # Sentinel event far past every session's timeout advances the
     # watermark so all real sessions close on the next drain.
-    raw = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    raw = normalize_event_ts(spark.read.parquet(f"{SF_DIR}/events.parquet"))
     max_ts = raw.agg(F.max("ts")).first()[0]
     sentinel_ts = max_ts + (3 * GAP) * 1_000_000_000
     spark.createDataFrame(
-        [(10**9, sentinel_ts, SENTINEL_USER, "sentinel", 0.0, "{}")],
-        "event_id long, ts long, user_id long, event_type string,"
+        [(10**9, _ntz(sentinel_ts), SENTINEL_USER, "sentinel", 0.0, "{}")],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
         " value double, props string",
     ).write.mode("append").parquet(str(events_dir))
     drain()
@@ -98,7 +107,7 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
         for r in spark.read.parquet(out_dir).collect()
         if r.user_id != SENTINEL_USER
     }
-    batch_ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+    batch_ev = normalize_event_ts(spark.read.parquet(f"{SF_DIR}/events.parquet")).withColumn(
         "event_time", F.timestamp_micros(F.expr("ts DIV 1000"))
     )
     expected = {
@@ -128,11 +137,11 @@ def test_run_sessionize_once_resumes_from_checkpoint(spark, tmp_path):
     run_sessionize_once(spark, str(events_dir), out, ckpt, gap_seconds=GAP,
                         watermark="0 seconds")
     # sentinel advances the watermark so real sessions close
-    raw = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    raw = normalize_event_ts(spark.read.parquet(f"{SF_DIR}/events.parquet"))
     max_ts = raw.agg(F.max("ts")).first()[0]
     spark.createDataFrame(
-        [(10**9, max_ts + (3 * GAP) * 10**9, SENTINEL_USER, "s", 0.0, "{}")],
-        "event_id long, ts long, user_id long, event_type string,"
+        [(10**9, _ntz(max_ts + (3 * GAP) * 10**9), SENTINEL_USER, "s", 0.0, "{}")],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
         " value double, props string",
     ).write.mode("append").parquet(str(events_dir))
     run_sessionize_once(spark, str(events_dir), out, ckpt, gap_seconds=GAP,

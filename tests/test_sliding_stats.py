@@ -6,6 +6,7 @@ import shutil
 
 from pyspark.sql import functions as F
 
+from legendary_data_pipeline_spark.catalog import normalize_event_ts
 from legendary_data_pipeline_spark.streaming.snapshots import (
     read_events_stream,
     sliding_stats_stream,
@@ -38,7 +39,7 @@ def test_sliding_stats_stream_matches_batch(spark, tmp_path):
 
     # batch equivalent over the same frame definition; only compare
     # windows the watermark finalized (append mode emits closed windows)
-    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+    ev = normalize_event_ts(spark.read.parquet(f"{SF_DIR}/events.parquet")).withColumn(
         "event_time", F.timestamp_micros(F.expr("ts DIV 1000"))
     )
     batch = (

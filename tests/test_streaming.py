@@ -6,6 +6,7 @@ import shutil
 
 from pyspark.sql import functions as F
 
+from legendary_data_pipeline_spark.catalog import normalize_event_ts
 from legendary_data_pipeline_spark.streaming.snapshots import (
     daily_event_rollup_stream,
     run_daily_rollup_once,
@@ -16,7 +17,7 @@ SF_DIR = "/root/testdata/sf0.001"
 
 def _batch_expected(spark):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ev = normalize_event_ts(spark.read.parquet(f"{SF_DIR}/events.parquet"))
     cents = F.round(F.col("value").cast("decimal(18,2)") * 100, 0).cast("long")
     day = F.date_format(
         F.expr("date_add(DATE '1970-01-01', CAST(ts DIV 86400000000000 AS INT))"),
@@ -118,7 +119,7 @@ def test_streaming_dedup_drops_redelivered(spark, tmp_path):
         .awaitTermination()
     )
     n_unique = (
-        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        normalize_event_ts(spark.read.parquet(f"{SF_DIR}/events.parquet"))
         .select("event_id")
         .distinct()
         .count()
