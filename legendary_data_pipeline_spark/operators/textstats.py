@@ -7,6 +7,7 @@ divisions cast to double so results are bit-reproducible in the oracle.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -142,4 +143,61 @@ def fingerprint(
     return toks.groupBy(id_col).agg(
         (F.sum(h) % FINGERPRINT_MOD).alias("fingerprint"),
         F.count(F.lit(1)).alias("token_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization (NFC + accent folding)
+# ---------------------------------------------------------------------------
+
+
+def normalize_unicode(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unicode hygiene for crawled corpora: NFC-compose the text, then
+    derive a fold (accent-stripped + lowercased) for matching/dedup.
+
+    Returns (id, nfc_text, folded_text, composed) where `composed` is
+    TRUE when NFC changed the string (decomposed sequences present) —
+    web text mixes composed and decomposed forms of the same glyphs, and
+    unnormalized corpora silently split token statistics, dedup groups,
+    and shingle hashes for visually identical strings.
+
+    The codepoint transforms (NFC, NFD-and-drop-combining-marks) have no
+    JVM builtin, so they run in an Arrow-batched pandas UDF (vectorized
+    `Series.str.normalize`); the fold's lowercase stays JVM-side. One
+    projection, no shuffle — this belongs in the first scan pass of a
+    curation pipeline, before anything hashes text. Exactly replayable
+    in DuckDB (`nfc_normalize`, `strip_accents`, `lower`) for the
+    oracle.
+    """
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        return s.str.normalize("NFC")
+
+    @pandas_udf("string")
+    def strip_marks(s: pd.Series) -> pd.Series:
+        def fold(x):
+            if x is None:
+                return None
+            return "".join(
+                c
+                for c in unicodedata.normalize("NFD", x)
+                if not unicodedata.combining(c)
+            )
+
+        return s.map(fold)
+
+    nfc_text = nfc(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        nfc_text.alias("nfc_text"),
+        F.lower(strip_marks(F.col(text_col))).alias("folded_text"),
+        (nfc_text != F.col(text_col)).alias("composed"),
     )
