@@ -138,3 +138,53 @@ def test_kafka_options_builder():
     assert opts["subscribe"] == "events"
     assert opts["maxOffsetsPerTrigger"] == "100000"
     assert opts["minPartitions"] == "64"
+
+
+def test_jsonl_roundtrip_and_quarantine(spark, sf_dir, tmp_path):
+    """JSONL source: schema-declared read matches the parquet source of
+    truth row-for-row (DuckDB read_json agrees), malformed lines land in
+    quarantine with the raw line intact, and the sink round-trips."""
+    import json as _json
+
+    import duckdb
+
+    from legendary_data_pipeline_spark.sources.jsonl import (
+        quarantine,
+        read_jsonl,
+        write_jsonl,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    rows = [r.asDict() for r in docs.collect()]
+    path = tmp_path / "docs.jsonl"
+    BAD = '{"doc_id": 7, "text": unquoted garbage}'
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+        f.write(BAD + "\n")
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    clean, bad = quarantine(read_jsonl(spark, str(path), schema))
+
+    got = {r["doc_id"]: r.asDict() for r in clean.collect()}
+    assert len(got) == 50
+    assert got[rows[0]["doc_id"]] == rows[0]
+    # DuckDB reads the same clean lines identically (cross-engine
+    # check); its ignore_errors surfaces malformed lines as all-NULL
+    # rows, so filter to parsed ones.
+    duck = duckdb.sql(
+        f"SELECT count(*), sum(n_chars) FROM read_json('{path}', "
+        "format='newline_delimited', ignore_errors=true) "
+        "WHERE doc_id IS NOT NULL"
+    ).fetchone()
+    assert duck[0] == 50
+    assert duck[1] == sum(r["n_chars"] for r in rows)
+    # The malformed line is quarantined verbatim, never silently dropped.
+    assert [r["raw_line"] for r in bad.collect()] == [BAD]
+
+    out = tmp_path / "out_jsonl"
+    write_jsonl(clean, str(out))
+    back = read_jsonl(spark, str(out), schema)
+    clean2, bad2 = quarantine(back)
+    assert bad2.count() == 0
+    assert {r["doc_id"]: r.asDict() for r in clean2.collect()} == got
