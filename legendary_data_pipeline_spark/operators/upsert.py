@@ -162,3 +162,93 @@ def write_upsert_partitioned(
         .partitionBy(*partition_cols)
         .parquet(existing_path)
     )
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    attr_cols: Sequence[str],
+    effective_col: str = "effective_date",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 MERGE: apply an update batch to a
+    versioned dimension, closing changed rows and opening new versions.
+
+    The reference's upsert family (S5–S8, `01_import_pricecharting_csv
+    .js:171-186`) OVERWRITES attributes in place; SCD2 is the
+    historized variant a warehouse needs when "what was the price in
+    March" must stay answerable. Semantics per update key:
+    - attrs differ from the CURRENT row (null-safe) → the current row
+      closes (`valid_to` = effective, `current` = false) and a new
+      current version opens (`valid_from` = effective);
+    - attrs identical → no-op (no empty versions);
+    - key absent from the dimension → inserted as a new current row.
+    Historic (non-current) rows pass through untouched; current rows
+    not referenced by the batch stay current. `updates` must be
+    key-unique (one row per key per batch — pre-aggregate a multi-event
+    batch to its latest state first).
+
+    Spark-first shape: one full-outer join on the key + one union of
+    four disjoint classes — never an iterative MERGE loop. At 100 TB
+    both sides shuffle once on the dimension key (or zero times with
+    the dimension bucketed on it); history passthrough is a pure scan.
+    All row classes derive from the SAME join, so Catalyst reuses the
+    exchange under AQE.
+    """
+    keys = list(key_cols)
+    attrs = list(attr_cols)
+    cur = dim.filter(F.col(current_col))
+    hist = dim.filter(~F.col(current_col))
+
+    upd = updates.select(
+        *[F.col(k).alias(f"__u_{k}") for k in keys],
+        *[F.col(a).alias(f"__u_{a}") for a in attrs],
+        F.col(effective_col).alias("__u_eff"),
+    )
+    cond = None
+    for k in keys:
+        c = F.col(k) == F.col(f"__u_{k}")
+        cond = c if cond is None else cond & c
+    joined = cur.join(upd, cond, "full_outer")
+
+    has_cur = F.col(keys[0]).isNotNull()
+    has_upd = F.col(f"__u_{keys[0]}").isNotNull()
+    differs = None
+    for a in attrs:
+        d = ~F.col(a).eqNullSafe(F.col(f"__u_{a}"))
+        differs = d if differs is None else differs | d
+
+    out_cols = [*keys, *attrs, valid_from, valid_to, current_col]
+
+    # 1. current rows without an update, or with a no-op update: as-is.
+    kept = joined.filter(
+        has_cur & (~has_upd | ~differs)
+    ).select(*[F.col(c) for c in out_cols])
+    # 2. current rows with a real change: closed at the effective date.
+    closed = joined.filter(has_cur & has_upd & differs).select(
+        *keys,
+        *attrs,
+        F.col(valid_from),
+        F.col("__u_eff").alias(valid_to),
+        F.lit(False).alias(current_col),
+    )
+    # 3. new versions: changed keys + brand-new keys.
+    opened = joined.filter(
+        has_upd & (~has_cur | differs)
+    ).select(
+        *[F.col(f"__u_{k}").alias(k) for k in keys],
+        *[F.col(f"__u_{a}").alias(a) for a in attrs],
+        F.col("__u_eff").alias(valid_from),
+        F.lit(None).cast(dim.schema[valid_to].dataType).alias(valid_to),
+        F.lit(True).alias(current_col),
+    )
+    # 4. history passthrough.
+    return (
+        hist.select(*out_cols)
+        .unionByName(kept)
+        .unionByName(closed)
+        .unionByName(opened)
+    )

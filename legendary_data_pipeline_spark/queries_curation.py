@@ -928,3 +928,109 @@ def curation_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_n=_SCORE_N,
         flag_threshold=_SCORE_THRESHOLD,
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 historized dimension merge
+# ---------------------------------------------------------------------------
+
+_SCD2_FIXTURE_SQL = """
+    cur AS (
+      SELECT p_partkey,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+             '2024-01-01' AS valid_from,
+             CAST(NULL AS VARCHAR) AS valid_to,
+             TRUE AS is_current
+      FROM part),
+    hist AS (
+      SELECT p_partkey,
+             CAST(round(p_retailprice * 100) AS BIGINT) - 50 AS price_cents,
+             '2023-01-01' AS valid_from,
+             '2024-01-01' AS valid_to,
+             FALSE AS is_current
+      FROM part WHERE p_partkey % 10 = 0),
+    upd AS (
+      SELECT p_partkey,
+             CAST(round(p_retailprice * 100) AS BIGINT)
+               + CASE WHEN p_partkey % 3 = 0 THEN 111 ELSE 0 END
+               AS price_cents,
+             '2024-06-01' AS effective_date
+      FROM part WHERE p_partkey % 3 = 0 OR p_partkey % 5 = 0)
+"""
+
+
+@register_shadow(
+    "s9_scd2_part_prices",
+    f"""
+    WITH {_SCD2_FIXTURE_SQL},
+    joined AS (
+      SELECT c.*, u.p_partkey AS u_key, u.price_cents AS u_price,
+             u.effective_date AS u_eff
+      FROM cur c FULL OUTER JOIN upd u USING (p_partkey)),
+    kept AS (
+      SELECT p_partkey, price_cents, valid_from, valid_to, is_current
+      FROM joined
+      WHERE is_current IS NOT NULL
+        AND (u_key IS NULL OR price_cents = u_price)),
+    closed AS (
+      SELECT p_partkey, price_cents, valid_from, u_eff AS valid_to,
+             FALSE AS is_current
+      FROM joined
+      WHERE is_current IS NOT NULL AND u_key IS NOT NULL
+        AND price_cents <> u_price),
+    opened AS (
+      SELECT p_partkey, u_price AS price_cents, u_eff AS valid_from,
+             CAST(NULL AS VARCHAR) AS valid_to, TRUE AS is_current
+      FROM joined
+      WHERE u_key IS NOT NULL
+        AND (is_current IS NULL OR price_cents <> u_price))
+    SELECT * FROM hist
+    UNION ALL SELECT * FROM kept
+    UNION ALL SELECT * FROM closed
+    UNION ALL SELECT * FROM opened
+    """,
+    doc="SCD2 historized dimension merge — the reference's in-place "
+    "upsert family (S5-S8) extended with versioning: changed keys "
+    "close their current row and open a new version, no-op updates "
+    "leave no empty versions, new keys insert, history passes through. "
+    "One full-outer join + one union of disjoint classes (never an "
+    "iterative MERGE); both sides shuffle once on the dimension key.",
+)
+def s9_scd2_part_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.upsert import scd2_apply
+
+    part = load_table(spark, sf_dir, "part")
+    cents = F.round(F.col("p_retailprice") * 100).cast("long")
+    cur = part.select(
+        "p_partkey",
+        cents.alias("price_cents"),
+        F.lit("2024-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    hist = part.filter(F.col("p_partkey") % 10 == 0).select(
+        "p_partkey",
+        (cents - 50).alias("price_cents"),
+        F.lit("2023-01-01").alias("valid_from"),
+        F.lit("2024-01-01").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    dim = cur.unionByName(hist)
+    updates = part.filter(
+        (F.col("p_partkey") % 3 == 0) | (F.col("p_partkey") % 5 == 0)
+    ).select(
+        "p_partkey",
+        (
+            cents
+            + F.when(F.col("p_partkey") % 3 == 0, F.lit(111)).otherwise(
+                F.lit(0)
+            )
+        ).alias("price_cents"),
+        F.lit("2024-06-01").alias("effective_date"),
+    )
+    return scd2_apply(
+        dim,
+        updates,
+        key_cols=["p_partkey"],
+        attr_cols=["price_cents"],
+    )

@@ -116,3 +116,49 @@ def test_write_upsert_auto_falls_back_to_parquet(spark, tmp_path):
         if mode == "parquet" else \
         {r.k: r.v for r in spark.read.format("delta").load(path).collect()}
     assert state == {1: 11, 2: 20}
+
+
+def test_scd2_apply_semantics(spark):
+    from legendary_data_pipeline_spark.operators.upsert import scd2_apply
+
+    dim = spark.createDataFrame(
+        [
+            # k=1: has history; current price 100, city NULL
+            (1, 100, None, "2023-01-01", "2024-01-01", False),
+            (1, 100, None, "2024-01-01", None, True),
+            # k=2: current only
+            (2, 200, "ber", "2024-01-01", None, True),
+            # k=3: current only, not in batch
+            (3, 300, "par", "2024-01-01", None, True),
+        ],
+        "k int, price int, city string, valid_from string,"
+        " valid_to string, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, 150, None, "2024-06-01"),   # price change (city stays NULL)
+            (2, 200, "ber", "2024-06-01"),  # no-op — attrs identical
+            (4, 400, None, "2024-06-01"),   # brand-new key
+        ],
+        "k int, price int, city string, effective_date string",
+    )
+    out = scd2_apply(
+        dim, updates, key_cols=["k"], attr_cols=["price", "city"]
+    )
+    rows = {
+        (r.k, r.valid_from): (r.price, r.city, r.valid_to, r.is_current)
+        for r in out.collect()
+    }
+    assert len(rows) == 6
+    # k=1: history untouched, old current closed, new version open.
+    assert rows[(1, "2023-01-01")] == (100, None, "2024-01-01", False)
+    assert rows[(1, "2024-01-01")] == (100, None, "2024-06-01", False)
+    assert rows[(1, "2024-06-01")] == (150, None, None, True)
+    # k=2: no-op update leaves the single current row untouched.
+    assert rows[(2, "2024-01-01")] == (200, "ber", None, True)
+    # k=3: untouched; k=4: inserted current.
+    assert rows[(3, "2024-01-01")] == (300, "par", None, True)
+    assert rows[(4, "2024-06-01")] == (400, None, None, True)
+    # Invariant: exactly one current row per live key.
+    cur = out.filter("is_current").groupBy("k").count().collect()
+    assert all(r["count"] == 1 for r in cur)
