@@ -87,3 +87,71 @@ def run_curation_once(
         .start()
     )
     query.awaitTermination()
+
+
+def dedup_against_corpus_stream(
+    stream: DataFrame, corpus_index: DataFrame
+) -> DataFrame:
+    """Continuous incremental exact dedup: classify each streamed doc
+    against a PERSISTED corpus hash index (stream-static join) without
+    ever rescanning the corpus.
+
+    The batch operator (`operators.dedup.incremental_exact_dedup`) ranks
+    within its batch for the new-vs-new decision; a stream has no
+    "batch" to rank inside, so the contract here is the streaming
+    standard: `corpus_dup` (hash already in the index) vs `new` —
+    intra-stream duplicates collapse at the SINK via the keyed upsert
+    (text_sha key), exactly as `run_curation_once` dedups re-deliveries.
+    Statuses stay per-row so downstream can count drop rates per source.
+
+    Scale: the static side is the 32-bytes-per-distinct-text index,
+    pre-bucketed on the hash at 100 TB → the stream side micro-batch
+    probes it as a co-located (or broadcast, for small indexes) join;
+    the corpus itself is never read. Stream-static joins re-plan the
+    static side per micro-batch, picking up index growth between
+    triggers.
+    """
+    hashed = stream.withColumn("text_sha", F.sha2(F.col("text"), 256))
+    idx = corpus_index.select("text_sha").distinct().withColumn(
+        "__in_corpus", F.lit(True)
+    )
+    return (
+        hashed.join(idx, "text_sha", "left")
+        .withColumn(
+            "dedup_status",
+            F.when(F.col("__in_corpus"), F.lit("corpus_dup")).otherwise(
+                F.lit("new")
+            ),
+        )
+        .drop("__in_corpus")
+    )
+
+
+def run_incremental_dedup_once(
+    spark: SparkSession,
+    docs_path: str,
+    corpus_index_path: str,
+    target_path: str,
+    checkpoint_path: str,
+) -> None:
+    """Drain available document files once, classify against the corpus
+    index, and MERGE only NEW documents into the target (keyed by
+    content hash, min-doc_id winner within a batch)."""
+    stream = read_documents_stream(spark, docs_path)
+    idx = spark.read.parquet(corpus_index_path)
+    classified = dedup_against_corpus_stream(stream, idx)
+    fresh = classified.filter(F.col("dedup_status") == "new")
+    query = (
+        fresh.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(
+            upsert_sink(
+                target_path,
+                ["text_sha"],
+                order_within_source=[F.col("doc_id").asc()],
+            )
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
