@@ -152,3 +152,57 @@ def test_chunk_sequences_invariants(spark, sf_dir):
     )
     assert idx.filter((F.col("lo") != 0) | (F.col("hi") != F.col("n") - 1)).count() == 0
     chunks.unpersist()
+
+
+def test_weighted_sample_plan_rides_window_group_limit(spark, sf_dir):
+    from legendary_data_pipeline_spark.operators.curation import (
+        weighted_sample_n,
+    )
+
+    docs = _docs(spark, sf_dir)
+    out = weighted_sample_n(
+        docs, 20, weight_col="n_chars", stratum_col="lang"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # Per-stratum top-N must be a bounded WindowGroupLimit, never a full
+    # per-partition sort materialization of the corpus.
+    assert "WindowGroupLimit" in plan
+    # One shuffle only: the stratum-key exchange feeding the window.
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_contamination_score_plan_broadcasts_benchmark(spark, sf_dir):
+    from legendary_data_pipeline_spark.operators.curation import (
+        contamination_scores,
+    )
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    plan = (
+        contamination_scores(train, bench, shingle_n=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # The probe joins the corpus against BROADCAST benchmark shingles —
+    # the corpus-sized side must never sort-merge on shingle text.
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_boilerplate_spans_shuffle_only_on_hash_and_id(spark, sf_dir):
+    from legendary_data_pipeline_spark.operators.curation import (
+        boilerplate_span_stats,
+    )
+
+    docs = _docs(spark, sf_dir)
+    out = boilerplate_span_stats(docs, span_tokens=12)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # Exchanges may only key on the span hash or the doc id — span TEXT
+    # must never be a shuffle key (hash-first principle).
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^,]+),", plan):
+        key = m.group(1)
+        assert "span_hash" in key or "doc_id" in key, f"bad shuffle key: {key}"
