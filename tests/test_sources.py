@@ -188,3 +188,17 @@ def test_jsonl_roundtrip_and_quarantine(spark, sf_dir, tmp_path):
     clean2, bad2 = quarantine(back)
     assert bad2.count() == 0
     assert {r["doc_id"]: r.asDict() for r in clean2.collect()} == got
+
+
+def test_orc_roundtrip_matches_parquet(spark, sf_dir, tmp_path):
+    """ORC source/sink parity: the engine is format-agnostic on its
+    columnar inputs — a table written as ORC reads back row-identical
+    to the parquet source of truth (schema included)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "docs_orc")
+    docs.write.orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == docs.schema
+    assert {tuple(r) for r in back.collect()} == {
+        tuple(r) for r in docs.collect()
+    }

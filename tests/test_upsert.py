@@ -162,3 +162,30 @@ def test_scd2_apply_semantics(spark):
     # Invariant: exactly one current row per live key.
     cur = out.filter("is_current").groupBy("k").count().collect()
     assert all(r["count"] == 1 for r in cur)
+
+
+def test_scd2_apply_is_idempotent(spark):
+    """Re-applying the same batch must be a pure no-op: every update
+    now matches the (new) current row, so no rows close and no versions
+    open — the retry/replay safety a warehouse merge needs."""
+    from legendary_data_pipeline_spark.operators.upsert import scd2_apply
+
+    dim = spark.createDataFrame(
+        [
+            (1, 100, "2024-01-01", None, True),
+            (2, 200, "2024-01-01", None, True),
+        ],
+        "k int, price int, valid_from string, valid_to string,"
+        " is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [(1, 150, "2024-06-01"), (3, 300, "2024-06-01")],
+        "k int, price int, effective_date string",
+    )
+    once = scd2_apply(dim, updates, ["k"], ["price"])
+    twice = scd2_apply(once, updates, ["k"], ["price"])
+    key = lambda r: (r.k, r.valid_from)
+    assert {key(r): tuple(r) for r in once.collect()} == {
+        key(r): tuple(r) for r in twice.collect()
+    }
+    assert once.count() == 4  # 1 closed + 1 opened + 1 kept + 1 inserted
