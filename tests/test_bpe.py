@@ -1,0 +1,66 @@
+"""BPE tokenizer contracts: merge-table learning, round-trip fidelity,
+determinism, and actual compression over the corpus sample.
+"""
+
+from __future__ import annotations
+
+from legendary_data_pipeline_spark.operators.bpe import (
+    EOW,
+    _encode_word,
+    apply_bpe,
+    sample_texts,
+    train_bpe,
+)
+
+
+def test_train_learns_frequent_pairs_first():
+    # Word 'aab' x3: pairs (a,a), (a,b), (b,</w>) all tie at 3 — the
+    # deterministic tie-break picks the lexicographically smallest.
+    merges = train_bpe(["aab aab aab"], n_merges=1, min_pair_count=2)
+    assert merges == [("a", "a")]
+    # Clear majority wins over the tie-break.
+    merges = train_bpe(["xy xy xy", "xz"], n_merges=1, min_pair_count=2)
+    assert merges == [("x", "y")]
+
+
+def test_encode_round_trips_and_uses_merges():
+    merges = train_bpe(["hello hello hello help"], n_merges=50, min_pair_count=2)
+    ranks = {p: i for i, p in enumerate(merges)}
+    toks = _encode_word("hello", ranks)
+    assert "".join(toks) == "hello" + EOW  # lossless
+    assert len(toks) < len("hello") + 1  # actually compressed
+    # Unseen word still encodes (falls back toward characters).
+    toks2 = _encode_word("zzq", ranks)
+    assert "".join(toks2) == "zzq" + EOW
+
+
+def test_training_is_deterministic():
+    texts = ["the quick brown fox", "the quick red fox", "the slow fox"]
+    assert train_bpe(texts, n_merges=30) == train_bpe(texts, n_merges=30)
+
+
+def test_apply_bpe_compresses_corpus(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sample = sample_texts(docs)
+    assert sample
+    merges = train_bpe(sample, n_merges=150)
+    out = apply_bpe(docs, merges)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    # Sanity: token counts are positive and bounded by char counts.
+    chars = {
+        r["doc_id"]: r["n_chars"]
+        for r in docs.select("doc_id", "n_chars").collect()
+    }
+    for r in rows:
+        assert 0 < r["n_bpe_tokens"] <= chars[r["doc_id"]] + r["n_words"]
+    # The corpus vocabulary is tiny, so BPE must compress hard: well
+    # under 2 subword tokens per word on average (chars-per-word ≈ 4).
+    avg = sum(r["bpe_per_word"] * r["n_words"] for r in rows) / sum(
+        r["n_words"] for r in rows
+    )
+    assert avg < 2.0, f"bpe_per_word {avg:.2f} — merges not applied?"
+    # Rerun is value-identical (sample, training, application all
+    # deterministic).
+    again = {r["doc_id"]: r["n_bpe_tokens"] for r in apply_bpe(docs, merges).collect()}
+    assert again == {r["doc_id"]: r["n_bpe_tokens"] for r in rows}
