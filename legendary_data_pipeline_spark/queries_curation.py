@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from legendary_data_pipeline_spark.catalog import load_table
+from legendary_data_pipeline_spark.functions import text as text_sql
 from legendary_data_pipeline_spark.functions.hashing import seeded_md5_long_sql
 from legendary_data_pipeline_spark.operators import curation as C
 from legendary_data_pipeline_spark.queries import register_shadow
@@ -1033,4 +1034,96 @@ def s9_scd2_part_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         updates,
         key_cols=["p_partkey"],
         attr_cols=["price_cents"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + URL-keyed dedup
+# ---------------------------------------------------------------------------
+
+# Deterministic crawl-noise injection: consecutive doc pairs (g =
+# doc_id // 2) are the SAME logical page reached through different
+# scheme-case / port / duplicate-slash / trailing-slash / tracking /
+# fragment variants — the oracle replays the identical construction.
+_URL_VARIANT_SQL = """
+      CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END
+      || CASE WHEN doc_id % 3 = 0
+              THEN 'WWW.Site' || CAST((doc_id // 2) % 5 AS VARCHAR) || '.COM'
+              ELSE 'www.site' || CAST((doc_id // 2) % 5 AS VARCHAR) || '.com'
+         END
+      || CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END
+      || CASE WHEN doc_id % 6 = 0 THEN '//docs//' ELSE '/docs/' END
+      || CAST(doc_id // 2 AS VARCHAR)
+      || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+      || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&q=' ELSE '?q=' END
+      || CAST(doc_id // 2 AS VARCHAR)
+      || CASE WHEN doc_id % 3 = 1
+              THEN '#s' || CAST(doc_id AS VARCHAR) ELSE '' END
+"""
+
+
+def _url_variant_col() -> F.Column:
+    g = (F.col("doc_id") / 2).cast("long")
+    return F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP://")).otherwise(
+            F.lit("https://")
+        ),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("WWW.Site"), (g % 5).cast("string"), F.lit(".COM")),
+        ).otherwise(
+            F.concat(F.lit("www.site"), (g % 5).cast("string"), F.lit(".com"))
+        ),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 6 == 0, F.lit("//docs//")).otherwise(
+            F.lit("/docs/")
+        ),
+        g.cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("?utm_source=feed&q=")).otherwise(
+            F.lit("?q=")
+        ),
+        g.cast("string"),
+        F.when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("#s"), F.col("doc_id").cast("string")),
+        ).otherwise(F.lit("")),
+    )
+
+
+@register_shadow(
+    "curation_url_dedup",
+    f"""
+    WITH urls AS (
+      SELECT doc_id, {_URL_VARIANT_SQL} AS url FROM documents),
+    canon AS (
+      SELECT doc_id, url, {text_sql.canonical_url_sql("url")} AS canon_url
+      FROM urls)
+    SELECT doc_id, canon_url,
+           MIN(doc_id) OVER (PARTITION BY canon_url) AS url_owner,
+           doc_id <> MIN(doc_id) OVER (PARTITION BY canon_url) AS is_url_dup
+    FROM canon
+    """,
+    doc="URL-keyed dedup on canonical forms: lowercase scheme/host, "
+    "https upgrade, default-port/fragment/tracking-param removal, "
+    "slash normalization — crawls reach one page many ways, and only "
+    "the canonical form groups them. Canonicalization is a pure "
+    "codegen projection in the scan stage; the dedup groups on the "
+    "canonical string (min-id owner, same convention as exact_dedup).",
+)
+def curation_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from legendary_data_pipeline_spark.functions.text import canonical_url
+
+    docs = load_table(spark, sf_dir, "documents")
+    canon = docs.select(
+        "doc_id", canonical_url(_url_variant_col()).alias("canon_url")
+    )
+    w = Window.partitionBy("canon_url")
+    return canon.select(
+        "doc_id",
+        "canon_url",
+        F.min("doc_id").over(w).alias("url_owner"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_url_dup"),
     )
