@@ -183,3 +183,4 @@ def run_daily_rollup_once(
         .start()
     )
     query.awaitTermination()
+

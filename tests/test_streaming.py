@@ -127,3 +127,57 @@ def test_streaming_dedup_drops_redelivered(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == n_unique
     assert got.select("event_id").distinct().count() == n_unique
+
+
+def test_dedup_events_within_watermark_drops_redeliveries(spark, tmp_path):
+    """The same file delivered twice (two micro-batches) must yield each
+    event_id exactly once; a fresh third batch still flows through."""
+    import shutil
+
+    from legendary_data_pipeline_spark.streaming.snapshots import (
+        dedup_events_stream,
+        read_events_stream,
+    )
+
+    events_dir = tmp_path / "ev_dup"
+    events_dir.mkdir()
+    shutil.copyfile(f"{SF_DIR}/events.parquet", events_dir / "a.parquet")
+    shutil.copyfile(f"{SF_DIR}/events.parquet", events_dir / "b.parquet")
+
+    stream = read_events_stream(spark, str(events_dir), max_files_per_trigger=1)
+    deduped = dedup_events_stream(stream, watermark="36500 days")
+    out = str(tmp_path / "deduped_out")
+    ckpt = str(tmp_path / "ckpt_dedup")
+
+    def drain():
+        (
+            deduped.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    drain()
+    n_src = normalize_event_ts(
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ).count()
+    got = spark.read.parquet(out)
+    assert got.count() == n_src  # redelivery fully suppressed
+    assert got.select("event_id").distinct().count() == n_src
+    # A genuinely new event in a later batch passes through.
+    spark.createDataFrame(
+        [(10**9, _far_future_ntz(), 1, "x", 0.0, "{}")],
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string",
+    ).write.mode("append").parquet(str(events_dir))
+    drain()
+    assert spark.read.parquet(out).count() == n_src + 1
+
+
+def _far_future_ntz():
+    import datetime as dt
+
+    return dt.datetime(2031, 1, 1)
