@@ -256,3 +256,87 @@ def canonical_members(components: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         F.min("node").alias("canonical_id"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    max_iterations: int = 20,
+    tol: float = 1e-6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """PageRank over a directed edge list → (node, rank), Σrank = 1.
+
+    The crawl-curation use: domain/page authority as a quality prior
+    when composing a training mix (CommonCrawl-style source weighting) —
+    rank feeds `weighted_sample_n`/`repeat_by_weight` as the weight.
+
+    Standard damped formulation with dangling-mass redistribution:
+    rank = (1−d)/N + d·(Σ_in rank/out_deg + dangling/N). Each round is
+    one join of the rank vector with the edge list + one groupBy(dst)
+    sum — state is (node, rank) pairs, never the corpus. Lineage is
+    truncated per round (`localCheckpoint`, same contract as
+    `connected_components`); the dangling-mass scalar and the L1
+    convergence delta are single-row aggregations per round
+    (metadata-scale driver actions). Deterministic: float summation
+    order varies across runs at ~1e-15 — round the OUTPUT, not the
+    iteration, if byte-stable results are needed.
+    """
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).distinct().localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    degs = nodes.join(
+        out_deg, nodes["node"] == out_deg["src"], "left"
+    ).select("node", F.coalesce(F.col("__deg"), F.lit(0)).alias("__deg"))
+    degs = degs.localCheckpoint(eager=True)
+
+    ranks = degs.select("node", "__deg", F.lit(1.0 / n).alias("rank"))
+    base = (1.0 - damping) / n
+    for _ in range(max_iterations):
+        dangling = (
+            ranks.filter(F.col("__deg") == 0).agg(F.sum("rank")).first()[0]
+            or 0.0
+        )
+        contrib = (
+            ranks.filter(F.col("__deg") > 0)
+            .join(e, ranks["node"] == e["src"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("__deg")).alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        new_ranks = (
+            degs.join(contrib, "node", "left")
+            .select(
+                "node",
+                "__deg",
+                (
+                    F.lit(base + damping * dangling / n)
+                    + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        delta = (
+            new_ranks.alias("a")
+            .join(ranks.alias("b"), "node")
+            .agg(F.sum(F.abs(F.col("a.rank") - F.col("b.rank"))))
+            .first()[0]
+        )
+        ranks = new_ranks
+        if delta is not None and delta < tol:
+            break
+    return ranks.select("node", "rank")

@@ -1127,3 +1127,37 @@ def curation_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").over(w).alias("url_owner"),
         (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_url_dup"),
     )
+
+
+# ---------------------------------------------------------------------------
+# domain-authority PageRank (rows-only: iterative float fixpoint)
+# ---------------------------------------------------------------------------
+
+
+@register_shadow(
+    "curation_domain_pagerank",
+    None,  # iterative damped fixpoint — numpy-parity pinned in
+    # tests/test_graph.py (dangling mass, cycle uniformity, hub order)
+    doc="Domain-authority PageRank over the inter-site link graph "
+    "(synthesized deterministically from the URL fixture's site ids): "
+    "the crawl-quality prior that weights sources in a training mix — "
+    "rank feeds weighted_sample_n/repeat_by_weight as the weight. "
+    "Per round: one rank-vector join + one groupBy sum, lineage "
+    "truncated; dangling mass and convergence are single-row driver "
+    "aggregations.",
+)
+def curation_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = (F.col("doc_id") / 2).cast("long")
+    # 97 sites, ~250 distinct links — sparse enough that authority
+    # actually differentiates (a small modulus saturates to a complete
+    # digraph whose PageRank is uniformly boring).
+    edges = docs.select(
+        (g % 97).alias("src"),
+        ((F.col("doc_id") * 31 + 7) % 97).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return pagerank(edges).select(
+        "node", F.round(F.col("rank"), 6).alias("rank")
+    )

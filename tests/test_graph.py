@@ -107,3 +107,42 @@ def test_canonical_members_summary(spark):
         for r in canonical_members(comps).collect()
     )
     assert rows == [(1, 3, 1), (10, 2, 10)]
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from legendary_data_pipeline_spark.operators.graph import pagerank
+
+    # Directed graph with a dangling node (3) and a hub (0).
+    E = [(0, 1), (0, 2), (1, 0), (2, 0), (2, 1), (4, 0), (4, 3), (1, 3)]
+    edges = spark.createDataFrame(E, "src long, dst long")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, max_iterations=50, tol=1e-12).collect()
+    }
+
+    n, d = 5, 0.85
+    M = np.zeros((n, n))
+    deg = {u: sum(1 for a, _ in E if a == u) for u in range(n)}
+    for u, v in E:
+        M[v, u] = 1.0 / deg[u]
+    r = np.full(n, 1.0 / n)
+    for _ in range(200):
+        dangling = sum(r[u] for u in range(n) if deg[u] == 0)
+        r = (1 - d) / n + d * (M @ r + dangling / n)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for u in range(n):
+        assert abs(got[u] - r[u]) < 1e-6, (u, got[u], r[u])
+    # The hub outranks the dangling sink's parents.
+    assert got[0] == max(got.values())
+
+
+def test_pagerank_uniform_on_cycle(spark):
+    from legendary_data_pipeline_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 6) for i in range(6)], "src long, dst long"
+    )
+    got = [r["rank"] for r in pagerank(edges, max_iterations=30).collect()]
+    assert all(abs(x - 1 / 6) < 1e-9 for x in got)
