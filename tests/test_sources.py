@@ -202,3 +202,41 @@ def test_orc_roundtrip_matches_parquet(spark, sf_dir, tmp_path):
     assert {tuple(r) for r in back.collect()} == {
         tuple(r) for r in docs.collect()
     }
+
+
+def test_normalize_event_ts_handles_both_parquet_types(spark, tmp_path):
+    """The events loader must yield identical integer nanos whether the
+    file carries TIMESTAMP(NANOS) (legacy generator, read as long via
+    nanosAsLong) or TIMESTAMP(MICROS) NTZ (current generator)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from legendary_data_pipeline_spark.catalog import load_table
+
+    base = dt.datetime(2024, 1, 1)
+    stamps = [base + dt.timedelta(seconds=i, microseconds=i * 7) for i in range(5)]
+    cols = {
+        "event_id": pa.array(range(5), pa.int64()),
+        "user_id": pa.array([1] * 5, pa.int64()),
+        "event_type": pa.array(["t"] * 5),
+        "value": pa.array([0.0] * 5),
+        "props": pa.array(["{}"] * 5),
+    }
+    for unit, sub in (("ns", "ns_dir"), ("us", "us_dir")):
+        d = tmp_path / sub
+        d.mkdir()
+        t = pa.table({**cols, "ts": pa.array(stamps, pa.timestamp(unit))})
+        pq.write_table(t, d / "events.parquet")
+
+    ns = load_table(spark, str(tmp_path / "ns_dir"), "events")
+    us = load_table(spark, str(tmp_path / "us_dir"), "events")
+    assert dict(ns.dtypes)["ts"] == "bigint"
+    assert dict(us.dtypes)["ts"] == "bigint"
+    get = lambda df: {r["event_id"]: r["ts"] for r in df.collect()}
+    ns_ts, us_ts = get(ns), get(us)
+    assert ns_ts == us_ts
+    # Spot-check absolute value: 2024-01-01T00:00:01.000007 in nanos.
+    epoch = int((stamps[1] - dt.datetime(1970, 1, 1)).total_seconds() * 1e6) * 1000
+    assert ns_ts[1] == epoch
