@@ -214,6 +214,58 @@ def cmd_revalue(spark: SparkSession, args) -> int:
     return 0
 
 
+def cmd_curate(spark: SparkSession, args) -> int:
+    """End-to-end corpus curation: ingest (JSONL or parquet) → quality/
+    PII/content-hash stage → exact dedup (min-id keeper) → curated
+    parquet + JSONL quarantine, with run/lineage logging.
+
+    The CLI form of the continuous pipeline (streaming/curation.py) for
+    batch corpora — same stage function, same keyed-dedup convention, so
+    a batch backfill and the stream produce identical curated tables.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from legendary_data_pipeline_spark.sources.jsonl import (
+        quarantine,
+        read_jsonl,
+    )
+    from legendary_data_pipeline_spark.streaming.curation import (
+        DOCUMENTS_SCHEMA,
+        curate_documents,
+    )
+
+    log = _table(args.warehouse, "pipeline_runs")
+    run_id = start_run(spark, log, "curate", file_name=args.input)
+    if args.input.endswith((".jsonl", ".json")):
+        raw, bad = quarantine(read_jsonl(spark, args.input, DOCUMENTS_SCHEMA))
+        n_bad = bad.count()
+        if n_bad:
+            bad.write.mode("overwrite").json(
+                _table(args.warehouse, "curate_quarantine")
+            )
+    else:
+        raw, n_bad = spark.read.parquet(args.input), 0
+    curated = curate_documents(raw)
+    rn = F.row_number().over(
+        Window.partitionBy("text_sha").orderBy(F.col("doc_id").asc())
+    )
+    unique = (
+        curated.withColumn("__rn", rn).filter(F.col("__rn") == 1).drop("__rn")
+    )
+    if args.min_quality is not None:
+        unique = unique.filter(F.col("quality_score") >= args.min_quality)
+    unique.write.mode("overwrite").parquet(
+        _table(args.warehouse, "curated_documents")
+    )
+    n_out = spark.read.parquet(
+        _table(args.warehouse, "curated_documents")
+    ).count()
+    finish_run(spark, log, run_id, "curate", n_out)
+    print(f"curate: wrote {n_out} docs, quarantined {n_bad} lines")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(prog="legendary_data_pipeline_spark")
     parser.add_argument("--master", default=None)
@@ -255,6 +307,12 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("revalue")
     common(p)
     p.set_defaults(fn=cmd_revalue)
+
+    p = sub.add_parser("curate")
+    common(p)
+    p.add_argument("--input", required=True, help="JSONL file or parquet dir")
+    p.add_argument("--min-quality", type=float, default=None)
+    p.set_defaults(fn=cmd_curate)
     return parser
 
 

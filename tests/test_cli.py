@@ -120,3 +120,37 @@ def test_cli_pipeline_end_to_end(spark, tmp_path, monkeypatch):
     }
     assert by_job["import_pricecharting"] == 4  # 2 runs x (start+finish)
     assert all(v % 2 == 0 for v in by_job.values())
+
+
+def test_cli_curate_jsonl_end_to_end(spark, sf_dir, tmp_path):
+    """`curate` ingests JSONL, quarantines bad lines, dedups by content
+    hash, writes the curated table, and logs the run."""
+    import json
+
+    from legendary_data_pipeline_spark.cli import build_parser
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    rows = [r.asDict() for r in docs.collect()]
+    # Append an exact-duplicate text under a higher doc_id, and one
+    # malformed line.
+    dup = dict(rows[0], doc_id=10_000)
+    src = tmp_path / "in.jsonl"
+    with open(src, "w") as f:
+        for r in rows + [dup]:
+            f.write(json.dumps(r) + "\n")
+        f.write("not json {\n")
+
+    wh = str(tmp_path / "wh")
+    args = build_parser().parse_args(
+        ["curate", "--warehouse", wh, "--input", str(src)]
+    )
+    assert args.fn(spark, args) == 0
+
+    curated = spark.read.parquet(f"{wh}/curated_documents")
+    assert curated.count() == 40  # dup collapsed
+    ids = {r["doc_id"] for r in curated.select("doc_id").collect()}
+    assert rows[0]["doc_id"] in ids and 10_000 not in ids  # min-id keeper
+    quarantined = spark.read.json(f"{wh}/curate_quarantine")
+    assert quarantined.count() == 1
+    runs = spark.read.parquet(f"{wh}/pipeline_runs")
+    assert runs.filter("job = 'curate' AND status = 'finished'").count() == 1
