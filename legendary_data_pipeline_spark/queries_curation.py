@@ -1161,3 +1161,84 @@ def curation_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges).select(
         "node", F.round(F.col("rank"), 6).alias("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-source shingle-overlap matrix
+# ---------------------------------------------------------------------------
+
+
+@register_shadow(
+    "curation_overlap_matrix",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT source, s FROM (
+        SELECT source, {_shingle_expr(4)} AS s
+        FROM toks WHERE len(t) >= 4)),
+    sizes AS (
+      SELECT source, COUNT(*) AS n FROM sh GROUP BY source)
+    SELECT a.source AS source_a, b.source AS source_b,
+           COUNT(*) AS shared_shingles,
+           sa.n AS distinct_a, sb.n AS distinct_b,
+           round(CAST(COUNT(*) AS DOUBLE)
+                 / (sa.n + sb.n - COUNT(*)), 6) AS jaccard
+    FROM sh a
+    JOIN sh b ON a.s = b.s AND a.source < b.source
+    JOIN sizes sa ON sa.source = a.source
+    JOIN sizes sb ON sb.source = b.source
+    GROUP BY a.source, b.source, sa.n, sb.n
+    """,
+    doc="Cross-corpus leakage matrix: distinct word-4-gram overlap (and "
+    "set Jaccard) for every source pair — the fleet-level view that "
+    "tells a mixture designer WHICH corpora duplicate each other "
+    "before any doc-level dedup runs. One distinct-shingle pass, one "
+    "self-join keyed on the (uniform) shingle, counts merged map-side; "
+    "source-pair cardinality is tiny, so the result is driver-sized.",
+)
+def curation_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.dedup import shingles_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select(
+            "source", F.explode(shingles_expr("text", 4)).alias("s")
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("source").alias("source_a"), "s")
+    b = sh.select(F.col("source").alias("source_b"), "s")
+    pairs = (
+        a.join(b, "s")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("n").alias("distinct_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("n").alias("distinct_b")
+    )
+    jac = F.round(
+        F.col("shared_shingles").cast("double")
+        / (
+            F.col("distinct_a") + F.col("distinct_b")
+            - F.col("shared_shingles")
+        ),
+        6,
+    )
+    return (
+        pairs.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_shingles",
+            "distinct_a",
+            "distinct_b",
+            jac.alias("jaccard"),
+        )
+    )
