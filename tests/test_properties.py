@@ -131,3 +131,35 @@ def test_upsert_laws_property(spark):
         assert again == merged
 
     check()
+
+
+def test_canonical_url_is_idempotent(spark):
+    """A canonicalizer must be a projection: applying it twice equals
+    applying it once, over a generator covering every rule interaction
+    (case, ports, dup slashes, trailing slash, tracking params,
+    fragments, multiple query params)."""
+    from itertools import product
+
+    from pyspark.sql import functions as F
+
+    from legendary_data_pipeline_spark.functions.text import canonical_url
+
+    urls = []
+    for scheme, port, path, trail, qs, frag in product(
+        ("http://", "HTTPS://"),
+        ("", ":80", ":443", ":8080"),
+        ("/a//b", "/a/b", ""),
+        ("", "/"),
+        ("", "?q=1", "?utm_source=x&q=1", "?q=1&gclid=g&r=2", "?utm_campaign=c"),
+        ("", "#frag"),
+    ):
+        urls.append(f"{scheme}Ex.COM{port}{path}{trail}{qs}{frag}")
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    once = canonical_url(F.col("u"))
+    out = df.select(
+        once.alias("c1"), canonical_url(once).alias("c2")
+    ).collect()
+    diffs = [(r["c1"], r["c2"]) for r in out if r["c1"] != r["c2"]]
+    assert not diffs, f"non-idempotent on {diffs[:5]}"
+    # And every canonical form is https with a lowercase host.
+    assert all(r["c1"].startswith("https://ex.com") for r in out)
