@@ -1,0 +1,141 @@
+"""Versioned parquet tables: snapshots, time travel, rollback.
+
+Delta/Iceberg are not installable in this environment, but their core
+read-side contract — "readers always see a complete snapshot; history
+stays queryable" — is a directory-layout protocol, not a library:
+
+    <table>/
+      _versions/v00000001.json   ← manifest per committed version
+      data/v=1/part-*.parquet    ← immutable snapshot data
+
+A writer stages the new snapshot under `data/v=N`, then publishes it by
+writing the manifest; readers resolve the LATEST MANIFEST, never the
+data directory listing, so a crashed half-written snapshot (data
+present, no manifest) is invisible. Manifests are tiny JSON (metadata
+scale); snapshots are immutable, so time travel and rollback are
+reads + a re-publish, never rewrites.
+
+Caveat (documented, not hidden): publish is one small-file write —
+atomic on HDFS/local rename semantics, last-writer-wins on S3 without a
+coordination layer. Single-writer pipelines (this engine's CLI jobs)
+are the intended user; concurrent writers need a real table format.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+_VERSIONS = "_versions"
+
+
+def _manifest_dir(table: str) -> str:
+    return os.path.join(table, _VERSIONS)
+
+
+def versions(table: str) -> list[dict]:
+    """All committed manifests, ascending by version."""
+    d = _manifest_dir(table)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in sorted(os.listdir(d)):
+        if name.startswith("v") and name.endswith(".json"):
+            with open(os.path.join(d, name)) as f:
+                out.append(json.load(f))
+    return out
+
+
+def latest_version(table: str) -> int | None:
+    vs = versions(table)
+    return vs[-1]["version"] if vs else None
+
+
+def write_version(
+    df: DataFrame, table: str, op: str = "overwrite"
+) -> int:
+    """Commit `df` as the table's next snapshot; returns its version.
+
+    Stage-then-publish: the parquet write fully completes under
+    `data/v=N` before the manifest appears, so readers (who resolve via
+    manifests only) never observe a partial snapshot. A crashed writer
+    leaves an orphaned `data/v=K` with no manifest — version allocation
+    skips past any staged directory, so the orphan stays invisible
+    forever (garbage for a vacuum job) and never blocks the next
+    commit.
+    """
+    staged = 0
+    data_root = os.path.join(table, "data")
+    if os.path.isdir(data_root):
+        for name in os.listdir(data_root):
+            if name.startswith("v="):
+                try:
+                    staged = max(staged, int(name[2:]))
+                except ValueError:
+                    pass
+    n = max(latest_version(table) or 0, staged) + 1
+    data_path = os.path.join(table, "data", f"v={n}")
+    df.write.mode("error").parquet(data_path)
+    rows = df.sparkSession.read.parquet(data_path).count()
+    os.makedirs(_manifest_dir(table), exist_ok=True)
+    manifest = {
+        "version": n,
+        "op": op,
+        "rows": rows,
+        "committed_at": time.time(),
+        "data_path": data_path,
+    }
+    tmp = os.path.join(_manifest_dir(table), f".v{n:08d}.json.tmp")
+    final = os.path.join(_manifest_dir(table), f"v{n:08d}.json")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.rename(tmp, final)  # the publish point
+    return n
+
+
+def read_version(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    """Read a snapshot — the latest, or any historical `version`
+    (time travel)."""
+    vs = versions(table)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions under {table}")
+    by_n = {m["version"]: m for m in vs}
+    n = version if version is not None else vs[-1]["version"]
+    if n not in by_n:
+        raise ValueError(
+            f"version {n} not found; have {sorted(by_n)}"
+        )
+    return spark.read.parquet(by_n[n]["data_path"])
+
+
+def rollback(spark: SparkSession, table: str, version: int) -> int:
+    """Re-publish an old snapshot as the NEW latest version (history is
+    preserved — rollback is itself a committed version, audit-friendly)."""
+    old = read_version(spark, table, version)
+    return write_version(old, table, op=f"rollback_to_{version}")
+
+
+def upsert_version(
+    batch: DataFrame,
+    table: str,
+    keys: list[str],
+    order_within_source=(),
+) -> int:
+    """Keyed MERGE as a new snapshot: latest ∪ batch with batch winning
+    per key (the engine's S5 upsert semantics, now with history — every
+    merge is a queryable, rollback-able version)."""
+    from legendary_data_pipeline_spark.operators.upsert import upsert
+
+    spark = batch.sparkSession
+    if latest_version(table) is None:
+        merged = batch
+    else:
+        merged = upsert(
+            read_version(spark, table), batch, keys, order_within_source
+        )
+    return write_version(merged, table, op="upsert")

@@ -1,0 +1,108 @@
+"""Versioned parquet tables: snapshot publish, time travel, rollback,
+merge-with-history, and crash invisibility.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from legendary_data_pipeline_spark.sources.versioned import (
+    latest_version,
+    read_version,
+    rollback,
+    upsert_version,
+    versions,
+    write_version,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k int, v string")
+
+
+def test_snapshot_publish_and_time_travel(spark, tmp_path):
+    table = str(tmp_path / "t")
+    assert latest_version(table) is None
+    v1 = write_version(_df(spark, [(1, "a"), (2, "b")]), table)
+    v2 = write_version(_df(spark, [(1, "a2")]), table)
+    assert (v1, v2) == (1, 2)
+    assert latest_version(table) == 2
+    # Latest read sees only v2; v1 stays queryable (time travel).
+    assert {tuple(r) for r in read_version(spark, table).collect()} == {
+        (1, "a2")
+    }
+    assert {tuple(r) for r in read_version(spark, table, 1).collect()} == {
+        (1, "a"),
+        (2, "b"),
+    }
+    ops = [m["op"] for m in versions(table)]
+    assert ops == ["overwrite", "overwrite"]
+    with pytest.raises(ValueError):
+        read_version(spark, table, 99)
+
+
+def test_rollback_preserves_history(spark, tmp_path):
+    table = str(tmp_path / "t")
+    write_version(_df(spark, [(1, "good")]), table)
+    write_version(_df(spark, [(1, "bad")]), table)
+    v3 = rollback(spark, table, 1)
+    assert v3 == 3
+    assert {tuple(r) for r in read_version(spark, table).collect()} == {
+        (1, "good")
+    }
+    # The bad version is still auditable.
+    assert {tuple(r) for r in read_version(spark, table, 2).collect()} == {
+        (1, "bad")
+    }
+    assert versions(table)[-1]["op"] == "rollback_to_1"
+
+
+def test_upsert_version_merges_with_history(spark, tmp_path):
+    table = str(tmp_path / "t")
+    upsert_version(_df(spark, [(1, "a"), (2, "b")]), table, ["k"])
+    upsert_version(
+        _df(spark, [(2, "B"), (3, "c")]),
+        table,
+        ["k"],
+        order_within_source=[F.col("v").asc()],
+    )
+    assert {tuple(r) for r in read_version(spark, table).collect()} == {
+        (1, "a"),
+        (2, "B"),
+        (3, "c"),
+    }
+    # Pre-merge state remains readable.
+    assert {tuple(r) for r in read_version(spark, table, 1).collect()} == {
+        (1, "a"),
+        (2, "b"),
+    }
+
+
+def test_unpublished_snapshot_is_invisible(spark, tmp_path):
+    """Data staged without a manifest (a crashed writer) must never be
+    served — readers resolve manifests, not directory listings."""
+    table = str(tmp_path / "t")
+    write_version(_df(spark, [(1, "a")]), table)
+    # Simulate a crash: stage v=2 data, no manifest.
+    _df(spark, [(9, "partial")]).write.parquet(
+        os.path.join(table, "data", "v=2")
+    )
+    assert latest_version(table) == 1
+    assert {tuple(r) for r in read_version(spark, table).collect()} == {
+        (1, "a")
+    }
+    # The next commit allocates PAST the orphan — it never blocks and
+    # its rows never surface.
+    v = write_version(_df(spark, [(2, "b")]), table)
+    assert v == 3
+    assert {tuple(r) for r in read_version(spark, table).collect()} == {
+        (2, "b")
+    }
+    assert 9 not in {
+        r["k"]
+        for m in versions(table)
+        for r in read_version(spark, table, m["version"]).collect()
+    }
