@@ -139,3 +139,32 @@ def upsert_version(
             read_version(spark, table), batch, keys, order_within_source
         )
     return write_version(merged, table, op="upsert")
+
+
+def compact_version(
+    spark: SparkSession,
+    table: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Commit a compacted copy of the latest snapshot as a new version.
+
+    Streaming upserts and small incremental merges accrete small files;
+    at 100 TB the file count, not the byte count, is what kills scan
+    planning (one task + one open per file). Compaction bin-packs the
+    snapshot into ceil(bytes/target) files via `coalesce` — a
+    shuffle-free narrow rewrite — and publishes it like any other
+    version: readers switch atomically, history keeps the pre-compact
+    snapshot, and a mid-compact crash leaves only an invisible orphan.
+    """
+    vs = versions(table)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions under {table}")
+    data_path = vs[-1]["data_path"]
+    total = 0
+    for root, _dirs, files in os.walk(data_path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, -(-total // target_file_bytes))
+    df = spark.read.parquet(data_path).coalesce(n_files)
+    return write_version(df, table, op="compact")

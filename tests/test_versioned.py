@@ -106,3 +106,27 @@ def test_unpublished_snapshot_is_invisible(spark, tmp_path):
         for m in versions(table)
         for r in read_version(spark, table, m["version"]).collect()
     }
+
+
+def test_compact_version_binpacks_small_files(spark, tmp_path):
+    import glob
+
+    from legendary_data_pipeline_spark.sources.versioned import (
+        compact_version,
+    )
+
+    table = str(tmp_path / "t")
+    part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    write_version(part.repartition(32), table)  # small-file accretion
+    v1_files = glob.glob(os.path.join(table, "data", "v=1", "*.parquet"))
+    assert len(v1_files) == 32
+
+    v2 = compact_version(spark, table)
+    assert v2 == 2
+    v2_files = glob.glob(os.path.join(table, "data", "v=2", "*.parquet"))
+    assert len(v2_files) == 1  # tiny table → one file
+    # Content identical; pre-compact history intact.
+    key = lambda df: {tuple(r) for r in df.collect()}
+    assert key(read_version(spark, table)) == key(part)
+    assert key(read_version(spark, table, 1)) == key(part)
+    assert versions(table)[-1]["op"] == "compact"
