@@ -168,3 +168,51 @@ def compact_version(
     n_files = max(1, -(-total // target_file_bytes))
     df = spark.read.parquet(data_path).coalesce(n_files)
     return write_version(df, table, op="compact")
+
+
+def vacuum(
+    table: str,
+    keep_versions: int = 2,
+    dry_run: bool = False,
+) -> list[str]:
+    """Delete orphaned staging directories and snapshots older than the
+    `keep_versions` most recent ones (their manifests go too, so time
+    travel past the horizon fails loudly rather than half-working).
+    Returns the deleted (or would-delete, under `dry_run`) paths.
+
+    Mirrors Delta's VACUUM contract: history is an explicit retention
+    trade — run it only when readers of old versions are known gone.
+    The latest version is never deletable (`keep_versions` ≥ 1).
+    """
+    import shutil
+
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
+    vs = versions(table)
+    keep = {m["version"] for m in vs[-keep_versions:]}
+    committed = {m["version"] for m in vs}
+    doomed: list[str] = []
+    data_root = os.path.join(table, "data")
+    if os.path.isdir(data_root):
+        for name in sorted(os.listdir(data_root)):
+            if not name.startswith("v="):
+                continue
+            try:
+                n = int(name[2:])
+            except ValueError:
+                continue
+            orphan = n not in committed
+            expired = n in committed and n not in keep
+            if orphan or expired:
+                doomed.append(os.path.join(data_root, name))
+    if not dry_run:
+        for p in doomed:
+            shutil.rmtree(p)
+        for m in vs:
+            if m["version"] not in keep:
+                os.remove(
+                    os.path.join(
+                        _manifest_dir(table), f"v{m['version']:08d}.json"
+                    )
+                )
+    return doomed

@@ -130,3 +130,28 @@ def test_compact_version_binpacks_small_files(spark, tmp_path):
     assert key(read_version(spark, table)) == key(part)
     assert key(read_version(spark, table, 1)) == key(part)
     assert versions(table)[-1]["op"] == "compact"
+
+
+def test_vacuum_removes_orphans_and_expired_history(spark, tmp_path):
+    from legendary_data_pipeline_spark.sources.versioned import vacuum
+
+    table = str(tmp_path / "t")
+    for i in range(4):
+        write_version(_df(spark, [(i, "x")]), table)
+    # Orphaned staging dir from a crashed writer.
+    _df(spark, [(99, "orphan")]).write.parquet(
+        os.path.join(table, "data", "v=9")
+    )
+    planned = vacuum(table, keep_versions=2, dry_run=True)
+    assert [os.path.basename(p) for p in planned] == ["v=1", "v=2", "v=9"]
+    assert latest_version(table) == 4  # dry run touched nothing
+
+    deleted = vacuum(table, keep_versions=2)
+    assert deleted == planned
+    assert [m["version"] for m in versions(table)] == [3, 4]
+    assert {tuple(r) for r in read_version(spark, table).collect()} == {
+        (3, "x")
+    }
+    # Time travel past the horizon fails loudly.
+    with pytest.raises(ValueError):
+        read_version(spark, table, 1)
