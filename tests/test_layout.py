@@ -71,3 +71,34 @@ def test_random_layout_fails_disjointness(spark, sf_dir, tmp_path):
         1 for (l1, h1), (l2, h2) in zip(ranges, ranges[1:]) if h1 > l2
     )
     assert overlaps == len(ranges) - 1
+
+
+def test_z_order_clusters_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order's contract: EVERY interleaved column's per-file footer
+    range is a small fraction of the global range (both prune), where a
+    single-key sort nails one column and leaves the other unprunable.
+    Measured on sf0.01/16 files: ~0.42/0.30 z-ordered vs 0.06/1.0
+    single-key."""
+    from legendary_data_pipeline_spark.sources.layout import (
+        write_z_ordered,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    zpath = str(tmp_path / "z")
+    spath = str(tmp_path / "s")
+    write_z_ordered(orders, zpath, ["o_custkey", "o_totalprice"], N_FILES)
+    write_range_partitioned(orders, spath, "o_custkey", N_FILES)
+
+    def avg_frac(path, col):
+        rs = _file_ranges(path, col)
+        glo = max(h for _, h in rs) - min(lo for lo, _ in rs)
+        return sum(h - lo for lo, h in rs) / len(rs) / glo
+
+    for col in ("o_custkey", "o_totalprice"):
+        assert avg_frac(zpath, col) < 0.7, col
+    # Control: single-key layout cannot cluster the second column.
+    assert avg_frac(spath, "o_totalprice") > 0.9
+
+    back = spark.read.parquet(zpath)
+    assert back.count() == orders.count()
+    assert "__z" not in back.columns
