@@ -125,19 +125,37 @@ def upsert_version(
     table: str,
     keys: list[str],
     order_within_source=(),
+    merge_schema: bool = False,
 ) -> int:
     """Keyed MERGE as a new snapshot: latest ∪ batch with batch winning
     per key (the engine's S5 upsert semantics, now with history — every
-    merge is a queryable, rollback-able version)."""
+    merge is a queryable, rollback-able version).
+
+    `merge_schema=True` enables additive schema evolution: columns new
+    in the batch appear in the snapshot with NULL backfill for old
+    rows, and columns missing from the batch survive with NULL for
+    batch rows — the Delta `mergeSchema` contract. Left off by default
+    so a typo'd column fails loudly instead of forking the schema.
+    """
+    from pyspark.sql import functions as F
+
     from legendary_data_pipeline_spark.operators.upsert import upsert
 
     spark = batch.sparkSession
     if latest_version(table) is None:
         merged = batch
     else:
-        merged = upsert(
-            read_version(spark, table), batch, keys, order_within_source
-        )
+        current = read_version(spark, table)
+        if merge_schema:
+            for c, t in batch.dtypes:
+                if c not in current.columns:
+                    current = current.withColumn(
+                        c, F.lit(None).cast(t)
+                    )
+            for c, t in current.dtypes:
+                if c not in batch.columns:
+                    batch = batch.withColumn(c, F.lit(None).cast(t))
+        merged = upsert(current, batch, keys, order_within_source)
     return write_version(merged, table, op="upsert")
 
 
@@ -216,3 +234,66 @@ def vacuum(
                     )
                 )
     return doomed
+
+
+def version_diff(
+    spark: SparkSession,
+    table: str,
+    from_version: int,
+    to_version: int,
+    keys: list[str],
+) -> DataFrame:
+    """Change-data-feed between two snapshots: per key, one row with
+    `change_type` ∈ {insert, update, delete} (unchanged keys are
+    omitted). Column values are the TO side for inserts/updates and the
+    FROM side for deletes.
+
+    Snapshots are immutable, so CDC needs no write-side logging — it is
+    one full-outer join on the key between two reads, computed on
+    demand for exactly the version pair a consumer asks about. At scale
+    both sides shuffle once on the key (zero times if snapshots are
+    written bucketed on it).
+    """
+    import functools
+
+    from pyspark.sql import functions as F
+
+    old = read_version(spark, table, from_version)
+    new = read_version(spark, table, to_version)
+    val_cols = [c for c in new.columns if c not in keys]
+    o = old.select(
+        *[F.col(k).alias(f"__ok_{k}") for k in keys],
+        *[F.col(c).alias(f"__o_{c}") for c in old.columns if c not in keys],
+    )
+    cond = functools.reduce(
+        lambda a, b: a & b,
+        [F.col(k) == F.col(f"__ok_{k}") for k in keys],
+    )
+    j = new.join(o, cond, "full_outer")
+    has_new = F.col(keys[0]).isNotNull()
+    has_old = F.col(f"__ok_{keys[0]}").isNotNull()
+    shared = [c for c in val_cols if f"__o_{c}" in j.columns]
+    changed = functools.reduce(
+        lambda a, b: a | b,
+        [~F.col(c).eqNullSafe(F.col(f"__o_{c}")) for c in shared],
+        F.lit(False),
+    )
+    out_keys = [
+        F.coalesce(F.col(k), F.col(f"__ok_{k}")).alias(k) for k in keys
+    ]
+    out_vals = [
+        F.when(has_new, F.col(c)).otherwise(F.col(f"__o_{c}")).alias(c)
+        if f"__o_{c}" in j.columns
+        else F.col(c)
+        for c in val_cols
+    ]
+    change = (
+        F.when(~has_old, F.lit("insert"))
+        .when(~has_new, F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    # Filter BEFORE projecting — the predicate references join-side
+    # columns the projection drops.
+    return j.filter(~(has_new & has_old & ~changed)).select(
+        *out_keys, *out_vals, change.alias("change_type")
+    )

@@ -155,3 +155,54 @@ def test_vacuum_removes_orphans_and_expired_history(spark, tmp_path):
     # Time travel past the horizon fails loudly.
     with pytest.raises(ValueError):
         read_version(spark, table, 1)
+
+
+def test_version_diff_change_data_feed(spark, tmp_path):
+    from legendary_data_pipeline_spark.sources.versioned import version_diff
+
+    table = str(tmp_path / "t")
+    upsert_version(
+        _df(spark, [(1, "a"), (2, "b"), (3, "c")]), table, ["k"]
+    )
+    upsert_version(_df(spark, [(2, "B"), (4, "d")]), table, ["k"])
+    # v2 = {1:a, 2:B, 3:c, 4:d}; simulate a delete by overwriting v3.
+    write_version(_df(spark, [(1, "a"), (2, "B"), (4, "d")]), table)
+
+    d12 = {
+        r["k"]: (r["v"], r["change_type"])
+        for r in version_diff(spark, table, 1, 2, ["k"]).collect()
+    }
+    assert d12 == {2: ("B", "update"), 4: ("d", "insert")}
+    d23 = {
+        r["k"]: (r["v"], r["change_type"])
+        for r in version_diff(spark, table, 2, 3, ["k"]).collect()
+    }
+    assert d23 == {3: ("c", "delete")}
+    # Identical snapshots → empty feed.
+    assert version_diff(spark, table, 3, 3, ["k"]).count() == 0
+
+
+def test_upsert_version_schema_evolution(spark, tmp_path):
+    table = str(tmp_path / "t")
+    upsert_version(_df(spark, [(1, "a"), (2, "b")]), table, ["k"])
+    evolved = spark.createDataFrame(
+        [(2, "B", 9), (3, "c", 7)], "k int, v string, score int"
+    )
+    # Without the flag, a schema fork fails loudly.
+    with pytest.raises(Exception):
+        upsert_version(evolved, table, ["k"])
+    upsert_version(evolved, table, ["k"], merge_schema=True)
+    got = {
+        r["k"]: (r["v"], r["score"])
+        for r in read_version(spark, table).collect()
+    }
+    assert got == {1: ("a", None), 2: ("B", 9), 3: ("c", 7)}
+    # A later batch WITHOUT the new column keeps it (null for its rows).
+    upsert_version(
+        _df(spark, [(5, "e")]), table, ["k"], merge_schema=True
+    )
+    got = {
+        r["k"]: (r["v"], r["score"])
+        for r in read_version(spark, table).collect()
+    }
+    assert got[5] == ("e", None) and got[2] == ("B", 9)
