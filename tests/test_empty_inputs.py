@@ -1,0 +1,92 @@
+"""Empty/degenerate-input hygiene for the round-5 operators: every op
+must return an EMPTY, correctly-schema'd frame (or a stable no-op) —
+not throw — when fed zero rows, because at 100 TB some partition,
+stratum, or date-slice is always empty.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from legendary_data_pipeline_spark.operators.curation import (
+    boilerplate_span_stats,
+    contamination_scores,
+    strip_boilerplate,
+    weighted_sample_n,
+)
+from legendary_data_pipeline_spark.operators.graph import pagerank
+from legendary_data_pipeline_spark.operators.similarity import (
+    label_centroid_cosine,
+)
+from legendary_data_pipeline_spark.operators.upsert import scd2_apply
+
+
+def _empty_docs(spark):
+    return spark.createDataFrame(
+        [], "doc_id long, text string, lang string, n_chars long"
+    )
+
+
+def test_curation_ops_on_empty_corpus(spark):
+    docs = _empty_docs(spark)
+    assert boilerplate_span_stats(docs).count() == 0
+    assert strip_boilerplate(docs).count() == 0
+    assert weighted_sample_n(
+        docs, 5, weight_col="n_chars", stratum_col="lang"
+    ).count() == 0
+    scored = contamination_scores(docs, docs)
+    assert scored.count() == 0
+    assert "contamination_frac" in scored.columns
+
+
+def test_contamination_scores_empty_benchmark(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps", "en", 25)],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    out = contamination_scores(docs, _empty_docs(spark)).collect()
+    assert len(out) == 1
+    assert out[0]["n_contaminated"] == 0
+    assert out[0]["contaminated"] is False
+
+
+def test_pagerank_empty_and_single_edge(spark):
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(empty).count() == 0
+    one = pagerank(
+        spark.createDataFrame([(1, 2)], "src long, dst long"),
+        max_iterations=30,
+    ).collect()
+    total = sum(r["rank"] for r in one)
+    assert abs(total - 1.0) < 1e-9
+    ranks = {r["node"]: r["rank"] for r in one}
+    assert ranks[2] > ranks[1]  # the sink receives the source's mass
+
+
+def test_scd2_empty_updates_is_identity(spark):
+    dim = spark.createDataFrame(
+        [(1, 100, "2024-01-01", None, True)],
+        "k int, price int, valid_from string, valid_to string,"
+        " is_current boolean",
+    )
+    empty_updates = spark.createDataFrame(
+        [], "k int, price int, effective_date string"
+    )
+    out = scd2_apply(dim, empty_updates, ["k"], ["price"])
+    assert [tuple(r) for r in out.collect()] == [
+        (1, 100, "2024-01-01", None, True)
+    ]
+
+
+def test_centroid_cosine_empty_embeddings(spark):
+    emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+    out = label_centroid_cosine(emb)
+    assert out.count() == 0
+    assert set(out.columns) == {
+        "vec_id",
+        "label",
+        "cos_to_centroid",
+        "is_outlier",
+    }
