@@ -16,7 +16,10 @@ from pyspark.sql import functions as F
 
 from legendary_data_pipeline_spark.catalog import load_table
 from legendary_data_pipeline_spark.functions import text as text_sql
-from legendary_data_pipeline_spark.functions.hashing import seeded_md5_long_sql
+from legendary_data_pipeline_spark.functions.hashing import (
+    md5_long_sql,
+    seeded_md5_long_sql,
+)
 from legendary_data_pipeline_spark.operators import curation as C
 from legendary_data_pipeline_spark.queries import register_shadow
 
@@ -1241,4 +1244,89 @@ def curation_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "distinct_b",
             jac.alias("jaccard"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling toward a target slice
+# ---------------------------------------------------------------------------
+
+_DSIR_M = 1024
+_DSIR_N = 50
+_DSIR_SEED = 29
+
+
+@register_shadow(
+    "curation_dsir_select",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT doc_id, source, {_shingle_expr(2)} AS s
+      FROM toks WHERE len(t) >= 2),
+    cnt AS (
+      SELECT doc_id, source,
+             ({md5_long_sql("s")}) % {_DSIR_M} AS bucket,
+             COUNT(*) AS cnt
+      FROM sh GROUP BY 1, 2, 3),
+    tgt_b AS (
+      SELECT bucket, SUM(cnt) AS c FROM cnt
+      WHERE source = 'src0' GROUP BY bucket),
+    raw_b AS (
+      SELECT bucket, SUM(cnt) AS c FROM cnt
+      WHERE source <> 'src0' GROUP BY bucket),
+    tot AS (
+      SELECT (SELECT COALESCE(SUM(c), 0) FROM tgt_b) AS t_tot,
+             (SELECT COALESCE(SUM(c), 0) FROM raw_b) AS r_tot),
+    lr AS (
+      SELECT b.bucket,
+             ln((COALESCE(t.c, 0) + 1.0) / (tot.t_tot + {_DSIR_M}))
+             - ln((COALESCE(r.c, 0) + 1.0) / (tot.r_tot + {_DSIR_M})) AS lr
+      FROM (SELECT unnest(range({_DSIR_M})) AS bucket) b
+      LEFT JOIN tgt_b t USING (bucket)
+      LEFT JOIN raw_b r USING (bucket)
+      CROSS JOIN tot),
+    imp AS (
+      SELECT d.doc_id,
+             COALESCE(round(SUM(c.cnt * lr.lr), 6), 0.0) AS log_importance
+      FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+      LEFT JOIN (SELECT * FROM cnt WHERE source <> 'src0') c
+        ON c.doc_id = d.doc_id
+      LEFT JOIN lr ON lr.bucket = c.bucket
+      GROUP BY d.doc_id),
+    keyed AS (
+      SELECT doc_id, log_importance,
+             round(log_importance
+                   - ln(-ln((CAST({seeded_md5_long_sql("CAST(doc_id AS VARCHAR)", _DSIR_SEED)}
+                              AS DOUBLE) + 1.0) / 1152921504606846976.0)),
+                   6) AS k
+      FROM imp),
+    ranked AS (
+      SELECT doc_id, log_importance, ROW_NUMBER() OVER (
+        ORDER BY k DESC, doc_id ASC) AS rn
+      FROM keyed)
+    SELECT doc_id, log_importance, CAST(rn AS INT) AS sample_rank
+    FROM ranked WHERE rn <= {_DSIR_N}
+    """,
+    doc="DSIR-style data selection (Xie et al. 2023): score raw docs by "
+    "the log likelihood ratio of their hashed-bigram profile under the "
+    "target slice (source='src0') vs the raw corpus, then Gumbel-top-N "
+    "— importance resampling without replacement, deterministic from "
+    "(data, seed). Bucket distributions are m-row metadata; the "
+    "log-ratio table broadcasts; selection is TakeOrderedAndProject, "
+    "never a data-sized single-partition window.",
+)
+def curation_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.dsir import dsir_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == "src0")
+    raw = docs.filter(F.col("source") != "src0")
+    out = dsir_select(
+        raw, target, n=_DSIR_N, shingle_n=2, m=_DSIR_M, seed=_DSIR_SEED
+    )
+    return out.select(
+        "doc_id",
+        "log_importance",
+        F.col("sample_rank").cast("int").alias("sample_rank"),
     )
