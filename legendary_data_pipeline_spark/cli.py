@@ -223,7 +223,6 @@ def cmd_curate(spark: SparkSession, args) -> int:
     batch corpora — same stage function, same keyed-dedup convention, so
     a batch backfill and the stream produce identical curated tables.
     """
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from legendary_data_pipeline_spark.sources.jsonl import (
@@ -235,24 +234,24 @@ def cmd_curate(spark: SparkSession, args) -> int:
         curate_documents,
     )
 
+    from legendary_data_pipeline_spark.operators.ranking import best_of_group
+
     log = _table(args.warehouse, "pipeline_runs")
     run_id = start_run(spark, log, "curate", file_name=args.input)
     if args.input.endswith((".jsonl", ".json")):
         raw, bad = quarantine(read_jsonl(spark, args.input, DOCUMENTS_SCHEMA))
         n_bad = bad.count()
-        if n_bad:
-            bad.write.mode("overwrite").json(
-                _table(args.warehouse, "curate_quarantine")
-            )
+        # ALWAYS rewrite the quarantine table — a clean rerun must not
+        # leave a previous run's bad lines behind for triage to misread.
+        bad.write.mode("overwrite").json(
+            _table(args.warehouse, "curate_quarantine")
+        )
     else:
         raw, n_bad = spark.read.parquet(args.input), 0
     curated = curate_documents(raw)
-    rn = F.row_number().over(
-        Window.partitionBy("text_sha").orderBy(F.col("doc_id").asc())
-    )
-    unique = (
-        curated.withColumn("__rn", rn).filter(F.col("__rn") == 1).drop("__rn")
-    )
+    unique = best_of_group(
+        curated, ["text_sha"], [F.col("doc_id").asc()]
+    ).drop("rn")
     if args.min_quality is not None:
         unique = unique.filter(F.col("quality_score") >= args.min_quality)
     unique.write.mode("overwrite").parquet(
@@ -262,6 +261,10 @@ def cmd_curate(spark: SparkSession, args) -> int:
         _table(args.warehouse, "curated_documents")
     ).count()
     finish_run(spark, log, run_id, "curate", n_out)
+    # Job boundary: drop the ingest cache quarantine() pinned (a
+    # long-lived session running many curate jobs would otherwise
+    # accumulate one cached corpus per run).
+    spark.catalog.clearCache()
     print(f"curate: wrote {n_out} docs, quarantined {n_bad} lines")
     return 0
 

@@ -82,63 +82,80 @@ TRACKING_PARAMS: tuple[str, ...] = (
 
 
 def canonical_url(col: Column) -> Column:
-    """Canonicalize a URL for corpus-level dedup: crawls reach the same
-    page via scheme/case/tracking-param/fragment variants, and URL-keyed
-    dedup only works on the canonical form.
+    """Canonicalize an absolute URL for corpus-level dedup: crawls reach
+    the same page via scheme/case/tracking-param/fragment variants, and
+    URL-keyed dedup only works on the canonical form.
 
-    Steps: lowercase scheme+host, http→https, drop the fragment, drop a
-    default port, drop known tracking params (`TRACKING_PARAMS`), drop
-    an empty '?', collapse duplicate slashes in the path (via a
-    sentinel around '://' — RE2 has no lookbehind), and strip a
-    trailing path slash (treating host/ == host). Every pattern is
-    RE2-safe (no lookaround/backrefs in the MATCH side) so the DuckDB
-    oracle runs the identical chain. Pure whole-stage-codegen column
-    expressions — a scan-stage projection, no shuffle.
+    Structure-first: the URL splits into (scheme, host, path, query)
+    and each rule applies to its own component — lowercase scheme+host,
+    http→https, drop the fragment and a default port, collapse
+    duplicate slashes and strip the trailing slash IN THE PATH ONLY
+    (query values keep their slashes), and drop tracking params by
+    FILTERING the split parameter list (`TRACKING_PARAMS`) — so
+    duplicate or reordered params cannot survive a pass and the
+    function is idempotent (property-tested). Inputs without a
+    `scheme://` prefix pass through trimmed and unchanged (this is an
+    absolute-URL canonicalizer, not a resolver). Everything is either
+    codegen regex/string ops or a per-row filter over a tiny param
+    array; the identical chain runs in DuckDB (`canonical_url_sql`).
     """
     u = F.trim(col)
+    is_abs = u.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://")
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    scheme = F.regexp_replace(scheme, r"^http$", "https")
     host = F.lower(
         F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
     )
+    host = F.regexp_replace(host, r":(80|443)$", "")
     rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
-    u = F.concat(scheme, F.lit("://"), host, rest)
-    u = F.regexp_replace(u, r"^http://", "https://")
-    u = F.regexp_replace(u, r"#.*$", "")                       # fragment
-    u = F.regexp_replace(u, r"^(https://[^/?#:]+):(80|443)($|[/?#])", r"$1$3")
-    for p in TRACKING_PARAMS:
-        u = F.regexp_replace(u, rf"([?&]){p}=[^&#]*&", r"$1")  # mid-query
-        u = F.regexp_replace(u, rf"[?&]{p}=[^&#]*$", "")       # last param
-    u = F.regexp_replace(u, r"\?$", "")                        # bare '?'
-    u = F.replace(u, F.lit("://"), F.lit("\x01"))              # protect
-    u = F.regexp_replace(u, r"//+", "/")                       # path //
-    u = F.replace(u, F.lit("\x01"), F.lit("://"))
-    u = F.regexp_replace(u, r"/$", "")                         # trailing /
-    u = F.regexp_replace(u, r"/\?", "?")                       # '/?'
-    return u
+    rest = F.regexp_replace(rest, r"#.*$", "")
+    path = F.regexp_replace(rest, r"[?].*$", "")
+    path = F.regexp_replace(path, r"//+", "/")
+    path = F.regexp_replace(path, r"/$", "")
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    tracked = "|".join(TRACKING_PARAMS)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != F.lit(""))
+        & ~p.rlike(f"^({tracked})="),
+    )
+    q_out = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(F.lit(""))
+    canon = F.concat(scheme, F.lit("://"), host, path, q_out)
+    return F.when(is_abs, canon).otherwise(u)
 
 
 def canonical_url_sql(expr: str) -> str:
     """DuckDB mirror of `canonical_url` (oracle strings) — the SAME
-    step chain, with RE2 'g' flags and \\1-style replacements. Kept
-    adjacent to the Spark implementation so the two evolve together."""
+    component chain, kept adjacent so the two evolve together."""
+    tracked = "|".join(TRACKING_PARAMS)
     u = f"trim({expr})"
-    scheme = f"lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
-    host = f"lower(regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))"
-    rest = f"regexp_replace({u}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '')"
-    out = f"({scheme} || '://' || {host} || {rest})"
-    out = f"regexp_replace({out}, '^http://', 'https://')"
-    out = f"regexp_replace({out}, '#.*$', '')"
-    out = (
-        f"regexp_replace({out}, "
-        r"'^(https://[^/?#:]+):(80|443)($|[/?#])', '\1\3')"
+    is_abs = f"regexp_matches({u}, '^[A-Za-z][A-Za-z0-9+.-]*://')"
+    scheme = (
+        f"regexp_replace(lower(regexp_extract({u}, "
+        "'^([A-Za-z][A-Za-z0-9+.-]*)://', 1)), '^http$', 'https')"
     )
-    for p in TRACKING_PARAMS:
-        out = f"regexp_replace({out}, '([?&]){p}=[^&#]*&', '\\1', 'g')"
-        out = f"regexp_replace({out}, '[?&]{p}=[^&#]*$', '')"
-    out = f"regexp_replace({out}, '\\?$', '')"
-    out = f"replace({out}, '://', chr(1))"
-    out = f"regexp_replace({out}, '//+', '/', 'g')"
-    out = f"replace({out}, chr(1), '://')"
-    out = f"regexp_replace({out}, '/$', '')"
-    out = f"regexp_replace({out}, '/\\?', '?')"
-    return out
+    host = (
+        f"regexp_replace(lower(regexp_extract({u}, "
+        "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':(80|443)$', '')"
+    )
+    rest = (
+        f"regexp_replace(regexp_replace({u}, "
+        "'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''), '#.*$', '')"
+    )
+    path = (
+        f"regexp_replace(regexp_replace(regexp_replace({rest}, "
+        "'[?].*$', ''), '//+', '/', 'g'), '/$', '')"
+    )
+    query = f"regexp_extract({rest}, '\\?(.*)$', 1)"
+    params = (
+        f"list_filter(string_split({query}, '&'), "
+        f"__p -> __p <> '' AND NOT regexp_matches(__p, '^({tracked})='))"
+    )
+    q_out = (
+        f"CASE WHEN len({params}) > 0 "
+        f"THEN '?' || array_to_string({params}, '&') ELSE '' END"
+    )
+    canon = f"({scheme} || '://' || {host} || {path} || {q_out})"
+    return f"CASE WHEN {is_abs} THEN {canon} ELSE {u} END"

@@ -25,7 +25,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from legendary_data_pipeline_spark.functions.hashing import seeded_md5_long
-from legendary_data_pipeline_spark.operators.dedup import tokens_expr
 
 EOW = "</w>"
 

@@ -51,6 +51,11 @@ def quarantine(
     columns), and caching the parsed frame is the documented contract
     for splitting it. Both halves then come from one parse pass, which
     is what a quarantining ingest does anyway.
+
+    Cache lifetime: the pinned frame lives until the session ends or the
+    caller releases it — batch jobs should `spark.catalog.clearCache()`
+    (or unpersist) at their job boundary, as `cli.cmd_curate` does, so a
+    long-lived session does not accumulate one cached corpus per ingest.
     """
     df = df.cache()
     clean = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)

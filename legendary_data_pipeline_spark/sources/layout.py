@@ -76,6 +76,11 @@ def z_order_key(
     scaled = []
     for c in cols:
         lo, hi = bounds[f"__min_{c}"], bounds[f"__max_{c}"]
+        if lo is None or hi is None:
+            # Empty frame or all-NULL column: degrade to bucket 0 for
+            # every row (an empty write stays an empty write; NULLs
+            # cluster together) instead of a driver TypeError.
+            lo, hi = 0.0, 0.0
         span = (hi - lo) or 1.0
         scaled.append(
             F.least(

@@ -90,3 +90,12 @@ def test_centroid_cosine_empty_embeddings(spark):
         "cos_to_centroid",
         "is_outlier",
     }
+
+
+def test_z_order_empty_frame_writes_empty_table(spark, tmp_path):
+    from legendary_data_pipeline_spark.sources.layout import write_z_ordered
+
+    empty = spark.createDataFrame([], "a long, b double")
+    path = str(tmp_path / "z_empty")
+    write_z_ordered(empty, path, ["a", "b"], 4)
+    assert spark.read.parquet(path).count() == 0

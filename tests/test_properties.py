@@ -154,6 +154,16 @@ def test_canonical_url_is_idempotent(spark):
         ("", "#frag"),
     ):
         urls.append(f"{scheme}Ex.COM{port}{path}{trail}{qs}{frag}")
+    # Review-found adversarial cases: duplicated tracking params (must
+    # vanish in ONE pass), slashes inside query values (must survive),
+    # scheme-less inputs (must pass through unchanged).
+    urls += [
+        "https://ex.com/p?utm_source=a&utm_source=b&utm_source=c&q=1",
+        "https://ex.com/p?next=/a//b/",
+        "https://ex.com/p?q=foo/",
+        "example.com/a",
+        "/relative/path?utm_source=x",
+    ]
     df = spark.createDataFrame([(u,) for u in urls], "u string")
     once = canonical_url(F.col("u"))
     out = df.select(
@@ -161,5 +171,13 @@ def test_canonical_url_is_idempotent(spark):
     ).collect()
     diffs = [(r["c1"], r["c2"]) for r in out if r["c1"] != r["c2"]]
     assert not diffs, f"non-idempotent on {diffs[:5]}"
-    # And every canonical form is https with a lowercase host.
-    assert all(r["c1"].startswith("https://ex.com") for r in out)
+    # Every ABSOLUTE canonical form is https with a lowercase host.
+    assert all(
+        r["c1"].startswith("https://ex.com")
+        for r in out
+        if "://" in r["c1"]
+    )
+    forms = {r["c1"] for r in out}
+    assert "https://ex.com/p?q=1" in forms      # all dup params gone
+    assert "https://ex.com/p?next=/a//b/" in forms  # query slashes kept
+    assert "example.com/a" in forms             # scheme-less passthrough
