@@ -1,0 +1,146 @@
+"""Topic clustering + cluster-balanced selection over hashed features.
+
+Cluster-balanced sampling (SemDeDup / cluster-then-quota selection):
+embed every document as a hashed-n-gram count vector, k-means it with a
+driver-trained codebook, and draw a per-cluster quota — the corpus-mix
+move that stops one over-represented topic from dominating a training
+sample, without any external embedding model.
+
+Engine shape (100 TB): identical contract to the IVF coarse quantizer
+(similarity.py) — the codebook trains on a bounded hash-gated SAMPLE of
+dense m-dim feature vectors (driver-side numpy Lloyd, metadata-scale
+collect), assignment streams the corpus through one Arrow-batched UDF
+(centroids ride the closure, one matmul per batch), and the quota draw
+is the existing `stratified_take_n` on the cluster id. Features are L2-
+normalized so Euclidean k-means behaves like cosine on count profiles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from legendary_data_pipeline_spark.functions.hashing import seeded_md5_long
+from legendary_data_pipeline_spark.operators.dsir import hashed_ngram_counts
+from legendary_data_pipeline_spark.operators.similarity import _lloyd_codebook
+
+
+def doc_feature_vectors(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 2,
+    m: int = 256,
+) -> DataFrame:
+    """(id, buckets, counts): each document's sparse hashed profile,
+    bucket-sorted so densification is a deterministic scatter."""
+    counts = hashed_ngram_counts(df, id_col, text_col, shingle_n, m)
+    pairs = F.array_sort(
+        F.collect_list(F.struct("bucket", "cnt"))
+    )
+    return counts.groupBy(id_col).agg(
+        F.transform(pairs, lambda s: s["bucket"]).alias("buckets"),
+        F.transform(pairs, lambda s: s["cnt"]).alias("counts"),
+    )
+
+
+def _densify(bk: np.ndarray, ct: np.ndarray, m: int) -> np.ndarray:
+    v = np.zeros(m, dtype=np.float64)
+    v[bk] = ct
+    n = np.linalg.norm(v)
+    return v / n if n > 0 else v
+
+
+def kmeans_topics(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 2,
+    m: int = 256,
+    seed: int = 33,
+    max_train: int = 4096,
+    train_fraction: float = 0.2,
+) -> DataFrame:
+    """(id, cluster): deterministic k-means topic assignment over
+    L2-normalized hashed-n-gram profiles."""
+    feats = doc_feature_vectors(df, id_col, text_col, shingle_n, m)
+    gate = (
+        seeded_md5_long(F.col(id_col).cast("string"), seed) % 10_000
+        < int(round(train_fraction * 10_000))
+    )
+    sample = (
+        feats.filter(gate).orderBy(id_col).limit(max_train).collect()
+    )
+    if len(sample) < k * 4:
+        sample = feats.orderBy(id_col).limit(max_train).collect()
+    if not sample:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, cluster int"
+        )
+    X = np.stack(
+        [
+            _densify(
+                np.asarray(r["buckets"], dtype=np.int64),
+                np.asarray(r["counts"], dtype=np.float64),
+                m,
+            )
+            for r in sample
+        ]
+    )
+    C = _lloyd_codebook(X, k, iters=8, seed=seed)
+    c_norm2 = (C * C).sum(axis=1)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def assign(bk: pd.Series, ct: pd.Series) -> pd.Series:
+        V = np.stack(
+            [
+                _densify(
+                    np.asarray(b, dtype=np.int64),
+                    np.asarray(c, dtype=np.float64),
+                    m,
+                )
+                for b, c in zip(bk, ct)
+            ]
+        )
+        d2 = V @ C.T * (-2.0) + c_norm2[None, :]
+        return pd.Series(d2.argmin(axis=1).astype("int32"))
+
+    return feats.select(
+        F.col(id_col), assign("buckets", "counts").alias("cluster")
+    )
+
+
+def cluster_balanced_take_n(
+    df: DataFrame,
+    n_per_cluster: int,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 2,
+    m: int = 256,
+    seed: int = 33,
+) -> DataFrame:
+    """Deterministic cluster-balanced selection: assign topics, then
+    exactly min(n, |cluster|) docs per cluster by seeded hash order
+    (`stratified_take_n` on the cluster id) — topic-diverse by
+    construction, reproducible across engines and reruns."""
+    from legendary_data_pipeline_spark.operators.curation import (
+        stratified_take_n,
+    )
+
+    assigned = df.join(
+        kmeans_topics(df, k, id_col, text_col, shingle_n, m, seed),
+        id_col,
+    )
+    return stratified_take_n(
+        assigned,
+        n_per_cluster,
+        stratum_col="cluster",
+        id_col=id_col,
+        seed=seed,
+    )

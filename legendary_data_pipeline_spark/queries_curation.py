@@ -1330,3 +1330,34 @@ def curation_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "log_importance",
         F.col("sample_rank").cast("int").alias("sample_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cluster-balanced selection (rows-only: seeded k-means)
+# ---------------------------------------------------------------------------
+
+
+@register_shadow(
+    "curation_cluster_balanced_sample",
+    None,  # k-means assignment is seed/codebook-dependent — rows-only;
+    # purity/determinism/quota contracts pinned in tests/test_clustering.py
+    doc="Cluster-balanced selection (SemDeDup-style): k-means over "
+    "L2-normalized hashed-bigram profiles (driver-trained codebook on "
+    "a bounded sample, Arrow-batched assignment — the IVF contract), "
+    "then an exact per-cluster quota via the deterministic "
+    "stratified take-N. Stops an over-represented topic from "
+    "dominating a training sample without any external embedding "
+    "model.",
+)
+def curation_cluster_balanced_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.clustering import (
+        cluster_balanced_take_n,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = cluster_balanced_take_n(
+        docs.select("doc_id", "text"), n_per_cluster=20, k=8
+    )
+    return out.select("doc_id", "cluster", "sample_rank")
