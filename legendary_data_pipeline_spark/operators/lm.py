@@ -1,0 +1,139 @@
+"""Perplexity filtering with a sample-trained n-gram language model.
+
+The CCNet recipe (Wenzek et al. 2020): score every document's
+perplexity under a small LM trained on trusted text and gate on it —
+fluent in-domain text scores low, boilerplate/garbled/off-domain text
+scores high. CCNet uses KenLM; this engine uses the same shape with a
+bigram Stupid-Backoff model (Brants et al. 2007) it can train itself:
+
+    P(w | prev) = c(prev, w) / c(prev)        if c(prev, w) > 0
+                = 0.4 · P_unigram(w)           otherwise
+    P_unigram(w) = (c(w) + 1) / (N + V + 1)    (add-one; unseen → 1/(N+V+1))
+
+Engine shape (100 TB): the model is SAMPLE statistics — counts train
+driver-side on the bounded hash-gated sample (the BPE/IVF contract) and
+ship inside an Arrow-batched UDF (the count dicts are the "trained
+model"; vocabulary of a few thousand types → KiB-MiB). Scoring streams
+the corpus through one pandas UDF with a per-batch bigram memo. No
+corpus scan ever feeds training.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BOS = "<s>"
+BACKOFF = 0.4
+
+
+def train_bigram_lm(
+    texts: list[str],
+) -> tuple[dict[str, int], dict[tuple[str, str], int], int]:
+    """(unigram_counts, bigram_counts, total_tokens) from sample texts.
+    Driver-side; cost is O(sample tokens), independent of corpus size."""
+    uni: Counter[str] = Counter()
+    bi: Counter[tuple[str, str]] = Counter()
+    total = 0
+    for t in texts:
+        if not t:
+            continue
+        words = t.split()
+        prev = BOS
+        for w in words:
+            uni[w] += 1
+            bi[(prev, w)] += 1
+            total += 1
+            prev = w
+    return dict(uni), dict(bi), total
+
+
+def score_perplexity(
+    df: DataFrame,
+    model: tuple[dict[str, int], dict[tuple[str, str], int], int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_ppl: float = 1000.0,
+    round_digits: int = 4,
+) -> DataFrame:
+    """(id, n_tokens, ppl, keep): per-document perplexity under the
+    trained model, and the CCNet-style gate `keep = ppl <= max_ppl`.
+    Empty documents are kept with NULL ppl (no evidence either way —
+    route them to the length filters, whose job that is)."""
+    uni, bi, total = model
+    vocab = len(uni)
+    denom = float(total + vocab + 1)
+    # BOS "context count" = total document starts in the sample
+    # (precomputed once; it is the head mass of BOS bigrams).
+    bos_count = sum(c for (p, _), c in bi.items() if p == BOS)
+
+    from pyspark.sql.functions import pandas_udf
+
+    def logp_uni(w: str) -> float:
+        return math.log((uni.get(w, 0) + 1) / denom)
+
+    @pandas_udf("struct<n_tokens:long, ppl:double>")
+    def score(s: pd.Series) -> pd.DataFrame:
+        # prev-conditional context counts: c(prev) as a bigram head.
+        memo: dict[tuple[str, str], float] = {}
+        n_out, p_out = [], []
+        for t in s:
+            words = t.split() if t else []
+            if not words:
+                n_out.append(0)
+                p_out.append(None)
+                continue
+            lp = 0.0
+            prev = BOS
+            for w in words:
+                key = (prev, w)
+                v = memo.get(key)
+                if v is None:
+                    c_bi = bi.get(key, 0)
+                    if c_bi > 0:
+                        c_prev = bos_count if prev == BOS else uni.get(prev, 0)
+                        v = math.log(c_bi / c_prev) if c_prev else (
+                            math.log(BACKOFF) + logp_uni(w)
+                        )
+                    else:
+                        v = math.log(BACKOFF) + logp_uni(w)
+                    memo[key] = v
+                lp += v
+                prev = w
+            n_out.append(len(words))
+            p_out.append(math.exp(-lp / len(words)))
+        return pd.DataFrame({"n_tokens": n_out, "ppl": p_out})
+
+    out = df.select(F.col(id_col), score(F.col(text_col)).alias("__s"))
+    ppl = F.round(F.col("__s.ppl"), round_digits)
+    return out.select(
+        id_col,
+        F.col("__s.n_tokens").alias("n_tokens"),
+        ppl.alias("ppl"),
+        (ppl.isNull() | (ppl <= max_ppl)).alias("keep"),
+    )
+
+
+def perplexity_filter(
+    df: DataFrame,
+    trusted: DataFrame,
+    max_ppl: float = 1000.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_sample: int = 4096,
+    seed: int = 37,
+) -> DataFrame:
+    """End-to-end CCNet-style gate: train the bigram LM on a bounded
+    hash-gated sample of `trusted`, score `df`, keep low-perplexity
+    documents. Deterministic from (data, seed)."""
+    from legendary_data_pipeline_spark.operators.bpe import sample_texts
+
+    texts = sample_texts(
+        trusted, id_col, text_col, max_sample=max_sample, seed=seed
+    )
+    model = train_bigram_lm(texts)
+    return score_perplexity(df, model, id_col, text_col, max_ppl)

@@ -1361,3 +1361,30 @@ def curation_cluster_balanced_sample(
         docs.select("doc_id", "text"), n_per_cluster=20, k=8
     )
     return out.select("doc_id", "cluster", "sample_rank")
+
+
+# ---------------------------------------------------------------------------
+# perplexity filtering (rows-only: sample-trained LM)
+# ---------------------------------------------------------------------------
+
+
+@register_shadow(
+    "curation_perplexity_filter",
+    None,  # LM scoring (log/exp over sample-trained counts) — rows-only;
+    # ordering/ratio/determinism contracts pinned in tests/test_lm.py
+    doc="CCNet-style perplexity gate: a bigram Stupid-Backoff LM trains "
+    "driver-side on a bounded hash-gated sample of the trusted slice "
+    "(source='src0') and scores every document in one Arrow-batched "
+    "pass (per-batch bigram memo) — fluent in-domain text scores low, "
+    "garbled/off-domain text high. The model is sample statistics "
+    "shipped in the UDF closure; no corpus scan feeds training.",
+)
+def curation_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.lm import perplexity_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    trusted = docs.filter(F.col("source") == "src0")
+    scored = perplexity_filter(
+        docs.filter(F.col("source") != "src0"), trusted, max_ppl=100.0
+    )
+    return scored
