@@ -238,20 +238,24 @@ def cmd_curate(spark: SparkSession, args) -> int:
 
     log = _table(args.warehouse, "pipeline_runs")
     run_id = start_run(spark, log, "curate", file_name=args.input)
+    pinned = None
     if args.input.endswith((".jsonl", ".json")):
-        raw, bad = quarantine(read_jsonl(spark, args.input, DOCUMENTS_SCHEMA))
-        n_bad = bad.count()
-        # ALWAYS rewrite the quarantine table — a clean rerun must not
-        # leave a previous run's bad lines behind for triage to misread.
-        bad.write.mode("overwrite").json(
-            _table(args.warehouse, "curate_quarantine")
+        raw, bad, pinned = quarantine(
+            read_jsonl(spark, args.input, DOCUMENTS_SCHEMA)
         )
+        n_bad = bad.count()
     else:
         raw, n_bad = spark.read.parquet(args.input), 0
+        bad = spark.createDataFrame([], "raw_line string")
+    # ALWAYS rewrite the quarantine table (both branches, even when
+    # empty) — a rerun must never leave a previous run's bad lines
+    # behind for triage to misattribute. Parquet, not JSON: an empty
+    # JSON directory cannot be read back (no schema to infer).
+    bad.write.mode("overwrite").parquet(
+        _table(args.warehouse, "curate_quarantine")
+    )
     curated = curate_documents(raw)
-    unique = best_of_group(
-        curated, ["text_sha"], [F.col("doc_id").asc()]
-    ).drop("rn")
+    unique = best_of_group(curated, ["text_sha"], [F.col("doc_id").asc()])
     if args.min_quality is not None:
         unique = unique.filter(F.col("quality_score") >= args.min_quality)
     unique.write.mode("overwrite").parquet(
@@ -261,10 +265,10 @@ def cmd_curate(spark: SparkSession, args) -> int:
         _table(args.warehouse, "curated_documents")
     ).count()
     finish_run(spark, log, run_id, "curate", n_out)
-    # Job boundary: drop the ingest cache quarantine() pinned (a
-    # long-lived session running many curate jobs would otherwise
-    # accumulate one cached corpus per run).
-    spark.catalog.clearCache()
+    if pinned is not None:
+        # Release exactly the frame quarantine() pinned — never the
+        # whole session cache.
+        pinned.unpersist()
     print(f"curate: wrote {n_out} docs, quarantined {n_bad} lines")
     return 0
 

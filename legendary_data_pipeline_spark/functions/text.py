@@ -101,12 +101,23 @@ def canonical_url(col: Column) -> Column:
     """
     u = F.trim(col)
     is_abs = u.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://")
-    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    scheme = F.regexp_replace(scheme, r"^http$", "https")
+    orig_scheme = F.lower(
+        F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    scheme = F.regexp_replace(orig_scheme, r"^http$", "https")
     host = F.lower(
         F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
     )
-    host = F.regexp_replace(host, r":(80|443)$", "")
+    # Default-port strip is SCHEME-GATED: for the WEB schemes (which
+    # the http→https upgrade already treats as one origin) both default
+    # web ports strip — the only idempotent choice under the upgrade
+    # (http://h:443 → https://h:443 must not strip differently on a
+    # second pass). For any other scheme the port is semantic
+    # (ftp://h:80 is NOT ftp's default) and survives.
+    host = F.when(
+        orig_scheme.isin("http", "https"),
+        F.regexp_replace(host, r":(80|443)$", ""),
+    ).otherwise(host)
     rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
     rest = F.regexp_replace(rest, r"#.*$", "")
     path = F.regexp_replace(rest, r"[?].*$", "")
@@ -132,13 +143,18 @@ def canonical_url_sql(expr: str) -> str:
     tracked = "|".join(TRACKING_PARAMS)
     u = f"trim({expr})"
     is_abs = f"regexp_matches({u}, '^[A-Za-z][A-Za-z0-9+.-]*://')"
-    scheme = (
-        f"regexp_replace(lower(regexp_extract({u}, "
-        "'^([A-Za-z][A-Za-z0-9+.-]*)://', 1)), '^http$', 'https')"
+    orig_scheme = (
+        f"lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    )
+    scheme = f"regexp_replace({orig_scheme}, '^http$', 'https')"
+    raw_host = (
+        f"lower(regexp_extract({u}, "
+        "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))"
     )
     host = (
-        f"regexp_replace(lower(regexp_extract({u}, "
-        "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':(80|443)$', '')"
+        f"CASE WHEN {orig_scheme} IN ('http', 'https') "
+        f"THEN regexp_replace({raw_host}, ':(80|443)$', '') "
+        f"ELSE {raw_host} END"
     )
     rest = (
         f"regexp_replace(regexp_replace({u}, "

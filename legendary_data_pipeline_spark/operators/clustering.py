@@ -133,10 +133,15 @@ def cluster_balanced_take_n(
         stratified_take_n,
     )
 
+    # LEFT join + sentinel cluster −1: documents too short to produce
+    # any n-gram feature (fewer than shingle_n tokens, empty/NULL text)
+    # still participate in the draw as their own stratum instead of
+    # silently vanishing from the sample.
     assigned = df.join(
         kmeans_topics(df, k, id_col, text_col, shingle_n, m, seed),
         id_col,
-    )
+        "left",
+    ).withColumn("cluster", F.coalesce(F.col("cluster"), F.lit(-1)))
     return stratified_take_n(
         assigned,
         n_per_cluster,

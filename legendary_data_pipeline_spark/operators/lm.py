@@ -135,5 +135,13 @@ def perplexity_filter(
     texts = sample_texts(
         trusted, id_col, text_col, max_sample=max_sample, seed=seed
     )
+    if not texts:
+        # An empty model scores EVERYTHING at ppl 2.5 and the gate
+        # silently keeps the whole corpus — surface the misconfigured
+        # trusted slice instead.
+        raise ValueError(
+            "perplexity_filter: trusted sample is empty (no rows or all "
+            "empty texts) — the gate would degenerate to keep-everything"
+        )
     model = train_bigram_lm(texts)
     return score_perplexity(df, model, id_col, text_col, max_ppl)

@@ -41,9 +41,12 @@ def read_jsonl(
 
 def quarantine(
     df: DataFrame, corrupt_col: str = CORRUPT_COL
-) -> tuple[DataFrame, DataFrame]:
-    """(clean, quarantined): clean rows lose the corrupt column;
-    quarantined rows keep only the raw line for triage/replay.
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(clean, quarantined, pinned): clean rows lose the corrupt
+    column; quarantined rows keep only the raw line for triage/replay;
+    `pinned` is the cached parse both derive from — callers unpersist
+    it when done (cli.cmd_curate does), releasing exactly this frame
+    rather than the whole session cache.
 
     The frame is cached: Spark refuses plans that reference ONLY the
     corrupt column of a raw JSON scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN
@@ -52,17 +55,17 @@ def quarantine(
     for splitting it. Both halves then come from one parse pass, which
     is what a quarantining ingest does anyway.
 
-    Cache lifetime: the pinned frame lives until the session ends or the
-    caller releases it — batch jobs should `spark.catalog.clearCache()`
-    (or unpersist) at their job boundary, as `cli.cmd_curate` does, so a
-    long-lived session does not accumulate one cached corpus per ingest.
+    Cache lifetime: the pinned frame lives until the session ends or
+    the caller unpersists the returned `pinned` handle at its job
+    boundary — a long-lived session must not accumulate one cached
+    corpus per ingest.
     """
     df = df.cache()
     clean = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
     bad = df.filter(F.col(corrupt_col).isNotNull()).select(
         F.col(corrupt_col).alias("raw_line")
     )
-    return clean, bad
+    return clean, bad, df
 
 
 def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:

@@ -150,7 +150,8 @@ def test_cli_curate_jsonl_end_to_end(spark, sf_dir, tmp_path):
     assert curated.count() == 40  # dup collapsed
     ids = {r["doc_id"] for r in curated.select("doc_id").collect()}
     assert rows[0]["doc_id"] in ids and 10_000 not in ids  # min-id keeper
-    quarantined = spark.read.json(f"{wh}/curate_quarantine")
+    quarantined = spark.read.parquet(f"{wh}/curate_quarantine")
     assert quarantined.count() == 1
+    assert quarantined.columns == ["raw_line"]
     runs = spark.read.parquet(f"{wh}/pipeline_runs")
     assert runs.filter("job = 'curate' AND status = 'finished'").count() == 1

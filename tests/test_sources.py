@@ -164,7 +164,7 @@ def test_jsonl_roundtrip_and_quarantine(spark, sf_dir, tmp_path):
         f.write(BAD + "\n")
 
     schema = "doc_id long, text string, lang string, source string, n_chars long"
-    clean, bad = quarantine(read_jsonl(spark, str(path), schema))
+    clean, bad, pinned = quarantine(read_jsonl(spark, str(path), schema))
 
     got = {r["doc_id"]: r.asDict() for r in clean.collect()}
     assert len(got) == 50
@@ -185,9 +185,11 @@ def test_jsonl_roundtrip_and_quarantine(spark, sf_dir, tmp_path):
     out = tmp_path / "out_jsonl"
     write_jsonl(clean, str(out))
     back = read_jsonl(spark, str(out), schema)
-    clean2, bad2 = quarantine(back)
+    clean2, bad2, pinned2 = quarantine(back)
     assert bad2.count() == 0
     assert {r["doc_id"]: r.asDict() for r in clean2.collect()} == got
+    pinned.unpersist()
+    pinned2.unpersist()
 
 
 def test_orc_roundtrip_matches_parquet(spark, sf_dir, tmp_path):
