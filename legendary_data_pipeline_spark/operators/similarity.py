@@ -673,3 +673,97 @@ def ivf_pq_topk(
         k=k,
         rank_col="rank",
     ).select("query_id", "neighbor_id", "rank", "cos_sim")
+
+
+def semdedup(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    tau: float = 0.95,
+    seed: int = 41,
+    max_train: int = 4096,
+    train_fraction: float = 0.2,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication in embedding
+    space — cluster the corpus with a coarse codebook, then WITHIN each
+    cluster greedily drop every vector whose cosine to an already-kept
+    vector is ≥ `tau`. Near-duplicate *meanings* (paraphrases, template
+    rewrites) that no lexical dedup can see collapse to one exemplar.
+
+    Scale shape: the quadratic step runs only inside clusters — the
+    same bound IVF puts on search, here put on dedup; the codebook is
+    the engine's standard bounded-sample driver-side Lloyd, assignment
+    is one Arrow matmul per batch, and each cluster's greedy pass is a
+    single cogrouped numpy kernel (ids ascending, so the kept exemplar
+    set is deterministic — min-id convention like every dedup here).
+    Cross-cluster near-dups are the documented recall trade (raise
+    n_clusters with corpus size; duplicates land in the same cluster
+    precisely because they are near-identical vectors).
+
+    Returns (vec_id, cluster, keep, dup_of) — `dup_of` is the kept
+    exemplar's id for dropped rows, NULL for keepers.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from legendary_data_pipeline_spark.functions.hashing import (
+        seeded_md5_long,
+    )
+
+    base = embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("vec")
+    )
+    gate = (
+        seeded_md5_long(F.col("vec_id").cast("string"), seed) % 10_000
+        < int(round(train_fraction * 10_000))
+    )
+    sample = base.filter(gate).orderBy("vec_id").limit(max_train).collect()
+    if len(sample) < n_clusters * 4:
+        sample = base.orderBy("vec_id").limit(max_train).collect()
+    if not sample:
+        return embeddings.sparkSession.createDataFrame(
+            [], "vec_id long, cluster int, keep boolean, dup_of long"
+        )
+    X = np.asarray([r["vec"] for r in sample], dtype=np.float64)
+    C = _lloyd_codebook(X, n_clusters, iters=5, seed=seed)
+    c_norm2 = (C * C).sum(axis=1)
+
+    @pandas_udf("int")
+    def assign(s: pd.Series) -> pd.Series:
+        V = np.stack(s.to_numpy())
+        d2 = V @ C.T * (-2.0) + c_norm2[None, :]
+        return pd.Series(d2.argmin(axis=1).astype("int32"))
+
+    clustered = base.withColumn("cluster", assign("vec"))
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        V = np.stack(pdf["vec"].to_numpy())[order]
+        ids = ids[order]
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0] = 1.0
+        U = V / norms[:, None]
+        n = len(ids)
+        keep = np.ones(n, dtype=bool)
+        dup_of = np.full(n, -1, dtype=np.int64)
+        kept_idx: list[int] = []
+        for i in range(n):
+            if kept_idx:
+                sims = U[kept_idx] @ U[i]
+                j = int(np.argmax(sims))
+                if sims[j] >= tau:
+                    keep[i] = False
+                    dup_of[i] = ids[kept_idx[j]]
+                    continue
+            kept_idx.append(i)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": pdf["cluster"].iloc[0],
+                "keep": keep,
+                "dup_of": [None if d < 0 else d for d in dup_of],
+            }
+        )
+
+    return clustered.groupBy("cluster").applyInPandas(
+        _greedy, "vec_id long, cluster int, keep boolean, dup_of long"
+    )

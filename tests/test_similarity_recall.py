@@ -169,3 +169,47 @@ def test_ivf_pq_refined_recall_floor(spark, sf_dir):
     raw_recall = len(truth & raw) / len(truth)
     assert raw_recall >= 0.2, f"raw ADC recall {raw_recall:.3f} < 0.2"
     assert recall > raw_recall, "refine must improve on raw ADC here"
+
+
+def test_semdedup_collapses_near_duplicate_meanings(spark):
+    """Injected near-duplicate vectors (exemplar + tiny noise) collapse
+    to one min-id keeper each; distinct vectors all survive; the
+    assignment is deterministic."""
+    import numpy as np
+
+    from legendary_data_pipeline_spark.operators.similarity import semdedup
+
+    rng = np.random.default_rng(7)
+    rows = []
+    # 30 distinct base vectors...
+    bases = rng.normal(size=(30, 16))
+    bases /= np.linalg.norm(bases, axis=1)[:, None]
+    for i, v in enumerate(bases):
+        rows.append((i, [float(x) for x in v], 0))
+    # ...plus 2 near-copies of each of the first 10 (cos ≈ 0.999).
+    for i in range(10):
+        for j in (1, 2):
+            noisy = bases[i] + rng.normal(scale=0.01, size=16)
+            rows.append(
+                (1000 + i * 10 + j, [float(x) for x in noisy], 0)
+            )
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = semdedup(emb, n_clusters=4, tau=0.99, train_fraction=1.0)
+    got = {r["vec_id"]: r for r in out.collect()}
+    assert len(got) == 50
+    # Every injected near-copy is dropped, pointing at its exemplar.
+    for i in range(10):
+        for j in (1, 2):
+            r = got[1000 + i * 10 + j]
+            assert r["keep"] is False
+            assert r["dup_of"] == i, (i, j, r)
+    # All 30 exemplars survive (distinct vectors, cos far below tau).
+    assert all(got[i]["keep"] for i in range(30))
+    # Determinism.
+    again = {
+        r["vec_id"]: (r["keep"], r["dup_of"])
+        for r in semdedup(emb, n_clusters=4, tau=0.99, train_fraction=1.0).collect()
+    }
+    assert again == {k: (v["keep"], v["dup_of"]) for k, v in got.items()}
