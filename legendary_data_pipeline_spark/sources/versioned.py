@@ -78,8 +78,16 @@ def write_version(
                     pass
     n = max(latest_version(table) or 0, staged) + 1
     data_path = os.path.join(table, "data", f"v={n}")
-    df.write.mode("error").parquet(data_path)
-    rows = df.sparkSession.read.parquet(data_path).count()
+    # Row count via an Observation riding the write itself — a manifest
+    # stat must not cost a second full scan of the snapshot.
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation(f"write_version_{n}")
+    df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+        "error"
+    ).parquet(data_path)
+    rows = obs.get["rows"]
     os.makedirs(_manifest_dir(table), exist_ok=True)
     manifest = {
         "version": n,
