@@ -24,8 +24,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from legendary_data_pipeline_spark.functions.hashing import seeded_md5_long
-
 EOW = "</w>"
 
 
@@ -95,19 +93,17 @@ def sample_texts(
     """Bounded, layout-independent training sample (hash-gated on the
     id, sorted, limited — the same contract as the IVF codebook sample:
     a pure function of the data, metadata-scale collect)."""
-    gate = (
-        seeded_md5_long(F.col(id_col).cast("string"), seed) % 10_000
-        < int(round(sample_fraction * 10_000))
+    from legendary_data_pipeline_spark.operators.sampling import (
+        bounded_hash_sample,
     )
-    rows = (
-        df.select(F.col(id_col), F.col(text_col))
-        .filter(gate)
-        .orderBy(id_col)
-        .limit(max_sample)
-        .collect()
+
+    rows = bounded_hash_sample(
+        df.select(F.col(id_col), F.col(text_col)),
+        id_col,
+        seed,
+        max_rows=max_sample,
+        fraction=sample_fraction,
     )
-    if not rows:
-        rows = df.select(F.col(id_col), F.col(text_col)).orderBy(id_col).limit(max_sample).collect()
     return [r[1] for r in rows if r[1]]
 
 

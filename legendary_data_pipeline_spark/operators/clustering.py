@@ -22,8 +22,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from legendary_data_pipeline_spark.functions.hashing import seeded_md5_long
 from legendary_data_pipeline_spark.operators.dsir import hashed_ngram_counts
+from legendary_data_pipeline_spark.operators.sampling import (
+    bounded_hash_sample,
+)
 from legendary_data_pipeline_spark.operators.similarity import _lloyd_codebook
 
 
@@ -67,15 +69,14 @@ def kmeans_topics(
     """(id, cluster): deterministic k-means topic assignment over
     L2-normalized hashed-n-gram profiles."""
     feats = doc_feature_vectors(df, id_col, text_col, shingle_n, m)
-    gate = (
-        seeded_md5_long(F.col(id_col).cast("string"), seed) % 10_000
-        < int(round(train_fraction * 10_000))
+    sample = bounded_hash_sample(
+        feats,
+        id_col,
+        seed,
+        max_rows=max_train,
+        fraction=train_fraction,
+        min_rows=k * 4,
     )
-    sample = (
-        feats.filter(gate).orderBy(id_col).limit(max_train).collect()
-    )
-    if len(sample) < k * 4:
-        sample = feats.orderBy(id_col).limit(max_train).collect()
     if not sample:
         return df.sparkSession.createDataFrame(
             [], f"{id_col} long, cluster int"

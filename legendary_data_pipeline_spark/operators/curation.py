@@ -760,20 +760,26 @@ def gopher_gates(
     min_stopwords: int = 2,
 ) -> DataFrame:
     """The document-level Gopher quality rules (Rae et al. 2021 §A1.1)
-    as one pass of pure column expressions: word-count bounds, mean
-    word length bounds, symbol-to-word ratio (# and …), fraction of
-    words containing an alphabetic character, and a minimum stopword
-    count. Returns every signal plus per-rule booleans and the combined
-    `gopher_keep` — keep the signals, not just the verdict, so
-    thresholds stay tunable downstream without recomputing.
+    in one pass: word-count bounds, mean word length bounds,
+    symbol-to-word ratio (per the paper: OCCURRENCES of '#' and of
+    ellipsis — both the ASCII '...' and U+2026 forms — each ratioed
+    against the word count, gated on EITHER exceeding the threshold),
+    fraction of words containing an alphabetic character, and a
+    minimum stopword count. Returns every signal plus per-rule booleans
+    and the combined `gopher_keep` — keep the signals, not just the
+    verdict, so thresholds stay tunable downstream without recomputing.
 
     (The published line-level rules — bullet/ellipsis line fractions —
     need line structure this fixture lacks; `repetition_stats` carries
-    the repetition rules.) One projection + per-row array math over the
-    token array; zero shuffles; exactly replayable in DuckDB.
+    the repetition rules.) The token array binds ONCE via a named
+    column — higher-order functions get no codegen CSE, so inlining it
+    into each signal would re-tokenize every row ~6 times. Zero
+    shuffles; exactly replayable in DuckDB.
     """
-    toks = tokens_expr(text_col)
-    words = F.filter(toks, lambda t: t != F.lit(""))
+    base = df.withColumn(
+        "__words", F.filter(tokens_expr(text_col), lambda t: t != F.lit(""))
+    )
+    words = F.col("__words")
     n_words = F.size(words)
     mean_len = F.round(
         F.aggregate(
@@ -784,11 +790,15 @@ def gopher_gates(
         / F.nullif(n_words.cast("double"), F.lit(0.0)),
         6,
     )
-    n_symbolish = F.size(
-        F.filter(words, lambda w: w.rlike("[#…]"))
+    n_hash = F.regexp_count(F.col(text_col), F.lit("#"))
+    n_ellipsis = F.regexp_count(F.col(text_col), F.lit(r"\.\.\.|…"))
+    hash_ratio = F.round(
+        n_hash.cast("double") / F.nullif(n_words.cast("double"), F.lit(0.0)), 6
     )
-    symbol_ratio = F.round(
-        n_symbolish.cast("double") / F.nullif(n_words.cast("double"), F.lit(0.0)), 6
+    ellipsis_ratio = F.round(
+        n_ellipsis.cast("double")
+        / F.nullif(n_words.cast("double"), F.lit(0.0)),
+        6,
     )
     n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
     alpha_frac = F.round(
@@ -798,11 +808,12 @@ def gopher_gates(
     n_stop = F.size(
         F.filter(words, lambda w: F.array_contains(stop_arr, F.lower(w)))
     )
-    out = df.select(
+    out = base.select(
         F.col(id_col),
         n_words.cast("long").alias("n_words"),
         mean_len.alias("mean_word_len"),
-        symbol_ratio.alias("symbol_ratio"),
+        hash_ratio.alias("hash_ratio"),
+        ellipsis_ratio.alias("ellipsis_ratio"),
         alpha_frac.alias("alpha_word_frac"),
         n_stop.cast("long").alias("n_stopwords"),
     )
@@ -811,7 +822,8 @@ def gopher_gates(
         & (F.col("n_words") <= max_words),
         "pass_mean_word_len": (F.col("mean_word_len") >= min_mean_word_len)
         & (F.col("mean_word_len") <= max_mean_word_len),
-        "pass_symbol_ratio": F.col("symbol_ratio") <= max_symbol_ratio,
+        "pass_symbol_ratio": (F.col("hash_ratio") <= max_symbol_ratio)
+        & (F.col("ellipsis_ratio") <= max_symbol_ratio),
         "pass_alpha_words": F.col("alpha_word_frac") >= min_alpha_word_frac,
         "pass_stopwords": F.col("n_stopwords") >= min_stopwords,
     }

@@ -23,6 +23,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from legendary_data_pipeline_spark.operators.ranking import top_k_per_group
+from legendary_data_pipeline_spark.operators.sampling import (
+    bounded_hash_sample,
+)
 
 
 def _as_double(col: Column) -> Column:
@@ -155,32 +158,17 @@ def ivf_topk(
     """
     from pyspark.sql.functions import pandas_udf
 
-    from legendary_data_pipeline_spark.functions.hashing import (
-        seeded_md5_long,
-    )
-
     base = embeddings.select(
         "vec_id", "label", _as_double(F.col("embedding")).alias("vec")
     )
-    # Bounded, layout-independent training sample: membership is gated on
-    # a seeded hash of vec_id (like stratified_hash_sample), NOT
-    # DataFrame.sample(), whose Bernoulli draw seeds per-partition and so
-    # changes with the input's partition layout. Hash gate + sort + limit
-    # makes the collected set — and hence the codebook and the
-    # approximate results — a pure function of the data.
-    gate = (
-        seeded_md5_long(F.col("vec_id").cast("string"), seed) % 10_000
-        < int(round(train_fraction * 10_000))
+    sample = bounded_hash_sample(
+        base.select("vec_id", "vec"),
+        "vec_id",
+        seed,
+        max_rows=max_train,
+        fraction=train_fraction,
+        min_rows=n_centroids * 4,
     )
-    sample = (
-        base.select("vec_id", "vec")
-        .filter(gate)
-        .orderBy("vec_id")
-        .limit(max_train)
-        .collect()
-    )
-    if len(sample) < n_centroids * 4:
-        sample = base.select("vec_id", "vec").orderBy("vec_id").limit(max_train).collect()
     if not sample:
         spark = embeddings.sparkSession
         return spark.createDataFrame(
@@ -483,10 +471,6 @@ def ivf_pq_topk(
     """
     from pyspark.sql.functions import pandas_udf
 
-    from legendary_data_pipeline_spark.functions.hashing import (
-        seeded_md5_long,
-    )
-
     if pq_bits < 1 or pq_bits > 8:
         raise ValueError(f"pq_bits must be in [1, 8], got {pq_bits}")
     n_sub = 1 << pq_bits
@@ -495,21 +479,14 @@ def ivf_pq_topk(
     base = embeddings.select(
         "vec_id", "label", _as_double(F.col("embedding")).alias("vec")
     )
-    gate = (
-        seeded_md5_long(F.col("vec_id").cast("string"), seed) % 10_000
-        < int(round(train_fraction * 10_000))
+    sample = bounded_hash_sample(
+        base.select("vec_id", "vec"),
+        "vec_id",
+        seed,
+        max_rows=max_train,
+        fraction=train_fraction,
+        min_rows=n_centroids * 4,
     )
-    sample = (
-        base.select("vec_id", "vec")
-        .filter(gate)
-        .orderBy("vec_id")
-        .limit(max_train)
-        .collect()
-    )
-    if len(sample) < n_centroids * 4:
-        sample = (
-            base.select("vec_id", "vec").orderBy("vec_id").limit(max_train).collect()
-        )
     if not sample:
         spark = embeddings.sparkSession
         return spark.createDataFrame(
@@ -704,20 +681,17 @@ def semdedup(
     """
     from pyspark.sql.functions import pandas_udf
 
-    from legendary_data_pipeline_spark.functions.hashing import (
-        seeded_md5_long,
-    )
-
     base = embeddings.select(
         "vec_id", _as_double(F.col("embedding")).alias("vec")
     )
-    gate = (
-        seeded_md5_long(F.col("vec_id").cast("string"), seed) % 10_000
-        < int(round(train_fraction * 10_000))
+    sample = bounded_hash_sample(
+        base,
+        "vec_id",
+        seed,
+        max_rows=max_train,
+        fraction=train_fraction,
+        min_rows=n_clusters * 4,
     )
-    sample = base.filter(gate).orderBy("vec_id").limit(max_train).collect()
-    if len(sample) < n_clusters * 4:
-        sample = base.orderBy("vec_id").limit(max_train).collect()
     if not sample:
         return embeddings.sparkSession.createDataFrame(
             [], "vec_id long, cluster int, keep boolean, dup_of long"

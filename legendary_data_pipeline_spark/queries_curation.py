@@ -1400,31 +1400,35 @@ def curation_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH toks AS (
       SELECT doc_id, list_filter({_TOKS}, __w -> __w <> '') AS t
-      FROM documents),
+      FROM documents),  -- joined back to documents for raw-text symbol counts
     sig AS (
-      SELECT doc_id,
+      SELECT d.doc_id,
              len(t) AS n_words,
              round(CAST(list_sum(list_transform(t, __w -> length(__w)))
                         AS DOUBLE) / nullif(len(t), 0), 6) AS mean_word_len,
-             round(CAST(len(list_filter(t, __w -> regexp_matches(__w, '[#…]')))
-                        AS DOUBLE) / nullif(len(t), 0), 6) AS symbol_ratio,
+             round(CAST(len(regexp_extract_all(d.text, '#'))
+                        AS DOUBLE) / nullif(len(t), 0), 6) AS hash_ratio,
+             round(CAST(len(regexp_extract_all(d.text, '\\.\\.\\.|…'))
+                        AS DOUBLE) / nullif(len(t), 0), 6) AS ellipsis_ratio,
              round(CAST(len(list_filter(t, __w -> regexp_matches(__w, '[A-Za-z]')))
                         AS DOUBLE) / nullif(len(t), 0), 6) AS alpha_word_frac,
              len(list_filter(t, __w -> list_contains(
                  {list(C.GOPHER_STOPWORDS)!r}, lower(__w)))) AS n_stopwords
-      FROM toks),
+      FROM toks JOIN documents d USING (doc_id)),
     gated AS (
       SELECT *,
              COALESCE(n_words >= 50 AND n_words <= 100000, FALSE) AS pass_word_count,
              COALESCE(mean_word_len >= 3.0 AND mean_word_len <= 10.0, FALSE)
                AS pass_mean_word_len,
-             COALESCE(symbol_ratio <= 0.1, FALSE) AS pass_symbol_ratio,
+             COALESCE(hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1, FALSE)
+               AS pass_symbol_ratio,
              COALESCE(alpha_word_frac >= 0.8, FALSE) AS pass_alpha_words,
              COALESCE(n_stopwords >= 2, FALSE) AS pass_stopwords
       FROM sig)
-    SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_frac,
-           n_stopwords, pass_word_count, pass_mean_word_len,
-           pass_symbol_ratio, pass_alpha_words, pass_stopwords,
+    SELECT doc_id, n_words, mean_word_len, hash_ratio, ellipsis_ratio,
+           alpha_word_frac, n_stopwords, pass_word_count,
+           pass_mean_word_len, pass_symbol_ratio, pass_alpha_words,
+           pass_stopwords,
            pass_word_count AND pass_mean_word_len AND pass_symbol_ratio
              AND pass_alpha_words AND pass_stopwords AS gopher_keep
     FROM gated
