@@ -258,6 +258,18 @@ def cmd_curate(spark: SparkSession, args) -> int:
     unique = best_of_group(curated, ["text_sha"], [F.col("doc_id").asc()])
     if args.min_quality is not None:
         unique = unique.filter(F.col("quality_score") >= args.min_quality)
+    if args.gopher:
+        from legendary_data_pipeline_spark.operators.curation import (
+            gopher_gates,
+        )
+
+        # Gates need the ORIGINAL text; curated rows carry clean_text.
+        gates = gopher_gates(
+            unique.select("doc_id", F.col("clean_text").alias("text"))
+        ).select("doc_id", "gopher_keep")
+        unique = unique.join(gates, "doc_id").filter("gopher_keep").drop(
+            "gopher_keep"
+        )
     unique.write.mode("overwrite").parquet(
         _table(args.warehouse, "curated_documents")
     )
@@ -319,6 +331,11 @@ def build_parser() -> argparse.ArgumentParser:
     common(p)
     p.add_argument("--input", required=True, help="JSONL file or parquet dir")
     p.add_argument("--min-quality", type=float, default=None)
+    p.add_argument(
+        "--gopher",
+        action="store_true",
+        help="apply the document-level Gopher quality gates",
+    )
     p.set_defaults(fn=cmd_curate)
     return parser
 

@@ -155,3 +155,39 @@ def test_cli_curate_jsonl_end_to_end(spark, sf_dir, tmp_path):
     assert quarantined.columns == ["raw_line"]
     runs = spark.read.parquet(f"{wh}/pipeline_runs")
     assert runs.filter("job = 'curate' AND status = 'finished'").count() == 1
+
+
+def test_cli_curate_gopher_gate(spark, sf_dir, tmp_path):
+    """--gopher drops documents failing the published quality rules
+    (here: a too-short doc) while fluent-length docs survive."""
+    import json
+
+    from legendary_data_pipeline_spark.cli import build_parser
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = [
+        r.asDict()
+        for r in docs.filter("n_chars > 300").limit(10).collect()
+    ]
+    short = {
+        "doc_id": 777,
+        "text": "tiny doc",
+        "lang": "en",
+        "source": "s",
+        "n_chars": 8,
+    }
+    src = tmp_path / "in.jsonl"
+    with open(src, "w") as f:
+        for r in rows + [short]:
+            f.write(json.dumps(r) + "\n")
+    wh = str(tmp_path / "wh")
+    args = build_parser().parse_args(
+        ["curate", "--warehouse", wh, "--input", str(src), "--gopher"]
+    )
+    assert args.fn(spark, args) == 0
+    out_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{wh}/curated_documents").collect()
+    }
+    assert 777 not in out_ids          # fails the word-count gate
+    assert len(out_ids) == 10          # long docs all survive
