@@ -33,10 +33,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from legendary_data_pipeline_spark.functions.hashing import (
-    HEX_DIGITS,
-    md5_long,
-)
+from legendary_data_pipeline_spark.functions.hashing import md5_long
 
 # ---------------------------------------------------------------------------
 # exact dedup
