@@ -181,3 +181,79 @@ def test_canonical_url_is_idempotent(spark):
     assert "https://ex.com/p?q=1" in forms      # all dup params gone
     assert "https://ex.com/p?next=/a//b/" in forms  # query slashes kept
     assert "example.com/a" in forms             # scheme-less passthrough
+
+
+def test_scd2_replay_matches_reference_model(spark):
+    """SCD2 state machine vs a dict reference model: after applying K
+    random batches in sequence, (a) the current rows equal the model's
+    final state, (b) every live key has exactly one current row,
+    (c) per-key validity windows chain contiguously (each closed row's
+    valid_to is the next version's valid_from), and (d) replaying the
+    last batch is a no-op."""
+    from legendary_data_pipeline_spark.operators.upsert import scd2_apply
+
+    batch_strategy = st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=5),        # key
+                st.integers(min_value=0, max_value=3),        # price
+            ),
+            min_size=1,
+            max_size=5,
+            unique_by=lambda t: t[0],                         # key-unique
+        ),
+        min_size=1,
+        max_size=4,
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(batch_strategy)
+    def check(batches):
+        dim = spark.createDataFrame(
+            [],
+            "k int, price int, valid_from string, valid_to string,"
+            " is_current boolean",
+        )
+        model: dict[int, int] = {}
+        for i, batch in enumerate(batches):
+            eff = f"2024-01-{i + 1:02d}"
+            updates = spark.createDataFrame(
+                [(k, p, eff) for k, p in batch],
+                "k int, price int, effective_date string",
+            )
+            dim = scd2_apply(dim, updates, ["k"], ["price"])
+            for k, p in batch:
+                model[k] = p
+        rows = dim.collect()
+        current = {r.k: r.price for r in rows if r.is_current}
+        assert current == model
+        # One current row per live key.
+        from collections import Counter
+
+        cur_counts = Counter(r.k for r in rows if r.is_current)
+        assert all(c == 1 for c in cur_counts.values())
+        # Windows chain: sort versions per key by valid_from; each closed
+        # row hands off exactly at the next row's valid_from, and only
+        # the last is open.
+        by_key: dict[int, list] = {}
+        for r in rows:
+            by_key.setdefault(r.k, []).append(r)
+        for k, versions in by_key.items():
+            versions.sort(key=lambda r: r.valid_from)
+            for a, b in zip(versions, versions[1:]):
+                assert a.valid_to == b.valid_from, (k, a, b)
+                assert not a.is_current
+            assert versions[-1].is_current and versions[-1].valid_to is None
+        # Replay of the final batch is a pure no-op.
+        last_eff = f"2024-01-{len(batches):02d}"
+        replay = spark.createDataFrame(
+            [(k, p, last_eff) for k, p in batches[-1]],
+            "k int, price int, effective_date string",
+        )
+        again = scd2_apply(dim, replay, ["k"], ["price"])
+        key = lambda r: (r.k, r.valid_from)
+        assert {key(r): tuple(r) for r in again.collect()} == {
+            key(r): tuple(r) for r in rows
+        }
+
+    check()
