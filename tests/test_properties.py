@@ -257,3 +257,57 @@ def test_scd2_replay_matches_reference_model(spark):
         }
 
     check()
+
+
+def test_versioned_upsert_replay_matches_reference_model(spark, tmp_path):
+    """Versioned-table merge vs a dict model: after K random keyed
+    batches, the latest snapshot equals the model, EVERY historical
+    version equals the model's state at that point, and rollback to any
+    version reproduces it exactly."""
+    import shutil
+
+    from legendary_data_pipeline_spark.sources.versioned import (
+        read_version,
+        rollback,
+        upsert_version,
+    )
+
+    batch_strategy = st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=4),
+                st.integers(min_value=0, max_value=2),
+            ),
+            min_size=1,
+            max_size=4,
+            unique_by=lambda t: t[0],
+        ),
+        min_size=1,
+        max_size=3,
+    )
+
+    counter = [0]
+
+    @settings(max_examples=8, deadline=None)
+    @given(batch_strategy)
+    def check(batches):
+        counter[0] += 1
+        table = str(tmp_path / f"t{counter[0]}")
+        shutil.rmtree(table, ignore_errors=True)
+        model: dict[int, int] = {}
+        states = []
+        for batch in batches:
+            df = spark.createDataFrame(batch, "k int, v int")
+            upsert_version(df, table, ["k"])
+            model.update(dict(batch))
+            states.append(dict(model))
+        for version, snapshot in enumerate(states, start=1):
+            got = {
+                r.k: r.v for r in read_version(spark, table, version).collect()
+            }
+            assert got == snapshot, (version, got, snapshot)
+        rb = rollback(spark, table, 1)
+        got = {r.k: r.v for r in read_version(spark, table, rb).collect()}
+        assert got == states[0]
+
+    check()
