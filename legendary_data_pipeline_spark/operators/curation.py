@@ -1,6 +1,9 @@
 """Corpus-curation operators for training-data pipelines (SURVEY.md §2.11):
-decontamination, PII scrubbing, repetition-based quality, stratified
-sampling, and sequence packing over the `documents` table.
+decontamination (binary + graded), PII scrubbing, quality gates
+(Gopher repetition + full document-level rules), boilerplate span
+removal, stratified/weighted sampling, sequence packing and chunking,
+mixture weighting, and reproducible shuffle-sharding over the
+`documents` table.
 
 All expressions stay JVM-side (built-in functions, no Python on the data
 plane) and every hash uses the portable md5→60-bit scheme

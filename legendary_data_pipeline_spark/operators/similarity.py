@@ -5,9 +5,14 @@
 - `cosine_topk` — brute-force exact top-k: candidate join (optionally
   label-blocked) → cosine via array `zip_with`/`aggregate` (JVM-side,
   no Python) → window top-k. The baseline; exact and oracle-checkable.
-- `lsh_bucket_topk` — scale path: random-hyperplane-style signs from
-  deterministic md5 projections bucket vectors; top-k runs within
+- `lsh_bucket_topk` — random-hyperplane sign buckets; top-k within
   buckets only. Approximate (rows-only check).
+- `ivf_topk` / `ivf_pq_topk` — FAISS-shaped inverted lists (sampled
+  codebook, Arrow assignment, per-list matmul); the PQ variant
+  searches byte codes + stored norms with an exact-refine shortlist.
+- `label_centroid_cosine` — embedding hygiene (broadcast centroids).
+- `semdedup` — semantic near-dup removal (within-cluster greedy
+  cosine, min-id keeper).
 
 Scale design (100 TB): brute force is O(Q×N); block it (label, LSH
 bucket, IVF coarse centroid) so each probe touches a small candidate
