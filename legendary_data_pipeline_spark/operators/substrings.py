@@ -1,0 +1,208 @@
+"""Exact duplicated-substring detection and removal (ExactSubstr dedup).
+
+The corpus-level companion to document-level MinHash dedup: find every
+run of >= `n` consecutive tokens that occurs more than once in the
+corpus (across documents OR repeated inside one document) and either
+report it (`dup_span_stats`) or cut it out of the text
+(`strip_duplicated_substrings`). This is the "exact substring
+deduplication" step of modern LLM training pipelines (Lee et al. 2022,
+"Deduplicating Training Data Makes Language Models Better"), expressed
+Spark-first instead of via a monolithic suffix array:
+
+1. slide an n-token shingle window over each document (per-row array
+   expression inside the scan stage — no shuffle),
+2. count each shingle's corpus-wide occurrences (map-side-combinable
+   groupBy on a uniform 60-bit md5 key),
+3. keep positions whose shingle occurs >= `min_count` times, and merge
+   overlapping windows per document into maximal spans with a
+   gaps-and-islands window (partitioned by doc — per-doc state only),
+4. strip: subtract covered token positions per row with a higher-order
+   filter (the span list per doc is small — no token explode on the
+   rebuild path).
+
+Deviation from the suffix-array formulation, on purpose: Lee et al.
+keep ONE occurrence of each duplicated substring (the first in a global
+scan order). A global "first occurrence" requires a total order over
+100 TB of positions — scale-hostile and nondeterministic under
+partitioning. We strip EVERY occurrence instead (the strategy several
+production pipelines adopt for exactly this reason); documents that
+were entirely duplicated text come out empty and can be dropped by a
+length gate downstream.
+
+Scale (100 TB): the only wide operations are the shingle-count groupBy
+and the count>=min_count join, both keyed on the uniform md5 hash (no
+skew); the islands window partitions by doc_id and only sees DUP
+positions (bounded per doc). Suffix arrays do this with O(corpus)
+memory on one machine; this shape needs nothing beyond ordinary
+shuffle capacity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from legendary_data_pipeline_spark.functions.hashing import md5_long
+from legendary_data_pipeline_spark.operators.dedup import (
+    shingles_expr,
+    tokens_expr,
+)
+
+
+def positioned_gram_frame(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """(id, pos, gram_hash) for every sliding n-token window.
+
+    `pos` is the 1-based start token index; `gram_hash` the 60-bit md5
+    of the space-joined window. Rows with < n tokens emit nothing.
+    """
+    return (
+        df.select(
+            F.col(id_col),
+            F.posexplode(shingles_expr(text_col, n)).alias("__i", "__g"),
+        )
+        .select(
+            F.col(id_col),
+            (F.col("__i") + 1).alias("pos"),
+            md5_long(F.col("__g")).alias("gram_hash"),
+        )
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Maximal duplicated-token spans per document.
+
+    Returns (id, span_start, span_end), 1-based inclusive token
+    positions. A position is duplicated when some n-gram window
+    covering it occurs >= `min_count` times corpus-wide; overlapping
+    and adjacent-overlapping windows merge into one span.
+    """
+    grams = positioned_gram_frame(df, id_col, text_col, n)
+    freq = (
+        grams.groupBy("gram_hash")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .filter(F.col("__cnt") >= min_count)
+        .select("gram_hash")
+    )
+    dup = grams.join(freq, "gram_hash").select(id_col, "pos")
+
+    # Gaps-and-islands: a window [pos, pos+n-1] starts a new span iff it
+    # does not overlap the furthest end reached so far. End positions
+    # are monotone in pos (fixed width), so running-max(end) =
+    # running-max(pos) + n - 1.
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = dup.select(
+        id_col,
+        "pos",
+        (
+            F.col("pos")
+            > F.coalesce(F.max("pos").over(w_prev) + (n - 1), F.lit(-1))
+        )
+        .cast("long")
+        .alias("__new"),
+    )
+    islands = marked.select(
+        id_col, "pos", F.sum("__new").over(w_run).alias("__gid")
+    )
+    return islands.groupBy(id_col, "__gid").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + (n - 1)).alias("span_end"),
+    ).drop("__gid")
+
+
+def dup_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-substring profile for documents with at
+    least one duplicated span: (id, n_tokens, n_dup_spans, dup_tokens,
+    dup_frac). `dup_frac` is the fraction of the document's tokens
+    covered by corpus-duplicated runs — the gating dial (1.0 = the
+    whole document exists elsewhere)."""
+    spans = duplicated_spans(df, id_col, text_col, n, min_count)
+    stats = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1)
+        .cast("long")
+        .alias("dup_tokens"),
+    )
+    sized = df.select(
+        F.col(id_col), F.size(tokens_expr(text_col)).cast("long").alias("n_tokens")
+    )
+    return sized.join(stats, id_col).select(
+        id_col,
+        "n_tokens",
+        "n_dup_spans",
+        "dup_tokens",
+        F.round(
+            F.col("dup_tokens").cast("double") / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("dup_frac"),
+    )
+
+
+def _keep_tokens(toks: Column, spans: Column) -> Column:
+    """Tokens of `toks` whose 1-based position is outside every span."""
+    return F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            spans,
+            lambda s: (i + 1 >= s["span_start"]) & (i + 1 <= s["span_end"]),
+        ),
+    )
+
+
+def strip_duplicated_substrings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_count: int = 2,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Corpus with duplicated runs removed: (id, *keep_cols, clean_text,
+    n_removed).
+
+    Every document is rebuilt from its whitespace-normalized tokens
+    (single-space joined), so output text is normalized even for
+    untouched rows — deterministic and engine-portable. Documents that
+    were entirely duplicated text yield `clean_text = ''`.
+    """
+    spans = duplicated_spans(df, id_col, text_col, n, min_count)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    empty = F.array().cast(
+        "array<struct<span_start:int,span_end:int>>"
+    )
+    toks = tokens_expr(text_col)
+    sp = F.coalesce(F.col("__spans"), empty)
+    kept = _keep_tokens(toks, sp)
+    return df.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        F.array_join(kept, " ").alias("clean_text"),
+        (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
+    )

@@ -1442,3 +1442,107 @@ def curation_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def curation_gopher_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return C.gopher_gates(docs)
+
+
+# ---------------------------------------------------------------------------
+# exact duplicated-substring dedup (operators/substrings.py)
+# ---------------------------------------------------------------------------
+
+_SUBSTR_N = 8
+
+# Shared CTE chain: sliding n-gram positions -> corpus-frequency filter
+# -> gaps-and-islands span merge (mirrors operators.substrings).
+_SUBSTR_SPANS_CTES = f"""
+    base AS (
+      SELECT doc_id, lang, {_TOKS} AS l FROM documents),
+    grams AS (
+      SELECT doc_id, generate_subscripts(gs, 1) AS pos,
+             {md5_long_sql('unnest(gs)')} AS h
+      FROM (SELECT doc_id,
+                   list_transform(range(1, len(l) - {_SUBSTR_N} + 2),
+                                  __j -> array_to_string(
+                                      l[__j:__j + {_SUBSTR_N} - 1], ' ')) AS gs
+            FROM base)),
+    dup AS (
+      SELECT doc_id, pos FROM grams
+      WHERE h IN (SELECT h FROM grams GROUP BY h HAVING count(*) >= 2)),
+    marks AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > COALESCE(
+                 MAX(pos) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) + {_SUBSTR_N} - 1,
+                 -1) THEN 1 ELSE 0 END AS new_span
+      FROM dup),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS gid
+      FROM marks),
+    spans AS (
+      SELECT doc_id, MIN(pos) AS s, MAX(pos) + {_SUBSTR_N} - 1 AS e
+      FROM isl GROUP BY doc_id, gid)
+"""
+
+
+@register_shadow(
+    "dedup_dup_span_stats",
+    f"""
+    WITH {_SUBSTR_SPANS_CTES},
+    stats AS (
+      SELECT doc_id, count(*) AS n_dup_spans,
+             CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens
+      FROM spans GROUP BY doc_id)
+    SELECT b.doc_id, CAST(len(b.l) AS BIGINT) AS n_tokens,
+           st.n_dup_spans, st.dup_tokens,
+           round(st.dup_tokens * 1.0 / len(b.l), 6) AS dup_frac
+    FROM base b JOIN stats st USING (doc_id)
+    """,
+    doc="ExactSubstr dedup, report mode (Lee et al. 2022): fraction of "
+    "each document covered by >=8-token runs that occur more than once "
+    "corpus-wide, with overlapping windows merged into maximal spans. "
+    "dup_frac = 1.0 marks a document that exists verbatim elsewhere.",
+)
+def dedup_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators import substrings as S
+
+    docs = load_table(spark, sf_dir, "documents")
+    return S.dup_span_stats(docs, n=_SUBSTR_N)
+
+
+@register_shadow(
+    "dedup_strip_substrings",
+    f"""
+    WITH {_SUBSTR_SPANS_CTES},
+    toks AS (
+      SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS tok
+      FROM base),
+    covered AS (
+      SELECT doc_id, unnest(generate_series(s, e)) AS pos FROM spans),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.tok FROM toks t
+      WHERE NOT EXISTS (SELECT 1 FROM covered c
+                        WHERE c.doc_id = t.doc_id AND c.pos = t.pos)),
+    reb AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+             count(*) AS kept_n
+      FROM kept GROUP BY doc_id)
+    SELECT b.doc_id, b.lang,
+           COALESCE(r.clean_text, '') AS clean_text,
+           CAST(len(b.l) - COALESCE(r.kept_n, 0) AS BIGINT) AS n_removed
+    FROM base b LEFT JOIN reb r USING (doc_id)
+    """,
+    doc="ExactSubstr dedup, strip mode: every corpus-duplicated >=8-token "
+    "run is removed from every document (all occurrences -- the "
+    "deterministic, partition-order-independent variant of Lee et al.'s "
+    "keep-first). Rebuild is a per-row higher-order filter over the span "
+    "list; no token explode on the write path.",
+)
+def dedup_strip_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators import substrings as S
+
+    docs = load_table(spark, sf_dir, "documents")
+    return S.strip_duplicated_substrings(
+        docs, n=_SUBSTR_N, keep_cols=("lang",)
+    )
