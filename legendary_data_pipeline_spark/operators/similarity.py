@@ -746,3 +746,66 @@ def semdedup(
     return clustered.groupBy("cluster").applyInPandas(
         _greedy, "vec_id long, cluster int, keep boolean, dup_of long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss random projection
+# ---------------------------------------------------------------------------
+
+def jl_signs(out_dims: int, dim: int, seed: str = "jl") -> list[list[float]]:
+    """Deterministic Achlioptas ±1 matrix, md5-derived from
+    (seed, row, dim) — stateless, identical in any engine or language.
+    Row j is the j-th projection direction."""
+    import hashlib
+
+    rows = []
+    for j in range(out_dims):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"{seed}:{j}:{d}".encode()).hexdigest()[:15], 16)
+            row.append(1.0 if h % 2 == 0 else -1.0)
+        rows.append(row)
+    return rows
+
+
+def random_projection(
+    embeddings: DataFrame,
+    out_dims: int = 8,
+    vec_col: str = "embedding",
+    id_cols: tuple[str, ...] = ("vec_id", "label"),
+    seed: str = "jl",
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction: project each
+    vector onto `out_dims` deterministic ±1 directions, scaled by
+    1/sqrt(out_dims) (Achlioptas 2003 — the database-friendly JL
+    construction). Expected squared distances are preserved, so the
+    output feeds SemDeDup / IVF / cosine dedup at a fraction of the
+    width.
+
+    Returns (*id_cols, proj: array<double>). The sign matrix depends
+    only on (seed, j, d): computed once driver-side, shipped as column
+    literals — per-row cost is out_dims fused multiply-add passes in
+    the scan stage, no shuffle, no stored model.
+    """
+    base = embeddings.select(
+        *id_cols, _as_double(F.col(vec_col)).alias("__v")
+    )
+    dim = base.select(F.size("__v").alias("d")).first()["d"]
+    signs = jl_signs(out_dims, dim, seed)
+    scale = out_dims ** -0.5
+
+    def proj_of(j: int) -> Column:
+        s = F.array(*[F.lit(v) for v in signs[j]])
+        return (
+            F.aggregate(
+                F.zip_with(F.col("__v"), s, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            * F.lit(scale)
+        )
+
+    return base.select(
+        *id_cols,
+        F.array(*[proj_of(j) for j in range(out_dims)]).alias("proj"),
+    )
