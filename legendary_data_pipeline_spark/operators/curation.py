@@ -836,3 +836,49 @@ def gopher_gates(
         out = out.withColumn(name, cond)
         keep = keep & cond
     return out.withColumn("gopher_keep", keep)
+
+
+# ---------------------------------------------------------------------------
+# percentile winsorization / outlier trim
+# ---------------------------------------------------------------------------
+
+def winsorize_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Per-group percentile outlier gate: annotate each row with the
+    group's exact [lo, hi] quantile bounds of `value_col` and a `keep`
+    verdict (inside the bounds, inclusive).
+
+    The standard length/score outlier trim of curation pipelines
+    (tails of the token-count or quality-score distribution are crawl
+    junk), kept as an annotation so thresholds stay tunable without
+    recomputation — filter on `keep` to trim.
+
+    Scale (100 TB): exact `percentile()` per group is a sort-based
+    aggregate over each group's values — fine for the per-LANG grouping
+    this targets (few, large groups; Spark aggregates them in
+    parallel). The bounds frame is group-cardinality-sized and
+    broadcast back. For percentiles over high-cardinality groups use
+    `approx_percentile` and drop the oracle pairing.
+    """
+    gcols = [group_col] if group_col else []
+    v = F.col(value_col).cast("double")
+    bounds = df.groupBy(*gcols).agg(
+        F.round(F.expr(f"percentile({value_col}, {lo})"), 6).alias("__lo"),
+        F.round(F.expr(f"percentile({value_col}, {hi})"), 6).alias("__hi"),
+    )
+    joined = (
+        df.join(F.broadcast(bounds), gcols)
+        if gcols
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    return joined.select(
+        *df.columns,
+        F.col("__lo").alias("lo_bound"),
+        F.col("__hi").alias("hi_bound"),
+        ((v >= F.col("__lo")) & (v <= F.col("__hi"))).alias("keep"),
+    )

@@ -1546,3 +1546,40 @@ def dedup_strip_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.strip_duplicated_substrings(
         docs, n=_SUBSTR_N, keep_cols=("lang",)
     )
+
+
+# ---------------------------------------------------------------------------
+# percentile winsorization (operators/curation.winsorize_outliers)
+# ---------------------------------------------------------------------------
+
+@register_shadow(
+    "curation_length_winsorize",
+    f"""
+    WITH base AS (
+      SELECT doc_id, lang, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents),
+    bounds AS (
+      SELECT lang,
+             round(quantile_cont(n_tokens, 0.05), 6) AS lo_bound,
+             round(quantile_cont(n_tokens, 0.95), 6) AS hi_bound
+      FROM base GROUP BY lang)
+    SELECT b.doc_id, b.lang, b.n_tokens, bd.lo_bound, bd.hi_bound,
+           b.n_tokens >= bd.lo_bound AND b.n_tokens <= bd.hi_bound AS keep
+    FROM base b JOIN bounds bd USING (lang)
+    """,
+    doc="Per-language token-count winsorization: exact 5th/95th "
+    "percentile bounds per lang with an inclusive keep verdict — the "
+    "length-tail outlier trim (crawl junk lives in the tails). Bounds "
+    "are a lang-cardinality frame broadcast back onto the corpus; "
+    "exact percentile() matches DuckDB quantile_cont bit-for-bit.",
+)
+def curation_length_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.dedup import tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokens_expr("text")).cast("long").alias("n_tokens"),
+    )
+    return C.winsorize_outliers(sized, "n_tokens", group_col="lang")

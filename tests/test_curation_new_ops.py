@@ -105,3 +105,45 @@ def test_centroid_plan_broadcasts_and_flags(spark):
     # whole point of the plan is that the big side never shuffles.
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# winsorize_outliers
+# ---------------------------------------------------------------------------
+
+def test_winsorize_ungrouped_bounds_inclusive(spark):
+    from legendary_data_pipeline_spark.operators.curation import (
+        winsorize_outliers,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 100])],
+        "id long, v double",
+    )
+    out = {r["id"]: r for r in winsorize_outliers(df, "v", lo=0.1, hi=0.9).collect()}
+    # exact interpolated percentiles over 10 values: p10=1.9, p90=9·0.9... 
+    # percentile(v,0.9) = 9 + 0.1*(100-9) = 18.1
+    assert out[0]["lo_bound"] == 1.9
+    assert abs(out[0]["hi_bound"] - 18.1) < 1e-9
+    kept = {i for i, r in out.items() if r["keep"]}
+    assert kept == {1, 2, 3, 4, 5, 6, 7, 8}  # v=1 below 1.9, v=100 above 18.1
+    # schema keeps all original columns plus the three annotations
+    assert set(out[0].asDict()) == {"id", "v", "lo_bound", "hi_bound", "keep"}
+
+
+def test_winsorize_grouped_independent_bounds(spark):
+    from legendary_data_pipeline_spark.operators.curation import (
+        winsorize_outliers,
+    )
+
+    rows = [("a", float(v)) for v in range(1, 11)] + [
+        ("b", float(v)) for v in range(101, 111)
+    ]
+    df = spark.createDataFrame(
+        [(i, g, v) for i, (g, v) in enumerate(rows)], "id long, g string, v double"
+    )
+    out = winsorize_outliers(df, "v", group_col="g", lo=0.0, hi=1.0).collect()
+    # lo=0/hi=1 keeps everything, and each group gets its own bounds
+    assert all(r["keep"] for r in out)
+    bounds = {(r["g"], r["lo_bound"], r["hi_bound"]) for r in out}
+    assert bounds == {("a", 1.0, 10.0), ("b", 101.0, 110.0)}
