@@ -882,3 +882,69 @@ def winsorize_outliers(
         F.col("__hi").alias("hi_bound"),
         ((v >= F.col("__lo")) & (v <= F.col("__hi"))).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# temperature-based domain mixing
+# ---------------------------------------------------------------------------
+
+def temperature_mix(
+    df: DataFrame,
+    alpha: float = 0.5,
+    budget_frac: float = 0.5,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    seed: int = 11,
+) -> DataFrame:
+    """Temperature-controlled corpus mixing (the multilingual sampling
+    rule of XLM-R / mT5): re-weight strata by `n_d^alpha` so low-resource
+    domains are up-weighted relative to their raw share, then derive a
+    deterministic per-stratum KEEP rate that hits a total token budget
+    of `budget_frac * total_tokens`.
+
+        p_d   = n_d^alpha / sum_e n_e^alpha
+        rate_d = min(1, budget_frac * N * p_d / n_d)
+
+    alpha=1 reproduces proportional sampling; alpha=0 gives every
+    stratum an equal token share. Rows are gated by the engine's
+    reproducible hash convention (`seeded_md5(id) mod 10k <
+    round(rate*10k)` — same as `stratified_hash_sample`), so the mix
+    replays identically across engines and reruns.
+
+    Scale (100 TB): two map-side-combinable aggregates (per-stratum and
+    global token totals — stratum-cardinality frames), broadcast back;
+    the gate itself is a pure column expression. No data-sized shuffle.
+    """
+    nd = df.groupBy(stratum_col).agg(
+        F.sum(F.col(tokens_col)).cast("double").alias("__nd")
+    )
+    z = nd.agg(
+        F.sum(F.pow("__nd", F.lit(float(alpha)))).alias("__z"),
+        F.sum("__nd").alias("__n_total"),
+    )
+    rates = (
+        nd.crossJoin(F.broadcast(z))
+        .select(
+            stratum_col,
+            F.least(
+                F.lit(1.0),
+                F.lit(float(budget_frac))
+                * F.col("__n_total")
+                * F.pow("__nd", F.lit(float(alpha)))
+                / F.col("__z")
+                / F.col("__nd"),
+            ).alias("__rate"),
+        )
+    )
+    bucket = seeded_md5_long(F.col(id_col).cast("string"), seed) % 10_000
+    return (
+        df.join(F.broadcast(rates), stratum_col)
+        .select(
+            *df.columns,
+            F.round(F.col("__rate"), 6).alias("rate"),
+            (bucket < F.round(F.col("__rate") * 10_000, 0).cast("long")).alias(
+                "keep"
+            ),
+        )
+    )

@@ -1583,3 +1583,53 @@ def curation_length_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tokens_expr("text")).cast("long").alias("n_tokens"),
     )
     return C.winsorize_outliers(sized, "n_tokens", group_col="lang")
+
+
+# ---------------------------------------------------------------------------
+# temperature mixing (operators/curation.temperature_mix)
+# ---------------------------------------------------------------------------
+
+_MIX_ALPHA = 0.5
+_MIX_BUDGET = 0.5
+_MIX_SEED = 11
+
+
+@register_shadow(
+    "curation_temperature_mix",
+    f"""
+    WITH base AS (
+      SELECT doc_id, lang, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents),
+    nd AS (
+      SELECT lang, CAST(SUM(n_tokens) AS DOUBLE) AS nd FROM base GROUP BY lang),
+    z AS (
+      SELECT SUM(pow(nd, {_MIX_ALPHA!r})) AS z, SUM(nd) AS n_total FROM nd),
+    rates AS (
+      SELECT lang,
+             least(1.0, {_MIX_BUDGET!r} * n_total * pow(nd, {_MIX_ALPHA!r})
+                        / z / nd) AS rate
+      FROM nd CROSS JOIN z)
+    SELECT b.doc_id, b.lang, b.n_tokens,
+           round(r.rate, 6) AS rate,
+           ({seeded_md5_long_sql('CAST(b.doc_id AS VARCHAR)', _MIX_SEED)}
+            % 10000) < CAST(round(r.rate * 10000, 0) AS BIGINT) AS keep
+    FROM base b JOIN rates r USING (lang)
+    """,
+    doc="Temperature-controlled corpus mixing (XLM-R/mT5 sampling rule): "
+    "per-language keep rates derived from n_d^alpha re-weighting under a "
+    "50% token budget, gated by the reproducible md5 convention. "
+    "alpha=0.5 up-weights low-resource languages; two tiny aggregates "
+    "broadcast back, no data-sized shuffle.",
+)
+def curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.dedup import tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokens_expr("text")).cast("long").alias("n_tokens"),
+    )
+    return C.temperature_mix(
+        sized, alpha=_MIX_ALPHA, budget_frac=_MIX_BUDGET, seed=_MIX_SEED
+    )

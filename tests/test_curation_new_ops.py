@@ -147,3 +147,54 @@ def test_winsorize_grouped_independent_bounds(spark):
     assert all(r["keep"] for r in out)
     bounds = {(r["g"], r["lo_bound"], r["hi_bound"]) for r in out}
     assert bounds == {("a", 1.0, 10.0), ("b", 101.0, 110.0)}
+
+
+# ---------------------------------------------------------------------------
+# temperature_mix
+# ---------------------------------------------------------------------------
+
+def _mix_fixture(spark):
+    # lang a: 9000 tokens across 90 docs; lang b: 1000 across 10 docs
+    rows = [(i, "a", 100) for i in range(90)] + [
+        (100 + i, "b", 100) for i in range(10)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+
+
+def test_temperature_alpha1_is_proportional(spark):
+    from legendary_data_pipeline_spark.operators.curation import temperature_mix
+
+    out = temperature_mix(_mix_fixture(spark), alpha=1.0, budget_frac=0.5)
+    rates = {r["lang"]: r["rate"] for r in out.collect()}
+    # alpha=1 -> p_d = n_d/N -> rate_d = budget_frac for every stratum
+    assert rates == {"a": 0.5, "b": 0.5}
+
+
+def test_temperature_alpha0_equalizes_token_share(spark):
+    from legendary_data_pipeline_spark.operators.curation import temperature_mix
+
+    out = temperature_mix(_mix_fixture(spark), alpha=0.0, budget_frac=0.5)
+    rates = {r["lang"]: r["rate"] for r in out.collect()}
+    # alpha=0 -> each stratum targets N*budget/2 = 2500 tokens:
+    # a: 2500/9000, b: capped at 1 (2500/1000 > 1)
+    assert abs(rates["a"] - 2500 / 9000) < 1e-6
+    assert rates["b"] == 1.0
+
+
+def test_temperature_mix_gate_matches_rate(spark):
+    from legendary_data_pipeline_spark.operators.curation import temperature_mix
+
+    out = temperature_mix(
+        _mix_fixture(spark), alpha=0.5, budget_frac=0.5
+    ).collect()
+    # low-resource lang b must be sampled at a HIGHER rate than a
+    rates = {r["lang"]: r["rate"] for r in out}
+    assert rates["b"] > rates["a"]
+    # keep flags are a pure function of (doc_id, rate): rerun identical
+    again = {
+        r["doc_id"]: r["keep"]
+        for r in temperature_mix(
+            _mix_fixture(spark), alpha=0.5, budget_frac=0.5
+        ).collect()
+    }
+    assert {r["doc_id"]: r["keep"] for r in out} == again
