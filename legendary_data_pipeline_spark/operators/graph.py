@@ -44,7 +44,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Propagation is considered stalled when a round retires fewer than
@@ -340,3 +340,30 @@ def pagerank(
         if delta is not None and delta < tol:
             break
     return ranks.select("node", "rank")
+
+
+def best_member(
+    components: DataFrame,
+    attrs: DataFrame,
+    order_by,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One keeper per component chosen by an explicit quality order —
+    the "keep the longest / highest-quality member" dedup policy (the
+    usual alternative to min-id canonical: near-dup groups keep their
+    most complete variant, not an arbitrary one).
+
+    `components` is a `connected_components` frame (node, component);
+    `attrs` carries `id_col` plus the columns `order_by` references.
+    Output: one row per component with the member's attrs, plus
+    `n_members`. Both windows share the component partition key — a
+    single exchange."""
+    from legendary_data_pipeline_spark.operators.ranking import best_of_group
+
+    mem = components.join(
+        attrs.withColumnRenamed(id_col, "node"), "node"
+    ).withColumn(
+        "n_members",
+        F.count(F.lit(1)).over(Window.partitionBy("component")),
+    )
+    return best_of_group(mem, ["component"], order_by)

@@ -146,3 +146,29 @@ def test_pagerank_uniform_on_cycle(spark):
     )
     got = [r["rank"] for r in pagerank(edges, max_iterations=30).collect()]
     assert all(abs(x - 1 / 6) < 1e-9 for x in got)
+
+
+def test_best_member_keeps_longest_with_tiebreak(spark):
+    from legendary_data_pipeline_spark.operators.graph import (
+        best_member,
+        connected_components,
+    )
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    attrs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (10, 4), (11, 4)], "doc_id long, n_chars long"
+    )
+    comps = connected_components(edges)
+    best = {
+        r["component"]: (r["node"], r["n_chars"], r["n_members"])
+        for r in best_member(
+            comps, attrs, [F.col("n_chars").desc(), F.col("node").asc()]
+        ).collect()
+    }
+    # component 1 = {1,2,3}: longest is 9 chars, tie between 2 and 3 -> min id 2
+    assert best[1] == (2, 9, 3)
+    # component 10 = {10,11}: tie at 4 chars -> min id 10
+    assert best[10] == (10, 4, 2)
