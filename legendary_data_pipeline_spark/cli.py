@@ -270,6 +270,57 @@ def cmd_curate(spark: SparkSession, args) -> int:
         unique = unique.join(gates, "doc_id").filter("gopher_keep").drop(
             "gopher_keep"
         )
+    if args.strip_substrings:
+        from legendary_data_pipeline_spark.operators.substrings import (
+            strip_duplicated_substrings,
+        )
+
+        stripped = strip_duplicated_substrings(
+            unique.select("doc_id", F.col("clean_text").alias("text")),
+            n=args.strip_substrings,
+        ).select("doc_id", F.col("clean_text").alias("__stripped"))
+        # Docs that were entirely duplicated text strip to '' — drop them.
+        unique = (
+            unique.drop("clean_text")
+            .join(stripped, "doc_id")
+            .withColumnRenamed("__stripped", "clean_text")
+            .filter(F.col("clean_text") != "")
+        )
+    if args.winsorize or args.mix_alpha is not None:
+        from legendary_data_pipeline_spark.operators.dedup import tokens_expr
+
+        unique = unique.withColumn(
+            "__n_tokens", F.size(tokens_expr("clean_text")).cast("long")
+        )
+    if args.winsorize:
+        from legendary_data_pipeline_spark.operators.curation import (
+            winsorize_outliers,
+        )
+
+        lo, hi = args.winsorize
+        unique = (
+            winsorize_outliers(
+                unique, "__n_tokens", group_col="lang", lo=lo, hi=hi
+            )
+            .filter("keep")
+            .drop("lo_bound", "hi_bound", "keep")
+        )
+    if args.mix_alpha is not None:
+        from legendary_data_pipeline_spark.operators.curation import (
+            temperature_mix,
+        )
+
+        unique = (
+            temperature_mix(
+                unique,
+                alpha=args.mix_alpha,
+                budget_frac=args.mix_budget,
+                tokens_col="__n_tokens",
+            )
+            .filter("keep")
+            .drop("rate", "keep")
+        )
+    unique = unique.drop("__n_tokens")
     unique.write.mode("overwrite").parquet(
         _table(args.warehouse, "curated_documents")
     )
@@ -335,6 +386,33 @@ def build_parser() -> argparse.ArgumentParser:
         "--gopher",
         action="store_true",
         help="apply the document-level Gopher quality gates",
+    )
+    p.add_argument(
+        "--strip-substrings",
+        type=int,
+        default=None,
+        metavar="N",
+        help="remove corpus-duplicated runs of >= N tokens (ExactSubstr)",
+    )
+    p.add_argument(
+        "--winsorize",
+        type=float,
+        nargs=2,
+        default=None,
+        metavar=("LO", "HI"),
+        help="per-lang token-count percentile outlier trim, e.g. 0.05 0.95",
+    )
+    p.add_argument(
+        "--mix-alpha",
+        type=float,
+        default=None,
+        help="temperature-mix exponent over langs (enables the mix gate)",
+    )
+    p.add_argument(
+        "--mix-budget",
+        type=float,
+        default=0.5,
+        help="temperature-mix token budget fraction (default 0.5)",
     )
     p.set_defaults(fn=cmd_curate)
     return parser

@@ -191,3 +191,70 @@ def test_cli_curate_gopher_gate(spark, sf_dir, tmp_path):
     }
     assert 777 not in out_ids          # fails the word-count gate
     assert len(out_ids) == 10          # long docs all survive
+
+
+def test_cli_curate_strip_winsorize_mix(spark, sf_dir, tmp_path):
+    """The three new curation gates compose: --strip-substrings drops a
+    doc that is entirely corpus-duplicated text, --winsorize trims the
+    token-count tails per lang, --mix-alpha applies the temperature
+    gate deterministically."""
+    import json
+
+    from legendary_data_pipeline_spark.cli import build_parser
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = [r.asDict() for r in docs.filter("n_chars > 200").limit(20).collect()]
+    # Two NEW docs sharing one long run -> both stripped empty by
+    # ExactSubstr (distinct doc_ids and trailing tokens so the exact
+    # content-hash dedup upstream does NOT collapse them).
+    shared = " ".join(f"tok{i}" for i in range(30))
+    clones = [
+        {"doc_id": 9001, "text": shared + " endA", "lang": "en",
+         "source": "s", "n_chars": len(shared) + 5},
+        {"doc_id": 9002, "text": shared + " endB", "lang": "en",
+         "source": "s", "n_chars": len(shared) + 5},
+    ]
+    src = tmp_path / "in.jsonl"
+    with open(src, "w") as f:
+        for r in rows + clones:
+            f.write(json.dumps(r) + "\n")
+    # control: same input, no extra gates (fixture docs may contain
+    # their own corpus near-dups, so the kept set is established by a
+    # control run, not hardcoded)
+    wh0 = str(tmp_path / "wh0")
+    control = build_parser().parse_args(
+        ["curate", "--warehouse", wh0, "--input", str(src)]
+    )
+    assert control.fn(spark, control) == 0
+    control_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{wh0}/curated_documents").collect()
+    }
+
+    wh = str(tmp_path / "wh")
+    args = build_parser().parse_args(
+        [
+            "curate", "--warehouse", wh, "--input", str(src),
+            "--strip-substrings", "8",
+            "--winsorize", "0.0", "1.0",
+            "--mix-alpha", "0.5", "--mix-budget", "1.0",
+        ]
+    )
+    assert args.fn(spark, args) == 0
+    out = spark.read.parquet(f"{wh}/curated_documents")
+    ids = {r["doc_id"] for r in out.collect()}
+    # the clones' shared 30-token run is corpus-duplicated -> both docs
+    # lose it; their 1-token remainders survive ('endA'/'endB')
+    assert {9001, 9002} <= ids
+    clone_texts = {
+        r["doc_id"]: r["clean_text"]
+        for r in out.filter("doc_id in (9001, 9002)").collect()
+    }
+    assert clone_texts[9001] == "endA" and clone_texts[9002] == "endB"
+    # winsorize(0,1) + budget 1.0 drop nothing: the only reducer vs the
+    # control is ExactSubstr stripping fixture-internal duplicate runs
+    assert ids <= control_ids
+    assert len(ids) >= len(control_ids) - 5  # strip empties few docs
+    # gate bookkeeping columns do not leak into the table
+    assert not any(c.startswith("__") for c in out.columns)
+    assert "keep" not in out.columns and "rate" not in out.columns
