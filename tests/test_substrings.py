@@ -120,3 +120,77 @@ def test_adjacent_but_disjoint_spans_stay_separate(spark):
     rows = S.duplicated_spans(df, n=N).filter("doc_id = 1").collect()
     got = sorted((r["span_start"], r["span_end"]) for r in rows)
     assert got == [(1, 4), (6, 9)]
+
+
+# ---------------------------------------------------------------------------
+# property: span construction matches a pure-Python reference
+# ---------------------------------------------------------------------------
+
+def _ref_spans(docs: dict[int, list[str]], n: int, min_count: int = 2):
+    """Reference ExactSubstr spans: count n-grams, mark positions whose
+    gram occurs >= min_count corpus-wide, merge overlapping windows."""
+    from collections import defaultdict
+
+    counts: dict[str, int] = defaultdict(int)
+    per_doc: dict[int, list[tuple[int, str]]] = {}
+    for did, toks in docs.items():
+        lst = []
+        for p in range(len(toks) - n + 1):
+            g = " ".join(toks[p : p + n])
+            counts[g] += 1
+            lst.append((p + 1, g))
+        per_doc[did] = lst
+    out = {}
+    for did, lst in per_doc.items():
+        spans = []
+        for p, g in lst:  # positions ascending
+            if counts[g] < min_count:
+                continue
+            if spans and p <= spans[-1][1]:  # window overlaps current span
+                spans[-1] = (spans[-1][0], p + n - 1)
+            else:
+                spans.append((p, p + n - 1))
+        if spans:
+            out[did] = spans
+    return out
+
+
+def test_spans_match_python_reference_property(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    N = 3
+    corpus_strategy = st.lists(
+        st.lists(st.sampled_from(list("abcde")), min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    )
+
+    # Batch all hypothesis examples into ONE union frame: tokens are
+    # prefixed with the example index, so n-grams never collide across
+    # examples and corpus-level frequency stays per-example.
+    examples: list[list[list[str]]] = []
+
+    @settings(max_examples=25, deadline=None)
+    @given(corpus_strategy)
+    def collect(corpus):
+        examples.append(corpus)
+
+    collect()
+
+    docs = {}
+    rows = []
+    for ei, corpus in enumerate(examples):
+        for di, toks in enumerate(corpus):
+            did = ei * 1000 + di
+            tagged = [f"e{ei}_{t}" for t in toks]
+            docs[did] = tagged
+            rows.append((did, " ".join(tagged)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got: dict[int, list[tuple[int, int]]] = {}
+    for r in S.duplicated_spans(df, n=N).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+    got = {k: sorted(v) for k, v in got.items()}
+    assert got == _ref_spans(docs, N)
