@@ -274,10 +274,17 @@ def cmd_curate(spark: SparkSession, args) -> int:
         from legendary_data_pipeline_spark.operators.substrings import (
             strip_duplicated_substrings,
         )
+        from legendary_data_pipeline_spark.operators.textstats import (
+            quality_score,
+        )
 
+        # normalize_untouched=False: only documents that actually lose a
+        # span are rebuilt token-joined; untouched text stays
+        # byte-for-byte (newlines/paragraphs preserved).
         stripped = strip_duplicated_substrings(
             unique.select("doc_id", F.col("clean_text").alias("text")),
             n=args.strip_substrings,
+            normalize_untouched=False,
         ).select("doc_id", F.col("clean_text").alias("__stripped"))
         # Docs that were entirely duplicated text strip to '' — drop them.
         unique = (
@@ -286,6 +293,15 @@ def cmd_curate(spark: SparkSession, args) -> int:
             .withColumnRenamed("__stripped", "clean_text")
             .filter(F.col("clean_text") != "")
         )
+        # Re-score the POST-strip text so the published token_count /
+        # quality columns describe the text actually stored (text_sha
+        # stays the original content hash — it is the dedup identity).
+        rescored = quality_score(
+            unique.select("doc_id", F.col("clean_text").alias("text"))
+        )
+        unique = unique.drop(
+            "token_count", "quality_score", "quality_bucket"
+        ).join(rescored, "doc_id")
     if args.winsorize or args.mix_alpha is not None:
         from legendary_data_pipeline_spark.operators.dedup import tokens_expr
 
@@ -392,7 +408,9 @@ def build_parser() -> argparse.ArgumentParser:
         type=int,
         default=None,
         metavar="N",
-        help="remove corpus-duplicated runs of >= N tokens (ExactSubstr)",
+        help="remove corpus-duplicated runs of >= N tokens (ExactSubstr); "
+        "affected docs are rebuilt single-space-joined and re-scored, "
+        "untouched docs keep their text verbatim",
     )
     p.add_argument(
         "--winsorize",

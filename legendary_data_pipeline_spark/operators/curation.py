@@ -871,11 +871,16 @@ def winsorize_outliers(
         F.round(F.expr(f"percentile({value_col}, {lo})"), 6).alias("__lo"),
         F.round(F.expr(f"percentile({value_col}, {hi})"), 6).alias("__hi"),
     )
-    joined = (
-        df.join(F.broadcast(bounds), gcols)
-        if gcols
-        else df.crossJoin(F.broadcast(bounds))
-    )
+    if gcols:
+        # Null-safe key: groupBy puts NULL-group rows in their own
+        # stratum; a plain equi-join would then silently DROP them
+        # (null never equals null) — data loss, not a gate decision.
+        joined = df.join(
+            F.broadcast(bounds.withColumnRenamed(group_col, "__grp")),
+            F.col(group_col).eqNullSafe(F.col("__grp")),
+        ).drop("__grp")
+    else:
+        joined = df.crossJoin(F.broadcast(bounds))
     return joined.select(
         *df.columns,
         F.col("__lo").alias("lo_bound"),
@@ -938,8 +943,14 @@ def temperature_mix(
         )
     )
     bucket = seeded_md5_long(F.col(id_col).cast("string"), seed) % 10_000
+    # Null-safe stratum join: a NULL stratum is a stratum (it already
+    # contributed to __z/__n_total above); equi-join would drop its rows.
     return (
-        df.join(F.broadcast(rates), stratum_col)
+        df.join(
+            F.broadcast(rates.withColumnRenamed(stratum_col, "__strat")),
+            F.col(stratum_col).eqNullSafe(F.col("__strat")),
+        )
+        .drop("__strat")
         .select(
             *df.columns,
             F.round(F.col("__rate"), 6).alias("rate"),

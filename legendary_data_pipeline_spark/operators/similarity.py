@@ -774,6 +774,7 @@ def random_projection(
     vec_col: str = "embedding",
     id_cols: tuple[str, ...] = ("vec_id", "label"),
     seed: str = "jl",
+    dim: int | None = None,
 ) -> DataFrame:
     """Johnson–Lindenstrauss dimensionality reduction: project each
     vector onto `out_dims` deterministic ±1 directions, scaled by
@@ -790,7 +791,15 @@ def random_projection(
     base = embeddings.select(
         *id_cols, _as_double(F.col(vec_col)).alias("__v")
     )
-    dim = base.select(F.size("__v").alias("d")).first()["d"]
+    if dim is None:
+        # Eager one-row probe for the vector width; pass `dim` to skip
+        # it (and to support empty frames, which have no row to probe).
+        row = base.select(F.size("__v").alias("d")).first()
+        if row is None:
+            return base.select(
+                *id_cols, F.lit(None).cast("array<double>").alias("proj")
+            )
+        dim = row["d"]
     signs = jl_signs(out_dims, dim, seed)
     scale = out_dims ** -0.5
 

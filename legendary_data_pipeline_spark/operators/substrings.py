@@ -84,8 +84,9 @@ def duplicated_spans(
 
     Returns (id, span_start, span_end), 1-based inclusive token
     positions. A position is duplicated when some n-gram window
-    covering it occurs >= `min_count` times corpus-wide; overlapping
-    and adjacent-overlapping windows merge into one span.
+    covering it occurs >= `min_count` times corpus-wide; windows whose
+    covered token runs overlap OR abut merge into one span, so each
+    span is a maximal contiguous run of duplicated tokens.
     """
     grams = positioned_gram_frame(df, id_col, text_col, n)
     freq = (
@@ -96,10 +97,10 @@ def duplicated_spans(
     )
     dup = grams.join(freq, "gram_hash").select(id_col, "pos")
 
-    # Gaps-and-islands: a window [pos, pos+n-1] starts a new span iff it
-    # does not overlap the furthest end reached so far. End positions
-    # are monotone in pos (fixed width), so running-max(end) =
-    # running-max(pos) + n - 1.
+    # Gaps-and-islands: a window [pos, pos+n-1] starts a new span iff
+    # its tokens neither overlap nor abut the furthest end reached so
+    # far (pos > prev_end + 1). End positions are monotone in pos
+    # (fixed width), so running-max(end) = running-max(pos) + n - 1.
     w_prev = (
         Window.partitionBy(id_col)
         .orderBy("pos")
@@ -115,7 +116,7 @@ def duplicated_spans(
         "pos",
         (
             F.col("pos")
-            > F.coalesce(F.max("pos").over(w_prev) + (n - 1), F.lit(-1))
+            > F.coalesce(F.max("pos").over(w_prev) + n, F.lit(-1))
         )
         .cast("long")
         .alias("__new"),
@@ -181,28 +182,53 @@ def strip_duplicated_substrings(
     n: int = 8,
     min_count: int = 2,
     keep_cols: tuple[str, ...] = (),
+    normalize_untouched: bool = True,
 ) -> DataFrame:
     """Corpus with duplicated runs removed: (id, *keep_cols, clean_text,
     n_removed).
 
-    Every document is rebuilt from its whitespace-normalized tokens
-    (single-space joined), so output text is normalized even for
-    untouched rows — deterministic and engine-portable. Documents that
-    were entirely duplicated text yield `clean_text = ''`.
+    Stripped documents are rebuilt from their whitespace-normalized
+    tokens (single-space joined — original whitespace inside a stripped
+    doc cannot survive a token-level cut). With `normalize_untouched`
+    (default, oracle-friendly: deterministic and engine-portable) the
+    SAME normalization applies to documents with no spans; pass False
+    to return untouched documents' text byte-for-byte unchanged (the
+    CLI path — preserves newlines/paragraph structure wherever nothing
+    was removed). Documents that were entirely duplicated text yield
+    `clean_text = ''`.
+
+    The rebuild is a two-stage projection: stage one evaluates the
+    tokenize + span-filter ONCE per row into a struct (higher-order
+    functions are interpreted, no codegen CSE — same trap documented at
+    dedup.shingles_expr; CollapseProject keeps non-cheap expressions
+    two-stage), stage two extracts the cheap fields.
     """
     spans = duplicated_spans(df, id_col, text_col, n, min_count)
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
     )
-    empty = F.array().cast(
-        "array<struct<span_start:int,span_end:int>>"
-    )
     toks = tokens_expr(text_col)
-    sp = F.coalesce(F.col("__spans"), empty)
-    kept = _keep_tokens(toks, sp)
-    return df.join(per_doc, id_col, "left").select(
+    sp = F.col("__spans")
+    packed = F.transform(
+        F.array(toks),
+        lambda t: F.struct(
+            _keep_tokens(t, sp).alias("k"), F.size(t).alias("n")
+        ),
+    )[0]
+    untouched_text = (
+        F.array_join(toks, " ")
+        if normalize_untouched
+        else F.col(text_col)
+    )
+    staged = df.join(per_doc, id_col, "left").withColumn("__p", packed)
+    return staged.select(
         F.col(id_col),
         *[F.col(c) for c in keep_cols],
-        F.array_join(kept, " ").alias("clean_text"),
-        (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
+        F.when(sp.isNull(), untouched_text)
+        .otherwise(F.array_join(F.col("__p.k"), " "))
+        .alias("clean_text"),
+        F.when(sp.isNull(), F.lit(0))
+        .otherwise(F.col("__p.n") - F.size("__p.k"))
+        .cast("long")
+        .alias("n_removed"),
     )

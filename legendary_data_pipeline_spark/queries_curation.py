@@ -1468,10 +1468,13 @@ _SUBSTR_SPANS_CTES = f"""
       WHERE h IN (SELECT h FROM grams GROUP BY h HAVING count(*) >= 2)),
     marks AS (
       SELECT doc_id, pos,
+             -- new span iff this window's tokens neither overlap nor
+             -- abut the running furthest end (prev_end + 1 =
+             -- max(prev pos) + n)
              CASE WHEN pos > COALESCE(
                  MAX(pos) OVER (PARTITION BY doc_id ORDER BY pos
                                 ROWS BETWEEN UNBOUNDED PRECEDING
-                                AND 1 PRECEDING) + {_SUBSTR_N} - 1,
+                                AND 1 PRECEDING) + {_SUBSTR_N},
                  -1) THEN 1 ELSE 0 END AS new_span
       FROM dup),
     isl AS (

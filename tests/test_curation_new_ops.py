@@ -198,3 +198,27 @@ def test_temperature_mix_gate_matches_rate(spark):
         ).collect()
     }
     assert {r["doc_id"]: r["keep"] for r in out} == again
+
+
+def test_winsorize_and_mix_keep_null_stratum_rows(spark):
+    """NULL group values form their own stratum — rows must be gated,
+    never silently dropped by the rate/bounds join."""
+    from legendary_data_pipeline_spark.operators.curation import (
+        temperature_mix,
+        winsorize_outliers,
+    )
+
+    rows = [(1, "en", 10), (2, "en", 20), (3, None, 30), (4, None, 40)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+
+    w = winsorize_outliers(df, "n_tokens", group_col="lang", lo=0.0, hi=1.0)
+    assert w.count() == 4
+    null_bounds = {
+        (r["lo_bound"], r["hi_bound"])
+        for r in w.filter("lang IS NULL").collect()
+    }
+    assert null_bounds == {(30.0, 40.0)}  # own stratum, own bounds
+
+    m = temperature_mix(df, alpha=1.0, budget_frac=1.0)
+    assert m.count() == 4
+    assert all(r["rate"] == 1.0 for r in m.collect())

@@ -146,7 +146,7 @@ def _ref_spans(docs: dict[int, list[str]], n: int, min_count: int = 2):
         for p, g in lst:  # positions ascending
             if counts[g] < min_count:
                 continue
-            if spans and p <= spans[-1][1]:  # window overlaps current span
+            if spans and p <= spans[-1][1] + 1:  # overlaps or abuts
                 spans[-1] = (spans[-1][0], p + n - 1)
             else:
                 spans.append((p, p + n - 1))
@@ -194,3 +194,41 @@ def test_spans_match_python_reference_property(spark):
         )
     got = {k: sorted(v) for k, v in got.items()}
     assert got == _ref_spans(docs, N)
+
+
+def test_abutting_windows_merge_into_one_span(spark):
+    # n=4: windows at pos 1 and pos 5 cover tokens 1-4 and 5-8 — they
+    # abut without overlapping, and must merge into ONE maximal span.
+    df = _docs(
+        spark,
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d Q Q Q e f g h"),
+        ],
+    )
+    rows = S.duplicated_spans(df, n=N).filter("doc_id = 1").collect()
+    got = sorted((r["span_start"], r["span_end"]) for r in rows)
+    assert got == [(1, 8)]
+
+
+def test_strip_preserves_untouched_text_when_not_normalizing(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "unique  doc   with   odd    spacing"),
+            (2, "the quick brown fox jumps high over fences"),
+            (3, "the quick brown fox jumps high over walls"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in S.strip_duplicated_substrings(
+            df, n=N, normalize_untouched=False
+        ).collect()
+    }
+    # untouched doc keeps its original whitespace byte-for-byte
+    assert out[1] == "unique  doc   with   odd    spacing"
+    # stripped docs are rebuilt (token-joined) minus the shared run —
+    # docs 2 and 3 share the 7-token prefix "the … over", so only the
+    # final unique token survives
+    assert out[2] == "fences" and out[3] == "walls"
