@@ -160,3 +160,45 @@ def retention_cohorts(
             6,
         ).alias("retention"),
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """First-order transition matrix over each user's event sequence:
+    (from_type, to_type, n_transitions, p) with p row-normalized per
+    from_type (rounded 6).
+
+    The lag/lead window partitions by user — per-partition state is one
+    user's events; the count and normalization aggregate over the
+    TYPE×TYPE matrix (tiny). `order_tiebreak` makes the within-user
+    order total, so the matrix is deterministic under any layout.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
+    pairs = (
+        events.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    w_from = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(w_from).cast("double"),
+            6,
+        ).alias("p"),
+    )

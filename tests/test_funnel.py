@@ -104,3 +104,28 @@ def test_retention_cohort_math(spark):
     assert got[("1970-01-04", 1)] == (1, 1, 1.0)
     # offsets with no activity emit no row (sparse matrix)
     assert ("1970-01-01", 3) not in got
+
+
+def test_event_transitions_matrix(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, 1, 100, "a"), (1, 2, 200, "b"), (1, 3, 300, "a"),
+            (2, 4, 100, "a"), (2, 5, 200, "b"),
+            # tie on ts broken by event_id: 6 -> 7 gives (a, c)
+            (3, 6, 100, "a"), (3, 7, 100, "c"),
+        ],
+        "user_id long, event_id long, ts long, event_type string",
+    )
+    from legendary_data_pipeline_spark.operators.funnel import (
+        event_transitions,
+    )
+
+    got = {
+        (r["from_type"], r["to_type"]): (r["n_transitions"], r["p"])
+        for r in event_transitions(ev).collect()
+    }
+    # from 'a': 2x a->b, 1x a->c; from 'b': 1x b->a
+    assert got[("a", "b")] == (2, 0.666667)
+    assert got[("a", "c")] == (1, 0.333333)
+    assert got[("b", "a")] == (1, 1.0)
+    assert ("c", "a") not in got  # last event of user 3 has no successor
