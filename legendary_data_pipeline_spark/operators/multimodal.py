@@ -222,3 +222,124 @@ def audio_window_offsets(media: DataFrame, window_s: int = 5) -> DataFrame:
         "start_s",
         F.least(F.col("start_s") + window_s, F.col("__dur")).alias("end_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash image dedup (aHash)
+# ---------------------------------------------------------------------------
+
+AHASH_SCHEMA = "media_id long, ahash long"
+
+
+def ahash_images(media: DataFrame, cells: int = 64) -> DataFrame:
+    """Average-hash perceptual fingerprints over image payloads: the
+    LAION-style image-dedup front end. Each payload's bytes are
+    resampled into `cells` buckets; each bucket's mean vs the global
+    mean yields one bit — near-identical payloads differ in few bits.
+
+    With a real codec the bytes would be the decoded 8x8 luma plane
+    (swap the byte resample for PIL decode+resize inside the SAME
+    batch loop); the deterministic byte-bucket stand-in preserves the
+    contract the downstream pairing needs: hamming distance grows with
+    payload difference. Arrow-batched numpy; the hash is packed into a
+    signed int64 (two's complement) so banding/XOR stay JVM-side.
+    """
+    if cells != 64:
+        raise ValueError("ahash packs exactly 64 bits (cells=64)")
+
+    def hash_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for batch in batches:
+            hashes: list[int | None] = []
+            for payload in batch["payload"]:
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if arr.size == 0:
+                    hashes.append(None)
+                    continue
+                means = np.array(
+                    [c.mean() for c in np.array_split(arr.astype(np.float64), cells)
+                     if c.size] 
+                )
+                if means.size < cells:  # fewer bytes than cells: pad
+                    means = np.pad(means, (0, cells - means.size))
+                bits = means > means.mean()
+                h = 0
+                for bit in bits:
+                    h = (h << 1) | int(bit)
+                if h >= 1 << 63:  # two's complement into signed int64
+                    h -= 1 << 64
+                hashes.append(h)
+            yield pd.DataFrame(
+                {"media_id": batch["media_id"], "ahash": pd.array(hashes, dtype="Int64")}
+            )
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(hash_batches, schema=AHASH_SCHEMA)
+    )
+
+
+def ahash_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 8,
+    bands: int = 8,
+    id_col: str = "media_id",
+    hash_col: str = "ahash",
+) -> DataFrame:
+    """Near-duplicate image pairs: band the 64-bit hash into `bands`
+    equal-width keys, bucket-join candidates, verify with an exact
+    JVM-side popcount at `max_hamming`. Same banded shape (and the
+    same recall trade) as SimHash text pairs: a shared band is
+    GUARANTEED only when hamming < bands (pigeonhole); above that,
+    recall is probabilistic and rises with `bands` — size bands to the
+    hamming radius you need, candidates per bucket shrink 2^width-fold
+    either way.
+    """
+    from legendary_data_pipeline_spark.operators.dedup import (
+        hamming_distance,
+    )
+
+    width = 64 // bands
+    mask = (1 << width) - 1
+    banded = hashes.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col),
+        F.col(hash_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftrightunsigned(
+                            F.col(hash_col), b * width
+                        ).bitwiseAND(F.lit(mask)).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, hash_col, "bk.band_idx", "bk.band_key")
+    a = banded.select(
+        F.col(id_col).alias("id_a"),
+        F.col(hash_col).alias("h_a"),
+        "band_idx",
+        "band_key",
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"),
+        F.col(hash_col).alias("h_b"),
+        "band_idx",
+        "band_key",
+    )
+    cands = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()
+    )
+    ham = hamming_distance(F.col("h_a"), F.col("h_b"))
+    return cands.select(
+        "id_a", "id_b", ham.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
