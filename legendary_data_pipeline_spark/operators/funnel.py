@@ -106,8 +106,13 @@ def funnel_report(
             F.col("s.step_idx").alias("step_idx"),
             F.col("s.step").alias("step"),
             F.col("s.n_users").alias("n_users"),
+            # try_divide: an empty funnel (n1 = 0) reports NULL
+            # conversion instead of an ANSI divide-by-zero error.
             F.round(
-                F.col("s.n_users").cast("double") / F.col("n1").cast("double"),
+                F.try_divide(
+                    F.col("s.n_users").cast("double"),
+                    F.col("n1").cast("double"),
+                ),
                 6,
             ).alias("conversion"),
         )

@@ -99,3 +99,75 @@ def test_z_order_empty_frame_writes_empty_table(spark, tmp_path):
     path = str(tmp_path / "z_empty")
     write_z_ordered(empty, path, ["a", "b"], 4)
     assert spark.read.parquet(path).count() == 0
+
+
+def test_continuation_ops_on_empty_inputs(spark):
+    """Round-5 continuation operators: substrings, winsorize, mix,
+    funnel/retention/transitions, aHash, JL projection, best_member."""
+    from legendary_data_pipeline_spark.operators.curation import (
+        temperature_mix,
+        winsorize_outliers,
+    )
+    from legendary_data_pipeline_spark.operators.funnel import (
+        event_transitions,
+        funnel_report,
+        funnel_times,
+        retention_cohorts,
+    )
+    from legendary_data_pipeline_spark.operators.graph import (
+        best_member,
+        connected_components,
+    )
+    from legendary_data_pipeline_spark.operators.multimodal import (
+        ahash_images,
+        ahash_pairs,
+    )
+    from legendary_data_pipeline_spark.operators.similarity import (
+        random_projection,
+    )
+    from legendary_data_pipeline_spark.operators.substrings import (
+        dup_span_stats,
+        duplicated_spans,
+        strip_duplicated_substrings,
+    )
+
+    docs = _empty_docs(spark)
+    assert duplicated_spans(docs).count() == 0
+    assert dup_span_stats(docs).count() == 0
+    stripped = strip_duplicated_substrings(docs)
+    assert stripped.count() == 0
+    assert stripped.columns == ["doc_id", "clean_text", "n_removed"]
+
+    sized = spark.createDataFrame([], "doc_id long, lang string, n_tokens long")
+    assert winsorize_outliers(sized, "n_tokens", group_col="lang").count() == 0
+    assert temperature_mix(sized).count() == 0
+
+    ev = spark.createDataFrame(
+        [], "event_id long, user_id long, ts long, event_type string"
+    )
+    assert funnel_times(ev, ["view", "click"], 3600).count() == 0
+    report = funnel_report(ev, ["view", "click"], 3600)
+    assert {r["n_users"] for r in report.collect()} == {0}  # zero-count steps
+    assert retention_cohorts(ev).count() == 0
+    assert event_transitions(ev).count() == 0
+
+    media = spark.createDataFrame(
+        [], "media_id long, kind string, mime string, payload binary"
+    )
+    hashes = ahash_images(media)
+    assert hashes.count() == 0
+    assert ahash_pairs(hashes).count() == 0
+
+    emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+    proj = random_projection(emb)
+    assert proj.count() == 0 and proj.columns == ["vec_id", "label", "proj"]
+
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    comps = connected_components(edges)
+    assert comps.count() == 0
+    attrs = spark.createDataFrame([], "doc_id long, n_chars long")
+    assert best_member(
+        comps, attrs, [F.col("n_chars").desc(), F.col("node").asc()]
+    ).count() == 0
