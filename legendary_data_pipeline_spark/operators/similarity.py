@@ -313,6 +313,7 @@ def lsh_bucket_topk(
     planes: int = 8,
     k: int = 3,
     query_filter: Column | None = None,
+    probes: int = 1,
 ) -> DataFrame:
     """Approximate top-k: sign-bucket vectors, search within buckets.
 
@@ -325,6 +326,11 @@ def lsh_bucket_topk(
     driver-side (Python md5 == engine md5) and shipped as literal arrays
     — per-row work is just `planes` fused multiply-adds over the vector,
     not per-row hashing.
+
+    `probes` > 1 turns on multi-probe: each query additionally searches
+    the probes-1 buckets differing in one sign bit — the standard
+    recall knob that beats dropping planes (candidate volume grows
+    linearly with probes instead of doubling per removed plane).
     """
     import hashlib
 
@@ -353,9 +359,28 @@ def lsh_bucket_topk(
     bucketed = base.withColumn("bucket", bucket)
 
     queries = bucketed if query_filter is None else bucketed.filter(query_filter)
+    if probes > 1:
+        # Multi-probe: each query also searches the buckets whose sign
+        # pattern differs in one plane (nearest buckets first — a
+        # near-boundary projection is the usual reason a true neighbor
+        # lands one bucket over). probes-1 extra buckets; candidate
+        # volume scales linearly with probes, not 2^planes.
+        if probes > planes + 1:
+            raise ValueError("probes can cover at most planes+1 buckets")
+        probe_buckets = F.array(
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(m))
+                for m in [0] + [2**i for i in range(probes - 1)]
+            ]
+        )
+        queries = queries.withColumn(
+            "__probe", F.explode(probe_buckets)
+        )
+    else:
+        queries = queries.withColumn("__probe", F.col("bucket"))
     queries = queries.select(
         F.col("vec_id").alias("query_id"),
-        F.col("bucket").alias("q_bucket"),
+        F.col("__probe").alias("q_bucket"),
         F.col("vec").alias("q_vec"),
         norm_expr("vec").alias("q_norm"),
     )
@@ -372,6 +397,10 @@ def lsh_bucket_topk(
         dot_expr("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")), 6
     )
     scored = joined.select("query_id", "neighbor_id", cos.alias("cos_sim"))
+    if probes > 1:
+        # a neighbor reachable through several probed buckets appears
+        # once per bucket — dedupe before ranking
+        scored = scored.distinct()
     return top_k_per_group(
         scored,
         ["query_id"],

