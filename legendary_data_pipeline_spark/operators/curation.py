@@ -959,3 +959,56 @@ def temperature_mix(
             ),
         )
     )
+
+
+def sliding_chunks(
+    df: DataFrame,
+    size_tokens: int,
+    stride_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Sliding-window document chunking with overlap (the HF
+    `return_overflowing_tokens` + stride shape): windows of
+    `size_tokens` starting every `stride_tokens`, so consecutive chunks
+    share `size - stride` tokens of context — how long documents are
+    fed to a fixed-context model without losing cross-boundary text.
+
+    Chunk starts run 1, 1+stride, … up to `n − size + stride` (clamped
+    to [1, n]), which guarantees full coverage while never emitting a
+    tail chunk whose tokens are all contained in the previous chunk.
+    The final chunk may be shorter than `size_tokens`.
+
+    Output: (id, *keep_cols, chunk_idx, start_pos, n_chunk_tokens,
+    chunk_text). Pure per-row array expressions — the explode emits
+    ~n/stride rows per doc (proportional to input, never quadratic),
+    zero shuffles.
+    """
+    if size_tokens < 1 or stride_tokens < 1:
+        raise ValueError("size_tokens and stride_tokens must be >= 1")
+    toks = tokens_expr(text_col)
+    n = F.size(toks)
+    upper = F.least(
+        F.greatest(F.lit(1), n - size_tokens + stride_tokens), n
+    )
+    starts = F.sequence(F.lit(1), upper, F.lit(stride_tokens))
+    exploded = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        toks.alias("__toks"),
+        F.posexplode(
+            F.when(n > 0, starts).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("chunk_idx", "start_pos"),
+    )
+    piece = F.slice(F.col("__toks"), F.col("start_pos"), size_tokens)
+    return exploded.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        "chunk_idx",
+        "start_pos",
+        F.size(piece).alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

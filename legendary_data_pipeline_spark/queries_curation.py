@@ -1636,3 +1636,47 @@ def curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.temperature_mix(
         sized, alpha=_MIX_ALPHA, budget_frac=_MIX_BUDGET, seed=_MIX_SEED
     )
+
+
+# ---------------------------------------------------------------------------
+# sliding-window chunking (operators/curation.sliding_chunks)
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE = 64
+_CHUNK_STRIDE = 48
+
+
+@register_shadow(
+    "curation_sliding_chunks",
+    f"""
+    WITH base AS (
+      SELECT doc_id, lang, {_TOKS} AS l FROM documents),
+    starts AS (
+      SELECT doc_id, lang, l,
+             CAST(generate_subscripts(ss, 1) - 1 AS INT) AS chunk_idx,
+             CAST(unnest(ss) AS INT) AS start_pos
+      FROM (SELECT doc_id, lang, l,
+                   range(1,
+                         least(greatest(1, len(l) - {_CHUNK_SIZE} + {_CHUNK_STRIDE}),
+                               len(l)) + 1,
+                         {_CHUNK_STRIDE}) AS ss
+            FROM base WHERE len(l) > 0))
+    SELECT doc_id, lang, chunk_idx, start_pos,
+           CAST(len(l[start_pos:start_pos + {_CHUNK_SIZE} - 1]) AS INT)
+             AS n_chunk_tokens,
+           array_to_string(l[start_pos:start_pos + {_CHUNK_SIZE} - 1], ' ')
+             AS chunk_text
+    FROM starts
+    """,
+    doc="Sliding-window chunking with overlap (HF stride shape): "
+    "64-token windows every 48 tokens, consecutive chunks share 16 "
+    "tokens of context. Start generation is clamped so coverage is "
+    "complete but no tail chunk is fully contained in its predecessor. "
+    "Pure per-row array expressions, ~n/stride rows per doc, zero "
+    "shuffles.",
+)
+def curation_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return C.sliding_chunks(
+        docs, _CHUNK_SIZE, _CHUNK_STRIDE, keep_cols=("lang",)
+    )

@@ -222,3 +222,53 @@ def test_winsorize_and_mix_keep_null_stratum_rows(spark):
     m = temperature_mix(df, alpha=1.0, budget_frac=1.0)
     assert m.count() == 4
     assert all(r["rate"] == 1.0 for r in m.collect())
+
+
+# ---------------------------------------------------------------------------
+# sliding_chunks
+# ---------------------------------------------------------------------------
+
+def test_sliding_chunks_coverage_and_overlap(spark):
+    from legendary_data_pipeline_spark.operators.curation import sliding_chunks
+
+    toks = [f"t{i}" for i in range(1, 11)]  # 10 tokens
+    df = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    out = sorted(
+        sliding_chunks(df, size_tokens=8, stride_tokens=4).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    # upper = min(max(1, 10-8+4), 10) = 6 -> starts {1, 5}; the start-9
+    # tail chunk (tokens 9-10, fully inside chunk 5-10) is NOT emitted
+    assert [(r["start_pos"], r["n_chunk_tokens"]) for r in out] == [
+        (1, 8),
+        (5, 6),
+    ]
+    assert out[0]["chunk_text"].split() == toks[0:8]
+    assert out[1]["chunk_text"].split() == toks[4:10]
+    # full coverage: union of chunks = all tokens
+    covered = set(out[0]["chunk_text"].split()) | set(out[1]["chunk_text"].split())
+    assert covered == set(toks)
+
+
+def test_sliding_chunks_short_doc_single_chunk(spark):
+    from legendary_data_pipeline_spark.operators.curation import sliding_chunks
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    out = sliding_chunks(df, size_tokens=8, stride_tokens=4).collect()
+    assert len(out) == 1
+    assert out[0]["chunk_text"] == "a b c" and out[0]["n_chunk_tokens"] == 3
+
+
+def test_sliding_chunks_gap_stride(spark):
+    from legendary_data_pipeline_spark.operators.curation import sliding_chunks
+
+    # stride > size: sampling with gaps — starts run to the doc end
+    toks = [f"t{i}" for i in range(1, 11)]
+    df = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    out = sorted(
+        sliding_chunks(df, size_tokens=2, stride_tokens=4).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    assert [(r["start_pos"], r["n_chunk_tokens"]) for r in out] == [
+        (1, 2), (5, 2), (9, 2),
+    ]
