@@ -1,0 +1,166 @@
+"""Data-quality profiling and constraint validation (deequ-style).
+
+The reference validates rows imperatively while looping CSV records
+(01_import_pricecharting_csv.js:60-88: game whitelist, money-format
+guard, row-validity skips) — per-row checks that become a full-table
+quality REPORT in a declarative engine. These operators provide that
+report Spark-first:
+
+- `profile_columns`: one row of summary statistics per profiled column
+  (row/null/distinct counts, numeric min/max/mean, string min/max).
+- `check_constraints`: named boolean row-level constraints evaluated
+  corpus-wide — violation counts, not per-row flags.
+- `check_unique`: multi-column key-uniqueness check (needs a distinct
+  aggregation, so it is its own pass).
+
+Scale notes (100 TB): everything here is ONE scan. `profile_columns`
+computes every column's aggregates in a single Aggregate node (the
+deequ design: N columns → one pass, not N passes) and reshapes the
+1-row wide result into the long report with a stack — the reshape is
+driver-trivial because the aggregated frame is one row. Exact distinct
+counts force Spark's Expand (one shuffle replica per distinct column);
+`exact_distinct=False` swaps in HLL++ `approx_count_distinct`, which
+keeps the plan a plain partial-aggregable single pass — the right
+setting at 100 TB where a ±2% distinct estimate is what you want from
+a profiler anyway. `check_constraints` folds every check into one
+conditional-sum aggregate: adding a check adds a column, never a scan.
+Floating means are sensitive to accumulation order, so `mean` is
+reported from a Kahan-stable double sum — treat it as approximate
+across engines; min/max/counts are exact.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def profile_columns(
+    df: DataFrame,
+    cols: Sequence[str] | None = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """Per-column summary statistics in a single scan.
+
+    Output (one row per profiled column, ordered by caller's list):
+      column, n_rows, n_null, n_distinct, min_num, max_num, mean,
+      min_str, max_str — numeric stats NULL for non-numeric columns
+      and vice versa. `n_distinct` excludes NULLs (SQL COUNT DISTINCT
+      semantics). `mean` is a double (see module scale notes).
+    """
+    cols = list(cols) if cols is not None else df.columns
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n_rows")]
+    for c in cols:
+        is_num = isinstance(dtypes[c], _NUMERIC)
+        col = F.col(c)
+        aggs.append(
+            F.sum(F.when(col.isNull(), 1).otherwise(0))
+            .cast("long").alias(f"__null__{c}")
+        )
+        if exact_distinct:
+            aggs.append(
+                F.count_distinct(col).cast("long").alias(f"__dist__{c}")
+            )
+        else:
+            aggs.append(
+                F.approx_count_distinct(col).cast("long").alias(f"__dist__{c}")
+            )
+        if is_num:
+            aggs.append(F.min(col).cast("double").alias(f"__minn__{c}"))
+            aggs.append(F.max(col).cast("double").alias(f"__maxn__{c}"))
+            aggs.append(F.avg(col).cast("double").alias(f"__mean__{c}"))
+        if isinstance(dtypes[c], T.StringType):
+            aggs.append(F.min(col).alias(f"__mins__{c}"))
+            aggs.append(F.max(col).alias(f"__maxs__{c}"))
+    wide = df.agg(*aggs)
+
+    def _maybe(prefix: str, c: str, cast: str | None = None) -> Column:
+        name = f"__{prefix}__{c}"
+        if name not in wide.columns:
+            return F.lit(None).cast(cast or "double")
+        return F.col(name)
+
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n_rows").alias("n_rows"),
+            F.col(f"__null__{c}").alias("n_null"),
+            F.col(f"__dist__{c}").alias("n_distinct"),
+            _maybe("minn", c).alias("min_num"),
+            _maybe("maxn", c).alias("max_num"),
+            _maybe("mean", c).alias("mean"),
+            _maybe("mins", c, "string").alias("min_str"),
+            _maybe("maxs", c, "string").alias("max_str"),
+        )
+        for c in cols
+    ]
+    return wide.select(
+        F.explode(F.array(*per_col)).alias("p")
+    ).select("p.*")
+
+
+def check_constraints(
+    df: DataFrame, checks: Mapping[str, Column]
+) -> DataFrame:
+    """Evaluate named row-level constraints in one scan.
+
+    `checks` maps check name → boolean Column that should hold for
+    every row (NULL counts as a violation — an unknown is not a pass).
+    Output: (check_name, n_rows, n_violations, passed), one row per
+    check, all from a single Aggregate.
+    """
+    names = list(checks)
+    aggs = [F.count(F.lit(1)).alias("__n_rows")] + [
+        F.sum(
+            F.when(F.coalesce(checks[name], F.lit(False)), 0).otherwise(1)
+        ).cast("long").alias(f"__viol__{i}")
+        for i, name in enumerate(names)
+    ]
+    wide = df.agg(*aggs)
+    per_check = [
+        F.struct(
+            F.lit(name).alias("check_name"),
+            F.col("__n_rows").alias("n_rows"),
+            F.col(f"__viol__{i}").alias("n_violations"),
+            (F.col(f"__viol__{i}") == 0).alias("passed"),
+        )
+        for i, name in enumerate(names)
+    ]
+    return wide.select(
+        F.explode(F.array(*per_check)).alias("c")
+    ).select("c.*")
+
+
+def check_unique(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
+    """Key-uniqueness check: (check_name, n_rows, n_violations, passed)
+    where a violation is any row beyond the first for its key (so a key
+    appearing k times contributes k-1). Rows with a NULL in any key
+    column are violations too — a NULL key cannot guarantee uniqueness.
+    One groupBy + one global agg (both partial-aggregable).
+    """
+    keys = [F.col(c) for c in key_cols]
+    null_key = F.greatest(*[k.isNull() for k in keys]) if len(keys) > 1 else keys[0].isNull()
+    per_key = (
+        df.select(*key_cols)
+        .withColumn("__nullkey", null_key)
+        .groupBy(*key_cols, "__nullkey")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    return per_key.agg(
+        F.lit("unique(" + ", ".join(key_cols) + ")").alias("check_name"),
+        F.sum("__cnt").cast("long").alias("n_rows"),
+        F.sum(
+            F.when(F.col("__nullkey"), F.col("__cnt")).otherwise(
+                F.col("__cnt") - 1
+            )
+        ).cast("long").alias("n_violations"),
+    ).withColumn("passed", F.col("n_violations") == 0)

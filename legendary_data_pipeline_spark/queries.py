@@ -1284,3 +1284,4 @@ def a7_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # so `register` and the core entries above are fully defined first).
 from legendary_data_pipeline_spark import queries_llm  # noqa: E402,F401
 from legendary_data_pipeline_spark import queries_curation  # noqa: E402,F401
+from legendary_data_pipeline_spark import queries_analytics  # noqa: E402,F401

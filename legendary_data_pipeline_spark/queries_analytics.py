@@ -1,0 +1,428 @@
+"""Analytics / data-quality extension queries (round 5 surface).
+
+Entity resolution (blocked fuzzy matching), deequ-style profiling and
+constraint reports, mergeable-sketch distinct rollups, skew
+diagnostics, and rolling z-score anomaly detection. All SHADOW-registry
+entries (driver gate is capped at 50; see queries.DRIVER_QUERY_CAP)
+with full DuckDB oracles run by tests/test_queries_oracle.py.
+
+Cross-engine determinism notes specific to this module:
+- `levenshtein` is the classic unit-cost edit distance in both engines;
+  Spark's 3-arg bounded form returns the exact distance when it is
+  within the bound (we filter to that region, so results agree).
+- Rolling anomaly stats are computed over EXACT integer cents
+  (order-independent window sums), then converted to doubles through
+  one fixed expression tree — both engines evaluate the same IEEE ops
+  on the same exact inputs, so the doubles match bit-for-bit. Never
+  oracle-pair a windowed SUM over raw doubles: accumulation order
+  differs between engines.
+- The HLL rollup is oracle-paired against EXACT COUNT(DISTINCT):
+  Datasketches HLL is exact below its sparse→dense promotion
+  threshold, which covers the test-scale cardinalities; the pytest
+  envelope in tests/test_sketch_rollup.py documents the approximate
+  contract that takes over at real scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from legendary_data_pipeline_spark.catalog import load_table
+from legendary_data_pipeline_spark.operators.entity import (
+    fuzzy_best_match,
+    fuzzy_pairs_blocked,
+)
+from legendary_data_pipeline_spark.operators.profiling import (
+    check_constraints,
+    check_unique,
+    profile_columns,
+)
+from legendary_data_pipeline_spark.queries import register_shadow
+
+# ---------------------------------------------------------------------------
+# entity resolution: blocked fuzzy matching on part names
+# ---------------------------------------------------------------------------
+
+_ER_MAX_DIST = 3
+_ER_BLOCK_SQL = "string_split(p_name, ' ')[-1]"
+
+
+@register_shadow(
+    "er_fuzzy_pairs_part_names",
+    f"""
+    WITH names AS (
+      SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL),
+    b AS (SELECT p_name, {_ER_BLOCK_SQL} AS blk FROM names)
+    SELECT a.p_name AS name_a, c.p_name AS name_b,
+           CAST(levenshtein(a.p_name, c.p_name) AS INT) AS edit_dist
+    FROM b a JOIN b c USING (blk)
+    WHERE a.p_name < c.p_name
+      AND levenshtein(a.p_name, c.p_name) <= {_ER_MAX_DIST}
+    """,
+    doc="Entity resolution step 1 — near-duplicate product names: "
+    "distinct names blocked on their last token (the product noun), "
+    "pairs within Levenshtein 3. Blocking makes the candidate set "
+    "per-block quadratic, and the distance is JVM codegen with an "
+    "early-exit bound — the Fellegi-Sunter blocking shape at any scale.",
+)
+def er_fuzzy_pairs_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = (
+        load_table(spark, sf_dir, "part")
+        .select("p_name")
+        .filter(F.col("p_name").isNotNull())
+        .distinct()
+    )
+    pairs = fuzzy_pairs_blocked(
+        names,
+        name_col="p_name",
+        id_col="p_name",
+        block_exprs=[F.element_at(F.split(F.col("p_name"), " "), -1)],
+        max_dist=_ER_MAX_DIST,
+    )
+    return pairs.select("name_a", "name_b", "edit_dist")
+
+
+@register_shadow(
+    "er_best_match_part_names",
+    f"""
+    WITH names AS (
+      SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL),
+    canon AS (
+      SELECT p_name AS canonical_name, MIN(p_partkey) AS canonical_id
+      FROM part WHERE p_name IS NOT NULL GROUP BY p_name),
+    lb AS (SELECT p_name, {_ER_BLOCK_SQL} AS blk FROM names),
+    rb AS (SELECT canonical_name, canonical_id,
+                  string_split(canonical_name, ' ')[-1] AS blk FROM canon),
+    cand AS (
+      SELECT l.p_name, r.canonical_id, r.canonical_name,
+             CAST(levenshtein(l.p_name, r.canonical_name) AS INT) AS edit_dist
+      FROM lb l JOIN rb r USING (blk)
+      WHERE l.p_name <> r.canonical_name
+        AND levenshtein(l.p_name, r.canonical_name) <= {_ER_MAX_DIST}),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY p_name ORDER BY edit_dist, canonical_id) AS rn
+      FROM cand)
+    SELECT p_name, canonical_id, canonical_name, edit_dist
+    FROM ranked WHERE rn = 1
+    """,
+    doc="Entity resolution step 2 — record linkage: each distinct name "
+    "linked to its nearest OTHER canonical catalog entry (min-partkey "
+    "owner of the name) within the block, min edit distance with a "
+    "deterministic id tie-break. The merge-candidate suggestion list a "
+    "catalog steward reviews.",
+)
+def er_best_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").isNotNull()
+    )
+    names = part.select("p_name").distinct()
+    canon = part.groupBy(F.col("p_name").alias("canonical_name")).agg(
+        F.min("p_partkey").alias("canonical_id")
+    )
+    block = lambda c: F.element_at(F.split(F.col(c), " "), -1)  # noqa: E731
+    out = fuzzy_best_match(
+        names,
+        canon,
+        left_name="p_name",
+        right_name="canonical_name",
+        left_id="p_name",
+        right_id="canonical_id",
+        left_block=[block("p_name")],
+        right_block=[block("canonical_name")],
+        max_dist=_ER_MAX_DIST,
+        exclude_equal=True,
+    )
+    return out.select("p_name", "canonical_id", "canonical_name", "edit_dist")
+
+
+# ---------------------------------------------------------------------------
+# data-quality: column profile + constraint report
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = [
+    "l_orderkey",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_returnflag",
+    "l_shipdate",
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    numeric = {"l_orderkey", "l_quantity", "l_extendedprice", "l_discount"}
+    strings = {"l_returnflag"}
+    for c in _PROFILE_COLS:
+        min_num = (
+            f"CAST(MIN({c}) AS DOUBLE)" if c in numeric else "CAST(NULL AS DOUBLE)"
+        )
+        max_num = (
+            f"CAST(MAX({c}) AS DOUBLE)" if c in numeric else "CAST(NULL AS DOUBLE)"
+        )
+        min_str = f"MIN({c})" if c in strings else "CAST(NULL AS VARCHAR)"
+        max_str = f"MAX({c})" if c in strings else "CAST(NULL AS VARCHAR)"
+        parts.append(
+            f"""
+      SELECT '{c}' AS "column",
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null,
+             CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+             {min_num} AS min_num, {max_num} AS max_num,
+             {min_str} AS min_str, {max_str} AS max_str
+      FROM lineitem"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register_shadow(
+    "dq_profile_lineitem",
+    _profile_oracle(),
+    doc="deequ-style column profile of lineitem: row/null/distinct "
+    "counts plus numeric and string min/max, ALL columns in ONE "
+    "Aggregate pass (N columns never means N scans). The floating "
+    "`mean` the operator also computes is excluded here because "
+    "cross-engine FP accumulation order differs — it is contract-tested "
+    "with a tolerance in tests/test_profiling.py instead.",
+)
+def dq_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile_columns(li, _PROFILE_COLS).drop("mean")
+
+
+@register_shadow(
+    "dq_constraint_report_orders",
+    """
+    SELECT 'o_orderkey_not_null' AS check_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations,
+           SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice_positive',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE)
+                    THEN 1 ELSE 0 END) AS BIGINT),
+           SUM(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE)
+               THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus_valid',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN NOT COALESCE(o_orderstatus IN ('P','O','F'),
+                                           FALSE)
+                    THEN 1 ELSE 0 END) AS BIGINT),
+           SUM(CASE WHEN NOT COALESCE(o_orderstatus IN ('P','O','F'), FALSE)
+               THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'unique(o_orderkey)',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT),
+           COUNT(*) - COUNT(DISTINCT o_orderkey) = 0
+    FROM orders
+    """,
+    doc="Constraint validation report over orders: three row-level "
+    "checks folded into ONE conditional-sum Aggregate (adding a check "
+    "adds a column, never a scan) plus the key-uniqueness check (its "
+    "own distinct pass), unioned into the audit report the reference's "
+    "per-row import guards (01:60-88) become in a declarative engine.",
+)
+def dq_constraint_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    report = check_constraints(
+        orders,
+        {
+            "o_orderkey_not_null": F.col("o_orderkey").isNotNull(),
+            "o_totalprice_positive": F.col("o_totalprice") > 0,
+            "o_orderstatus_valid": F.col("o_orderstatus").isin(
+                "P", "O", "F"
+            ),
+        },
+    )
+    uniq = check_unique(orders, ["o_orderkey"])
+    return report.unionByName(uniq)
+
+
+# ---------------------------------------------------------------------------
+# mergeable distinct sketches (HLL rollup)
+# ---------------------------------------------------------------------------
+
+
+@register_shadow(
+    "sk_hll_distinct_users",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_est
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Mergeable-sketch distinct rollup: per (event_type, day) HLL "
+    "sketches (Datasketches, hll_sketch_agg) unioned per event_type and "
+    "estimated — the two-level shape that lets a 100 TB pipeline keep "
+    "tiny per-partition sketches and answer distinct-users over ANY "
+    "day range by unioning them, never rescanning raw events. Oracle = "
+    "exact COUNT(DISTINCT): HLL is exact below its sparse-mode "
+    "threshold, which covers this scale; the approximate large-scale "
+    "contract is envelope-tested in tests/test_sketch_rollup.py.",
+)
+def sk_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # per-(event_type, epoch-day) sketches; `ts` is integer epoch nanos
+    day = F.expr("ts DIV 86400000000000").cast("long")
+    daily = ev.groupBy(
+        "event_type", day.alias("d")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .cast("long")
+        .alias("n_users_est")
+    )
+
+
+# ---------------------------------------------------------------------------
+# skew diagnostics: heavy hitters
+# ---------------------------------------------------------------------------
+
+_HH_K = 10
+
+
+@register_shadow(
+    "skew_heavy_hitters_users",
+    f"""
+    WITH counts AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id),
+    tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS total FROM counts)
+    SELECT user_id, n_events,
+           n_events / CAST(total AS DOUBLE) AS share
+    FROM counts, tot
+    ORDER BY n_events DESC, user_id ASC
+    LIMIT {_HH_K}
+    """,
+    doc="Skew diagnostics: the top-10 heaviest event keys with their "
+    "share of all rows — the profile you run BEFORE choosing salting / "
+    "AQE-skew settings for a join on user_id. Exact groupBy counts "
+    "(partial-aggregable) + TakeOrderedAndProject top-k: no global "
+    "sort, no single-partition window, same plan at 100 TB.",
+)
+def skew_heavy_hitters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    total = counts.agg(F.sum("n_events").alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("n_events") / F.col("__total").cast("double")).alias(
+                "share"
+            ),
+        )
+        .orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+        .limit(_HH_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# rolling z-score anomaly detection
+# ---------------------------------------------------------------------------
+
+_Z_WINDOW = 30  # days of history in the rolling frame (including current)
+_Z_MIN_N = 10  # minimum frame rows before a z-score is emitted
+_Z_THRESH = 2.0
+
+
+@register_shadow(
+    "ts_zscore_anomalies",
+    f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+             CAST(SUM(CAST(round(CAST(value AS DECIMAL(18,2)) * 100, 0)
+                           AS BIGINT)) AS BIGINT) AS value_cents
+      FROM events GROUP BY 1, 2),
+    win AS (
+      SELECT event_type, day, value_cents,
+             CAST(SUM(value_cents) OVER w AS BIGINT) AS s,
+             CAST(SUM(value_cents * value_cents) OVER w AS BIGINT) AS sq,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN {_Z_WINDOW - 1} PRECEDING AND CURRENT ROW)),
+    z AS (
+      SELECT event_type, day, value_cents,
+             CASE WHEN n >= {_Z_MIN_N}
+                  AND (CAST(sq AS DOUBLE)
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                         / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) > 0
+             THEN (CAST(value_cents AS DOUBLE)
+                   - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                  / sqrt((CAST(sq AS DOUBLE)
+                          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                            / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+             END AS zscore
+      FROM win)
+    SELECT event_type, day, value_cents, zscore,
+           COALESCE(abs(zscore) > {_Z_THRESH}, FALSE) AS is_anomaly
+    FROM z
+    """,
+    doc="Rolling z-score anomaly detection on the daily event-value "
+    "series: 30-day rolling mean/std per event_type, |z| > 2 flags. "
+    "All rolling sums are EXACT integer cents (order-independent), and "
+    "mean/std/z come from one fixed double expression tree over those "
+    "exact sums — bit-identical across engines, unlike windowed SUMs "
+    "over raw doubles. Bounded ROWS frame = bounded per-row state at "
+    "any scale; partitions are (event_type), days within them sort "
+    "locally.",
+)
+def ts_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    # `ts` is integer epoch nanos (catalog.normalize_event_ts); the day
+    # bucket is exact integer division, identical in both engines.
+    day = F.expr("ts DIV 86400000000000").cast("long")
+    cents = F.round(F.col("value").cast("decimal(18,2)") * 100, 0).cast(
+        "long"
+    )
+    daily = ev.groupBy(
+        "event_type", day.alias("day")
+    ).agg(F.sum(cents).cast("long").alias("value_cents"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-(_Z_WINDOW - 1), Window.currentRow)
+    )
+    s = F.sum("value_cents").over(w).cast("long")
+    sq = (
+        F.sum(F.col("value_cents") * F.col("value_cents")).over(w).cast("long")
+    )
+    n = F.count(F.lit(1)).over(w).cast("long")
+    win = daily.select("event_type", "day", "value_cents",
+                       s.alias("s"), sq.alias("sq"), n.alias("n"))
+    var = (
+        F.col("sq").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double")
+        / F.col("n").cast("double")
+    ) / F.col("n").cast("double")
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    zscore = F.when(
+        (F.col("n") >= _Z_MIN_N) & (var > 0),
+        (F.col("value_cents").cast("double") - mean) / F.sqrt(var),
+    )
+    return win.select(
+        "event_type",
+        "day",
+        "value_cents",
+        zscore.alias("zscore"),
+        F.coalesce(F.abs(zscore) > _Z_THRESH, F.lit(False)).alias(
+            "is_anomaly"
+        ),
+    )

@@ -1,0 +1,121 @@
+"""Unit tests for deequ-style profiling (operators/profiling.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from legendary_data_pipeline_spark.operators.profiling import (
+    check_constraints,
+    check_unique,
+    profile_columns,
+)
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(
+        [
+            (1, 10.0, "a"),
+            (2, 20.0, "b"),
+            (3, None, "b"),
+            (4, 40.0, None),
+            (4, 40.0, "c"),
+        ],
+        "id long, x double, s string",
+    )
+
+
+def test_profile_counts_and_extremes(df):
+    prof = {r.column: r for r in profile_columns(df).collect()}
+    assert set(prof) == {"id", "x", "s"}
+    assert all(r.n_rows == 5 for r in prof.values())
+    assert (prof["id"].n_null, prof["x"].n_null, prof["s"].n_null) == (0, 1, 1)
+    assert (prof["id"].n_distinct, prof["x"].n_distinct,
+            prof["s"].n_distinct) == (4, 3, 3)
+    assert (prof["x"].min_num, prof["x"].max_num) == (10.0, 40.0)
+    assert prof["x"].mean == pytest.approx((10 + 20 + 40 + 40) / 4)
+    # string column: numeric stats NULL, string min/max populated
+    assert prof["s"].min_num is None and prof["s"].mean is None
+    assert (prof["s"].min_str, prof["s"].max_str) == ("a", "c")
+    # numeric column: string stats NULL
+    assert prof["id"].min_str is None
+    assert (prof["id"].min_num, prof["id"].max_num) == (1.0, 4.0)
+
+
+def test_profile_selected_cols_order(df):
+    prof = profile_columns(df, ["s", "id"]).collect()
+    assert [r.column for r in prof] == ["s", "id"]
+
+
+def test_profile_approx_distinct(df):
+    prof = {
+        r.column: r
+        for r in profile_columns(df, exact_distinct=False).collect()
+    }
+    # HLL++ is exact at this cardinality
+    assert prof["id"].n_distinct == 4
+
+
+def test_profile_single_scan_plan(df):
+    """N profiled columns must not mean N scans: the exact-distinct plan
+    aggregates every column off ONE scan (Spark plans multi-distinct
+    aggregates with a single Expand over one relation read)."""
+    plan = profile_columns(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.lower().count("logicalrdd") == 1
+
+
+def test_check_constraints_nulls_are_violations(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (3, None)], "id long, v double"
+    )
+    rep = {
+        r.check_name: r
+        for r in check_constraints(
+            df,
+            {
+                "v_positive": F.col("v") > 0,
+                "id_not_null": F.col("id").isNotNull(),
+            },
+        ).collect()
+    }
+    # v > 0 is NULL for the null row → counts as a violation
+    assert rep["v_positive"].n_violations == 2
+    assert rep["v_positive"].passed is False
+    assert rep["id_not_null"].n_violations == 0
+    assert rep["id_not_null"].passed is True
+    assert all(r.n_rows == 3 for r in rep.values())
+
+
+def test_check_unique_counts_extras_and_null_keys(spark):
+    df = spark.createDataFrame(
+        [(1,), (1,), (1,), (2,), (None,)], "k long"
+    )
+    r = check_unique(df, ["k"]).collect()[0]
+    # key 1 appears 3× → 2 violations; the NULL-key row → 1 violation
+    assert r.check_name == "unique(k)"
+    assert (r.n_rows, r.n_violations, r.passed) == (5, 3, False)
+
+
+def test_check_unique_multi_column(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "a"), (2, None)], "k long, g string"
+    )
+    r = check_unique(df, ["k", "g"]).collect()[0]
+    # (1,a) twice → 1 violation; (2,NULL) has a null key part → 1
+    assert (r.n_violations, r.passed) == (2, False)
+
+
+def test_check_unique_passes_on_unique_keys(spark):
+    df = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    r = check_unique(df, ["k"]).collect()[0]
+    assert (r.n_violations, r.passed) == (0, True)
+
+
+def test_profile_empty_frame(spark):
+    df = spark.createDataFrame([], "id long, s string")
+    prof = {r.column: r for r in profile_columns(df).collect()}
+    assert prof["id"].n_rows == 0
+    assert prof["id"].n_distinct == 0
+    assert prof["id"].min_num is None
+    assert prof["s"].min_str is None

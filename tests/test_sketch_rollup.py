@@ -1,0 +1,70 @@
+"""Contract tests for the mergeable HLL distinct rollup.
+
+`sk_hll_distinct_users` is oracle-paired against exact COUNT(DISTINCT)
+because Datasketches HLL stores raw coupons (exact) at low
+cardinality; empirically the lgConfigK=12 default is exact through the
+~150-distinct-user cardinality of the test tables but drifts by a few
+per mille by ~400-700 distinct (the coupon-list → HLL-array promotion).
+These tests pin the three contract pieces separately:
+
+1. exactness at the test-data cardinality (justifies the oracle pair),
+2. mergeability: unioned per-bucket sketches give BIT-IDENTICAL
+   estimates to one flat sketch (what lets a 100 TB pipeline keep
+   per-partition/day sketches and combine later),
+3. the bounded relative error once the sketch goes dense (lgConfigK=12
+   → ~1.6% RSE; asserted at a loose 5% so the test is not
+   flaky-by-construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_hll_exact_at_testdata_cardinality(spark):
+    n = 150  # == distinct user_ids in the events fixture at sf0.01
+    df = spark.range(0, n * 20).select(
+        (F.col("id") % n).alias("user_id")
+    )
+    est = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
+        .cast("long")
+        .alias("e")
+    ).collect()[0].e
+    assert est == n
+
+
+def test_hll_union_matches_single_sketch_path(spark):
+    """Two-level rollup (per-bucket sketches unioned) must estimate
+    exactly what one flat sketch over the same rows estimates — the
+    mergeability contract, independent of whether the estimate itself
+    is exact at this cardinality."""
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 10).alias("bucket"),
+        (F.col("id") % 700).alias("user_id"),
+    )
+    flat = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).cast("long").alias("e")
+    ).collect()[0].e
+    merged = (
+        df.groupBy("bucket")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("e")
+        )
+        .collect()[0]
+        .e
+    )
+    assert merged == flat
+    assert abs(flat - 700) / 700 < 0.05
+
+
+def test_hll_error_envelope_at_larger_cardinality(spark):
+    n = 200_000
+    df = spark.range(0, n).select(F.col("id").alias("user_id"))
+    est = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
+        .cast("long")
+        .alias("e")
+    ).collect()[0].e
+    assert abs(est - n) / n < 0.05
