@@ -1,0 +1,210 @@
+"""Distribution statistics and deterministic weighted sampling.
+
+Three operators a warehouse-scale analytics engine needs around the
+reference's rollups (10_rollup_market_values_daily.mjs computes grouped
+percentiles; these add the neighboring shapes):
+
+- `histogram_auto`: equi-width value histograms with data-derived
+  bounds — two passes (bounds, then counts), all integer math.
+- `linear_trend`: per-group least-squares slope/intercept from exact
+  decimal moment sums — the "is this series drifting" primitive.
+- `systematic_weighted_sample`: deterministic probability-proportional-
+  to-size sampling on an integer weight (systematic/grid PPS) — the
+  reproducible form of weighted corpus downsampling.
+
+Cross-engine determinism: every aggregation here sums INTEGERS (or
+decimals) — order-independent, unlike float sums — and doubles appear
+only in fixed post-aggregation expression trees (one division, one
+sqrt, …), which IEEE 754 defines exactly. That is what lets each
+operator carry a DuckDB oracle.
+
+Scale notes (100 TB):
+- `histogram_auto`'s bounds pass is a 1-row global aggregate
+  (broadcast back); the counts pass is a plain partial-aggregable
+  groupBy on (group, bin) — two scans total, no shuffle wider than the
+  bin count.
+- `linear_trend` is one partial-aggregable groupBy; moment products
+  are decimal(38,0) so petabyte-scale sums cannot overflow (a long
+  would, around 9.2e18).
+- `systematic_weighted_sample` needs a per-stratum prefix sum — a
+  window over (stratum) ordered by a seeded hash. Strata are the
+  parallelism unit: keep them bounded (lang, source, shard), or
+  pre-shard huge strata with a hash bucket the way
+  curation.pack_sequences documents; an unstratified call puts the
+  whole table through one partition and is refused.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from legendary_data_pipeline_spark.functions.hashing import seeded_md5_long
+
+
+def histogram_auto(
+    df: DataFrame,
+    value: Column,
+    n_bins: int = 10,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Equi-width histogram of an integer-valued expression.
+
+    Bounds come from the data (global min/max so every group shares the
+    same grid — cross-group comparable); `width = ceil((max-min+1)/
+    n_bins)`, so every value lands in [0, n_bins-1] with no clamping.
+    Output: (*group_cols, bin, bin_lo, bin_hi, n_rows) — `bin_hi` is
+    exclusive. Empty bins are absent (sparse form; dense-join a
+    sequence if you need zeros). NULL values are excluded.
+    """
+    v = value.cast("long")
+    src = df.select(*group_cols, v.alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
+    bounds = src.agg(
+        F.min("__v").alias("__lo"), F.max("__v").alias("__hi")
+    )
+    width = F.expr(f"(__hi - __lo + {n_bins}) DIV {n_bins}")  # ceil((hi-lo+1)/n)
+    binned = src.crossJoin(F.broadcast(bounds)).select(
+        *group_cols,
+        F.expr(f"(__v - __lo) DIV ((__hi - __lo + {n_bins}) DIV {n_bins})")
+        .alias("__bin"),
+        F.col("__lo"),
+        width.alias("__w"),
+    )
+    return (
+        binned.groupBy(*group_cols, "__bin", "__lo", "__w")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            *group_cols,
+            F.col("__bin").cast("int").alias("bin"),
+            (F.col("__lo") + F.col("__bin") * F.col("__w")).alias("bin_lo"),
+            (F.col("__lo") + (F.col("__bin") + 1) * F.col("__w")).alias(
+                "bin_hi"
+            ),
+            "n_rows",
+        )
+    )
+
+
+def linear_trend(
+    df: DataFrame,
+    x: Column,
+    y: Column,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-group least-squares line y = slope·x + intercept.
+
+    `x` and `y` must be integer-valued expressions (epoch days, cents —
+    the engine's exact-arithmetic conventions). Moments are summed as
+    decimal(38,0) (exact, order-independent, overflow-safe), then the
+    slope/intercept come from one fixed double expression. Groups whose
+    x-variance is 0 (or with <2 rows) get NULL slope/intercept.
+
+    Output: (*group_cols, n_points, slope, intercept).
+    """
+    xd = x.cast("long").cast("decimal(18,0)")
+    yd = y.cast("long").cast("decimal(18,0)")
+    src = df.select(
+        *group_cols, xd.alias("__x"), yd.alias("__y")
+    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    agg = src.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum("__x").cast("decimal(38,0)").alias("__sx"),
+        F.sum("__y").cast("decimal(38,0)").alias("__sy"),
+        F.sum(
+            (F.col("__x") * F.col("__y")).cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("__sxy"),
+        F.sum(
+            (F.col("__x") * F.col("__x")).cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("__sxx"),
+    )
+    n = F.col("n_points").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    denom = n * sxx - sx * sx
+    slope = F.when(
+        (F.col("n_points") >= 2) & (denom != 0.0),
+        (n * sxy - sx * sy) / denom,
+    )
+    intercept = F.when(
+        slope.isNotNull(), (sy - slope * sx) / n
+    )
+    return agg.select(
+        *group_cols,
+        "n_points",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    )
+
+
+def systematic_weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    step: int,
+    strata: Sequence[str],
+    id_col: str,
+    seed: int = 41,
+) -> DataFrame:
+    """Deterministic systematic PPS sample: ~1 row kept per `step`
+    units of weight, inclusion probability min(1, w/step) per row.
+
+    Rows are laid on a per-stratum line in seeded-hash order (a
+    reproducible shuffle — a pure function of (id, seed), never of file
+    layout); a row is kept iff a grid point (`phase + k·step`, with a
+    per-stratum hash-derived phase standing in for the classic random
+    start) falls inside its weight interval [cum_before, cum_before+w).
+    Exact integer arithmetic end to end — rerunning on re-partitioned
+    data selects the SAME rows. Rows with NULL or non-positive weight
+    are never selected.
+
+    Output: input columns + `inv_prob` = max(1, step/w), the inverse
+    inclusion probability (importance weight) for unbiased downstream
+    estimates; P(keep) = min(1, w/step).
+
+    `strata` must be non-empty: the prefix sum is a window per stratum,
+    and an unstratified call would funnel the table through ONE
+    partition — use a hash-bucket stratum for a global sample.
+    """
+    if not strata:
+        raise ValueError(
+            "systematic_weighted_sample: empty strata would put the "
+            "whole table through one window partition; pass e.g. a "
+            "hash-bucket column for a global sample."
+        )
+    w = F.col(weight_col).cast("long")
+    src = df.filter(w.isNotNull() & (w > 0))
+    order = Window.partitionBy(*strata).orderBy(
+        seeded_md5_long(F.col(id_col).cast("string"), seed).asc(),
+        F.col(id_col).asc(),
+    )
+    cum = F.sum(w).over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    phase = seeded_md5_long(
+        F.concat_ws("|", *[F.col(c).cast("string") for c in strata]),
+        seed + 1,
+    ) % F.lit(step)
+    # a multiple of `step` lies in the phase-shifted interval
+    # [before+phase, cum+phase) ⟺ floor((cum+phase-1)/step) ≥
+    # ceil((before+phase)/step); all operands non-negative longs, so
+    # integer DIV is exact floor and (x+step-1) DIV step is exact ceil.
+    kept = (
+        src.withColumn("__cum", cum)
+        .withColumn("__before", F.col("__cum") - w)
+        .withColumn("__phase", phase)
+        .filter(
+            F.expr(f"(__cum + __phase - 1) DIV {step}")
+            >= F.expr(f"(__before + __phase + {step} - 1) DIV {step}")
+        )
+    )
+    inv_prob = F.greatest(
+        F.lit(1.0), F.lit(float(step)) / w.cast("double")
+    )
+    return kept.drop("__cum", "__before", "__phase").withColumn(
+        "inv_prob", inv_prob
+    )

@@ -29,6 +29,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from legendary_data_pipeline_spark.catalog import load_table
+from legendary_data_pipeline_spark.functions.hashing import (
+    seeded_md5_long_sql,
+)
 from legendary_data_pipeline_spark.operators.entity import (
     fuzzy_best_match,
     fuzzy_pairs_blocked,
@@ -425,4 +428,154 @@ def ts_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.abs(zscore) > _Z_THRESH, F.lit(False)).alias(
             "is_anomaly"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# distribution stats: histogram, linear trend, weighted sample
+# ---------------------------------------------------------------------------
+
+_HIST_BINS = 12
+_CENTS_ORACLE = "CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100, 0) AS BIGINT)"
+
+
+@register_shadow(
+    "st_hist_order_totalprice",
+    f"""
+    WITH v AS (
+      SELECT o_orderpriority,
+             {_CENTS_ORACLE} AS v
+      FROM orders WHERE o_totalprice IS NOT NULL),
+    b AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM v),
+    w AS (SELECT lo, (hi - lo + {_HIST_BINS}) // {_HIST_BINS} AS wd FROM b)
+    SELECT o_orderpriority,
+           CAST((v - lo) // wd AS INT) AS bin,
+           CAST(lo + ((v - lo) // wd) * wd AS BIGINT) AS bin_lo,
+           CAST(lo + ((v - lo) // wd + 1) * wd AS BIGINT) AS bin_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM v, w
+    GROUP BY 1, 2, 3, 4
+    """,
+    doc="Equi-width histogram of order totals (integer cents) per "
+    "priority on a GLOBAL grid, so bins are comparable across groups. "
+    "Two passes: a 1-row bounds aggregate broadcast back, then one "
+    "partial-aggregable groupBy on (group, bin) — no shuffle wider "
+    "than the bin count at any scale.",
+)
+def st_hist_order_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.stats import histogram_auto
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(
+        F.col("o_totalprice").cast("decimal(18,2)") * 100, 0
+    ).cast("long")
+    return histogram_auto(
+        orders, cents, n_bins=_HIST_BINS, group_cols=["o_orderpriority"]
+    )
+
+
+@register_shadow(
+    "st_trend_event_value_daily",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+             CAST(SUM(CAST(round(CAST(value AS DECIMAL(18,2)) * 100, 0)
+                           AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_points,
+             CAST(SUM(day) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(day * y) AS DOUBLE) AS sxy,
+             CAST(SUM(day * day) AS DOUBLE) AS sxx
+      FROM daily GROUP BY 1)
+    SELECT event_type, n_points,
+           CASE WHEN n_points >= 2
+                 AND n_points * sxx - sx * sx <> 0
+                THEN (n_points * sxy - sx * sy)
+                     / (n_points * sxx - sx * sx) END AS slope,
+           CASE WHEN n_points >= 2
+                 AND n_points * sxx - sx * sx <> 0
+                THEN (sy - (n_points * sxy - sx * sy)
+                           / (n_points * sxx - sx * sx) * sx)
+                     / n_points END AS intercept
+    FROM m
+    """,
+    doc="Per-event-type least-squares trend of the daily value series "
+    "(is this metric drifting?): moments summed as exact decimals "
+    "(order-independent, overflow-safe at petabyte row counts), "
+    "slope/intercept from one fixed double expression tree — "
+    "bit-identical across engines. One partial-aggregable groupBy.",
+)
+def st_trend_event_value_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.stats import linear_trend
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("ts DIV 86400000000000").cast("long")
+    cents = F.round(F.col("value").cast("decimal(18,2)") * 100, 0).cast(
+        "long"
+    )
+    daily = ev.groupBy(
+        "event_type", day.alias("day")
+    ).agg(F.sum(cents).cast("long").alias("y"))
+    return linear_trend(
+        daily, F.col("day"), F.col("y"), group_cols=["event_type"]
+    )
+
+
+_SAMP_STEP = 3000  # ~10% of docs at avg n_chars ≈ 300
+_SAMP_SEED = 41
+
+
+@register_shadow(
+    "st_systematic_weighted_sample",
+    f"""
+    WITH src AS (
+      SELECT doc_id, lang, n_chars FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0),
+    h AS (
+      SELECT *, {seeded_md5_long_sql("CAST(doc_id AS VARCHAR)", _SAMP_SEED)}
+               AS hk
+      FROM src),
+    c AS (
+      SELECT *, SUM(n_chars) OVER (
+          PARTITION BY lang ORDER BY hk, doc_id
+          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM h),
+    p AS (
+      SELECT *, {seeded_md5_long_sql("lang", _SAMP_SEED + 1)} % {_SAMP_STEP}
+               AS phase
+      FROM c)
+    SELECT doc_id, lang, n_chars,
+           GREATEST(1.0, {_SAMP_STEP} / CAST(n_chars AS DOUBLE)) AS inv_prob
+    FROM p
+    WHERE (cum + phase - 1) // {_SAMP_STEP}
+          >= (cum - n_chars + phase + {_SAMP_STEP} - 1) // {_SAMP_STEP}
+    """,
+    doc="Deterministic systematic PPS sample of the corpus, stratified "
+    "by lang, weight = n_chars: ~1 row kept per 3000 chars, inclusion "
+    "probability min(1, w/step), importance weight emitted. The rows "
+    "selected are a pure function of (data, seed) — exact integer grid "
+    "arithmetic over a seeded-hash ordering, independent of file "
+    "layout, so reruns and engines agree row-for-row.",
+)
+def st_systematic_weighted_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.stats import (
+        systematic_weighted_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return systematic_weighted_sample(
+        docs,
+        weight_col="n_chars",
+        step=_SAMP_STEP,
+        strata=["lang"],
+        id_col="doc_id",
+        seed=_SAMP_SEED,
     )

@@ -1,0 +1,172 @@
+"""Unit contracts for operators/stats.py (histogram, trend, PPS sample)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from legendary_data_pipeline_spark.operators.stats import (
+    histogram_auto,
+    linear_trend,
+    systematic_weighted_sample,
+)
+
+
+# ---------------------------------------------------------------------------
+# histogram_auto
+# ---------------------------------------------------------------------------
+
+
+def test_histogram_bins_and_counts(spark):
+    # values 0..99 → lo=0, hi=99, width=ceil(100/10)=10 → 10 full bins
+    df = spark.range(0, 100).select(F.col("id").alias("v"))
+    hist = {
+        r.bin: (r.bin_lo, r.bin_hi, r.n_rows)
+        for r in histogram_auto(df, F.col("v"), n_bins=10).collect()
+    }
+    assert len(hist) == 10
+    for b in range(10):
+        assert hist[b] == (b * 10, (b + 1) * 10, 10)
+
+
+def test_histogram_single_value(spark):
+    df = spark.createDataFrame([(7,), (7,), (7,)], "v long")
+    rows = histogram_auto(df, F.col("v"), n_bins=5).collect()
+    assert len(rows) == 1
+    assert (rows[0].bin, rows[0].n_rows) == (0, 3)
+    assert rows[0].bin_lo <= 7 < rows[0].bin_hi
+
+
+def test_histogram_nulls_excluded_and_grouped(spark):
+    df = spark.createDataFrame(
+        [("a", 0), ("a", 9), ("b", 9), ("b", None)], "g string, v long"
+    )
+    rows = histogram_auto(
+        df, F.col("v"), n_bins=2, group_cols=["g"]
+    ).collect()
+    got = {(r.g, r.bin): r.n_rows for r in rows}
+    # lo=0 hi=9 width=ceil(10/2)=5: bin0=[0,5) bin1=[5,10)
+    assert got == {("a", 0): 1, ("a", 1): 1, ("b", 1): 1}
+
+
+def test_histogram_empty(spark):
+    df = spark.createDataFrame([], "v long")
+    assert histogram_auto(df, F.col("v"), n_bins=4).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# linear_trend
+# ---------------------------------------------------------------------------
+
+
+def test_trend_exact_line(spark):
+    # y = 3x + 40 exactly
+    df = spark.createDataFrame(
+        [(x, 3 * x + 40) for x in range(10)], "x long, y long"
+    )
+    r = linear_trend(df, F.col("x"), F.col("y")).collect()[0]
+    assert r.n_points == 10
+    assert r.slope == pytest.approx(3.0, abs=1e-12)
+    assert r.intercept == pytest.approx(40.0, abs=1e-9)
+
+
+def test_trend_degenerate_groups(spark):
+    df = spark.createDataFrame(
+        [("one", 1, 5), ("flat", 2, 7), ("flat", 2, 9)],
+        "g string, x long, y long",
+    )
+    got = {
+        r.g: r for r in linear_trend(
+            df, F.col("x"), F.col("y"), group_cols=["g"]
+        ).collect()
+    }
+    assert got["one"].slope is None and got["one"].intercept is None
+    # two points with identical x: zero x-variance → NULL
+    assert got["flat"].slope is None
+
+
+def test_trend_grouped_values(spark):
+    df = spark.createDataFrame(
+        [("up", x, 2 * x) for x in range(5)]
+        + [("down", x, 100 - 5 * x) for x in range(5)],
+        "g string, x long, y long",
+    )
+    got = {
+        r.g: r.slope for r in linear_trend(
+            df, F.col("x"), F.col("y"), group_cols=["g"]
+        ).collect()
+    }
+    assert got["up"] == pytest.approx(2.0)
+    assert got["down"] == pytest.approx(-5.0)
+
+
+# ---------------------------------------------------------------------------
+# systematic_weighted_sample
+# ---------------------------------------------------------------------------
+
+
+def _corpus(spark, n=400):
+    return spark.range(0, n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("lang"),
+        (50 + (F.col("id") * 37) % 400).alias("w"),
+    )
+
+
+def test_sample_deterministic_and_layout_independent(spark):
+    df = _corpus(spark)
+    kw = dict(weight_col="w", step=1000, strata=["lang"], id_col="doc_id")
+    a = sorted(r.doc_id for r in systematic_weighted_sample(df, **kw).collect())
+    b = sorted(r.doc_id for r in systematic_weighted_sample(df, **kw).collect())
+    c = sorted(
+        r.doc_id
+        for r in systematic_weighted_sample(df.repartition(13), **kw).collect()
+    )
+    assert a == b == c
+    assert len(a) > 0
+
+
+def test_sample_rate_tracks_weight_share(spark):
+    df = _corpus(spark)
+    step = 1000
+    total_w = df.agg(F.sum("w")).collect()[0][0]
+    picked = systematic_weighted_sample(
+        df, weight_col="w", step=step, strata=["lang"], id_col="doc_id"
+    ).count()
+    expected = total_w / step
+    # systematic sampling: per-stratum count is within ±1 of its
+    # weight/step, so 3 strata → ±3 overall
+    assert abs(picked - expected) <= 3
+
+
+def test_sample_heavy_row_always_kept_with_weight_one(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 5000), (2, "a", 10), (3, "a", 10)], "doc_id long, lang string, w long"
+    )
+    rows = systematic_weighted_sample(
+        df, weight_col="w", step=1000, strata=["lang"], id_col="doc_id"
+    ).collect()
+    got = {r.doc_id: r.inv_prob for r in rows}
+    assert 1 in got
+    assert got[1] == 1.0  # w ≥ step → certain inclusion
+    for doc_id, inv in got.items():
+        if doc_id != 1:
+            assert inv == pytest.approx(1000 / 10)
+
+
+def test_sample_rejects_empty_strata_and_bad_weights(spark):
+    df = _corpus(spark)
+    with pytest.raises(ValueError, match="strata"):
+        systematic_weighted_sample(
+            df, weight_col="w", step=100, strata=[], id_col="doc_id"
+        )
+    bad = spark.createDataFrame(
+        [(1, "a", 0), (2, "a", None), (3, "a", -5)],
+        "doc_id long, lang string, w long",
+    )
+    assert (
+        systematic_weighted_sample(
+            bad, weight_col="w", step=10, strata=["lang"], id_col="doc_id"
+        ).count()
+        == 0
+    )
