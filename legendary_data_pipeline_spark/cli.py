@@ -352,6 +352,84 @@ def cmd_curate(spark: SparkSession, args) -> int:
     return 0
 
 
+def cmd_dq(spark: SparkSession, args) -> int:
+    """Data-quality audit of a parquet table: column profile +
+    constraint report, written next to the warehouse and summarized on
+    stdout. Exit code 1 when any constraint fails — the CI-gate form of
+    the reference's per-row import guards (01:60-88).
+
+    Checks come from flags: `--not-null a,b` (per-column NOT NULL),
+    `--unique-key a,b` (composite key uniqueness), `--check name:expr`
+    (any boolean SQL expression, repeatable). Everything folds into one
+    scan for the row-level checks plus one distinct pass per unique key.
+    """
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from legendary_data_pipeline_spark.operators.profiling import (
+        check_constraints,
+        check_unique,
+        profile_columns,
+    )
+
+    df = spark.read.parquet(args.input)
+    cols = args.columns.split(",") if args.columns else None
+    log = _table(args.warehouse, "pipeline_runs")
+    run_id = start_run(spark, log, "dq", file_name=args.input)
+
+    profile = profile_columns(
+        df, cols, exact_distinct=not args.approx_distinct
+    )
+    profile.write.mode("overwrite").parquet(
+        _table(args.warehouse, "dq_profile")
+    )
+
+    checks: dict[str, F.Column] = {}
+    for c in (args.not_null.split(",") if args.not_null else []):
+        checks[f"{c}_not_null"] = F.col(c).isNotNull()
+    for spec in args.check or []:
+        name, _, expr = spec.partition(":")
+        if not expr:
+            raise SystemExit(f"--check needs name:expr, got {spec!r}")
+        checks[name] = F.expr(expr)
+    reports = []
+    if checks:
+        reports.append(check_constraints(df, checks))
+    if args.unique_key:
+        reports.append(check_unique(df, args.unique_key.split(",")))
+    n_failed = 0
+    if reports:
+        report = reports[0]
+        for extra in reports[1:]:
+            report = report.unionByName(extra)
+        report.write.mode("overwrite").parquet(
+            _table(args.warehouse, "dq_checks")
+        )
+        rows = spark.read.parquet(_table(args.warehouse, "dq_checks"))
+        n_failed = rows.filter(~F.col("passed")).count()
+    n_rows = profile.agg(F.max("n_rows")).collect()[0][0]
+    finish_run(
+        spark, log, run_id, "dq", n_rows,
+        status="finished" if n_failed == 0 else "failed",
+    )
+    print(
+        _json.dumps(
+            {
+                "job": "dq",
+                "input": args.input,
+                "rows": n_rows,
+                "columns_profiled": profile.count(),
+                "checks": sum(
+                    1 for _ in checks
+                ) + (1 if args.unique_key else 0),
+                "checks_failed": n_failed,
+            }
+        )
+    )
+    return 0 if n_failed == 0 else 1
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(prog="legendary_data_pipeline_spark")
     parser.add_argument("--master", default=None)
@@ -433,6 +511,31 @@ def build_parser() -> argparse.ArgumentParser:
         help="temperature-mix token budget fraction (default 0.5)",
     )
     p.set_defaults(fn=cmd_curate)
+
+    p = sub.add_parser("dq")
+    common(p)
+    p.add_argument("--input", required=True, help="parquet table to audit")
+    p.add_argument(
+        "--columns", default=None, help="comma list (default: all columns)"
+    )
+    p.add_argument(
+        "--approx-distinct",
+        action="store_true",
+        help="HLL++ distinct counts (single-pass plan; the 100 TB setting)",
+    )
+    p.add_argument("--not-null", default=None, help="comma list of columns")
+    p.add_argument(
+        "--unique-key", default=None, help="comma list forming the key"
+    )
+    p.add_argument(
+        "--check",
+        action="append",
+        default=None,
+        metavar="NAME:EXPR",
+        help="named boolean SQL constraint, repeatable "
+        "(e.g. price_pos:o_totalprice > 0)",
+    )
+    p.set_defaults(fn=cmd_dq)
     return parser
 
 
