@@ -13,6 +13,9 @@ operators add that step Spark-first:
 - `fuzzy_best_match`: record linkage — every left row linked to its
   best (minimum-distance) right candidate within the block, with a
   deterministic tie-break so reruns and oracles agree.
+- `sorted_neighborhood_pairs`: the sliding-window blocking alternative
+  (sort by a domain key, pair within `window` ranks) for duplicates
+  whose blocking tokens disagree.
 
 Scale notes (100 TB): the all-pairs comparison is the classic entity-
 resolution blowup; blocking is the standard answer (Fellegi-Sunter /
@@ -149,4 +152,66 @@ def fuzzy_best_match(
         cand.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select(*out_cols)
+    )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    sort_expr: Column,
+    id_col: str,
+    window: int = 3,
+    bucket_expr: Column | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood candidate pairs — the other classic ER
+    blocking method: order records by a domain sort key (normalized
+    name, phonetic code, zip+street…) and propose every pair within
+    `window` positions. Catches near-duplicates whose blocking tokens
+    differ (where `fuzzy_pairs_blocked` is blind) as long as the sort
+    key places them nearby.
+
+    Returns (id_a, id_b, gap) with gap = rank distance in [1, window],
+    each unordered pair once (id-ordered within the pair's rank order).
+
+    Scale: ranking whole-table on one sort key is the single-partition
+    trap, so ranks are computed per `bucket_expr` partition (default:
+    first character of the sort key — a sortedness-preserving coarse
+    split; pass a wider prefix for hot initials). Pairing is NOT a
+    range join: each row is exploded to `window` probe ranks and
+    equi-joined on (bucket, rank) — a plain shuffled equi-join, linear
+    in window. Neighborhoods do not span bucket boundaries (standard
+    SNM trade-off; widen the bucket if that seam matters).
+    """
+    key = sort_expr.cast("string")
+    bucket = (
+        bucket_expr if bucket_expr is not None else F.substring(key, 1, 1)
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        key.alias("__key"),
+        bucket.alias("__bkt"),
+    ).filter(F.col("__key").isNotNull())
+    w = Window.partitionBy("__bkt").orderBy(
+        F.col("__key").asc(), F.col("__id").asc()
+    )
+    ranked = base.withColumn("__rn", F.row_number().over(w))
+    probes = ranked.select(
+        F.col("__id").alias("id_a"),
+        "__bkt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("__rn") + F.lit(j)).alias("rn"),
+                        F.lit(j).alias("gap"),
+                    )
+                    for j in range(1, window + 1)
+                ]
+            )
+        ).alias("__p"),
+    ).select("id_a", "__bkt", F.col("__p.rn").alias("__rn"), "__p.gap")
+    targets = ranked.select(
+        F.col("__id").alias("id_b"), "__bkt", "__rn"
+    )
+    return probes.join(targets, ["__bkt", "__rn"]).select(
+        "id_a", "id_b", "gap"
     )

@@ -164,3 +164,66 @@ def check_unique(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
             )
         ).cast("long").alias("n_violations"),
     ).withColumn("passed", F.col("n_violations") == 0)
+
+
+def categorical_drift(
+    base: DataFrame,
+    current: DataFrame,
+    col: str,
+    null_label: str = "<null>",
+) -> DataFrame:
+    """Distribution drift of a categorical column between two table
+    snapshots — the chi-square homogeneity decomposition, per value.
+
+    Output, one row per distinct value across both frames:
+      (value, n_base, n_current, p_base, p_current, chisq_contrib)
+    where p_* are within-frame shares and `chisq_contrib` is the
+    value's (observed−expected)²/expected summed over both frames
+    (expected from the pooled distribution). Σ chisq_contrib is the
+    two-sample chi-square statistic with (k−1) dof; compare it to a
+    critical value, or rank values by contribution to see WHERE the
+    distribution moved. NULLs are a category (`null_label`).
+
+    Chi-square instead of PSI/KL deliberately: it needs only
+    +,−,×,÷ on exact integer counts — deterministic across engines
+    (oracle-able) — where log-based divergences inherit libm rounding.
+    Both inputs aggregate to value-cardinality count tables before the
+    full outer join, so the join is metadata-sized at any corpus scale.
+    """
+    v = F.coalesce(F.col(col).cast("string"), F.lit(null_label))
+
+    def counts(df: DataFrame, alias: str) -> DataFrame:
+        return df.select(v.alias("value")).groupBy("value").agg(
+            F.count(F.lit(1)).alias(alias)
+        )
+
+    b = counts(base, "n_base")
+    c = counts(current, "n_current")
+    joined = (
+        b.join(c, "value", "full_outer")
+        .select(
+            "value",
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            F.coalesce("n_current", F.lit(0)).alias("n_current"),
+        )
+    )
+    totals = joined.agg(
+        F.sum("n_base").alias("__tb"), F.sum("n_current").alias("__tc")
+    )
+    j = joined.crossJoin(F.broadcast(totals))
+    nb = F.col("n_base").cast("double")
+    nc = F.col("n_current").cast("double")
+    tb = F.col("__tb").cast("double")
+    tc = F.col("__tc").cast("double")
+    pooled = (nb + nc) / (tb + tc)
+    eb = tb * pooled
+    ec = tc * pooled
+    contrib = (nb - eb) * (nb - eb) / eb + (nc - ec) * (nc - ec) / ec
+    return j.select(
+        "value",
+        "n_base",
+        "n_current",
+        (nb / tb).alias("p_base"),
+        (nc / tc).alias("p_current"),
+        contrib.alias("chisq_contrib"),
+    )

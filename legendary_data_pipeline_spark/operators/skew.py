@@ -85,3 +85,48 @@ def salted_join(
     return salted_fact.join(
         exploded_dim, [*on, _SALT], how
     ).drop(_SALT)
+
+
+def join_skew_forecast(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    top_k: int = 20,
+) -> DataFrame:
+    """Pre-join skew diagnostics: the keys that will dominate a join's
+    output, BEFORE paying for the join.
+
+    An equi-join key appearing n_l times left and n_r times right emits
+    n_l·n_r rows — the quantity that decides whether AQE skew-split,
+    salting, or a key-exclusion rule is needed. This computes per-key
+    counts on each side (partial-aggregable), inner-joins the two count
+    tables (key-cardinality-sized, tiny relative to the data), and
+    returns the top_k keys by output contribution with both side counts:
+
+        (*on, n_left, n_right, n_out) ordered by n_out desc.
+
+    Scale: the only shuffles are the two count aggregations; the
+    count-table join and TakeOrderedAndProject top-k never touch a
+    data-sized relation.
+    """
+    keys = list(on)
+    lc = (
+        left.select(*keys)
+        .na.drop(subset=keys)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_left"))
+    )
+    rc = (
+        right.select(*keys)
+        .na.drop(subset=keys)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_right"))
+    )
+    return (
+        lc.join(rc, keys)
+        .withColumn("n_out", F.col("n_left") * F.col("n_right"))
+        .orderBy(
+            F.col("n_out").desc(), *[F.col(k).asc() for k in keys]
+        )
+        .limit(top_k)
+    )

@@ -579,3 +579,149 @@ def st_systematic_weighted_sample(
         id_col="doc_id",
         seed=_SAMP_SEED,
     )
+
+
+# ---------------------------------------------------------------------------
+# sorted-neighborhood ER, drift detection, join-skew forecast
+# ---------------------------------------------------------------------------
+
+_SNM_WINDOW = 2
+
+
+@register_shadow(
+    "er_sorted_neighborhood",
+    f"""
+    WITH names AS (
+      SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL),
+    ranked AS (
+      SELECT p_name,
+             substr(p_name, 1, 1) AS bkt,
+             row_number() OVER (
+               PARTITION BY substr(p_name, 1, 1)
+               ORDER BY p_name, p_name) AS rn
+      FROM names),
+    probes AS (
+      SELECT p_name AS id_a, bkt, rn + g.gap AS rn2, CAST(g.gap AS INT) AS gap
+      FROM ranked,
+           (SELECT unnest(range(1, {_SNM_WINDOW + 1})) AS gap) g)
+    SELECT p.id_a, t.p_name AS id_b, p.gap
+    FROM probes p JOIN ranked t
+      ON p.bkt = t.bkt AND p.rn2 = t.rn
+    """,
+    doc="Sorted-neighborhood ER blocking: distinct names ranked within "
+    "a first-character bucket, candidate pairs within 2 rank positions "
+    "— catches near-dups whose blocking tokens disagree. The pairing "
+    "is an equi-join on (bucket, rank) after a bounded explode, never "
+    "a range join, and ranks are per-bucket windows, never a global "
+    "single-partition sort.",
+)
+def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.entity import (
+        sorted_neighborhood_pairs,
+    )
+
+    names = (
+        load_table(spark, sf_dir, "part")
+        .select("p_name")
+        .filter(F.col("p_name").isNotNull())
+        .distinct()
+    )
+    return sorted_neighborhood_pairs(
+        names,
+        sort_expr=F.col("p_name"),
+        id_col="p_name",
+        window=_SNM_WINDOW,
+    )
+
+
+@register_shadow(
+    "dq_drift_orders_priority",
+    """
+    WITH b AS (
+      SELECT COALESCE(CAST(o_orderpriority AS VARCHAR), '<null>') AS value,
+             CAST(COUNT(*) AS BIGINT) AS n_base
+      FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1),
+    c AS (
+      SELECT COALESCE(CAST(o_orderpriority AS VARCHAR), '<null>') AS value,
+             CAST(COUNT(*) AS BIGINT) AS n_current
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+      GROUP BY 1),
+    j AS (
+      SELECT COALESCE(b.value, c.value) AS value,
+             CAST(COALESCE(n_base, 0) AS BIGINT) AS n_base,
+             CAST(COALESCE(n_current, 0) AS BIGINT) AS n_current
+      FROM b FULL OUTER JOIN c ON b.value = c.value),
+    t AS (SELECT CAST(SUM(n_base) AS DOUBLE) AS tb,
+                 CAST(SUM(n_current) AS DOUBLE) AS tc FROM j),
+    -- expected counts with the SAME association order as the Spark
+    -- expression tree (t * (pooled)), so doubles match bit-for-bit
+    calc AS (
+      SELECT value, n_base, n_current,
+             CAST(n_base AS DOUBLE) AS nb, CAST(n_current AS DOUBLE) AS nc,
+             tb, tc,
+             tb * ((CAST(n_base AS DOUBLE) + CAST(n_current AS DOUBLE))
+                   / (tb + tc)) AS eb,
+             tc * ((CAST(n_base AS DOUBLE) + CAST(n_current AS DOUBLE))
+                   / (tb + tc)) AS ec
+      FROM j, t)
+    SELECT value, n_base, n_current,
+           nb / tb AS p_base,
+           nc / tc AS p_current,
+           (nb - eb) * (nb - eb) / eb
+             + (nc - ec) * (nc - ec) / ec AS chisq_contrib
+    FROM calc
+    """,
+    doc="Snapshot drift detection: chi-square homogeneity decomposition "
+    "of order priority between pre-/post-1998 snapshots, per value — "
+    "the monitor that catches a silently shifted upstream feed. "
+    "Chi-square over exact counts (never PSI/KL) so every double comes "
+    "from one fixed +,-,×,÷ tree — bit-identical across engines. Both "
+    "sides reduce to value-cardinality count tables before joining.",
+)
+def dq_drift_orders_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.profiling import (
+        categorical_drift,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    return categorical_drift(
+        orders.filter(F.col("o_orderdate") < cut),
+        orders.filter(F.col("o_orderdate") >= cut),
+        "o_orderpriority",
+    )
+
+
+_FORECAST_K = 15
+
+
+@register_shadow(
+    "skew_join_forecast_order_pairs",
+    f"""
+    WITH counts AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1)
+    SELECT o_custkey, n AS n_left, n AS n_right,
+           CAST(n * n AS BIGINT) AS n_out
+    FROM counts
+    ORDER BY n_out DESC, o_custkey ASC
+    LIMIT {_FORECAST_K}
+    """,
+    doc="Join-skew forecast: before self-joining orders on customer "
+    "(order-pair analysis), rank the keys by how many output rows they "
+    "will emit (n_left x n_right). Only per-key count tables join — "
+    "metadata-scale — then TakeOrderedAndProject top-k; the data-sized "
+    "join this report de-risks is never executed here.",
+)
+def skew_join_forecast_order_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.skew import (
+        join_skew_forecast,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return join_skew_forecast(
+        orders, orders, on=["o_custkey"], top_k=_FORECAST_K
+    )

@@ -147,3 +147,73 @@ def test_empty_input(spark):
         max_dist=2,
     )
     assert pairs.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# sorted_neighborhood_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_snm_pairs_within_window(spark):
+    from legendary_data_pipeline_spark.operators.entity import (
+        sorted_neighborhood_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "apple"), (2, "apply"), (3, "appty"), (4, "azzzz"), (5, "berry")],
+        "id long, name string",
+    )
+    pairs = sorted_neighborhood_pairs(
+        df, sort_expr=F.col("name"), id_col="id", window=2
+    )
+    got = {(r.id_a, r.id_b): r.gap for r in pairs.collect()}
+    # bucket 'a' sort order: apple(1) apply(2) appty(3) azzzz(4)
+    assert got == {
+        (1, 2): 1, (1, 3): 2,
+        (2, 3): 1, (2, 4): 2,
+        (3, 4): 1,
+    }
+    # 'berry' is a different first-char bucket: never paired
+    assert not any(5 in p for p in got)
+
+
+def test_snm_window_one_is_adjacent_only(spark):
+    from legendary_data_pipeline_spark.operators.entity import (
+        sorted_neighborhood_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "aa"), (2, "ab"), (3, "ac")], "id long, name string"
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in sorted_neighborhood_pairs(
+            df, sort_expr=F.col("name"), id_col="id", window=1
+        ).collect()
+    }
+    assert got == {(1, 2), (2, 3)}
+
+
+def test_snm_custom_bucket_spans_more(spark):
+    from legendary_data_pipeline_spark.operators.entity import (
+        sorted_neighborhood_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "apple"), (2, "berry")], "id long, name string"
+    )
+    # default first-char buckets: no pairs; a constant bucket pairs them
+    assert (
+        sorted_neighborhood_pairs(
+            df, sort_expr=F.col("name"), id_col="id", window=1
+        ).count()
+        == 0
+    )
+    got = sorted_neighborhood_pairs(
+        df,
+        sort_expr=F.col("name"),
+        id_col="id",
+        window=1,
+        bucket_expr=F.lit("all"),
+    ).collect()
+    assert [(r.id_a, r.id_b, r.gap) for r in got] == [(1, 2, 1)]

@@ -119,3 +119,50 @@ def test_profile_empty_frame(spark):
     assert prof["id"].n_distinct == 0
     assert prof["id"].min_num is None
     assert prof["s"].min_str is None
+
+
+# ---------------------------------------------------------------------------
+# categorical_drift
+# ---------------------------------------------------------------------------
+
+
+def test_drift_identical_distributions_zero_chisq(spark):
+    from legendary_data_pipeline_spark.operators.profiling import (
+        categorical_drift,
+    )
+
+    base = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 4, "v string"
+    )
+    cur = spark.createDataFrame(
+        [("a",)] * 3 + [("b",)] * 2, "v string"
+    )
+    rows = categorical_drift(base, cur, "v").collect()
+    assert {r.value for r in rows} == {"a", "b"}
+    for r in rows:
+        assert r.chisq_contrib == pytest.approx(0.0, abs=1e-12)
+        assert r.p_base == pytest.approx(r.p_current)
+
+
+def test_drift_flags_shifted_and_new_categories(spark):
+    from legendary_data_pipeline_spark.operators.profiling import (
+        categorical_drift,
+    )
+
+    base = spark.createDataFrame(
+        [("a",)] * 9 + [("b",)] * 1, "v string"
+    )
+    cur = spark.createDataFrame(
+        [("a",)] * 1 + [("b",)] * 4 + [(None,)] * 5, "v string"
+    )
+    got = {r.value: r for r in categorical_drift(base, cur, "v").collect()}
+    assert set(got) == {"a", "b", "<null>"}
+    # the appeared-from-nowhere null category has n_base = 0
+    assert got["<null>"].n_base == 0 and got["<null>"].n_current == 5
+    assert got["<null>"].chisq_contrib > 1.0
+    assert got["a"].p_base == pytest.approx(0.9)
+    assert got["a"].p_current == pytest.approx(0.1)
+    # manual chi-square for 'a': pooled p = 10/20
+    eb, ec = 10 * 0.5, 10 * 0.5
+    exp = (9 - eb) ** 2 / eb + (1 - ec) ** 2 / ec
+    assert got["a"].chisq_contrib == pytest.approx(exp)

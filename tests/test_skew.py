@@ -54,3 +54,33 @@ def test_salted_join_left(spark):
     got = salted_join(fact, dim, ["k"], how="left")
     assert got.count() == fact.count()
     assert got.filter(F.col("name").isNull()).count() == 100
+
+
+# ---------------------------------------------------------------------------
+# join_skew_forecast
+# ---------------------------------------------------------------------------
+
+
+def test_join_skew_forecast_products_and_order(spark):
+    from pyspark.sql import functions as F
+
+    from legendary_data_pipeline_spark.operators.skew import (
+        join_skew_forecast,
+    )
+
+    left = spark.createDataFrame(
+        [("hot",)] * 5 + [("warm",)] * 2 + [("left_only",)],
+        "k string",
+    )
+    right = spark.createDataFrame(
+        [("hot",)] * 4 + [("warm",)] * 3 + [(None,)], "k string"
+    )
+    rows = join_skew_forecast(left, right, on=["k"], top_k=10).collect()
+    got = [(r.k, r.n_left, r.n_right, r.n_out) for r in rows]
+    # ordered by emitted-row contribution; unmatched/NULL keys absent
+    assert got == [("hot", 5, 4, 20), ("warm", 2, 3, 6)]
+    # top_k truncates
+    assert (
+        join_skew_forecast(left, right, on=["k"], top_k=1).count() == 1
+    )
+    _ = F  # silence unused-import lint in minimal envs
