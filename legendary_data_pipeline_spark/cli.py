@@ -430,6 +430,55 @@ def cmd_dq(spark: SparkSession, args) -> int:
     return 0 if n_failed == 0 else 1
 
 
+def cmd_sql(spark: SparkSession, args) -> int:
+    """Ad-hoc SQL over the warehouse — the analytics front door.
+
+    Every parquet table in `--warehouse` (a `<name>` directory or a
+    `<name>.parquet` file, so a testdata dir works directly) is
+    registered as a temp view named after it; the query then runs with
+    the full engine session (AQE, shuffle sizing — `ensure_engine_confs`
+    applies through `get_spark`). Results stream to stdout as JSON
+    lines (driver-bounded by --limit) or to `--out` as parquet with no
+    driver materialization at all.
+    """
+    import json as _json
+    import os
+
+    registered = []
+    wh = args.warehouse.rstrip("/")
+    for entry in sorted(os.listdir(wh)):
+        path = os.path.join(wh, entry)
+        name = entry[:-8] if entry.endswith(".parquet") else entry
+        if not (os.path.isdir(path) or entry.endswith(".parquet")):
+            continue
+        try:
+            spark.read.parquet(path).createOrReplaceTempView(name)
+            registered.append(name)
+        except Exception:
+            continue  # non-parquet directory (checkpoints, feeds, …)
+    result = spark.sql(args.query)
+    if args.out:
+        result.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(
+            _json.dumps(
+                {"job": "sql", "rows": n, "out": args.out,
+                 "tables": registered}
+            )
+        )
+        return 0
+    shown = 0
+    for row in result.limit(args.limit).toJSON().toLocalIterator():
+        print(row)
+        shown += 1
+    print(
+        _json.dumps({"job": "sql", "rows_shown": shown,
+                     "limit": args.limit, "tables": registered}),
+        file=sys.stderr,
+    )
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(prog="legendary_data_pipeline_spark")
     parser.add_argument("--master", default=None)
@@ -536,6 +585,16 @@ def build_parser() -> argparse.ArgumentParser:
         "(e.g. price_pos:o_totalprice > 0)",
     )
     p.set_defaults(fn=cmd_dq)
+
+    p = sub.add_parser("sql")
+    common(p)
+    p.add_argument("--query", required=True, help="SQL over warehouse views")
+    p.add_argument("--out", default=None, help="write result parquet here")
+    p.add_argument(
+        "--limit", type=int, default=100,
+        help="max rows printed to stdout (ignored with --out)",
+    )
+    p.set_defaults(fn=cmd_sql)
     return parser
 
 

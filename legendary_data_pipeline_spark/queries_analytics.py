@@ -725,3 +725,100 @@ def skew_join_forecast_order_pairs(
     return join_skew_forecast(
         orders, orders, on=["o_custkey"], top_k=_FORECAST_K
     )
+
+
+# ---------------------------------------------------------------------------
+# window-analytics and set-operation wideners (SURVEY §2.5 / §2.7)
+# ---------------------------------------------------------------------------
+
+
+@register_shadow(
+    "w6_percent_rank_cume_dist",
+    """
+    WITH v AS (
+      SELECT p_brand, p_partkey,
+             CAST(round(CAST(p_retailprice AS DECIMAL(18,2)) * 100, 0)
+                  AS BIGINT) AS cents
+      FROM part)
+    SELECT p_brand, p_partkey, cents,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           CAST(nth_value(cents, 2) OVER (
+             PARTITION BY p_brand ORDER BY cents, p_partkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS second_lowest_cents
+    FROM v
+    WINDOW w AS (PARTITION BY p_brand ORDER BY cents, p_partkey)
+    """,
+    doc="Distribution-position analytics per brand: percent_rank / "
+    "cume_dist / nth_value over a fully-tie-broken ordering (cents, "
+    "partkey), so ranks — and therefore the rational rank fractions — "
+    "are unique and deterministic. Partitioned by brand: bounded "
+    "per-partition state, never a global window.",
+)
+def w6_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    part = load_table(spark, sf_dir, "part")
+    cents = F.round(
+        F.col("p_retailprice").cast("decimal(18,2)") * 100, 0
+    ).cast("long")
+    v = part.select("p_brand", "p_partkey", cents.alias("cents"))
+    w = Window.partitionBy("p_brand").orderBy("cents", "p_partkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return v.select(
+        "p_brand",
+        "p_partkey",
+        "cents",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.nth_value("cents", 2).over(wf).cast("long").alias(
+            "second_lowest_cents"
+        ),
+    )
+
+
+@register_shadow(
+    "u4_intersect_except_cohorts",
+    """
+    WITH before AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+    after AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+    SELECT o_custkey, 'retained' AS cohort
+    FROM (SELECT o_custkey FROM before INTERSECT SELECT o_custkey FROM after)
+    UNION ALL
+    SELECT o_custkey, 'churned' AS cohort
+    FROM (SELECT o_custkey FROM before EXCEPT SELECT o_custkey FROM after)
+    UNION ALL
+    SELECT o_custkey, 'new' AS cohort
+    FROM (SELECT o_custkey FROM after EXCEPT SELECT o_custkey FROM before)
+    """,
+    doc="INTERSECT / EXCEPT customer cohorts across a date boundary "
+    "(retained / churned / new) — the set-operation surface the "
+    "reference never needed (SURVEY §2.7) expressed as Spark "
+    "intersect/subtract, which Catalyst plans as hash semi/anti joins "
+    "over the deduplicated keys — partial-aggregable and "
+    "broadcast-eligible at scale.",
+)
+def u4_intersect_except_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    before = (
+        orders.filter(F.col("o_orderdate") < cut).select("o_custkey").distinct()
+    )
+    after = (
+        orders.filter(F.col("o_orderdate") >= cut)
+        .select("o_custkey")
+        .distinct()
+    )
+    tag = lambda df, c: df.select(  # noqa: E731
+        "o_custkey", F.lit(c).alias("cohort")
+    )
+    return (
+        tag(before.intersect(after), "retained")
+        .unionByName(tag(before.subtract(after), "churned"))
+        .unionByName(tag(after.subtract(before), "new"))
+    )

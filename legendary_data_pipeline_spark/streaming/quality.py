@@ -1,0 +1,91 @@
+"""Continuous data quality: per-micro-batch constraint monitoring.
+
+The batch `dq` surface (operators/profiling.py, cli.py `dq`) audits a
+table once; a landing zone needs the audit CONTINUOUSLY — every
+arriving file batch checked against the same named constraints, with
+the verdict history appended to a report table an alerting job tails.
+This module runs `check_constraints` inside `foreachBatch`: the checks
+are one conditional-sum Aggregate per micro-batch (bounded state — no
+streaming aggregation state at all, since each batch is audited
+independently), and the report table grows by n_checks rows per batch.
+
+Quarantine semantics: with `fail_path` set, batches that violate any
+check are ALSO written verbatim to a quarantine directory — the stream
+keeps flowing (the report records the failure) but bad batches are
+preserved for triage, the streaming form of the CLI's nonzero exit.
+
+Batch/stream parity: the same checks dict over the same rows produces
+the same (n_rows, n_violations, passed) whether run here or through
+`check_constraints` directly — pinned in tests/test_streaming_quality.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from legendary_data_pipeline_spark.operators.profiling import (
+    check_constraints,
+)
+
+
+def quality_report_sink(
+    report_path: str,
+    checks: Mapping[str, Column],
+    fail_path: str | None = None,
+):
+    """`foreachBatch` writer: audit each micro-batch, append the report.
+
+    Report rows: (batch_id, check_name, n_rows, n_violations, passed).
+    Empty batches are skipped (no report rows — nothing was audited).
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        report = check_constraints(batch_df, checks).select(
+            F.lit(batch_id).cast("long").alias("batch_id"),
+            "check_name",
+            "n_rows",
+            "n_violations",
+            "passed",
+        )
+        rows = report.collect()  # n_checks rows — metadata-scale
+        if not rows or rows[0]["n_rows"] == 0:
+            return
+        spark = batch_df.sparkSession
+        spark.createDataFrame(rows, report.schema).write.mode(
+            "append"
+        ).parquet(report_path)
+        if fail_path is not None and any(not r["passed"] for r in rows):
+            batch_df.write.mode("append").parquet(fail_path)
+
+    return write_batch
+
+
+def run_quality_monitor_once(
+    spark: SparkSession,
+    input_path: str,
+    input_schema: str,
+    report_path: str,
+    checkpoint_path: str,
+    checks: Mapping[str, Column],
+    fail_path: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Drain all available input files once (Trigger.AvailableNow)
+    through the constraint monitor. `max_files_per_trigger` splits the
+    backlog into multiple audited micro-batches (useful in tests and
+    for bounding per-batch work on large backfills)."""
+    reader = spark.readStream.schema(input_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_path)
+    query = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(quality_report_sink(report_path, checks, fail_path))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()

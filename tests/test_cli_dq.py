@@ -87,3 +87,51 @@ def test_dq_profile_only_no_checks(spark, tmp_path, capsys):
     assert rc == 0
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["checks"] == 0 and summary["checks_failed"] == 0
+
+
+# ---------------------------------------------------------------------------
+# sql command
+# ---------------------------------------------------------------------------
+
+
+def test_sql_over_testdata_views(spark, sf_dir, capsys):
+    rc = _run(spark, [
+        "sql", "--warehouse", sf_dir,
+        "--query",
+        "SELECT o_orderstatus, COUNT(*) AS n FROM orders "
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    ])
+    assert rc == 0
+    out_lines = [
+        l for l in capsys.readouterr().out.strip().splitlines() if l
+    ]
+    rows = [json.loads(l) for l in out_lines]
+    assert {r["o_orderstatus"] for r in rows} == {"P", "O", "F"}
+    assert sum(r["n"] for r in rows) == spark.read.parquet(
+        f"{sf_dir}/orders.parquet"
+    ).count()
+
+
+def test_sql_writes_parquet_out(spark, sf_dir, tmp_path, capsys):
+    out = str(tmp_path / "res")
+    rc = _run(spark, [
+        "sql", "--warehouse", sf_dir,
+        "--query", "SELECT p_brand, COUNT(*) AS n FROM part GROUP BY p_brand",
+        "--out", out,
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["rows"] == spark.read.parquet(out).count() > 0
+    assert "part" in summary["tables"]
+
+
+def test_sql_limit_bounds_stdout(spark, sf_dir, capsys):
+    rc = _run(spark, [
+        "sql", "--warehouse", sf_dir,
+        "--query", "SELECT * FROM lineitem", "--limit", "7",
+    ])
+    assert rc == 0
+    out_lines = [
+        l for l in capsys.readouterr().out.strip().splitlines() if l
+    ]
+    assert len(out_lines) == 7
