@@ -227,3 +227,95 @@ def categorical_drift(
         (nc / tc).alias("p_current"),
         contrib.alias("chisq_contrib"),
     )
+
+
+def calendar_gaps(
+    df: DataFrame,
+    day_col: Column,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Data-completeness check for daily feeds: which calendar days are
+    MISSING between each group's first and last observed day.
+
+    `day_col` must be an integer epoch-day expression (the engine's
+    exact time convention). Output: (*group_cols, missing_day) — empty
+    when every day in every group's active range is present.
+
+    Per group this is distinct-days → min/max (one partial-aggregable
+    pass), then `sequence(min, max)` exploded to the expected calendar
+    and anti-joined against the observed days. The explode is bounded
+    by the date RANGE (days, not rows) — a 30-year daily feed is ~11k
+    rows per group — so the expected-calendar side is metadata-scale
+    regardless of corpus size.
+    """
+    days = (
+        df.select(*group_cols, day_col.cast("long").alias("__day"))
+        .filter(F.col("__day").isNotNull())
+        .distinct()
+    )
+    spans = days.groupBy(*group_cols).agg(
+        F.min("__day").alias("__lo"), F.max("__day").alias("__hi")
+    )
+    expected = spans.select(
+        *group_cols,
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias("__day"),
+    )
+    return expected.join(
+        days, [*group_cols, "__day"], "left_anti"
+    ).select(*group_cols, F.col("__day").alias("missing_day"))
+
+
+# First-digit proportions under Benford's law, log10(1 + 1/d). Shared
+# literal constants on both the Spark and oracle sides — never computed
+# with engine log functions, so cross-engine results stay bit-identical.
+BENFORD_P = {
+    1: 0.3010299956639812, 2: 0.17609125905568124, 3: 0.12493873660829993,
+    4: 0.09691001300805642, 5: 0.07918124604762482, 6: 0.06694678963061322,
+    7: 0.05799194697768673, 8: 0.05115252244738129, 9: 0.04575749056067514,
+}
+
+
+def benford_audit(df: DataFrame, value: Column) -> DataFrame:
+    """First-digit frequency audit against Benford's law — the classic
+    fabricated-data screen for naturally-occurring positive amounts
+    (prices, populations, transaction totals).
+
+    Output, one row per digit 1-9:
+      (digit, n, p_observed, p_expected, chisq_contrib)
+    with chisq_contrib = (n − N·p)²/(N·p); Σ over digits ~ χ²(8) under
+    Benford. Zero/negative/NULL values are excluded (no first digit).
+    One groupBy on a 9-value key — trivially partial-aggregable.
+    """
+    # first SIGNIFICANT digit: first [1-9] character of the decimal
+    # string form (handles 0 < v < 1 correctly, where the first char
+    # is '0'). Pure string math — no log10, no libm divergence.
+    digit = F.regexp_extract(
+        F.abs(F.col("__v")).cast("decimal(38,10)").cast("string"),
+        "[1-9]",
+        0,
+    ).cast("int")
+    counts = (
+        df.select(value.alias("__v"))
+        .filter(F.col("__v").isNotNull() & (F.col("__v") > 0))
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    expected = F.create_map(
+        *[x for d, p in BENFORD_P.items() for x in (F.lit(d), F.lit(p))]
+    )
+    total = counts.agg(F.sum("n").alias("__total"))
+    nn = F.col("n").cast("double")
+    tt = F.col("__total").cast("double")
+    pe = expected[F.col("digit")]
+    e = tt * pe
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            (nn / tt).alias("p_observed"),
+            pe.alias("p_expected"),
+            ((nn - e) * (nn - e) / e).alias("chisq_contrib"),
+        )
+    )

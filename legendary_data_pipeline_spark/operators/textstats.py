@@ -201,3 +201,87 @@ def normalize_unicode(
         F.lower(strip_marks(F.col(text_col))).alias("folded_text"),
         (nfc_text != F.col(text_col)).alias("composed"),
     )
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_pair_docs: int = 2,
+    top_k: int = 50,
+) -> DataFrame:
+    """Document-level collocation mining: adjacent word pairs that
+    co-occur in more documents than their parts predict.
+
+    Association is measured by LIFT — n_docs·df(w1,w2) / (df(w1)·df(w2))
+    — not PMI: lift is the same ordering (PMI = log lift) computed with
+    one multiply/divide over EXACT document-frequency counts, so it is
+    bit-identical across engines where log-based scores inherit libm
+    rounding. Document frequency (not raw term frequency) keeps one
+    spammy document from minting a collocation.
+
+    Output: (w1, w2, pair_docs, w1_docs, w2_docs, lift), top_k by
+    (lift desc, pair_docs desc, w1, w2) — fully tie-broken.
+
+    Scale: bigram and unigram doc-frequency tables are vocabulary-sized
+    aggregations (partial-aggregable); the pair table joins the unigram
+    table twice on single words — broadcast-eligible — and top-k is
+    TakeOrderedAndProject. `min_pair_docs` prunes the bigram tail
+    before the joins, where virtually all of the mass is.
+    """
+    from legendary_data_pipeline_spark.operators.dedup import tokens_expr
+
+    toks = df.select(
+        F.col(id_col).alias("__id"), tokens_expr(text_col).alias("__t")
+    ).filter(F.size("__t") >= 2)
+    n_docs = toks.select(F.count_distinct("__id").alias("__n"))
+    uni = (
+        toks.select(
+            "__id", F.explode(F.array_distinct("__t")).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("w_docs"))
+    )
+    pairs = (
+        toks.select(
+            "__id",
+            F.explode(
+                F.array_distinct(
+                    F.zip_with(
+                        F.slice("__t", 1, F.size("__t") - 1),
+                        F.slice("__t", 2, F.size("__t") - 1),
+                        lambda a, b: F.struct(
+                            a.alias("w1"), b.alias("w2")
+                        ),
+                    )
+                )
+            ).alias("p"),
+        )
+        .select("__id", "p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_docs"))
+        .filter(F.col("pair_docs") >= min_pair_docs)
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("w_docs").alias("w1_docs"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("w_docs").alias("w2_docs"))
+    lift = (
+        F.col("__n").cast("double") * F.col("pair_docs").cast("double")
+    ) / (
+        F.col("w1_docs").cast("double") * F.col("w2_docs").cast("double")
+    )
+    return (
+        pairs.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "w1", "w2", "pair_docs", "w1_docs", "w2_docs",
+            lift.alias("lift"),
+        )
+        .orderBy(
+            F.col("lift").desc(),
+            F.col("pair_docs").desc(),
+            F.col("w1").asc(),
+            F.col("w2").asc(),
+        )
+        .limit(top_k)
+    )

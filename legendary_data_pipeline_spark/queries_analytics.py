@@ -822,3 +822,144 @@ def u4_intersect_except_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(tag(before.subtract(after), "churned"))
         .unionByName(tag(after.subtract(before), "new"))
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus collocations, calendar gaps, Benford audit
+# ---------------------------------------------------------------------------
+
+_COLL_TOP_K = 30
+_COLL_MIN_DOCS = 2
+
+
+@register_shadow(
+    "txt_collocations",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents),
+    base AS (SELECT doc_id, t FROM toks WHERE len(t) >= 2),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM base),
+    uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS w_docs FROM (
+        SELECT DISTINCT doc_id, unnest(t) AS w FROM base)
+      GROUP BY w),
+    pairs AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS pair_docs FROM (
+        SELECT DISTINCT doc_id, t[__j] AS w1, t[__j + 1] AS w2
+        FROM base, unnest(range(1, len(t))) AS r(__j))
+      GROUP BY w1, w2
+      HAVING COUNT(*) >= {_COLL_MIN_DOCS})
+    SELECT p.w1, p.w2, p.pair_docs,
+           u1.w_docs AS w1_docs, u2.w_docs AS w2_docs,
+           (n.n_docs * CAST(p.pair_docs AS DOUBLE))
+             / (CAST(u1.w_docs AS DOUBLE) * CAST(u2.w_docs AS DOUBLE))
+             AS lift
+    FROM pairs p
+    JOIN uni u1 ON p.w1 = u1.w
+    JOIN uni u2 ON p.w2 = u2.w
+    CROSS JOIN n
+    ORDER BY lift DESC, p.pair_docs DESC, p.w1 ASC, p.w2 ASC
+    LIMIT {_COLL_TOP_K}
+    """,
+    doc="Collocation mining over the corpus: adjacent word pairs ranked "
+    "by document-frequency LIFT (n·df12/(df1·df2)) — the PMI ordering "
+    "without the log, so exact integer counts flow through one "
+    "multiply/divide and oracle bit-exactly. Vocabulary-sized aggs, "
+    "broadcastable unigram joins, TakeOrderedAndProject top-k.",
+)
+def txt_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.textstats import (
+        collocations,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return collocations(
+        docs, min_pair_docs=_COLL_MIN_DOCS, top_k=_COLL_TOP_K
+    )
+
+
+@register_shadow(
+    "dq_event_calendar_gaps",
+    """
+    WITH days AS (
+      SELECT DISTINCT event_type,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+      FROM events),
+    spans AS (
+      SELECT event_type, MIN(day) AS lo, MAX(day) AS hi
+      FROM days GROUP BY event_type),
+    expected AS (
+      SELECT event_type, CAST(unnest(range(lo, hi + 1)) AS BIGINT) AS day
+      FROM spans)
+    SELECT e.event_type, e.day AS missing_day
+    FROM expected e LEFT JOIN days d
+      ON e.event_type = d.event_type AND e.day = d.day
+    WHERE d.day IS NULL
+    """,
+    doc="Feed-completeness audit: calendar days missing inside each "
+    "event type's active range (first..last observed epoch-day). The "
+    "expected calendar is generated from the per-group span — bounded "
+    "by the date RANGE, not the row count — and anti-joined against "
+    "observed days. Empty result = complete feed.",
+)
+def dq_event_calendar_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.profiling import (
+        calendar_gaps,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return calendar_gaps(
+        ev, F.expr("ts DIV 86400000000000"), group_cols=["event_type"]
+    )
+
+
+def _benford_oracle() -> str:
+    from legendary_data_pipeline_spark.operators.profiling import BENFORD_P
+
+    # CAST('…' AS DOUBLE): strtod is correctly rounded, giving the same
+    # double as the Python literal — a DECIMAL literal would round-trip
+    # through >2^53 integer mantissas and drift an ulp.
+    pairs = ", ".join(
+        f"({d}, CAST('{p!r}' AS DOUBLE))" for d, p in BENFORD_P.items()
+    )
+    return f"""
+    WITH src AS (
+      SELECT CAST(regexp_extract(
+               CAST(CAST(abs(o_totalprice) AS DECIMAL(38,10)) AS VARCHAR),
+               '[1-9]') AS INT) AS digit
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_totalprice > 0),
+    counts AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+      FROM src GROUP BY digit),
+    t AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM counts),
+    exp AS (SELECT digit, CAST(p_expected AS DOUBLE) AS p_expected
+            FROM (VALUES {pairs}) AS v(digit, p_expected))
+    SELECT c.digit, c.n,
+           CAST(c.n AS DOUBLE) / t.total AS p_observed,
+           e.p_expected,
+           (CAST(c.n AS DOUBLE) - t.total * e.p_expected)
+             * (CAST(c.n AS DOUBLE) - t.total * e.p_expected)
+             / (t.total * e.p_expected) AS chisq_contrib
+    FROM counts c JOIN exp e ON c.digit = e.digit
+    CROSS JOIN t
+    """
+
+
+@register_shadow(
+    "dq_benford_order_totals",
+    _benford_oracle(),
+    doc="Benford first-significant-digit audit of order totals — the "
+    "classic fabricated-amounts screen. Digit extraction is pure "
+    "string math (first [1-9] of the decimal form; no log10) and the "
+    "expected proportions are shared literal constants, so the "
+    "chi-square contributions oracle bit-exactly. One 9-key groupBy.",
+)
+def dq_benford_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.profiling import (
+        benford_audit,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return benford_audit(orders, F.col("o_totalprice"))
