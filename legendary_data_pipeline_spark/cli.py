@@ -392,6 +392,10 @@ def cmd_dq(spark: SparkSession, args) -> int:
         name, _, expr = spec.partition(":")
         if not expr:
             raise SystemExit(f"--check needs name:expr, got {spec!r}")
+        if name in checks:
+            # a silent dict overwrite would drop a requested constraint
+            # (e.g. --not-null price + --check price_not_null:…)
+            raise SystemExit(f"duplicate check name {name!r}")
         checks[name] = F.expr(expr)
     reports = []
     if checks:
@@ -408,7 +412,10 @@ def cmd_dq(spark: SparkSession, args) -> int:
         )
         rows = spark.read.parquet(_table(args.warehouse, "dq_checks"))
         n_failed = rows.filter(~F.col("passed")).count()
-    n_rows = profile.agg(F.max("n_rows")).collect()[0][0]
+    # read the already-written n_cols-row profile back rather than
+    # re-running the full-table aggregation for the summary numbers
+    prof_rows = spark.read.parquet(_table(args.warehouse, "dq_profile")).collect()
+    n_rows = max((r["n_rows"] for r in prof_rows), default=0)
     finish_run(
         spark, log, run_id, "dq", n_rows,
         status="finished" if n_failed == 0 else "failed",
@@ -419,10 +426,8 @@ def cmd_dq(spark: SparkSession, args) -> int:
                 "job": "dq",
                 "input": args.input,
                 "rows": n_rows,
-                "columns_profiled": profile.count(),
-                "checks": sum(
-                    1 for _ in checks
-                ) + (1 if args.unique_key else 0),
+                "columns_profiled": len(prof_rows),
+                "checks": len(checks) + (1 if args.unique_key else 0),
                 "checks_failed": n_failed,
             }
         )

@@ -24,9 +24,9 @@ keeps the plan a plain partial-aggregable single pass — the right
 setting at 100 TB where a ±2% distinct estimate is what you want from
 a profiler anyway. `check_constraints` folds every check into one
 conditional-sum aggregate: adding a check adds a column, never a scan.
-Floating means are sensitive to accumulation order, so `mean` is
-reported from a Kahan-stable double sum — treat it as approximate
-across engines; min/max/counts are exact.
+`mean` is a plain `avg` over doubles — accumulation-order-dependent,
+so treat it as approximate across engines and repartitions (it is
+tolerance-tested, never oracle-paired); min/max/counts are exact.
 """
 
 from __future__ import annotations
@@ -171,6 +171,7 @@ def categorical_drift(
     current: DataFrame,
     col: str,
     null_label: str = "<null>",
+    require_nonempty: bool = True,
 ) -> DataFrame:
     """Distribution drift of a categorical column between two table
     snapshots — the chi-square homogeneity decomposition, per value.
@@ -189,7 +190,22 @@ def categorical_drift(
     (oracle-able) — where log-based divergences inherit libm rounding.
     Both inputs aggregate to value-cardinality count tables before the
     full outer join, so the join is metadata-sized at any corpus scale.
+
+    An EMPTY side would divide by a zero total and silently NULL every
+    statistic — a vanished upstream partition is precisely what this
+    monitor exists to catch, so `require_nonempty` (default) raises
+    instead; pass False only if the caller handles the all-NULL frame.
     """
+    if require_nonempty:
+        for name, side in (("base", base), ("current", current)):
+            if side.limit(1).count() == 0:
+                raise ValueError(
+                    f"categorical_drift: {name} snapshot is empty — "
+                    "its category totals would be 0 and every "
+                    "statistic NULL. A missing snapshot usually means "
+                    "a vanished upstream feed; fail here, don't "
+                    "silently suppress the alert."
+                )
     v = F.coalesce(F.col(col).cast("string"), F.lit(null_label))
 
     def counts(df: DataFrame, alias: str) -> DataFrame:
@@ -215,16 +231,24 @@ def categorical_drift(
     nc = F.col("n_current").cast("double")
     tb = F.col("__tb").cast("double")
     tc = F.col("__tc").cast("double")
-    pooled = (nb + nc) / (tb + tc)
+
+    def sdiv(a: Column, b: Column) -> Column:
+        # NULL (not an ANSI DIVIDE_BY_ZERO error) on a zero-total side
+        # — only reachable on the require_nonempty=False path
+        return F.when(b != 0.0, a / b)
+
+    pooled = sdiv(nb + nc, tb + tc)
     eb = tb * pooled
     ec = tc * pooled
-    contrib = (nb - eb) * (nb - eb) / eb + (nc - ec) * (nc - ec) / ec
+    contrib = sdiv((nb - eb) * (nb - eb), eb) + sdiv(
+        (nc - ec) * (nc - ec), ec
+    )
     return j.select(
         "value",
         "n_base",
         "n_current",
-        (nb / tb).alias("p_base"),
-        (nc / tc).alias("p_current"),
+        sdiv(nb, tb).alias("p_base"),
+        sdiv(nc, tc).alias("p_current"),
         contrib.alias("chisq_contrib"),
     )
 
@@ -289,15 +313,22 @@ def benford_audit(df: DataFrame, value: Column) -> DataFrame:
     # first SIGNIFICANT digit: first [1-9] character of the decimal
     # string form (handles 0 < v < 1 correctly, where the first char
     # is '0'). Pure string math — no log10, no libm divergence.
-    digit = F.regexp_extract(
+    raw = F.regexp_extract(
         F.abs(F.col("__v")).cast("decimal(38,10)").cast("string"),
         "[1-9]",
         0,
-    ).cast("int")
+    )
+    # no-match yields '' — nullify before the int cast (ANSI would
+    # otherwise raise CAST_INVALID_INPUT on e.g. 1e-11 → 0E-10)
+    digit = F.nullif(raw, F.lit("")).cast("int")
     counts = (
         df.select(value.alias("__v"))
         .filter(F.col("__v").isNotNull() & (F.col("__v") > 0))
         .select(digit.alias("digit"))
+        # positive values with no extractable digit (rounded to zero at
+        # scale 10, or decimal(38,10) overflow → NULL) have no first
+        # significant digit: excluded, as in the oracle's inner join
+        .filter(F.col("digit").isNotNull())
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -235,10 +235,14 @@ def collocations(
         F.col(id_col).alias("__id"), tokens_expr(text_col).alias("__t")
     ).filter(F.size("__t") >= 2)
     n_docs = toks.select(F.count_distinct("__id").alias("__n"))
+    # .distinct() on (doc, word): array_distinct dedupes within one
+    # ROW, but a doc_id ingested twice must still count once toward
+    # document frequency (mirrors the oracle's SELECT DISTINCT).
     uni = (
         toks.select(
             "__id", F.explode(F.array_distinct("__t")).alias("w")
         )
+        .distinct()
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("w_docs"))
     )
@@ -258,6 +262,7 @@ def collocations(
             ).alias("p"),
         )
         .select("__id", "p.w1", "p.w2")
+        .distinct()  # duplicate doc_id rows count once (see uni)
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("pair_docs"))
         .filter(F.col("pair_docs") >= min_pair_docs)

@@ -41,7 +41,11 @@ from legendary_data_pipeline_spark.operators.profiling import (
     check_unique,
     profile_columns,
 )
-from legendary_data_pipeline_spark.queries import register_shadow
+from legendary_data_pipeline_spark.queries import (
+    _cents,
+    _cents_sql,
+    register_shadow,
+)
 
 # ---------------------------------------------------------------------------
 # entity resolution: blocked fuzzy matching on part names
@@ -348,8 +352,7 @@ _Z_THRESH = 2.0
     WITH daily AS (
       SELECT event_type,
              CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
-             CAST(SUM(CAST(round(CAST(value AS DECIMAL(18,2)) * 100, 0)
-                           AS BIGINT)) AS BIGINT) AS value_cents
+             CAST(SUM({_cents_sql("value")}) AS BIGINT) AS value_cents
       FROM events GROUP BY 1, 2),
     win AS (
       SELECT event_type, day, value_cents,
@@ -392,9 +395,7 @@ def ts_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     # `ts` is integer epoch nanos (catalog.normalize_event_ts); the day
     # bucket is exact integer division, identical in both engines.
     day = F.expr("ts DIV 86400000000000").cast("long")
-    cents = F.round(F.col("value").cast("decimal(18,2)") * 100, 0).cast(
-        "long"
-    )
+    cents = _cents("value")
     daily = ev.groupBy(
         "event_type", day.alias("day")
     ).agg(F.sum(cents).cast("long").alias("value_cents"))
@@ -436,7 +437,6 @@ def ts_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _HIST_BINS = 12
-_CENTS_ORACLE = "CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100, 0) AS BIGINT)"
 
 
 @register_shadow(
@@ -444,7 +444,7 @@ _CENTS_ORACLE = "CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100, 0) AS BIG
     f"""
     WITH v AS (
       SELECT o_orderpriority,
-             {_CENTS_ORACLE} AS v
+             {_cents_sql("o_totalprice")} AS v
       FROM orders WHERE o_totalprice IS NOT NULL),
     b AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM v),
     w AS (SELECT lo, (hi - lo + {_HIST_BINS}) // {_HIST_BINS} AS wd FROM b)
@@ -466,9 +466,7 @@ def st_hist_order_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     from legendary_data_pipeline_spark.operators.stats import histogram_auto
 
     orders = load_table(spark, sf_dir, "orders")
-    cents = F.round(
-        F.col("o_totalprice").cast("decimal(18,2)") * 100, 0
-    ).cast("long")
+    cents = _cents("o_totalprice")
     return histogram_auto(
         orders, cents, n_bins=_HIST_BINS, group_cols=["o_orderpriority"]
     )
@@ -476,12 +474,11 @@ def st_hist_order_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register_shadow(
     "st_trend_event_value_daily",
-    """
+    f"""
     WITH daily AS (
       SELECT event_type,
              CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
-             CAST(SUM(CAST(round(CAST(value AS DECIMAL(18,2)) * 100, 0)
-                           AS BIGINT)) AS BIGINT) AS y
+             CAST(SUM({_cents_sql("value")}) AS BIGINT) AS y
       FROM events GROUP BY 1, 2),
     m AS (
       SELECT event_type,
@@ -514,9 +511,7 @@ def st_trend_event_value_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     day = F.expr("ts DIV 86400000000000").cast("long")
-    cents = F.round(F.col("value").cast("decimal(18,2)") * 100, 0).cast(
-        "long"
-    )
+    cents = _cents("value")
     daily = ev.groupBy(
         "event_type", day.alias("day")
     ).agg(F.sum(cents).cast("long").alias("y"))
@@ -734,11 +729,10 @@ def skew_join_forecast_order_pairs(
 
 @register_shadow(
     "w6_percent_rank_cume_dist",
-    """
+    f"""
     WITH v AS (
       SELECT p_brand, p_partkey,
-             CAST(round(CAST(p_retailprice AS DECIMAL(18,2)) * 100, 0)
-                  AS BIGINT) AS cents
+             {_cents_sql("p_retailprice")} AS cents
       FROM part)
     SELECT p_brand, p_partkey, cents,
            percent_rank() OVER w AS pct_rank,
@@ -760,9 +754,7 @@ def w6_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     part = load_table(spark, sf_dir, "part")
-    cents = F.round(
-        F.col("p_retailprice").cast("decimal(18,2)") * 100, 0
-    ).cast("long")
+    cents = _cents("p_retailprice")
     v = part.select("p_brand", "p_partkey", cents.alias("cents"))
     w = Window.partitionBy("p_brand").orderBy("cents", "p_partkey")
     wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -38,27 +38,28 @@ def quality_report_sink(
 ):
     """`foreachBatch` writer: audit each micro-batch, append the report.
 
-    Report rows: (batch_id, check_name, n_rows, n_violations, passed).
-    Empty batches are skipped (no report rows — nothing was audited).
+    Report rows: (batch_id, check_name, n_rows, n_violations, passed) —
+    `batch_id` materializes as a partition column (each batch writes
+    `<path>/batch_id=N/` with overwrite), which is what makes the sink
+    IDEMPOTENT under foreachBatch's at-least-once retries: a replayed
+    batch_id overwrites its own partition instead of appending a
+    duplicate set of report/quarantine rows. Empty batches are skipped
+    (no report rows — nothing was audited).
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        report = check_constraints(batch_df, checks).select(
-            F.lit(batch_id).cast("long").alias("batch_id"),
-            "check_name",
-            "n_rows",
-            "n_violations",
-            "passed",
-        )
+        report = check_constraints(batch_df, checks)
         rows = report.collect()  # n_checks rows — metadata-scale
         if not rows or rows[0]["n_rows"] == 0:
             return
         spark = batch_df.sparkSession
         spark.createDataFrame(rows, report.schema).write.mode(
-            "append"
-        ).parquet(report_path)
+            "overwrite"
+        ).parquet(f"{report_path}/batch_id={int(batch_id)}")
         if fail_path is not None and any(not r["passed"] for r in rows):
-            batch_df.write.mode("append").parquet(fail_path)
+            batch_df.write.mode("overwrite").parquet(
+                f"{fail_path}/batch_id={int(batch_id)}"
+            )
 
     return write_batch
 

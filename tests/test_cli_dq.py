@@ -135,3 +135,16 @@ def test_sql_limit_bounds_stdout(spark, sf_dir, capsys):
         l for l in capsys.readouterr().out.strip().splitlines() if l
     ]
     assert len(out_lines) == 7
+
+
+def test_dq_duplicate_check_name_rejected(spark, tmp_path):
+    import pytest
+
+    wh = str(tmp_path / "wh")
+    table = str(tmp_path / "t3")
+    _write_table(spark, table)
+    with pytest.raises(SystemExit, match="duplicate check name"):
+        _run(spark, [
+            "dq", "--warehouse", wh, "--input", table,
+            "--check", "a:price > 0", "--check", "a:price < 100",
+        ])

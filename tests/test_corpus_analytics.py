@@ -108,3 +108,43 @@ def test_benford_conforming_sample_low_chisq(spark):
     assert total_chisq < 1.0  # rounding noise only; χ²(8) p99 ≈ 20
     for r in out:
         assert r.p_observed == pytest.approx(r.p_expected, abs=1e-4)
+
+
+def test_collocations_duplicate_doc_rows_count_once(spark):
+    # a re-ingested doc_id (two rows, same text) must not inflate
+    # document frequencies (review finding: per-row vs per-doc counts)
+    docs = spark.createDataFrame(
+        [(7, "red widget"), (7, "red widget"), (8, "red widget")],
+        "doc_id long, text string",
+    )
+    rows = collocations(docs, min_pair_docs=1, top_k=5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.pair_docs, r.w1_docs, r.w2_docs) == (2, 2, 2)
+    assert r.lift == pytest.approx(2 * 2 / 4)
+
+
+def test_benford_unextractable_digits_excluded(spark):
+    # 1e-11 rounds to zero at decimal scale 10 → no first significant
+    # digit → excluded (review finding: NULL-digit row leaked through)
+    df = spark.createDataFrame([(1e-11,), (123.0,)], "v double")
+    rows = benford_audit(df, F.col("v")).collect()
+    assert {r.digit for r in rows} == {1}
+    assert rows[0].n == 1
+    assert rows[0].p_observed == 1.0
+
+
+def test_drift_empty_side_raises(spark):
+    from legendary_data_pipeline_spark.operators.profiling import (
+        categorical_drift,
+    )
+
+    base = spark.createDataFrame([], "v string")
+    cur = spark.createDataFrame([("a",)], "v string")
+    with pytest.raises(ValueError, match="base snapshot is empty"):
+        categorical_drift(base, cur, "v")
+    with pytest.raises(ValueError, match="current snapshot is empty"):
+        categorical_drift(cur, base, "v")
+    # opt-out path still returns a (documented) all-NULL frame lazily
+    out = categorical_drift(base, cur, "v", require_nonempty=False)
+    assert out.collect()[0].chisq_contrib is None

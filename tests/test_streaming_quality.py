@@ -102,3 +102,23 @@ def test_monitor_rerun_is_checkpointed_noop(spark, tmp_path):
     n1 = spark.read.parquet(report).count()
     run_quality_monitor_once(spark, inp, _SCHEMA, report, ckpt, _checks())
     assert spark.read.parquet(report).count() == n1
+
+
+def test_sink_replayed_batch_id_is_idempotent(spark, tmp_path):
+    """foreachBatch delivers at-least-once: a replayed batch_id must
+    overwrite its own report/quarantine partition, not append dupes
+    (review finding: non-idempotent appends)."""
+    from legendary_data_pipeline_spark.streaming.quality import (
+        quality_report_sink,
+    )
+
+    report = str(tmp_path / "report")
+    quarantine = str(tmp_path / "bad")
+    sink = quality_report_sink(report, _checks(), fail_path=quarantine)
+    bad_batch = spark.createDataFrame([(1, -4.0), (2, 3.0)], _SCHEMA)
+    sink(bad_batch, 7)
+    sink(bad_batch, 7)  # simulated retry of the SAME batch
+    rep = spark.read.parquet(report)
+    assert rep.count() == len(_checks())
+    assert {r.batch_id for r in rep.collect()} == {7}
+    assert spark.read.parquet(quarantine).count() == 2
