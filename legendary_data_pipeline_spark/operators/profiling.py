@@ -350,3 +350,81 @@ def benford_audit(df: DataFrame, value: Column) -> DataFrame:
             ((nn - e) * (nn - e) / e).alias("chisq_contrib"),
         )
     )
+
+
+def table_checksum(
+    df: DataFrame,
+    cols: Sequence[str],
+    sep: str = "\x1f",
+) -> DataFrame:
+    """Order-independent content checksum of a table — the tool that
+    validates a migration ("does the Spark copy hold exactly the rows
+    the old system held?") without shipping either side's data.
+
+    Each row is canonicalized as the `sep`-joined string form of the
+    selected columns (NULL → the literal 'NULL' token — distinguishable
+    because `sep` = unit-separator never appears in data), hashed with
+    the engine's md5_long convention, and the hashes are SUMMED as
+    decimal(38,0): addition commutes, so the checksum is independent of
+    row order, partitioning, and engine — two sides agree iff their
+    multisets of canonical rows agree (up to md5 collisions, ~2^-60 per
+    pair). Output: one row (n_rows, checksum).
+
+    Canonicalization is the caller's contract: pass columns whose
+    STRING form is engine-stable (strings, integers, exact decimals —
+    e.g. money as cents). Raw doubles and timestamps format differently
+    across engines; convert them first (cents, epoch integers).
+
+    One scan, fully partial-aggregable: each executor sums its own
+    hashes and the driver adds ~n_partitions partials — the 100 TB
+    shape. The matching DuckDB/SQL expression for each side of a
+    migration is `SUM(md5_long(concat_ws(...)))` — see the
+    `dq_table_checksum` oracle for the exact form.
+    """
+    from legendary_data_pipeline_spark.functions.hashing import md5_long
+
+    canon = F.concat_ws(
+        sep, *[F.coalesce(F.col(c).cast("string"), F.lit("NULL")) for c in cols]
+    )
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(md5_long(canon).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("checksum"),
+    )
+
+
+def functional_dependency(
+    df: DataFrame,
+    lhs: Sequence[str],
+    rhs: str,
+) -> DataFrame:
+    """Does `lhs` functionally determine `rhs`? The schema-discovery
+    probe behind candidate-key detection and normalization decisions
+    (e.g. "is market_item_id → canonical_source actually reliable?").
+
+    Output: one row
+      (lhs, rhs, n_groups, n_violating_groups, max_rhs_per_group, holds)
+    where a violating group is an lhs-value with >1 distinct rhs value
+    (NULL counts as a value — a key that sometimes maps to NULL and
+    sometimes to 'x' does NOT determine it). Rows with NULL in any lhs
+    column are excluded (SQL keys don't match on NULL).
+
+    One groupBy on lhs (partial-aggregable count-distinct per group),
+    then a 1-row summary — no data-sized second pass.
+    """
+    lhs = list(lhs)
+    src = df.select(*lhs, rhs).na.drop(subset=lhs)
+    rhs_token = F.coalesce(F.col(rhs).cast("string"), F.lit("\x00NULL"))
+    per_group = src.groupBy(*lhs).agg(
+        F.count_distinct(rhs_token).alias("__n_rhs")
+    )
+    return per_group.agg(
+        F.lit(", ".join(lhs)).alias("lhs"),
+        F.lit(rhs).alias("rhs"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("__n_rhs") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_violating_groups"),
+        F.max("__n_rhs").cast("long").alias("max_rhs_per_group"),
+    ).withColumn("holds", F.col("n_violating_groups") == 0)

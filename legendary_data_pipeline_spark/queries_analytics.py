@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from legendary_data_pipeline_spark.catalog import load_table
 from legendary_data_pipeline_spark.functions.hashing import (
+    md5_long_sql,
     seeded_md5_long_sql,
 )
 from legendary_data_pipeline_spark.operators.entity import (
@@ -955,3 +956,105 @@ def dq_benford_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     return benford_audit(orders, F.col("o_totalprice"))
+
+
+# ---------------------------------------------------------------------------
+# migration checksum + functional-dependency discovery
+# ---------------------------------------------------------------------------
+
+_CK_SEP_SQL = "chr(31)"  # unit separator, mirrors the operator default
+
+
+@register_shadow(
+    "dq_table_checksum",
+    f"""
+    WITH canon AS (
+      SELECT concat_ws({_CK_SEP_SQL},
+               COALESCE(CAST(o_orderkey AS VARCHAR), 'NULL'),
+               COALESCE(CAST(o_custkey AS VARCHAR), 'NULL'),
+               COALESCE(CAST(o_orderstatus AS VARCHAR), 'NULL'),
+               COALESCE(CAST({_cents_sql("o_totalprice")} AS VARCHAR),
+                        'NULL'),
+               COALESCE(CAST(o_orderpriority AS VARCHAR), 'NULL')
+             ) AS row_str
+      FROM orders)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST({md5_long_sql("row_str")} AS DECIMAL(38,0)))
+                AS DECIMAL(38,0)) AS checksum
+    FROM canon
+    """,
+    doc="Order-independent table checksum for migration validation: "
+    "md5-hash each canonicalized row (ints/strings/cents — forms that "
+    "are engine-stable), SUM the hashes as decimal(38,0). Addition "
+    "commutes, so the checksum is identical across row order, "
+    "partitioning, and engines — this oracle pair IS the cross-engine "
+    "validation it exists to perform. One partial-aggregable scan.",
+)
+def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.profiling import (
+        table_checksum,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        _cents("o_totalprice").alias("total_cents"),
+        "o_orderpriority",
+    )
+    return table_checksum(
+        orders,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "total_cents",
+         "o_orderpriority"],
+    )
+
+
+_FD_NULL_TOKEN_SQL = "chr(0) || 'NULL'"
+
+
+@register_shadow(
+    "dq_functional_dependencies",
+    f"""
+    WITH g1 AS (
+      SELECT o_orderkey,
+             COUNT(DISTINCT COALESCE(CAST(o_orderstatus AS VARCHAR),
+                                     {_FD_NULL_TOKEN_SQL})) AS nr
+      FROM orders WHERE o_orderkey IS NOT NULL GROUP BY o_orderkey),
+    g2 AS (
+      SELECT o_custkey,
+             COUNT(DISTINCT COALESCE(CAST(o_orderpriority AS VARCHAR),
+                                     {_FD_NULL_TOKEN_SQL})) AS nr
+      FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_custkey)
+    SELECT 'o_orderkey' AS lhs, 'o_orderstatus' AS rhs,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_groups,
+           CAST(MAX(nr) AS BIGINT) AS max_rhs_per_group,
+           SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) = 0 AS holds
+    FROM g1
+    UNION ALL
+    SELECT 'o_custkey', 'o_orderpriority',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(MAX(nr) AS BIGINT),
+           SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) = 0
+    FROM g2
+    """,
+    doc="Functional-dependency discovery: does o_orderkey determine "
+    "o_orderstatus (a key property), and does o_custkey determine "
+    "o_orderpriority (it should NOT — customers place orders at many "
+    "priorities)? One count-distinct groupBy per probe plus a 1-row "
+    "summary — the schema-inference probe behind candidate-key "
+    "detection, at any scale.",
+)
+def dq_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.profiling import (
+        functional_dependency,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return functional_dependency(
+        orders, ["o_orderkey"], "o_orderstatus"
+    ).unionByName(
+        functional_dependency(orders, ["o_custkey"], "o_orderpriority")
+    )

@@ -90,3 +90,73 @@ def run_quality_monitor_once(
         .start()
     )
     query.awaitTermination()
+
+
+def drift_monitor_sink(
+    baseline: DataFrame,
+    col: str,
+    report_path: str,
+    chisq_alert: float = 20.1,  # χ²(8) p≈0.99; tune per column dof
+):
+    """`foreachBatch` writer: chi-square drift of each micro-batch's
+    `col` distribution against a STATIC baseline snapshot.
+
+    Per batch the per-category drift decomposition is written to
+    `<report_path>/batch_id=N/` (overwrite — idempotent under retries,
+    same contract as `quality_report_sink`) with an `alert` flag set
+    when the summed statistic crosses `chisq_alert`. The baseline side
+    aggregates to a value-cardinality count table once per batch —
+    metadata-scale; cache the baseline DataFrame if batches are small
+    and frequent.
+    """
+    from legendary_data_pipeline_spark.operators.profiling import (
+        categorical_drift,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.limit(1).count() == 0:
+            return
+        drift = categorical_drift(baseline, batch_df, col)
+        rows = drift.collect()  # value-cardinality — metadata-scale
+        if not rows:
+            return
+        total = sum(r["chisq_contrib"] or 0.0 for r in rows)
+        spark = batch_df.sparkSession
+        out = spark.createDataFrame(rows, drift.schema).select(
+            "*",
+            F.lit(total).alias("chisq_total"),
+            F.lit(total > chisq_alert).alias("alert"),
+        )
+        out.write.mode("overwrite").parquet(
+            f"{report_path}/batch_id={int(batch_id)}"
+        )
+
+    return write_batch
+
+
+def run_drift_monitor_once(
+    spark: SparkSession,
+    input_path: str,
+    input_schema: str,
+    baseline: DataFrame,
+    col: str,
+    report_path: str,
+    checkpoint_path: str,
+    chisq_alert: float = 20.1,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Drain all available input files once through the drift monitor."""
+    reader = spark.readStream.schema(input_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_path)
+    query = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(
+            drift_monitor_sink(baseline, col, report_path, chisq_alert)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()

@@ -166,3 +166,83 @@ def test_drift_flags_shifted_and_new_categories(spark):
     eb, ec = 10 * 0.5, 10 * 0.5
     exp = (9 - eb) ** 2 / eb + (1 - ec) ** 2 / ec
     assert got["a"].chisq_contrib == pytest.approx(exp)
+
+
+# ---------------------------------------------------------------------------
+# table_checksum / functional_dependency
+# ---------------------------------------------------------------------------
+
+
+def test_checksum_order_and_partition_independent(spark):
+    from legendary_data_pipeline_spark.operators.profiling import (
+        table_checksum,
+    )
+
+    rows = [(1, "a"), (2, "b"), (3, None)]
+    df1 = spark.createDataFrame(rows, "id long, s string")
+    df2 = spark.createDataFrame(list(reversed(rows)), "id long, s string")
+    c1 = table_checksum(df1, ["id", "s"]).collect()[0]
+    c2 = table_checksum(df2.repartition(7), ["id", "s"]).collect()[0]
+    assert (c1.n_rows, c1.checksum) == (c2.n_rows, c2.checksum)
+    # any changed cell changes the checksum
+    df3 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "x")], "id long, s string"
+    )
+    c3 = table_checksum(df3, ["id", "s"]).collect()[0]
+    assert c3.checksum != c1.checksum
+
+
+def test_checksum_null_vs_literal_null_string_differ(spark):
+    from legendary_data_pipeline_spark.operators.profiling import (
+        table_checksum,
+    )
+
+    a = spark.createDataFrame([(1, None)], "id long, s string")
+    b = spark.createDataFrame([(1, "NULL")], "id long, s string")
+    # both canonicalize to the 'NULL' token — a documented limitation of
+    # string canonicalization; the separator prevents COLUMN confusion,
+    # not value/token collision. Pin the behavior so it's explicit.
+    ca = table_checksum(a, ["id", "s"]).collect()[0].checksum
+    cb = table_checksum(b, ["id", "s"]).collect()[0].checksum
+    assert ca == cb
+
+
+def test_functional_dependency_holds_and_violations(spark):
+    from legendary_data_pipeline_spark.operators.profiling import (
+        functional_dependency,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "x", "p"),
+            (1, "x", "q"),   # same key → same x (holds), two p/q values
+            (2, "y", "p"),
+            (2, None, "p"),  # key 2 maps to y AND NULL → violates
+            (None, "z", "p"),  # NULL lhs excluded
+        ],
+        "k long, v string, w string",
+    )
+    r = functional_dependency(df, ["k"], "v").collect()[0]
+    assert (r.lhs, r.rhs) == ("k", "v")
+    assert r.n_groups == 2
+    assert r.n_violating_groups == 1  # key 2: {y, NULL}
+    assert r.max_rhs_per_group == 2
+    assert r.holds is False
+
+    r2 = functional_dependency(df, ["k", "v"], "w").collect()[0]
+    # (1,x) → {p,q} violates; (2,y) → {p} ok; (2,NULL-v) row has
+    # non-null lhs parts… v NULL IS dropped? lhs na.drop drops it
+    assert r2.n_groups == 2
+    assert r2.n_violating_groups == 1
+
+
+def test_functional_dependency_unique_key_holds(spark):
+    from legendary_data_pipeline_spark.operators.profiling import (
+        functional_dependency,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None)], "k long, v string"
+    )
+    r = functional_dependency(df, ["k"], "v").collect()[0]
+    assert r.holds is True and r.n_violating_groups == 0

@@ -122,3 +122,39 @@ def test_sink_replayed_batch_id_is_idempotent(spark, tmp_path):
     assert rep.count() == len(_checks())
     assert {r.batch_id for r in rep.collect()} == {7}
     assert spark.read.parquet(quarantine).count() == 2
+
+
+def test_drift_monitor_alerts_on_shifted_batch(spark, tmp_path):
+    from legendary_data_pipeline_spark.streaming.quality import (
+        run_drift_monitor_once,
+    )
+
+    schema = "id long, status string"
+    baseline = spark.createDataFrame(
+        [(i, "ok") for i in range(90)] + [(i, "bad") for i in range(10)],
+        schema,
+    )
+    inp = str(tmp_path / "in")
+    # batch matching the baseline mix, then a flipped batch
+    spark.createDataFrame(
+        [(i, "ok") for i in range(45)] + [(i, "bad") for i in range(5)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(inp)
+    spark.createDataFrame(
+        [(i, "bad") for i in range(45)] + [(i, "ok") for i in range(5)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(inp)
+
+    report = str(tmp_path / "drift")
+    run_drift_monitor_once(
+        spark, inp, schema, baseline, "status", report,
+        str(tmp_path / "ckpt"), max_files_per_trigger=1,
+    )
+    rep = spark.read.parquet(report)
+    by_batch = {}
+    for r in rep.collect():
+        by_batch.setdefault(r.batch_id, r.alert)
+    alerts = sorted(by_batch.values())
+    assert alerts == [False, True]
+    # per-category decomposition present for both categories
+    assert rep.filter("value = 'bad'").count() == 2
