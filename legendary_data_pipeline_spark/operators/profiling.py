@@ -428,3 +428,55 @@ def functional_dependency(
         .alias("n_violating_groups"),
         F.max("__n_rhs").cast("long").alias("max_rhs_per_group"),
     ).withColumn("holds", F.col("n_violating_groups") == 0)
+
+
+def numeric_drift(
+    base: DataFrame,
+    current: DataFrame,
+    value: Column,
+    n_bins: int = 10,
+    require_nonempty: bool = True,
+) -> DataFrame:
+    """`categorical_drift` for numeric columns: both snapshots are
+    binned on ONE pooled equi-width grid (bounds from the union, so the
+    bins align by construction), then the chi-square homogeneity
+    decomposition runs over the bin labels.
+
+    `value` must be an integer-valued expression (cents, epoch days —
+    the engine's exact conventions). Bin labels are '<lo>..<hi>'
+    strings (hi exclusive) — deterministic integer formatting, so the
+    operator oracles exactly like its categorical sibling. Output =
+    categorical_drift's columns with `value` holding the bin label.
+
+    The bounds pass is a 1-row aggregate over the union (one scan of
+    each side); binning is arithmetic in the same scan as the count
+    aggregation — two scans per side total, metadata-sized joins only.
+    """
+    vb = base.select(value.cast("long").alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
+    vc = current.select(value.cast("long").alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
+    bounds = vb.unionByName(vc).agg(
+        F.min("__v").alias("__lo"), F.max("__v").alias("__hi")
+    )
+    width_sql = f"(__hi - __lo + {n_bins}) DIV {n_bins}"
+    bin_sql = f"(__v - __lo) DIV ({width_sql})"
+    label = F.concat(
+        (F.expr(f"__lo + ({bin_sql}) * ({width_sql})")).cast("string"),
+        F.lit(".."),
+        (F.expr(f"__lo + (({bin_sql}) + 1) * ({width_sql})")).cast("string"),
+    )
+
+    def binned(side: DataFrame) -> DataFrame:
+        return side.crossJoin(F.broadcast(bounds)).select(
+            label.alias("bin_label")
+        )
+
+    return categorical_drift(
+        binned(vb),
+        binned(vc),
+        "bin_label",
+        require_nonempty=require_nonempty,
+    )

@@ -1058,3 +1058,126 @@ def dq_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         functional_dependency(orders, ["o_custkey"], "o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# entity resolution step 3: fuzzy pairs closed into entity clusters
+# ---------------------------------------------------------------------------
+
+
+@register_shadow(
+    "er_name_clusters",
+    f"""
+    WITH RECURSIVE names AS (
+      SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL),
+    b AS (SELECT p_name, {_ER_BLOCK_SQL} AS blk FROM names),
+    dup AS (
+      SELECT a.p_name AS id_a, c.p_name AS id_b
+      FROM b a JOIN b c USING (blk)
+      WHERE a.p_name < c.p_name
+        AND levenshtein(a.p_name, c.p_name) <= {_ER_MAX_DIST}),
+    e2 AS (
+      SELECT id_a AS s, id_b AS d FROM dup
+      UNION
+      SELECT id_b, id_a FROM dup),
+    reach AS (
+      SELECT s AS node, s AS r FROM e2
+      UNION
+      SELECT e.s, r.r FROM e2 e JOIN reach r ON e.d = r.node)
+    SELECT node AS p_name, MIN(r) AS entity
+    FROM reach GROUP BY node
+    """,
+    doc="Entity resolution step 3 — entity formation: the blocked fuzzy "
+    "pairs closed into connected components (entity = min reachable "
+    "name), turning pairwise match hits into merge groups. Reuses the "
+    "engine's dedup closure operator over STRING node ids; the oracle "
+    "replays the closure with a recursive reachability CTE, so the "
+    "graph algorithm itself is hash-checked.",
+)
+def er_name_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    names = (
+        load_table(spark, sf_dir, "part")
+        .select("p_name")
+        .filter(F.col("p_name").isNotNull())
+        .distinct()
+    )
+    pairs = fuzzy_pairs_blocked(
+        names,
+        name_col="p_name",
+        id_col="p_name",
+        block_exprs=[F.element_at(F.split(F.col("p_name"), " "), -1)],
+        max_dist=_ER_MAX_DIST,
+    )
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    return comp.select(
+        F.col("node").alias("p_name"), F.col("component").alias("entity")
+    )
+
+
+@register_shadow(
+    "dq_numeric_drift_order_totals",
+    f"""
+    WITH v AS (
+      SELECT CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                  THEN 'b' ELSE 'c' END AS side,
+             {_cents_sql("o_totalprice")} AS val
+      FROM orders WHERE o_totalprice IS NOT NULL),
+    bounds AS (SELECT MIN(val) AS lo, MAX(val) AS hi FROM v),
+    g AS (SELECT lo, (hi - lo + 10) // 10 AS wd FROM bounds),
+    lab AS (
+      SELECT side,
+             CAST(lo + ((val - lo) // wd) * wd AS VARCHAR) || '..' ||
+             CAST(lo + ((val - lo) // wd + 1) * wd AS VARCHAR) AS value
+      FROM v, g),
+    b AS (SELECT value, CAST(COUNT(*) AS BIGINT) AS n_base
+          FROM lab WHERE side = 'b' GROUP BY value),
+    c AS (SELECT value, CAST(COUNT(*) AS BIGINT) AS n_current
+          FROM lab WHERE side = 'c' GROUP BY value),
+    j AS (
+      SELECT COALESCE(b.value, c.value) AS value,
+             CAST(COALESCE(n_base, 0) AS BIGINT) AS n_base,
+             CAST(COALESCE(n_current, 0) AS BIGINT) AS n_current
+      FROM b FULL OUTER JOIN c ON b.value = c.value),
+    t AS (SELECT CAST(SUM(n_base) AS DOUBLE) AS tb,
+                 CAST(SUM(n_current) AS DOUBLE) AS tc FROM j),
+    calc AS (
+      SELECT value, n_base, n_current,
+             CAST(n_base AS DOUBLE) AS nb, CAST(n_current AS DOUBLE) AS nc,
+             tb, tc,
+             tb * ((CAST(n_base AS DOUBLE) + CAST(n_current AS DOUBLE))
+                   / (tb + tc)) AS eb,
+             tc * ((CAST(n_base AS DOUBLE) + CAST(n_current AS DOUBLE))
+                   / (tb + tc)) AS ec
+      FROM j, t)
+    SELECT value, n_base, n_current,
+           nb / tb AS p_base,
+           nc / tc AS p_current,
+           (nb - eb) * (nb - eb) / eb
+             + (nc - ec) * (nc - ec) / ec AS chisq_contrib
+    FROM calc
+    """,
+    doc="Numeric drift of order totals across the 1998 boundary: both "
+    "snapshots binned on ONE pooled integer-cents grid (bins align by "
+    "construction), chi-square homogeneity per bin — the numeric "
+    "sibling of dq_drift_orders_priority. Deterministic '<lo>..<hi>' "
+    "labels keep the whole pipeline oracle-exact.",
+)
+def dq_numeric_drift_order_totals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.profiling import (
+        numeric_drift,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    return numeric_drift(
+        orders.filter(F.col("o_orderdate") < cut),
+        orders.filter(F.col("o_orderdate") >= cut),
+        _cents("o_totalprice"),
+        n_bins=10,
+    )

@@ -246,3 +246,29 @@ def test_functional_dependency_unique_key_holds(spark):
     )
     r = functional_dependency(df, ["k"], "v").collect()[0]
     assert r.holds is True and r.n_violating_groups == 0
+
+
+def test_numeric_drift_shared_grid_and_shift(spark):
+    from legendary_data_pipeline_spark.operators.profiling import (
+        numeric_drift,
+    )
+
+    base = spark.createDataFrame([(i,) for i in range(100)], "v long")
+    shifted = spark.createDataFrame(
+        [(i + 50,) for i in range(100)], "v long"
+    )
+    rows = numeric_drift(
+        base, shifted, F.col("v"), n_bins=3
+    ).collect()
+    # pooled range 0..149 → width ceil(150/3)=50: bins 0..50, 50..100,
+    # 100..150 — same grid for both sides
+    got = {r.value: (r.n_base, r.n_current) for r in rows}
+    assert got == {
+        "0..50": (50, 0),
+        "50..100": (50, 50),
+        "100..150": (0, 50),
+    }
+    total = sum(r.chisq_contrib for r in rows)
+    assert total > 20  # strong shift flagged
+    same = numeric_drift(base, base, F.col("v"), n_bins=3).collect()
+    assert sum(r.chisq_contrib for r in same) == pytest.approx(0.0)

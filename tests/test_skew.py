@@ -84,3 +84,22 @@ def test_join_skew_forecast_products_and_order(spark):
         join_skew_forecast(left, right, on=["k"], top_k=1).count() == 1
     )
     _ = F  # silence unused-import lint in minimal envs
+
+
+def test_join_skew_forecast_plan_is_topk_not_global_sort(spark):
+    """The forecast must end in TakeOrderedAndProject over the count
+    join — never a data-sized global Sort (the single-partition trap
+    the operator exists to avoid paying)."""
+    from pyspark.sql import functions as F
+
+    from legendary_data_pipeline_spark.operators.skew import (
+        join_skew_forecast,
+    )
+
+    left = spark.range(0, 1000).select((F.col("id") % 50).alias("k"))
+    right = spark.range(0, 1000).select((F.col("id") % 20).alias("k"))
+    plan = (
+        join_skew_forecast(left, right, on=["k"], top_k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
