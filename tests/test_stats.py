@@ -170,3 +170,64 @@ def test_sample_rejects_empty_strata_and_bad_weights(spark):
         ).count()
         == 0
     )
+
+
+def test_sample_property_grid_math_vs_python_reference(spark):
+    """Property test: the engine's kept-row set must equal a plain
+    Python replay of the systematic grid over random weight multisets —
+    pins the ceil/floor/phase arithmetic against an independent
+    implementation."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HEX = 15
+
+    def md5_long(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:HEX], 16)
+
+    def seeded(s: str, seed: int) -> int:
+        return md5_long(f"{seed}:{s}")
+
+    def python_reference(rows, step, seed):
+        # rows: list of (doc_id, lang, w)
+        kept = []
+        by_lang = {}
+        for doc_id, lang, w in rows:
+            if w is None or w <= 0:
+                continue
+            by_lang.setdefault(lang, []).append((doc_id, w))
+        for lang, members in by_lang.items():
+            members.sort(key=lambda t: (seeded(str(t[0]), seed), t[0]))
+            phase = seeded(lang, seed + 1) % step
+            cum = 0
+            for doc_id, w in members:
+                before, cum = cum, cum + w
+                lo = (before + phase + step - 1) // step  # ceil
+                hi = (cum + phase - 1) // step            # floor
+                if hi >= lo:
+                    kept.append(doc_id)
+        return sorted(kept)
+
+    weights = st.lists(
+        st.integers(min_value=1, max_value=5000), min_size=1, max_size=40
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(weights, st.integers(min_value=1, max_value=3))
+    def check(ws, n_langs):
+        rows = [
+            (i, str(i % n_langs), w) for i, w in enumerate(ws)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, w long")
+        got = sorted(
+            r.doc_id
+            for r in systematic_weighted_sample(
+                df, weight_col="w", step=1000, strata=["lang"],
+                id_col="doc_id", seed=41,
+            ).collect()
+        )
+        assert got == python_reference(rows, 1000, 41)
+
+    check()
