@@ -208,3 +208,97 @@ def systematic_weighted_sample(
     return kept.drop("__cum", "__before", "__phase").withColumn(
         "inv_prob", inv_prob
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    x: Column,
+    y: Column,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Single changepoint detection per group by the CUSUM statistic.
+
+    For each group's ordered series (x ascending, integer y), the
+    centered cumulative sum at position t is prefix_t − (t/n)·total —
+    maximized in magnitude at the most likely level-shift point. To
+    stay cross-engine exact, the comparison uses the INTEGER-scaled
+    form s_t = n·prefix_t − t·total (same argmax, no division), and
+    only the final normalized magnitude becomes a double through one
+    fixed expression.
+
+    Output per group:
+      (*group_cols, n_points, change_x, cusum_peak, mean_before,
+       mean_after)
+    where change_x is the LAST x of the pre-shift segment (ties on
+    |s_t| break to the smallest x — deterministic), `cusum_peak` =
+    |s_t*| / n (double), and the two means are exact-sum/count doubles.
+    Groups with <2 points return NULL change columns.
+
+    Scale: one window pass per group for the prefix sums (bounded
+    per-group state, groups are the parallelism unit — same contract as
+    the rolling z-score), one 1-row-per-group reduce. Integer capacity:
+    n·prefix products are decimal(38,0), petabyte-safe.
+    """
+    src = df.select(
+        *group_cols,
+        x.cast("long").alias("__x"),
+        y.cast("long").alias("__y"),
+    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    w = Window.partitionBy(*group_cols).orderBy("__x")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pre = (
+        src.withColumn("__t", F.row_number().over(w).cast("decimal(18,0)"))
+        .withColumn(
+            "__prefix",
+            F.sum("__y").over(frame).cast("decimal(18,0)"),
+        )
+    )
+    totals = pre.groupBy(*group_cols).agg(
+        F.max("__t").cast("decimal(18,0)").alias("__n"),
+        F.sum("__y").cast("decimal(18,0)").alias("__total"),
+    )
+    keys = list(group_cols)
+    joined = pre.join(F.broadcast(totals), keys) if keys else pre.crossJoin(
+        F.broadcast(totals)
+    )
+    s = (
+        F.col("__n") * F.col("__prefix") - F.col("__t") * F.col("__total")
+    ).cast("decimal(38,0)")
+    scored = joined.withColumn("__s", s).withColumn(
+        "__abs_s", F.abs(F.col("__s"))
+    )
+    pick = Window.partitionBy(*keys).orderBy(
+        F.col("__abs_s").desc(), F.col("__x").asc()
+    ) if keys else Window.partitionBy(F.lit(1)).orderBy(
+        F.col("__abs_s").desc(), F.col("__x").asc()
+    )
+    best = (
+        scored.withColumn("__rn", F.row_number().over(pick))
+        .filter(F.col("__rn") == 1)
+        .select(
+            *keys,
+            F.col("__x").alias("change_x"),
+            F.col("__t").alias("__t_star"),
+            F.col("__prefix").alias("__prefix_star"),
+            F.col("__abs_s").alias("__abs_s_star"),
+            F.col("__n").alias("__n2"),
+            F.col("__total").alias("__total2"),
+        )
+    )
+    n_d = F.col("__n2").cast("double")
+    t_d = F.col("__t_star").cast("double")
+    pre_d = F.col("__prefix_star").cast("double")
+    tot_d = F.col("__total2").cast("double")
+    two_plus = F.col("__n2") >= 2
+    return best.select(
+        *keys,
+        F.col("__n2").cast("long").alias("n_points"),
+        F.when(two_plus, F.col("change_x")).alias("change_x"),
+        F.when(
+            two_plus, F.col("__abs_s_star").cast("double") / n_d
+        ).alias("cusum_peak"),
+        F.when(two_plus, pre_d / t_d).alias("mean_before"),
+        F.when(
+            two_plus & (n_d > t_d), (tot_d - pre_d) / (n_d - t_d)
+        ).alias("mean_after"),
+    )

@@ -1181,3 +1181,72 @@ def dq_numeric_drift_order_totals(
         _cents("o_totalprice"),
         n_bins=10,
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection on the daily value series
+# ---------------------------------------------------------------------------
+
+
+@register_shadow(
+    "ts_cusum_changepoint",
+    f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+             CAST(SUM({_cents_sql("value")}) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    pre AS (
+      SELECT event_type, day, y,
+             row_number() OVER w AS t,
+             SUM(y) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) AS prefix
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+    tot AS (
+      SELECT event_type, MAX(t) AS n, SUM(y) AS total
+      FROM pre GROUP BY event_type),
+    s AS (
+      SELECT p.event_type, p.day, p.t, p.prefix, t2.n, t2.total,
+             abs(t2.n * p.prefix - p.t * t2.total) AS abs_s
+      FROM pre p JOIN tot t2 USING (event_type)),
+    best AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY event_type ORDER BY abs_s DESC, day ASC) AS rn
+      FROM s)
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_points,
+           CASE WHEN n >= 2 THEN day END AS change_x,
+           CASE WHEN n >= 2
+                THEN CAST(abs_s AS DOUBLE) / CAST(n AS DOUBLE) END
+             AS cusum_peak,
+           CASE WHEN n >= 2
+                THEN CAST(prefix AS DOUBLE) / CAST(t AS DOUBLE) END
+             AS mean_before,
+           CASE WHEN n >= 2 AND n > t
+                THEN (CAST(total AS DOUBLE) - CAST(prefix AS DOUBLE))
+                     / (CAST(n AS DOUBLE) - CAST(t AS DOUBLE)) END
+             AS mean_after
+    FROM best WHERE rn = 1
+    """,
+    doc="CUSUM changepoint detection per event type: the most likely "
+    "level-shift day in the daily value series, with pre/post means. "
+    "The statistic is kept INTEGER-scaled (s_t = n·prefix_t − t·total, "
+    "exact decimals — same argmax as the classic centered CUSUM, no "
+    "division until the final fixed double expressions), so even the "
+    "argmax tie-break is oracle-exact. One window pass per group + a "
+    "1-row-per-group reduce.",
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.stats import (
+        cusum_changepoint,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("ts DIV 86400000000000").cast("long")
+    daily = ev.groupBy(
+        "event_type", day.alias("day")
+    ).agg(F.sum(_cents("value")).cast("long").alias("y"))
+    return cusum_changepoint(
+        daily, F.col("day"), F.col("y"), group_cols=["event_type"]
+    )

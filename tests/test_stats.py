@@ -231,3 +231,58 @@ def test_sample_property_grid_math_vs_python_reference(spark):
         assert got == python_reference(rows, 1000, 41)
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# cusum_changepoint
+# ---------------------------------------------------------------------------
+
+
+def test_cusum_detects_level_shift(spark):
+    from legendary_data_pipeline_spark.operators.stats import (
+        cusum_changepoint,
+    )
+
+    rows = [(x, 100) for x in range(10)] + [(x, 200) for x in range(10, 20)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    r = cusum_changepoint(df, F.col("x"), F.col("y")).collect()[0]
+    assert r.n_points == 20
+    assert r.change_x == 9  # last point of the pre-shift segment
+    assert r.mean_before == pytest.approx(100.0)
+    assert r.mean_after == pytest.approx(200.0)
+    # |s| at t=10: |20*1000 - 10*3000| = 10000; peak = /n
+    assert r.cusum_peak == pytest.approx(10000 / 20)
+
+
+def test_cusum_grouped_and_degenerate(spark):
+    from legendary_data_pipeline_spark.operators.stats import (
+        cusum_changepoint,
+    )
+
+    rows = (
+        [("shift", x, 0) for x in range(5)]
+        + [("shift", x, 1000) for x in range(5, 10)]
+        + [("one", 0, 42)]
+    )
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = {
+        r.g: r
+        for r in cusum_changepoint(
+            df, F.col("x"), F.col("y"), group_cols=["g"]
+        ).collect()
+    }
+    assert got["shift"].change_x == 4
+    assert got["shift"].mean_before == pytest.approx(0.0)
+    assert got["shift"].mean_after == pytest.approx(1000.0)
+    assert got["one"].n_points == 1
+    assert got["one"].change_x is None and got["one"].cusum_peak is None
+
+
+def test_cusum_flat_series_small_peak(spark):
+    from legendary_data_pipeline_spark.operators.stats import (
+        cusum_changepoint,
+    )
+
+    df = spark.createDataFrame([(x, 50) for x in range(10)], "x long, y long")
+    r = cusum_changepoint(df, F.col("x"), F.col("y")).collect()[0]
+    assert r.cusum_peak == pytest.approx(0.0)
