@@ -373,18 +373,8 @@ def cmd_dq(spark: SparkSession, args) -> int:
         profile_columns,
     )
 
-    df = spark.read.parquet(args.input)
-    cols = args.columns.split(",") if args.columns else None
-    log = _table(args.warehouse, "pipeline_runs")
-    run_id = start_run(spark, log, "dq", file_name=args.input)
-
-    profile = profile_columns(
-        df, cols, exact_distinct=not args.approx_distinct
-    )
-    profile.write.mode("overwrite").parquet(
-        _table(args.warehouse, "dq_profile")
-    )
-
+    # argv-only validation FIRST: a malformed --check must fail before
+    # the run is logged or the full-table profile scan is paid for
     checks: dict[str, F.Column] = {}
     for c in (args.not_null.split(",") if args.not_null else []):
         checks[f"{c}_not_null"] = F.col(c).isNotNull()
@@ -397,6 +387,19 @@ def cmd_dq(spark: SparkSession, args) -> int:
             # (e.g. --not-null price + --check price_not_null:…)
             raise SystemExit(f"duplicate check name {name!r}")
         checks[name] = F.expr(expr)
+
+    df = spark.read.parquet(args.input)
+    cols = args.columns.split(",") if args.columns else None
+    log = _table(args.warehouse, "pipeline_runs")
+    run_id = start_run(spark, log, "dq", file_name=args.input)
+
+    profile = profile_columns(
+        df, cols, exact_distinct=not args.approx_distinct
+    )
+    profile.write.mode("overwrite").parquet(
+        _table(args.warehouse, "dq_profile")
+    )
+
     reports = []
     if checks:
         reports.append(check_constraints(df, checks))

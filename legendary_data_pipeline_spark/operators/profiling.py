@@ -423,10 +423,14 @@ def functional_dependency(
         F.lit(", ".join(lhs)).alias("lhs"),
         F.lit(rhs).alias("rhs"),
         F.count(F.lit(1)).cast("long").alias("n_groups"),
-        F.sum(F.when(F.col("__n_rhs") > 1, 1).otherwise(0))
+        # coalesce: over zero groups SUM/MAX are NULL, but a vacuous
+        # dependency HOLDS (holds must be a real boolean for DQ gates)
+        F.coalesce(
+            F.sum(F.when(F.col("__n_rhs") > 1, 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n_violating_groups"),
+        F.coalesce(F.max("__n_rhs"), F.lit(0))
         .cast("long")
-        .alias("n_violating_groups"),
-        F.max("__n_rhs").cast("long").alias("max_rhs_per_group"),
+        .alias("max_rhs_per_group"),
     ).withColumn("holds", F.col("n_violating_groups") == 0)
 
 
@@ -458,6 +462,16 @@ def numeric_drift(
     vc = current.select(value.cast("long").alias("__v")).filter(
         F.col("__v").isNotNull()
     )
+    if require_nonempty:
+        # probe the RAW sides here: probing after binning would force
+        # the pooled-bounds aggregation once per probe (two extra full
+        # scans of both inputs)
+        for name, side in (("base", vb), ("current", vc)):
+            if side.limit(1).count() == 0:
+                raise ValueError(
+                    f"numeric_drift: {name} snapshot is empty — see "
+                    "categorical_drift's require_nonempty contract."
+                )
     bounds = vb.unionByName(vc).agg(
         F.min("__v").alias("__lo"), F.max("__v").alias("__hi")
     )
@@ -478,5 +492,5 @@ def numeric_drift(
         binned(vb),
         binned(vc),
         "bin_label",
-        require_nonempty=require_nonempty,
+        require_nonempty=False,  # already probed on the raw sides above
     )

@@ -239,23 +239,24 @@ def cusum_changepoint(
     the rolling z-score), one 1-row-per-group reduce. Integer capacity:
     n·prefix products are decimal(38,0), petabyte-safe.
     """
+    # NULL x or y rows carry no position in the series and are dropped
+    # (the paired oracle filters identically)
     src = df.select(
         *group_cols,
         x.cast("long").alias("__x"),
-        y.cast("long").alias("__y"),
+        # decimal BEFORE the window sum: a long prefix accumulator
+        # would overflow first at petabyte-scale cents totals
+        y.cast("long").cast("decimal(18,0)").alias("__y"),
     ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
     w = Window.partitionBy(*group_cols).orderBy("__x")
     frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     pre = (
-        src.withColumn("__t", F.row_number().over(w).cast("decimal(18,0)"))
-        .withColumn(
-            "__prefix",
-            F.sum("__y").over(frame).cast("decimal(18,0)"),
-        )
+        src.withColumn("__t", F.row_number().over(w).cast("decimal(10,0)"))
+        .withColumn("__prefix", F.sum("__y").over(frame))
     )
     totals = pre.groupBy(*group_cols).agg(
-        F.max("__t").cast("decimal(18,0)").alias("__n"),
-        F.sum("__y").cast("decimal(18,0)").alias("__total"),
+        F.max("__t").alias("__n"),
+        F.sum("__y").cast("decimal(28,0)").alias("__total"),
     )
     keys = list(group_cols)
     joined = pre.join(F.broadcast(totals), keys) if keys else pre.crossJoin(

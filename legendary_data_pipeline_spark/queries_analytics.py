@@ -1201,7 +1201,9 @@ def dq_numeric_drift_order_totals(
              row_number() OVER w AS t,
              SUM(y) OVER (PARTITION BY event_type ORDER BY day
                           ROWS UNBOUNDED PRECEDING) AS prefix
-      FROM daily
+      -- NULL-y days (all-NULL value groups) carry no series position:
+      -- mirrors the operator's NULL filter exactly
+      FROM daily WHERE y IS NOT NULL
       WINDOW w AS (PARTITION BY event_type ORDER BY day)),
     tot AS (
       SELECT event_type, MAX(t) AS n, SUM(y) AS total

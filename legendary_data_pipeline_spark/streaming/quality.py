@@ -45,6 +45,12 @@ def quality_report_sink(
     batch_id overwrites its own partition instead of appending a
     duplicate set of report/quarantine rows. Empty batches are skipped
     (no report rows — nothing was audited).
+
+    Layout contract: `report_path`/`fail_path` must be fresh dirs owned
+    by this sink — pointing it at a dir of flat (non-partitioned)
+    parquet breaks partition discovery on read. `batch_id` reads back
+    with the partition-inferred integer type; declare a schema on read
+    if a wider type matters downstream.
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -113,10 +119,20 @@ def drift_monitor_sink(
         categorical_drift,
     )
 
+    # validate the static baseline ONCE at sink construction — not one
+    # Spark job per micro-batch forever
+    if baseline.limit(1).count() == 0:
+        raise ValueError(
+            "drift_monitor_sink: baseline snapshot is empty — every "
+            "batch would compare against zero totals."
+        )
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.limit(1).count() == 0:
             return
-        drift = categorical_drift(baseline, batch_df, col)
+        drift = categorical_drift(
+            baseline, batch_df, col, require_nonempty=False
+        )
         rows = drift.collect()  # value-cardinality — metadata-scale
         if not rows:
             return

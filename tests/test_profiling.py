@@ -272,3 +272,17 @@ def test_numeric_drift_shared_grid_and_shift(spark):
     assert total > 20  # strong shift flagged
     same = numeric_drift(base, base, F.col("v"), n_bins=3).collect()
     assert sum(r.chisq_contrib for r in same) == pytest.approx(0.0)
+
+
+def test_functional_dependency_vacuous_holds(spark):
+    from legendary_data_pipeline_spark.operators.profiling import (
+        functional_dependency,
+    )
+
+    empty = spark.createDataFrame([], "k long, v string")
+    r = functional_dependency(empty, ["k"], "v").collect()[0]
+    assert (r.n_groups, r.n_violating_groups, r.max_rhs_per_group) == (0, 0, 0)
+    assert r.holds is True
+    all_null = spark.createDataFrame([(None, "a")], "k long, v string")
+    r2 = functional_dependency(all_null, ["k"], "v").collect()[0]
+    assert r2.holds is True and r2.n_groups == 0

@@ -286,3 +286,19 @@ def test_cusum_flat_series_small_peak(spark):
     df = spark.createDataFrame([(x, 50) for x in range(10)], "x long, y long")
     r = cusum_changepoint(df, F.col("x"), F.col("y")).collect()[0]
     assert r.cusum_peak == pytest.approx(0.0)
+
+
+def test_cusum_null_rows_excluded_like_oracle(spark):
+    from legendary_data_pipeline_spark.operators.stats import (
+        cusum_changepoint,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 100), (2, None), (3, 200), (4, 200)], "x long, y long"
+    )
+    r = cusum_changepoint(df, F.col("x"), F.col("y")).collect()[0]
+    # the NULL-y row carries no series position: n=3, shift after x=1
+    assert r.n_points == 3
+    assert r.change_x == 1
+    assert r.mean_before == pytest.approx(100.0)
+    assert r.mean_after == pytest.approx(200.0)
