@@ -303,3 +303,64 @@ def cusum_changepoint(
             two_plus & (n_d > t_d), (tot_d - pre_d) / (n_d - t_d)
         ).alias("mean_after"),
     )
+
+
+def seasonal_profile(
+    df: DataFrame,
+    x: Column,
+    y: Column,
+    period: int = 7,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Seasonal profile of an integer series: per-phase means and
+    seasonal indices over a fixed `period` (7 = day-of-week on an
+    epoch-day axis).
+
+    Output, one row per (group, phase):
+      (*group_cols, phase, n_obs, phase_mean, overall_mean,
+       seasonal_index)
+    phase = x mod period; means are exact-integer-sum / count doubles
+    (one division each — engine-exact); seasonal_index = phase_mean /
+    overall_mean (NULL when the overall mean is 0). An index of 1.3 on
+    phase 5 reads "Saturdays run 30% hot" — the deseasonalization
+    factor for forecast baselines and residual-anomaly screens.
+
+    Two partial-aggregable groupBys ((group, phase) then (group)) and a
+    broadcast join of the tiny per-group totals — no data-sized second
+    scan.
+    """
+    src = df.select(
+        *group_cols,
+        (x.cast("long") % period).alias("__phase"),
+        y.cast("long").alias("__y"),
+    ).filter(F.col("__phase").isNotNull() & F.col("__y").isNotNull())
+    per_phase = src.groupBy(*group_cols, "__phase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum("__y").cast("decimal(38,0)").alias("__sum"),
+    )
+    per_group = per_phase.groupBy(*group_cols).agg(
+        F.sum("n_obs").cast("long").alias("__n_all"),
+        F.sum("__sum").cast("decimal(38,0)").alias("__sum_all"),
+    )
+    keys = list(group_cols)
+    joined = (
+        per_phase.join(F.broadcast(per_group), keys)
+        if keys
+        else per_phase.crossJoin(F.broadcast(per_group))
+    )
+    phase_mean = F.col("__sum").cast("double") / F.col("n_obs").cast(
+        "double"
+    )
+    overall_mean = F.col("__sum_all").cast("double") / F.col(
+        "__n_all"
+    ).cast("double")
+    return joined.select(
+        *keys,
+        F.col("__phase").cast("int").alias("phase"),
+        "n_obs",
+        phase_mean.alias("phase_mean"),
+        overall_mean.alias("overall_mean"),
+        F.when(overall_mean != 0.0, phase_mean / overall_mean).alias(
+            "seasonal_index"
+        ),
+    )

@@ -1252,3 +1252,112 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_changepoint(
         daily, F.col("day"), F.col("y"), group_cols=["event_type"]
     )
+
+
+# ---------------------------------------------------------------------------
+# seasonal profile + inter-arrival gap distribution
+# ---------------------------------------------------------------------------
+
+
+@register_shadow(
+    "ts_seasonal_profile",
+    f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+             CAST(SUM({_cents_sql("value")}) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    pp AS (
+      SELECT event_type, CAST(day % 7 AS INT) AS phase,
+             CAST(COUNT(*) AS BIGINT) AS n_obs,
+             SUM(y) AS s
+      FROM daily WHERE y IS NOT NULL GROUP BY 1, 2),
+    pg AS (
+      SELECT event_type, CAST(SUM(n_obs) AS BIGINT) AS n_all,
+             SUM(s) AS s_all
+      FROM pp GROUP BY 1)
+    SELECT pp.event_type, pp.phase, pp.n_obs,
+           CAST(pp.s AS DOUBLE) / CAST(pp.n_obs AS DOUBLE) AS phase_mean,
+           CAST(pg.s_all AS DOUBLE) / CAST(pg.n_all AS DOUBLE)
+             AS overall_mean,
+           CASE WHEN CAST(pg.s_all AS DOUBLE) / CAST(pg.n_all AS DOUBLE)
+                     <> 0
+                THEN (CAST(pp.s AS DOUBLE) / CAST(pp.n_obs AS DOUBLE))
+                     / (CAST(pg.s_all AS DOUBLE) / CAST(pg.n_all AS DOUBLE))
+           END AS seasonal_index
+    FROM pp JOIN pg USING (event_type)
+    """,
+    doc="Day-of-week seasonal profile of the daily value series: "
+    "per-phase means and seasonal indices (phase_mean / overall_mean) "
+    "— the deseasonalization factors a forecast baseline or residual "
+    "anomaly screen divides by. Exact integer sums; one double "
+    "division per statistic keeps the oracle bit-exact. Two tiny "
+    "partial-aggregable groupBys.",
+)
+def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.stats import (
+        seasonal_profile,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("ts DIV 86400000000000").cast("long")
+    daily = ev.groupBy(
+        "event_type", day.alias("day")
+    ).agg(F.sum(_cents("value")).cast("long").alias("y"))
+    return seasonal_profile(
+        daily, F.col("day"), F.col("y"), period=7,
+        group_cols=["event_type"],
+    )
+
+
+@register_shadow(
+    "ts_interarrival_gaps",
+    """
+    WITH ordered AS (
+      SELECT event_type, ts,
+             lag(ts) OVER (PARTITION BY event_type
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    gaps AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) - epoch_us(prev_ts) AS BIGINT) AS gap_us
+      FROM ordered WHERE prev_ts IS NOT NULL)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           quantile_cont(gap_us, 0.5) AS p50_us,
+           quantile_cont(gap_us, 0.95) AS p95_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+    FROM gaps GROUP BY event_type
+    """,
+    doc="Inter-arrival gap distribution per event type (median / p95 / "
+    "max gap in exact integer micros) — the burst-and-outage profile "
+    "behind stream-watermark and session-timeout tuning. Gaps come "
+    "from one lag window over (ts, event_id) — a total order, so "
+    "simultaneous events cannot flip the lag across engines — and the "
+    "exact percentiles interpolate over integers identically in both "
+    "engines (the a1 rollup convention).",
+)
+def ts_interarrival_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    # ts is integer epoch nanos; gaps reported in micros (exact DIV)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "event_type",
+            F.col("ts").alias("__ts"),
+            F.lag("ts").over(w).alias("__prev"),
+        )
+        .filter(F.col("__prev").isNotNull())
+        .select(
+            "event_type",
+            F.expr("(__ts - __prev) DIV 1000").alias("gap_us"),
+        )
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.expr("percentile(gap_us, 0.5)").alias("p50_us"),
+        F.expr("percentile(gap_us, 0.95)").alias("p95_us"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+    )

@@ -302,3 +302,24 @@ def test_cusum_null_rows_excluded_like_oracle(spark):
     assert r.change_x == 1
     assert r.mean_before == pytest.approx(100.0)
     assert r.mean_after == pytest.approx(200.0)
+
+
+def test_seasonal_profile_indices(spark):
+    from legendary_data_pipeline_spark.operators.stats import (
+        seasonal_profile,
+    )
+
+    # 14 days, phase 0 runs double the value of other phases
+    rows = [(d, 200 if d % 7 == 0 else 100) for d in range(14)]
+    df = spark.createDataFrame(rows, "day long, y long")
+    got = {
+        r.phase: r
+        for r in seasonal_profile(df, F.col("day"), F.col("y")).collect()
+    }
+    assert set(got) == set(range(7))
+    assert got[0].phase_mean == pytest.approx(200.0)
+    assert got[3].phase_mean == pytest.approx(100.0)
+    overall = (2 * 200 + 12 * 100) / 14
+    assert got[0].overall_mean == pytest.approx(overall)
+    assert got[0].seasonal_index == pytest.approx(200 / overall)
+    assert all(r.n_obs == 2 for r in got.values())
