@@ -1361,3 +1361,69 @@ def ts_interarrival_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(gap_us, 0.95)").alias("p95_us"),
         F.max("gap_us").cast("long").alias("max_gap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental rollup maintenance (merge vs full-recompute oracle)
+# ---------------------------------------------------------------------------
+
+
+@register_shadow(
+    "e_incremental_daily_rollup",
+    f"""
+    SELECT event_type,
+           CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+           CAST(COUNT(*) AS BIGINT) AS events,
+           CAST(SUM({_cents_sql("value")}) AS BIGINT) AS total_cents,
+           CAST(MAX({_cents_sql("value")}) AS BIGINT) AS max_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Incremental materialized-rollup maintenance: history (all days "
+    "but the last) is pre-aggregated as the 'existing' rollup, the "
+    "last day arrives as a raw batch, and merge_rollup combines the "
+    "batch's partial aggregates into the rollup via a full-outer merge "
+    "of decomposable aggregates (count/sum/max). The oracle is the "
+    "FULL recompute over all events — equality proves the incremental "
+    "path reproduces it, at O(batch + rollup) cost instead of a corpus "
+    "rescan: the defining 100 TB maintenance pattern.",
+)
+def e_incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.rollup import (
+        aggregate_batch,
+        merge_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("ts DIV 86400000000000").cast("long")
+    with_day = ev.select(
+        "event_type", day.alias("day"), _cents("value").alias("cents")
+    )
+    last_day = with_day.agg(F.max("day").alias("__last"))
+    hist = with_day.join(F.broadcast(last_day)).filter(
+        F.col("day") < F.col("__last")
+    )
+    batch = with_day.join(F.broadcast(last_day)).filter(
+        F.col("day") >= F.col("__last")
+    )
+    specs = [
+        ("events", "count", None),
+        ("total_cents", "sum", F.col("cents")),
+        ("max_cents", "max", F.col("cents")),
+    ]
+    keys = ["event_type", "day"]
+    existing = aggregate_batch(hist, keys, specs)
+    batch_agg = aggregate_batch(batch, keys, specs)
+    merged = merge_rollup(
+        existing,
+        batch_agg,
+        keys,
+        {"events": "count", "total_cents": "sum", "max_cents": "max"},
+    )
+    return merged.select(
+        "event_type",
+        "day",
+        F.col("events").cast("long").alias("events"),
+        F.col("total_cents").cast("long").alias("total_cents"),
+        F.col("max_cents").cast("long").alias("max_cents"),
+    )

@@ -323,3 +323,72 @@ def test_seasonal_profile_indices(spark):
     assert got[0].overall_mean == pytest.approx(overall)
     assert got[0].seasonal_index == pytest.approx(200 / overall)
     assert all(r.n_obs == 2 for r in got.values())
+
+
+# ---------------------------------------------------------------------------
+# incremental rollup maintenance (operators/rollup.py)
+# ---------------------------------------------------------------------------
+
+
+def test_merge_rollup_equals_full_recompute(spark):
+    from legendary_data_pipeline_spark.operators.rollup import (
+        aggregate_batch,
+        merge_rollup,
+    )
+
+    rows = [("a", 1, 10), ("a", 1, 20), ("a", 2, 5), ("b", 2, 7)]
+    batch_rows = [("a", 2, 100), ("c", 3, 1)]  # overlap + brand-new key
+    specs = [
+        ("n", "count", None),
+        ("s", "sum", F.col("v")),
+        ("mx", "max", F.col("v")),
+        ("mn", "min", F.col("v")),
+    ]
+    kinds = {"n": "count", "s": "sum", "mx": "max", "mn": "min"}
+    keys = ["g", "d"]
+    schema = "g string, d long, v long"
+    hist = spark.createDataFrame(rows, schema)
+    batch = spark.createDataFrame(batch_rows, schema)
+    merged = merge_rollup(
+        aggregate_batch(hist, keys, specs),
+        aggregate_batch(batch, keys, specs),
+        keys,
+        kinds,
+    )
+    full = aggregate_batch(
+        spark.createDataFrame(rows + batch_rows, schema), keys, specs
+    )
+    to_set = lambda df: {  # noqa: E731
+        (r.g, r.d): (r.n, r.s, r.mx, r.mn) for r in df.collect()
+    }
+    assert to_set(merged) == to_set(full)
+
+
+def test_merge_rollup_null_sum_state_preserved(spark):
+    from legendary_data_pipeline_spark.operators.rollup import (
+        aggregate_batch,
+        merge_rollup,
+    )
+
+    schema = "g string, v long"
+    hist = spark.createDataFrame([("a", None)], schema)
+    batch = spark.createDataFrame([("a", None)], schema)
+    specs = [("s", "sum", F.col("v")), ("n", "count", None)]
+    merged = merge_rollup(
+        aggregate_batch(hist, ["g"], specs),
+        aggregate_batch(batch, ["g"], specs),
+        ["g"],
+        {"s": "sum", "n": "count"},
+    ).collect()[0]
+    # SQL: SUM over only NULLs is NULL — merging two NULL states must
+    # stay NULL, not become 0
+    assert merged.s is None
+    assert merged.n == 2
+
+
+def test_merge_rollup_rejects_unmergeable_kind(spark):
+    from legendary_data_pipeline_spark.operators.rollup import merge_rollup
+
+    df = spark.createDataFrame([("a", 1)], "g string, s long")
+    with pytest.raises(ValueError, match="unmergeable"):
+        merge_rollup(df, df, ["g"], {"s": "avg"})
