@@ -364,3 +364,133 @@ def seasonal_profile(
             "seasonal_index"
         ),
     )
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    variant_col: str,
+    success: Column,
+    control_label: str,
+    treatment_label: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Experiment readout: two-proportion z-test between a control and
+    a treatment variant.
+
+    `success` is a boolean per row (unit). Output per group:
+      (*group_cols, n_control, n_treatment, conv_control,
+       conv_treatment, lift, zscore)
+    with conv_* = successes/units (exact-count division), lift =
+    conv_t − conv_c, and z = lift / sqrt(p̂(1−p̂)(1/n_c + 1/n_t)) from
+    the pooled proportion p̂. Everything flows from four exact integer
+    counts through one fixed double tree — engine-exact, so the readout
+    oracles bit-for-bit (|z| > 1.96 ≈ p<0.05 two-sided). Degenerate
+    cells (either variant empty, or p̂ ∈ {0,1}) give NULL z.
+
+    One conditional-count aggregation — a single partial-aggregable
+    pass whatever the unit count.
+    """
+    v = F.col(variant_col)
+    s = F.coalesce(success, F.lit(False))
+    agg = df.filter(v.isin(control_label, treatment_label)).groupBy(
+        *group_cols
+    ).agg(
+        F.sum(F.when(v == control_label, 1).otherwise(0))
+        .cast("long").alias("n_control"),
+        F.sum(F.when(v == treatment_label, 1).otherwise(0))
+        .cast("long").alias("n_treatment"),
+        F.sum(F.when((v == control_label) & s, 1).otherwise(0))
+        .cast("long").alias("__s_c"),
+        F.sum(F.when((v == treatment_label) & s, 1).otherwise(0))
+        .cast("long").alias("__s_t"),
+    )
+    nc = F.col("n_control").cast("double")
+    nt = F.col("n_treatment").cast("double")
+    sc = F.col("__s_c").cast("double")
+    st = F.col("__s_t").cast("double")
+    both = (F.col("n_control") > 0) & (F.col("n_treatment") > 0)
+    conv_c = F.when(F.col("n_control") > 0, sc / nc)
+    conv_t = F.when(F.col("n_treatment") > 0, st / nt)
+    pooled = (sc + st) / (nc + nt)
+    se2 = pooled * (F.lit(1.0) - pooled) * (
+        F.lit(1.0) / nc + F.lit(1.0) / nt
+    )
+    z = F.when(both & (se2 > 0), (conv_t - conv_c) / F.sqrt(se2))
+    return agg.select(
+        *group_cols,
+        "n_control",
+        "n_treatment",
+        conv_c.alias("conv_control"),
+        conv_t.alias("conv_treatment"),
+        F.when(both, conv_t - conv_c).alias("lift"),
+        z.alias("zscore"),
+    )
+
+
+def concentration(
+    df: DataFrame,
+    member_col: str,
+    value: Column,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Market/corpus concentration per group: HHI and Gini over member
+    value totals (revenue per brand, tokens per source, …).
+
+    Output: (*group_cols, n_members, total_value, hhi, gini).
+    HHI = Σ share_i² ∈ (0, 1] (1 = monopoly; ×10000 for the antitrust
+    scale); Gini uses the sorted-rank identity
+    G = (2·Σ i·x_(i))/(n·Σx) − (n+1)/n with x sorted ascending
+    (ties broken by member id — the identity is tie-order-invariant
+    since equal x contribute the same regardless of rank order).
+    All moments are exact decimal sums (Σx, Σx², Σ i·x_(i)); the two
+    statistics are fixed double trees over them — engine-exact.
+    Negative values are rejected upstream concerns (shares lose
+    meaning); NULL values are excluded.
+
+    Per-member totals are one partial-aggregable groupBy; the rank
+    window partitions by group (members per group is the bounded
+    dimension — brands, sources); the final reduce is 1 row per group.
+    """
+    totals = (
+        df.select(
+            *group_cols,
+            F.col(member_col).alias("__m"),
+            value.cast("long").alias("__v"),
+        )
+        .filter(F.col("__v").isNotNull())
+        .groupBy(*group_cols, "__m")
+        .agg(F.sum("__v").cast("decimal(28,0)").alias("__x"))
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("__x").asc(), F.col("__m").asc()
+    )
+    ranked = totals.withColumn(
+        "__i", F.row_number().over(w).cast("decimal(10,0)")
+    )
+    agg = ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("__x").cast("decimal(38,0)").alias("__sx"),
+        F.sum(
+            (F.col("__x") * F.col("__x")).cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("__sxx"),
+        F.sum(
+            (F.col("__i") * F.col("__x")).cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("__six"),
+    )
+    n = F.col("n_members").cast("double")
+    sx = F.col("__sx").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    six = F.col("__six").cast("double")
+    nonzero = F.col("__sx") != 0
+    hhi = F.when(nonzero, sxx / (sx * sx))
+    gini = F.when(
+        nonzero,
+        (F.lit(2.0) * six) / (n * sx) - (n + F.lit(1.0)) / n,
+    )
+    return agg.select(
+        *group_cols,
+        "n_members",
+        F.col("__sx").cast("double").alias("total_value"),
+        hhi.alias("hhi"),
+        gini.alias("gini"),
+    )

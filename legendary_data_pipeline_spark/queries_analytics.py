@@ -1427,3 +1427,142 @@ def e_incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_cents").cast("long").alias("total_cents"),
         F.col("max_cents").cast("long").alias("max_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# experiment readout + concentration metrics
+# ---------------------------------------------------------------------------
+
+
+@register_shadow(
+    "ab_purchase_conversion_ztest",
+    """
+    WITH units AS (
+      SELECT user_id,
+             CASE WHEN user_id % 2 = 0 THEN 'control'
+                  ELSE 'treatment' END AS variant,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+               AS converted
+      FROM events GROUP BY user_id),
+    agg AS (
+      SELECT
+        CAST(SUM(CASE WHEN variant = 'control' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_control,
+        CAST(SUM(CASE WHEN variant = 'treatment' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_treatment,
+        CAST(SUM(CASE WHEN variant = 'control' AND converted
+                 THEN 1 ELSE 0 END) AS DOUBLE) AS sc,
+        CAST(SUM(CASE WHEN variant = 'treatment' AND converted
+                 THEN 1 ELSE 0 END) AS DOUBLE) AS st
+      FROM units),
+    calc AS (
+      SELECT *,
+             CAST(n_control AS DOUBLE) AS nc,
+             CAST(n_treatment AS DOUBLE) AS nt,
+             sc / CAST(n_control AS DOUBLE) AS conv_control,
+             st / CAST(n_treatment AS DOUBLE) AS conv_treatment,
+             (sc + st) / (CAST(n_control AS DOUBLE)
+                          + CAST(n_treatment AS DOUBLE)) AS pooled
+      FROM agg)
+    SELECT n_control, n_treatment, conv_control, conv_treatment,
+           conv_treatment - conv_control AS lift,
+           CASE WHEN n_control > 0 AND n_treatment > 0
+                 AND pooled * (1.0 - pooled) * (1.0 / nc + 1.0 / nt) > 0
+                THEN (conv_treatment - conv_control)
+                     / sqrt(pooled * (1.0 - pooled)
+                            * (1.0 / nc + 1.0 / nt)) END AS zscore
+    FROM calc
+    """,
+    doc="Experiment readout: two-proportion z-test of purchase "
+    "conversion between hash-split user variants. Four exact unit "
+    "counts flow through ONE fixed double tree (conversions, lift, "
+    "pooled-SE z) — bit-identical across engines, so even the "
+    "significance readout is oracle-checked. One conditional-count "
+    "aggregation per readout.",
+)
+def ab_purchase_conversion_ztest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.stats import (
+        two_proportion_ztest,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    units = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("__conv")
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, "control")
+        .otherwise("treatment")
+        .alias("variant"),
+        (F.col("__conv") == 1).alias("converted"),
+    )
+    return two_proportion_ztest(
+        units,
+        variant_col="variant",
+        success=F.col("converted"),
+        control_label="control",
+        treatment_label="treatment",
+    )
+
+
+@register_shadow(
+    "st_brand_revenue_concentration",
+    f"""
+    WITH member AS (
+      SELECT p.p_brand,
+             l.l_partkey AS m,
+             SUM({_cents_sql("l.l_extendedprice")}) AS x
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_extendedprice IS NOT NULL
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY p_brand ORDER BY x ASC, m ASC) AS i
+      FROM member),
+    agg AS (
+      SELECT p_brand,
+             CAST(COUNT(*) AS BIGINT) AS n_members,
+             SUM(x) AS sx, SUM(x * x) AS sxx, SUM(i * x) AS six
+      FROM ranked GROUP BY p_brand)
+    SELECT p_brand, n_members,
+           CAST(sx AS DOUBLE) AS total_value,
+           CASE WHEN sx <> 0
+                THEN CAST(sxx AS DOUBLE)
+                     / (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END
+             AS hhi,
+           CASE WHEN sx <> 0
+                THEN (2.0 * CAST(six AS DOUBLE))
+                     / (CAST(n_members AS DOUBLE) * CAST(sx AS DOUBLE))
+                     - (CAST(n_members AS DOUBLE) + 1.0)
+                       / CAST(n_members AS DOUBLE) END AS gini
+    FROM agg
+    """,
+    doc="Revenue concentration per brand: HHI and Gini over per-part "
+    "revenue totals — does one SKU dominate a brand's sales? Exact "
+    "decimal moments (Σx, Σx², Σ i·x sorted) with the two indices as "
+    "fixed double trees, so the inequality statistics themselves "
+    "oracle bit-exactly. Rank windows partition per brand (bounded "
+    "members), reduce is 1 row per brand.",
+)
+def st_brand_revenue_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.stats import concentration
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand"
+    )
+    joined = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey
+    ).select("p_brand", "l_partkey", _cents("l_extendedprice").alias("cents"))
+    return concentration(
+        joined,
+        member_col="l_partkey",
+        value=F.col("cents"),
+        group_cols=["p_brand"],
+    )

@@ -392,3 +392,77 @@ def test_merge_rollup_rejects_unmergeable_kind(spark):
     df = spark.createDataFrame([("a", 1)], "g string, s long")
     with pytest.raises(ValueError, match="unmergeable"):
         merge_rollup(df, df, ["g"], {"s": "avg"})
+
+
+# ---------------------------------------------------------------------------
+# two_proportion_ztest / concentration
+# ---------------------------------------------------------------------------
+
+
+def test_ztest_known_values(spark):
+    import math
+
+    from legendary_data_pipeline_spark.operators.stats import (
+        two_proportion_ztest,
+    )
+
+    rows = (
+        [("control", True)] * 20 + [("control", False)] * 80
+        + [("treatment", True)] * 35 + [("treatment", False)] * 65
+    )
+    df = spark.createDataFrame(rows, "variant string, converted boolean")
+    r = two_proportion_ztest(
+        df, "variant", F.col("converted"), "control", "treatment"
+    ).collect()[0]
+    assert (r.n_control, r.n_treatment) == (100, 100)
+    assert r.conv_control == pytest.approx(0.20)
+    assert r.conv_treatment == pytest.approx(0.35)
+    assert r.lift == pytest.approx(0.15)
+    pooled = 55 / 200
+    se = math.sqrt(pooled * (1 - pooled) * (1 / 100 + 1 / 100))
+    assert r.zscore == pytest.approx(0.15 / se)
+    assert abs(r.zscore) > 1.96  # significant by construction
+
+
+def test_ztest_degenerate_cells_null_z(spark):
+    from legendary_data_pipeline_spark.operators.stats import (
+        two_proportion_ztest,
+    )
+
+    # all units converted → pooled p = 1 → zero SE → NULL z
+    df = spark.createDataFrame(
+        [("control", True), ("treatment", True)],
+        "variant string, converted boolean",
+    )
+    r = two_proportion_ztest(
+        df, "variant", F.col("converted"), "control", "treatment"
+    ).collect()[0]
+    assert r.zscore is None
+    assert r.lift == pytest.approx(0.0)
+
+
+def test_concentration_monopoly_and_uniform(spark):
+    from legendary_data_pipeline_spark.operators.stats import concentration
+
+    rows = (
+        [("mono", 1, 100)]
+        + [("uni", m, 25) for m in range(4)]
+    )
+    df = spark.createDataFrame(rows, "g string, m long, v long")
+    got = {
+        r.g: r
+        for r in concentration(
+            df, "m", F.col("v"), group_cols=["g"]
+        ).collect()
+    }
+    assert got["mono"].hhi == pytest.approx(1.0)
+    assert got["mono"].gini == pytest.approx(0.0)  # single member
+    assert got["uni"].hhi == pytest.approx(0.25)  # 4 equal shares
+    assert got["uni"].gini == pytest.approx(0.0)  # perfectly equal
+    skew = spark.createDataFrame(
+        [("s", 1, 97), ("s", 2, 1), ("s", 3, 1), ("s", 4, 1)],
+        "g string, m long, v long",
+    )
+    r = concentration(skew, "m", F.col("v"), group_cols=["g"]).collect()[0]
+    assert r.hhi > 0.9
+    assert r.gini > 0.7
