@@ -494,3 +494,146 @@ def concentration(
         hhi.alias("hhi"),
         gini.alias("gini"),
     )
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_baskets: int = 2,
+    top_k: int = 50,
+) -> DataFrame:
+    """Market-basket association mining over (basket, item) rows:
+    which item pairs co-occur beyond chance, with the classic
+    support / confidence / lift readout.
+
+    For each unordered pair {a, b} (a < b) co-occurring in
+    ≥ `min_pair_baskets` baskets:
+      (item_a, item_b, pair_baskets, a_baskets, b_baskets,
+       support, confidence_a_to_b, lift)
+    support = pair/N, confidence(a→b) = pair/a, lift = N·pair/(a·b) —
+    all single divisions over exact basket counts (duplicate
+    (basket,item) rows collapse first), so the statistics oracle
+    bit-exactly. Top_k by (lift desc, pair desc, items) — tie-broken.
+
+    Scale shape: item and pair basket-frequency tables are
+    vocabulary/pair-cardinality aggregations; the pair table is built
+    by a self-join WITHIN baskets (cost Σ|basket|², bounded by basket
+    size, not corpus size — prune giant baskets upstream), and the
+    frequency joins are broadcast-eligible. Top-k is
+    TakeOrderedAndProject.
+    """
+    base = (
+        df.select(
+            F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+        )
+        .filter(F.col("__b").isNotNull() & F.col("__i").isNotNull())
+        .distinct()
+    )
+    n_baskets = base.select(F.count_distinct("__b").alias("__n"))
+    item_freq = base.groupBy("__i").agg(
+        F.count(F.lit(1)).alias("i_baskets")
+    )
+    a = base.select(F.col("__b"), F.col("__i").alias("item_a"))
+    b = base.select(F.col("__b"), F.col("__i").alias("item_b"))
+    pairs = (
+        a.join(b, "__b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("pair_baskets"))
+        .filter(F.col("pair_baskets") >= min_pair_baskets)
+    )
+    fa = item_freq.select(
+        F.col("__i").alias("item_a"), F.col("i_baskets").alias("a_baskets")
+    )
+    fb = item_freq.select(
+        F.col("__i").alias("item_b"), F.col("i_baskets").alias("b_baskets")
+    )
+    nn = F.col("__n").cast("double")
+    pair_d = F.col("pair_baskets").cast("double")
+    support = pair_d / nn
+    confidence = pair_d / F.col("a_baskets").cast("double")
+    lift = (nn * pair_d) / (
+        F.col("a_baskets").cast("double") * F.col("b_baskets").cast("double")
+    )
+    return (
+        pairs.join(fa, "item_a")
+        .join(fb, "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a", "item_b", "pair_baskets", "a_baskets", "b_baskets",
+            support.alias("support"),
+            confidence.alias("confidence_a_to_b"),
+            lift.alias("lift"),
+        )
+        .orderBy(
+            F.col("lift").desc(),
+            F.col("pair_baskets").desc(),
+            F.col("item_a").asc(),
+            F.col("item_b").asc(),
+        )
+        .limit(top_k)
+    )
+
+
+def twap(
+    df: DataFrame,
+    ts: Column,
+    value: Column,
+    group_cols: Sequence[str] = (),
+    id_col: str | None = None,
+) -> DataFrame:
+    """Time-weighted average of a stepwise series (TWAP): each
+    observation's value holds from its timestamp until the next
+    observation in the group; the average weights values by that
+    holding duration.
+
+    `ts` must be integer time (epoch nanos/micros), `value` integer
+    (cents). The final observation has no successor and is excluded
+    from the weighted mean (standard open-interval TWAP over the
+    observed span). Output per group:
+      (*group_cols, n_obs, span, twap)
+    span = last−first ts; twap = Σ(value·dur)/Σdur via exact decimal
+    sums and ONE double division — engine-exact. Groups with <2
+    observations return NULL twap. Ties on ts break by `id_col` (pass
+    one whenever timestamps can collide — a total order is what keeps
+    lead() deterministic).
+
+    One lead window per group (bounded per-group state) + one
+    partial-aggregable reduce.
+    """
+    order_cols = [ts.cast("long").alias("__ts")]
+    sel = [*group_cols, *order_cols, value.cast("long").alias("__v")]
+    if id_col is not None:
+        sel.append(F.col(id_col).alias("__id"))
+    src = df.select(*sel).filter(
+        F.col("__ts").isNotNull() & F.col("__v").isNotNull()
+    )
+    order = [F.col("__ts").asc()] + (
+        [F.col("__id").asc()] if id_col is not None else []
+    )
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    nxt = F.lead("__ts").over(w)
+    stepped = src.withColumn("__dur", nxt - F.col("__ts"))
+    agg = stepped.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        (F.max("__ts") - F.min("__ts")).cast("long").alias("span"),
+        F.sum(
+            (
+                F.col("__v").cast("decimal(18,0)")
+                * F.col("__dur").cast("decimal(18,0)")
+            ).cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("__wsum"),
+        F.sum(F.col("__dur").cast("decimal(18,0)"))
+        .cast("decimal(38,0)")
+        .alias("__dtot"),
+    )
+    return agg.select(
+        *group_cols,
+        "n_obs",
+        "span",
+        F.when(
+            (F.col("n_obs") >= 2) & (F.col("__dtot") != 0),
+            F.col("__wsum").cast("double") / F.col("__dtot").cast("double"),
+        ).alias("twap"),
+    )

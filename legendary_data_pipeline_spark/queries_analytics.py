@@ -1566,3 +1566,120 @@ def st_brand_revenue_concentration(
         value=F.col("cents"),
         group_cols=["p_brand"],
     )
+
+
+# ---------------------------------------------------------------------------
+# market-basket association rules + TWAP
+# ---------------------------------------------------------------------------
+
+_AR_MIN_PAIRS = 3
+_AR_TOP_K = 40
+
+
+@register_shadow(
+    "mb_association_rules",
+    f"""
+    WITH base AS (
+      SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+      FROM lineitem
+      WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+    n AS (SELECT CAST(COUNT(DISTINCT b) AS DOUBLE) AS nb FROM base),
+    freq AS (
+      SELECT i, CAST(COUNT(*) AS BIGINT) AS i_baskets
+      FROM base GROUP BY i),
+    pairs AS (
+      SELECT a.i AS item_a, c.i AS item_b,
+             CAST(COUNT(*) AS BIGINT) AS pair_baskets
+      FROM base a JOIN base c USING (b)
+      WHERE a.i < c.i
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_AR_MIN_PAIRS})
+    SELECT p.item_a, p.item_b, p.pair_baskets,
+           fa.i_baskets AS a_baskets, fb.i_baskets AS b_baskets,
+           CAST(p.pair_baskets AS DOUBLE) / n.nb AS support,
+           CAST(p.pair_baskets AS DOUBLE) / CAST(fa.i_baskets AS DOUBLE)
+             AS confidence_a_to_b,
+           (n.nb * CAST(p.pair_baskets AS DOUBLE))
+             / (CAST(fa.i_baskets AS DOUBLE) * CAST(fb.i_baskets AS DOUBLE))
+             AS lift
+    FROM pairs p
+    JOIN freq fa ON p.item_a = fa.i
+    JOIN freq fb ON p.item_b = fb.i
+    CROSS JOIN n
+    ORDER BY lift DESC, p.pair_baskets DESC, p.item_a ASC, p.item_b ASC
+    LIMIT {_AR_TOP_K}
+    """,
+    doc="Market-basket association rules over order baskets: part pairs "
+    "co-purchased beyond chance with support / confidence / lift from "
+    "exact basket counts (single divisions — oracle-exact). The pair "
+    "join runs WITHIN baskets (cost bounded by basket size, not corpus "
+    "size); frequency joins are broadcast-eligible; top-k is "
+    "TakeOrderedAndProject.",
+)
+def mb_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.stats import (
+        association_rules,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return association_rules(
+        li,
+        basket_col="l_orderkey",
+        item_col="l_partkey",
+        min_pair_baskets=_AR_MIN_PAIRS,
+        top_k=_AR_TOP_K,
+    )
+
+
+@register_shadow(
+    "ts_twap_event_values",
+    """
+    WITH src AS (
+      SELECT event_type, event_id,
+             CAST(epoch_us(ts) AS BIGINT) * 1000 AS tsn,
+             CAST(round(CAST(value AS DECIMAL(18,2)) * 100, 0) AS BIGINT)
+               AS cents
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL),
+    stepped AS (
+      SELECT event_type, tsn, cents,
+             lead(tsn) OVER (PARTITION BY event_type
+                             ORDER BY tsn, event_id) - tsn AS dur
+      FROM src)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           CAST(MAX(tsn) - MIN(tsn) AS BIGINT) AS span,
+           CASE WHEN COUNT(*) >= 2 AND SUM(dur) <> 0
+                THEN CAST(SUM(cents * dur) AS DOUBLE)
+                     / CAST(SUM(dur) AS DOUBLE) END AS twap
+    FROM stepped GROUP BY event_type
+    """,
+    doc="Time-weighted average value per event type (TWAP): each "
+    "observation holds until the next (lead over a (ts, event_id) "
+    "total order), the mean weights by holding duration — the "
+    "financial-style summary a last-price average gets wrong under "
+    "irregular sampling. Exact decimal Σ(value·dur)/Σdur with one "
+    "double division. NOTE: epoch_us loses the sub-micro part of the "
+    "nanos axis, so durations are micro-quantized ×1000 on both sides "
+    "— identical in both engines.",
+)
+def ts_twap_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.stats import twap
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    # quantize nanos to micros ×1000 to mirror DuckDB's epoch_us axis
+    src = ev.select(
+        "event_type",
+        "event_id",
+        F.expr("(ts DIV 1000) * 1000").alias("tsn"),
+        _cents("value").alias("cents"),
+    )
+    return twap(
+        src,
+        ts=F.col("tsn"),
+        value=F.col("cents"),
+        group_cols=["event_type"],
+        id_col="event_id",
+    )

@@ -466,3 +466,68 @@ def test_concentration_monopoly_and_uniform(spark):
     r = concentration(skew, "m", F.col("v"), group_cols=["g"]).collect()[0]
     assert r.hhi > 0.9
     assert r.gini > 0.7
+
+
+# ---------------------------------------------------------------------------
+# association_rules / twap
+# ---------------------------------------------------------------------------
+
+
+def test_association_rules_known_stats(spark):
+    from legendary_data_pipeline_spark.operators.stats import (
+        association_rules,
+    )
+
+    # 4 baskets; {x,y} together in 2; x alone once; z with y once
+    rows = [
+        (1, "x"), (1, "y"),
+        (2, "x"), (2, "y"),
+        (3, "x"),
+        (4, "y"), (4, "z"),
+        (4, "y"),  # duplicate (basket,item) row collapses
+    ]
+    df = spark.createDataFrame(rows, "b long, i string")
+    out = association_rules(
+        df, basket_col="b", item_col="i", min_pair_baskets=1, top_k=10
+    ).collect()
+    got = {(r.item_a, r.item_b): r for r in out}
+    xy = got[("x", "y")]
+    assert (xy.pair_baskets, xy.a_baskets, xy.b_baskets) == (2, 3, 3)
+    assert xy.support == pytest.approx(2 / 4)
+    assert xy.confidence_a_to_b == pytest.approx(2 / 3)
+    assert xy.lift == pytest.approx(4 * 2 / 9)
+    yz = got[("y", "z")]
+    assert yz.pair_baskets == 1
+    assert yz.lift == pytest.approx(4 * 1 / 3)
+    # min support prune
+    assert (
+        association_rules(
+            df, basket_col="b", item_col="i", min_pair_baskets=2
+        ).count()
+        == 1
+    )
+
+
+def test_twap_weights_by_duration(spark):
+    from legendary_data_pipeline_spark.operators.stats import twap
+
+    # value 100 holds 3 ticks, then 200 holds 1 tick; last obs open
+    df = spark.createDataFrame(
+        [(0, 100, 1), (3, 200, 2), (4, 999, 3)], "t long, v long, id long"
+    )
+    r = twap(
+        df, ts=F.col("t"), value=F.col("v"), id_col="id"
+    ).collect()[0]
+    assert r.n_obs == 3
+    assert r.span == 4
+    assert r.twap == pytest.approx((100 * 3 + 200 * 1) / 4)
+
+
+def test_twap_single_observation_null(spark):
+    from legendary_data_pipeline_spark.operators.stats import twap
+
+    df = spark.createDataFrame([("a", 5, 7)], "g string, t long, v long")
+    r = twap(
+        df, ts=F.col("t"), value=F.col("v"), group_cols=["g"]
+    ).collect()[0]
+    assert r.twap is None and r.n_obs == 1
