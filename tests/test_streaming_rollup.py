@@ -1,0 +1,90 @@
+"""Streaming rollup maintenance: versioned merges, recompute parity,
+replay idempotency."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from legendary_data_pipeline_spark.operators.rollup import aggregate_batch
+from legendary_data_pipeline_spark.sources.versioned import (
+    read_version,
+    versions,
+)
+from legendary_data_pipeline_spark.streaming.rollup import (
+    rollup_maintenance_sink,
+    run_rollup_maintenance_once,
+)
+
+_SCHEMA = "g string, v long"
+_KEYS = ["g"]
+
+
+def _specs():
+    return [
+        ("n", "count", None),
+        ("s", "sum", F.col("v")),
+        ("mx", "max", F.col("v")),
+    ]
+
+
+_KINDS = {"n": "count", "s": "sum", "mx": "max"}
+
+
+def _by_key(df):
+    return {r.g: (r.n, r.s, r.mx) for r in df.collect()}
+
+
+def test_stream_maintenance_equals_full_recompute(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    b1 = [("a", 10), ("a", 20), ("b", 5)]
+    b2 = [("a", 100), ("c", 7)]
+    spark.createDataFrame(b1, _SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    spark.createDataFrame(b2, _SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+
+    table = str(tmp_path / "rollup")
+    run_rollup_maintenance_once(
+        spark, inp, _SCHEMA, table, _KEYS, _specs(), _KINDS,
+        str(tmp_path / "ckpt"), max_files_per_trigger=1,
+    )
+    vs = versions(table)
+    assert len(vs) == 2  # one committed snapshot per micro-batch
+    assert all(m["op"].startswith("merge_batch_") for m in vs)
+
+    latest = read_version(spark, table)
+    full = aggregate_batch(
+        spark.createDataFrame(b1 + b2, _SCHEMA), _KEYS, _specs()
+    )
+    assert _by_key(latest) == _by_key(full)
+    # time travel: the first snapshot is exactly batch-1's rollup —
+    # order of file pickup isn't fixed, so it matches ONE of the
+    # single-batch rollups
+    v1 = read_version(spark, table, vs[0]["version"])
+    singles = [
+        _by_key(aggregate_batch(spark.createDataFrame(b, _SCHEMA),
+                                _KEYS, _specs()))
+        for b in (b1, b2)
+    ]
+    assert _by_key(v1) in singles
+
+
+def test_sink_replayed_batch_id_skipped(spark, tmp_path):
+    table = str(tmp_path / "rollup")
+    sink = rollup_maintenance_sink(table, _KEYS, _specs(), _KINDS)
+    batch = spark.createDataFrame([("a", 1)], _SCHEMA)
+    sink(batch, 3)
+    sink(batch, 3)  # at-least-once replay of the SAME batch id
+    assert len(versions(table)) == 1
+    assert _by_key(read_version(spark, table)) == {"a": (1, 1, 1)}
+    sink(batch, 4)  # a genuinely new batch still merges
+    assert _by_key(read_version(spark, table)) == {"a": (2, 2, 1)}
+
+
+def test_sink_skips_empty_batches(spark, tmp_path):
+    table = str(tmp_path / "rollup")
+    sink = rollup_maintenance_sink(table, _KEYS, _specs(), _KINDS)
+    sink(spark.createDataFrame([], _SCHEMA), 0)
+    assert versions(table) == []
