@@ -329,6 +329,12 @@ def seasonal_profile(
     broadcast join of the tiny per-group totals — no data-sized second
     scan.
     """
+    if period <= 0:
+        raise ValueError(
+            f"seasonal_profile: period must be positive, got {period} "
+            "(x % 0 would NULL every phase and silently empty the "
+            "result)"
+        )
     src = df.select(
         *group_cols,
         (x.cast("long") % period).alias("__phase"),

@@ -1271,7 +1271,8 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, CAST(day % 7 AS INT) AS phase,
              CAST(COUNT(*) AS BIGINT) AS n_obs,
              SUM(y) AS s
-      FROM daily WHERE y IS NOT NULL GROUP BY 1, 2),
+      FROM daily WHERE y IS NOT NULL AND day IS NOT NULL
+      GROUP BY 1, 2),
     pg AS (
       SELECT event_type, CAST(SUM(n_obs) AS BIGINT) AS n_all,
              SUM(s) AS s_all
@@ -1317,8 +1318,10 @@ def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, ts,
              lag(ts) OVER (PARTITION BY event_type
                            ORDER BY ts, event_id) AS prev_ts
-      FROM events),
+      FROM events WHERE ts IS NOT NULL),
     gaps AS (
+      -- per-timestamp micro truncation BEFORE differencing (identical
+      -- to the Spark side's per-ts DIV 1000)
       SELECT event_type,
              CAST(epoch_us(ts) - epoch_us(prev_ts) AS BIGINT) AS gap_us
       FROM ordered WHERE prev_ts IS NOT NULL)
@@ -1344,7 +1347,8 @@ def ts_interarrival_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ts is integer epoch nanos; gaps reported in micros (exact DIV)
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     gaps = (
-        ev.select(
+        ev.filter(F.col("ts").isNotNull())
+        .select(
             "event_type",
             F.col("ts").alias("__ts"),
             F.lag("ts").over(w).alias("__prev"),
@@ -1352,7 +1356,10 @@ def ts_interarrival_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__prev").isNotNull())
         .select(
             "event_type",
-            F.expr("(__ts - __prev) DIV 1000").alias("gap_us"),
+            # truncate EACH timestamp to micros before differencing —
+            # differencing first then truncating would drift 1us from
+            # the oracle's epoch_us(a) - epoch_us(b) on nanos data
+            F.expr("(__ts DIV 1000) - (__prev DIV 1000)").alias("gap_us"),
         )
     )
     return gaps.groupBy("event_type").agg(
@@ -1377,6 +1384,7 @@ def ts_interarrival_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM({_cents_sql("value")}) AS BIGINT) AS total_cents,
            CAST(MAX({_cents_sql("value")}) AS BIGINT) AS max_cents
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
     doc="Incremental materialized-rollup maintenance: history (all days "
@@ -1396,16 +1404,15 @@ def e_incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     day = F.expr("ts DIV 86400000000000").cast("long")
+    # NULL-ts events have no day: excluded on BOTH sides (a NULL day
+    # would land in neither split predicate and silently vanish)
     with_day = ev.select(
         "event_type", day.alias("day"), _cents("value").alias("cents")
-    )
+    ).filter(F.col("day").isNotNull())
     last_day = with_day.agg(F.max("day").alias("__last"))
-    hist = with_day.join(F.broadcast(last_day)).filter(
-        F.col("day") < F.col("__last")
-    )
-    batch = with_day.join(F.broadcast(last_day)).filter(
-        F.col("day") >= F.col("__last")
-    )
+    joined = with_day.join(F.broadcast(last_day))
+    hist = joined.filter(F.col("day") < F.col("__last"))
+    batch = joined.filter(F.col("day") >= F.col("__last"))
     specs = [
         ("events", "count", None),
         ("total_cents", "sum", F.col("cents")),

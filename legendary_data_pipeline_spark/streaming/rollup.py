@@ -52,10 +52,7 @@ def rollup_maintenance_sink(
         if batch_df.limit(1).count() == 0:
             return
         op_tag = f"merge_batch_{int(batch_id)}"
-        try:
-            committed = versions(table)
-        except FileNotFoundError:
-            committed = []
+        committed = versions(table)  # [] for a not-yet-created table
         if any(m.get("op") == op_tag for m in committed):
             return  # replayed batch — already merged and published
         spark = batch_df.sparkSession

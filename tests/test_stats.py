@@ -531,3 +531,13 @@ def test_twap_single_observation_null(spark):
         df, ts=F.col("t"), value=F.col("v"), group_cols=["g"]
     ).collect()[0]
     assert r.twap is None and r.n_obs == 1
+
+
+def test_seasonal_profile_rejects_bad_period(spark):
+    from legendary_data_pipeline_spark.operators.stats import (
+        seasonal_profile,
+    )
+
+    df = spark.createDataFrame([(1, 2)], "day long, y long")
+    with pytest.raises(ValueError, match="period must be positive"):
+        seasonal_profile(df, F.col("day"), F.col("y"), period=0)
