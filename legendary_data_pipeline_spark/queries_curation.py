@@ -1680,3 +1680,81 @@ def curation_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.sliding_chunks(
         docs, _CHUNK_SIZE, _CHUNK_STRIDE, keep_cols=("lang",)
     )
+
+
+# ---------------------------------------------------------------------------
+# hashed Naive-Bayes quality classifier (fastText-style filter)
+# ---------------------------------------------------------------------------
+
+_NB_M = 4096
+_NB_SCALE = 1_000_000
+
+
+@register_shadow(
+    "curation_nb_quality_score",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, unnest({_TOKS}) AS tok FROM documents),
+    feat AS (
+      SELECT doc_id, source,
+             ({md5_long_sql("tok")}) % {_NB_M} AS bucket,
+             COUNT(*) AS cnt
+      FROM toks WHERE tok <> '' GROUP BY 1, 2, 3),
+    pos_b AS (
+      SELECT bucket, SUM(cnt) AS c FROM feat
+      WHERE source = 'src0' GROUP BY bucket),
+    neg_b AS (
+      SELECT bucket, SUM(cnt) AS c FROM feat
+      WHERE source = 'src1' GROUP BY bucket),
+    tot AS (
+      SELECT (SELECT COALESCE(SUM(c), 0) FROM pos_b) AS pt,
+             (SELECT COALESCE(SUM(c), 0) FROM neg_b) AS nt,
+             (SELECT COUNT(*) FROM documents WHERE source = 'src0') AS np,
+             (SELECT COUNT(*) FROM documents WHERE source = 'src1') AS nn),
+    w AS (
+      SELECT b.bucket,
+             CAST(round((ln((COALESCE(p.c, 0) + 1.0) / (tot.pt + {_NB_M}))
+                         - ln((COALESCE(n.c, 0) + 1.0) / (tot.nt + {_NB_M})))
+                        * {_NB_SCALE}, 0) AS BIGINT) AS w
+      FROM (SELECT unnest(range({_NB_M})) AS bucket) b
+      LEFT JOIN pos_b p USING (bucket)
+      LEFT JOIN neg_b n USING (bucket)
+      CROSS JOIN tot),
+    prior AS (
+      SELECT CAST(round((ln(np) - ln(nn)) * {_NB_SCALE}, 0) AS BIGINT)
+               AS pr
+      FROM tot),
+    sc AS (
+      SELECT d.doc_id,
+             CAST(COALESCE(SUM(f.cnt * w.w), 0)
+                  + (SELECT pr FROM prior) AS BIGINT) AS score
+      FROM (SELECT doc_id FROM documents
+            WHERE source NOT IN ('src0', 'src1')) d
+      LEFT JOIN (SELECT * FROM feat
+                 WHERE source NOT IN ('src0', 'src1')) f
+        ON f.doc_id = d.doc_id
+      LEFT JOIN w ON w.bucket = f.bucket
+      GROUP BY d.doc_id)
+    SELECT doc_id, score, score > 0 AS predicted_pos FROM sc
+    """,
+    doc="Hashed Naive-Bayes quality classifier (the fastText-filter "
+    "recipe of GPT-3/CCNet/LLaMA, NB instance): train on a "
+    "high-quality seed (source='src0') vs a crawl seed (source='src1'), "
+    "score every remaining doc. Weights are integer-scaled token "
+    "log-odds (micro-nats, BIGINT) so scoring is exact integer math — "
+    "partition-order independent and bit-identical in DuckDB. The "
+    "m-row weight table broadcasts; the corpus shuffles only on "
+    "(doc, bucket).",
+)
+def curation_nb_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.classifier import (
+        score_nb,
+        train_nb,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.filter(F.col("source") == "src0")
+    neg = docs.filter(F.col("source") == "src1")
+    rest = docs.filter(~F.col("source").isin("src0", "src1"))
+    weights, prior = train_nb(pos, neg, m=_NB_M, scale=_NB_SCALE)
+    return score_nb(rest, weights, prior, m=_NB_M)
