@@ -1012,3 +1012,49 @@ def sliding_chunks(
         F.size(piece).alias("n_chunk_tokens"),
         F.array_join(piece, " ").alias("chunk_text"),
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    node_col: str = "node",
+    component_col: str = "component",
+    val_pct: int = 10,
+    seed: int = 41,
+) -> DataFrame:
+    """Near-dup-aware train/val split: every near-duplicate CLUSTER lands
+    wholly on one side, so no eval example has a near-copy in training.
+
+    A plain per-doc hash split leaks: two near-duplicate docs hash
+    independently and can straddle the boundary — the classic
+    train/test-contamination bug that inflates eval numbers. Here the
+    split unit is the duplicate group: each doc's split key is its
+    connected-component label (from `graph.connected_components` over
+    verified near-dup pairs), singletons fall back to their own id, and
+    `seeded_md5(key) % 100 < val_pct` routes the whole group to val.
+
+    Engine shape (100 TB): `components` holds ONLY docs that belong to
+    some duplicate pair — a small fraction of the corpus — so it rides a
+    broadcast left join; the corpus never shuffles. The split is a pure
+    deterministic function of (data, seed): reruns and engine swaps
+    reproduce it bit-for-bit (the DuckDB oracle replays it).
+
+    Returns `df`'s rows with (group_key, split ∈ {'train','val'}).
+    """
+    comp = components.select(
+        F.col(node_col).alias("__n"),
+        F.col(component_col).cast("long").alias("__c"),
+    )
+    joined = df.join(
+        F.broadcast(comp), df[id_col] == F.col("__n"), "left"
+    )
+    group = F.coalesce(F.col("__c"), F.col(id_col).cast("long"))
+    bucket = seeded_md5_long(group.cast("string"), seed) % 100
+    return joined.select(
+        *[F.col(c) for c in df.columns],
+        group.alias("group_key"),
+        F.when(bucket < val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

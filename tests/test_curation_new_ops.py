@@ -272,3 +272,45 @@ def test_sliding_chunks_gap_stride(spark):
     assert [(r["start_pos"], r["n_chunk_tokens"]) for r in out] == [
         (1, 2), (5, 2), (9, 2),
     ]
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe split
+# ---------------------------------------------------------------------------
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from legendary_data_pipeline_spark.operators.curation import (
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id long, text string"
+    )
+    # 40 docs in 10 clusters of 4 (component = min member), rest singleton.
+    comps = spark.createDataFrame(
+        [(c * 4 + j, c * 4) for c in range(10) for j in range(4)],
+        "node long, component long",
+    )
+    out = leakage_safe_split(docs, comps, val_pct=30, seed=7)
+    rows = out.collect()
+    assert len(rows) == 200
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r["group_key"], set()).add(r["split"])
+    # No cluster straddles the boundary.
+    assert all(len(s) == 1 for s in by_group.values())
+    # Cluster members share the component's group_key; singletons their own.
+    keyed = {r["doc_id"]: r["group_key"] for r in rows}
+    assert keyed[5] == 4 and keyed[39] == 36 and keyed[150] == 150
+    # Both sides populated at val_pct=30 over ~170 groups.
+    splits = {r["split"] for r in rows}
+    assert splits == {"train", "val"}
+    # Deterministic under repartitioning.
+    again = {
+        (r["doc_id"], r["split"])
+        for r in leakage_safe_split(
+            docs.repartition(13), comps, val_pct=30, seed=7
+        ).collect()
+    }
+    assert again == {(r["doc_id"], r["split"]) for r in rows}
