@@ -494,3 +494,69 @@ def numeric_drift(
         "bin_label",
         require_nonempty=False,  # already probed on the raw sides above
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity / l-diversity privacy audit
+# ---------------------------------------------------------------------------
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int,
+    sensitive_col: str | None = None,
+) -> DataFrame:
+    """Per-equivalence-class privacy audit over the quasi-identifier
+    combination.
+
+    k-anonymity: every combination of quasi-identifier values (the
+    equivalence class) must be shared by ≥ k rows, else those rows are
+    re-identifiable by linking on the quasi-identifiers. Output is one
+    row per class: the quasi values, `class_size`, and `at_risk`
+    (class_size < k). With `sensitive_col`, adds `l_diversity` — the
+    class's distinct sensitive-value count (a k-anonymous class with one
+    sensitive value still leaks it; Machanavajjhala et al. 2007).
+
+    Scale: ONE groupBy on the quasi columns (map-side combinable
+    counts; the exact distinct for l-diversity makes it a two-phase agg
+    on the same keys — still a single shuffle). The report is
+    class-count-sized, not data-sized. NULL quasi values form their own
+    class (SQL GROUP BY semantics), matching the linking attack: NULL
+    is a visible, linkable value in a published table.
+    """
+    aggs = [F.count(F.lit(1)).alias("class_size")]
+    if sensitive_col is not None:
+        aggs.append(
+            F.countDistinct(F.col(sensitive_col)).alias("l_diversity")
+        )
+    out = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(*aggs)
+    return out.select(
+        *quasi_cols,
+        "class_size",
+        (F.col("class_size") < k).alias("at_risk"),
+        *(["l_diversity"] if sensitive_col is not None else []),
+    )
+
+
+def suppress_below_k(
+    df: DataFrame, quasi_cols: Sequence[str], k: int
+) -> DataFrame:
+    """Enforce k-anonymity by suppression: drop every row whose
+    quasi-identifier equivalence class has fewer than k members.
+
+    The standard first remedy (before generalization hierarchies):
+    publishing only classes of size ≥ k makes the linking attack return
+    ≥ k candidates. Implemented as the class-size aggregate semi-joined
+    back on the quasi keys — the small at-risk class list broadcasts;
+    at 100 TB pre-aggregate size is bounded by class cardinality, and
+    the corpus shuffles once on the quasi keys (or not at all if the
+    class table is small enough to broadcast, which AQE decides).
+    """
+    sizes = (
+        df.groupBy(*[F.col(c) for c in quasi_cols])
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= k)
+        .drop("__n")
+    )
+    return df.join(sizes, list(quasi_cols), "left_semi").select(df.columns)

@@ -1690,3 +1690,43 @@ def ts_twap_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_cols=["event_type"],
         id_col="event_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity / l-diversity privacy audit
+# ---------------------------------------------------------------------------
+
+_KANON_K = 10
+
+
+@register_shadow(
+    "dq_k_anonymity_customers",
+    f"""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS class_size,
+           COUNT(*) < {_KANON_K} AS at_risk,
+           CAST(COUNT(DISTINCT c_acctbal) AS BIGINT) AS l_diversity
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+    doc="k-anonymity/l-diversity privacy audit: one row per "
+    "quasi-identifier equivalence class (nation × market segment) with "
+    "its size, the at-risk flag (size < k ⇒ linkable), and the "
+    "distinct-sensitive-value count (l-diversity over acctbal — a "
+    "k-anonymous class with one sensitive value still leaks it). ONE "
+    "groupBy on the quasi keys; the report is class-count-sized. The "
+    "suppression remedy (`suppress_below_k`) is contract-tested in "
+    "test_profiling.py.",
+)
+def dq_k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.profiling import (
+        k_anonymity_report,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    return k_anonymity_report(
+        cust,
+        ["c_nationkey", "c_mktsegment"],
+        k=_KANON_K,
+        sensitive_col="c_acctbal",
+    )

@@ -286,3 +286,43 @@ def test_functional_dependency_vacuous_holds(spark):
     all_null = spark.createDataFrame([(None, "a")], "k long, v string")
     r2 = functional_dependency(all_null, ["k"], "v").collect()[0]
     assert r2.holds is True and r2.n_groups == 0
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity / suppression
+# ---------------------------------------------------------------------------
+
+
+def test_k_anonymity_report_and_suppression(spark):
+    from legendary_data_pipeline_spark.operators.profiling import (
+        k_anonymity_report,
+        suppress_below_k,
+    )
+
+    rows = (
+        [(i, "US", "A", 100.0 + i) for i in range(5)]  # class of 5, diverse
+        + [(10 + i, "US", "B", 50.0) for i in range(3)]  # class of 3, l=1
+        + [(20, "DE", None, 7.0)]  # NULL quasi value → its own class of 1
+        + [(21, "DE", None, 9.0)]  # joins the NULL class → size 2
+    )
+    df = spark.createDataFrame(
+        rows, "id long, country string, segment string, salary double"
+    )
+    rep = {
+        (r["country"], r["segment"]): r
+        for r in k_anonymity_report(
+            df, ["country", "segment"], k=4, sensitive_col="salary"
+        ).collect()
+    }
+    assert rep[("US", "A")]["class_size"] == 5
+    assert not rep[("US", "A")]["at_risk"]
+    assert rep[("US", "A")]["l_diversity"] == 5
+    assert rep[("US", "B")]["at_risk"]
+    assert rep[("US", "B")]["l_diversity"] == 1
+    # NULL groups together (one linkable class), not one class per row.
+    assert rep[("DE", None)]["class_size"] == 2
+
+    kept = suppress_below_k(df, ["country", "segment"], k=4)
+    assert sorted(r["id"] for r in kept.collect()) == [0, 1, 2, 3, 4]
+    # Suppression preserves schema.
+    assert kept.columns == df.columns
