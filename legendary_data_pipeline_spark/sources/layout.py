@@ -121,3 +121,95 @@ def write_z_ordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def table_file_stats(spark, path: str) -> "DataFrame":
+    """(file, bytes) per data file of a parquet table — the compaction
+    planner's input.
+
+    Uses Spark's own catalog listing (`sc.binaryFiles`-free: the
+    in-memory file index behind `spark.read`), via the Hadoop
+    FileSystem API so it works on any supported filesystem (local,
+    HDFS, S3A) — never `os.walk`, which only sees local paths. The
+    listing is metadata-scale (one row per file).
+    """
+    from pyspark.sql import Row
+
+    sc = spark.sparkContext
+    hadoop_path = sc._jvm.org.apache.hadoop.fs.Path(path)
+    fs = hadoop_path.getFileSystem(sc._jsc.hadoopConfiguration())
+    it = fs.listFiles(hadoop_path, True)
+    rows = []
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().toString()
+        base = st.getPath().getName()
+        if base.startswith("_") or base.startswith("."):
+            continue  # _SUCCESS, checksums, hidden
+        rows.append(Row(file=name, bytes=int(st.getLen())))
+    return spark.createDataFrame(
+        rows, "file string, bytes long"
+    )
+
+
+def plan_compaction(
+    spark, path: str, target_bytes: int = 128 * 1024 * 1024
+) -> dict:
+    """Decide whether `path` needs compaction and into how many files.
+
+    Small-file proliferation is the operational tax of incremental
+    writes (per-batch appends, per-partition upserts): at 100 TB a
+    table of 4 MB files pays file-open/footer-read per file, floods the
+    driver's file index, and caps scan parallelism at tiny tasks.
+    Returns {n_files, total_bytes, n_target, needed} where `n_target`
+    = ceil(total/target_bytes) and `needed` flags tables whose average
+    file size is below half the target — the standard OPTIMIZE
+    trigger.
+    """
+    import math
+
+    stats = table_file_stats(spark, path).collect()
+    n_files = len(stats)
+    total = sum(r["bytes"] for r in stats)
+    n_target = max(1, math.ceil(total / target_bytes))
+    needed = n_files > n_target and (
+        n_files == 0 or total / max(n_files, 1) < target_bytes / 2
+    )
+    return {
+        "n_files": n_files,
+        "total_bytes": total,
+        "n_target": n_target,
+        "needed": needed,
+    }
+
+
+def compact_table(
+    spark,
+    path: str,
+    out_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    sort_key: str | None = None,
+) -> dict:
+    """Rewrite `path` into ~target-sized parquet files at `out_path`.
+
+    Row-identical (the test pins `table_checksum` equality across the
+    rewrite), file-count-minimal, and optionally re-clustered on
+    `sort_key` while we're paying for the rewrite anyway (compaction is
+    the cheapest moment to restore layout). Writes to a separate
+    `out_path` — at scale the swap into place is the catalog/manifest
+    operation (see sources/versioned.py), never an in-place overwrite
+    racing readers.
+
+    `coalesce` (no shuffle) is used when only merging files without a
+    sort: each output task reads several input files sequentially.
+    With `sort_key`, the rewrite is `repartitionByRange + sort` — one
+    shuffle, buying back pruning (see `write_range_partitioned`).
+    """
+    plan = plan_compaction(spark, path, target_bytes)
+    df = spark.read.parquet(path)
+    n = plan["n_target"]
+    if sort_key is None:
+        df.coalesce(n).write.mode("overwrite").parquet(out_path)
+    else:
+        write_range_partitioned(df, out_path, sort_key, n)
+    return plan

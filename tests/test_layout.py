@@ -102,3 +102,72 @@ def test_z_order_clusters_both_dimensions(spark, sf_dir, tmp_path):
     back = spark.read.parquet(zpath)
     assert back.count() == orders.count()
     assert "__z" not in back.columns
+
+
+# ---------------------------------------------------------------------------
+# small-file compaction
+# ---------------------------------------------------------------------------
+
+
+def test_compaction_plan_and_rewrite(spark, tmp_path):
+    from legendary_data_pipeline_spark.operators.profiling import (
+        table_checksum,
+    )
+    from legendary_data_pipeline_spark.sources.layout import (
+        compact_table,
+        plan_compaction,
+        table_file_stats,
+    )
+
+    src = str(tmp_path / "frag")
+    out = str(tmp_path / "compacted")
+    # Simulate incremental-append fragmentation: 40 tiny files.
+    spark.range(4000).selectExpr(
+        "id", "id % 7 AS k", "CAST(id AS STRING) AS v"
+    ).repartition(40).write.parquet(src)
+
+    stats = table_file_stats(spark, src)
+    assert stats.count() == 40
+    assert stats.filter("bytes <= 0").count() == 0
+
+    plan = plan_compaction(spark, src, target_bytes=10 * 1024 * 1024)
+    assert plan["n_files"] == 40
+    assert plan["needed"] and plan["n_target"] < 40
+
+    before = table_checksum(
+        spark.read.parquet(src), ["id", "k", "v"]
+    ).collect()[0]
+    applied = compact_table(
+        spark, src, out, target_bytes=10 * 1024 * 1024
+    )
+    assert applied["n_target"] == table_file_stats(spark, out).count()
+    after = table_checksum(
+        spark.read.parquet(out), ["id", "k", "v"]
+    ).collect()[0]
+    # Order-independent row checksum proves the rewrite lost nothing.
+    assert before == after
+
+    # A well-sized table does not trigger.
+    assert not plan_compaction(
+        spark, out, target_bytes=10 * 1024 * 1024
+    )["needed"]
+
+
+def test_compaction_with_sort_key_restores_clustering(spark, tmp_path):
+    from legendary_data_pipeline_spark.sources.layout import (
+        compact_table,
+        table_file_stats,
+    )
+
+    src = str(tmp_path / "frag2")
+    out = str(tmp_path / "clustered")
+    spark.range(5000).selectExpr("id", "id % 100 AS k").repartition(
+        25
+    ).write.parquet(src)
+    compact_table(
+        spark, src, out, target_bytes=64 * 1024 * 1024, sort_key="id"
+    )
+    files = [r["file"] for r in table_file_stats(spark, out).collect()]
+    assert len(files) == 1  # tiny table → single target file
+    got = spark.read.parquet(out)
+    assert got.count() == 5000
