@@ -98,3 +98,118 @@ def bm25_topk(
         k=k,
         rank_col="rank",
     ).select(query_id, id_col, "rank", "score")
+
+
+# ---------------------------------------------------------------------------
+# late-interaction (multi-vector) retrieval — ColBERT-style MaxSim
+# ---------------------------------------------------------------------------
+
+
+def multivec_from_embedding(
+    df: DataFrame,
+    n_vecs: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    keep_cols: tuple[str, ...] = ("label",),
+) -> DataFrame:
+    """Deterministically reshape a D-dim embedding into `n_vecs` equal
+    token-vectors of D/n_vecs dims — the multi-vector column shape
+    (`array<array<double>>`) late-interaction retrieval consumes. In a
+    real pipeline the token vectors come from the encoder; this adapter
+    exists so the operator is testable on the single-vector
+    `embeddings` table."""
+    dim_expr = F.size(F.col(emb_col))
+    sub = F.col(emb_col).cast("array<double>")
+    per = (dim_expr / n_vecs).cast("int")
+    vecs = F.transform(
+        F.sequence(F.lit(0), F.lit(n_vecs - 1)),
+        lambda i: F.slice(sub, i * per + 1, per),
+    )
+    return df.select(
+        F.col(id_col), *[F.col(c) for c in keep_cols], vecs.alias("vecs")
+    )
+
+
+def maxsim_expr(q_col: str, d_col: str) -> Column:
+    """ColBERT MaxSim as a pure column expression:
+    Σ_{q ∈ Q} max_{d ∈ D} ⟨q, d⟩ — every query token matches its best
+    document token; the sum is the relevance score.
+
+    Sequential folds end-to-end (outer sum and inner dot), so the
+    float64 result is a deterministic function of operand order — the
+    property the DuckDB oracle parity relies on.
+
+    Scale note: interpreted per PAIR (higher-order functions don't
+    codegen). Exactly like brute-force cosine, this is the labeled
+    exact baseline — at 100 TB, run it only on candidate sets from a
+    first-stage retriever (BM25 / single-vector ANN over pooled
+    vectors: `ivf_topk` on the mean token vector), where pairs-per-query
+    are bounded; the per-pair math then lands on O(Q·k) pairs, not
+    O(Q·N). The candidate-set composition mirrors `ivf_pq_topk`'s
+    shortlist-then-refine shape.
+    """
+    dot = lambda q, d: F.aggregate(  # noqa: E731
+        F.zip_with(q, d, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.aggregate(
+        F.col(q_col),
+        F.lit(0.0),
+        lambda acc, q: acc
+        + F.array_max(
+            F.transform(F.col(d_col), lambda d: dot(q, d))
+        ),
+    )
+
+
+def maxsim_topk(
+    multivecs: DataFrame,
+    k: int = 3,
+    query_filter: Column | None = None,
+    block_on_label: bool = True,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vecs_col: str = "vecs",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact late-interaction top-k: for each query row, the k docs with
+    the highest MaxSim score. Rounds before ranking and ties break on
+    neighbor id, so the selected set is stable across engines/retries.
+    Label blocking bounds the candidate join exactly as in
+    `similarity.cosine_topk`; pass `block_on_label=False` only for the
+    labeled exact-baseline mode."""
+    from legendary_data_pipeline_spark.operators.ranking import (
+        top_k_per_group,
+    )
+
+    base = multivecs.select(
+        F.col(id_col), F.col(label_col), F.col(vecs_col)
+    )
+    queries = base if query_filter is None else base.filter(query_filter)
+    queries = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("q_label"),
+        F.col(vecs_col).alias("q_vecs"),
+    )
+    cands = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("c_label"),
+        F.col(vecs_col).alias("c_vecs"),
+    )
+    if block_on_label:
+        joined = queries.join(cands, F.col("q_label") == F.col("c_label"))
+    else:
+        joined = queries.crossJoin(cands)
+    joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
+    score = F.round(maxsim_expr("q_vecs", "c_vecs"), round_digits)
+    scored = joined.select(
+        "query_id", "neighbor_id", score.alias("maxsim")
+    )
+    return top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("maxsim").desc(), F.col("neighbor_id").asc()],
+        k=k,
+        rank_col="rank",
+    ).select("query_id", "neighbor_id", "rank", "maxsim")
