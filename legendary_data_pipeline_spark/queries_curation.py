@@ -1758,3 +1758,70 @@ def curation_nb_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     rest = docs.filter(~F.col("source").isin("src0", "src1"))
     weights, prior = train_nb(pos, neg, m=_NB_M, scale=_NB_SCALE)
     return score_nb(rest, weights, prior, m=_NB_M)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter cross-corpus membership (probe new docs vs corpus)
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 256   # deliberately small so false positives occur and the
+_BLOOM_K = 4     # oracle proves it reproduces them EXACTLY
+
+
+def _bloom_pos_sql(i: str) -> str:
+    from legendary_data_pipeline_spark.operators.bloom import (
+        bloom_sql_positions,
+    )
+
+    return bloom_sql_positions("text", i, _BLOOM_M)
+
+
+@register_shadow(
+    "curation_bloom_cross_corpus",
+    f"""
+    WITH ii AS (SELECT unnest(range({_BLOOM_K})) AS i),
+    corpus_pos AS (
+      SELECT DISTINCT {_bloom_pos_sql("ii.i")} AS pos
+      FROM documents CROSS JOIN ii
+      WHERE source = 'src0'),
+    probe AS (
+      SELECT doc_id, source, {_bloom_pos_sql("ii.i")} AS pos
+      FROM documents CROSS JOIN ii
+      WHERE source <> 'src0'),
+    flags AS (
+      SELECT p.doc_id, p.source,
+             BOOL_AND(cp.pos IS NOT NULL) AS maybe_seen
+      FROM probe p LEFT JOIN corpus_pos cp USING (pos)
+      GROUP BY p.doc_id, p.source)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN maybe_seen THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged
+    FROM flags GROUP BY source
+    """,
+    doc="Cross-corpus Bloom membership: build a bitmap of the corpus "
+    "slice (source='src0') in one Arrow pass (partial bitmaps OR-merged "
+    "driver-side, m/8 bytes), broadcast it, and probe every other doc "
+    "with a vectorized bit test — the join-free way to dedup a new "
+    "batch against a 100 TB historical corpus. The double-hash family "
+    "is portable md5 integer math, so the DuckDB oracle replays the "
+    "filter's EXACT accept set — false positives included (m is sized "
+    "down so some occur and the parity is meaningful).",
+)
+def curation_bloom_cross_corpus(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.bloom import (
+        build_bloom,
+        probe_bloom,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("source") == "src0")
+    batch = docs.filter(F.col("source") != "src0")
+    bm = build_bloom(corpus, "text", m_bits=_BLOOM_M, k_hashes=_BLOOM_K)
+    flagged = probe_bloom(batch, "text", bm, k_hashes=_BLOOM_K)
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("maybe_seen").cast("long")).alias("n_flagged"),
+    )
