@@ -643,3 +643,137 @@ def twap(
             F.col("__wsum").cast("double") / F.col("__dtot").cast("double"),
         ).alias("twap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mergeable quantile sketch (fixed-grid) — the quantile analogue of the
+# HLL distinct rollup: per-partition summaries that MERGE exactly
+# ---------------------------------------------------------------------------
+
+
+def quantile_sketch(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    lo: int,
+    hi: int,
+    n_bins: int = 64,
+) -> DataFrame:
+    """Fixed-grid quantile sketch per group: (group…, bucket, cnt).
+
+    The sketch is a histogram over a SHARED integer grid ([lo, hi] in
+    `n_bins` equal buckets — bounds from a prior 1-row metadata
+    aggregate, as in `histogram_auto`). Because the grid is shared and
+    counts are exact integers, sketches MERGE exactly by summing bucket
+    counts — per-day sketches roll up to monthly/alltime quantiles
+    without rescanning the data, the property t-digest/KLL give
+    approximately and a fixed grid gives exactly (at grid resolution).
+    Values are clamped into the grid (below-lo → bucket 0, above-hi →
+    last bucket); NULLs are dropped. Error is bounded by the bucket
+    width (hi-lo)/n_bins — size the grid to the tolerance you need.
+
+    One groupBy over (group…, bucket): map-side combinable, sketch rows
+    per group ≤ n_bins — metadata-scale whatever the data size.
+    """
+    v = F.col(value_col).cast("long")
+    span = hi - lo
+    if span <= 0:
+        raise ValueError("hi must exceed lo")
+    bucket = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0), F.floor((v - F.lit(lo)) * n_bins / F.lit(span))
+        ),
+    ).cast("int")
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(*[F.col(c) for c in group_cols], bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_quantile_sketches(
+    sketches: DataFrame, group_cols: Sequence[str]
+) -> DataFrame:
+    """Merge sketches to a coarser grouping: exact integer count sums
+    per (coarser group…, bucket). O(groups × bins) rows in and out."""
+    return sketches.groupBy(
+        *[F.col(c) for c in group_cols], "bucket"
+    ).agg(F.sum("cnt").alias("cnt"))
+
+
+def sketch_quantile(
+    sketches: DataFrame,
+    group_cols: Sequence[str],
+    q_pcts: Sequence[int],
+    lo: int,
+    hi: int,
+    n_bins: int = 64,
+) -> DataFrame:
+    """Quantile estimates from a sketch: one row per (group…, q_pct).
+
+    Deterministic estimator, exact integer math until one final fixed
+    double expression (cross-engine bit-identical): rank = ceil(q·N/100)
+    over the cumulative counts; the answering bucket is the first with
+    cum ≥ rank; the estimate interpolates linearly inside it —
+    lo + width·bucket + width·(rank − cum_before)/cnt.
+    """
+    from pyspark.sql import Window
+
+    span = hi - lo
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        sketches.withColumn("cum", F.sum("cnt").over(w).cast("long"))
+        .withColumn(
+            "total",
+            F.sum("cnt")
+            .over(Window.partitionBy(*group_cols))
+            .cast("long"),
+        )
+    )
+    qs = cum.sparkSession.createDataFrame(
+        [(int(p),) for p in q_pcts], "q_pct int"
+    )
+    # ceil(total·q/100) = floor((total·q + 99)/100). total·q + 99 is an
+    # exactly-representable integer double and IEEE division is
+    # correctly rounded, so floor() is exact — and mirrors DuckDB's
+    # floor() (a bare CAST would round there but truncate here).
+    joined = cum.crossJoin(F.broadcast(qs)).withColumn(
+        "rank",
+        F.floor(
+            (F.col("total") * F.col("q_pct") + F.lit(99)) / F.lit(100)
+        ).cast("long"),
+    )
+    hit = joined.filter(F.col("cum") >= F.col("rank"))
+    first = hit.groupBy(
+        *[F.col(c) for c in group_cols], "q_pct", "rank", "total"
+    ).agg(
+        F.min("bucket").alias("bucket"),
+    )
+    back = first.join(
+        cum.select(*group_cols, "bucket", "cnt", "cum"),
+        [*group_cols, "bucket"],
+    )
+    width = F.lit(float(span)) / F.lit(float(n_bins))
+    est = (
+        F.lit(float(lo))
+        + width * F.col("bucket").cast("double")
+        + width
+        * (
+            (
+                F.col("rank")
+                - (F.col("cum") - F.col("cnt"))
+            ).cast("double")
+            / F.col("cnt").cast("double")
+        )
+    )
+    return back.select(
+        *group_cols,
+        "q_pct",
+        F.col("total").alias("n"),
+        F.round(est, 6).alias("estimate"),
+    )

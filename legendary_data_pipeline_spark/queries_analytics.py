@@ -1730,3 +1730,92 @@ def dq_k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_KANON_K,
         sensitive_col="c_acctbal",
     )
+
+
+# ---------------------------------------------------------------------------
+# mergeable quantile-sketch rollup (daily sketches → per-type quantiles)
+# ---------------------------------------------------------------------------
+
+_QS_BINS = 64
+_QS_PCTS = [50, 90, 99]
+
+
+@register_shadow(
+    "sk_quantile_rollup",
+    f"""
+    WITH vals AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+             {_cents_sql("value")} AS cents
+      FROM events WHERE value IS NOT NULL),
+    b AS (SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM vals),
+    sk AS (
+      SELECT event_type, day,
+             CAST(LEAST({_QS_BINS} - 1, GREATEST(0,
+               floor((cents - b.lo) * {_QS_BINS} / (b.hi - b.lo))))
+               AS INT) AS bucket,
+             COUNT(*) AS cnt
+      FROM vals CROSS JOIN b GROUP BY 1, 2, 3),
+    merged AS (
+      SELECT event_type, bucket, CAST(SUM(cnt) AS BIGINT) AS cnt
+      FROM sk GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, bucket, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY event_type
+                                 ORDER BY bucket) AS BIGINT) AS cum,
+             CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT)
+               AS total
+      FROM merged),
+    qs AS (SELECT unnest([{", ".join(str(p) for p in _QS_PCTS)}]) AS q_pct),
+    r AS (
+      SELECT c.*, q.q_pct,
+             CAST(floor((total * q_pct + 99) / 100) AS BIGINT) AS rank
+      FROM cum c CROSS JOIN qs q),
+    firstb AS (
+      SELECT event_type, q_pct, rank, total, MIN(bucket) AS bucket
+      FROM r WHERE cum >= rank GROUP BY 1, 2, 3, 4)
+    SELECT f.event_type, CAST(f.q_pct AS INT) AS q_pct, f.total AS n,
+           round(CAST(b.lo AS DOUBLE)
+                 + (CAST(b.hi - b.lo AS DOUBLE) / {_QS_BINS})
+                   * CAST(f.bucket AS DOUBLE)
+                 + (CAST(b.hi - b.lo AS DOUBLE) / {_QS_BINS})
+                   * (CAST(f.rank - (c.cum - c.cnt) AS DOUBLE)
+                      / CAST(c.cnt AS DOUBLE)), 6) AS estimate
+    FROM firstb f
+    JOIN cum c ON c.event_type = f.event_type AND c.bucket = f.bucket
+    CROSS JOIN b
+    """,
+    doc="Mergeable quantile rollup (the quantile analogue of the HLL "
+    "distinct rollup): per-(event_type, day) fixed-grid sketches over "
+    "integer cents merge EXACTLY by bucket-count sums into per-type "
+    "quantile estimates (p50/p90/p99) — no rescan of the raw data. "
+    "Estimator is integer math to the last step; the one fixed double "
+    "expression mirrors the oracle bit-for-bit. Error ≤ one grid "
+    "bucket, pinned against exact percentiles in test_stats.py.",
+)
+def sk_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.stats import (
+        merge_quantile_sketches,
+        quantile_sketch,
+        sketch_quantile,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    day = F.expr("ts DIV 86400000000000").cast("long")
+    vals = ev.select(
+        "event_type", day.alias("day"), _cents("value").alias("cents")
+    )
+    b = vals.agg(
+        F.min("cents").alias("lo"), F.max("cents").alias("hi")
+    ).first()
+    lo, hi = int(b["lo"]), int(b["hi"])
+    daily = quantile_sketch(
+        vals, ["event_type", "day"], "cents", lo, hi, _QS_BINS
+    )
+    merged = merge_quantile_sketches(daily, ["event_type"])
+    out = sketch_quantile(
+        merged, ["event_type"], _QS_PCTS, lo, hi, _QS_BINS
+    )
+    return out.select("event_type", "q_pct", "n", "estimate")

@@ -541,3 +541,85 @@ def test_seasonal_profile_rejects_bad_period(spark):
     df = spark.createDataFrame([(1, 2)], "day long, y long")
     with pytest.raises(ValueError, match="period must be positive"):
         seasonal_profile(df, F.col("day"), F.col("y"), period=0)
+
+
+# ---------------------------------------------------------------------------
+# mergeable quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def _qs_ops():
+    from legendary_data_pipeline_spark.operators.stats import (
+        merge_quantile_sketches,
+        quantile_sketch,
+        sketch_quantile,
+    )
+
+    return quantile_sketch, merge_quantile_sketches, sketch_quantile
+
+
+def test_quantile_sketch_merge_equals_direct(spark):
+    """Per-day sketches merged == one sketch over all data — the
+    mergeability contract that makes incremental rollups sound."""
+    quantile_sketch, merge_quantile_sketches, sketch_quantile = _qs_ops()
+    from pyspark.sql import functions as F
+
+    df = spark.range(3000).select(
+        F.lit("t").alias("g"),
+        (F.col("id") % 7).alias("day"),
+        ((F.col("id") * 37) % 1000).alias("v"),
+    )
+    daily = quantile_sketch(df, ["g", "day"], "v", 0, 999, 32)
+    merged = merge_quantile_sketches(daily, ["g"])
+    direct = quantile_sketch(df, ["g"], "v", 0, 999, 32)
+    a = {(r["g"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    b = {(r["g"], r["bucket"]): r["cnt"] for r in direct.collect()}
+    assert a == b
+
+    est_m = sketch_quantile(merged, ["g"], [50, 90], 0, 999, 32)
+    est_d = sketch_quantile(direct, ["g"], [50, 90], 0, 999, 32)
+    assert sorted(map(tuple, est_m.collect())) == sorted(
+        map(tuple, est_d.collect())
+    )
+
+
+def test_quantile_sketch_error_within_one_bucket(spark):
+    quantile_sketch, _, sketch_quantile = _qs_ops()
+    from pyspark.sql import functions as F
+
+    n, lo, hi, bins = 5000, 0, 10_000, 64
+    df = spark.range(n).select(
+        F.lit("g").alias("g"), ((F.col("id") * 97) % 10_001).alias("v")
+    )
+    sk = quantile_sketch(df, ["g"], "v", lo, hi, bins)
+    est = {
+        r["q_pct"]: r["estimate"]
+        for r in sketch_quantile(
+            sk, ["g"], [50, 90, 99], lo, hi, bins
+        ).collect()
+    }
+    exact = df.selectExpr(
+        "percentile(v, 0.50) AS p50",
+        "percentile(v, 0.90) AS p90",
+        "percentile(v, 0.99) AS p99",
+    ).first()
+    width = (hi - lo) / bins
+    assert abs(est[50] - exact["p50"]) <= width
+    assert abs(est[90] - exact["p90"]) <= width
+    assert abs(est[99] - exact["p99"]) <= width
+
+
+def test_quantile_sketch_clamps_out_of_grid(spark):
+    quantile_sketch, _, _ = _qs_ops()
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(-50,), (0,), (500,), (1000,), (2000,)], "v long"
+    ).withColumn("g", F.lit("g"))
+    sk = {
+        r["bucket"]: r["cnt"]
+        for r in quantile_sketch(df, ["g"], "v", 0, 1000, 10).collect()
+    }
+    assert sk[0] == 2  # -50 clamps into bucket 0
+    assert sk[9] == 2  # 1000 (== hi) and 2000 clamp into the last bucket
+    assert sk[5] == 1
