@@ -270,6 +270,25 @@ def cmd_curate(spark: SparkSession, args) -> int:
         unique = unique.join(gates, "doc_id").filter("gopher_keep").drop(
             "gopher_keep"
         )
+    if args.nb_seeds is not None:
+        from legendary_data_pipeline_spark.operators.classifier import (
+            score_nb,
+            train_nb,
+        )
+
+        pos = spark.read.parquet(args.nb_seeds[0])
+        neg = spark.read.parquet(args.nb_seeds[1])
+        weights, prior = train_nb(pos, neg)
+        scored = score_nb(
+            unique.select("doc_id", F.col("clean_text").alias("text")),
+            weights,
+            prior,
+        )
+        unique = unique.join(
+            scored.filter("predicted_pos").select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
     if args.strip_substrings:
         from legendary_data_pipeline_spark.operators.substrings import (
             strip_duplicated_substrings,
@@ -337,6 +356,20 @@ def cmd_curate(spark: SparkSession, args) -> int:
             .drop("rate", "keep")
         )
     unique = unique.drop("__n_tokens")
+    if args.split_val_pct is not None:
+        from legendary_data_pipeline_spark.operators.curation import (
+            leakage_safe_split,
+        )
+        from legendary_data_pipeline_spark.operators.graph import (
+            near_dup_components,
+        )
+
+        comps = near_dup_components(
+            unique.select("doc_id", F.col("clean_text").alias("text"))
+        )
+        unique = leakage_safe_split(
+            unique, comps, val_pct=args.split_val_pct
+        )
     unique.write.mode("overwrite").parquet(
         _table(args.warehouse, "curated_documents")
     )
@@ -566,6 +599,24 @@ def build_parser() -> argparse.ArgumentParser:
         type=float,
         default=0.5,
         help="temperature-mix token budget fraction (default 0.5)",
+    )
+    p.add_argument(
+        "--nb-seeds",
+        nargs=2,
+        default=None,
+        metavar=("POS", "NEG"),
+        help="train a hashed-NB quality classifier on these two parquet "
+        "seed tables (doc_id, text) and keep only docs it classifies "
+        "positive",
+    )
+    p.add_argument(
+        "--split-val-pct",
+        type=int,
+        default=None,
+        metavar="PCT",
+        help="add a leakage-safe train/val split column: near-dup "
+        "clusters (connected components over verified MinHash pairs) "
+        "route wholly to one side; PCT = val percentage",
     )
     p.set_defaults(fn=cmd_curate)
 

@@ -367,3 +367,40 @@ def best_member(
         F.count(F.lit(1)).over(Window.partitionBy("component")),
     )
     return best_of_group(mem, ["component"], order_by)
+
+
+def near_dup_components(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    min_jaccard: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Docs → verified near-dup pairs → connected components, in one
+    call: the composition every dedup/split endpoint needs (MinHash
+    signatures and exact-Jaccard verification share ONE cached
+    shingling pass; components close the verified pairs). Returns
+    (node, component) for docs that belong to some duplicate pair —
+    singletons are absent by construction (callers coalesce to the
+    doc's own id, as `curation.leakage_safe_split` does)."""
+    from pyspark.sql import functions as F
+
+    from legendary_data_pipeline_spark.operators import dedup as D
+
+    hsets = D.hashed_shingle_sets(docs, id_col, text_col).cache()
+    sigs = D.minhash_signatures(
+        docs, id_col, text_col, num_hashes=num_hashes, hsets=hsets
+    )
+    pairs = D.lsh_candidate_pairs(
+        sigs,
+        id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        max_bucket_size=max_bucket_size,
+    )
+    verified = D.jaccard_pairs(docs, pairs, id_col, text_col, hsets=hsets)
+    return connected_components(
+        verified.filter(F.col("jaccard") >= min_jaccard)
+    )

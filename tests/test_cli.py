@@ -258,3 +258,60 @@ def test_cli_curate_strip_winsorize_mix(spark, sf_dir, tmp_path):
     # gate bookkeeping columns do not leak into the table
     assert not any(c.startswith("__") for c in out.columns)
     assert "keep" not in out.columns and "rate" not in out.columns
+
+
+def test_cli_curate_nb_filter_and_split(spark, sf_dir, tmp_path):
+    """`curate --nb-seeds --split-val-pct`: the NB classifier gate drops
+    docs matching the negative seed's vocabulary, and the leakage-safe
+    split lands every near-dup cluster wholly on one side."""
+    from pyspark.sql import functions as F
+
+    from legendary_data_pipeline_spark.cli import build_parser
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+    # Two near-identical spam docs (a dup cluster) + the real corpus.
+    spam = spark.createDataFrame(
+        [
+            (20_000, "buy cheap prize winner click now " * 8, "en", "srcX", 0),
+            (20_001, "buy cheap prize winner click today " * 8, "en", "srcX", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).withColumn("n_chars", F.length("text"))
+    inp = str(tmp_path / "in.parquet")
+    docs.unionByName(spam).write.parquet(inp)
+
+    pos_seed = str(tmp_path / "pos.parquet")
+    neg_seed = str(tmp_path / "neg.parquet")
+    docs.select("doc_id", "text").write.parquet(pos_seed)
+    spark.createDataFrame(
+        [(i, "buy cheap prize winner click deal " * 6) for i in range(20)],
+        "doc_id long, text string",
+    ).write.parquet(neg_seed)
+
+    wh = str(tmp_path / "wh")
+    args = build_parser().parse_args(
+        [
+            "curate",
+            "--warehouse",
+            wh,
+            "--input",
+            inp,
+            "--nb-seeds",
+            pos_seed,
+            neg_seed,
+            "--split-val-pct",
+            "30",
+        ]
+    )
+    assert args.fn(spark, args) == 0
+
+    curated = spark.read.parquet(f"{wh}/curated_documents")
+    ids = {r["doc_id"] for r in curated.select("doc_id").collect()}
+    # The spam cluster is classified negative and dropped.
+    assert not ids & {20_000, 20_001}
+    assert len(ids) == 30
+    # Split column present, deterministic, cluster-consistent.
+    assert {"group_key", "split"} <= set(curated.columns)
+    assert set(
+        r["split"] for r in curated.select("split").distinct().collect()
+    ) <= {"train", "val"}
