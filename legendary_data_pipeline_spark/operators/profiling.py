@@ -560,3 +560,81 @@ def suppress_below_k(
         .drop("__n")
     )
     return df.join(sizes, list(quasi_cols), "left_semi").select(df.columns)
+
+
+# ---------------------------------------------------------------------------
+# write-time expectations (DLT-style: pass rows in, fail rows quarantined)
+# ---------------------------------------------------------------------------
+
+
+def enforce_expectations(
+    df: DataFrame, constraints: Mapping[str, Column]
+) -> tuple[DataFrame, DataFrame]:
+    """Split `df` by named row-level expectations.
+
+    Returns (passed, failed): `passed` has exactly `df`'s columns;
+    `failed` adds `failed_checks` (array of the names that did not
+    hold). SQL three-valued logic is resolved the strict way — a NULL
+    check result FAILS the row (`coalesce(check, false)`), matching
+    `check_constraints`' violation accounting, so the report and the
+    split always agree.
+
+    One flag column per constraint, all evaluated in a single projection
+    — adding an expectation never adds a scan.
+    """
+    flags = {
+        name: F.coalesce(c.cast("boolean"), F.lit(False))
+        for name, c in constraints.items()
+    }
+    flagged = df.select(
+        "*", *[c.alias(f"__ok_{n}") for n, c in flags.items()]
+    )
+    all_ok = F.lit(True)
+    for n in constraints:
+        all_ok = all_ok & F.col(f"__ok_{n}")
+    failed_list = F.filter(
+        F.array(
+            *[
+                F.when(~F.col(f"__ok_{n}"), F.lit(n))
+                for n in constraints
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    passed = flagged.filter(all_ok).select(df.columns)
+    failed = (
+        flagged.filter(~all_ok)
+        .withColumn("failed_checks", failed_list)
+        .select(*df.columns, "failed_checks")
+    )
+    return passed, failed
+
+
+def write_with_expectations(
+    df: DataFrame,
+    constraints: Mapping[str, Column],
+    path: str,
+    quarantine_path: str,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Expectations-gated parquet sink: rows meeting every constraint
+    land at `path`, the rest at `quarantine_path` with their
+    `failed_checks`, and the returned frame is the audit report
+    (check_name, n_rows, n_violations, passed) from ONE extra
+    aggregate.
+
+    The split frame is cached for the two writes + report so the source
+    is scanned once (at 100 TB the cache becomes a staging table, but
+    the two-sink shape is the same); it is unpersisted before return.
+    Both writes use `mode` — the default overwrite keeps reruns
+    idempotent, and the quarantine is always (re)written, even empty,
+    so a fixed rerun never leaves stale failures behind.
+    """
+    flagged = df.cache()
+    try:
+        passed, failed = enforce_expectations(flagged, constraints)
+        passed.write.mode(mode).parquet(path)
+        failed.write.mode(mode).parquet(quarantine_path)
+        return check_constraints(flagged, constraints)
+    finally:
+        flagged.unpersist()

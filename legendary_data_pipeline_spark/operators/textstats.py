@@ -290,3 +290,68 @@ def collocations(
         )
         .limit(top_k)
     )
+
+
+# ---------------------------------------------------------------------------
+# sentence segmentation — JVM column expression (hot path) + Python UDTF
+# (Spark 4 table-function surface, with character offsets)
+# ---------------------------------------------------------------------------
+
+#: split AFTER terminal punctuation, consuming the whitespace run.
+#: ASCII whitespace only — identical semantics in Java and Python regex
+#: engines (Java's \s is ASCII-only by default; spelling the class out
+#: keeps the UDTF and the column expression in exact parity).
+SENTENCE_SPLIT_REGEX = r"(?<=[.!?])[ \t\r\n\f]+"
+
+
+def split_sentences_expr(text: Column) -> Column:
+    """array<string> of sentences — pure JVM regex split, the hot-path
+    form (whole-stage codegen, no Python). Sentence boundary = ASCII
+    whitespace run preceded by `.`, `!` or `?`."""
+    return F.split(text, SENTENCE_SPLIT_REGEX)
+
+
+def make_sentences_udtf():
+    """Spark 4 Python UDTF emitting one row per sentence WITH character
+    offsets: (sent_idx, sentence, start_char, n_chars).
+
+    The UDTF form exists for what the column expression can't return —
+    positions into the original text (for span-level provenance,
+    highlight anchors, downstream slicing). It is row-at-a-time Python:
+    per the engine's UDF policy it belongs on bounded/derived frames,
+    not the raw-corpus hot path — there, use `split_sentences_expr`
+    (parity between the two is pinned by test). Register via
+    `register_udtfs(spark)` (ships the package first — the class
+    pickles by reference).
+    """
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    pat = re.compile(SENTENCE_SPLIT_REGEX)
+
+    @udtf(returnType="sent_idx int, sentence string, start_char int, n_chars int")
+    class SplitSentences:
+        def eval(self, text: str):
+            if text is None:
+                return
+            cursor = 0
+            idx = 0
+            for m in list(pat.finditer(text)) + [None]:
+                end = m.start() if m is not None else len(text)
+                piece = text[cursor:end]
+                if piece != "":
+                    yield idx, piece, cursor, len(piece)
+                    idx += 1
+                cursor = m.end() if m is not None else end
+
+    return SplitSentences
+
+
+def register_udtfs(spark) -> None:
+    """Register the engine's UDTFs for SQL use (LATERAL joins), shipping
+    the package so executors can unpickle the classes."""
+    from legendary_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    spark.udtf.register("split_sentences", make_sentences_udtf())

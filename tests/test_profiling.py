@@ -326,3 +326,65 @@ def test_k_anonymity_report_and_suppression(spark):
     assert sorted(r["id"] for r in kept.collect()) == [0, 1, 2, 3, 4]
     # Suppression preserves schema.
     assert kept.columns == df.columns
+
+
+# ---------------------------------------------------------------------------
+# write-time expectations
+# ---------------------------------------------------------------------------
+
+
+def test_enforce_expectations_split_and_null_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from legendary_data_pipeline_spark.operators.profiling import (
+        enforce_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, None), (4, 7.0)],
+        "id long, amount double",
+    )
+    passed, failed = enforce_expectations(
+        df,
+        {
+            "amount_positive": F.col("amount") > 0,
+            "id_small": F.col("id") < 4,
+        },
+    )
+    assert passed.columns == df.columns
+    assert sorted(r["id"] for r in passed.collect()) == [1]
+    got = {r["id"]: r["failed_checks"] for r in failed.collect()}
+    assert got[2] == ["amount_positive"]
+    assert got[3] == ["amount_positive"]  # NULL check result fails strictly
+    assert got[4] == ["id_small"]
+
+
+def test_write_with_expectations_sinks_and_report(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from legendary_data_pipeline_spark.operators.profiling import (
+        write_with_expectations,
+    )
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 10).alias("v")
+    )
+    good, quar = str(tmp_path / "good"), str(tmp_path / "quar")
+    report = write_with_expectations(
+        df, {"v_nonzero": F.col("v") != 0}, good, quar
+    )
+    rep = {r["check_name"]: r for r in report.collect()}
+    assert rep["v_nonzero"]["n_violations"] == 10
+    assert not rep["v_nonzero"]["passed"]
+    assert spark.read.parquet(good).count() == 90
+    q = spark.read.parquet(quar)
+    assert q.count() == 10
+    assert q.filter(
+        F.array_contains("failed_checks", "v_nonzero")
+    ).count() == 10
+
+    # Idempotent rerun with all-passing data: quarantine is rewritten empty.
+    write_with_expectations(
+        df.filter("v != 0"), {"v_nonzero": F.col("v") != 0}, good, quar
+    )
+    assert spark.read.parquet(quar).count() == 0
