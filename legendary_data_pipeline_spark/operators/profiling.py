@@ -638,3 +638,44 @@ def write_with_expectations(
         return check_constraints(flagged, constraints)
     finally:
         flagged.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# schema drift (data-contract check between table snapshots)
+# ---------------------------------------------------------------------------
+
+
+def schema_drift(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Column-level schema diff between two snapshots of a table.
+
+    One row per column seen on either side:
+      (column, status, old_type, new_type) with status ∈
+      'added' | 'removed' | 'type_changed' | 'unchanged'.
+    Pure METADATA — no data scan on either side — so it runs in
+    milliseconds against 100 TB tables and belongs at the front of any
+    ingestion job: a producer silently widening a column or dropping a
+    field is the classic upstream break that's cheapest to catch before
+    the scan, not in it. Nullability changes are deliberately ignored
+    (parquet writers flip it spuriously); type comparison is on the
+    full DDL string, so decimal precision and nested struct changes
+    count. Breaking = any 'removed' or 'type_changed' row; 'added' is
+    the backward-compatible case mergeSchema readers absorb.
+    """
+    spark = old.sparkSession
+    o = {f.name: f.dataType.simpleString() for f in old.schema.fields}
+    n = {f.name: f.dataType.simpleString() for f in new.schema.fields}
+    rows = []
+    for c in list(o) + [c for c in n if c not in o]:
+        ot, nt = o.get(c), n.get(c)
+        if ot is None:
+            status = "added"
+        elif nt is None:
+            status = "removed"
+        elif ot != nt:
+            status = "type_changed"
+        else:
+            status = "unchanged"
+        rows.append((c, status, ot, nt))
+    return spark.createDataFrame(
+        rows, "column string, status string, old_type string, new_type string"
+    )

@@ -388,3 +388,24 @@ def test_write_with_expectations_sinks_and_report(spark, tmp_path):
         df.filter("v != 0"), {"v_nonzero": F.col("v") != 0}, good, quar
     )
     assert spark.read.parquet(quar).count() == 0
+
+
+def test_schema_drift_statuses(spark):
+    from legendary_data_pipeline_spark.operators.profiling import (
+        schema_drift,
+    )
+
+    old = spark.createDataFrame(
+        [], "id long, price decimal(12,2), name string, legacy int"
+    )
+    new = spark.createDataFrame(
+        [], "id long, price decimal(18,2), name string, extra date"
+    )
+    got = {r["column"]: r for r in schema_drift(old, new).collect()}
+    assert got["id"]["status"] == "unchanged"
+    assert got["price"]["status"] == "type_changed"
+    assert got["price"]["old_type"] == "decimal(12,2)"
+    assert got["price"]["new_type"] == "decimal(18,2)"
+    assert got["legacy"]["status"] == "removed"
+    assert got["extra"]["status"] == "added"
+    assert got["extra"]["old_type"] is None
