@@ -37,7 +37,13 @@ def _manifest_dir(table: str) -> str:
 
 
 def versions(table: str) -> list[dict]:
-    """All committed manifests, ascending by version."""
+    """All committed manifests, ascending by version.
+
+    A manifest carrying a `group_commit` pointer counts as committed
+    only once its group marker file exists — until then (or forever,
+    for a crashed group publish) the version is invisible, which is
+    what makes `publish_group` atomic across tables.
+    """
     d = _manifest_dir(table)
     if not os.path.isdir(d):
         return []
@@ -45,7 +51,11 @@ def versions(table: str) -> list[dict]:
     for name in sorted(os.listdir(d)):
         if name.startswith("v") and name.endswith(".json"):
             with open(os.path.join(d, name)) as f:
-                out.append(json.load(f))
+                m = json.load(f)
+            marker = m.get("group_commit")
+            if marker is not None and not os.path.exists(marker):
+                continue
+            out.append(m)
     return out
 
 
@@ -54,19 +64,11 @@ def latest_version(table: str) -> int | None:
     return vs[-1]["version"] if vs else None
 
 
-def write_version(
-    df: DataFrame, table: str, op: str = "overwrite"
-) -> int:
-    """Commit `df` as the table's next snapshot; returns its version.
-
-    Stage-then-publish: the parquet write fully completes under
-    `data/v=N` before the manifest appears, so readers (who resolve via
-    manifests only) never observe a partial snapshot. A crashed writer
-    leaves an orphaned `data/v=K` with no manifest — version allocation
-    skips past any staged directory, so the orphan stays invisible
-    forever (garbage for a vacuum job) and never blocks the next
-    commit.
-    """
+def _stage_snapshot(df: DataFrame, table: str) -> tuple[int, str, int]:
+    """Write `df` fully under the next `data/v=N` staging directory and
+    return (version, data_path, rows). Allocation skips past both
+    committed versions AND any staged/orphaned directory (including
+    manifests of never-committed groups), so crashes never collide."""
     staged = 0
     data_root = os.path.join(table, "data")
     if os.path.isdir(data_root):
@@ -87,8 +89,34 @@ def write_version(
     df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
         "error"
     ).parquet(data_path)
-    rows = obs.get["rows"]
+    return n, data_path, obs.get["rows"]
+
+
+def _write_manifest(
+    table: str, manifest: dict, n: int
+) -> None:
     os.makedirs(_manifest_dir(table), exist_ok=True)
+    tmp = os.path.join(_manifest_dir(table), f".v{n:08d}.json.tmp")
+    final = os.path.join(_manifest_dir(table), f"v{n:08d}.json")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.rename(tmp, final)
+
+
+def write_version(
+    df: DataFrame, table: str, op: str = "overwrite"
+) -> int:
+    """Commit `df` as the table's next snapshot; returns its version.
+
+    Stage-then-publish: the parquet write fully completes under
+    `data/v=N` before the manifest appears, so readers (who resolve via
+    manifests only) never observe a partial snapshot. A crashed writer
+    leaves an orphaned `data/v=K` with no manifest — version allocation
+    skips past any staged directory, so the orphan stays invisible
+    forever (garbage for a vacuum job) and never blocks the next
+    commit.
+    """
+    n, data_path, rows = _stage_snapshot(df, table)
     manifest = {
         "version": n,
         "op": op,
@@ -96,12 +124,66 @@ def write_version(
         "committed_at": time.time(),
         "data_path": data_path,
     }
-    tmp = os.path.join(_manifest_dir(table), f".v{n:08d}.json.tmp")
-    final = os.path.join(_manifest_dir(table), f"v{n:08d}.json")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.rename(tmp, final)  # the publish point
+    _write_manifest(table, manifest, n)  # the publish point
     return n
+
+
+def publish_group(
+    tables: dict[str, DataFrame],
+    group_marker: str,
+    op: str = "group",
+) -> dict[str, int]:
+    """Atomic MULTI-TABLE publish: commit one new snapshot per table
+    such that readers see either ALL of them or NONE.
+
+    This is the reference's cross-table transaction (SURVEY §4:
+    `02:195-207` writes prices + collection inside one BEGIN/COMMIT),
+    rebuilt on the snapshot protocol instead of a database transaction:
+
+    1. Every table's snapshot is STAGED and its manifest written with a
+       `group_commit` pointer at `group_marker` — present on disk but
+       invisible, because `versions()` ignores manifests whose marker
+       file does not exist.
+    2. The marker file is written via tmp + rename — ONE atomic
+       small-file publish, the same primitive single-table commits
+       already rely on. The instant it lands, every table's new version
+       becomes visible together.
+
+    A crash anywhere before the rename leaves all tables at their old
+    versions; the staged data and pending manifests are inert garbage
+    (version allocation skips past them; `vacuum` removes them). The
+    same single-writer caveat as `write_version` applies — rename
+    atomicity is the commit primitive, so S3 needs a coordination
+    layer. `group_marker` must be a fresh path per publish (e.g. a
+    run-id-derived file name); reusing a path would retroactively
+    commit an older crashed group.
+    """
+    if os.path.exists(group_marker):
+        raise FileExistsError(
+            f"group marker {group_marker} already exists — markers are "
+            "one-shot; use a fresh path per publish"
+        )
+    out: dict[str, int] = {}
+    for table, df in tables.items():
+        n, data_path, rows = _stage_snapshot(df, table)
+        manifest = {
+            "version": n,
+            "op": op,
+            "rows": rows,
+            "committed_at": time.time(),
+            "data_path": data_path,
+            "group_commit": group_marker,
+        }
+        _write_manifest(table, manifest, n)
+        out[table] = n
+    os.makedirs(os.path.dirname(group_marker) or ".", exist_ok=True)
+    tmp = group_marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {"tables": out, "committed_at": time.time(), "op": op}, f
+        )
+    os.rename(tmp, group_marker)  # the one publish point for ALL tables
+    return out
 
 
 def read_version(
@@ -231,9 +313,30 @@ def vacuum(
             expired = n in committed and n not in keep
             if orphan or expired:
                 doomed.append(os.path.join(data_root, name))
+    # Pending manifests of never-committed groups (crashed
+    # publish_group): their data dirs are already in `doomed` as
+    # orphans; take the manifest files with them so nothing points at
+    # deleted data. Safe under the module's single-writer contract —
+    # vacuum must not run concurrently with a publish.
+    dead_group_manifests: list[str] = []
+    mdir = _manifest_dir(table)
+    if os.path.isdir(mdir):
+        for name in sorted(os.listdir(mdir)):
+            if not (name.startswith("v") and name.endswith(".json")):
+                continue
+            path = os.path.join(mdir, name)
+            with open(path) as f:
+                m = json.load(f)
+            marker = m.get("group_commit")
+            if marker is not None and not os.path.exists(marker):
+                dead_group_manifests.append(path)
+    doomed.extend(dead_group_manifests)
     if not dry_run:
         for p in doomed:
-            shutil.rmtree(p)
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+            else:
+                os.remove(p)
         for m in vs:
             if m["version"] not in keep:
                 os.remove(

@@ -206,3 +206,112 @@ def test_upsert_version_schema_evolution(spark, tmp_path):
         for r in read_version(spark, table).collect()
     }
     assert got[5] == ("e", None) and got[2] == ("B", 9)
+
+
+# ---------------------------------------------------------------------------
+# atomic multi-table publish (group commit)
+# ---------------------------------------------------------------------------
+
+
+def test_publish_group_all_or_nothing(spark, tmp_path):
+    import os
+
+    from legendary_data_pipeline_spark.sources.versioned import (
+        latest_version,
+        publish_group,
+        read_version,
+        write_version,
+    )
+
+    ta, tb = str(tmp_path / "prices"), str(tmp_path / "collection")
+    write_version(spark.range(5).selectExpr("id", "id * 2 AS v"), ta)
+    write_version(spark.range(3).selectExpr("id", "id + 1 AS c"), tb)
+
+    marker = str(tmp_path / "_groups" / "run-001.json")
+    out = publish_group(
+        {
+            ta: spark.range(10).selectExpr("id", "id * 3 AS v"),
+            tb: spark.range(7).selectExpr("id", "id + 9 AS c"),
+        },
+        marker,
+    )
+    assert out == {ta: 2, tb: 2}
+    assert os.path.exists(marker)
+    assert latest_version(ta) == 2 and latest_version(tb) == 2
+    assert read_version(spark, ta).count() == 10
+    assert read_version(spark, tb).count() == 7
+    # History intact.
+    assert read_version(spark, ta, 1).count() == 5
+
+
+def test_publish_group_crash_before_marker_invisible(spark, tmp_path):
+    """Simulate a crash between manifest writes and the marker rename:
+    both tables must still read at their OLD versions, and the next
+    commit must not collide with the dead group's staged versions."""
+    import json
+    import os
+
+    from legendary_data_pipeline_spark.sources.versioned import (
+        _manifest_dir,
+        latest_version,
+        publish_group,
+        read_version,
+        vacuum,
+        write_version,
+    )
+
+    ta, tb = str(tmp_path / "a"), str(tmp_path / "b")
+    write_version(spark.range(5).selectExpr("id"), ta)
+    write_version(spark.range(3).selectExpr("id"), tb)
+
+    # Run the real publish, then delete the marker to model the crash
+    # (everything before the rename is identical; the marker IS the
+    # only difference between committed and crashed).
+    marker = str(tmp_path / "_groups" / "run-002.json")
+    publish_group(
+        {
+            ta: spark.range(100).selectExpr("id"),
+            tb: spark.range(200).selectExpr("id"),
+        },
+        marker,
+    )
+    os.remove(marker)
+
+    assert latest_version(ta) == 1 and latest_version(tb) == 1
+    assert read_version(spark, ta).count() == 5
+    # Pending manifests exist on disk but are invisible.
+    assert any(
+        json.load(open(os.path.join(_manifest_dir(ta), f))).get(
+            "group_commit"
+        )
+        for f in os.listdir(_manifest_dir(ta))
+        if f.endswith(".json")
+    )
+
+    # Next single-table commit allocates PAST the dead group's slot.
+    n = write_version(spark.range(9).selectExpr("id"), ta)
+    assert n == 3
+    assert read_version(spark, ta).count() == 9
+
+    # Vacuum clears the dead group's data and manifest.
+    doomed = vacuum(ta, keep_versions=2)
+    assert any("v=2" in p for p in doomed)
+    assert latest_version(ta) == 3
+
+
+def test_publish_group_marker_is_one_shot(spark, tmp_path):
+    import pytest
+
+    from legendary_data_pipeline_spark.sources.versioned import (
+        publish_group,
+    )
+
+    marker = str(tmp_path / "_groups" / "run-003.json")
+    publish_group(
+        {str(tmp_path / "t1"): spark.range(2).selectExpr("id")}, marker
+    )
+    with pytest.raises(FileExistsError):
+        publish_group(
+            {str(tmp_path / "t1"): spark.range(2).selectExpr("id")},
+            marker,
+        )
