@@ -1819,3 +1819,57 @@ def sk_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged, ["event_type"], _QS_PCTS, lo, hi, _QS_BINS
     )
     return out.select("event_type", "q_pct", "n", "estimate")
+
+
+# ---------------------------------------------------------------------------
+# gaps-and-islands: longest consecutive-day activity streak per user
+# ---------------------------------------------------------------------------
+
+
+@register_shadow(
+    "ts_user_streaks",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+      FROM events),
+    isl AS (
+      SELECT user_id, day,
+             day - ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY day) AS grp
+      FROM days),
+    streaks AS (
+      SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+      FROM isl GROUP BY user_id, grp)
+    SELECT user_id,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks
+    FROM streaks GROUP BY user_id
+    """,
+    doc="Gaps-and-islands streak analysis: longest run of consecutive "
+    "active days per user via the classic day − row_number() island "
+    "key — pure integer math on the engine's nanosecond-integer event "
+    "time. One distinct, one per-user window (day ordering is local to "
+    "the user partition), two partial-aggregable groupBys; no "
+    "self-joins, no data-sized global sort.",
+)
+def ts_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.expr("ts DIV 86400000000000").cast("long").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = days.withColumn(
+        "grp", F.col("day") - F.row_number().over(w)
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.sum("len").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
