@@ -60,3 +60,46 @@ def test_more_partitions_than_rows_is_safe(registered):
     df = _load(registered, numRows=3, numPartitions=16, seed=0)
     assert df.count() == 3
     assert df.rdd.getNumPartitions() <= 3
+
+
+def test_moderate_scale_pipeline_over_generated_corpus(registered):
+    """200k generated docs through exact dedup, Bloom probe, and NB
+    scoring — the operators' shapes hold beyond fixture scale and the
+    generator's throughput is partition-parallel, not driver-bound."""
+    from pyspark.sql import functions as F
+
+    from legendary_data_pipeline_spark.operators.bloom import (
+        build_bloom,
+        probe_bloom,
+    )
+    from legendary_data_pipeline_spark.operators.classifier import (
+        score_nb,
+        train_nb,
+    )
+
+    docs = _load(registered, numRows=200_000, numPartitions=32, seed=11)
+
+    # Exact dedup by content hash: the 20-word vocabulary guarantees
+    # heavy collisions at this scale — the dedup path does real work.
+    uniq = (
+        docs.withColumn("sha", F.sha2("text", 256))
+        .groupBy("sha")
+        .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n"))
+    )
+    n_unique = uniq.count()
+    assert 0 < n_unique < 200_000
+
+    # Bloom: members of the first 50k must all be flagged when probed.
+    corpus = docs.filter("doc_id < 50000")
+    bm = build_bloom(corpus, "text", m_bits=1 << 21, k_hashes=4)
+    flagged = probe_bloom(corpus.limit(2_000), "text", bm)
+    assert flagged.filter(~F.col("maybe_seen")).count() == 0
+
+    # NB: train on two language slices, score the rest — runs end to
+    # end and scores every doc exactly once.
+    pos = docs.filter("lang = 'en'").limit(5_000)
+    neg = docs.filter("lang = 'de'").limit(5_000)
+    weights, prior = train_nb(pos, neg, m=1024)
+    rest = docs.filter("lang NOT IN ('en', 'de')").limit(20_000)
+    scored = score_nb(rest, weights, prior, m=1024)
+    assert scored.count() == rest.count()
