@@ -847,3 +847,64 @@ def random_projection(
         *id_cols,
         F.array(*[proj_of(j) for j in range(out_dims)]).alias("proj"),
     )
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    k: int = 3,
+    query_filter: Column | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Contrastive-training pair mining: for each anchor, the k most
+    cosine-similar vectors with a DIFFERENT label — the "hard
+    negatives" that make embedding/reranker training work (easy random
+    negatives teach nothing; the near-misses define the boundary).
+
+    Exact labeled baseline: the candidate join is all cross-label
+    pairs (the complement of `cosine_topk`'s same-label block), scored
+    with the same deterministic sequential-fold cosine and rounded
+    before ranking so the selected set is engine-stable. At 100 TB the
+    same scorer runs on an ANN shortlist instead (ivf_topk over all
+    labels, then drop same-label hits) — shortlist-then-refine, the
+    ivf_pq contract; this exact form is for candidate sets and
+    fixtures. Ties break on neighbor id.
+    """
+    base = embeddings.select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("vec")
+    )
+    anchors = base if query_filter is None else base.filter(query_filter)
+    anchors = anchors.select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("a_label"),
+        F.col("vec").alias("a_vec"),
+        norm_expr("vec").alias("a_norm"),
+    )
+    cands = base.select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("n_label"),
+        F.col("vec").alias("n_vec"),
+        norm_expr("vec").alias("n_norm"),
+    )
+    joined = anchors.join(
+        cands, F.col("a_label") != F.col("n_label")
+    )
+    cos = F.round(
+        dot_expr("a_vec", "n_vec") / (F.col("a_norm") * F.col("n_norm")),
+        round_digits,
+    )
+    scored = joined.select(
+        "anchor_id",
+        "a_label",
+        "negative_id",
+        F.col("n_label").alias("negative_label"),
+        cos.alias("cos_sim"),
+    )
+    return top_k_per_group(
+        scored,
+        ["anchor_id"],
+        [F.col("cos_sim").desc(), F.col("negative_id").asc()],
+        k=k,
+        rank_col="rank",
+    ).select(
+        "anchor_id", "negative_id", "negative_label", "rank", "cos_sim"
+    )

@@ -60,3 +60,32 @@ def test_maxsim_topk_excludes_self_and_ranks_copy_first(spark):
     assert out[0]["rank"] == 1 and out[1]["rank"] == 2
     # Self never appears even though it scores highest.
     assert 0 not in {r["neighbor_id"] for r in out}
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining (similarity module, contrastive training pairs)
+# ---------------------------------------------------------------------------
+
+
+def test_hard_negatives_cross_label_only_and_ranked(spark):
+    from legendary_data_pipeline_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], 0),   # anchor
+        (1, [1.0, 0.01], 0),  # same label — must never appear
+        (2, [1.0, 0.1], 1),   # hardest negative (closest, other label)
+        (3, [0.0, 1.0], 1),   # easy negative
+        (4, [0.9, 0.2], 2),   # second-hardest
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = hard_negatives(
+        emb, k=2, query_filter=F.col("vec_id") == 0
+    ).collect()
+    assert [r["negative_id"] for r in out] == [2, 4]
+    assert all(r["negative_label"] != 0 for r in out)
+    assert [r["rank"] for r in out] == [1, 2]
+    assert out[0]["cos_sim"] > out[1]["cos_sim"]
