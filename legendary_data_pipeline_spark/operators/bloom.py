@@ -60,6 +60,11 @@ def build_bloom(
     """
     if m_bits % 8:
         raise ValueError("m_bits must be a multiple of 8")
+    if not 1 <= k_hashes <= 8:
+        raise ValueError(
+            "k_hashes must be in [1, 8]: h1 + 7·h2 < 2^63 is the "
+            "signed-64 overflow bound for the 60-bit hash family"
+        )
     h1c, h2c = _hash_cols(F.col(key_col))
     hashed = df.filter(F.col(key_col).isNotNull()).select(
         h1c.alias("h1"), h2c.alias("h2")
@@ -99,6 +104,11 @@ def probe_bloom(
     bitmap rides a Spark broadcast; the test is a vectorized numpy
     bit-lookup per batch — zero shuffles.
     """
+    if not 1 <= k_hashes <= 8:
+        raise ValueError(
+            "k_hashes must be in [1, 8]: h1 + 7·h2 < 2^63 is the "
+            "signed-64 overflow bound for the 60-bit hash family"
+        )
     m_bits = int(bitmap.size) * 8
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(bitmap.tobytes())
