@@ -1873,3 +1873,74 @@ def ts_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("len").alias("n_active_days"),
         F.count(F.lit(1)).alias("n_streaks"),
     )
+
+
+# ---------------------------------------------------------------------------
+# robust outliers: median absolute deviation on the daily value series
+# ---------------------------------------------------------------------------
+
+# 3 sigma-equivalents under normality: 3 × 1.4826, written as ONE
+# literal so both engines multiply identically.
+_MAD_K = "4.4478"
+
+
+@register_shadow(
+    "st_mad_outliers",
+    f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+             CAST(SUM({_cents_sql("value")}) AS BIGINT) AS value_cents
+      FROM events GROUP BY 1, 2),
+    med AS (
+      SELECT event_type,
+             quantile_cont(value_cents, 0.5) AS med
+      FROM daily GROUP BY event_type),
+    dev AS (
+      SELECT d.event_type, d.day, d.value_cents, m.med,
+             abs(CAST(d.value_cents AS DOUBLE) - m.med) AS abs_dev
+      FROM daily d JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type, quantile_cont(abs_dev, 0.5) AS mad
+      FROM dev GROUP BY event_type)
+    SELECT v.event_type, v.day, v.value_cents, v.med, a.mad,
+           CASE WHEN a.mad > 0
+                THEN v.abs_dev > {_MAD_K} * a.mad
+                ELSE v.abs_dev > 0 END AS is_outlier
+    FROM dev v JOIN mad a USING (event_type)
+    """,
+    doc="Robust outlier detection: median absolute deviation on the "
+    "daily per-type value series — unlike the rolling z-score "
+    "(ts_zscore_anomalies), the median/MAD estimators don't let the "
+    "outliers they hunt inflate the threshold (50% breakdown point vs "
+    "0%). Exact integer cents in; percentile() matches quantile_cont "
+    "bit-for-bit; the 3σ-equivalent gate is one shared literal. "
+    "Degenerate mad = 0 (over half the days identical) falls back to "
+    "'any deviation flags'. Two grouped exact percentiles + broadcast "
+    "joins of per-type 1-row stats.",
+)
+def st_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("ts DIV 86400000000000").cast("long")
+    daily = ev.groupBy(
+        "event_type", day.alias("day")
+    ).agg(F.sum(_cents("value")).cast("long").alias("value_cents"))
+    med = daily.groupBy("event_type").agg(
+        F.expr("percentile(value_cents, 0.5)").alias("med")
+    )
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "abs_dev",
+        F.abs(F.col("value_cents").cast("double") - F.col("med")),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(abs_dev, 0.5)").alias("mad")
+    )
+    out = dev.join(F.broadcast(mad), "event_type")
+    flag = F.when(
+        F.col("mad") > 0,
+        F.col("abs_dev") > F.expr(_MAD_K) * F.col("mad"),
+    ).otherwise(F.col("abs_dev") > 0)
+    return out.select(
+        "event_type", "day", "value_cents", "med", "mad",
+        flag.alias("is_outlier"),
+    )
