@@ -1042,14 +1042,18 @@ def leakage_safe_split(
 
     Returns `df`'s rows with (group_key, split ∈ {'train','val'}).
     """
+    # Group keys take the id column's own type (string ids work — the
+    # component label from `graph.connected_components` carries the
+    # node type through), so no silent long-cast NULLs for non-long ids.
+    id_type = df.schema[id_col].dataType.simpleString()
     comp = components.select(
         F.col(node_col).alias("__n"),
-        F.col(component_col).cast("long").alias("__c"),
+        F.col(component_col).cast(id_type).alias("__c"),
     )
     joined = df.join(
         F.broadcast(comp), df[id_col] == F.col("__n"), "left"
     )
-    group = F.coalesce(F.col("__c"), F.col(id_col).cast("long"))
+    group = F.coalesce(F.col("__c"), F.col(id_col))
     bucket = seeded_md5_long(group.cast("string"), seed) % 100
     return joined.select(
         *[F.col(c) for c in df.columns],

@@ -314,3 +314,24 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
         ).collect()
     }
     assert again == {(r["doc_id"], r["split"]) for r in rows}
+
+
+def test_leakage_safe_split_string_ids(spark):
+    """Non-long id types flow through: group keys keep the id's type
+    instead of silently null-ing under a long cast."""
+    from legendary_data_pipeline_spark.operators.curation import (
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(f"doc-{i}", "t") for i in range(20)], "doc_id string, text string"
+    )
+    comps = spark.createDataFrame(
+        [("doc-1", "doc-0"), ("doc-0", "doc-0")],
+        "node string, component string",
+    )
+    rows = {r["doc_id"]: r for r in leakage_safe_split(docs, comps).collect()}
+    assert rows["doc-1"]["group_key"] == "doc-0"
+    assert rows["doc-5"]["group_key"] == "doc-5"
+    assert rows["doc-0"]["split"] == rows["doc-1"]["split"]
+    assert all(r["split"] in ("train", "val") for r in rows.values())
