@@ -75,3 +75,27 @@ def test_hll_error_envelope_at_larger_cardinality(spark):
         .alias("e")
     ).collect()[0].e
     assert abs(est - n) / n < 0.05
+
+
+def test_rolling_distinct_sketch_error_beyond_sparse(spark):
+    """Past the coupon/sparse threshold the windowed sketch union is
+    approximate — pin the ±5% envelope at 20k distinct users so the
+    operator's contract is measured, not assumed."""
+    from pyspark.sql import Window, functions as F
+
+    df = spark.range(60_000).select(
+        (F.col("id") % 3).alias("day"),
+        # ~20k distinct users per day, heavy overlap across days
+        (F.col("id") % 20_011).alias("user_id"),
+    )
+    daily = df.groupBy("day").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    w = Window.orderBy("day").rangeBetween(-2, 0)
+    est = {
+        r["day"]: r["u"]
+        for r in daily.select(
+            "day",
+            F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias("u"),
+        ).collect()
+    }
+    exact = df.select("user_id").distinct().count()
+    assert abs(est[2] - exact) / exact < 0.05
