@@ -1997,3 +1997,62 @@ def sk_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "users_7d"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# audience overlap via Theta sketch set algebra
+# ---------------------------------------------------------------------------
+
+
+@register_shadow(
+    "sk_theta_audience_overlap",
+    """
+    WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+    t AS (SELECT DISTINCT event_type FROM du)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           (SELECT COUNT(*) FROM du WHERE event_type = a.event_type)
+             AS users_a,
+           (SELECT COUNT(*) FROM du WHERE event_type = b.event_type)
+             AS users_b,
+           CAST((SELECT COUNT(*) FROM du x JOIN du y
+                 ON x.user_id = y.user_id
+                 WHERE x.event_type = a.event_type
+                   AND y.event_type = b.event_type) AS BIGINT) AS overlap,
+           CAST((SELECT COUNT(DISTINCT user_id) FROM du
+                 WHERE event_type IN (a.event_type, b.event_type))
+                 AS BIGINT) AS union_users
+    FROM t a JOIN t b ON a.event_type < b.event_type
+    """,
+    doc="Audience overlap between event types via Theta sketch set "
+    "algebra: ONE sketch per type (map-side combinable over the "
+    "corpus), then intersection/union are sketch-local scalar ops on "
+    "the k-row-per-type result — the segment-overlap matrix costs no "
+    "corpus self-join, ever. Distinct-intersection is the operation "
+    "HLL cannot do (union-only) — this is why Theta exists. Exact in "
+    "exact mode (< k=4096 distincts — the test scale), ±2%% beyond; "
+    "the oracle computes the true set algebra.",
+)
+def sk_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(
+        F.theta_sketch_agg("user_id").alias("sk")
+    )
+    a = sk.select(
+        F.col("event_type").alias("type_a"), F.col("sk").alias("ska")
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"), F.col("sk").alias("skb")
+    )
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    return pairs.select(
+        "type_a",
+        "type_b",
+        F.theta_sketch_estimate("ska").alias("users_a"),
+        F.theta_sketch_estimate("skb").alias("users_b"),
+        F.theta_sketch_estimate(
+            F.theta_intersection("ska", "skb")
+        ).alias("overlap"),
+        F.theta_sketch_estimate(F.theta_union("ska", "skb")).alias(
+            "union_users"
+        ),
+    )
