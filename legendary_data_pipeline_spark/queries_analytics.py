@@ -2056,3 +2056,40 @@ def sk_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "union_users"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# KLL quantile rollup (bounds-free sibling of sk_quantile_rollup)
+# ---------------------------------------------------------------------------
+
+
+@register_shadow(
+    "sk_kll_value_quantiles",
+    None,  # KLL is a randomized sketch — rows-only here; the rank-error
+    # envelope vs exact percentiles is pinned in test_sketch_rollup.py
+    doc="Mergeable KLL quantile rollup: per-(type, day) "
+    "kll_sketch_agg_bigint over integer cents, kll_merge_agg rollup to "
+    "per-type sketches, p50/p90/p99 reads. The bounds-free sibling of "
+    "the fixed-grid sketch (X102): no prior min/max pass, guaranteed "
+    "rank error (~1.65% at the default k=200) instead of value-grid "
+    "error — but randomized, so it pairs with a measured rank-error "
+    "test rather than a hash oracle.",
+)
+def sk_kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    day = F.expr("ts DIV 86400000000000").cast("long")
+    daily = ev.groupBy("event_type", day.alias("day")).agg(
+        F.kll_sketch_agg_bigint(_cents("value")).alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.kll_merge_agg_bigint("sk").alias("sk")
+    )
+    return merged.select(
+        "event_type",
+        F.kll_sketch_get_n_bigint("sk").alias("n"),
+        F.expr("kll_sketch_get_quantile_bigint(sk, 0.5)").alias("p50_cents"),
+        F.expr("kll_sketch_get_quantile_bigint(sk, 0.9)").alias("p90_cents"),
+        F.expr("kll_sketch_get_quantile_bigint(sk, 0.99)").alias("p99_cents"),
+    )

@@ -99,3 +99,34 @@ def test_rolling_distinct_sketch_error_beyond_sparse(spark):
     }
     exact = df.select("user_id").distinct().count()
     assert abs(est[2] - exact) / exact < 0.05
+
+
+def test_kll_rollup_rank_error_vs_exact(spark, sf_dir):
+    """The KLL rollup's measured contract: each reported quantile's
+    true rank (fraction of daily-cents values ≤ estimate) lands within
+    5% of the requested rank — double the k=200 theoretical ~1.65%
+    envelope, so the test pins magnitude without flaking."""
+    from pyspark.sql import functions as F
+
+    from legendary_data_pipeline_spark.queries import SHADOW_REGISTRY
+
+    out = SHADOW_REGISTRY["sk_kll_value_quantiles"].spark_fn(
+        spark, sf_dir
+    )
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value").cast("decimal(18,2)") * 100, 0)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    for r in out.collect():
+        vals = ev.filter(F.col("event_type") == r["event_type"])
+        n = vals.count()
+        assert r["n"] == n
+        for q, col in [(0.5, "p50_cents"), (0.9, "p90_cents"), (0.99, "p99_cents")]:
+            rank = vals.filter(F.col("cents") <= r[col]).count() / n
+            assert abs(rank - q) < 0.05, (r["event_type"], q, rank)
