@@ -2020,7 +2020,13 @@ def sk_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AND y.event_type = b.event_type) AS BIGINT) AS overlap,
            CAST((SELECT COUNT(DISTINCT user_id) FROM du
                  WHERE event_type IN (a.event_type, b.event_type))
-                 AS BIGINT) AS union_users
+                 AS BIGINT) AS union_users,
+           CAST((SELECT COUNT(*) FROM du x
+                 WHERE x.event_type = a.event_type
+                   AND NOT EXISTS (SELECT 1 FROM du y
+                                   WHERE y.event_type = b.event_type
+                                     AND y.user_id = x.user_id))
+                 AS BIGINT) AS only_a
     FROM t a JOIN t b ON a.event_type < b.event_type
     """,
     doc="Audience overlap between event types via Theta sketch set "
@@ -2030,7 +2036,7 @@ def sk_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus self-join, ever. Distinct-intersection is the operation "
     "HLL cannot do (union-only) — this is why Theta exists. Exact in "
     "exact mode (< k=4096 distincts — the test scale), ±2%% beyond; "
-    "the oracle computes the true set algebra.",
+    "the oracle computes the true set algebra, A-minus-B included.",
 )
 def sk_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -2055,6 +2061,9 @@ def sk_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.theta_sketch_estimate(F.theta_union("ska", "skb")).alias(
             "union_users"
         ),
+        F.theta_sketch_estimate(
+            F.theta_difference("ska", "skb")
+        ).alias("only_a"),
     )
 
 
