@@ -2102,3 +2102,33 @@ def sk_kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("kll_sketch_get_quantile_bigint(sk, 0.9)").alias("p90_cents"),
         F.expr("kll_sketch_get_quantile_bigint(sk, 0.99)").alias("p99_cents"),
     )
+
+
+@register_shadow(
+    "sk_theta_core_audience",
+    """
+    WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+    n AS (SELECT COUNT(DISTINCT event_type) AS k FROM du),
+    core AS (
+      SELECT user_id FROM du GROUP BY user_id
+      HAVING COUNT(DISTINCT event_type) = (SELECT k FROM n))
+    SELECT (SELECT CAST(k AS BIGINT) FROM n) AS n_segments,
+           CAST((SELECT COUNT(*) FROM core) AS BIGINT) AS core_users
+    """,
+    doc="Core audience: users active in EVERY event type, via "
+    "theta_intersection_agg over the per-type sketches — the N-way "
+    "set intersection as ONE tiny aggregation over k sketch rows "
+    "(the pairwise query's agg-form sibling). Exact in exact mode; "
+    "the oracle computes the true N-way intersection.",
+)
+def sk_theta_core_audience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(
+        F.theta_sketch_agg("user_id").alias("sk")
+    )
+    return sk.agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.theta_sketch_estimate(
+            F.theta_intersection_agg("sk")
+        ).alias("core_users"),
+    )
