@@ -401,6 +401,15 @@ def near_dup_components(
         max_bucket_size=max_bucket_size,
     )
     verified = D.jaccard_pairs(docs, pairs, id_col, text_col, hsets=hsets)
-    return connected_components(
-        verified.filter(F.col("jaccard") >= min_jaccard)
+    # Materialize the (pairs-list-sized) verified edges and cut their
+    # lineage so the shingle cache can be released immediately — without
+    # this, long-lived sessions (the curate CLI calls this per run) leak
+    # one cached shingle frame per invocation.
+    edges = verified.filter(F.col("jaccard") >= min_jaccard).localCheckpoint(
+        eager=True
     )
+    hsets.unpersist()
+    # lsh_candidate_pairs caches its signature input internally (same
+    # logical plan as `sigs`); uncaching by plan releases that entry too.
+    sigs.unpersist()
+    return connected_components(edges)

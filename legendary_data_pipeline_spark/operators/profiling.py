@@ -552,14 +552,23 @@ def suppress_below_k(
     at 100 TB pre-aggregate size is bounded by class cardinality, and
     the corpus shuffles once on the quasi keys (or not at all if the
     class table is small enough to broadcast, which AQE decides).
+
+    The semi join is NULL-SAFE (`<=>` on every quasi key) so it agrees
+    with `k_anonymity_report`: NULL quasi values form their own
+    equivalence class there (GROUP BY semantics), and a NULL class of
+    size ≥ k must therefore survive suppression too. A plain equality
+    semi join would silently drop every NULL-keyed row.
     """
     sizes = (
         df.groupBy(*[F.col(c) for c in quasi_cols])
         .agg(F.count(F.lit(1)).alias("__n"))
         .filter(F.col("__n") >= k)
-        .drop("__n")
+        .select(*[F.col(c).alias(f"__keep_{c}") for c in quasi_cols])
     )
-    return df.join(sizes, list(quasi_cols), "left_semi").select(df.columns)
+    cond = F.lit(True)
+    for c in quasi_cols:
+        cond = cond & df[c].eqNullSafe(sizes[f"__keep_{c}"])
+    return df.join(sizes, cond, "left_semi").select(df.columns)
 
 
 # ---------------------------------------------------------------------------

@@ -307,8 +307,14 @@ SENTENCE_SPLIT_REGEX = r"(?<=[.!?])[ \t\r\n\f]+"
 def split_sentences_expr(text: Column) -> Column:
     """array<string> of sentences — pure JVM regex split, the hot-path
     form (whole-stage codegen, no Python). Sentence boundary = ASCII
-    whitespace run preceded by `.`, `!` or `?`."""
-    return F.split(text, SENTENCE_SPLIT_REGEX)
+    whitespace run preceded by `.`, `!` or `?`.
+
+    Empty pieces are removed to match the UDTF exactly: text ending in
+    terminal punctuation + whitespace (the common ``.\\n`` doc tail)
+    would otherwise leave a trailing ``""`` element (``F.split`` uses
+    limit -1) and inflate sentence counts; the UDTF skips empty pieces.
+    """
+    return F.array_remove(F.split(text, SENTENCE_SPLIT_REGEX), "")
 
 
 def make_sentences_udtf():

@@ -98,7 +98,12 @@ class _SyntheticDocsReader(DataSourceReader):
         self.seed = int(options.get("seed", 0))
 
     def partitions(self):
-        n = max(1, min(self.n_parts, self.n_rows) or 1)
+        if self.n_rows <= 0:
+            # One empty-range partition: an empty read, not a
+            # range(step=0) ValueError. (An empty list is not an option
+            # — Spark still schedules one task with partition=None.)
+            return [_RangePartition(0, 0, self.seed)]
+        n = max(1, min(self.n_parts, self.n_rows))
         step = -(-self.n_rows // n)  # ceil
         return [
             _RangePartition(lo, min(lo + step, self.n_rows), self.seed)

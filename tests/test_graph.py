@@ -172,3 +172,29 @@ def test_best_member_keeps_longest_with_tiebreak(spark):
     assert best[1] == (2, 9, 3)
     # component 10 = {10,11}: tie at 4 chars -> min id 10
     assert best[10] == (10, 4, 2)
+
+
+def test_near_dup_components_releases_shingle_cache(spark):
+    """The fused shingle cache must be unpersisted once verified pairs
+    materialize — long-lived sessions (curate CLI) call this per run
+    and would otherwise leak one cached frame per invocation."""
+    from legendary_data_pipeline_spark.operators.graph import (
+        near_dup_components,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (3, "completely unrelated text about spark execution plans"),
+        ],
+        "doc_id long, text string",
+    )
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    cm.clearCache()
+    out = near_dup_components(docs, min_jaccard=0.3)
+    rows = out.collect()
+    # docs 1 and 2 are near-dups of each other; 3 is a singleton (absent).
+    assert {r["node"] for r in rows} == {1, 2}
+    assert len({r["component"] for r in rows}) == 1
+    assert cm.isEmpty()

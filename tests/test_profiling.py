@@ -328,6 +328,38 @@ def test_k_anonymity_report_and_suppression(spark):
     assert kept.columns == df.columns
 
 
+def test_suppression_keeps_null_classes_at_or_above_k(spark):
+    """Report and suppression must agree on NULL quasi values: a NULL
+    equivalence class of size ≥ k is `at_risk = false` in the report,
+    so suppression must retain it (null-safe semi join, not plain `=`).
+    """
+    from legendary_data_pipeline_spark.operators.profiling import (
+        k_anonymity_report,
+        suppress_below_k,
+    )
+
+    rows = (
+        [(i, "US", None, 1.0) for i in range(6)]  # NULL class of 6: safe
+        + [(10, "DE", None, 2.0)]  # NULL class of 1: suppressed
+        + [(11, "US", "A", 3.0)]  # class of 1: suppressed
+        + [(20 + i, None, None, 4.0) for i in range(4)]  # all-NULL, size 4
+    )
+    df = spark.createDataFrame(
+        rows, "id long, country string, segment string, salary double"
+    )
+    rep = {
+        (r["country"], r["segment"]): r["at_risk"]
+        for r in k_anonymity_report(df, ["country", "segment"], k=4).collect()
+    }
+    assert rep[("US", None)] is False
+    assert rep[(None, None)] is False
+    kept = sorted(
+        r["id"]
+        for r in suppress_below_k(df, ["country", "segment"], k=4).collect()
+    )
+    assert kept == [0, 1, 2, 3, 4, 5, 20, 21, 22, 23]
+
+
 # ---------------------------------------------------------------------------
 # write-time expectations
 # ---------------------------------------------------------------------------

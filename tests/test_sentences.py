@@ -20,6 +20,25 @@ def test_expr_known_split(spark):
     assert got == ["One sentence.", "Two!", "Three?", "Four has no end"]
 
 
+def test_expr_trailing_whitespace_parity(spark):
+    """Text ending in terminal punctuation + whitespace (the common
+    '.\\n' doc tail) must NOT yield a trailing empty sentence — the
+    expr form matches the UDTF, which drops empty pieces."""
+    cases = [
+        ("One. Two. ", ["One.", "Two."]),
+        ("Ends clean.\n", ["Ends clean."]),
+        ("Tabs too.\t\t", ["Tabs too."]),
+        ("No trailing ws!", ["No trailing ws!"]),
+        ("", []),
+    ]
+    df = spark.createDataFrame(cases, "text string, want array<string>")
+    got = df.select(
+        "want", split_sentences_expr(F.col("text")).alias("s")
+    ).collect()
+    for r in got:
+        assert r["s"] == r["want"]
+
+
 def test_udtf_offsets_and_parity(spark):
     register_udtfs(spark)
     df = spark.createDataFrame(

@@ -62,6 +62,12 @@ def test_more_partitions_than_rows_is_safe(registered):
     assert df.rdd.getNumPartitions() <= 3
 
 
+def test_zero_rows_is_an_empty_read(registered):
+    df = _load(registered, numRows=0, numPartitions=8, seed=0)
+    assert df.count() == 0
+    assert df.columns == ["doc_id", "text", "lang", "source", "n_chars"]
+
+
 def test_moderate_scale_pipeline_over_generated_corpus(registered):
     """200k generated docs through exact dedup, Bloom probe, and NB
     scoring — the operators' shapes hold beyond fixture scale and the
