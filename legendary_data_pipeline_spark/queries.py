@@ -1285,3 +1285,46 @@ def a7_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 from legendary_data_pipeline_spark import queries_llm  # noqa: E402,F401
 from legendary_data_pipeline_spark import queries_curation  # noqa: E402,F401
 from legendary_data_pipeline_spark import queries_analytics  # noqa: E402,F401
+
+# ---------------------------------------------------------------------------
+# Round-6 driver-gate rotation (see NOTES.md §Round-6)
+# ---------------------------------------------------------------------------
+# The driver's independent correctness harness only checks the first
+# DRIVER_QUERY_CAP registry entries, and that set had been frozen since
+# round 3 — every analytics/DQ/sketch/ER operator added since was only
+# verified by the (identical, but locally-run) shadow harness. Rotate 10
+# redundant early entries out (each stays oracle-verified in the shadow
+# suite, and each has a near-identical sibling still in the gate) and
+# promote the 10 highest-risk round-4/5 shadow queries so the driver's
+# DuckDB oracle exercises the new surface. Bench comparability across
+# rounds is preserved via the pinned 40-query intersection subset
+# recorded in NOTES.md.
+_DEMOTE_R6 = [
+    "f4_cents_display",  # sibling in gate: f1_money_parse_cents
+    "f2_sql_money_clean",  # sibling: f1_money_parse_cents
+    "f7_url_slug_link",  # sibling: f5_sanitize_documents
+    "u2_union_tagged_sources",  # sibling: j12_full_outer_reconcile
+    "o1_rank_nulls_last",  # siblings: w1 ranking, w5 global order
+    "f14_provenance_json",  # sibling: f8_json_extract_events
+    "w4_day_over_day_lag",  # sibling: w3_rolling_7d_stats
+    "dedup_minhash_signatures",  # subsumed by dedup_minhash_lsh_pairs
+    "dedup_simhash",  # subsumed by dedup_simhash_pairs
+    "a3_user_event_totals",  # sibling: e_daily_event_rollup
+]
+_PROMOTE_R6 = [
+    "dq_table_checksum",
+    "sk_hll_distinct_users",
+    "sk_theta_audience_overlap",
+    "er_fuzzy_pairs_part_names",
+    "e_funnel_conversion",
+    "curation_bloom_cross_corpus",
+    "curation_nb_quality_score",
+    "curation_leakage_safe_split",
+    "e_incremental_daily_rollup",
+    "st_mad_outliers",
+]
+for _n in _DEMOTE_R6:
+    SHADOW_REGISTRY[_n] = REGISTRY.pop(_n)
+for _n in _PROMOTE_R6:
+    REGISTRY[_n] = SHADOW_REGISTRY.pop(_n)
+del _n
