@@ -434,8 +434,11 @@ def ngram_jaccard_blocked(
     falls back to a row-chunked matmul with the same exact results at
     bounded peak memory, and a group with more than `max_block_docs`
     docs (whose n×n intersection matrix itself becomes the hazard)
-    raises with a tuning hint — an executor OOM would surface as an
-    opaque task death, this surfaces as "shrink length_bucket".
+    auto-falls back to a STREAMING chunk-filtered kernel: the same exact
+    matmul per chunk pair, thresholded immediately, so the n×n matrix is
+    never materialized and peak memory stays O(chunk·|shingles| + chunk²)
+    at any block size — identical surviving pairs, no executor OOM, no
+    manual retune loop.
 
     NULL handling: rows whose `block_col` is NULL are dropped before
     grouping — NULL is "language unknown", not a language, and the
@@ -479,14 +482,6 @@ def ngram_jaccard_blocked(
         n = len(pdf)
         if n < 2:
             return empty
-        if n > max_block_docs:
-            raise ValueError(
-                f"ngram_jaccard_blocked: block ({pdf['__blk'].iloc[0]!r}, "
-                f"g={pdf['__g'].iloc[0]}) has {n} docs > max_block_docs="
-                f"{max_block_docs}; its {n}x{n} intersection matrix would "
-                "risk an executor OOM. Shrink length_bucket (narrower "
-                "blocks) or raise max_block_docs if the task heap allows."
-            )
         g = int(pdf["__g"].iloc[0])
         ids = pdf["__id"].to_numpy()
         bkts = pdf["__bkt"].to_numpy()
@@ -494,25 +489,37 @@ def ngram_jaccard_blocked(
         lens = np.array([x.size for x in hsets], dtype=np.int64)
         flat = np.concatenate(hsets)
         uniq, inv = np.unique(flat, return_inverse=True)
-        if n * uniq.size <= max_onehot_cells:
-            X = np.zeros((n, uniq.size), dtype=np.float32)
-            X[np.repeat(np.arange(n), lens), inv] = 1.0
-            inter = np.rint(X @ X.T).astype(np.int64)
-        else:
-            # Oversized block: same exact matmul, built a row-chunk at a
-            # time so peak memory is 2 chunks + the n×n result instead of
-            # the full one-hot.
-            starts = np.concatenate(([0], np.cumsum(lens)))
-            chunk = max(1, max_onehot_cells // (2 * max(uniq.size, 1)))
-            inter = np.zeros((n, n), dtype=np.int64)
+        starts = np.concatenate(([0], np.cumsum(lens)))
 
-            def onehot(lo: int, hi: int) -> np.ndarray:
-                Xc = np.zeros((hi - lo, uniq.size), dtype=np.float32)
-                seg = inv[starts[lo] : starts[hi]]
-                rows = np.repeat(np.arange(hi - lo), lens[lo:hi])
-                Xc[rows, seg] = 1.0
-                return Xc
+        def onehot(lo: int, hi: int) -> np.ndarray:
+            Xc = np.zeros((hi - lo, uniq.size), dtype=np.float32)
+            seg = inv[starts[lo] : starts[hi]]
+            rows = np.repeat(np.arange(hi - lo), lens[lo:hi])
+            Xc[rows, seg] = 1.0
+            return Xc
 
+        def survivors(gi, gj, itr_b):
+            # Exact integer threshold + dedup-to-one-group mask.
+            return (np.maximum(bkts[gi], bkts[gj]) == g) & (
+                itr_b * (p + q) >= p * (lens[gi] + lens[gj])
+            )
+
+        if n > max_block_docs:
+            # Auto-fallback for a block that outgrew the blocking
+            # contract: the hazard there is the n×n intersection matrix
+            # itself, so NEVER materialize it — run the same exact
+            # chunked matmul but filter each chunk-pair to surviving
+            # pairs immediately. Peak memory is O(chunk·|shingles| +
+            # chunk²) regardless of n; only the (few) pairs above
+            # min_jaccard accumulate. Slower per pair than the full
+            # matmul, but completes instead of raising — the manual
+            # "shrink length_bucket" retune loop is gone.
+            chunk = max(
+                1, min(max_onehot_cells // (2 * max(uniq.size, 1)), 4096)
+            )
+            out_i: list[np.ndarray] = []
+            out_j: list[np.ndarray] = []
+            out_itr: list[np.ndarray] = []
             for lo in range(0, n, chunk):
                 hi = min(lo + chunk, n)
                 Xa = onehot(lo, hi)
@@ -520,15 +527,48 @@ def ngram_jaccard_blocked(
                     hi2 = min(lo2 + chunk, n)
                     Xb = Xa if lo2 == lo else onehot(lo2, hi2)
                     blockv = np.rint(Xa @ Xb.T).astype(np.int64)
-                    inter[lo:hi, lo2:hi2] = blockv
-                    if lo2 != lo:
-                        inter[lo2:hi2, lo:hi] = blockv.T
-        iu, ju = np.triu_indices(n, k=1)
-        itr = inter[iu, ju]
-        keep = (np.maximum(bkts[iu], bkts[ju]) == g) & (
-            itr * (p + q) >= p * (lens[iu] + lens[ju])
-        )
-        iu, ju, itr = iu[keep], ju[keep], itr[keep]
+                    if lo2 == lo:
+                        bi, bj = np.triu_indices(hi - lo, k=1)
+                    else:
+                        bi = np.repeat(np.arange(hi - lo), hi2 - lo2)
+                        bj = np.tile(np.arange(hi2 - lo2), hi - lo)
+                    gi, gj = bi + lo, bj + lo2
+                    itr_b = blockv[bi, bj]
+                    keep_b = survivors(gi, gj, itr_b)
+                    if keep_b.any():
+                        out_i.append(gi[keep_b])
+                        out_j.append(gj[keep_b])
+                        out_itr.append(itr_b[keep_b])
+            if not out_i:
+                return empty
+            iu = np.concatenate(out_i)
+            ju = np.concatenate(out_j)
+            itr = np.concatenate(out_itr)
+        else:
+            if n * uniq.size <= max_onehot_cells:
+                X = np.zeros((n, uniq.size), dtype=np.float32)
+                X[np.repeat(np.arange(n), lens), inv] = 1.0
+                inter = np.rint(X @ X.T).astype(np.int64)
+            else:
+                # Oversized one-hot (but in-cap doc count): same exact
+                # matmul, built a row-chunk at a time so peak memory is
+                # 2 chunks + the n×n result instead of the full one-hot.
+                chunk = max(1, max_onehot_cells // (2 * max(uniq.size, 1)))
+                inter = np.zeros((n, n), dtype=np.int64)
+                for lo in range(0, n, chunk):
+                    hi = min(lo + chunk, n)
+                    Xa = onehot(lo, hi)
+                    for lo2 in range(lo, n, chunk):
+                        hi2 = min(lo2 + chunk, n)
+                        Xb = Xa if lo2 == lo else onehot(lo2, hi2)
+                        blockv = np.rint(Xa @ Xb.T).astype(np.int64)
+                        inter[lo:hi, lo2:hi2] = blockv
+                        if lo2 != lo:
+                            inter[lo2:hi2, lo:hi] = blockv.T
+            iu, ju = np.triu_indices(n, k=1)
+            itr = inter[iu, ju]
+            keep = survivors(iu, ju, itr)
+            iu, ju, itr = iu[keep], ju[keep], itr[keep]
         if iu.size == 0:
             return empty
         swap = ids[iu] > ids[ju]

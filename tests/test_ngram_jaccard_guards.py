@@ -8,17 +8,16 @@ the incremental LSH probe (round-4 ADVICE items 1-4).
   join-based blocking this kernel replaced (NULL = NULL is false).
 - A block whose one-hot exceeds max_onehot_cells falls back to the
   chunked matmul with IDENTICAL results.
-- A block with more docs than max_block_docs fails loudly with a tuning
-  hint instead of OOMing the executor.
+- A block with more docs than max_block_docs auto-falls back to the
+  streaming chunk-filtered kernel (no n×n matrix) with IDENTICAL
+  results instead of raising or OOMing the executor.
 - lsh_probe_pairs bounds pathological corpus band buckets with the same
   deterministic cap as the batch path.
 """
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
-from pyspark.sql.utils import PythonException
 
 from legendary_data_pipeline_spark.operators.dedup import (
     banded_keys,
@@ -79,12 +78,17 @@ def test_chunked_fallback_matches_dense_path(spark):
     assert dense == chunked and dense
 
 
-def test_oversized_block_fails_with_tuning_hint(spark):
+def test_oversized_block_streams_with_identical_pairs(spark):
+    """A pathological single-block fixture (every doc over max_block_docs)
+    completes through the streaming chunk-filtered kernel and returns
+    exactly the dense path's pairs — the manual retune loop is gone."""
     df = _docs(spark, string_ids=False)
-    with pytest.raises(PythonException, match="max_block_docs"):
-        ngram_jaccard_blocked(
-            df, shingle_n=2, min_jaccard=0.05, max_block_docs=1
-        ).collect()
+    dense = _pairs(df)
+    streamed = _pairs(df, max_block_docs=1)
+    assert streamed == dense and dense
+    # Combined stress: over-cap docs AND over-cap one-hot (chunk = 1).
+    both = _pairs(df, max_block_docs=1, max_onehot_cells=1)
+    assert both == dense
 
 
 def test_probe_pairs_cap_bounds_pathological_corpus_bucket(spark):
