@@ -1062,3 +1062,168 @@ def leakage_safe_split(
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C4 heuristic cleaning rules (Raffel et al. 2020 §2.2)
+# ---------------------------------------------------------------------------
+
+#: A retained C4 line must end in a terminal punctuation mark — period,
+#: exclamation mark, question mark, or an end quotation mark.
+C4_TERMINAL_PUNCT_RE = "[.!?\"”]$"
+
+
+def c4_gates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_words: int = 5,
+    min_sentences: int = 3,
+    bad_words: tuple[str, ...] = (),
+) -> DataFrame:
+    """The C4 cleaning recipe's line and page rules (Raffel et al. 2020
+    §2.2 — the other canonical public filter set next to the Gopher
+    gates) in one codegen projection:
+
+    - LINE rules (applied per ``\\n`` line, rebuilding ``clean_text``
+      from survivors): keep only lines that end in terminal punctuation
+      (``.``, ``!``, ``?``, end quote), contain at least
+      `min_line_words` words, and do not mention "javascript"
+      (case-insensitive — the paper removes lines with the word
+      Javascript, a boilerplate-warning tell).
+    - PAGE rules (on the ORIGINAL page, per the paper): drop pages
+      containing a curly brace ``{`` (code), the phrase "lorem ipsum"
+      (placeholder boilerplate), any `bad_words` entry as a whole word,
+      or fewer than `min_sentences` sentences AFTER line filtering.
+
+    Returns every signal (`n_lines`, `n_kept_lines`, `n_sentences`,
+    `clean_text`, `clean_len`) plus per-rule booleans and the combined
+    `c4_keep` — signals stay tunable downstream without recomputation,
+    the same contract as `gopher_gates`. Zero shuffles: one projection
+    of higher-order functions over the line array, whole-stage codegen,
+    exactly replayable in DuckDB (the oracle replaces the lookbehind
+    sentence split with an equivalent replace-then-split, RE2 having no
+    lookbehind).
+
+    The 3-sentence-span dedup that completes the C4 recipe is
+    `c4_span_stats` (it needs a corpus-wide shuffle; this operator is
+    deliberately per-row).
+    """
+    from legendary_data_pipeline_spark.operators.textstats import (
+        split_sentences_expr,
+    )
+
+    lines = F.split(F.col(text_col), "\n", -1)
+
+    def line_ok(line: Column) -> Column:
+        t = F.trim(line)
+        return (
+            t.rlike(C4_TERMINAL_PUNCT_RE)
+            & (F.size(F.split(t, r"\s+", -1)) >= min_line_words)
+            & ~F.lower(t).contains("javascript")
+        )
+
+    base = df.withColumn("__lines", lines).withColumn(
+        "__kept", F.filter(F.col("__lines"), line_ok)
+    )
+    clean_text = F.array_join(F.col("__kept"), "\n")
+    base = base.withColumn("clean_text", clean_text).withColumn(
+        "__sents", split_sentences_expr(F.col("clean_text"))
+    )
+    out = base.select(
+        F.col(id_col),
+        F.size("__lines").cast("long").alias("n_lines"),
+        F.size("__kept").cast("long").alias("n_kept_lines"),
+        F.size("__sents").cast("long").alias("n_sentences"),
+        F.col("clean_text"),
+        F.length("clean_text").cast("long").alias("clean_len"),
+        F.col(text_col).alias("__text"),
+    )
+    rules: dict[str, Column] = {
+        "pass_min_sentences": F.col("n_sentences") >= min_sentences,
+        "pass_no_curly": ~F.col("__text").contains("{"),
+        "pass_no_lorem": ~F.lower(F.col("__text")).contains("lorem ipsum"),
+    }
+    if bad_words:
+        import re as _re
+
+        pat = r"\b(" + "|".join(_re.escape(w.lower()) for w in bad_words) + r")\b"
+        rules["pass_no_bad_words"] = ~F.lower(F.col("__text")).rlike(pat)
+    keep = F.lit(True)
+    for name, cond in rules.items():
+        cond = F.coalesce(cond, F.lit(False))
+        out = out.withColumn(name, cond)
+        keep = keep & cond
+    return out.withColumn("c4_keep", keep).drop("__text")
+
+
+def c4_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span: int = 3,
+) -> DataFrame:
+    """Corpus-wide duplicated three-sentence-span accounting — the
+    dedup half of the C4 recipe ("we discarded all but one of any
+    three-sentence span occurring more than once in the data set",
+    Raffel et al. 2020 §2.2).
+
+    Each doc's sentences are sliced into every consecutive `span`-gram;
+    the FIRST occurrence of a span (ordered by (id, span position) — a
+    total order, so both engines pick the same canonical) is canonical
+    and every later occurrence is a duplicate. Returns one row per doc:
+    `n_spans`, `n_dup_spans` (occurrences that lost canonicity) and
+    `dup_span_frac` — the doc-level removal pressure; docs with fewer
+    than `span` sentences report zero spans.
+
+    Scale shape: explode (×~sentences per doc) → ONE hash-partitioned
+    window (row_number per span md5 — no skew beyond genuinely
+    duplicated boilerplate, which is exactly what the operator exists
+    to find) → per-doc re-aggregation → broadcast-eligible join back to
+    the id spine. No collects, no cartesian; the span hash is the only
+    wide key. At 100 TB, persist (span_hash → canonical) as an index
+    table and the pass becomes incremental, the same pattern as
+    `lsh_probe_pairs`.
+    """
+    from legendary_data_pipeline_spark.operators.textstats import (
+        split_sentences_expr,
+    )
+
+    sents = split_sentences_expr(F.col(text_col))
+    n = F.size(sents)
+    spans_arr = F.when(
+        n >= span,
+        F.transform(
+            F.sequence(F.lit(1), n - span + 1),
+            lambda i: F.concat_ws(" ", F.slice(sents, i, span)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    spans = (
+        df.select(F.col(id_col), spans_arr.alias("__spans"))
+        .select(
+            F.col(id_col),
+            F.posexplode(F.col("__spans")).alias("__i", "__span"),
+        )
+        .select(
+            F.col(id_col),
+            (F.col("__i") + 1).cast("long").alias("span_idx"),
+            F.md5(F.col("__span")).alias("__h"),
+        )
+    )
+    w = Window.partitionBy("__h").orderBy(F.col(id_col), F.col("span_idx"))
+    ranked = spans.withColumn("__rn", F.row_number().over(w))
+    agg = ranked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum((F.col("__rn") > 1).cast("long")).alias("n_dup_spans"),
+    )
+    ids = df.select(F.col(id_col))
+    return ids.join(agg, [id_col], "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_spans"), F.lit(0)).alias("n_spans"),
+        F.coalesce(F.col("n_dup_spans"), F.lit(0)).alias("n_dup_spans"),
+        F.round(
+            F.col("n_dup_spans").cast("double")
+            / F.nullif(F.col("n_spans").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("dup_span_frac"),
+    )

@@ -1825,3 +1825,154 @@ def curation_bloom_cross_corpus(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("maybe_seen").cast("long")).alias("n_flagged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C4 heuristic cleaning rules (Raffel et al. 2020 §2.2)
+# ---------------------------------------------------------------------------
+# The synthetic documents carry no punctuation or newlines, so both
+# engines first ENRICH the text identically and deterministically:
+# terminate every 6th word with '.\n' (making lines + sentences), and
+# give a deterministic doc subset a lorem-ipsum tail, a javascript
+# line, and a curly-brace line so every page/line rule fires on real
+# rows. The enrichment is part of the query (mirrored in the oracle),
+# not of the operator.
+
+_C4_BADWORDS = ("porn", "sexcam")
+
+
+def _c4_enriched(docs: DataFrame) -> DataFrame:
+    enriched = F.concat(
+        F.regexp_replace(F.col("text"), r"((?:\w+ ){5}\w+) ", "$1.\n"),
+        F.when(
+            F.col("doc_id") % 37 == 0,
+            F.lit("\nlorem ipsum dolor sit amet."),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 41 == 0,
+            F.lit("\nthis line mentions javascript and ends properly."),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 43 == 0,
+            F.lit("\na curly brace { appears in here."),
+        ).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", enriched.alias("text"))
+
+
+_C4_ENRICH_SQL = r"""
+  SELECT doc_id,
+         regexp_replace(text, '((?:\w+ ){5}\w+) ', '\1.' || chr(10), 'g')
+         || CASE WHEN doc_id % 37 = 0
+                 THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END
+         || CASE WHEN doc_id % 41 = 0
+                 THEN chr(10) || 'this line mentions javascript and ends properly.'
+                 ELSE '' END
+         || CASE WHEN doc_id % 43 = 0
+                 THEN chr(10) || 'a curly brace { appears in here.' ELSE '' END
+           AS text
+  FROM documents
+"""
+
+#: RE2 has no lookbehind, so the oracle's sentence split is the
+#: equivalent replace-then-split of the engine's
+#: `(?<=[.!?])[ \t\r\n\f]+` boundary (empty pieces filtered, matching
+#: split_sentences_expr exactly).
+_C4_SENTS_SQL = (
+    r"list_filter(string_split(regexp_replace({src}, "
+    r"'([.!?])[ \t\r\n\f]+', '\1' || chr(1), 'g'), chr(1)), "
+    r"__s -> __s <> '')"
+)
+
+
+@register_shadow(
+    "curation_c4_gates",
+    f"""
+    WITH enriched AS ({_C4_ENRICH_SQL}),
+    kept AS (
+      SELECT doc_id, text,
+             string_split(text, chr(10)) AS __lines,
+             list_filter(string_split(text, chr(10)), __l ->
+                 regexp_matches(trim(__l), '[.!?"”]$')
+                 AND len(regexp_split_to_array(trim(__l), '\\s+')) >= 5
+                 AND NOT contains(lower(trim(__l)), 'javascript')) AS __kept
+      FROM enriched),
+    sig AS (
+      SELECT doc_id,
+             CAST(len(__lines) AS BIGINT) AS n_lines,
+             CAST(len(__kept) AS BIGINT) AS n_kept_lines,
+             CAST(len({_C4_SENTS_SQL.format(src="array_to_string(__kept, chr(10))")})
+                  AS BIGINT) AS n_sentences,
+             array_to_string(__kept, chr(10)) AS clean_text,
+             CAST(length(array_to_string(__kept, chr(10))) AS BIGINT)
+               AS clean_len,
+             text AS __text
+      FROM kept),
+    gated AS (
+      SELECT *,
+             COALESCE(n_sentences >= 3, FALSE) AS pass_min_sentences,
+             COALESCE(NOT contains(__text, '{{'), FALSE) AS pass_no_curly,
+             COALESCE(NOT contains(lower(__text), 'lorem ipsum'), FALSE)
+               AS pass_no_lorem,
+             COALESCE(NOT regexp_matches(lower(__text),
+                 '\\b({"|".join(_C4_BADWORDS)})\\b'), FALSE)
+               AS pass_no_bad_words
+      FROM sig)
+    SELECT doc_id, n_lines, n_kept_lines, n_sentences, clean_text,
+           clean_len, pass_min_sentences, pass_no_curly, pass_no_lorem,
+           pass_no_bad_words,
+           pass_min_sentences AND pass_no_curly AND pass_no_lorem
+             AND pass_no_bad_words AS c4_keep
+    FROM gated
+    """,
+    doc="The C4 cleaning recipe's line + page rules (Raffel et al. "
+    "2020 §2.2): terminal-punctuation / ≥5-word / no-javascript line "
+    "retention rebuilding clean_text, and page drops for curly braces, "
+    "'lorem ipsum', bad words, and <3 surviving sentences. Every "
+    "signal and per-rule verdict returned (the gopher_gates contract); "
+    "zero shuffles — one codegen projection of higher-order functions.",
+)
+def curation_c4_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return C.c4_gates(_c4_enriched(docs), bad_words=_C4_BADWORDS)
+
+
+@register_shadow(
+    "curation_c4_span_dedup",
+    f"""
+    WITH enriched AS ({_C4_ENRICH_SQL}),
+    sents AS (
+      SELECT doc_id, {_C4_SENTS_SQL.format(src="text")} AS __ss
+      FROM enriched),
+    spans AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS span_idx,
+             md5(array_to_string(__ss[u.i:u.i+2], ' ')) AS __h
+      FROM sents, UNNEST(range(1, greatest(len(__ss) - 2, 0) + 1)) AS u(i)),
+    ranked AS (
+      SELECT doc_id, __h,
+             row_number() OVER (PARTITION BY __h ORDER BY doc_id, span_idx)
+               AS __rn
+      FROM spans),
+    agg AS (
+      SELECT doc_id, count(*) AS n_spans,
+             sum(CASE WHEN __rn > 1 THEN 1 ELSE 0 END) AS n_dup_spans
+      FROM ranked GROUP BY doc_id)
+    SELECT e.doc_id,
+           CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(a.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           round(CAST(a.n_dup_spans AS DOUBLE)
+                 / nullif(CAST(a.n_spans AS DOUBLE), 0.0), 6)
+             AS dup_span_frac
+    FROM enriched e LEFT JOIN agg a USING (doc_id)
+    """,
+    doc="C4's corpus-wide three-sentence-span dedup accounting: every "
+    "consecutive 3-sentence span is hashed, the first (doc_id, "
+    "span_idx) occurrence is canonical, later occurrences count as "
+    "duplicates — per-doc removal pressure. One explode, one "
+    "hash-partitioned window, one per-doc re-agg; at 100 TB the span "
+    "index persists and the pass becomes incremental (lsh_probe "
+    "pattern).",
+)
+def curation_c4_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return C.c4_span_stats(_c4_enriched(docs))
