@@ -1976,3 +1976,131 @@ def curation_c4_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def curation_c4_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return C.c4_span_stats(_c4_enriched(docs))
+
+
+# ---------------------------------------------------------------------------
+# HTML → text extraction (operators/html.py)
+# ---------------------------------------------------------------------------
+# The fixture has no markup, so the query synthesizes a deterministic
+# page per doc (mirrored in the oracle): head with title/style/script,
+# a link-dense nav, a headline (entity-bearing for doc_id%5=0), the doc
+# text chunked into <p> blocks every 20 words, and a link-farm footer.
+
+#: DuckDB mirror of operators/html._strip_inline — strip tags, decode
+#: entities (&amp; last), collapse whitespace. COALESCE guards DuckDB's
+#: NULL from array_to_string on empty regexp_extract_all results.
+_HTML_STRIP_SQL = (
+    "trim(regexp_replace("
+    "replace(replace(replace(replace(replace(replace("
+    "regexp_replace({src}, '<[^>]*>', ' ', 'g'),"
+    "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'),"
+    "'&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),"
+    r"'\s+', ' ', 'g'))"
+)
+
+#: Anchor-text source for the ltxt struct field (precomputed — f-string
+#: expressions cannot contain backslashes on py3.11).
+_HTML_ANCHOR_SRC = (
+    "COALESCE(array_to_string(regexp_extract_all(__b, "
+    r"'(?is)<a\b[^>]*>(.*?)</a>', 1), ' '), '')"
+)
+_HTML_TXT_SQL = _HTML_STRIP_SQL.format(src="__b")
+_HTML_LTXT_SQL = _HTML_STRIP_SQL.format(src=_HTML_ANCHOR_SRC)
+
+_HTML_PAGE_SQL = r"""
+  SELECT doc_id,
+    '<html><head><title>Synth Doc</title><style>p { color: red; }</style>'
+    || '<script>var t = 1; if (t<2) { t = 2; }</script></head><body>'
+    || '<nav><a href="/">Home</a> <a href="/a">About</a> <a href="/b">Contact</a></nav>'
+    || '<h1>' || CASE WHEN doc_id % 5 = 0
+                      THEN 'Entities &amp; more &lt;escaped&gt; words'
+                      ELSE 'A plain headline of words' END || '</h1>'
+    || '<p>' || regexp_replace(text, '((?:\w+ ){19}\w+) ', '\1.</p><p>', 'g')
+    || '.</p>'
+    || '<div class="footer"><a href="/p">Privacy Policy</a> | '
+    || '<a href="/t">Terms of Use</a></div></body></html>' AS raw_html
+  FROM documents
+"""
+
+
+def _html_pages(docs: DataFrame) -> DataFrame:
+    page = F.concat(
+        F.lit(
+            '<html><head><title>Synth Doc</title><style>p { color: red; }'
+            "</style><script>var t = 1; if (t<2) { t = 2; }</script></head>"
+            '<body><nav><a href="/">Home</a> <a href="/a">About</a> '
+            '<a href="/b">Contact</a></nav><h1>'
+        ),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit("Entities &amp; more &lt;escaped&gt; words"),
+        ).otherwise(F.lit("A plain headline of words")),
+        F.lit("</h1><p>"),
+        F.regexp_replace(F.col("text"), r"((?:\w+ ){19}\w+) ", "$1.</p><p>"),
+        F.lit(
+            '.</p><div class="footer"><a href="/p">Privacy Policy</a> | '
+            '<a href="/t">Terms of Use</a></div></body></html>'
+        ),
+    )
+    return docs.select("doc_id", page.alias("raw_html"))
+
+
+@register_shadow(
+    "curation_html_extract",
+    f"""
+    WITH pages AS ({_HTML_PAGE_SQL}),
+    noscript AS (
+      SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(raw_html,
+          '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+          '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+          '(?is)<title\\b[^>]*>.*?</title>', ' ', 'g'),
+          '(?s)<!--.*?-->', ' ', 'g') AS h
+      FROM pages),
+    blocks AS (
+      SELECT doc_id,
+        list_filter(
+          list_transform(
+            string_split(regexp_replace(h,
+              '(?i)</?(p|div|h[1-6]|li|ul|ol|tr|table|br|nav|footer|header|section|article|blockquote|td|th)\\b[^>]*>',
+              chr(2), 'g'), chr(2)),
+            __b -> struct_pack(
+              txt := {_HTML_TXT_SQL},
+              ltxt := {_HTML_LTXT_SQL}
+            )),
+          __s -> length(__s.txt) > 0) AS bs
+      FROM noscript),
+    scored AS (
+      SELECT doc_id, bs,
+        list_filter(bs, __s ->
+          len(string_split(__s.txt, ' ')) >= 3
+          AND (CASE WHEN length(__s.txt) = 0 THEN 1.0
+                    ELSE CAST(length(__s.ltxt) AS DOUBLE) / length(__s.txt)
+               END) <= 0.5) AS ks
+      FROM blocks)
+    SELECT doc_id,
+      CAST(len(bs) AS BIGINT) AS n_blocks,
+      CAST(len(ks) AS BIGINT) AS n_kept_blocks,
+      array_to_string(list_transform(ks, __s -> __s.txt), chr(10)) AS text,
+      CAST(length(array_to_string(list_transform(ks, __s -> __s.txt), chr(10)))
+           AS BIGINT) AS text_len,
+      round(CAST(list_sum(list_transform(bs, __s -> length(__s.txt)))
+                 - COALESCE(list_sum(list_transform(ks, __s -> length(__s.txt))), 0)
+                 AS DOUBLE)
+            / nullif(CAST(list_sum(list_transform(bs, __s -> length(__s.txt)))
+                          AS DOUBLE), 0.0), 6) AS boilerplate_frac
+    FROM scored
+    """,
+    doc="HTML→text extraction with jusText-shaped block boilerplate "
+    "removal: script/style/title/comment subtrees dropped, block-tag "
+    "boundaries split, per-block link density (anchor chars / text "
+    "chars) and word count gate retention — nav and link-farm footers "
+    "drop, content paragraphs survive, entities decode. Pure JVM "
+    "regex/HOF projection, zero shuffles, RE2-compatible so DuckDB "
+    "replays the exact chain.",
+)
+def curation_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.html import html_extract
+
+    docs = load_table(spark, sf_dir, "documents")
+    return html_extract(_html_pages(docs))
