@@ -908,3 +908,68 @@ def hard_negatives(
     ).select(
         "anchor_id", "negative_id", "negative_label", "rank", "cos_sim"
     )
+
+
+def hard_negatives_ivf(
+    embeddings: DataFrame,
+    k: int = 3,
+    n_centroids: int = 32,
+    n_probe: int = 4,
+    overfetch: int = 4,
+    query_filter: Column | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """The 100 TB form of `hard_negatives`: mine cross-label near-misses
+    from an IVF shortlist instead of the all-cross-label join.
+
+    `ivf_topk` over-fetches `k · overfetch` label-blind neighbors per
+    anchor (same-label hits — by construction the NEAREST vectors for a
+    clustered corpus — will occupy shortlist slots, so the over-fetch
+    factor is what buys cross-label recall), labels join in by id, the
+    same-label rows drop, and the survivors re-rank to the final k with
+    the exact operator's (cos desc, id asc) total order. Same output
+    schema as `hard_negatives`; recall vs the exact form is measured in
+    tests/test_similarity_recall.py.
+
+    Scale shape: everything data-sized is inherited from `ivf_topk`
+    (bounded codebook sample, per-list blocked matmuls); this adds only
+    two id-keyed joins against the (vec_id, label) projection and a
+    per-anchor window over ≤ k·overfetch·n_probe rows.
+    """
+    short = ivf_topk(
+        embeddings,
+        n_centroids=n_centroids,
+        n_probe=n_probe,
+        k=k * overfetch,
+        query_filter=query_filter,
+        seed=seed,
+    )
+    labels = embeddings.select("vec_id", "label")
+    anchors = labels.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("a_label")
+    )
+    negs = labels.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("negative_label"),
+    )
+    joined = (
+        short.join(anchors, "query_id")
+        .join(negs, "neighbor_id")
+        .filter(F.col("a_label") != F.col("negative_label"))
+    )
+    return (
+        top_k_per_group(
+            joined,
+            ["query_id"],
+            [F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
+            k=k,
+            rank_col="rank",
+        )
+        .select(
+            F.col("query_id").alias("anchor_id"),
+            F.col("neighbor_id").alias("negative_id"),
+            "negative_label",
+            "rank",
+            "cos_sim",
+        )
+    )

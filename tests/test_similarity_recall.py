@@ -247,3 +247,30 @@ def test_lsh_multiprobe_recall_dominates_single_probe(spark, sf_dir):
     assert r_multi >= r_single
     assert r_multi >= 1.3 * r_single, (r_single, r_multi)
     assert r_multi > 0.08, (r_single, r_multi)
+
+
+def test_hard_negatives_ivf_recall_vs_exact(spark, sf_dir):
+    """The ANN-shortlist hard-negative miner must recover >= 0.8 of the
+    exact all-cross-label form's pairs at fixture scale (the judge-set
+    floor), and respect the same schema/rank contract."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r["anchor_id"], r["negative_id"])
+        for r in S.hard_negatives(
+            emb, k=K, query_filter=_query_filter()
+        ).collect()
+    }
+    approx_df = S.hard_negatives_ivf(
+        emb, k=K, n_centroids=16, n_probe=10, overfetch=4,
+        query_filter=_query_filter(),
+    )
+    rows = approx_df.collect()
+    approx = {(r["anchor_id"], r["negative_id"]) for r in rows}
+    assert exact, "exact baseline returned no pairs"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"hard-negative IVF recall@{K} {recall:.3f} < 0.8"
+    # Contract: no same-label negatives, ranks are 1..k per anchor.
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    for r in rows:
+        assert labels[r["anchor_id"]] != r["negative_label"]
+        assert labels[r["negative_id"]] == r["negative_label"]
