@@ -356,6 +356,34 @@ def cmd_curate(spark: SparkSession, args) -> int:
             .drop("rate", "keep")
         )
     unique = unique.drop("__n_tokens")
+    if args.benchmark is not None:
+        from legendary_data_pipeline_spark.operators.curation import (
+            contamination_scores,
+        )
+
+        # Eval-set decontamination as part of the SAME run: graded
+        # per-doc shingle-overlap report persisted for audit, and
+        # contaminated docs dropped BEFORE the split so the val side
+        # can't inherit benchmark text. The benchmark is eval-suite-
+        # sized → the probe broadcasts; the corpus never shuffles on
+        # anything but doc_id (contamination_scores contract).
+        bench = spark.read.parquet(args.benchmark)
+        report = contamination_scores(
+            unique.select("doc_id", F.col("clean_text").alias("text")),
+            bench.select("doc_id", "text"),
+            flag_threshold=args.contam_threshold,
+        )
+        report.withColumn("run_id", F.lit(run_id)).write.mode(
+            "overwrite"
+        ).parquet(_table(args.warehouse, "decontam_report"))
+        flagged = spark.read.parquet(
+            _table(args.warehouse, "decontam_report")
+        )
+        unique = unique.join(
+            flagged.filter("contaminated").select("doc_id"),
+            "doc_id",
+            "left_anti",
+        )
     if args.split_val_pct is not None:
         from legendary_data_pipeline_spark.operators.curation import (
             leakage_safe_split,
@@ -376,6 +404,23 @@ def cmd_curate(spark: SparkSession, args) -> int:
     n_out = spark.read.parquet(
         _table(args.warehouse, "curated_documents")
     ).count()
+    if args.split_val_pct is not None:
+        # Train/val MANIFESTS with run lineage: id + content hash +
+        # leakage group + split + run_id, one table per side — the
+        # handoff artifact a training job consumes without re-deriving
+        # the split. Written from the PUBLISHED curated table so the
+        # manifests can never disagree with it.
+        cur = spark.read.parquet(_table(args.warehouse, "curated_documents"))
+        for side in ("train", "val"):
+            cur.filter(F.col("split") == side).select(
+                "doc_id",
+                "text_sha",
+                "group_key",
+                "split",
+                F.lit(run_id).alias("run_id"),
+            ).write.mode("overwrite").parquet(
+                _table(args.warehouse, f"{side}_manifest")
+            )
     finish_run(spark, log, run_id, "curate", n_out)
     if pinned is not None:
         # Release exactly the frame quarantine() pinned — never the
@@ -616,7 +661,24 @@ def build_parser() -> argparse.ArgumentParser:
         metavar="PCT",
         help="add a leakage-safe train/val split column: near-dup "
         "clusters (connected components over verified MinHash pairs) "
-        "route wholly to one side; PCT = val percentage",
+        "route wholly to one side; PCT = val percentage. Also writes "
+        "train_manifest/val_manifest tables (doc_id, text_sha, "
+        "group_key, split, run_id) from the published curated table",
+    )
+    p.add_argument(
+        "--benchmark",
+        default=None,
+        metavar="PATH",
+        help="eval-benchmark parquet (doc_id, text): writes a graded "
+        "decontam_report table and drops contaminated docs before the "
+        "split",
+    )
+    p.add_argument(
+        "--contam-threshold",
+        type=float,
+        default=0.1,
+        help="contamination_frac at or above which a doc is dropped "
+        "(default 0.1)",
     )
     p.set_defaults(fn=cmd_curate)
 

@@ -315,3 +315,65 @@ def test_cli_curate_nb_filter_and_split(spark, sf_dir, tmp_path):
     assert set(
         r["split"] for r in curated.select("split").distinct().collect()
     ) <= {"train", "val"}
+
+
+def test_cli_curate_decontam_split_manifests(spark, sf_dir, tmp_path):
+    """One `curate` run produces the full training handoff: a graded
+    decontam report, contaminated docs dropped BEFORE the leakage-safe
+    split, and train/val manifest tables with run lineage (VERDICT r5
+    next-round #6)."""
+    from legendary_data_pipeline_spark.cli import build_parser
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    src = tmp_path / "in_parquet"
+    docs.write.parquet(str(src))
+
+    # Benchmark = two of the corpus docs verbatim → contamination_frac
+    # 1.0 for those ids, ≈0 for unrelated docs.
+    contaminated_ids = [r["doc_id"] for r in docs.limit(2).collect()]
+    bench = tmp_path / "bench_parquet"
+    docs.limit(2).select("doc_id", "text").write.parquet(str(bench))
+
+    wh = str(tmp_path / "wh")
+    args = build_parser().parse_args(
+        [
+            "curate", "--warehouse", wh, "--input", str(src),
+            "--benchmark", str(bench), "--contam-threshold", "0.5",
+            "--split-val-pct", "30",
+        ]
+    )
+    assert args.fn(spark, args) == 0
+
+    report = spark.read.parquet(f"{wh}/decontam_report")
+    by_id = {r["doc_id"]: r for r in report.collect()}
+    for cid in contaminated_ids:
+        assert by_id[cid]["contaminated"]
+        assert by_id[cid]["contamination_frac"] == 1.0
+    run_ids = {r["run_id"] for r in report.select("run_id").collect()}
+    assert len(run_ids) == 1
+
+    curated = spark.read.parquet(f"{wh}/curated_documents")
+    curated_ids = {r["doc_id"] for r in curated.select("doc_id").collect()}
+    assert not curated_ids & set(contaminated_ids)
+
+    train = spark.read.parquet(f"{wh}/train_manifest")
+    val = spark.read.parquet(f"{wh}/val_manifest")
+    for m in (train, val):
+        assert m.columns == [
+            "doc_id", "text_sha", "group_key", "split", "run_id"
+        ]
+        assert {r["run_id"] for r in m.select("run_id").collect()} == run_ids
+    t_ids = {r["doc_id"] for r in train.select("doc_id").collect()}
+    v_ids = {r["doc_id"] for r in val.select("doc_id").collect()}
+    assert t_ids and v_ids
+    assert not t_ids & v_ids
+    assert t_ids | v_ids == curated_ids
+    # Leakage safety: every group lives wholly on one side.
+    both = train.select("group_key", "split").union(
+        val.select("group_key", "split")
+    )
+    sides = both.distinct().groupBy("group_key").count().collect()
+    assert all(r["count"] == 1 for r in sides)
+    # The run log records exactly one finished curate run.
+    runs = spark.read.parquet(f"{wh}/pipeline_runs")
+    assert runs.filter("job = 'curate' AND status = 'finished'").count() == 1
