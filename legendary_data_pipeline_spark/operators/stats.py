@@ -777,3 +777,219 @@ def sketch_quantile(
         F.col("total").alias("n"),
         F.round(est, 6).alias("estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# exact-moment association statistics
+# ---------------------------------------------------------------------------
+
+def correlation_matrix(
+    df: DataFrame,
+    cols: Sequence[str],
+    scale: int = 4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Pairwise Pearson correlation over `cols` from ONE aggregation
+    pass of exact decimal moments.
+
+    Every value is fixed to `scale` decimal places (decimal cast —
+    exact), and all sums (Σx, Σx², Σxy per pair) accumulate as
+    decimals: order-independent, so the moments are bit-identical on
+    any engine and any partitioning — unlike a float `corr()`, whose
+    accumulation order varies. The correlation itself is one fixed
+    double expression over the (already exact) moments, so the result
+    is cross-engine deterministic (the engine's linear_trend
+    convention).
+
+    Rows with a NULL in ANY profiled column are dropped (listwise
+    complete — the n must be shared for the single-pass moments to
+    describe the same sample for every pair).
+
+    Output: (col_a, col_b, n, corr) for each unordered pair, col_a <
+    col_b in `cols` order. Zero-variance columns yield NULL corr.
+
+    Scale: one partial-aggregable global Aggregate (p + p(p+1)/2
+    decimal sums for p columns — all map-side combinable); the reshape
+    to pair rows happens on the 1-row result. One scan, no shuffle
+    wider than the moment vector.
+    """
+    if len(cols) < 2:
+        raise ValueError("correlation_matrix needs at least two columns")
+    d = df.select(
+        *[F.col(c).cast(f"decimal(18,{scale})").alias(c) for c in cols]
+    )
+    notnull = F.lit(True)
+    for c in cols:
+        notnull = notnull & F.col(c).isNotNull()
+    d = d.filter(notnull)
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c)).cast(f"decimal(38,{scale})").alias(f"__s_{c}"))
+        aggs.append(
+            F.sum(
+                (F.col(c) * F.col(c)).cast(f"decimal(38,{2 * scale})")
+            ).cast(f"decimal(38,{2 * scale})").alias(f"__ss_{c}")
+        )
+    pairs = [
+        (a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]
+    ]
+    for a, b in pairs:
+        aggs.append(
+            F.sum(
+                (F.col(a) * F.col(b)).cast(f"decimal(38,{2 * scale})")
+            ).cast(f"decimal(38,{2 * scale})").alias(f"__sp_{a}_{b}")
+        )
+    m = d.agg(*aggs)
+
+    def corr_expr(a: str, b: str) -> Column:
+        n = F.col("__n").cast("double")
+        sa, sb = F.col(f"__s_{a}").cast("double"), F.col(f"__s_{b}").cast("double")
+        ssa, ssb = F.col(f"__ss_{a}").cast("double"), F.col(f"__ss_{b}").cast("double")
+        sp = F.col(f"__sp_{a}_{b}").cast("double")
+        num = n * sp - sa * sb
+        var_a = n * ssa - sa * sa
+        var_b = n * ssb - sb * sb
+        denom = F.sqrt(var_a) * F.sqrt(var_b)
+        return F.round(num / F.nullif(denom, F.lit(0.0)), round_digits)
+
+    out = None
+    for a, b in pairs:
+        row = m.select(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.col("__n").alias("n"),
+            corr_expr(a, b).alias("corr"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def contingency_counts(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Exact contingency table for two categorical columns with
+    marginals attached: (a, b, obs, row_tot, col_tot, n). NULL is a
+    category (GROUP BY semantics). One groupBy on (a, b); the marginal
+    joins are category-cardinality-sized → broadcast."""
+    cells = df.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    rows = cells.groupBy("a").agg(F.sum("obs").alias("row_tot"))
+    colns = cells.groupBy("b").agg(F.sum("obs").alias("col_tot"))
+    tot = cells.agg(F.sum("obs").alias("n"))
+    return (
+        cells.join(F.broadcast(rows), cells["a"].eqNullSafe(rows["a"]))
+        .drop(rows["a"])
+        .join(F.broadcast(colns), cells["b"].eqNullSafe(colns["b"]))
+        .drop(colns["b"])
+        .crossJoin(F.broadcast(tot))
+    )
+
+
+def chi_square_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Pearson chi-square test of independence for two categorical
+    columns, plus Cramér's V effect size — the DQ primitive behind "is
+    this dimension independent of that one" (segment vs outcome,
+    source vs verdict).
+
+    Everything flows from EXACT contingency counts: expected cell
+    counts `row_tot·col_tot/n` and the χ² sum are fixed double
+    expressions over exact integers, and Cramér's V adds one
+    IEEE-exact sqrt — deterministic cross-engine, no float
+    accumulation anywhere (the per-cell terms that ARE summed in
+    double are category-cardinality-many, magnitudes ~1, and the
+    result rounds to `round_digits`).
+
+    Output (1 row): n, n_rows (distinct a), n_cols (distinct b), dof,
+    chi2, cramers_v. Degenerate tables (single row or column) get
+    dof=0 and NULL chi2/V.
+
+    Scale: one (a,b) groupBy — category-sized result; marginals
+    broadcast (contingency_counts). The corpus shuffles once on the
+    pair key.
+    """
+    ct = contingency_counts(df, col_a, col_b)
+    expected = (
+        F.col("row_tot").cast("double")
+        * F.col("col_tot").cast("double")
+        / F.col("n").cast("double")
+    )
+    dev = F.col("obs").cast("double") - expected
+    # explicit multiply, not pow(): pow is a libm call with no
+    # exactness mandate; x*x is an IEEE-exact op both engines share.
+    term = dev * dev / expected
+    agg = ct.agg(
+        F.max("n").alias("n"),
+        F.count_distinct(F.col("a")).cast("long").alias("n_rows"),
+        F.count_distinct(F.col("b")).cast("long").alias("n_cols"),
+        F.sum(term).alias("__chi2"),
+    )
+    dof = (F.col("n_rows") - 1) * (F.col("n_cols") - 1)
+    min_dim = F.least(F.col("n_rows"), F.col("n_cols")) - 1
+    v = F.sqrt(
+        F.col("__chi2") / (F.col("n").cast("double") * min_dim.cast("double"))
+    )
+    return agg.select(
+        "n",
+        "n_rows",
+        "n_cols",
+        dof.cast("long").alias("dof"),
+        F.when(dof > 0, F.round(F.col("__chi2"), round_digits)).alias("chi2"),
+        F.when(dof > 0, F.round(v, round_digits)).alias("cramers_v"),
+    )
+
+
+def mutual_information(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Entropy / mutual-information summary for two categorical
+    columns (nats): H(a), H(b), I(a;b), and the normalized
+    I/sqrt(H(a)·H(b)) — the scale-free "how much does one column tell
+    you about the other" measure that chi-square's sample-size
+    dependence hides.
+
+    Built on the same exact contingency pass as
+    `chi_square_independence`; each cell contributes
+    (obs/n)·ln(obs·n / (row_tot·col_tot)) from exact integers. ln is
+    the one libm call (not IEEE-exactness-mandated), so results carry
+    `round_digits` rounding — at magnitude ~1 a last-ulp difference
+    cannot move the 6th decimal.
+
+    Output (1 row): n, h_a, h_b, mi, nmi (NULL when either marginal
+    entropy is 0).
+    """
+    ct = contingency_counts(df, col_a, col_b)
+    n = F.col("n").cast("double")
+    obs = F.col("obs").cast("double")
+    mi_term = (obs / n) * F.log(
+        obs * n / (F.col("row_tot").cast("double") * F.col("col_tot").cast("double"))
+    )
+    # Marginal entropies from DISTINCT marginals (each a/b appears once
+    # per counterpart value — weight by obs/row_tot to fold correctly
+    # in one pass: Σ_cells (obs/n)·ln(n/row_tot) = H(a)).
+    h_a_term = (obs / n) * F.log(n / F.col("row_tot").cast("double"))
+    h_b_term = (obs / n) * F.log(n / F.col("col_tot").cast("double"))
+    agg = ct.agg(
+        F.max("n").alias("n"),
+        F.sum(h_a_term).alias("__ha"),
+        F.sum(h_b_term).alias("__hb"),
+        F.sum(mi_term).alias("__mi"),
+    )
+    denom = F.sqrt(F.col("__ha") * F.col("__hb"))
+    return agg.select(
+        "n",
+        F.round(F.col("__ha"), round_digits).alias("h_a"),
+        F.round(F.col("__hb"), round_digits).alias("h_b"),
+        F.round(F.col("__mi"), round_digits).alias("mi"),
+        F.round(
+            F.col("__mi") / F.nullif(denom, F.lit(0.0)), round_digits
+        ).alias("nmi"),
+    )

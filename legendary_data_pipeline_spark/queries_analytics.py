@@ -2132,3 +2132,168 @@ def sk_theta_core_audience(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.theta_intersection_agg("sk")
         ).alias("core_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# exact-moment association statistics (operators/stats.py)
+# ---------------------------------------------------------------------------
+
+
+@register_shadow(
+    "st_correlation_matrix",
+    """
+    WITH d AS (
+      SELECT CAST(round(l_quantity * 10000) AS HUGEINT) AS q,
+             CAST(round(l_extendedprice * 10000) AS HUGEINT) AS p,
+             CAST(round(l_discount * 10000) AS HUGEINT) AS di
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        AND l_discount IS NOT NULL),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(q) AS sq, SUM(p) AS sp_, SUM(di) AS sd,
+             SUM(q*q) AS sqq, SUM(p*p) AS spp, SUM(di*di) AS sdd,
+             SUM(q*p) AS sqp, SUM(q*di) AS sqd, SUM(p*di) AS spd
+      FROM d)
+    SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n,
+           round((CAST(n AS DOUBLE)*CAST(sqp AS DOUBLE)
+                  - CAST(sq AS DOUBLE)*CAST(sp_ AS DOUBLE))
+             / nullif(sqrt(CAST(n AS DOUBLE)*CAST(sqq AS DOUBLE)
+                           - CAST(sq AS DOUBLE)*CAST(sq AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE)*CAST(spp AS DOUBLE)
+                           - CAST(sp_ AS DOUBLE)*CAST(sp_ AS DOUBLE)),
+                    0.0), 6) AS corr
+    FROM m
+    UNION ALL
+    SELECT 'l_quantity', 'l_discount', n,
+           round((CAST(n AS DOUBLE)*CAST(sqd AS DOUBLE)
+                  - CAST(sq AS DOUBLE)*CAST(sd AS DOUBLE))
+             / nullif(sqrt(CAST(n AS DOUBLE)*CAST(sqq AS DOUBLE)
+                           - CAST(sq AS DOUBLE)*CAST(sq AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE)*CAST(sdd AS DOUBLE)
+                           - CAST(sd AS DOUBLE)*CAST(sd AS DOUBLE)),
+                    0.0), 6)
+    FROM m
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_discount', n,
+           round((CAST(n AS DOUBLE)*CAST(spd AS DOUBLE)
+                  - CAST(sp_ AS DOUBLE)*CAST(sd AS DOUBLE))
+             / nullif(sqrt(CAST(n AS DOUBLE)*CAST(spp AS DOUBLE)
+                           - CAST(sp_ AS DOUBLE)*CAST(sp_ AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE)*CAST(sdd AS DOUBLE)
+                           - CAST(sd AS DOUBLE)*CAST(sd AS DOUBLE)),
+                    0.0), 6)
+    FROM m
+    """,
+    doc="Pairwise Pearson correlation over three lineitem measures "
+    "from ONE aggregation pass of exact moments — order-independent "
+    "integer/decimal sums make the result engine- and partitioning-"
+    "deterministic, unlike float corr(). Correlation is scale-"
+    "invariant, so the oracle's 10^4-scaled HUGEINT moments and the "
+    "engine's decimal(·,4) moments agree to well inside round(6). One "
+    "scan, map-side combinable, reshape on the 1-row result.",
+)
+def st_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.stats import (
+        correlation_matrix,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount"]
+    )
+
+
+_CONTINGENCY_SQL = """
+    cells AS (
+      SELECT l_returnflag AS a, l_linestatus AS b,
+             CAST(COUNT(*) AS BIGINT) AS obs
+      FROM lineitem GROUP BY l_returnflag, l_linestatus),
+    marg AS (
+      SELECT a, b, obs,
+             SUM(obs) OVER (PARTITION BY a) AS row_tot,
+             SUM(obs) OVER (PARTITION BY b) AS col_tot,
+             SUM(obs) OVER () AS n
+      FROM cells)
+"""
+
+
+@register_shadow(
+    "st_chi_square_independence",
+    f"""
+    WITH {_CONTINGENCY_SQL},
+    terms AS (
+      SELECT n, a, b,
+             (CAST(obs AS DOUBLE)
+              - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                / CAST(n AS DOUBLE))
+             * (CAST(obs AS DOUBLE)
+                - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+             / (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                / CAST(n AS DOUBLE)) AS term
+      FROM marg)
+    SELECT CAST(max(n) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT a) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT b) AS BIGINT) AS n_cols,
+           CAST((COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) AS BIGINT)
+             AS dof,
+           CASE WHEN (COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) > 0
+                THEN round(SUM(term), 6) END AS chi2,
+           CASE WHEN (COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) > 0
+                THEN round(sqrt(SUM(term)
+                     / (CAST(max(n) AS DOUBLE)
+                        * (least(COUNT(DISTINCT a), COUNT(DISTINCT b)) - 1))),
+                     6) END AS cramers_v
+    FROM terms
+    """,
+    doc="Pearson chi-square independence test + Cramér's V for "
+    "returnflag × linestatus: everything flows from exact contingency "
+    "counts (one pair-key groupBy, broadcast marginals); the statistic "
+    "is a fixed double expression over exact integers — deterministic "
+    "cross-engine (explicit multiply, no pow()).",
+)
+def st_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.stats import (
+        chi_square_independence,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return chi_square_independence(li, "l_returnflag", "l_linestatus")
+
+
+@register_shadow(
+    "st_mutual_information",
+    f"""
+    WITH {_CONTINGENCY_SQL},
+    terms AS (
+      SELECT n,
+             (CAST(obs AS DOUBLE) / CAST(n AS DOUBLE))
+               * ln(CAST(obs AS DOUBLE) * CAST(n AS DOUBLE)
+                    / (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)))
+               AS mi_term,
+             (CAST(obs AS DOUBLE) / CAST(n AS DOUBLE))
+               * ln(CAST(n AS DOUBLE) / CAST(row_tot AS DOUBLE)) AS ha_term,
+             (CAST(obs AS DOUBLE) / CAST(n AS DOUBLE))
+               * ln(CAST(n AS DOUBLE) / CAST(col_tot AS DOUBLE)) AS hb_term
+      FROM marg)
+    SELECT CAST(max(n) AS BIGINT) AS n,
+           round(SUM(ha_term), 6) AS h_a,
+           round(SUM(hb_term), 6) AS h_b,
+           round(SUM(mi_term), 6) AS mi,
+           round(SUM(mi_term)
+                 / nullif(sqrt(SUM(ha_term) * SUM(hb_term)), 0.0), 6) AS nmi
+    FROM terms
+    """,
+    doc="Entropy / mutual information (nats) for returnflag × "
+    "linestatus from the same exact contingency pass: H(a), H(b), "
+    "I(a;b), and NMI = I/sqrt(H·H). ln is the one libm call — "
+    "round(6) absorbs any last-ulp engine difference at magnitude ~1.",
+)
+def st_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.stats import (
+        mutual_information,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return mutual_information(li, "l_returnflag", "l_linestatus")
