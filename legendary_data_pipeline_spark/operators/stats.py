@@ -913,7 +913,37 @@ def chi_square_independence(
     broadcast (contingency_counts). The corpus shuffles once on the
     pair key.
     """
-    ct = contingency_counts(df, col_a, col_b)
+    # Chi-square needs the COMPLETE grid: an (a,b) combination that
+    # never co-occurs still contributes (0 − e)²/e — exactly the signal
+    # of dependence. Complete the observed cells against the marginal
+    # cross product (category-cardinality-sized → broadcast).
+    obs_cells = contingency_counts(df, col_a, col_b).select(
+        "a", "b", "obs"
+    )
+    rows = obs_cells.groupBy("a").agg(F.sum("obs").alias("row_tot"))
+    colns = obs_cells.groupBy("b").agg(F.sum("obs").alias("col_tot"))
+    tot = obs_cells.agg(F.sum("obs").alias("n"))
+    # Distinctly-named grid keys sidestep the self-join lineage
+    # ambiguity (grid and obs_cells share an ancestor).
+    grid = rows.select(F.col("a").alias("__ga"), "row_tot").crossJoin(
+        F.broadcast(colns.select(F.col("b").alias("__gb"), "col_tot"))
+    )
+    ct = (
+        grid.join(
+            F.broadcast(obs_cells),
+            F.col("__ga").eqNullSafe(F.col("a"))
+            & F.col("__gb").eqNullSafe(F.col("b")),
+            "left",
+        )
+        .select(
+            F.col("__ga").alias("a"),
+            F.col("__gb").alias("b"),
+            "row_tot",
+            "col_tot",
+            F.coalesce(F.col("obs"), F.lit(0)).alias("obs"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
     expected = (
         F.col("row_tot").cast("double")
         * F.col("col_tot").cast("double")

@@ -2222,6 +2222,16 @@ _CONTINGENCY_SQL = """
     "st_chi_square_independence",
     f"""
     WITH {_CONTINGENCY_SQL},
+    grid AS (
+      SELECT rt.a, rt.row_tot, ct.b, ct.col_tot
+      FROM (SELECT a, SUM(obs) AS row_tot FROM cells GROUP BY a) rt,
+           (SELECT b, SUM(obs) AS col_tot FROM cells GROUP BY b) ct),
+    fullgrid AS (
+      SELECT g.a, g.b, g.row_tot, g.col_tot,
+             COALESCE(c.obs, 0) AS obs,
+             (SELECT SUM(obs) FROM cells) AS n
+      FROM grid g LEFT JOIN cells c
+        ON g.a IS NOT DISTINCT FROM c.a AND g.b IS NOT DISTINCT FROM c.b),
     terms AS (
       SELECT n, a, b,
              (CAST(obs AS DOUBLE)
@@ -2232,7 +2242,7 @@ _CONTINGENCY_SQL = """
                   / CAST(n AS DOUBLE))
              / (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
                 / CAST(n AS DOUBLE)) AS term
-      FROM marg)
+      FROM fullgrid)
     SELECT CAST(max(n) AS BIGINT) AS n,
            CAST(COUNT(DISTINCT a) AS BIGINT) AS n_rows,
            CAST(COUNT(DISTINCT b) AS BIGINT) AS n_cols,

@@ -623,3 +623,90 @@ def test_quantile_sketch_clamps_out_of_grid(spark):
     assert sk[0] == 2  # -50 clamps into bucket 0
     assert sk[9] == 2  # 1000 (== hi) and 2000 clamp into the last bucket
     assert sk[5] == 1
+
+
+# ---------------------------------------------------------------------------
+# exact-moment association statistics
+# ---------------------------------------------------------------------------
+
+
+def test_correlation_matrix_known_values(spark):
+    from legendary_data_pipeline_spark.operators.stats import (
+        correlation_matrix,
+    )
+
+    # y = 2x exactly (corr 1), z anti-correlated with x (corr -1).
+    rows = [(float(i), float(2 * i), float(10 - i)) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    got = {
+        (r["col_a"], r["col_b"]): r["corr"]
+        for r in correlation_matrix(df, ["x", "y", "z"]).collect()
+    }
+    assert got[("x", "y")] == 1.0
+    assert got[("x", "z")] == -1.0
+    assert got[("y", "z")] == -1.0
+
+
+def test_correlation_matrix_zero_variance_and_nulls(spark):
+    from legendary_data_pipeline_spark.operators.stats import (
+        correlation_matrix,
+    )
+
+    rows = [(1.0, 5.0), (2.0, 5.0), (3.0, 5.0), (None, 1.0)]
+    df = spark.createDataFrame(rows, "x double, c double")
+    r = correlation_matrix(df, ["x", "c"]).first()
+    assert r["n"] == 3  # listwise-complete: NULL row dropped
+    assert r["corr"] is None  # zero variance → NULL, not a div-by-zero
+
+
+def test_chi_square_perfect_dependence_and_independence(spark):
+    from legendary_data_pipeline_spark.operators.stats import (
+        chi_square_independence,
+    )
+
+    # Perfect dependence: b == a ⇒ V = 1.
+    dep = spark.createDataFrame(
+        [("x", "x")] * 5 + [("y", "y")] * 5, "a string, b string"
+    )
+    r = chi_square_independence(dep, "a", "b").first()
+    assert r["dof"] == 1 and r["cramers_v"] == 1.0
+    # Perfect independence: uniform product table ⇒ chi2 = 0.
+    ind = spark.createDataFrame(
+        [(a, b) for a in "xy" for b in "uv" for _ in range(3)],
+        "a string, b string",
+    )
+    r = ind.transform(lambda d: chi_square_independence(d, "a", "b")).first()
+    assert r["chi2"] == 0.0 and r["cramers_v"] == 0.0
+
+
+def test_chi_square_degenerate_single_category(spark):
+    from legendary_data_pipeline_spark.operators.stats import (
+        chi_square_independence,
+    )
+
+    df = spark.createDataFrame(
+        [("only", "u"), ("only", "v")], "a string, b string"
+    )
+    r = chi_square_independence(df, "a", "b").first()
+    assert r["dof"] == 0 and r["chi2"] is None and r["cramers_v"] is None
+
+
+def test_mutual_information_bounds(spark):
+    from legendary_data_pipeline_spark.operators.stats import (
+        mutual_information,
+    )
+    import math
+
+    # b == a: MI = H(a) = ln 2 for a uniform binary column; NMI = 1.
+    dep = spark.createDataFrame(
+        [("x", "x")] * 4 + [("y", "y")] * 4, "a string, b string"
+    )
+    r = mutual_information(dep, "a", "b").first()
+    assert r["mi"] == round(math.log(2), 6) and r["nmi"] == 1.0
+    # Independent: MI = 0.
+    ind = spark.createDataFrame(
+        [(a, b) for a in "xy" for b in "uv" for _ in range(3)],
+        "a string, b string",
+    )
+    r = mutual_information(ind, "a", "b").first()
+    assert r["mi"] == 0.0
