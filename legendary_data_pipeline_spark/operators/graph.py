@@ -413,3 +413,37 @@ def near_dup_components(
     # logical plan as `sigs`); uncaching by plan releases that entry too.
     sigs.unpersist()
     return connected_components(edges)
+
+
+def triangle_count(edges: DataFrame, a_col: str = "id_a", b_col: str = "id_b") -> DataFrame:
+    """Global triangle count of an undirected graph — the clustering
+    primitive behind community density and dup-cluster cohesion ("are
+    these near-dup pairs a clique or a chain?").
+
+    Input edges may carry duplicates or both orientations; they are
+    canonicalized to a < b and deduplicated first. Counting enumerates
+    each triangle exactly once via the ordered closure: e(a,b) ⋈ e(b,c)
+    ⋈ e(a,c) with a < b < c — two equi-joins on edge keys, no
+    cartesian; the standard distributed formulation (at scale, orient
+    edges by degree to bound the join fan-out on power-law graphs — a
+    documented refinement, not needed for the bounded dup graphs this
+    engine feeds it).
+
+    Output (1 row): n_edges, n_triangles.
+    """
+    from pyspark.sql import functions as F
+
+    lo = F.least(F.col(a_col), F.col(b_col)).alias("a")
+    hi = F.greatest(F.col(a_col), F.col(b_col)).alias("b")
+    e = (
+        edges.select(lo, hi)
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    return e.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

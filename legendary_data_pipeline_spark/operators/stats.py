@@ -1023,3 +1023,57 @@ def mutual_information(
             F.col("__mi") / F.nullif(denom, F.lit(0.0)), round_digits
         ).alias("nmi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# time-series gap fill (date spine + forward fill)
+# ---------------------------------------------------------------------------
+
+def gap_fill_daily(
+    df: DataFrame,
+    date_col: str,
+    value_cols: Sequence[str],
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Densify a daily series: emit EVERY calendar day between each
+    group's first and last observation, carrying the last observed
+    value forward across the gaps (the standard spine-and-ffill of
+    warehouse time-series prep — a rollup with missing days silently
+    lies to window functions, day-over-day deltas, and charting).
+
+    `date_col` must be a DateType column. Output: (*group_cols,
+    date_col, *value_cols, observed) where `observed` marks real rows
+    — filled rows carry the previous row's values (NULL before the
+    first observation, which cannot happen here since each group's
+    spine starts at its own min).
+
+    Scale shape: the spine comes from each GROUP's (min, max) — a
+    partial-aggregable groupBy followed by one `sequence` explode, so
+    spine size is bounded by group_count × span_days, never a global
+    calendar cross join. The fill is one window per group ordered by
+    date (`last(ignorenulls)` over unbounded-preceding — a running
+    state, not a per-row rescan). Groups are the parallelism unit.
+    """
+    bounds = df.groupBy(*group_cols).agg(
+        F.min(date_col).alias("__lo"), F.max(date_col).alias("__hi")
+    )
+    spine = bounds.select(
+        *group_cols,
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias(date_col),
+    )
+    joined = spine.join(df, [*group_cols, date_col], "left")
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(date_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    observed = F.col(value_cols[0]).isNotNull()
+    return joined.select(
+        *group_cols,
+        date_col,
+        *[
+            F.last(F.col(c), ignorenulls=True).over(w).alias(c)
+            for c in value_cols
+        ],
+        observed.alias("observed"),
+    )

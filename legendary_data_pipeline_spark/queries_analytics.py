@@ -2307,3 +2307,114 @@ def st_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return mutual_information(li, "l_returnflag", "l_linestatus")
+
+
+# ---------------------------------------------------------------------------
+# time-series gap fill (operators/stats.py gap_fill_daily)
+# ---------------------------------------------------------------------------
+
+
+@register_shadow(
+    "ts_gap_fill_daily",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS events,
+             CAST(SUM(CAST(round(CAST(value AS DECIMAL(18,2)) * 100, 0)
+                           AS BIGINT)) AS BIGINT) AS total_value_cents
+      FROM events GROUP BY 1, 2),
+    sparse AS (
+      SELECT * FROM daily
+      WHERE date_diff('day', DATE '1970-01-01', d) % 3 <> 0),
+    bounds AS (
+      SELECT event_type, min(d) AS lo, max(d) AS hi
+      FROM sparse GROUP BY event_type),
+    spine AS (
+      SELECT event_type,
+             CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+               AS d
+      FROM bounds),
+    joined AS (
+      SELECT s.event_type, s.d, q.events, q.total_value_cents
+      FROM spine s LEFT JOIN sparse q USING (event_type, d))
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+           last_value(events IGNORE NULLS) OVER w AS events,
+           last_value(total_value_cents IGNORE NULLS) OVER w
+             AS total_value_cents,
+           events IS NOT NULL AS observed
+    FROM joined
+    WINDOW w AS (PARTITION BY event_type ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="Daily-series densification: per event_type, every calendar "
+    "day between first and last observation with last-observation-"
+    "carried-forward values and an `observed` flag (the fixture drops "
+    "every 3rd epoch day to create real gaps). Spine = per-GROUP "
+    "min/max + one sequence explode — group-bounded, never a global "
+    "calendar cross join; fill = one running window per group.",
+)
+def ts_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.stats import gap_fill_daily
+
+    ev = load_table(spark, sf_dir, "events")
+    d = F.expr(
+        "date_add(DATE '1970-01-01', CAST(ts DIV 86400000000000 AS INT))"
+    )
+    cents = F.round(F.col("value").cast("decimal(18,2)") * 100, 0).cast("long")
+    daily = ev.groupBy("event_type", d.alias("d")).agg(
+        F.count(F.lit(1)).alias("events"),
+        F.sum(cents).alias("total_value_cents"),
+    )
+    sparse = daily.filter(
+        F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")) % 3 != 0
+    )
+    filled = gap_fill_daily(
+        sparse, "d", ["events", "total_value_cents"], ["event_type"]
+    )
+    return filled.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "events",
+        "total_value_cents",
+        "observed",
+    )
+
+
+# ---------------------------------------------------------------------------
+# co-purchase graph triangles (operators/graph.py triangle_count)
+# ---------------------------------------------------------------------------
+
+
+@register_shadow(
+    "gr_copurchase_triangles",
+    """
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM e e1 JOIN e e2 ON e1.b = e2.a
+                      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+             AS n_triangles
+    """,
+    doc="Triangle count of the part co-purchase graph (parts sharing "
+    "an order are connected): canonical a<b edge dedup, then the "
+    "ordered closure e(a,b)⋈e(b,c)⋈e(a,c) — two equi-joins, each "
+    "triangle counted exactly once, no cartesian. The clustering-"
+    "density primitive for dup-cluster cohesion and co-occurrence "
+    "analysis.",
+)
+def gr_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.graph import triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("id_a"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("id_b"))
+    edges = a.join(b, "k").filter(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b"
+    )
+    return triangle_count(edges)

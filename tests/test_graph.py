@@ -198,3 +198,19 @@ def test_near_dup_components_releases_shingle_cache(spark):
     assert {r["node"] for r in rows} == {1, 2}
     assert len({r["component"] for r in rows}) == 1
     assert cm.isEmpty()
+
+
+def test_triangle_count_known_graphs(spark):
+    from legendary_data_pipeline_spark.operators.graph import triangle_count
+
+    # K4 has C(4,3) = 4 triangles and 6 edges.
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    r = triangle_count(_edges(spark, k4)).first()
+    assert r["n_edges"] == 6 and r["n_triangles"] == 4
+    # A chain has none.
+    r = triangle_count(_edges(spark, [(1, 2), (2, 3), (3, 4)])).first()
+    assert r["n_edges"] == 3 and r["n_triangles"] == 0
+    # Duplicates / reversed orientations / self-loops canonicalize away.
+    messy = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (2, 2)]
+    r = triangle_count(_edges(spark, messy)).first()
+    assert r["n_edges"] == 3 and r["n_triangles"] == 1

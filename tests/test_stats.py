@@ -710,3 +710,37 @@ def test_mutual_information_bounds(spark):
     )
     r = mutual_information(ind, "a", "b").first()
     assert r["mi"] == 0.0
+
+
+def test_gap_fill_daily_spine_and_ffill(spark):
+    from datetime import date
+
+    from legendary_data_pipeline_spark.operators.stats import gap_fill_daily
+
+    rows = [
+        ("a", date(2024, 1, 1), 10),
+        ("a", date(2024, 1, 4), 40),   # 2 missing days before
+        ("b", date(2024, 2, 1), 7),    # single-day group → no fill
+    ]
+    df = spark.createDataFrame(rows, "g string, d date, v long")
+    out = gap_fill_daily(df, "d", ["v"], ["g"]).collect()
+    got = {(r["g"], str(r["d"])): (r["v"], r["observed"]) for r in out}
+    assert got[("a", "2024-01-01")] == (10, True)
+    assert got[("a", "2024-01-02")] == (10, False)
+    assert got[("a", "2024-01-03")] == (10, False)
+    assert got[("a", "2024-01-04")] == (40, True)
+    assert got[("b", "2024-02-01")] == (7, True)
+    assert len(got) == 5
+
+
+def test_gap_fill_daily_multiple_value_cols(spark):
+    from datetime import date
+
+    from legendary_data_pipeline_spark.operators.stats import gap_fill_daily
+
+    df = spark.createDataFrame(
+        [(date(2024, 1, 1), 1, 100), (date(2024, 1, 3), 3, 300)],
+        "d date, x long, y long",
+    )
+    out = {str(r["d"]): r for r in gap_fill_daily(df, "d", ["x", "y"]).collect()}
+    assert out["2024-01-02"]["x"] == 1 and out["2024-01-02"]["y"] == 100
