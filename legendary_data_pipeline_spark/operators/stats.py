@@ -1077,3 +1077,98 @@ def gap_fill_daily(
         ],
         observed.alias("observed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (broadcast-quantile scoring)
+# ---------------------------------------------------------------------------
+
+def rfm_scores(
+    df: DataFrame,
+    customer_col: str,
+    date_col: str,
+    amount_cents: Column,
+) -> DataFrame:
+    """Recency/Frequency/Monetary segmentation, 1–5 per dimension.
+
+    Per customer: recency = days since their last order (relative to
+    the corpus max date — self-contained, no wall clock), frequency =
+    order count, monetary = exact cents sum. Scores come from the EXACT
+    quintile thresholds of each per-customer distribution — computed as
+    ONE 1-row aggregate and broadcast, then assigned by comparison:
+    `1 + Σ (v > q_k)`. This is the scale-right form: a global
+    `ntile(5)` window would funnel every customer through a single
+    partition; threshold-compare is a projection.
+
+    Ties sit on the threshold side `>` puts them (deterministic in any
+    engine — thresholds are exact interpolated quantiles over
+    integer-valued doubles). Recency scores INVERT (smaller = better =
+    5). Output: (customer, recency_days, frequency, monetary_cents,
+    r_score, f_score, m_score, rfm) with rfm = concat of the three.
+
+    Scale: one groupBy(customer), one 1-row quantile aggregate
+    (sort-based exact percentile over the customer-level frame — at
+    10^9 customers swap in `percentile_approx`, same plan shape), one
+    broadcast, one projection.
+    """
+    base = df.select(
+        F.col(customer_col).alias("customer"),
+        F.col(date_col).cast("date").alias("__d"),
+        amount_cents.alias("__cents"),
+    )
+    per_cust = base.groupBy("customer").agg(
+        F.max("__d").alias("__last"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum("__cents").cast("long").alias("monetary_cents"),
+    )
+    anchor = base.agg(F.max("__d").alias("__anchor"))
+    cust = per_cust.crossJoin(F.broadcast(anchor)).select(
+        "customer",
+        F.datediff(F.col("__anchor"), F.col("__last"))
+        .cast("long")
+        .alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+    )
+    qs = [0.2, 0.4, 0.6, 0.8]
+    thr = cust.agg(
+        *[
+            F.percentile(F.col(c).cast("double"), F.lit(q)).alias(
+                f"__{c}_{int(q * 100)}"
+            )
+            for c in ("recency_days", "frequency", "monetary_cents")
+            for q in qs
+        ]
+    )
+    scored = cust.crossJoin(F.broadcast(thr))
+
+    def asc_score(c: str) -> Column:
+        s = F.lit(1)
+        for q in qs:
+            s = s + (
+                F.col(c).cast("double") > F.col(f"__{c}_{int(q * 100)}")
+            ).cast("int")
+        return s
+
+    def desc_score(c: str) -> Column:
+        s = F.lit(1)
+        for q in qs:
+            s = s + (
+                F.col(c).cast("double") < F.col(f"__{c}_{int(q * 100)}")
+            ).cast("int")
+        return s
+
+    return scored.select(
+        "customer",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        desc_score("recency_days").alias("r_score"),
+        asc_score("frequency").alias("f_score"),
+        asc_score("monetary_cents").alias("m_score"),
+        F.concat(
+            desc_score("recency_days").cast("string"),
+            asc_score("frequency").cast("string"),
+            asc_score("monetary_cents").cast("string"),
+        ).alias("rfm"),
+    )

@@ -2418,3 +2418,81 @@ def gr_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b"
     )
     return triangle_count(edges)
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (operators/stats.py rfm_scores)
+# ---------------------------------------------------------------------------
+
+
+@register_shadow(
+    "an_rfm_segmentation",
+    """
+    WITH base AS (
+      SELECT o_custkey AS customer,
+             CAST(o_orderdate AS DATE) AS d,
+             CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100, 0)
+                  AS BIGINT) AS cents
+      FROM orders),
+    per_cust AS (
+      SELECT customer, max(d) AS last_d,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(cents) AS BIGINT) AS monetary_cents
+      FROM base GROUP BY customer),
+    anch AS (SELECT max(d) AS anchor FROM base),
+    cust AS (
+      SELECT customer,
+             CAST(date_diff('day', last_d, anchor) AS BIGINT)
+               AS recency_days,
+             frequency, monetary_cents
+      FROM per_cust, anch),
+    thr AS (
+      SELECT
+        quantile_cont(CAST(recency_days AS DOUBLE), 0.2) AS r20,
+        quantile_cont(CAST(recency_days AS DOUBLE), 0.4) AS r40,
+        quantile_cont(CAST(recency_days AS DOUBLE), 0.6) AS r60,
+        quantile_cont(CAST(recency_days AS DOUBLE), 0.8) AS r80,
+        quantile_cont(CAST(frequency AS DOUBLE), 0.2) AS f20,
+        quantile_cont(CAST(frequency AS DOUBLE), 0.4) AS f40,
+        quantile_cont(CAST(frequency AS DOUBLE), 0.6) AS f60,
+        quantile_cont(CAST(frequency AS DOUBLE), 0.8) AS f80,
+        quantile_cont(CAST(monetary_cents AS DOUBLE), 0.2) AS m20,
+        quantile_cont(CAST(monetary_cents AS DOUBLE), 0.4) AS m40,
+        quantile_cont(CAST(monetary_cents AS DOUBLE), 0.6) AS m60,
+        quantile_cont(CAST(monetary_cents AS DOUBLE), 0.8) AS m80
+      FROM cust),
+    scored AS (
+      SELECT c.*,
+        1 + CAST(CAST(recency_days AS DOUBLE) < r80 AS INT)
+          + CAST(CAST(recency_days AS DOUBLE) < r60 AS INT)
+          + CAST(CAST(recency_days AS DOUBLE) < r40 AS INT)
+          + CAST(CAST(recency_days AS DOUBLE) < r20 AS INT) AS r_score,
+        1 + CAST(CAST(frequency AS DOUBLE) > f20 AS INT)
+          + CAST(CAST(frequency AS DOUBLE) > f40 AS INT)
+          + CAST(CAST(frequency AS DOUBLE) > f60 AS INT)
+          + CAST(CAST(frequency AS DOUBLE) > f80 AS INT) AS f_score,
+        1 + CAST(CAST(monetary_cents AS DOUBLE) > m20 AS INT)
+          + CAST(CAST(monetary_cents AS DOUBLE) > m40 AS INT)
+          + CAST(CAST(monetary_cents AS DOUBLE) > m60 AS INT)
+          + CAST(CAST(monetary_cents AS DOUBLE) > m80 AS INT) AS m_score
+      FROM cust c, thr)
+    SELECT customer, recency_days, frequency, monetary_cents,
+           r_score, f_score, m_score,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+             || CAST(m_score AS VARCHAR) AS rfm
+    FROM scored
+    """,
+    doc="RFM customer segmentation, 1-5 per dimension, via broadcast "
+    "EXACT-quintile thresholds + comparison scoring — the scale-right "
+    "form (a global ntile(5) window would single-partition every "
+    "customer; threshold-compare is a projection). Recency inverts "
+    "(recent = 5). One customer groupBy, one 1-row quantile agg.",
+)
+def an_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.stats import rfm_scores
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(
+        F.col("o_totalprice").cast("decimal(18,2)") * 100, 0
+    ).cast("long")
+    return rfm_scores(orders, "o_custkey", "o_orderdate", cents)

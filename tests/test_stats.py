@@ -744,3 +744,36 @@ def test_gap_fill_daily_multiple_value_cols(spark):
     )
     out = {str(r["d"]): r for r in gap_fill_daily(df, "d", ["x", "y"]).collect()}
     assert out["2024-01-02"]["x"] == 1 and out["2024-01-02"]["y"] == 100
+
+
+def test_rfm_scores_contract(spark):
+    from datetime import date
+
+    from pyspark.sql import functions as F
+
+    from legendary_data_pipeline_spark.operators.stats import rfm_scores
+
+    # 10 customers, customer i has i+1 orders of 100*(i+1) cents each,
+    # last order i days before the anchor.
+    rows = []
+    for i in range(10):
+        for k in range(i + 1):
+            rows.append((i, date(2024, 6, 30 - i), (i + 1) * 1.00))
+    df = spark.createDataFrame(rows, "cust long, d date, amt double")
+    out = {
+        r["customer"]: r
+        for r in rfm_scores(
+            df, "cust", "d",
+            F.round(F.col("amt").cast("decimal(18,2)") * 100, 0).cast("long"),
+        ).collect()
+    }
+    # Monotone inputs → monotone scores; extremes hit 1 and 5.
+    assert out[9]["f_score"] == 5 and out[0]["f_score"] == 1
+    assert out[9]["m_score"] == 5 and out[0]["m_score"] == 1
+    # Customer 0 ordered on the anchor day → best recency.
+    assert out[0]["recency_days"] == 0 and out[0]["r_score"] == 5
+    assert out[9]["r_score"] == 1
+    assert out[9]["rfm"] == "155" and out[0]["rfm"] == "511"
+    for r in out.values():
+        assert 1 <= r["r_score"] <= 5
+        assert r["rfm"] == f'{r["r_score"]}{r["f_score"]}{r["m_score"]}'
