@@ -83,10 +83,18 @@ def connected_components(
     if algorithm == "star":
         return _star_components(sym, max_iterations)
 
+    # Seed labels with round 1's result directly: min(self, neighbors)
+    # is ONE aggregation over the edge list (no join), so the loop
+    # starts a full propagation round ahead — a near-clique dup graph
+    # (diameter 1-2) then needs one corrective round plus the zero-
+    # change confirmation instead of three join rounds.
     labels = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("__nm"))
+        .select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("__nm")).alias("component"),
+        )
         .localCheckpoint(eager=True)
     )
 

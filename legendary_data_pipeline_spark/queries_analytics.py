@@ -2496,3 +2496,107 @@ def an_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("decimal(18,2)") * 100, 0
     ).cast("long")
     return rfm_scores(orders, "o_custkey", "o_orderdate", cents)
+
+
+# ---------------------------------------------------------------------------
+# table reconciliation (operators/profiling.py table_diff)
+# ---------------------------------------------------------------------------
+# The right side derives deterministically from orders in BOTH engines:
+# keys %97 dropped (only_left), %89 get +100 cents (changed), %113 get
+# a synthetic priority (changed), %101 reappear key-shifted
+# (only_right).
+
+
+@register_shadow(
+    "dq_table_diff",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100, 0)
+                  AS BIGINT) AS cents,
+             o_orderpriority
+      FROM orders),
+    right_t AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 89 = 0 THEN cents + 100
+                  ELSE cents END AS cents,
+             CASE WHEN o_orderkey % 113 = 0 THEN '9-SYNTH'
+                  ELSE o_orderpriority END AS o_orderpriority
+      FROM base WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_orderstatus, cents, o_orderpriority
+      FROM base WHERE o_orderkey % 101 = 0),
+    j AS (
+      SELECT COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+             l.o_orderkey IS NOT NULL AS has_l,
+             r.o_orderkey IS NOT NULL AS has_r,
+             l.o_orderstatus AS l_o_orderstatus,
+             l.cents AS l_cents,
+             l.o_orderpriority AS l_o_orderpriority,
+             r.o_orderstatus AS r_o_orderstatus,
+             r.cents AS r_cents,
+             r.o_orderpriority AS r_o_orderpriority
+      FROM base l FULL OUTER JOIN right_t r
+        ON l.o_orderkey IS NOT DISTINCT FROM r.o_orderkey)
+    SELECT o_orderkey,
+           CASE WHEN NOT has_r THEN 'only_left'
+                WHEN NOT has_l THEN 'only_right'
+                WHEN len(list_filter([
+                       CASE WHEN l_o_orderstatus IS DISTINCT FROM r_o_orderstatus THEN 'o_orderstatus' END,
+                       CASE WHEN l_cents IS DISTINCT FROM r_cents THEN 'cents' END,
+                       CASE WHEN l_o_orderpriority IS DISTINCT FROM r_o_orderpriority THEN 'o_orderpriority' END
+                     ], __x -> __x IS NOT NULL)) > 0 THEN 'changed'
+                ELSE 'same' END AS status,
+           CASE WHEN has_l AND has_r THEN
+             COALESCE(array_to_string(list_sort(list_filter([
+               CASE WHEN l_o_orderstatus IS DISTINCT FROM r_o_orderstatus THEN 'o_orderstatus' END,
+               CASE WHEN l_cents IS DISTINCT FROM r_cents THEN 'cents' END,
+               CASE WHEN l_o_orderpriority IS DISTINCT FROM r_o_orderpriority THEN 'o_orderpriority' END
+             ], __x -> __x IS NOT NULL)), ','), '') END AS changed_cols,
+           l_o_orderstatus, l_cents, l_o_orderpriority,
+           r_o_orderstatus, r_cents, r_o_orderpriority
+    FROM j
+    """,
+    doc="Row-level table reconciliation (anti-entropy): full-outer on "
+    "the key, per-row status only_left/only_right/changed/same with "
+    "the NULL-safe changed-column list — the audit the reference's "
+    "revalue job implies (it recomputes a table the pipeline also "
+    "builds). ONE key shuffle; per-column compare is a projection. At "
+    "100 TB diff per-partition checksums first and full-outer only "
+    "disagreeing partitions.",
+)
+def dq_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.profiling import table_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(
+        F.col("o_totalprice").cast("decimal(18,2)") * 100, 0
+    ).cast("long")
+    base = orders.select(
+        "o_orderkey", "o_orderstatus", cents.alias("cents"), "o_orderpriority"
+    )
+    right = base.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 89 == 0, F.col("cents") + 100)
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+        F.when(F.col("o_orderkey") % 113 == 0, F.lit("9-SYNTH"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+    ).unionByName(
+        base.filter(F.col("o_orderkey") % 101 == 0).select(
+            (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+            "o_orderstatus",
+            "cents",
+            "o_orderpriority",
+        )
+    )
+    out = table_diff(
+        base, right, ["o_orderkey"],
+        ["o_orderstatus", "cents", "o_orderpriority"],
+    )
+    # Driver-hash convention: arrays → joined string for the compare.
+    return out.withColumn(
+        "changed_cols", F.array_join(F.col("changed_cols"), ",")
+    )
