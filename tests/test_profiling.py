@@ -441,3 +441,34 @@ def test_schema_drift_statuses(spark):
     assert got["legacy"]["status"] == "removed"
     assert got["extra"]["status"] == "added"
     assert got["extra"]["old_type"] is None
+
+
+def test_table_diff_statuses(spark):
+    from legendary_data_pipeline_spark.operators.profiling import table_diff
+
+    left = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+        "k long, s string, v long",
+    )
+    right = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 21), (4, None, 40), (5, "e", 50)],
+        "k long, s string, v long",
+    )
+    got = {r["k"]: r for r in table_diff(left, right, ["k"]).collect()}
+    assert got[1]["status"] == "same" and got[1]["changed_cols"] == []
+    assert got[2]["status"] == "changed"
+    assert got[2]["changed_cols"] == ["s", "v"]
+    assert got[2]["l_s"] == "b" and got[2]["r_s"] == "B"
+    assert got[3]["status"] == "only_left" and got[3]["changed_cols"] is None
+    assert got[5]["status"] == "only_right"
+    # NULL == NULL is SAME under null-safe compare.
+    assert got[4]["status"] == "same"
+
+
+def test_table_diff_null_keys_match_null_safely(spark):
+    from legendary_data_pipeline_spark.operators.profiling import table_diff
+
+    left = spark.createDataFrame([(None, 1)], "k string, v long")
+    right = spark.createDataFrame([(None, 2)], "k string, v long")
+    r = table_diff(left, right, ["k"]).first()
+    assert r["status"] == "changed" and r["changed_cols"] == ["v"]
