@@ -171,3 +171,54 @@ def test_continuation_ops_on_empty_inputs(spark):
     assert best_member(
         comps, attrs, [F.col("n_chars").desc(), F.col("node").asc()]
     ).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# round-6 operators
+# ---------------------------------------------------------------------------
+
+
+def test_round6_ops_on_empty_inputs(spark):
+    from datetime import date  # noqa: F401
+
+    from legendary_data_pipeline_spark.operators.curation import (
+        c4_gates,
+        c4_span_stats,
+    )
+    from legendary_data_pipeline_spark.operators.graph import triangle_count
+    from legendary_data_pipeline_spark.operators.html import html_extract
+    from legendary_data_pipeline_spark.operators.profiling import table_diff
+    from legendary_data_pipeline_spark.operators.stats import (
+        chi_square_independence,
+        correlation_matrix,
+        gap_fill_daily,
+        mutual_information,
+        rfm_scores,
+    )
+
+    docs = _empty_docs(spark)
+    assert c4_gates(docs).count() == 0
+    assert c4_span_stats(docs).count() == 0
+    html = spark.createDataFrame([], "doc_id long, raw_html string")
+    assert html_extract(html).count() == 0
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    r = triangle_count(edges).first()
+    assert r["n_edges"] == 0 and r["n_triangles"] == 0
+    num = spark.createDataFrame([], "x double, y double")
+    r = correlation_matrix(num, ["x", "y"]).first()
+    assert r["n"] == 0 and r["corr"] is None
+    cat = spark.createDataFrame([], "a string, b string")
+    r = chi_square_independence(cat, "a", "b").first()
+    assert r["n"] is None or r["n"] == 0
+    assert r["chi2"] is None
+    r = mutual_information(cat, "a", "b").first()
+    assert r["mi"] is None or r["mi"] == 0.0
+    ts = spark.createDataFrame([], "g string, d date, v long")
+    assert gap_fill_daily(ts, "d", ["v"], ["g"]).count() == 0
+    orders = spark.createDataFrame([], "c long, d date, amt double")
+    assert rfm_scores(
+        orders, "c", "d",
+        F.round(F.col("amt").cast("decimal(18,2)") * 100, 0).cast("long"),
+    ).count() == 0
+    t = spark.createDataFrame([], "k long, v long")
+    assert table_diff(t, t, ["k"]).count() == 0
