@@ -1172,3 +1172,120 @@ def rfm_scores(
             asc_score("monetary_cents").cast("string"),
         ).alias("rfm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# contribution / share-of-total reporting
+# ---------------------------------------------------------------------------
+
+def contribution_topn(
+    df: DataFrame,
+    category_col: str,
+    value_cents: Column,
+    n: int = 10,
+    other_label: str = "__other__",
+) -> DataFrame:
+    """Share-of-total contribution report: the top-`n` categories by
+    exact value with their share, plus ONE `other_label` row folding
+    the long tail — the shape every revenue/volume breakdown wants
+    ("top 10 sources and everything else").
+
+    Ranking is a total order (value desc, category asc) so the cut is
+    engine-deterministic; shares are value/total doubles rounded to 6
+    (exact integer inputs). NULL categories participate as a category.
+
+    Scale: one category groupBy (map-side combinable), top-n via
+    TakeOrderedAndProject (bounded per-partition heaps — no global
+    sort), the tail row = 1-row total minus the n-row top sum, both
+    broadcast-sized. Output: (category, value_cents, share, rank) with
+    rank NULL on the tail row; the tail row is absent when nothing
+    falls outside the top n.
+    """
+    # category publishes as STRING so the tail label unions cleanly
+    # (and NULL categories render distinguishably via coalesce).
+    per_cat = df.groupBy(
+        F.col(category_col).cast("string").alias("category")
+    ).agg(F.sum(value_cents).cast("long").alias("value_cents"))
+    top = per_cat.orderBy(
+        F.col("value_cents").desc(), F.col("category").asc_nulls_last()
+    ).limit(n)
+    total = per_cat.agg(
+        F.sum("value_cents").cast("long").alias("__total"),
+        F.count(F.lit(1)).cast("long").alias("__k"),
+    )
+    top_sum = top.agg(
+        F.sum("value_cents").cast("long").alias("__top_sum"),
+        F.count(F.lit(1)).cast("long").alias("__top_k"),
+    )
+    w = Window.orderBy(
+        F.col("value_cents").desc(), F.col("category").asc_nulls_last()
+    )
+    ranked = (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "category",
+            "value_cents",
+            F.round(
+                F.col("value_cents").cast("double")
+                / F.nullif(F.col("__total").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("share"),
+            "rank",
+        )
+    )
+    other = (
+        total.crossJoin(F.broadcast(top_sum))
+        .filter(F.col("__k") > F.col("__top_k"))
+        .select(
+            F.lit(other_label).alias("category"),
+            (F.col("__total") - F.col("__top_sum")).alias("value_cents"),
+            F.round(
+                (F.col("__total") - F.col("__top_sum")).cast("double")
+                / F.nullif(F.col("__total").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("share"),
+            F.lit(None).cast("long").alias("rank"),
+        )
+    )
+    return ranked.unionByName(other)
+
+
+# ---------------------------------------------------------------------------
+# temporal train/validation split with embargo
+# ---------------------------------------------------------------------------
+
+def temporal_embargo_split(
+    df: DataFrame,
+    time_col: str,
+    train_frac: float = 0.8,
+    embargo_days: int = 0,
+) -> DataFrame:
+    """Time-based train/validation split with an embargo gap: rows at
+    or before the `train_frac` time quantile are `train`; rows inside
+    the following `embargo_days` are `embargo` (excluded — the decay
+    window that stops look-ahead leakage through autocorrelated
+    features); everything after is `val`. The leakage-safe split for
+    TIME series, complementing the near-dup-group split for text.
+
+    The cutoff is the EXACT `train_frac` quantile of the time column
+    (dates as epoch days) — one 1-row aggregate, broadcast; assignment
+    is a projection. Deterministic: same data → same cutoff → same
+    split, independent of partitioning.
+
+    Output: input columns + `split` ∈ {train, embargo, val}.
+    """
+    d = F.col(time_col).cast("date")
+    epoch = F.datediff(d, F.lit("1970-01-01").cast("date"))
+    cut = df.agg(
+        F.floor(
+            F.percentile(epoch.cast("double"), F.lit(train_frac))
+        ).cast("long").alias("__cut")
+    )
+    out = df.crossJoin(F.broadcast(cut))
+    split = (
+        F.when(epoch <= F.col("__cut"), F.lit("train"))
+        .when(epoch <= F.col("__cut") + embargo_days, F.lit("embargo"))
+        .otherwise(F.lit("val"))
+    )
+    return out.select(*df.columns, split.alias("split"))

@@ -2600,3 +2600,104 @@ def dq_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "changed_cols", F.array_join(F.col("changed_cols"), ",")
     )
+
+
+# ---------------------------------------------------------------------------
+# contribution report + temporal embargo split (operators/stats.py)
+# ---------------------------------------------------------------------------
+
+
+@register_shadow(
+    "an_contribution_topn",
+    """
+    WITH per_cat AS (
+      SELECT l_partkey AS category,
+             CAST(SUM(CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * 100,
+                                 0) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM lineitem GROUP BY l_partkey),
+    tot AS (SELECT CAST(SUM(value_cents) AS BIGINT) AS total,
+                   COUNT(*) AS k FROM per_cat),
+    top AS (
+      SELECT category, value_cents,
+             CAST(row_number() OVER (ORDER BY value_cents DESC, category ASC)
+                  AS BIGINT) AS rank
+      FROM per_cat
+      ORDER BY value_cents DESC, category ASC LIMIT 10),
+    ts AS (SELECT CAST(SUM(value_cents) AS BIGINT) AS top_sum,
+                  COUNT(*) AS top_k FROM top)
+    SELECT CAST(category AS VARCHAR) AS category, value_cents,
+           round(CAST(value_cents AS DOUBLE)
+                 / nullif(CAST(total AS DOUBLE), 0.0), 6) AS share,
+           rank
+    FROM top, tot
+    UNION ALL
+    SELECT '__other__', total - top_sum,
+           round(CAST(total - top_sum AS DOUBLE)
+                 / nullif(CAST(total AS DOUBLE), 0.0), 6),
+           NULL
+    FROM tot, ts WHERE k > top_k
+    """,
+    doc="Share-of-total contribution report: top-10 parts by exact "
+    "revenue cents with shares plus ONE __other__ long-tail row. "
+    "Total-order cut (value desc, category asc); top-n is "
+    "TakeOrderedAndProject (bounded heaps, no global sort); the tail "
+    "row is arithmetic over two broadcast 1-row aggregates.",
+)
+def an_contribution_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.stats import (
+        contribution_topn,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(
+        F.col("l_extendedprice").cast("decimal(18,2)") * 100, 0
+    ).cast("long")
+    return contribution_topn(li, "l_partkey", cents, n=10)
+
+
+@register_shadow(
+    "an_temporal_embargo_split",
+    """
+    WITH e AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS ed
+      FROM orders),
+    cut AS (
+      SELECT CAST(floor(quantile_cont(CAST(ed AS DOUBLE), 0.8)) AS BIGINT)
+               AS c
+      FROM e),
+    tagged AS (
+      SELECT CASE WHEN ed <= c THEN 'train'
+                  WHEN ed <= c + 7 THEN 'embargo'
+                  ELSE 'val' END AS split,
+             ed
+      FROM e, cut)
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(min(ed) AS BIGINT) AS first_day,
+           CAST(max(ed) AS BIGINT) AS last_day
+    FROM tagged GROUP BY split
+    """,
+    doc="Time-based train/embargo/val split: cutoff = exact 0.8 "
+    "quantile of order dates (1-row aggregate, broadcast), a 7-day "
+    "embargo gap between train and val stops look-ahead leakage "
+    "through autocorrelated features — the time-series sibling of the "
+    "near-dup-group split. Assignment is a projection; summarized to "
+    "per-split counts + day bounds for the oracle.",
+)
+def an_temporal_embargo_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.stats import (
+        temporal_embargo_split,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    tagged = temporal_embargo_split(
+        orders, "o_orderdate", train_frac=0.8, embargo_days=7
+    )
+    ed = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    return tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(ed).alias("first_day"),
+        F.max(ed).alias("last_day"),
+    )

@@ -777,3 +777,50 @@ def test_rfm_scores_contract(spark):
     for r in out.values():
         assert 1 <= r["r_score"] <= 5
         assert r["rfm"] == f'{r["r_score"]}{r["f_score"]}{r["m_score"]}'
+
+
+def test_contribution_topn_with_other(spark):
+    from pyspark.sql import functions as F
+
+    from legendary_data_pipeline_spark.operators.stats import (
+        contribution_topn,
+    )
+
+    rows = [("a", 50), ("a", 10), ("b", 30), ("c", 8), ("d", 2)]
+    df = spark.createDataFrame(rows, "cat string, v long")
+    got = {
+        r["category"]: r
+        for r in contribution_topn(df, "cat", F.col("v"), n=2).collect()
+    }
+    assert got["a"]["value_cents"] == 60 and got["a"]["rank"] == 1
+    assert got["b"]["rank"] == 2
+    assert got["__other__"]["value_cents"] == 10
+    assert got["__other__"]["rank"] is None
+    assert got["__other__"]["share"] == 0.1
+    assert abs(sum(r["share"] for r in got.values()) - 1.0) < 1e-9
+    # No tail row when everything fits in the top n.
+    full = contribution_topn(df, "cat", F.col("v"), n=10).collect()
+    assert all(r["category"] != "__other__" for r in full)
+
+
+def test_temporal_embargo_split_ordering(spark):
+    from datetime import date
+
+    from legendary_data_pipeline_spark.operators.stats import (
+        temporal_embargo_split,
+    )
+
+    rows = [(i, date(2024, 1, 1 + i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, d date")
+    out = temporal_embargo_split(df, "d", train_frac=0.5, embargo_days=3)
+    by_split = {}
+    for r in out.collect():
+        by_split.setdefault(r["split"], []).append(r["d"])
+    # Strict temporal ordering: max(train) < min(embargo) <= max(embargo)
+    # < min(val); embargo spans exactly embargo_days.
+    assert max(by_split["train"]) < min(by_split["embargo"])
+    assert max(by_split["embargo"]) < min(by_split["val"])
+    assert len(by_split["embargo"]) == 3
+    assert len(by_split["train"]) + len(by_split["embargo"]) + len(
+        by_split["val"]
+    ) == 20
