@@ -1285,6 +1285,7 @@ def a7_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 from legendary_data_pipeline_spark import queries_llm  # noqa: E402,F401
 from legendary_data_pipeline_spark import queries_curation  # noqa: E402,F401
 from legendary_data_pipeline_spark import queries_analytics  # noqa: E402,F401
+from legendary_data_pipeline_spark import queries_mleval  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Round-6 driver-gate rotation (see NOTES.md §Round-6)

@@ -1,0 +1,290 @@
+"""Shadow queries: set-similarity join + classifier-evaluation suite.
+
+X127 prefix-filter Jaccard join (operators/setsim.py) and X128-X131
+classifier evaluation (operators/mleval.py). Each query pairs the Spark
+program with a full DuckDB oracle; all output numerics are exact
+integers or final-division doubles (round 6) per the registry's
+cross-engine determinism conventions (queries.py module docstring).
+
+The evaluation queries score a synthetic-but-deterministic "model":
+score = embedding[0] (portable: both engines read the same FLOAT and
+cast to DOUBLE), binary label = (label >= 5). The pipeline story: the
+engine trains a quality classifier (X95 NB), and these operators are
+how its corpus-scale quality is measured before it gates data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from legendary_data_pipeline_spark.catalog import load_distributed
+from legendary_data_pipeline_spark.operators import mleval as M
+from legendary_data_pipeline_spark.operators import setsim as S
+from legendary_data_pipeline_spark.queries import register_shadow
+
+# Shared DuckDB fragments -------------------------------------------------
+
+# score/label base for the eval queries (embeddings table)
+_EVAL_BASE = """
+      SELECT vec_id,
+             CAST(embedding[1] AS DOUBLE) AS score,
+             CASE WHEN label >= 5 THEN 1 ELSE 0 END AS lab
+      FROM embeddings
+"""
+
+# min-max normalized prediction in [0, 1] (pure IEEE arithmetic on
+# identical doubles — bit-exact across engines)
+_PRED_CTE = f"""
+    base AS ({_EVAL_BASE}),
+    mm AS (SELECT min(score) AS mn, max(score) AS mx FROM base),
+    p AS (SELECT vec_id, (score - mn) / (mx - mn) AS pred, lab
+          FROM base, mm)
+"""
+
+
+def _pred_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _PRED_CTE: min-max normalized embedding[0]."""
+    emb = load_distributed(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.element_at("embedding", 1).cast("double").alias("score"),
+        (F.col("label") >= 5).cast("long").alias("lab"),
+    )
+    mm = base.agg(
+        F.min("score").alias("__mn"), F.max("score").alias("__mx")
+    )
+    return base.crossJoin(F.broadcast(mm)).select(
+        "vec_id",
+        (
+            (F.col("score") - F.col("__mn"))
+            / (F.col("__mx") - F.col("__mn"))
+        ).alias("pred"),
+        "lab",
+    )
+
+
+# ---------------------------------------------------------------------------
+# X127 — prefix-filtering exact Jaccard self-join (AllPairs/PPJoin family)
+# ---------------------------------------------------------------------------
+
+@register_shadow(
+    "ss_prefix_jaccard_pairs",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         __x -> __x != '') AS t
+      FROM documents),
+    sets AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t) - 1),
+                 __j -> t[__j] || ' ' || t[__j + 1] || ' ' || t[__j + 2]))
+               AS ss
+      FROM toks WHERE len(t) >= 3),
+    s2 AS (SELECT doc_id, ss, len(ss) AS L FROM sets),
+    tok AS (SELECT doc_id, unnest(ss) AS tok FROM s2),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS BIGINT) AS inter
+      FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    j AS (
+      SELECT id_a, id_b, inter,
+             CAST(x.L AS BIGINT) AS size_a, CAST(y.L AS BIGINT) AS size_b
+      FROM pairs JOIN s2 x ON x.doc_id = id_a
+                 JOIN s2 y ON y.doc_id = id_b)
+    SELECT id_a, id_b, inter, size_a, size_b,
+           round(CAST(inter AS DOUBLE)
+                 / CAST(size_a + size_b - inter AS DOUBLE), 6) AS jaccard
+    FROM j WHERE inter * 2 >= (size_a + size_b - inter) * 1
+    """,
+    doc="Globally EXACT word-3-gram Jaccard pairs at t=1/2 via prefix "
+    "filtering (AllPairs/PPJoin; Vernica et al. SIGMOD'10 MapReduce "
+    "form): candidates equi-join only on each doc's rarest-first prefix "
+    "shingles — lossless at the threshold, no blocking heuristic, no "
+    "block-quadratic kernel. The oracle computes the same pairs by "
+    "brute-force token join (feasible at fixture scale only). The Spark "
+    "plan has no cartesian and no global sort; frequent (skewed) "
+    "shingles are excluded from prefixes by construction.",
+)
+def ss_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_distributed(spark, sf_dir, "documents")
+    shingled = S.shingle_ws_distinct(docs, "text", "doc_id", n=3)
+    return S.prefix_filter_jaccard_join(
+        shingled, threshold_num=1, threshold_den=2
+    )
+
+
+# ---------------------------------------------------------------------------
+# X128 — exact tie-corrected ROC-AUC per segment (Mann-Whitney form)
+# ---------------------------------------------------------------------------
+
+@register_shadow(
+    "ml_auc_by_segment",
+    f"""
+    WITH base0 AS ({_EVAL_BASE}),
+    base AS (SELECT vec_id % 3 AS segment, score, lab FROM base0),
+    per_score AS (
+      SELECT segment, score,
+             SUM(lab) AS pos, SUM(1 - lab) AS neg
+      FROM base GROUP BY 1, 2),
+    cum AS (
+      SELECT segment, pos, neg,
+             COALESCE(SUM(neg) OVER (PARTITION BY segment ORDER BY score ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cumneg
+      FROM per_score),
+    agg AS (
+      SELECT segment,
+             CAST(SUM(pos) AS BIGINT) AS n_pos,
+             CAST(SUM(neg) AS BIGINT) AS n_neg,
+             SUM(2 * pos * cumneg + pos * neg) AS num2
+      FROM cum GROUP BY 1)
+    SELECT CAST(segment AS BIGINT) AS segment, n_pos, n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN round(CAST(num2 AS DOUBLE)
+                           / CAST(2 * n_pos * n_neg AS DOUBLE), 6)
+           END AS auc
+    FROM agg
+    """,
+    doc="Exact tie-corrected ROC-AUC per model segment via the "
+    "Mann-Whitney rank statistic in pure integer space (numerator "
+    "doubled to avoid halves; ONE final division). No global sort: "
+    "scores reduce to one row per (segment, distinct score) with "
+    "map-side combine, then a window partitioned BY SEGMENT sweeps the "
+    "cumulative negatives. The corpus-scale answer to 'is the quality "
+    "classifier actually ranking good docs above bad ones?'.",
+)
+def ml_auc_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_distributed(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.pmod(F.col("vec_id"), F.lit(3)).cast("long").alias("segment"),
+        F.element_at("embedding", 1).cast("double").alias("score"),
+        (F.col("label") >= 5).cast("long").alias("lab"),
+    )
+    return M.auc_by_group(base, ["segment"], "score", "lab")
+
+
+# ---------------------------------------------------------------------------
+# X129 — calibration / reliability bins
+# ---------------------------------------------------------------------------
+
+@register_shadow(
+    "ml_calibration_bins",
+    f"""
+    WITH {_PRED_CTE},
+    b AS (SELECT least(CAST(floor(pred * 10) AS BIGINT), 9) AS bin, lab
+          FROM p)
+    SELECT bin,
+           (CAST(bin AS DOUBLE) + 0.5) / 10.0 AS bin_mid,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(lab) AS BIGINT) AS n_pos,
+           round(CAST(SUM(lab) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             AS frac_pos
+    FROM b GROUP BY 1
+    """,
+    doc="Reliability-diagram (calibration) bins: min-max normalized "
+    "prediction cut into 10 equal-width bins; per bin the empirical "
+    "positive rate vs the bin midpoint. Counts are exact integers; the "
+    "normalization is pure IEEE arithmetic on identical doubles, so "
+    "binning is bit-identical across engines. One map-side-combined "
+    "aggregation — no window, no join (the min/max is a broadcast "
+    "1-row aggregate).",
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = _pred_frame(spark, sf_dir)
+    return M.calibration_bins(pred, "pred", "lab", n_bins=10)
+
+
+# ---------------------------------------------------------------------------
+# X130 — precision/recall/F1 at a threshold grid
+# ---------------------------------------------------------------------------
+
+_GRID = [k / 10.0 for k in range(1, 10)]
+
+@register_shadow(
+    "ml_pr_at_thresholds",
+    f"""
+    WITH {_PRED_CTE},
+    g AS (SELECT * FROM (VALUES
+          {", ".join(f"(CAST({t} AS DOUBLE))" for t in _GRID)})
+          AS t(threshold)),
+    s AS (
+      SELECT threshold,
+             CAST(SUM(CASE WHEN pred >= threshold THEN lab ELSE 0 END)
+                  AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN pred >= threshold THEN 1 - lab ELSE 0 END)
+                  AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN pred < threshold THEN lab ELSE 0 END)
+                  AS BIGINT) AS fn
+      FROM p, g GROUP BY 1)
+    SELECT threshold, tp, fp, fn,
+           CASE WHEN tp + fp > 0
+                THEN round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6)
+           END AS precision,
+           CASE WHEN tp + fn > 0
+                THEN round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6)
+           END AS recall,
+           CASE WHEN 2 * tp + fp + fn > 0
+                THEN round(CAST(2 * tp AS DOUBLE)
+                           / CAST(2 * tp + fp + fn AS DOUBLE), 6)
+           END AS f1
+    FROM s
+    """,
+    doc="Operating-point sweep: precision/recall/F1 at a fixed 9-point "
+    "threshold grid over the normalized prediction. The grid is a "
+    "broadcast literal relation; the aggregation map-side combines to "
+    "9 rows per partition, so grid-crossing adds no shuffle volume. "
+    "TP/FP/FN stay integer; ratios are final-division-only. How a "
+    "pipeline picks the quality-gate cutoff before filtering a corpus.",
+)
+def ml_pr_at_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = _pred_frame(spark, sf_dir)
+    return M.pr_at_thresholds(pred, "pred", "lab", _GRID)
+
+
+# ---------------------------------------------------------------------------
+# X131 — exact-proportion stratified split
+# ---------------------------------------------------------------------------
+
+_SPLIT_SEED = 7
+
+@register_shadow(
+    "ml_stratified_split",
+    f"""
+    WITH h AS (
+      SELECT label, vec_id,
+             CAST(('0x' || substr(md5('{_SPLIT_SEED}:'
+                 || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+      FROM embeddings),
+    r AS (
+      SELECT label,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY hv ASC, vec_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY label) AS n
+      FROM h),
+    t AS (
+      SELECT label,
+             CASE WHEN rn <= CAST(floor(n * 80 / 100) AS BIGINT)
+                  THEN 'train' ELSE 'val' END AS split
+      FROM r)
+    SELECT label, split, CAST(count(*) AS BIGINT) AS n_rows
+    FROM t GROUP BY 1, 2
+    """,
+    doc="Exact-proportion stratified train/val split: within each label "
+    "stratum rows rank by a seeded md5 of the id (portable determinism, "
+    "functions/hashing.py) and exactly floor(80%) go to train — unlike "
+    "a plain hash threshold, every stratum hits its target fraction. "
+    "Window partitions by stratum (scale fallback: hash-threshold "
+    "stratified sampler, operators/curation.py). Summarized to "
+    "per-(label, split) counts for the oracle.",
+)
+def ml_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_distributed(spark, sf_dir, "embeddings")
+    tagged = M.stratified_split_exact(
+        emb, ["label"], "vec_id", train_pct=80, seed=_SPLIT_SEED
+    )
+    return tagged.groupBy("label", "split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
