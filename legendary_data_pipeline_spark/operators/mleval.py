@@ -38,6 +38,9 @@ __all__ = [
     "calibration_bins",
     "pr_at_thresholds",
     "stratified_split_exact",
+    "mrr_at_k",
+    "ndcg_at_k",
+    "ndcg_weights",
 ]
 
 
@@ -164,6 +167,132 @@ def pr_at_thresholds(
         ratio(F.col("tp"), prec_den).alias("precision"),
         ratio(F.col("tp"), rec_den).alias("recall"),
         ratio(F.lit(2) * F.col("tp"), f1_den).alias("f1"),
+    )
+
+
+def _lcm_1_to(k: int) -> int:
+    from math import gcd
+
+    out = 1
+    for i in range(2, k + 1):
+        out = out * i // gcd(out, i)
+    return out
+
+
+def mrr_at_k(
+    ranked: DataFrame,
+    query_col: str,
+    rank_col: str,
+    rel_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact mean reciprocal rank at k over a ranked retrieval frame.
+
+    Input: one row per (query, retrieved item) with its 1-based rank and
+    a 0/1 relevance. The classic float pitfall — averaging 1/r doubles,
+    whose sum depends on reduction order — is avoided with an integer
+    numerator: each query contributes ``LCM(1..k) / first_rel_rank``
+    (an exact integer since first_rel_rank <= k divides the LCM), and
+
+        MRR = sum(contrib) / (LCM * n_queries)
+
+    is ONE final double division. Output: a single row
+    (n_queries, n_hit, mrr round 6).
+    """
+    lcm = _lcm_1_to(k)
+    first_rel = ranked.where(
+        (F.col(rank_col) <= k) & (F.col(rel_col) == 1)
+    ).groupBy(query_col).agg(F.min(rank_col).alias("__r"))
+    queries = ranked.select(query_col).distinct()
+    per_q = queries.join(first_rel, query_col, "left").select(
+        F.when(
+            F.col("__r").isNotNull(), (F.lit(lcm) / F.col("__r")).cast("long")
+        )
+        .otherwise(F.lit(0))
+        .alias("__num")
+    )
+    agg = per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.coalesce(F.sum((F.col("__num") > 0).cast("long")), F.lit(0))
+        .cast("long")
+        .alias("n_hit"),
+        F.coalesce(F.sum("__num"), F.lit(0)).alias("__num_sum"),
+    )
+    mrr = F.when(
+        F.col("n_queries") > 0,
+        F.round(
+            F.col("__num_sum").cast("double")
+            / (F.lit(lcm).cast("double") * F.col("n_queries").cast("double")),
+            6,
+        ),
+    )
+    return agg.select("n_queries", "n_hit", mrr.alias("mrr"))
+
+
+def ndcg_weights(k: int):
+    """Positionwise DCG gains 1/log2(i+1), i=1..k, as 12-dp Decimals.
+
+    Quantized once here and injected as IDENTICAL literals into both the
+    Spark expression and the DuckDB oracle SQL, so per-query DCG sums
+    run in exact decimal arithmetic — order-independent and bit-equal
+    across engines (a raw double DCG would depend on reduction order).
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+    from math import log2
+
+    q = Decimal("0.000000000001")
+    return [
+        Decimal(str(1.0 / log2(i + 1))).quantize(q, rounding=ROUND_HALF_UP)
+        for i in range(1, k + 1)
+    ]
+
+
+def ndcg_at_k(
+    ranked: DataFrame,
+    query_col: str,
+    rank_col: str,
+    rel_col: str,
+    n_rel_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Per-query binary NDCG@k with exact-decimal DCG/IDCG sums.
+
+    ``n_rel_col`` is the query's TOTAL relevant-item count in the corpus
+    (IDCG@k normalizes by the ideal ranking of min(n_rel, k) relevant
+    items). Gains are the shared 12-dp decimal literals from
+    :func:`ndcg_weights`; DCG and the IDCG prefix sums are decimal —
+    exact and order-independent — and the single double division is the
+    only float op. Queries with n_rel = 0 return NULL ndcg.
+
+    Output: one row per query (query, n_rel, ndcg round 6).
+    """
+    w = ndcg_weights(k)
+    w_arr = F.array(*[F.lit(x).cast("decimal(18,12)") for x in w])
+    prefix = []
+    acc = None
+    for x in w:
+        acc = x if acc is None else acc + x
+        prefix.append(acc)
+    p_arr = F.array(*[F.lit(x).cast("decimal(18,12)") for x in prefix])
+
+    gain = F.when(
+        (F.col(rel_col) == 1) & (F.col(rank_col) <= k),
+        F.element_at(w_arr, F.col(rank_col).cast("int")),
+    ).otherwise(F.lit(0).cast("decimal(18,12)"))
+    per_q = ranked.groupBy(query_col).agg(
+        F.sum(gain).alias("__dcg"),
+        F.max(F.col(n_rel_col)).cast("long").alias("n_rel"),
+    )
+    m = F.least(F.col("n_rel"), F.lit(k)).cast("int")
+    idcg = F.when(m > 0, F.element_at(p_arr, m))
+    ndcg = F.when(
+        m > 0,
+        F.round(
+            F.col("__dcg").cast("double") / idcg.cast("double"), 6
+        ),
+    )
+    return per_q.select(
+        F.col(query_col), "n_rel", ndcg.alias("ndcg")
     )
 
 

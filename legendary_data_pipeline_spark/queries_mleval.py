@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from legendary_data_pipeline_spark.catalog import load_distributed
 from legendary_data_pipeline_spark.operators import mleval as M
 from legendary_data_pipeline_spark.operators import setsim as S
+from legendary_data_pipeline_spark.operators import similarity as SIM
 from legendary_data_pipeline_spark.queries import register_shadow
 
 # Shared DuckDB fragments -------------------------------------------------
@@ -242,6 +243,163 @@ _GRID = [k / 10.0 for k in range(1, 10)]
 def ml_pr_at_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = _pred_frame(spark, sf_dir)
     return M.pr_at_thresholds(pred, "pred", "lab", _GRID)
+
+
+# ---------------------------------------------------------------------------
+# X132/X133 — retrieval evaluation: MRR@10 and per-query NDCG@10
+# ---------------------------------------------------------------------------
+
+_RET_K = 10
+
+# shared ranked-retrieval CTE: unblocked exact cosine top-10 for the
+# query sample (vec_id % 5 == 0), relevance = label match. Similarity is
+# rounded to 6 dp BEFORE ranking with a neighbor-id tiebreaker, the
+# engine-stability convention sim_topk_bruteforce established.
+_RANKED_CTE = f"""
+    base AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS q_label, e
+          FROM base WHERE vec_id % 5 = 0),
+    pairs AS (
+      SELECT q.query_id, q.q_label,
+             c.vec_id AS neighbor_id, c.label AS n_label,
+             round(list_cosine_similarity(q.e, c.e), 6) AS cos_sim
+      FROM q JOIN base c ON c.vec_id <> q.query_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+      FROM pairs),
+    top AS (
+      SELECT query_id, q_label, rn,
+             CASE WHEN q_label = n_label THEN 1 ELSE 0 END AS rel
+      FROM ranked WHERE rn <= {_RET_K})
+"""
+
+
+def _ranked_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _RANKED_CTE: (query_id, q_label, rank, rel)."""
+    emb = load_distributed(spark, sf_dir, "embeddings")
+    topk = SIM.cosine_topk(
+        emb,
+        k=_RET_K,
+        query_filter=(F.col("vec_id") % 5 == 0),
+        block_on_label=False,
+    )
+    labels = emb.select("vec_id", "label")
+    q_lab = labels.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    n_lab = labels.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    )
+    return (
+        topk.join(F.broadcast(q_lab), "query_id")
+        .join(F.broadcast(n_lab), "neighbor_id")
+        .select(
+            "query_id",
+            "q_label",
+            F.col("rank"),
+            (F.col("q_label") == F.col("n_label")).cast("int").alias("rel"),
+        )
+    )
+
+
+_MRR_LCM = M._lcm_1_to(_RET_K)
+
+@register_shadow(
+    "ret_mrr_at_10",
+    f"""
+    WITH {_RANKED_CTE},
+    first AS (SELECT query_id, min(rn) AS r FROM top WHERE rel = 1
+              GROUP BY 1),
+    qs AS (SELECT DISTINCT query_id FROM top),
+    per AS (
+      SELECT CASE WHEN r IS NOT NULL
+                  THEN CAST({_MRR_LCM} / r AS BIGINT) ELSE 0 END AS num
+      FROM qs LEFT JOIN first USING (query_id))
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN num > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hit,
+           round(CAST(SUM(num) AS DOUBLE)
+                 / (CAST({_MRR_LCM} AS DOUBLE)
+                    * CAST(count(*) AS DOUBLE)), 6) AS mrr
+    FROM per
+    """,
+    doc="Mean reciprocal rank at 10 over the exact-cosine retrieval of "
+    "the query sample (relevance = label match). Exact integer trick: "
+    "each query contributes LCM(1..10)/first_rel_rank = an exact "
+    "integer, so MRR is one final division — no order-dependent float "
+    "summation. How a pipeline scores its retriever before mining hard "
+    "negatives with it.",
+)
+def ret_mrr_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranked = _ranked_frame(spark, sf_dir)
+    return M.mrr_at_k(ranked, "query_id", "rank", "rel", k=_RET_K)
+
+
+def _ndcg_case_sql() -> tuple[str, str]:
+    """(gain CASE on rn, ideal-prefix CASE on m) with the SAME decimal
+    literals the Spark operator injects (mleval.ndcg_weights)."""
+    w = M.ndcg_weights(_RET_K)
+    prefix = []
+    acc = None
+    for x in w:
+        acc = x if acc is None else acc + x
+        prefix.append(acc)
+    gain = " ".join(
+        f"WHEN {i + 1} THEN CAST({w[i]} AS DECIMAL(18,12))"
+        for i in range(_RET_K)
+    )
+    ideal = " ".join(
+        f"WHEN {m + 1} THEN CAST({prefix[m]} AS DECIMAL(18,12))"
+        for m in range(_RET_K)
+    )
+    return f"CASE rn {gain} END", f"CASE least(n_rel, {_RET_K}) {ideal} END"
+
+
+_GAIN_CASE, _IDEAL_CASE = _ndcg_case_sql()
+
+@register_shadow(
+    "ret_ndcg_at_10",
+    f"""
+    WITH {_RANKED_CTE},
+    lab_cnt AS (SELECT label, count(*) AS c FROM base GROUP BY 1),
+    nrel AS (
+      SELECT q.query_id, CAST(lc.c - 1 AS BIGINT) AS n_rel
+      FROM q JOIN lab_cnt lc ON lc.label = q.q_label),
+    dcg AS (
+      SELECT query_id,
+             SUM(CASE WHEN rel = 1 THEN {_GAIN_CASE}
+                      ELSE CAST(0 AS DECIMAL(18,12)) END) AS dcg
+      FROM top GROUP BY 1)
+    SELECT d.query_id, n.n_rel,
+           CASE WHEN n.n_rel > 0
+                THEN round(CAST(d.dcg AS DOUBLE)
+                           / CAST({_IDEAL_CASE} AS DOUBLE), 6)
+           END AS ndcg
+    FROM dcg d JOIN nrel n ON n.query_id = d.query_id
+    """,
+    doc="Per-query binary NDCG@10 over the same exact-cosine retrieval. "
+    "DCG gains 1/log2(i+1) are 12-dp DECIMAL literals shared verbatim "
+    "between engines, so the per-query DCG and the ideal-prefix IDCG "
+    "sum in exact decimal arithmetic (order-independent); the single "
+    "double division is the only float op. IDCG normalizes by "
+    "min(corpus relevant count, 10); queries whose label is unique "
+    "report NULL.",
+)
+def ret_ndcg_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_distributed(spark, sf_dir, "embeddings")
+    ranked = _ranked_frame(spark, sf_dir)
+    lab_cnt = emb.groupBy("label").agg(F.count(F.lit(1)).alias("__c"))
+    nrel = lab_cnt.select(
+        F.col("label").alias("q_label"),
+        (F.col("__c") - 1).cast("long").alias("n_rel_total"),
+    )
+    with_rel = ranked.join(F.broadcast(nrel), "q_label")
+    return M.ndcg_at_k(
+        with_rel, "query_id", "rank", "rel", "n_rel_total", k=_RET_K
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -8,6 +8,9 @@ from pyspark.sql import functions as F
 from legendary_data_pipeline_spark.operators.mleval import (
     auc_by_group,
     calibration_bins,
+    mrr_at_k,
+    ndcg_at_k,
+    ndcg_weights,
     pr_at_thresholds,
     stratified_split_exact,
 )
@@ -129,6 +132,53 @@ def test_stratified_split_deterministic(spark):
     assert a != c  # seed changes the draw
 
 
+def test_mrr_hand_computed(spark):
+    # q1: first relevant at rank 2 -> 1/2; q2: at rank 1 -> 1; q3: none -> 0
+    rows = [
+        ("q1", 1, 0), ("q1", 2, 1), ("q1", 3, 1),
+        ("q2", 1, 1), ("q2", 2, 0),
+        ("q3", 1, 0), ("q3", 2, 0),
+    ]
+    df = spark.createDataFrame(rows, "q string, rank int, rel int")
+    out = mrr_at_k(df, "q", "rank", "rel", k=10).collect()[0]
+    assert out["n_queries"] == 3 and out["n_hit"] == 2
+    assert out["mrr"] == pytest.approx((0.5 + 1.0 + 0.0) / 3, abs=1e-6)
+
+
+def test_mrr_beyond_k_ignored(spark):
+    df = spark.createDataFrame(
+        [("q1", 11, 1), ("q1", 1, 0)], "q string, rank int, rel int"
+    )
+    out = mrr_at_k(df, "q", "rank", "rel", k=10).collect()[0]
+    assert out["n_hit"] == 0 and out["mrr"] == 0.0
+
+
+def test_ndcg_hand_computed(spark):
+    w = [float(x) for x in ndcg_weights(10)]
+    # q1: relevant at ranks 1 and 3, n_rel=2 -> dcg=w1+w3, idcg=w1+w2
+    # q2: relevant at rank 2 only, n_rel=5 -> idcg = sum(w[:5])
+    # q3: nothing relevant retrieved, n_rel=0 -> NULL
+    rows = [
+        ("q1", 1, 1, 2), ("q1", 2, 0, 2), ("q1", 3, 1, 2),
+        ("q2", 1, 0, 5), ("q2", 2, 1, 5),
+        ("q3", 1, 0, 0),
+    ]
+    df = spark.createDataFrame(rows, "q string, rank int, rel int, n_rel int")
+    out = {r["q"]: r for r in ndcg_at_k(df, "q", "rank", "rel", "n_rel", 10).collect()}
+    assert out["q1"]["ndcg"] == pytest.approx(
+        (w[0] + w[2]) / (w[0] + w[1]), abs=1e-6
+    )
+    assert out["q2"]["ndcg"] == pytest.approx(w[1] / sum(w[:5]), abs=1e-6)
+    assert out["q3"]["ndcg"] is None
+
+
+def test_ndcg_perfect_ranking_is_one(spark):
+    rows = [("q", i, 1 if i <= 4 else 0, 4) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "q string, rank int, rel int, n_rel int")
+    out = ndcg_at_k(df, "q", "rank", "rel", "n_rel", 10).collect()[0]
+    assert out["ndcg"] == pytest.approx(1.0, abs=1e-6)
+
+
 def test_empty_inputs(spark):
     empty = spark.createDataFrame([], "g string, score double, lab int")
     assert auc_by_group(empty, ["g"], "score", "lab").count() == 0
@@ -136,3 +186,8 @@ def test_empty_inputs(spark):
     out = pr_at_thresholds(empty, "score", "lab", [0.5])
     assert out.count() == 0
     assert stratified_split_exact(empty, ["g"], "score").count() == 0
+    er = spark.createDataFrame([], "q string, rank int, rel int, n_rel int")
+    # global aggregate: empty retrieval still yields one summary row
+    mrow = mrr_at_k(er, "q", "rank", "rel").collect()[0]
+    assert mrow["n_queries"] == 0 and mrow["n_hit"] == 0
+    assert ndcg_at_k(er, "q", "rank", "rel", "n_rel").count() == 0
