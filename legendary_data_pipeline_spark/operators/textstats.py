@@ -8,7 +8,7 @@ divisions cast to double so results are bit-reproducible in the oracle.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from legendary_data_pipeline_spark.functions.hashing import md5_long
@@ -296,6 +296,104 @@ def collocations(
 # sentence segmentation — JVM column expression (hot path) + Python UDTF
 # (Spark 4 table-function surface, with character offsets)
 # ---------------------------------------------------------------------------
+
+def readability(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Flesch reading-ease per document (heuristic syllable counting).
+
+    FRE = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words),
+    with counts from portable regexes: words = non-empty whitespace
+    tokens, sentences = runs of terminal punctuation ``[.!?]+``
+    (floored at 1), syllables ≈ vowel-group runs ``[aeiouy]+`` in the
+    lowercased text (the standard cheap approximation; floored at 1).
+    All three counts are exact integers; the formula is a fixed IEEE
+    double tree over identical literals, so the score is bit-identical
+    across engines. Zero-word documents are dropped.
+
+    Zero shuffles — a pure projection at scan parallelism; the corpus
+    quality-gate sibling of `quality_score` for human-readability
+    filtering (e.g. drop FRE < 0 boilerplate/code pages).
+    """
+    words = F.size(
+        F.filter(tokens_expr(text_col), lambda x: x != F.lit(""))
+    ).cast("long")
+    sents = F.greatest(
+        F.lit(1).cast("long"),
+        F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")).cast("long"),
+    )
+    syl = F.greatest(
+        F.lit(1).cast("long"),
+        F.regexp_count(F.lower(F.col(text_col)), F.lit("[aeiouy]+")).cast(
+            "long"
+        ),
+    )
+    out = df.select(
+        F.col(id_col),
+        words.alias("n_words"),
+        sents.alias("n_sentences"),
+        syl.alias("n_syllables"),
+    ).where(F.col("n_words") > 0)
+    fre = (
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (F.col("n_words").cast("double") / F.col("n_sentences").cast("double"))
+        - F.lit(84.6)
+        * (F.col("n_syllables").cast("double") / F.col("n_words").cast("double"))
+    )
+    return out.withColumn("flesch", F.round(fre, 6))
+
+
+def keywords_tf_rarity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 3,
+) -> DataFrame:
+    """Top-k distinctive terms per document, ranked (tf desc, df asc).
+
+    TF-IDF's ordering without its floats: a term beats another when its
+    in-document frequency is higher, ties broken by LOWER corpus
+    document frequency (rarer = more distinctive), then by the term
+    itself — a total order over exact integers, so the selection is
+    deterministic and engine-identical (log-based tf·idf scores would
+    inherit libm rounding). Stopwords need no list: their huge df sorts
+    them last among equals.
+
+    Plan: explode → (doc, term) tf aggregation → vocabulary-sized df
+    aggregation → equi-join on term → per-document top-k window. All
+    shuffles key on term or doc id; the window partitions by document.
+
+    Output: (doc_id, term, tf, df_docs, rank), rank 1..top_k.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.filter(tokens_expr(text_col), lambda x: x != F.lit(""))
+        ).alias("__w"),
+    )
+    tf = toks.groupBy("__id", "__w").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfreq = tf.groupBy("__w").agg(
+        F.count(F.lit(1)).cast("long").alias("df_docs")
+    )
+    w = Window.partitionBy("__id").orderBy(
+        F.col("tf").desc(), F.col("df_docs").asc(), F.col("__w").asc()
+    )
+    return (
+        tf.join(dfreq, "__w")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= top_k)
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__w").alias("term"),
+            "tf",
+            "df_docs",
+            "rank",
+        )
+    )
+
 
 #: split AFTER terminal punctuation, consuming the whitespace run.
 #: ASCII whitespace only — identical semantics in Java and Python regex
