@@ -214,3 +214,42 @@ def test_triangle_count_known_graphs(spark):
     messy = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (2, 2)]
     r = triangle_count(_edges(spark, messy)).first()
     assert r["n_edges"] == 3 and r["n_triangles"] == 1
+
+
+def test_local_and_distributed_components_agree(spark):
+    from legendary_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20), (30, 30)],
+        "id_a long, id_b long",
+    )
+    local = {
+        (r["node"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    dist = {
+        (r["node"], r["component"])
+        for r in connected_components(edges, local_threshold=0).collect()
+    }
+    assert local == dist
+    # min-label semantics: the 20-21-22 triangle labels as 20
+    assert (22, 20) in local
+
+
+def test_local_components_string_ids(spark):
+    from legendary_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], "id_a string, id_b string"
+    )
+    out = {
+        (r["node"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    assert out == {
+        ("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x"),
+    }
