@@ -107,12 +107,20 @@ def main() -> None:
     # would time a cache hit, not the pipeline) — and after each query so
     # cached blocks never accumulate across the bench.
     RERUN_THRESHOLD_SEC = 1.5
+    # A second rerun for queries whose min-of-2 is still heavy: the
+    # handful of multi-second queries are exactly where a single
+    # co-tenant spike distorts the round-over-round comparison most,
+    # and one extra repeat of ~6 queries bounds the added wall time.
+    THIRD_RUN_THRESHOLD_SEC = 2.5
     timings: dict[str, float] = {}
     for name in names:
         t = run_once(name)
         if t > RERUN_THRESHOLD_SEC:
             spark.catalog.clearCache()
             t = min(t, run_once(name))
+            if t > THIRD_RUN_THRESHOLD_SEC:
+                spark.catalog.clearCache()
+                t = min(t, run_once(name))
         spark.catalog.clearCache()
         timings[name] = round(t, 3)
 
