@@ -2701,3 +2701,88 @@ def an_temporal_embargo_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(ed).alias("first_day"),
         F.max(ed).alias("last_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X136 Count-Min sketch point-frequency estimates (round 6)
+# ---------------------------------------------------------------------------
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 1024
+_CMS_TOPN = 20
+
+
+def _cms_oracle_sql() -> str:
+    from legendary_data_pipeline_spark.operators.cms import cms_sql_parts
+
+    addrs = cms_sql_parts(
+        "CAST(l_partkey AS VARCHAR)", _CMS_DEPTH, _CMS_WIDTH
+    )
+    updates = "\n      UNION ALL\n".join(
+        f"      SELECT {i} AS row_idx, {a} AS col_idx FROM lineitem"
+        for i, a in enumerate(addrs)
+    )
+    probe_addrs = "\n      UNION ALL\n".join(
+        f"      SELECT l_partkey, exact_cnt, {i} AS row_idx,"
+        f" {a} AS col_idx FROM top"
+        for i, a in enumerate(addrs)
+    )
+    return f"""
+    WITH u AS (
+{updates}),
+    cells AS (
+      SELECT row_idx, col_idx, CAST(count(*) AS BIGINT) AS cnt
+      FROM u GROUP BY 1, 2),
+    exact AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS exact_cnt
+      FROM lineitem GROUP BY 1),
+    top AS (
+      SELECT * FROM exact
+      ORDER BY exact_cnt DESC, l_partkey ASC LIMIT {_CMS_TOPN}),
+    addr AS (
+{probe_addrs}),
+    est AS (
+      SELECT l_partkey, exact_cnt,
+             min(COALESCE(cnt, 0)) AS cms_est
+      FROM addr LEFT JOIN cells USING (row_idx, col_idx)
+      GROUP BY 1, 2)
+    SELECT l_partkey, exact_cnt, CAST(cms_est AS BIGINT) AS cms_est,
+           CAST(cms_est - exact_cnt AS BIGINT) AS overcount
+    FROM est
+    """
+
+
+@register_shadow(
+    "sk_cms_partkey_freq",
+    _cms_oracle_sql(),
+    doc="Count-Min sketch point-frequency estimates for the 20 hottest "
+    "part keys: one scan explodes each row into depth=4 cell updates "
+    "over the portable md5 affine hash family, a cell-keyed aggregation "
+    "reduces to <= 4x1024 rows, and probing is a broadcast join of the "
+    "cell table — no rescan, no shuffle of the probe side. Estimates "
+    "are bit-deterministic (hence a full hash oracle, not just an error "
+    "bound) and never undercount; cells merge by summing, so per-day "
+    "sketches roll up to any window. Completes the sketch algebra: "
+    "HLL = distinct, Theta = set ops, KLL = quantiles, CMS = frequency.",
+)
+def sk_cms_partkey_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.cms import (
+        cms_build,
+        cms_query,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sketch = cms_build(li, "l_partkey", _CMS_DEPTH, _CMS_WIDTH)
+    exact = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_cnt")
+    )
+    top = exact.orderBy(
+        F.col("exact_cnt").desc(), F.col("l_partkey").asc()
+    ).limit(_CMS_TOPN)
+    est = cms_query(sketch, top, "l_partkey", _CMS_DEPTH, _CMS_WIDTH)
+    return est.select(
+        "l_partkey",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).cast("long").alias("overcount"),
+    )

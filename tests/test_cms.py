@@ -1,0 +1,75 @@
+"""Contracts for the Count-Min sketch (operators/cms.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from legendary_data_pipeline_spark.operators.cms import (
+    cms_build,
+    cms_merge,
+    cms_query,
+)
+
+DEPTH, WIDTH = 4, 64  # small width to force collisions in-test
+
+
+def _items(spark, n=2000, mod=100):
+    # zipf-ish: key k appears ~n/mod times, key 0 much more often
+    return spark.range(n).select(
+        F.when(F.col("id") % 3 == 0, F.lit(0))
+        .otherwise(F.col("id") % mod)
+        .alias("k")
+    )
+
+
+def test_never_undercounts_and_bounded(spark):
+    df = _items(spark)
+    n_total = df.count()
+    sk = cms_build(df, "k", DEPTH, WIDTH)
+    exact = df.groupBy("k").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    est = cms_query(sk, exact, "k", DEPTH, WIDTH)
+    rows = est.collect()
+    assert len(rows) == exact.count()
+    for r in rows:
+        assert r["cms_est"] >= r["exact_cnt"], r
+        # classic bound holds with margin on this fixture (eps = 2/W)
+        assert r["cms_est"] <= r["exact_cnt"] + 2 * n_total / WIDTH * 4, r
+
+
+def test_cell_frame_is_bounded(spark):
+    sk = cms_build(_items(spark), "k", DEPTH, WIDTH)
+    assert sk.count() <= DEPTH * WIDTH
+    # total mass per row equals the item count
+    per_row = sk.groupBy("row_idx").agg(F.sum("cnt").alias("m")).collect()
+    assert {r["m"] for r in per_row} == {2000}
+
+
+def test_merge_equals_whole(spark):
+    df = _items(spark)
+    a = df.where(F.col("k") < 50)
+    b = df.where(F.col("k") >= 50)
+    merged = cms_merge(
+        cms_build(a, "k", DEPTH, WIDTH), cms_build(b, "k", DEPTH, WIDTH)
+    )
+    whole = cms_build(df, "k", DEPTH, WIDTH)
+    diff = merged.exceptAll(whole).count() + whole.exceptAll(merged).count()
+    assert diff == 0
+
+
+def test_unseen_key_estimates_small(spark):
+    df = _items(spark)
+    sk = cms_build(df, "k", DEPTH, WIDTH)
+    probes = spark.createDataFrame([(99991,), (99992,)], "k long")
+    rows = cms_query(sk, probes, "k", DEPTH, WIDTH).collect()
+    for r in rows:
+        # may collide (overestimate) but never negative
+        assert 0 <= r["cms_est"] <= 2000
+
+
+def test_empty_input(spark):
+    empty = spark.createDataFrame([], "k long")
+    sk = cms_build(empty, "k", DEPTH, WIDTH)
+    assert sk.count() == 0
+    probes = spark.createDataFrame([(1,)], "k long")
+    rows = cms_query(sk, probes, "k", DEPTH, WIDTH).collect()
+    assert rows[0]["cms_est"] == 0
