@@ -98,9 +98,9 @@ def _pred_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT id_a, id_b, inter, size_a, size_b,
            round(CAST(inter AS DOUBLE)
                  / CAST(size_a + size_b - inter AS DOUBLE), 6) AS jaccard
-    FROM j WHERE inter * 2 >= (size_a + size_b - inter) * 1
+    FROM j WHERE inter * 5 >= (size_a + size_b - inter) * 4
     """,
-    doc="Globally EXACT word-3-gram Jaccard pairs at t=1/2 via prefix "
+    doc="Globally EXACT word-3-gram Jaccard pairs at t=4/5 via prefix "
     "filtering (AllPairs/PPJoin; Vernica et al. SIGMOD'10 MapReduce "
     "form): candidates equi-join only on each doc's rarest-first prefix "
     "shingles — lossless at the threshold, no blocking heuristic, no "
@@ -112,8 +112,12 @@ def _pred_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ss_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_distributed(spark, sf_dir, "documents")
     shingled = S.shingle_ws_distinct(docs, "text", "doc_id", n=3)
+    # t = 4/5: the standard near-dup operating point — prefixes are
+    # ~L/5 instead of the ~L/2 a 0.5 threshold forces, which is what
+    # keeps candidate volume (and the verify join) proportional to
+    # actual near-duplication rather than vocabulary overlap.
     return S.prefix_filter_jaccard_join(
-        shingled, threshold_num=1, threshold_den=2
+        shingled, threshold_num=4, threshold_den=5
     )
 
 
