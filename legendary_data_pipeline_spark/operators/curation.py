@@ -1227,3 +1227,44 @@ def c4_span_stats(
             6,
         ).alias("dup_span_frac"),
     )
+
+
+def domain_quality_gates(
+    scored: DataFrame,
+    domain_col: str = "source",
+    bucket_col: str = "quality_bucket",
+    good_bucket: str = "high",
+    min_docs: int = 5,
+    share_num: int = 95,
+    share_den: int = 100,
+) -> DataFrame:
+    """Domain-level curation gate: drop WHOLE domains whose share of
+    good documents falls below ``share_num/share_den``.
+
+    Per-document filters miss systematic sources — a spam/SEO domain
+    where every page individually squeaks past the per-doc gates still
+    poisons the corpus (the practice popularized by C4's blocklist and
+    RefinedWeb's per-domain statistics: curate the SOURCE, not just the
+    page). A domain is flagged when it has at least ``min_docs``
+    documents AND its good-bucket share is below the floor, tested in
+    exact integer form (``n_good * share_den < n_docs * share_num``) so
+    the verdict is engine-deterministic. Small domains (< min_docs) are
+    never flagged — too few observations to condemn a source.
+
+    Scale: the domain table is domain-count-sized (one aggregation with
+    map-side combine) and joins back as a BROADCAST — the corpus
+    shuffles zero times. Output: the scored rows plus per-domain
+    (n_docs, n_good, domain_flagged) and ``kept = NOT flagged``.
+    """
+    good = (F.col(bucket_col) == good_bucket).cast("long")
+    dom = scored.groupBy(domain_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(good).cast("long").alias("n_good"),
+    )
+    flagged = (F.col("n_docs") >= min_docs) & (
+        F.col("n_good") * share_den < F.col("n_docs") * share_num
+    )
+    dom = dom.withColumn("domain_flagged", flagged)
+    return scored.join(F.broadcast(dom), domain_col).withColumn(
+        "kept", ~F.col("domain_flagged")
+    )
