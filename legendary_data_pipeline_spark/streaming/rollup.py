@@ -96,3 +96,65 @@ def run_rollup_maintenance_once(
         .start()
     )
     query.awaitTermination()
+
+
+def cms_maintenance_sink(
+    table: str, key_col: str, depth: int = 4, width: int = 1024
+):
+    """`foreachBatch` writer maintaining a versioned Count-Min sketch.
+
+    The CMS cell frame (operators/cms.py) is a pure sum-rollup over
+    (row_idx, col_idx), so maintenance is the same stage-then-publish
+    merge the rollup sink uses — sketch the arriving batch, add cells
+    into the latest snapshot, commit as the next version with the same
+    batch-id replay guard. State stays ≤ depth × width rows forever
+    while absorbing unbounded stream history: point-frequency queries
+    (cms_query) over "everything seen so far" never rescan the stream.
+    """
+    from legendary_data_pipeline_spark.operators.cms import (
+        cms_build,
+        cms_merge,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.limit(1).count() == 0:
+            return
+        op_tag = f"cms_batch_{int(batch_id)}"
+        committed = versions(table)
+        if any(m.get("op") == op_tag for m in committed):
+            return
+        spark = batch_df.sparkSession
+        batch_cells = cms_build(batch_df, key_col, depth, width)
+        if committed:
+            merged = cms_merge(read_version(spark, table), batch_cells)
+        else:
+            merged = batch_cells
+        write_version(merged, table, op=op_tag)
+
+    return write_batch
+
+
+def run_cms_maintenance_once(
+    spark: SparkSession,
+    input_path: str,
+    input_schema: str,
+    table: str,
+    key_col: str,
+    checkpoint_path: str,
+    depth: int = 4,
+    width: int = 1024,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Drain all available input files once through the CMS sink."""
+    reader = spark.readStream.schema(input_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_path)
+    query = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(cms_maintenance_sink(table, key_col, depth, width))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()

@@ -88,3 +88,62 @@ def test_sink_skips_empty_batches(spark, tmp_path):
     sink = rollup_maintenance_sink(table, _KEYS, _specs(), _KINDS)
     sink(spark.createDataFrame([], _SCHEMA), 0)
     assert versions(table) == []
+
+
+# ---------------------------------------------------------------------------
+# streaming Count-Min sketch maintenance
+# ---------------------------------------------------------------------------
+
+def _cells(df):
+    return {(r.row_idx, r.col_idx): r.cnt for r in df.collect()}
+
+
+def test_cms_stream_equals_full_build(spark, tmp_path):
+    from legendary_data_pipeline_spark.operators.cms import cms_build
+    from legendary_data_pipeline_spark.streaming.rollup import (
+        run_cms_maintenance_once,
+    )
+
+    inp = str(tmp_path / "cin")
+    b1 = [(k % 7,) for k in range(300)]
+    b2 = [(k % 11,) for k in range(200)]
+    schema = "k long"
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+
+    table = str(tmp_path / "cms")
+    run_cms_maintenance_once(
+        spark, inp, schema, table, "k", str(tmp_path / "cckpt"),
+        depth=3, width=32, max_files_per_trigger=1,
+    )
+    vs = versions(table)
+    assert len(vs) == 2
+    assert all(m["op"].startswith("cms_batch_") for m in vs)
+
+    latest = read_version(spark, table)
+    full = cms_build(spark.createDataFrame(b1 + b2, schema), "k", 3, 32)
+    assert _cells(latest) == _cells(full)
+
+
+def test_cms_stream_estimates_never_undercount(spark, tmp_path):
+    from legendary_data_pipeline_spark.operators.cms import cms_query
+    from legendary_data_pipeline_spark.streaming.rollup import (
+        run_cms_maintenance_once,
+    )
+
+    inp = str(tmp_path / "cin2")
+    rows = [(k % 5,) for k in range(500)]
+    spark.createDataFrame(rows, "k long").coalesce(1).write.parquet(inp)
+    table = str(tmp_path / "cms2")
+    run_cms_maintenance_once(
+        spark, inp, "k long", table, "k", str(tmp_path / "cckpt2"),
+        depth=3, width=32,
+    )
+    sketch = read_version(spark, table)
+    probes = spark.createDataFrame([(i,) for i in range(5)], "k long")
+    for r in cms_query(sketch, probes, "k", 3, 32).collect():
+        assert r["cms_est"] >= 100
