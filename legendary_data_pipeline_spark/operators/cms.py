@@ -32,7 +32,13 @@ from legendary_data_pipeline_spark.functions.hashing import (
     hash_family_params,
 )
 
-__all__ = ["cms_build", "cms_merge", "cms_query", "cms_sql_parts"]
+__all__ = [
+    "cms_build",
+    "cms_merge",
+    "cms_query",
+    "cms_inner_product",
+    "cms_sql_parts",
+]
 
 DEFAULT_DEPTH = 4
 DEFAULT_WIDTH = 1024
@@ -117,6 +123,41 @@ def cms_query(
             .cast("long")
             .alias("cms_est")
         )
+    )
+
+
+def cms_inner_product(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Equi-join SIZE estimate from two sketches (same depth/width):
+
+        est = min over rows i of  Σ_col  a[i][col] · b[i][col]
+
+    — the Cormode-Muthukrishnan inner-product estimator. Never
+    undercounts the true join cardinality Σ_k f_a(k)·f_b(k), with
+    P[est > true + 2·N_a·N_b/w] < (1/2)^d. Both operands are
+    ≤ depth × width rows, so the whole estimate is a metadata-scale
+    join — the cost-based "how big would this join be?" probe that
+    avoids running (or even scanning) the join itself.
+
+    Output: one row (cms_est).
+    """
+    dots = a.join(
+        b.select(
+            F.col("row_idx"),
+            F.col("col_idx"),
+            F.col("cnt").alias("__cnt_b"),
+        ),
+        ["row_idx", "col_idx"],
+    ).groupBy("row_idx").agg(
+        F.sum(F.col("cnt") * F.col("__cnt_b")).cast("long").alias("__dot")
+    )
+    # a hash row with NO overlapping cells has dot 0 — it must still
+    # participate in the min (est is then 0), so seed every row of `a`.
+    rows = a.select("row_idx").distinct()
+    prod = rows.join(dots, "row_idx", "left").select(
+        F.coalesce(F.col("__dot"), F.lit(0)).alias("__dot")
+    )
+    return prod.agg(
+        F.coalesce(F.min("__dot"), F.lit(0)).cast("long").alias("cms_est")
     )
 
 

@@ -2786,3 +2786,103 @@ def sk_cms_partkey_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_est",
         (F.col("cms_est") - F.col("exact_cnt")).cast("long").alias("overcount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X138 CMS inner-product join-size estimate (round 6)
+# ---------------------------------------------------------------------------
+
+# Join-size estimation needs a wider sketch than point queries: the
+# additive error is 2*Na*Nb/w (products of totals, not a single total),
+# so w=16384 turns a ~1.8M bound at sf0.01 into ~110k. Cells stay
+# metadata-scale (4x16384).
+_CMS_JOIN_WIDTH = 16384
+
+
+def _cms_join_oracle_sql() -> str:
+    from legendary_data_pipeline_spark.operators.cms import cms_sql_parts
+
+    ua = "\n      UNION ALL\n".join(
+        f"      SELECT {i} AS row_idx, {a} AS col_idx FROM lineitem"
+        for i, a in enumerate(
+            cms_sql_parts(
+                "CAST(l_orderkey AS VARCHAR)", _CMS_DEPTH, _CMS_JOIN_WIDTH
+            )
+        )
+    )
+    ub = "\n      UNION ALL\n".join(
+        f"      SELECT {i} AS row_idx, {a} AS col_idx FROM orders"
+        for i, a in enumerate(
+            cms_sql_parts(
+                "CAST(o_orderkey AS VARCHAR)", _CMS_DEPTH, _CMS_JOIN_WIDTH
+            )
+        )
+    )
+    rows_vals = ", ".join(f"({i})" for i in range(_CMS_DEPTH))
+    return f"""
+    WITH ua AS (
+{ua}),
+    ca AS (SELECT row_idx, col_idx, CAST(count(*) AS BIGINT) AS cnt
+           FROM ua GROUP BY 1, 2),
+    ub AS (
+{ub}),
+    cb AS (SELECT row_idx, col_idx, CAST(count(*) AS BIGINT) AS cnt
+           FROM ub GROUP BY 1, 2),
+    dots AS (
+      SELECT ca.row_idx, SUM(ca.cnt * cb.cnt) AS dot
+      FROM ca JOIN cb USING (row_idx, col_idx) GROUP BY 1),
+    est AS (
+      SELECT CAST(min(COALESCE(dot, 0)) AS BIGINT) AS cms_est
+      FROM (VALUES {rows_vals}) r(row_idx) LEFT JOIN dots USING (row_idx)),
+    exact AS (
+      SELECT CAST(SUM(la.c * ob.c) AS BIGINT) AS exact_pairs
+      FROM (SELECT l_orderkey AS k, count(*) AS c
+            FROM lineitem GROUP BY 1) la
+      JOIN (SELECT o_orderkey AS k, count(*) AS c
+            FROM orders GROUP BY 1) ob USING (k))
+    SELECT exact_pairs, cms_est,
+           CAST(cms_est - exact_pairs AS BIGINT) AS overcount
+    FROM exact, est
+    """
+
+
+@register_shadow(
+    "sk_cms_join_size",
+    _cms_join_oracle_sql(),
+    doc="Join-cardinality estimate WITHOUT running (or scanning for) "
+    "the join: the Cormode-Muthukrishnan CMS inner product — sketch "
+    "each side's key column once, est = min over hash rows of the "
+    "cellwise count dot product. Never undercounts the true "
+    "sum-of-frequency-products; both operands are <= depth x width "
+    "rows so the estimate itself is a metadata-scale join. The "
+    "cost-based planning probe for 'how big would lineitem x orders "
+    "be' — and bit-deterministic, hence a full hash oracle.",
+)
+def sk_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.cms import (
+        cms_build,
+        cms_inner_product,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    sa = cms_build(li, "l_orderkey", _CMS_DEPTH, _CMS_JOIN_WIDTH)
+    sb = cms_build(orders, "o_orderkey", _CMS_DEPTH, _CMS_JOIN_WIDTH)
+    est = cms_inner_product(sa, sb)
+    la = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("__ca"))
+    ob = orders.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("__cb"))
+    exact = (
+        la.join(ob, la["l_orderkey"] == ob["o_orderkey"])
+        .agg(
+            F.sum(F.col("__ca") * F.col("__cb"))
+            .cast("long")
+            .alias("exact_pairs")
+        )
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_pairs",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_pairs")).cast("long").alias(
+            "overcount"
+        ),
+    )

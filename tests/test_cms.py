@@ -73,3 +73,40 @@ def test_empty_input(spark):
     probes = spark.createDataFrame([(1,)], "k long")
     rows = cms_query(sk, probes, "k", DEPTH, WIDTH).collect()
     assert rows[0]["cms_est"] == 0
+
+
+def test_inner_product_never_undercounts(spark):
+    from legendary_data_pipeline_spark.operators.cms import (
+        cms_inner_product,
+    )
+
+    a = _items(spark, n=1000, mod=50)
+    b = _items(spark, n=500, mod=25)
+    sa = cms_build(a, "k", DEPTH, WIDTH)
+    sb = cms_build(b, "k", DEPTH, WIDTH)
+    est = cms_inner_product(sa, sb).collect()[0]["cms_est"]
+    exact = (
+        a.groupBy("k").count().withColumnRenamed("count", "ca")
+        .join(b.groupBy("k").count().withColumnRenamed("count", "cb"), "k")
+        .selectExpr("sum(ca * cb) as e")
+        .collect()[0]["e"]
+    )
+    assert est >= exact
+    # bound with slack: 2 * Na * Nb / W per row, d rows of margin
+    assert est <= exact + 2 * 1000 * 500 / WIDTH * 4
+
+
+def test_inner_product_disjoint_and_empty(spark):
+    from legendary_data_pipeline_spark.operators.cms import (
+        cms_inner_product,
+    )
+
+    a = spark.createDataFrame([(1,)], "k long")
+    b = spark.createDataFrame([(2,)], "k long")
+    sa = cms_build(a, "k", DEPTH, WIDTH)
+    sb = cms_build(b, "k", DEPTH, WIDTH)
+    est = cms_inner_product(sa, sb).collect()[0]["cms_est"]
+    assert est in (0, 1)  # disjoint keys: 0 unless all rows collide
+    empty = cms_build(spark.createDataFrame([], "k long"), "k", DEPTH, WIDTH)
+    assert cms_inner_product(sa, empty).collect()[0]["cms_est"] == 0
+    assert cms_inner_product(empty, sb).collect()[0]["cms_est"] == 0
