@@ -41,6 +41,7 @@ __all__ = [
     "mrr_at_k",
     "ndcg_at_k",
     "ndcg_weights",
+    "target_encode",
 ]
 
 
@@ -167,6 +168,53 @@ def pr_at_thresholds(
         ratio(F.col("tp"), prec_den).alias("precision"),
         ratio(F.col("tp"), rec_den).alias("recall"),
         ratio(F.lit(2) * F.col("tp"), f1_den).alias("f1"),
+    )
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    m: int = 10,
+) -> DataFrame:
+    """m-estimate target encoding over an INTEGER target.
+
+    The classic high-cardinality categorical feature: replace the
+    category with its smoothed target mean,
+
+        enc = (sum_cat + m · global_mean) / (n_cat + m)
+
+    so rare categories shrink toward the global mean instead of
+    memorizing their few labels. ``target_col`` must be integral (the
+    engine's money convention: cents, not float currency); the global
+    mean and the final encoding are floored integers, which keeps every
+    value engine-deterministic (round() ties break differently across
+    engines; floor never does).
+
+    Plan: ONE category-keyed aggregation (map-side combinable) plus a
+    1-row broadcast global aggregate — category-table-sized output,
+    suitable for broadcasting back onto the feature frame.
+
+    Output: (cat_col, n, enc) with enc = floor((sum + m·gmean)/(n+m)).
+    """
+    tgt = F.col(target_col).cast("long")
+    per = df.groupBy(cat_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(tgt).cast("long").alias("__sum"),
+    )
+    g = df.agg(
+        F.floor(
+            F.sum(tgt).cast("double") / F.count(F.lit(1)).cast("double")
+        )
+        .cast("long")
+        .alias("__gmean")
+    )
+    enc = F.floor(
+        (F.col("__sum") + F.lit(m) * F.col("__gmean")).cast("double")
+        / (F.col("n") + F.lit(m)).cast("double")
+    ).cast("long")
+    return per.crossJoin(F.broadcast(g)).select(
+        cat_col, "n", enc.alias("enc")
     )
 
 

@@ -450,3 +450,49 @@ def ml_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tagged.groupBy("label", "split").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows")
     )
+
+
+# ---------------------------------------------------------------------------
+# X139 — m-estimate target encoding
+# ---------------------------------------------------------------------------
+
+_TE_M = 10
+
+@register_shadow(
+    "ml_target_encoding",
+    f"""
+    WITH base AS (
+      SELECT o_orderpriority AS cat,
+             CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100, 0)
+                  AS BIGINT) AS cents
+      FROM orders),
+    g AS (
+      SELECT CAST(floor(CAST(SUM(cents) AS DOUBLE)
+                        / CAST(count(*) AS DOUBLE)) AS BIGINT) AS gmean
+      FROM base),
+    per AS (
+      SELECT cat, CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s
+      FROM base GROUP BY 1)
+    SELECT cat AS o_orderpriority, n,
+           CAST(floor(CAST(s + {_TE_M} * gmean AS DOUBLE)
+                      / CAST(n + {_TE_M} AS DOUBLE)) AS BIGINT) AS enc
+    FROM per, g
+    """,
+    doc="m-estimate target encoding of order priority by mean order "
+    "value (integer cents): rare categories shrink toward the global "
+    "mean, enc = floor((sum + m*gmean)/(n + m)). Everything is integer "
+    "except two identical floored IEEE divisions, so the encoding is "
+    "engine-deterministic. One category-keyed aggregation + a 1-row "
+    "broadcast global mean; the output is category-table-sized and "
+    "broadcasts back onto the feature frame.",
+)
+def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_distributed(spark, sf_dir, "orders")
+    cents = F.round(
+        F.col("o_totalprice").cast("decimal(18,2)") * 100, 0
+    ).cast("long")
+    base = orders.select(
+        F.col("o_orderpriority"), cents.alias("__cents")
+    )
+    return M.target_encode(base, "o_orderpriority", "__cents", m=_TE_M)

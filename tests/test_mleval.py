@@ -191,3 +191,30 @@ def test_empty_inputs(spark):
     mrow = mrr_at_k(er, "q", "rank", "rel").collect()[0]
     assert mrow["n_queries"] == 0 and mrow["n_hit"] == 0
     assert ndcg_at_k(er, "q", "rank", "rel", "n_rel").count() == 0
+
+
+def test_target_encode_shrinks_rare_categories(spark):
+    from legendary_data_pipeline_spark.operators.mleval import target_encode
+
+    rows = (
+        [("common", 100)] * 50       # mean 100
+        + [("rare", 1000)]           # one extreme observation
+    )
+    df = spark.createDataFrame(rows, "cat string, t long")
+    out = {r["cat"]: r for r in target_encode(df, "cat", "t", m=10).collect()}
+    gmean = (50 * 100 + 1000) // 51  # floor global mean = 117
+    # common: 50 obs dominate the prior
+    assert out["common"]["enc"] == (50 * 100 + 10 * gmean) // 60
+    # rare: prior dominates the single observation — far below 1000
+    assert out["rare"]["enc"] == (1000 + 10 * gmean) // 11
+    assert out["rare"]["enc"] < 350
+
+
+def test_target_encode_m_zero_is_plain_mean(spark):
+    from legendary_data_pipeline_spark.operators.mleval import target_encode
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("b", 7)], "cat string, t long"
+    )
+    out = {r["cat"]: r["enc"] for r in target_encode(df, "cat", "t", m=0).collect()}
+    assert out == {"a": 15, "b": 7}
