@@ -2886,3 +2886,65 @@ def sk_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overcount"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# X140 local clustering coefficients (round 6)
+# ---------------------------------------------------------------------------
+
+@register_shadow(
+    "gr_clustering_coefficient",
+    """
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+      GROUP BY 1),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1 JOIN e e2 ON e1.b = e2.a
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+    corners AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri)
+      GROUP BY 1)
+    SELECT deg.node, deg.degree,
+           COALESCE(corners.triangles, 0) AS triangles,
+           CASE WHEN deg.degree >= 2
+                THEN round(2.0 * COALESCE(corners.triangles, 0)
+                           / (CAST(deg.degree AS DOUBLE)
+                              * CAST(deg.degree - 1 AS DOUBLE)), 6)
+           END AS coeff
+    FROM deg LEFT JOIN corners USING (node)
+    """,
+    doc="Local clustering coefficient per part in the co-purchase "
+    "graph: C(v) = 2*T(v)/(deg(v)*(deg(v)-1)). Triangles enumerate "
+    "once via the ordered closure (two equi-joins) and credit their "
+    "three corners; degrees are one aggregation over the symmetrized "
+    "edge list. Exact integers with one final division — separates "
+    "cliquey co-purchase neighborhoods from hub-and-spoke ones where "
+    "the global triangle count can't.",
+)
+def gr_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.graph import (
+        clustering_coefficients,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("id_a"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("id_b"))
+    edges = a.join(b, "k").filter(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b"
+    )
+    out = clustering_coefficients(edges)
+    # DuckDB's CAST(x AS BIGINT)/COALESCE(...,0) types: match exactly
+    return out.select(
+        F.col("node"), F.col("degree"), F.col("triangles"), F.col("coeff")
+    )

@@ -253,3 +253,37 @@ def test_local_components_string_ids(spark):
     assert out == {
         ("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x"),
     }
+
+
+def test_clustering_coefficients_known_graph(spark):
+    from legendary_data_pipeline_spark.operators.graph import (
+        clustering_coefficients,
+    )
+
+    # triangle 1-2-3 plus pendant 3-4
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "id_a long, id_b long"
+    )
+    out = {r["node"]: r for r in clustering_coefficients(edges).collect()}
+    assert out[1]["coeff"] == 1.0 and out[1]["triangles"] == 1
+    assert out[2]["coeff"] == 1.0
+    # node 3: degree 3, one triangle -> 2*1/(3*2) = 1/3
+    assert out[3]["degree"] == 3
+    assert abs(out[3]["coeff"] - 1 / 3) < 1e-6
+    # pendant: degree 1 -> undefined
+    assert out[4]["coeff"] is None and out[4]["triangles"] == 0
+
+
+def test_clustering_coefficients_clique(spark):
+    from itertools import combinations
+
+    from legendary_data_pipeline_spark.operators.graph import (
+        clustering_coefficients,
+    )
+
+    edges = spark.createDataFrame(
+        list(combinations(range(5), 2)), "id_a long, id_b long"
+    )
+    out = clustering_coefficients(edges).collect()
+    assert all(r["coeff"] == 1.0 for r in out)
+    assert all(r["triangles"] == 6 for r in out)  # C(4,2) per node in K5
