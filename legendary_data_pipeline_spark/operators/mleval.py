@@ -42,6 +42,7 @@ __all__ = [
     "ndcg_at_k",
     "ndcg_weights",
     "target_encode",
+    "rrf_fuse",
 ]
 
 
@@ -215,6 +216,45 @@ def target_encode(
     ).cast("long")
     return per.crossJoin(F.broadcast(g)).select(
         cat_col, "n", enc.alias("enc")
+    )
+
+
+def rrf_fuse(
+    rankings: DataFrame,
+    query_col: str,
+    item_col: str,
+    rank_col: str,
+    k: int = 60,
+    scale: int = 1_000_000,
+    top_k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of multiple retriever rankings.
+
+    Input: the UNION of per-retriever ranked lists — one row per
+    (query, item, rank) per retriever. Classic RRF sums 1/(k + rank)
+    across retrievers (Cormack & Clarke, SIGIR'09); floats make the
+    fusion order-sensitive across engines, so this uses the scaled
+    integer form ``floor(scale / (k + rank))`` — monotone in rank,
+    summed exactly, deterministic everywhere. Ties on the fused score
+    break by item id (total order).
+
+    Plan: one (query, item)-keyed aggregation with map-side combine,
+    then a per-query top-k window. Output:
+    (query, item, fused_score, n_sources, fused_rank), rank 1..top_k.
+    """
+    w = F.floor(
+        F.lit(float(scale)) / (F.col(rank_col) + F.lit(k)).cast("double")
+    ).cast("long")
+    per = rankings.groupBy(query_col, item_col).agg(
+        F.sum(w).cast("long").alias("fused_score"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+    )
+    order = Window.partitionBy(query_col).orderBy(
+        F.col("fused_score").desc(), F.col(item_col).asc()
+    )
+    return (
+        per.withColumn("fused_rank", F.row_number().over(order).cast("long"))
+        .where(F.col("fused_rank") <= top_k)
     )
 
 

@@ -496,3 +496,88 @@ def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority"), cents.alias("__cents")
     )
     return M.target_encode(base, "o_orderpriority", "__cents", m=_TE_M)
+
+
+# ---------------------------------------------------------------------------
+# X141 — reciprocal-rank fusion of two retrievers
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_SCALE = 1_000_000
+_RRF_TOPK = 5
+_RRF_QMOD = 25  # query sample: vec_id % 25 == 0
+
+
+def _rrf_half_rank_sql(lo: int, alias: str) -> str:
+    """Ranked top-10 CTEs for cosine over one half of the embedding."""
+    return f"""
+    {alias}_p AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(
+               CAST(list_slice(q.embedding, {lo}, {lo + 31}) AS DOUBLE[]),
+               CAST(list_slice(c.embedding, {lo}, {lo + 31}) AS DOUBLE[])),
+               6) AS cs
+      FROM embeddings q JOIN embeddings c
+        ON q.label = c.label AND c.vec_id <> q.vec_id
+      WHERE q.vec_id % {_RRF_QMOD} = 0),
+    {alias} AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cs DESC, neighbor_id ASC) AS rnk
+      FROM {alias}_p
+      QUALIFY rnk <= 10)
+"""
+
+
+@register_shadow(
+    "ret_rrf_fusion",
+    f"""
+    WITH {_rrf_half_rank_sql(1, "ra")},
+    {_rrf_half_rank_sql(33, "rb")},
+    u AS (SELECT * FROM ra UNION ALL SELECT * FROM rb),
+    fused AS (
+      SELECT query_id, neighbor_id,
+             CAST(SUM(CAST(floor({_RRF_SCALE}.0
+                    / CAST(rnk + {_RRF_K} AS DOUBLE)) AS BIGINT))
+                  AS BIGINT) AS fused_score,
+             CAST(count(*) AS BIGINT) AS n_sources
+      FROM u GROUP BY 1, 2),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY fused_score DESC, neighbor_id ASC) AS BIGINT)
+               AS fused_rank
+      FROM fused)
+    SELECT query_id, neighbor_id, fused_score, n_sources, fused_rank
+    FROM ranked WHERE fused_rank <= {_RRF_TOPK}
+    """,
+    doc="Reciprocal-rank fusion of two retrievers (cosine over the "
+    "first and second halves of the embedding — a stand-in for "
+    "dense + lexical): each retriever's top-10 contributes "
+    "floor(1e6/(60+rank)) — the scaled-INTEGER RRF form, summed "
+    "exactly, so fusion is engine-deterministic where float 1/(k+r) "
+    "sums are not. One (query,item) aggregation + a per-query top-k "
+    "window. The standard way pipelines merge heterogeneous "
+    "retrievers before mining or labeling.",
+)
+def ret_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_distributed(spark, sf_dir, "embeddings")
+    halves = []
+    for lo in (1, 33):
+        half = emb.withColumn("embedding", F.slice("embedding", lo, 32))
+        ranked = SIM.cosine_topk(
+            half,
+            k=10,
+            query_filter=(F.col("vec_id") % _RRF_QMOD == 0),
+            block_on_label=True,
+        ).select("query_id", "neighbor_id", F.col("rank").alias("rnk"))
+        halves.append(ranked)
+    union = halves[0].unionByName(halves[1])
+    return M.rrf_fuse(
+        union,
+        "query_id",
+        "neighbor_id",
+        "rnk",
+        k=_RRF_K,
+        scale=_RRF_SCALE,
+        top_k=_RRF_TOPK,
+    ).select("query_id", "neighbor_id", "fused_score", "n_sources", "fused_rank")

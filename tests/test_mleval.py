@@ -218,3 +218,41 @@ def test_target_encode_m_zero_is_plain_mean(spark):
     )
     out = {r["cat"]: r["enc"] for r in target_encode(df, "cat", "t", m=0).collect()}
     assert out == {"a": 15, "b": 7}
+
+
+def test_rrf_fusion_hand_computed(spark):
+    from legendary_data_pipeline_spark.operators.mleval import rrf_fuse
+
+    # retriever A ranks: d1=1, d2=2; retriever B ranks: d2=1, d3=2
+    rows = [
+        ("q", "d1", 1), ("q", "d2", 2),
+        ("q", "d2", 1), ("q", "d3", 2),
+    ]
+    df = spark.createDataFrame(rows, "q string, item string, rnk int")
+    out = {
+        r["item"]: r
+        for r in rrf_fuse(df, "q", "item", "rnk", k=60, scale=1_000_000).collect()
+    }
+    w1, w2 = 1_000_000 // 61, 1_000_000 // 62
+    # d2 appears in both lists -> wins fusion despite never ranking 1st alone
+    assert out["d2"]["fused_score"] == w1 + w2
+    assert out["d2"]["n_sources"] == 2
+    assert out["d2"]["fused_rank"] == 1
+    assert out["d1"]["fused_score"] == w1 and out["d1"]["fused_rank"] == 2
+    assert out["d3"]["fused_rank"] == 3
+
+
+def test_rrf_topk_and_tiebreak(spark):
+    from legendary_data_pipeline_spark.operators.mleval import rrf_fuse
+
+    rows = [("q", f"d{i}", i) for i in range(1, 8)]
+    df = spark.createDataFrame(rows, "q string, item string, rnk int")
+    out = rrf_fuse(df, "q", "item", "rnk", top_k=3).collect()
+    assert len(out) == 3
+    # equal ranks across items -> same score -> item-id tiebreak
+    ties = spark.createDataFrame(
+        [("q", "b", 1), ("q", "a", 1)], "q string, item string, rnk int"
+    )
+    t = sorted(rrf_fuse(ties, "q", "item", "rnk").collect(),
+               key=lambda r: r["fused_rank"])
+    assert [r["item"] for r in t] == ["a", "b"]
