@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from legendary_data_pipeline_spark.operators.ranking import top_k_per_group
@@ -973,3 +973,107 @@ def hard_negatives_ivf(
             "cos_sim",
         )
     )
+
+
+def ivf_fixed_topk(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    k: int = 3,
+    query_filter: Column | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF approximate top-k with a FIXED seed codebook — the
+    hash-oracle-able ANN variant.
+
+    The trained form (`ivf_topk`) is rows-only checkable: its Lloyd
+    codebook and numpy assignment arithmetic are not replayable in SQL.
+    This variant freezes the codebook to the corpus vectors with the
+    ``n_centroids`` smallest ids and computes EVERYTHING as declarative
+    column expressions with sequential-fold arithmetic (dot products /
+    norms via `dot_expr`/`norm_expr` — the same index-order folds
+    DuckDB's list functions use), so assignments, probe lists, and the
+    final ranking are bit-deterministic and a DuckDB oracle can replay
+    the whole index end-to-end. Codebook quality is NOT the point —
+    recall tuning stays with the trained form; this one pins index
+    CORRECTNESS (bucket routing, probe union, rank) under a hash
+    oracle, and probing ALL lists must reproduce the exact brute-force
+    top-k (pinned in tests).
+
+    Plan shape: centroid table is n_centroids rows (broadcast);
+    assignment is a broadcast join + per-vector top-1 window; search
+    joins queries' probed lists to corpus lists on centroid id — no
+    cartesian over the corpus.
+    """
+    base = embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("vec")
+    )
+    cents = base.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
+    )
+
+    def _assign(df: DataFrame, id_alias: str, keep_rank: int) -> DataFrame:
+        xx = F.aggregate(
+            F.col("vec"), F.lit(0.0), lambda a, x: a + x * x
+        )
+        cc = F.aggregate(
+            F.col("cvec"), F.lit(0.0), lambda a, x: a + x * x
+        )
+        dot = F.aggregate(
+            F.zip_with(F.col("vec"), F.col("cvec"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        d2 = xx + cc - F.lit(2.0) * dot
+        w = Window.partitionBy(id_alias).orderBy(
+            d2.asc(), F.col("cid").asc()
+        )
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= keep_rank)
+            .select(id_alias, "cid", "vec")
+        )
+
+    corpus = _assign(
+        base.crossJoin(F.broadcast(cents)), "vec_id", 1
+    ).select(
+        F.col("vec_id").alias("neighbor_id"),
+        "cid",
+        F.col("vec").alias("c_vec"),
+    )
+    q_base = base if query_filter is None else base.filter(query_filter)
+    queries = _assign(
+        q_base.crossJoin(F.broadcast(cents)), "vec_id", n_probe
+    ).select(
+        F.col("vec_id").alias("query_id"), "cid", F.col("vec").alias("q_vec")
+    )
+
+    joined = queries.join(corpus, "cid").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    qn = F.sqrt(
+        F.aggregate(F.col("q_vec"), F.lit(0.0), lambda a, x: a + x * x)
+    )
+    cn = F.sqrt(
+        F.aggregate(F.col("c_vec"), F.lit(0.0), lambda a, x: a + x * x)
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("q_vec"), F.col("c_vec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    cos = F.round(dot / (qn * cn), round_digits)
+    scored = joined.select(
+        "query_id", "neighbor_id", cos.alias("cos_sim")
+    ).distinct()  # a neighbor can appear via several probed lists
+    from legendary_data_pipeline_spark.operators.ranking import (
+        top_k_per_group,
+    )
+
+    return top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
+        k=k,
+        rank_col="rank",
+    ).select("query_id", "neighbor_id", "rank", "cos_sim")
