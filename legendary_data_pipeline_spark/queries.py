@@ -1324,8 +1324,24 @@ _PROMOTE_R6 = [
     "e_incremental_daily_rollup",
     "st_mad_outliers",
 ]
+# Guard against the partial-import trap: importing a query SUBMODULE
+# (queries_llm, queries_analytics, ...) before this module finishes
+# leaves that submodule half-registered when the rotation below runs.
+# Fail with the fix spelled out instead of a bare KeyError.
+_missing = [
+    _n
+    for _n in (*_DEMOTE_R6, *_PROMOTE_R6)
+    if _n not in REGISTRY and _n not in SHADOW_REGISTRY
+]
+if _missing:
+    raise ImportError(
+        "query registry incomplete during rotation (missing "
+        f"{_missing}): import legendary_data_pipeline_spark.queries "
+        "FIRST — importing a queries_* submodule directly re-enters "
+        "this module before its registrations finish."
+    )
 for _n in _DEMOTE_R6:
     SHADOW_REGISTRY[_n] = REGISTRY.pop(_n)
 for _n in _PROMOTE_R6:
     REGISTRY[_n] = SHADOW_REGISTRY.pop(_n)
-del _n
+del _n, _missing

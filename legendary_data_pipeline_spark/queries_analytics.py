@@ -2948,3 +2948,83 @@ def gr_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("node"), F.col("degree"), F.col("triangles"), F.col("coeff")
     )
+
+
+# ---------------------------------------------------------------------------
+# X143 source vocabulary overlap matrix (round 6)
+# ---------------------------------------------------------------------------
+
+@register_shadow(
+    "an_source_vocab_overlap",
+    """
+    WITH st AS (
+      SELECT DISTINCT source,
+             unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                __x -> __x != '')) AS w
+      FROM documents),
+    sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n_terms
+              FROM st GROUP BY 1),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS inter
+      FROM st a JOIN st b ON a.w = b.w AND a.source < b.source
+      GROUP BY 1, 2),
+    j AS (
+      SELECT i.source_a, i.source_b, i.inter,
+             sa.n_terms AS terms_a, sb.n_terms AS terms_b
+      FROM inter i JOIN sizes sa ON sa.source = i.source_a
+                   JOIN sizes sb ON sb.source = i.source_b)
+    SELECT source_a, source_b, inter, terms_a, terms_b,
+           round(CAST(inter AS DOUBLE)
+                 / CAST(terms_a + terms_b - inter AS DOUBLE), 6)
+             AS jaccard
+    FROM j WHERE inter * 10 >= (terms_a + terms_b - inter) * 3
+    """,
+    doc="Source-pair vocabulary overlap matrix: distinct-term Jaccard "
+    "between every pair of sources above 0.3 — the corpus diagnostic "
+    "for 'are these two feeds the same crawl?' before mixture "
+    "weighting double-counts them. Exact integers (distinct "
+    "(source, term) explode, term-keyed self-join, one final "
+    "division); sources are few, so the pair matrix is "
+    "metadata-scale even when the vocabulary is not. The domain-LEVEL "
+    "sibling of document near-dup: dedup sources, then documents.",
+)
+def an_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.dedup import tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    st = docs.select(
+        "source",
+        F.explode(
+            F.filter(tokens_expr("text"), lambda x: x != F.lit(""))
+        ).alias("w"),
+    ).distinct()
+    sizes = st.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms")
+    )
+    a = st.select(F.col("source").alias("source_a"), "w")
+    b = st.select(F.col("source").alias("source_b"), "w")
+    inter = (
+        a.join(b, "w")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("n_terms").alias("terms_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("n_terms").alias("terms_b")
+    )
+    j = inter.join(F.broadcast(sa), "source_a").join(
+        F.broadcast(sb), "source_b"
+    )
+    union = F.col("terms_a") + F.col("terms_b") - F.col("inter")
+    jac = F.round(F.col("inter").cast("double") / union.cast("double"), 6)
+    return (
+        j.where(F.col("inter") * 10 >= union * 3)
+        .select(
+            "source_a", "source_b", "inter", "terms_a", "terms_b",
+            jac.alias("jaccard"),
+        )
+    )

@@ -148,3 +148,17 @@ def test_drift_empty_side_raises(spark):
     # opt-out path still returns a (documented) all-NULL frame lazily
     out = categorical_drift(base, cur, "v", require_nonempty=False)
     assert out.collect()[0].chisq_contrib is None
+
+
+def test_source_vocab_overlap_shapes(spark):
+    from legendary_data_pipeline_spark.queries import SHADOW_REGISTRY
+
+    spec = SHADOW_REGISTRY["an_source_vocab_overlap"]
+    df = spec.spark_fn(spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        union = r["terms_a"] + r["terms_b"] - r["inter"]
+        assert 10 * r["inter"] >= 3 * union
+        assert 0 < r["jaccard"] <= 1
