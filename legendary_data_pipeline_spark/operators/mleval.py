@@ -43,6 +43,7 @@ __all__ = [
     "ndcg_weights",
     "target_encode",
     "rrf_fuse",
+    "confusion_stats",
 ]
 
 
@@ -256,6 +257,67 @@ def rrf_fuse(
         per.withColumn("fused_rank", F.row_number().over(order).cast("long"))
         .where(F.col("fused_rank") <= top_k)
     )
+
+
+def confusion_stats(
+    df: DataFrame, true_col: str, pred_col: str
+) -> DataFrame:
+    """Multiclass confusion matrix with exact Cohen's kappa.
+
+    One (true, pred)-keyed aggregation gives the cells; marginals are
+    class-count-sized re-aggregations of those cells (never of the
+    data). Chance agreement stays in INTEGER cross-products:
+
+        kappa = (N·trace − Σ_i r_i·c_i) / (N² − Σ_i r_i·c_i)
+
+    so kappa and accuracy are single final divisions (round 6) —
+    engine-deterministic. Every cell row carries the overall stats
+    (n_total, n_agree, accuracy, kappa) via a broadcast 1-row frame.
+
+    Output: (true_col, pred_col, n, n_total, n_agree, accuracy, kappa).
+    """
+    cells = df.groupBy(true_col, pred_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    rows = cells.groupBy(true_col).agg(F.sum("n").alias("__r"))
+    cols = cells.groupBy(pred_col).agg(F.sum("n").alias("__c"))
+    chance = (
+        rows.join(cols, rows[true_col] == cols[pred_col])
+        .agg(F.coalesce(F.sum(F.col("__r") * F.col("__c")), F.lit(0)).alias("__pe"))
+    )
+    agree = cells.where(F.col(true_col) == F.col(pred_col)).agg(
+        F.coalesce(F.sum("n"), F.lit(0)).alias("__agree")
+    )
+    total = cells.agg(F.coalesce(F.sum("n"), F.lit(0)).alias("__n"))
+    stats = (
+        total.crossJoin(F.broadcast(agree))
+        .crossJoin(F.broadcast(chance))
+        .select(
+            F.col("__n").cast("long").alias("n_total"),
+            F.col("__agree").cast("long").alias("n_agree"),
+            F.when(
+                F.col("__n") > 0,
+                F.round(
+                    F.col("__agree").cast("double")
+                    / F.col("__n").cast("double"),
+                    6,
+                ),
+            ).alias("accuracy"),
+            F.when(
+                F.col("__n") * F.col("__n") - F.col("__pe") != 0,
+                F.round(
+                    (F.col("__n") * F.col("__agree") - F.col("__pe")).cast(
+                        "double"
+                    )
+                    / (F.col("__n") * F.col("__n") - F.col("__pe")).cast(
+                        "double"
+                    ),
+                    6,
+                ),
+            ).alias("kappa"),
+        )
+    )
+    return cells.crossJoin(F.broadcast(stats))
 
 
 def _lcm_1_to(k: int) -> int:

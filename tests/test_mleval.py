@@ -256,3 +256,37 @@ def test_rrf_topk_and_tiebreak(spark):
     t = sorted(rrf_fuse(ties, "q", "item", "rnk").collect(),
                key=lambda r: r["fused_rank"])
     assert [r["item"] for r in t] == ["a", "b"]
+
+
+def test_confusion_stats_perfect_and_chance(spark):
+    from legendary_data_pipeline_spark.operators.mleval import (
+        confusion_stats,
+    )
+
+    perfect = spark.createDataFrame(
+        [("a", "a")] * 3 + [("b", "b")] * 2, "t string, p string"
+    )
+    r = confusion_stats(perfect, "t", "p").limit(1).collect()[0]
+    assert r["accuracy"] == 1.0 and r["kappa"] == 1.0
+
+    # constant predictor: accuracy = base rate, kappa exactly 0
+    const = spark.createDataFrame(
+        [("a", "a"), ("a", "a"), ("b", "a"), ("b", "a")], "t string, p string"
+    )
+    r = confusion_stats(const, "t", "p").limit(1).collect()[0]
+    assert r["accuracy"] == 0.5 and r["kappa"] == 0.0
+
+
+def test_confusion_cells_sum_to_total(spark):
+    from legendary_data_pipeline_spark.operators.mleval import (
+        confusion_stats,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "a"), ("c", "c"), ("c", "a")],
+        "t string, p string",
+    )
+    out = confusion_stats(df, "t", "p").collect()
+    assert sum(r["n"] for r in out) == 5
+    assert all(r["n_total"] == 5 for r in out)
+    assert all(r["n_agree"] == 2 for r in out)
