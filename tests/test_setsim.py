@@ -124,3 +124,33 @@ def test_plan_has_no_cartesian(spark, docs_df):
     plan = prefix_filter_jaccard_join(tok, 1, 2)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# property: completeness holds on randomized corpora and thresholds
+# ---------------------------------------------------------------------------
+
+def test_prefix_filter_completeness_property(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    vocab = [f"w{i}" for i in range(12)]  # small vocab -> real overlaps
+    doc = st.lists(st.sampled_from(vocab), min_size=1, max_size=8)
+    corpus = st.lists(doc, min_size=2, max_size=12)
+    threshold = st.sampled_from([(1, 2), (2, 3), (4, 5), (1, 1)])
+
+    @settings(max_examples=12, deadline=None)
+    @given(corpus, threshold)
+    def check(docs, pq):
+        p, q = pq
+        rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        tok = tokenize_ws_distinct(df, "text", "doc_id")
+        expected = _brute_pairs(tok.collect(), p, q)
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in prefix_filter_jaccard_join(tok, p, q).collect()
+        }
+        assert got == expected, (docs, pq)
+
+    check()
