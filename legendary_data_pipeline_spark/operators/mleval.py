@@ -63,10 +63,16 @@ def auc_by_group(
     computed as ``num2 / (2*P*N)`` with ``num2`` fully integer, so the
     only floating-point step is the final division — bit-identical
     across engines. Groups with no positives or no negatives return
-    NULL auc (undefined).
+    NULL auc (undefined). Rows with a NULL score or label are DROPPED
+    up front: a NULL has no rank position, and Spark and DuckDB sort
+    NULLs to opposite ends of an ascending window, so keeping them
+    would silently diverge between engines.
 
     Output: group_cols..., n_pos, n_neg, auc (round 6).
     """
+    df = df.where(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    )
     lab = F.col(label_col).cast("long")
     per_score = df.groupBy(*group_cols, score_col).agg(
         F.sum(lab).alias("__pos"),
@@ -106,7 +112,12 @@ def calibration_bins(
     bin = min(floor(pred * n_bins), n_bins - 1); output per non-empty
     bin: bin id, bin midpoint, n, n_pos, frac_pos (round 6). All counts
     integer; the midpoint and the final ratio are the only floats.
+    Rows with a NULL prediction or label are dropped (a NULL would
+    otherwise silently form its own NULL bin).
     """
+    df = df.where(
+        F.col(pred_col).isNotNull() & F.col(label_col).isNotNull()
+    )
     lab = F.col(label_col).cast("long")
     bin_id = F.least(
         F.floor(F.col(pred_col) * n_bins).cast("long"), F.lit(n_bins - 1)
@@ -141,7 +152,13 @@ def pr_at_thresholds(
     ``len(thresholds)`` rows per partition, so the join adds no real
     shuffle volume. TP/FP/FN are exact integers; the three ratios are
     final-division-only (round 6). Empty-denominator cells are NULL.
+    Rows with a NULL prediction or label are dropped (a NULL
+    comparison is neither >= nor < the threshold, so keeping them
+    would silently leak rows out of tp+fn = total positives).
     """
+    df = df.where(
+        F.col(pred_col).isNotNull() & F.col(label_col).isNotNull()
+    )
     spark = SparkSession.getActiveSession()
     grid = spark.createDataFrame(
         [(float(t),) for t in sorted(thresholds)], "threshold double"
@@ -464,7 +481,18 @@ def stratified_split_exact(
     Adds a ``split`` column. The window partitions by stratum — fine up
     to strata of ~10^8 rows; beyond that use the hash-threshold
     stratified sampler (operators/curation.py) which needs no window.
+    NULL ids are rejected loudly (md5(NULL) is NULL, and Spark and
+    DuckDB order NULL keys to opposite window ends — a silent
+    cross-engine divergence otherwise); NULL strata form their own
+    stratum per SQL GROUP BY semantics.
     """
+    null_ids = df.where(F.col(id_col).isNull()).limit(1).count()
+    if null_ids:
+        raise ValueError(
+            f"stratified_split_exact: NULL {id_col} rows present — the "
+            "seeded-md5 rank is undefined for NULL ids; filter or "
+            "assign surrogate ids first."
+        )
     h = seeded_md5_long(F.col(id_col).cast("string"), seed)
     w = Window.partitionBy(*strata_cols).orderBy(h.asc(), F.col(id_col).asc())
     wn = Window.partitionBy(*strata_cols)

@@ -290,3 +290,27 @@ def test_confusion_cells_sum_to_total(spark):
     assert sum(r["n"] for r in out) == 5
     assert all(r["n_total"] == 5 for r in out)
     assert all(r["n_agree"] == 2 for r in out)
+
+
+def test_null_scores_dropped_consistently(spark):
+    rows = [
+        ("g", 0.9, 1), ("g", 0.1, 0), ("g", None, 1), ("g", 0.5, None),
+    ]
+    df = spark.createDataFrame(rows, "g string, score double, lab int")
+    out = auc_by_group(df, ["g"], "score", "lab").collect()[0]
+    # only the two complete rows count: perfectly separated -> AUC 1
+    assert out["n_pos"] == 1 and out["n_neg"] == 1 and out["auc"] == 1.0
+    cal = calibration_bins(df, "score", "lab")
+    assert sum(r["n"] for r in cal.collect()) == 2
+    pr = pr_at_thresholds(df, "score", "lab", [0.5]).collect()[0]
+    assert pr["tp"] + pr["fn"] == 1
+
+
+def test_stratified_split_rejects_null_ids(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, "s"), (None, "s")], "id long, stratum string"
+    )
+    with _pytest.raises(ValueError, match="NULL id rows"):
+        stratified_split_exact(df, ["stratum"], "id")
