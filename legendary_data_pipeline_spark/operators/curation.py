@@ -1264,7 +1264,14 @@ def domain_quality_gates(
     flagged = (F.col("n_docs") >= min_docs) & (
         F.col("n_good") * share_den < F.col("n_docs") * share_num
     )
-    dom = dom.withColumn("domain_flagged", flagged)
-    return scored.join(F.broadcast(dom), domain_col).withColumn(
-        "kept", ~F.col("domain_flagged")
+    dom = dom.withColumn("domain_flagged", flagged).withColumnRenamed(
+        domain_col, "__dom"
     )
+    # NULL-SAFE verdict join: GROUP BY treats NULL as its own domain, so
+    # the join back must too — a plain equi-join would silently drop
+    # every NULL-domain row from the output (no verdict, no row).
+    joined = scored.join(
+        F.broadcast(dom),
+        scored[domain_col].eqNullSafe(dom["__dom"]),
+    ).drop("__dom")
+    return joined.withColumn("kept", ~F.col("domain_flagged"))

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from legendary_data_pipeline_spark.operators.curation import (
     domain_quality_gates,
 )
@@ -56,3 +58,17 @@ def test_exact_integer_threshold(spark):
 def test_empty_input(spark):
     empty = spark.createDataFrame([], "source string, quality_bucket string")
     assert domain_quality_gates(empty).count() == 0
+
+
+def test_null_domain_rows_keep_their_own_verdict(spark):
+    rows = (
+        [(None, "low")] * 6          # NULL domain: 0/6 high -> flagged
+        + [("ok.com", "high")] * 5
+    )
+    df = spark.createDataFrame(rows, "source string, quality_bucket string")
+    out = domain_quality_gates(df, min_docs=5)
+    assert out.count() == 11  # no silent row loss
+    null_rows = out.where(F.col("source").isNull()).collect()
+    assert len(null_rows) == 6
+    assert all(r["domain_flagged"] for r in null_rows)
+    assert out.where("kept").count() == 5
