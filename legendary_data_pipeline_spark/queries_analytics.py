@@ -3028,3 +3028,77 @@ def an_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             jac.alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X145 numeric mutual information via fixed-grid binning (round 6)
+# ---------------------------------------------------------------------------
+
+# $1000 price buckets: floor(cents / 100000) — the deterministic-merge
+# fixed integer grid (X102's convention), not a data-dependent quantile.
+_NMI_PRICE_BUCKET_CENTS = 100_000
+
+_NMI_CONTINGENCY_SQL = f"""
+    cells AS (
+      SELECT CAST(l_quantity AS BIGINT) AS a,
+             CAST(floor(CAST(round(CAST(l_extendedprice AS DECIMAL(18,2))
+                                   * 100, 0) AS BIGINT)
+                        / {_NMI_PRICE_BUCKET_CENTS}.0) AS BIGINT) AS b,
+             CAST(COUNT(*) AS BIGINT) AS obs
+      FROM lineitem GROUP BY 1, 2),
+    marg AS (
+      SELECT a, b, obs,
+             SUM(obs) OVER (PARTITION BY a) AS row_tot,
+             SUM(obs) OVER (PARTITION BY b) AS col_tot,
+             SUM(obs) OVER () AS n
+      FROM cells)
+"""
+
+
+@register_shadow(
+    "st_numeric_mi_qty_price",
+    f"""
+    WITH {_NMI_CONTINGENCY_SQL},
+    terms AS (
+      SELECT n,
+             (CAST(obs AS DOUBLE) / CAST(n AS DOUBLE))
+               * ln(CAST(obs AS DOUBLE) * CAST(n AS DOUBLE)
+                    / (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)))
+               AS mi_term,
+             (CAST(obs AS DOUBLE) / CAST(n AS DOUBLE))
+               * ln(CAST(n AS DOUBLE) / CAST(row_tot AS DOUBLE)) AS ha_term,
+             (CAST(obs AS DOUBLE) / CAST(n AS DOUBLE))
+               * ln(CAST(n AS DOUBLE) / CAST(col_tot AS DOUBLE)) AS hb_term
+      FROM marg)
+    SELECT CAST(max(n) AS BIGINT) AS n,
+           round(SUM(ha_term), 6) AS h_a,
+           round(SUM(hb_term), 6) AS h_b,
+           round(SUM(mi_term), 6) AS mi,
+           round(SUM(mi_term)
+                 / nullif(sqrt(SUM(ha_term) * SUM(hb_term)), 0.0), 6) AS nmi
+    FROM terms
+    """,
+    doc="Mutual information for NUMERIC pairs via fixed-grid binning: "
+    "quantity (already integral) x $1000 price buckets, then the same "
+    "exact contingency pass as the categorical MI. The fixed integer "
+    "grid (not data-dependent quantiles) keeps bins mergeable across "
+    "partitions/engines; quantity-price dependence that Pearson "
+    "correlation (X118) only captures linearly shows up here as "
+    "nonzero MI regardless of shape.",
+)
+def st_numeric_mi_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.stats import (
+        mutual_information,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(
+        F.col("l_extendedprice").cast("decimal(18,2)") * 100, 0
+    ).cast("long")
+    binned = li.select(
+        F.col("l_quantity").cast("long").alias("qty_bucket"),
+        F.floor(cents / F.lit(float(_NMI_PRICE_BUCKET_CENTS)))
+        .cast("long")
+        .alias("price_bucket"),
+    )
+    return mutual_information(binned, "qty_bucket", "price_bucket")
