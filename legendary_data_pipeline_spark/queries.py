@@ -1344,4 +1344,13 @@ for _n in _DEMOTE_R6:
     SHADOW_REGISTRY[_n] = REGISTRY.pop(_n)
 for _n in _PROMOTE_R6:
     REGISTRY[_n] = SHADOW_REGISTRY.pop(_n)
+
+# Round-6b swap: the trained-IVF query is rows-only checkable (Lloyd
+# codebook — no SQL replay); the fixed-codebook variant carries a FULL
+# hash oracle over the same index mechanics. Swapping lifts the driver
+# gate from 48 to 49 oracle-paired entries out of 50. The trained form
+# keeps its recall-curve contracts as a shadow
+# (tests/test_similarity_recall.py).
+SHADOW_REGISTRY["sim_ivf_topk"] = REGISTRY.pop("sim_ivf_topk")
+REGISTRY["sim_ivf_fixed_topk"] = SHADOW_REGISTRY.pop("sim_ivf_fixed_topk")
 del _n, _missing
