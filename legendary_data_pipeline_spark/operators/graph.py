@@ -137,21 +137,28 @@ def connected_components(
     if algorithm not in ("auto", "propagation", "star"):
         raise ValueError(f"unknown algorithm: {algorithm!r}")
 
+    # One NULL contract for BOTH legs: a NULL endpoint has no identity,
+    # so its edges are dropped up front. (Previously the distributed leg
+    # dropped them implicitly in its equi-joins while the local leg
+    # raised from createDataFrame's non-nullable schema — same input,
+    # different behavior depending on which side of local_threshold the
+    # edge count landed.)
     raw = edges.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    ).localCheckpoint(eager=True)
+    ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
 
-    if (
-        algorithm == "auto"
-        and local_threshold > 0
-        and raw.count() * 2 <= local_threshold
-    ):
-        # union-find needs neither direction nor distinctness — collect
-        # the raw pairs and skip the symmetrize + distinct shuffles.
-        return _local_components(
-            [(r[0], r[1]) for r in raw.collect()],
-            raw.schema["src"].dataType,
-        )
+    if algorithm == "auto" and local_threshold > 0:
+        # Only the auto branch needs the edge count (and thus an eager
+        # materialization); explicit algorithms go straight to `sym`,
+        # which checkpoints itself below — no extra pass.
+        raw = raw.localCheckpoint(eager=True)
+        if raw.count() * 2 <= local_threshold:
+            # union-find needs neither direction nor distinctness —
+            # collect the raw pairs, skip symmetrize + distinct shuffles.
+            return _local_components(
+                [(r[0], r[1]) for r in raw.collect()],
+                raw.schema["src"].dataType,
+            )
 
     sym = (
         raw.union(raw.select(F.col("dst").alias("src"), F.col("src").alias("dst")))

@@ -84,14 +84,20 @@ def auc_by_group(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cumneg = F.coalesce(F.sum("__neg").over(w), F.lit(0))
+    # decimal(38,0) from the first multiply: both the per-score term
+    # (2*pos*cumneg can pass 2^63 once a group holds ~2e9 positives and
+    # negatives) and the group SUM (~P*N) overflow int64 and wrap
+    # silently in non-ANSI mode — real at 100 TB.
+    pos_dec = F.col("__pos").cast("decimal(38,0)")
     contrib = per_score.withColumn(
         "__num2",
-        F.lit(2) * F.col("__pos") * cumneg + F.col("__pos") * F.col("__neg"),
+        (F.lit(2).cast("decimal(38,0)") * pos_dec * cumneg
+         + pos_dec * F.col("__neg")).cast("decimal(38,0)"),
     )
     agg = contrib.groupBy(*group_cols).agg(
         F.sum("__pos").cast("long").alias("n_pos"),
         F.sum("__neg").cast("long").alias("n_neg"),
-        F.sum("__num2").alias("__num2"),
+        F.sum("__num2").cast("decimal(38,0)").alias("__num2"),
     )
     denom = F.lit(2) * F.col("n_pos") * F.col("n_neg")
     auc = F.when(
@@ -484,16 +490,23 @@ def stratified_split_exact(
     NULL ids are rejected loudly (md5(NULL) is NULL, and Spark and
     DuckDB order NULL keys to opposite window ends — a silent
     cross-engine divergence otherwise); NULL strata form their own
-    stratum per SQL GROUP BY semantics.
+    stratum per SQL GROUP BY semantics. The NULL-id guard is part of
+    the PLAN (raise_error inside the rank key), not an eager pre-scan:
+    the operator stays lazy like its siblings and the input is read
+    exactly once, raising on the first NULL id the executor meets.
     """
-    null_ids = df.where(F.col(id_col).isNull()).limit(1).count()
-    if null_ids:
-        raise ValueError(
-            f"stratified_split_exact: NULL {id_col} rows present — the "
-            "seeded-md5 rank is undefined for NULL ids; filter or "
-            "assign surrogate ids first."
+    h = F.when(
+        F.col(id_col).isNotNull(),
+        seeded_md5_long(F.col(id_col).cast("string"), seed),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"stratified_split_exact: NULL {id_col} rows present — "
+                "the seeded-md5 rank is undefined for NULL ids; filter "
+                "or assign surrogate ids first."
+            )
         )
-    h = seeded_md5_long(F.col(id_col).cast("string"), seed)
+    )
     w = Window.partitionBy(*strata_cols).orderBy(h.asc(), F.col(id_col).asc())
     wn = Window.partitionBy(*strata_cols)
     rn = F.row_number().over(w)

@@ -368,7 +368,11 @@ def table_checksum(
     decimal(38,0): addition commutes, so the checksum is independent of
     row order, partitioning, and engine — two sides agree iff their
     multisets of canonical rows agree (up to md5 collisions, ~2^-60 per
-    pair). Output: one row (n_rows, checksum).
+    pair). Output: one row (n_rows, checksum) with `checksum` emitted
+    as its decimal STRING — a 70+-bit integer survives every engine's
+    result serialization verbatim, where a decimal(38,0) cell is at the
+    mercy of each harness's decimal canonicalization (float64 round
+    trips erase the low ~25 bits at this magnitude).
 
     Canonicalization is the caller's contract: pass columns whose
     STRING form is engine-stable (strings, integers, exact decimals —
@@ -390,6 +394,7 @@ def table_checksum(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum(md5_long(canon).cast("decimal(38,0)"))
         .cast("decimal(38,0)")
+        .cast("string")
         .alias("checksum"),
     )
 

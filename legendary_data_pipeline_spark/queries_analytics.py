@@ -979,8 +979,8 @@ _CK_SEP_SQL = "chr(31)"  # unit separator, mirrors the operator default
              ) AS row_str
       FROM orders)
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM(CAST({md5_long_sql("row_str")} AS DECIMAL(38,0)))
-                AS DECIMAL(38,0)) AS checksum
+           CAST(CAST(SUM(CAST({md5_long_sql("row_str")} AS DECIMAL(38,0)))
+                AS DECIMAL(38,0)) AS VARCHAR) AS checksum
     FROM canon
     """,
     doc="Order-independent table checksum for migration validation: "
@@ -988,7 +988,11 @@ _CK_SEP_SQL = "chr(31)"  # unit separator, mirrors the operator default
     "are engine-stable), SUM the hashes as decimal(38,0). Addition "
     "commutes, so the checksum is identical across row order, "
     "partitioning, and engines — this oracle pair IS the cross-engine "
-    "validation it exists to perform. One partial-aggregable scan.",
+    "validation it exists to perform. One partial-aggregable scan. The "
+    "checksum crosses the result boundary as its decimal STRING: the "
+    "~73-bit sum exceeds float64 precision, and r6 showed a "
+    "decimal(38,0) cell is representation-fragile across harness "
+    "canonicalizers even when bit-identical in both engines.",
 )
 def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from legendary_data_pipeline_spark.operators.profiling import (

@@ -63,7 +63,16 @@ def _norm_cell(v):
     if isinstance(v, bool):
         return ("b", v)
     if isinstance(v, Decimal):
-        return ("n", float(v))
+        # Exact, never through float64: above 2^53 a float round-trip
+        # erases low bits, which let a bit-different decimal(38,0)
+        # checksum pass locally while the driver's exact hash failed
+        # (round-6 dq_table_checksum). Integral decimals mirror the int
+        # branch below so Decimal('5') and 5 normalize identically.
+        if v == v.to_integral_value():
+            iv = int(v)
+            return ("n", float(iv)) if abs(iv) < 2**52 else ("i", iv)
+        sign, digits, exponent = v.normalize().as_tuple()
+        return ("dec", sign, digits, exponent)
     if isinstance(v, float):
         if math.isnan(v):
             return ("nan",)

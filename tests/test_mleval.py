@@ -312,5 +312,8 @@ def test_stratified_split_rejects_null_ids(spark):
     df = spark.createDataFrame(
         [(1, "s"), (None, "s")], "id long, stratum string"
     )
-    with _pytest.raises(ValueError, match="NULL id rows"):
-        stratified_split_exact(df, ["stratum"], "id")
+    # the guard lives in the PLAN (raise_error in the rank key): calling
+    # the operator is lazy and free; the first action raises.
+    out = stratified_split_exact(df, ["stratum"], "id")
+    with _pytest.raises(Exception, match="NULL id rows"):
+        out.collect()
