@@ -25,6 +25,38 @@ from legendary_data_pipeline_spark.queries import REGISTRY  # noqa: E402
 from legendary_data_pipeline_spark.session import get_spark  # noqa: E402
 
 
+# Round-over-round comparability across driver-gate rotations: the full
+# total changes composition every time the gate rotates, so the artifact
+# itself carries two pinned-subset totals (computed over whatever pinned
+# names are in the current registry — intersection at run time):
+#   pinned_r1: queries timed in EVERY round since the r1 anchor and
+#     still in the gate — the long-horizon "vs baseline" series.
+#   pinned_r6: queries shared with the round-6 gate — the short-horizon
+#     round-over-round series.
+PINNED_R1 = [
+    "a1_approx_scale_variant", "a1_percentile_rollup_180d",
+    "corpus_curation_pipeline", "dedup_exact_sha",
+    "dedup_minhash_lsh_pairs", "dedup_ngram_jaccard",
+    "e_daily_event_rollup", "e_sessionize_batch", "f1_money_parse_cents",
+    "f5_sanitize_documents", "f8_json_extract_events",
+    "j12_full_outer_reconcile", "j1_cast_bridged_join",
+    "j2_unpivot_part_metrics", "j6_anti_join_missing",
+    "j7_price_resolution_coalesce", "mm_frame_sample", "mm_media_meta",
+    "o3_latest_order_per_customer", "s5_upsert_semantics",
+    "sim_lsh_bucket_topk", "t1_asof_purchase_click", "text_fingerprint",
+    "text_langid", "text_quality_score", "text_token_stats_by_lang",
+    "w1_priority_best_of_day", "w5_price_deciles",
+]
+PINNED_R6 = PINNED_R1 + [
+    "a7_grouping_sets", "curation_bloom_cross_corpus",
+    "curation_leakage_safe_split", "curation_nb_quality_score",
+    "dedup_simhash_pairs", "dq_table_checksum", "e_funnel_conversion",
+    "er_fuzzy_pairs_part_names", "sim_ivf_fixed_topk",
+    "sk_hll_distinct_users", "sk_theta_audience_overlap",
+    "st_mad_outliers",
+]
+
+
 def _sf_from_dir(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     if base.startswith("sf"):
@@ -125,6 +157,14 @@ def main() -> None:
         timings[name] = round(t, 3)
 
     total = round(sum(timings.values()), 3)
+
+    def _pinned(pin: list[str]) -> dict:
+        timed = [n for n in pin if n in timings]
+        return {
+            "n": len(timed),
+            "total_sec": round(sum(timings[n] for n in timed), 3),
+        }
+
     print(
         json.dumps(
             {
@@ -133,6 +173,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf_from_dir(sf_dir),
+                "pinned_r1": _pinned(PINNED_R1),
+                "pinned_r6": _pinned(PINNED_R6),
             }
         )
     )

@@ -150,3 +150,78 @@ def cluster_balanced_take_n(
         id_col=id_col,
         seed=seed,
     )
+
+
+def fixed_codebook_assign(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster) nearest-centroid assignment against a FIXED
+    codebook: the corpus vectors with the ``n_centroids`` smallest ids
+    (same freeze convention as `similarity.ivf_fixed_topk`). Distances
+    are declarative sequential-fold arithmetic (`zip_with`/`aggregate`,
+    ties → lower centroid id), so a SQL oracle replays every assignment
+    bit-for-bit — the hash-oracle-able twin of the trained
+    `kmeans_topics` (whose Lloyd codebook is rows-only checkable).
+
+    Plan shape: the codebook is an ``n_centroids``-row broadcast; the
+    corpus streams through one broadcast nested-loop fan-out and a
+    per-vector top-1 window — no shuffle of the corpus besides the
+    window's hash partitioning on the id.
+    """
+    base = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    cents = base.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("__cid"), F.col("__v").alias("__cv")
+    )
+    xx = F.aggregate(F.col("__v"), F.lit(0.0), lambda a, x: a + x * x)
+    cc = F.aggregate(F.col("__cv"), F.lit(0.0), lambda a, x: a + x * x)
+    dot = F.aggregate(
+        F.zip_with(F.col("__v"), F.col("__cv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    d2 = xx + cc - F.lit(2.0) * dot
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(d2.asc(), F.col("__cid").asc())
+    return (
+        base.crossJoin(F.broadcast(cents))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(F.col(id_col), F.col("__cid").alias("cluster"))
+    )
+
+
+def cluster_fixed_balanced_take_n(
+    embeddings: DataFrame,
+    n_per_cluster: int,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 33,
+) -> DataFrame:
+    """Cluster-balanced selection with a FIXED codebook: assign every
+    vector to its nearest frozen centroid, then draw exactly
+    min(n, |cluster|) rows per cluster by seeded hash order. Both
+    stages are deterministic declarative expressions, so the whole
+    draw replays under a SQL hash oracle — codebook QUALITY stays with
+    the trained `cluster_balanced_take_n`; this variant pins the
+    selection mechanics (assignment routing, per-cluster quota, hash
+    order) exactly.
+    """
+    from legendary_data_pipeline_spark.operators.curation import (
+        stratified_take_n,
+    )
+
+    assigned = fixed_codebook_assign(embeddings, n_centroids, id_col, vec_col)
+    return stratified_take_n(
+        assigned,
+        n_per_cluster,
+        stratum_col="cluster",
+        id_col=id_col,
+        seed=seed,
+    )

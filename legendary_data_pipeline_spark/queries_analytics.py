@@ -2076,19 +2076,17 @@ def sk_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register_shadow(
-    "sk_kll_value_quantiles",
-    None,  # KLL is a randomized sketch — rows-only here; the rank-error
-    # envelope vs exact percentiles is pinned in test_sketch_rollup.py
-    doc="Mergeable KLL quantile rollup: per-(type, day) "
-    "kll_sketch_agg_bigint over integer cents, kll_merge_agg rollup to "
-    "per-type sketches, p50/p90/p99 reads. The bounds-free sibling of "
-    "the fixed-grid sketch (X102): no prior min/max pass, guaranteed "
-    "rank error (~1.65% at the default k=200) instead of value-grid "
-    "error — but randomized, so it pairs with a measured rank-error "
-    "test rather than a hash oracle.",
-)
 def sk_kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable KLL quantile rollup: per-(type, day)
+    kll_sketch_agg_bigint over integer cents, kll_merge_agg rollup to
+    per-type sketches, p50/p90/p99 reads. The bounds-free sibling of
+    the fixed-grid sketch (X102 `sk_quantile_rollup`): no prior min/max
+    pass, guaranteed rank error (~1.65% at the default k=200) instead
+    of value-grid error — but RANDOMIZED (compaction coin flips), so it
+    cannot carry a hash oracle. Round 7 retired its rows-only registry
+    row: the mergeable-quantile-rollup surface is oracle-paired through
+    X102, and this form stays pinned by the measured rank-error
+    envelope in tests/test_sketch_rollup.py."""
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("value").isNotNull()
     )

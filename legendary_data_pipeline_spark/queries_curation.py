@@ -1333,25 +1333,32 @@ def curation_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# cluster-balanced selection (rows-only: seeded k-means)
+# cluster-balanced selection
 # ---------------------------------------------------------------------------
+# Two variants, same division of labor as sim_ivf_topk / sim_ivf_fixed_topk:
+# the TRAINED form (seeded k-means over hashed-bigram profiles) carries
+# the clustering quality and is pinned by purity/determinism/quota
+# contracts in tests/test_clustering.py — it is deliberately NOT a
+# registry query (its Lloyd codebook is not SQL-replayable, and round 7
+# retired rows-only registrations wherever a deterministic twin can carry
+# a full hash oracle instead). The FIXED-codebook form below replays the
+# ENTIRE selection (assignment routing, per-cluster quota, hash order) in
+# DuckDB under the hash oracle.
+
+_CFS_NC = 16
+_CFS_N = 25
+_CFS_SEED = 33
 
 
-@register_shadow(
-    "curation_cluster_balanced_sample",
-    None,  # k-means assignment is seed/codebook-dependent — rows-only;
-    # purity/determinism/quota contracts pinned in tests/test_clustering.py
-    doc="Cluster-balanced selection (SemDeDup-style): k-means over "
-    "L2-normalized hashed-bigram profiles (driver-trained codebook on "
-    "a bounded sample, Arrow-batched assignment — the IVF contract), "
-    "then an exact per-cluster quota via the deterministic "
-    "stratified take-N. Stops an over-represented topic from "
-    "dominating a training sample without any external embedding "
-    "model.",
-)
 def curation_cluster_balanced_sample(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    """Trained cluster-balanced selection (SemDeDup-style): k-means over
+    L2-normalized hashed-bigram profiles (driver-trained codebook on a
+    bounded sample, Arrow-batched assignment — the IVF contract), then
+    an exact per-cluster quota via the deterministic stratified take-N.
+    Kept callable for pipelines/tests; correctness is contract-pinned in
+    tests/test_clustering.py rather than oracle-paired."""
     from legendary_data_pipeline_spark.operators.clustering import (
         cluster_balanced_take_n,
     )
@@ -1361,6 +1368,61 @@ def curation_cluster_balanced_sample(
         docs.select("doc_id", "text"), n_per_cluster=20, k=8
     )
     return out.select("doc_id", "cluster", "sample_rank")
+
+
+@register_shadow(
+    "curation_cluster_fixed_sample",
+    f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (
+      SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < {_CFS_NC}),
+    ad AS (
+      SELECT b.vec_id, c.cid,
+             list_inner_product(b.v, b.v)
+               + list_inner_product(c.cv, c.cv)
+               - 2.0 * list_inner_product(b.v, c.cv) AS d2
+      FROM base b, cents c),
+    asg AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY d2 ASC, cid ASC) AS rn
+        FROM ad) WHERE rn = 1),
+    ranked AS (
+      SELECT vec_id, cluster,
+             ROW_NUMBER() OVER (PARTITION BY cluster
+               ORDER BY {seeded_md5_long_sql("CAST(vec_id AS VARCHAR)", _CFS_SEED)} ASC,
+                        vec_id ASC) AS sample_rank
+      FROM asg)
+    SELECT vec_id, cluster, CAST(sample_rank AS INT) AS sample_rank
+    FROM ranked WHERE sample_rank <= {_CFS_N}
+    """,
+    doc="Cluster-balanced selection with a FIXED codebook (the corpus "
+    "vectors with the 16 smallest ids — the ivf_fixed freeze "
+    "convention): nearest-centroid assignment via sequential-fold "
+    "arithmetic, then exactly min(25, |cluster|) vectors per cluster "
+    "by seeded hash order. Every stage is declarative and "
+    "deterministic, so the WHOLE draw replays in DuckDB under the "
+    "hash oracle — the correctness twin of the trained k-means "
+    "variant (contract-pinned in test_clustering.py). Plan: 16-row "
+    "broadcast codebook, per-vector top-1 window, per-cluster bounded "
+    "top-N — the corpus never joins itself.",
+)
+def curation_cluster_fixed_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.clustering import (
+        cluster_fixed_balanced_take_n,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = cluster_fixed_balanced_take_n(
+        emb, n_per_cluster=_CFS_N, n_centroids=_CFS_NC, seed=_CFS_SEED
+    )
+    return out.select(
+        "vec_id", "cluster", F.col("sample_rank").cast("int").alias("sample_rank")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -108,11 +108,15 @@ def test_kll_rollup_rank_error_vs_exact(spark, sf_dir):
     envelope, so the test pins magnitude without flaking."""
     from pyspark.sql import functions as F
 
-    from legendary_data_pipeline_spark.queries import SHADOW_REGISTRY
-
-    out = SHADOW_REGISTRY["sk_kll_value_quantiles"].spark_fn(
-        spark, sf_dir
+    # Direct call: round 7 retired the rows-only registry row (the
+    # mergeable-rollup surface is oracle-paired through X102); this
+    # measured envelope IS the KLL form's correctness contract.
+    import legendary_data_pipeline_spark.queries  # noqa: F401  (import-order guard)
+    from legendary_data_pipeline_spark.queries_analytics import (
+        sk_kll_value_quantiles,
     )
+
+    out = sk_kll_value_quantiles(spark, sf_dir)
     ev = (
         spark.read.parquet(f"{sf_dir}/events.parquet")
         .filter(F.col("value").isNotNull())
