@@ -70,14 +70,49 @@ def _mix(x: int) -> int:
     return x ^ (x >> 31)
 
 
-def _row(seed: int, i: int):
+def _base_words(seed: int, i: int, vocab_size: int) -> list[str]:
+    """The word list of row i BEFORE any duplicate substitution — a pure
+    function of (seed, i), so any row can regenerate any other row's
+    base text locally (what makes planted near-dups partition-parallel).
+
+    vocab_size == 0 → the legacy closed 20-word list (uniform draw).
+    vocab_size > 0  → synthetic words w0000..w{V-1} with a power-law-ish
+    rank bias (square of a uniform draw concentrates mass on low ranks),
+    approximating natural-text Zipf so shingle document-frequencies have
+    a realistic head/tail instead of a uniform grid.
+    """
     h = _mix((seed << 32) ^ i)
     n_words = 5 + (h & 0x3F)  # 5..68 words
     words = []
     w = h
     for _ in range(n_words):
         w = _mix(w)
-        words.append(_WORDS[w % len(_WORDS)])
+        if vocab_size > 0:
+            u = w / float(_MASK + 1)  # uniform [0, 1)
+            words.append(f"w{int(vocab_size * u * u):04d}")
+        else:
+            words.append(_WORDS[w % len(_WORDS)])
+    return words
+
+
+def _row(seed: int, i: int, vocab_size: int = 0, dup_ppm: int = 0):
+    """Row i. With dup_ppm > 0, ~dup_ppm/1e6 of rows (i > 0) are planted
+    NEAR-duplicates: the base text of an earlier row within a 1000-row
+    window with exactly one word substituted — high-Jaccard pairs at a
+    controlled, natural-corpus-like rate (vs. the pathological 10×
+    verbatim replica the old sf1 bench fixture used)."""
+    h = _mix((seed << 32) ^ i)
+    d = _mix(h ^ 0xD0D0)
+    if i > 0 and dup_ppm > 0 and (d % 1_000_000) < dup_ppm:
+        j = i - 1 - (_mix(d) % min(i, 1000))
+        words = _base_words(seed, j, vocab_size)
+        words[_mix(d ^ 1) % len(words)] = (
+            f"w{_mix(d ^ 2) % max(vocab_size, 1):04d}"
+            if vocab_size > 0
+            else _WORDS[_mix(d ^ 2) % len(_WORDS)]
+        )
+    else:
+        words = _base_words(seed, i, vocab_size)
     text = " ".join(words)
     lang = _LANGS[(h >> 8) % len(_LANGS)]
     source = f"src{(h >> 16) % 8}"
@@ -96,6 +131,10 @@ class _SyntheticDocsReader(DataSourceReader):
         self.n_rows = int(options.get("numRows", 1000))
         self.n_parts = int(options.get("numPartitions", 8))
         self.seed = int(options.get("seed", 0))
+        # 0 → legacy 20-word closed vocabulary (back-compat default)
+        self.vocab_size = int(options.get("vocabSize", 0))
+        # planted near-duplicate rate in parts-per-million of rows
+        self.dup_ppm = int(options.get("dupPpm", 0))
 
     def partitions(self):
         if self.n_rows <= 0:
@@ -112,7 +151,7 @@ class _SyntheticDocsReader(DataSourceReader):
 
     def read(self, partition: _RangePartition):
         for i in range(partition.start, partition.end):
-            yield _row(partition.seed, i)
+            yield _row(partition.seed, i, self.vocab_size, self.dup_ppm)
 
 
 class SyntheticDocsDataSource(DataSource):
