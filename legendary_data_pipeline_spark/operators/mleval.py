@@ -42,6 +42,7 @@ __all__ = [
     "ndcg_at_k",
     "ndcg_weights",
     "target_encode",
+    "woe_iv",
     "rrf_fuse",
     "confusion_stats",
 ]
@@ -241,6 +242,75 @@ def target_encode(
     return per.crossJoin(F.broadcast(g)).select(
         cat_col, "n", enc.alias("enc")
     )
+
+
+def woe_iv(
+    df: DataFrame,
+    cat_col: str,
+    label_col: str,
+    smoothing: float = 0.5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Weight of evidence per category + the feature's information
+    value — the credit-scoring-standard categorical predictiveness
+    measure (and the binning diagnostic behind scorecard features).
+
+        woe_c = ln( ((pos_c + s)·(NEG + s·K)) / ((neg_c + s)·(POS + s·K)) )
+        iv    = Σ_c (dp_c − dn_c) · woe_c
+        dp_c  = (pos_c + s)/(POS + s·K),  dn_c = (neg_c + s)/(NEG + s·K)
+
+    with Laplace smoothing s per category (K categories), so
+    zero-count cells stay finite. ``label_col`` must be 0/1; NULL
+    labels are dropped (no class), NULL categories form their own bin
+    (GROUP BY semantics). Counts are exact integers; the single ln and
+    two divisions are fixed double expressions, round(6) absorbing
+    last-ulp libm differences — the engine's mutual-information
+    convention.
+
+    Output: (cat_col, n, n_pos, n_neg, woe, iv) — `iv` is the same
+    feature-level total on every row.
+
+    Plan: ONE category-keyed aggregation (map-side combinable); the
+    marginals and the IV total aggregate the category-sized frame,
+    broadcast back. The corpus is scanned once.
+    """
+    lab = F.col(label_col).cast("long")
+    per = (
+        df.where(lab.isNotNull())
+        .groupBy(cat_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(lab).cast("long").alias("n_pos"),
+            F.sum(F.lit(1) - lab).cast("long").alias("n_neg"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_pos").cast("long").alias("__pos"),
+        F.sum("n_neg").cast("long").alias("__neg"),
+        F.count(F.lit(1)).cast("long").alias("__k"),
+    )
+    s = F.lit(float(smoothing))
+    joined = per.crossJoin(F.broadcast(tot))
+    pos_adj = F.col("__pos").cast("double") + s * F.col("__k").cast("double")
+    neg_adj = F.col("__neg").cast("double") + s * F.col("__k").cast("double")
+    dp = (F.col("n_pos").cast("double") + s) / pos_adj
+    dn = (F.col("n_neg").cast("double") + s) / neg_adj
+    woe = F.log(
+        (F.col("n_pos").cast("double") + s) * neg_adj
+        / ((F.col("n_neg").cast("double") + s) * pos_adj)
+    )
+    terms = joined.select(
+        F.col(cat_col),
+        "n",
+        "n_pos",
+        "n_neg",
+        F.round(woe, round_digits).alias("woe"),
+        ((dp - dn) * woe).alias("__iv_term"),
+    )
+    iv = terms.agg(
+        F.round(F.sum("__iv_term"), round_digits).alias("iv")
+    )
+    return terms.drop("__iv_term").crossJoin(F.broadcast(iv))
 
 
 def rrf_fuse(

@@ -439,6 +439,91 @@ def functional_dependency(
     ).withColumn("holds", F.col("n_violating_groups") == 0)
 
 
+def psi_drift(
+    base: DataFrame,
+    current: DataFrame,
+    col: str,
+    null_label: str = "<null>",
+    smoothing: float = 0.5,
+    round_digits: int = 6,
+    require_nonempty: bool = True,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a
+    categorical column — the model-monitoring-standard drift score
+    (rule of thumb: <0.1 stable, 0.1–0.25 shifting, >0.25 shifted),
+    complementing `categorical_drift`'s chi-square decomposition with
+    the magnitude-of-shift measure risk teams actually threshold on.
+
+        psi = Σ_c (p_c − q_c) · ln(p_c / q_c)
+        p_c = (n_base_c + s)/(N_base + s·K),  q_c likewise for current
+
+    with Laplace smoothing s over the K union categories so a category
+    present on only one side contributes a finite term instead of ±∞.
+    NULLs are a category (`null_label`). Counts are exact integers; the
+    ln and divisions are fixed double expressions with round(6)
+    absorbing last-ulp libm drift — the mutual-information convention
+    (the module's chi-square-first note predates that convention
+    proving out; both monitors now coexist).
+
+    Output, one row per union category:
+      (value, n_base, n_current, p_base, p_current, psi_term, psi)
+    with `psi` the same feature-level total on every row.
+
+    Plan: both sides reduce to value-cardinality count tables before
+    the full outer join, so everything after the two scans is
+    metadata-sized at any corpus scale. `require_nonempty` mirrors
+    `categorical_drift` (an empty snapshot IS the alert).
+    """
+    if require_nonempty:
+        for name, side in (("base", base), ("current", current)):
+            if side.limit(1).count() == 0:
+                raise ValueError(
+                    f"psi_drift: {name} snapshot is empty — a missing "
+                    "snapshot usually means a vanished upstream feed; "
+                    "fail here, don't silently suppress the alert."
+                )
+    v = F.coalesce(F.col(col).cast("string"), F.lit(null_label))
+
+    def counts(df: DataFrame, alias: str) -> DataFrame:
+        return df.select(v.alias("value")).groupBy("value").agg(
+            F.count(F.lit(1)).alias(alias)
+        )
+
+    joined = (
+        counts(base, "n_base")
+        .join(counts(current, "n_current"), "value", "full_outer")
+        .select(
+            "value",
+            F.coalesce("n_base", F.lit(0)).cast("long").alias("n_base"),
+            F.coalesce("n_current", F.lit(0)).cast("long").alias("n_current"),
+        )
+    )
+    totals = joined.agg(
+        F.sum("n_base").cast("long").alias("__tb"),
+        F.sum("n_current").cast("long").alias("__tc"),
+        F.count(F.lit(1)).cast("long").alias("__k"),
+    )
+    s = F.lit(float(smoothing))
+    j = joined.crossJoin(F.broadcast(totals))
+    p = (F.col("n_base").cast("double") + s) / (
+        F.col("__tb").cast("double") + s * F.col("__k").cast("double")
+    )
+    q = (F.col("n_current").cast("double") + s) / (
+        F.col("__tc").cast("double") + s * F.col("__k").cast("double")
+    )
+    terms = j.select(
+        "value",
+        "n_base",
+        "n_current",
+        F.round(p, round_digits).alias("p_base"),
+        F.round(q, round_digits).alias("p_current"),
+        F.round((p - q) * F.log(p / q), round_digits).alias("psi_term"),
+        ((p - q) * F.log(p / q)).alias("__t"),
+    )
+    psi = terms.agg(F.round(F.sum("__t"), round_digits).alias("psi"))
+    return terms.drop("__t").crossJoin(F.broadcast(psi))
+
+
 def numeric_drift(
     base: DataFrame,
     current: DataFrame,

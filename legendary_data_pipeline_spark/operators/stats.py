@@ -864,6 +864,74 @@ def correlation_matrix(
     return out
 
 
+def spearman_matrix(
+    df: DataFrame,
+    cols: Sequence[str],
+    scale: int = 4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Pairwise Spearman rank correlation over `cols` — the robust
+    (monotone-relationship, outlier-insensitive) companion to the
+    Pearson `correlation_matrix`.
+
+    Spearman = Pearson over AVERAGE ranks (the tie-corrected form). The
+    average rank of value v is below(v) + (cnt(v)+1)/2, which this
+    operator keeps fully INTEGER by doubling: rank2(v) = 2·below(v) +
+    cnt(v) + 1. Ranks are built per column from the DISTINCT-VALUE
+    frame — a groupBy compresses the data to (value, cnt), a cumulative
+    window over that cardinality-sized frame yields below(v), and a
+    value-keyed join maps ranks back. The moment pass then reuses the
+    exact decimal machinery: Σr, Σr², Σrᵃrᵇ accumulate as decimal(38,0)
+    (order-independent; rank2 ≤ 2n so Σr² ≤ 4n³ fits decimal(38,0)
+    through n ≈ 10^11), and each correlation is one fixed double
+    expression over exact moments — bit-identical across engines.
+
+    Rows with a NULL in ANY profiled column are dropped (listwise
+    complete, same contract as `correlation_matrix` — every pair must
+    describe the same sample). Values are fixed to `scale` decimal
+    places before ranking so tie structure is engine-stable.
+
+    Output: (col_a, col_b, n, rho) per unordered pair, `cols` order.
+
+    Scale: per column, one map-side-combinable groupBy(value) + ONE
+    single-partition window over the distinct-value frame (cardinality-
+    sized, not data-sized — the same bounded-metadata exchange as
+    `global_row_number`'s offsets; for a genuinely ultra-high-cardinality
+    double column, quantize `scale` down or pre-bucket) + one value-keyed
+    shuffle join back. Then one global moment aggregation, map-side
+    combinable. No data-sized single-partition stage.
+    """
+    if len(cols) < 2:
+        raise ValueError("spearman_matrix needs at least two columns")
+    d = df.select(
+        *[F.col(c).cast(f"decimal(18,{scale})").alias(c) for c in cols]
+    )
+    notnull = F.lit(True)
+    for c in cols:
+        notnull = notnull & F.col(c).isNotNull()
+    d = d.filter(notnull)
+    for c in cols:
+        g = d.groupBy(c).agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
+        below_w = Window.orderBy(F.col(c).asc()).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        rankmap = g.select(
+            F.col(c),
+            (
+                F.lit(2) * F.coalesce(F.sum("__cnt").over(below_w), F.lit(0))
+                + F.col("__cnt")
+                + F.lit(1)
+            ).cast("long").alias(f"__r2_{c}"),
+        )
+        d = d.join(rankmap, c)
+    ranked = d.select(
+        *[F.col(f"__r2_{c}").alias(c) for c in cols]
+    )
+    out = correlation_matrix(ranked, list(cols), scale=0,
+                             round_digits=round_digits)
+    return out.withColumnRenamed("corr", "rho")
+
+
 def contingency_counts(
     df: DataFrame, col_a: str, col_b: str
 ) -> DataFrame:

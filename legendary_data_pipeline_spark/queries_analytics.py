@@ -689,6 +689,73 @@ def dq_drift_orders_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PSI_S = 0.5
+
+
+@register_shadow(
+    "dq_psi_drift_orders_priority",
+    f"""
+    WITH b AS (
+      SELECT COALESCE(CAST(o_orderpriority AS VARCHAR), '<null>') AS value,
+             CAST(COUNT(*) AS BIGINT) AS n_base
+      FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1),
+    c AS (
+      SELECT COALESCE(CAST(o_orderpriority AS VARCHAR), '<null>') AS value,
+             CAST(COUNT(*) AS BIGINT) AS n_current
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+      GROUP BY 1),
+    j AS (
+      SELECT COALESCE(b.value, c.value) AS value,
+             CAST(COALESCE(n_base, 0) AS BIGINT) AS n_base,
+             CAST(COALESCE(n_current, 0) AS BIGINT) AS n_current
+      FROM b FULL OUTER JOIN c ON b.value = c.value),
+    t AS (SELECT CAST(SUM(n_base) AS BIGINT) AS tb,
+                 CAST(SUM(n_current) AS BIGINT) AS tc,
+                 CAST(COUNT(*) AS BIGINT) AS k FROM j),
+    -- p/q mirror the Spark association order exactly:
+    -- (n + s) / (tot + s * k)
+    terms AS (
+      SELECT value, n_base, n_current,
+             (CAST(n_base AS DOUBLE) + {_PSI_S})
+               / (CAST(tb AS DOUBLE) + {_PSI_S} * CAST(k AS DOUBLE)) AS p,
+             (CAST(n_current AS DOUBLE) + {_PSI_S})
+               / (CAST(tc AS DOUBLE) + {_PSI_S} * CAST(k AS DOUBLE)) AS q
+      FROM j, t),
+    rows_ AS (
+      SELECT value, n_base, n_current,
+             round(p, 6) AS p_base, round(q, 6) AS p_current,
+             round((p - q) * ln(p / q), 6) AS psi_term,
+             (p - q) * ln(p / q) AS t
+      FROM terms),
+    s AS (SELECT round(SUM(t), 6) AS psi FROM rows_)
+    SELECT value, n_base, n_current, p_base, p_current, psi_term, psi
+    FROM rows_, s
+    """,
+    doc="Population Stability Index of order priority between pre-/"
+    "post-1998 snapshots — the model-monitoring drift score risk teams "
+    "threshold on (<0.1 stable, >0.25 shifted), complementing the "
+    "chi-square decomposition with a magnitude measure. Laplace-"
+    "smoothed union categories keep one-sided values finite; exact "
+    "integer counts, ln + fixed IEEE divisions under round(6). Both "
+    "snapshots reduce to value-cardinality count tables before the "
+    "metadata-sized join. X147.",
+)
+def dq_psi_drift_orders_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.profiling import psi_drift
+
+    orders = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    return psi_drift(
+        orders.filter(F.col("o_orderdate") < cut),
+        orders.filter(F.col("o_orderdate") >= cut),
+        "o_orderpriority",
+        smoothing=_PSI_S,
+    )
+
+
 _FORECAST_K = 15
 
 
@@ -2202,6 +2269,93 @@ def st_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount"]
+    )
+
+
+_SPEAR_CORR = """
+           round((CAST(n AS DOUBLE)*CAST({sp} AS DOUBLE)
+                  - CAST({sa} AS DOUBLE)*CAST({sb} AS DOUBLE))
+             / nullif(sqrt(CAST(n AS DOUBLE)*CAST({ssa} AS DOUBLE)
+                           - CAST({sa} AS DOUBLE)*CAST({sa} AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE)*CAST({ssb} AS DOUBLE)
+                           - CAST({sb} AS DOUBLE)*CAST({sb} AS DOUBLE)),
+                    0.0), 6) AS rho
+"""
+
+
+def _rank2_cte(name: str, col: str) -> str:
+    """DuckDB CTEs mapping a value column to doubled average ranks
+    (2·below + cnt + 1 — mirrors operators/stats.spearman_matrix)."""
+    return f"""
+    {name}c AS (
+      SELECT {col} AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM d GROUP BY 1),
+    {name} AS (
+      SELECT v,
+             2 * COALESCE(SUM(cnt) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + cnt + 1 AS r
+      FROM {name}c)"""
+
+
+@register_shadow(
+    "st_spearman_matrix",
+    f"""
+    WITH d AS (
+      SELECT CAST(round(l_quantity * 10000) AS BIGINT) AS q,
+             CAST(round(l_extendedprice * 10000) AS BIGINT) AS p,
+             CAST(round(l_discount * 10000) AS BIGINT) AS di
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        AND l_discount IS NOT NULL),
+    {_rank2_cte("rq", "q")},
+    {_rank2_cte("rp", "p")},
+    {_rank2_cte("rd", "di")},
+    rk AS (
+      SELECT rq.r AS q, rp.r AS p, rd.r AS di
+      FROM d JOIN rq ON d.q = rq.v
+             JOIN rp ON d.p = rp.v
+             JOIN rd ON d.di = rd.v),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(q AS HUGEINT)) AS sq, SUM(CAST(p AS HUGEINT)) AS sp_,
+             SUM(CAST(di AS HUGEINT)) AS sd,
+             SUM(CAST(q AS HUGEINT)*q) AS sqq,
+             SUM(CAST(p AS HUGEINT)*p) AS spp,
+             SUM(CAST(di AS HUGEINT)*di) AS sdd,
+             SUM(CAST(q AS HUGEINT)*p) AS sqp,
+             SUM(CAST(q AS HUGEINT)*di) AS sqd,
+             SUM(CAST(p AS HUGEINT)*di) AS spd
+      FROM rk)
+    SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n,
+           {_SPEAR_CORR.format(sp="sqp", sa="sq", sb="sp_", ssa="sqq", ssb="spp")}
+    FROM m
+    UNION ALL
+    SELECT 'l_quantity', 'l_discount', n,
+           {_SPEAR_CORR.format(sp="sqd", sa="sq", sb="sd", ssa="sqq", ssb="sdd")}
+    FROM m
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_discount', n,
+           {_SPEAR_CORR.format(sp="spd", sa="sp_", sb="sd", ssa="spp", ssb="sdd")}
+    FROM m
+    """,
+    doc="Pairwise Spearman rank correlation (tie-corrected, via "
+    "doubled average ranks kept fully integer: 2*below + cnt + 1) over "
+    "the same three lineitem measures as the Pearson matrix — the "
+    "robust monotone-relationship companion. Ranks build from "
+    "DISTINCT-VALUE count frames (cardinality-sized windows, value-"
+    "keyed joins back), then the exact decimal moment pass; the rank "
+    "construction and final fixed double expression replay in DuckDB "
+    "bit-for-bit. X146.",
+)
+def st_spearman_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.stats import (
+        spearman_matrix,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return spearman_matrix(
         li, ["l_quantity", "l_extendedprice", "l_discount"]
     )
 

@@ -581,3 +581,64 @@ def ret_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         scale=_RRF_SCALE,
         top_k=_RRF_TOPK,
     ).select("query_id", "neighbor_id", "fused_score", "n_sources", "fused_rank")
+
+
+# ---------------------------------------------------------------------------
+# X148 — weight of evidence / information value (round 7)
+# ---------------------------------------------------------------------------
+
+_WOE_S = 0.5
+
+
+@register_shadow(
+    "ml_woe_iv",
+    f"""
+    WITH per AS (
+      SELECT o_orderpriority,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_pos,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END)
+                  AS BIGINT) AS n_neg
+      FROM orders GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(n_pos) AS BIGINT) AS pos,
+             CAST(SUM(n_neg) AS BIGINT) AS neg,
+             CAST(count(*) AS BIGINT) AS k
+      FROM per),
+    terms AS (
+      SELECT o_orderpriority, n, n_pos, n_neg,
+             round(ln((CAST(n_pos AS DOUBLE) + {_WOE_S})
+                      * (CAST(neg AS DOUBLE) + {_WOE_S} * CAST(k AS DOUBLE))
+                    / ((CAST(n_neg AS DOUBLE) + {_WOE_S})
+                       * (CAST(pos AS DOUBLE)
+                          + {_WOE_S} * CAST(k AS DOUBLE)))), 6) AS woe,
+             ((CAST(n_pos AS DOUBLE) + {_WOE_S})
+                / (CAST(pos AS DOUBLE) + {_WOE_S} * CAST(k AS DOUBLE))
+              - (CAST(n_neg AS DOUBLE) + {_WOE_S})
+                / (CAST(neg AS DOUBLE) + {_WOE_S} * CAST(k AS DOUBLE)))
+             * ln((CAST(n_pos AS DOUBLE) + {_WOE_S})
+                  * (CAST(neg AS DOUBLE) + {_WOE_S} * CAST(k AS DOUBLE))
+                / ((CAST(n_neg AS DOUBLE) + {_WOE_S})
+                   * (CAST(pos AS DOUBLE)
+                      + {_WOE_S} * CAST(k AS DOUBLE)))) AS t
+      FROM per, tot),
+    iv AS (SELECT round(SUM(t), 6) AS iv FROM terms)
+    SELECT o_orderpriority, n, n_pos, n_neg, woe, iv
+    FROM terms, iv
+    """,
+    doc="Weight of evidence per order priority against the 'order "
+    "fulfilled' label plus the feature's information value — the "
+    "credit-scoring-standard categorical predictiveness measure "
+    "(X148). Laplace-smoothed so zero-count cells stay finite; exact "
+    "integer counts, one ln + fixed IEEE divisions under round(6) "
+    "(the mutual-information convention). One category-keyed "
+    "aggregation, category-sized everything after.",
+)
+def ml_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_distributed(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderpriority",
+        (F.col("o_orderstatus") == "F").cast("int").alias("__lab"),
+    )
+    return M.woe_iv(base, "o_orderpriority", "__lab", smoothing=_WOE_S)

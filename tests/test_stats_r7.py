@@ -1,0 +1,135 @@
+"""Round-7 operator contracts: Spearman matrix, WOE/IV, PSI drift."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# spearman_matrix
+# ---------------------------------------------------------------------------
+
+
+def test_spearman_perfect_monotone_and_inverse(spark):
+    from legendary_data_pipeline_spark.operators.stats import spearman_matrix
+
+    # y = x^3 is nonlinear but perfectly monotone → rho exactly 1;
+    # z = -x → rho exactly -1. Pearson would NOT give 1 for y.
+    rows = [(float(x), float(x) ** 3, float(-x)) for x in range(1, 21)]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    out = {
+        (r["col_a"], r["col_b"]): r["rho"]
+        for r in spearman_matrix(df, ["x", "y", "z"]).collect()
+    }
+    assert out[("x", "y")] == 1.0
+    assert out[("x", "z")] == -1.0
+    assert out[("y", "z")] == -1.0
+
+
+def test_spearman_ties_average_ranks(spark):
+    from legendary_data_pipeline_spark.operators.stats import spearman_matrix
+
+    # Hand-checked tie case: x = [1,1,2], y = [1,2,3].
+    # avg ranks x: [1.5, 1.5, 3], y: [1, 2, 3] → rho = 0.866025
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (1.0, 2.0), (2.0, 3.0)], "x double, y double"
+    )
+    r = spearman_matrix(df, ["x", "y"]).collect()[0]
+    assert r["n"] == 3
+    assert r["rho"] == pytest.approx(math.sqrt(3) / 2, abs=1e-6)
+
+
+def test_spearman_null_rows_listwise_dropped(spark):
+    from legendary_data_pipeline_spark.operators.stats import spearman_matrix
+
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, None), (None, 3.0), (4.0, 4.0), (5.0, 5.0)],
+        "x double, y double",
+    )
+    r = spearman_matrix(df, ["x", "y"]).collect()[0]
+    assert r["n"] == 3
+    assert r["rho"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# woe_iv
+# ---------------------------------------------------------------------------
+
+
+def test_woe_iv_hand_computed(spark):
+    from legendary_data_pipeline_spark.operators.mleval import woe_iv
+
+    # cat A: 3 pos, 1 neg; cat B: 1 pos, 3 neg; s=0.5, K=2
+    rows = [("A", 1)] * 3 + [("A", 0)] + [("B", 1)] + [("B", 0)] * 3
+    df = spark.createDataFrame(rows, "cat string, lab int")
+    out = {r["cat"]: r for r in woe_iv(df, "cat", "lab").collect()}
+    pos_adj, neg_adj = 4 + 0.5 * 2, 4 + 0.5 * 2
+    woe_a = math.log((3.5 * neg_adj) / (1.5 * pos_adj))
+    dp_a, dn_a = 3.5 / pos_adj, 1.5 / neg_adj
+    woe_b = math.log((1.5 * neg_adj) / (3.5 * pos_adj))
+    dp_b, dn_b = 1.5 / pos_adj, 3.5 / neg_adj
+    iv = (dp_a - dn_a) * woe_a + (dp_b - dn_b) * woe_b
+    assert out["A"]["woe"] == pytest.approx(woe_a, abs=1e-6)
+    assert out["B"]["woe"] == pytest.approx(woe_b, abs=1e-6)
+    assert out["A"]["iv"] == pytest.approx(iv, abs=1e-6)
+    assert out["A"]["iv"] == out["B"]["iv"]
+    assert (out["A"]["n"], out["A"]["n_pos"], out["A"]["n_neg"]) == (4, 3, 1)
+
+
+def test_woe_iv_null_semantics_and_zero_cells(spark):
+    from legendary_data_pipeline_spark.operators.mleval import woe_iv
+
+    df = spark.createDataFrame(
+        [("A", 1), ("A", None), (None, 0), ("C", 1)],
+        "cat string, lab int",
+    )
+    out = {r["cat"]: r for r in woe_iv(df, "cat", "lab").collect()}
+    # NULL label dropped; NULL category is its own bin
+    assert out["A"]["n"] == 1
+    assert None in out
+    # category C has zero negatives — smoothing keeps woe finite
+    assert out["C"]["woe"] is not None
+    assert math.isfinite(out["C"]["woe"])
+
+
+# ---------------------------------------------------------------------------
+# psi_drift
+# ---------------------------------------------------------------------------
+
+
+def test_psi_identical_snapshots_near_zero(spark):
+    from legendary_data_pipeline_spark.operators.profiling import psi_drift
+
+    df = spark.createDataFrame(
+        [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 20, "v string"
+    )
+    rows = psi_drift(df, df, "v").collect()
+    assert len(rows) == 3
+    assert all(abs(r["psi"]) < 1e-6 for r in rows)
+
+
+def test_psi_detects_shift_and_one_sided_category(spark):
+    from legendary_data_pipeline_spark.operators.profiling import psi_drift
+
+    base = spark.createDataFrame([("a",)] * 90 + [("b",)] * 10, "v string")
+    cur = spark.createDataFrame([("a",)] * 10 + [("c",)] * 90, "v string")
+    rows = {r["value"]: r for r in psi_drift(base, cur, "v").collect()}
+    assert set(rows) == {"a", "b", "c"}
+    # 'b' vanished, 'c' appeared — both finite thanks to smoothing
+    assert all(math.isfinite(r["psi_term"]) for r in rows.values())
+    assert rows["a"]["psi"] > 0.25  # massively shifted
+    # counts faithful
+    assert (rows["b"]["n_base"], rows["b"]["n_current"]) == (10, 0)
+    assert (rows["c"]["n_base"], rows["c"]["n_current"]) == (0, 90)
+
+
+def test_psi_empty_side_raises(spark):
+    from legendary_data_pipeline_spark.operators.profiling import psi_drift
+
+    df = spark.createDataFrame([("a",)], "v string")
+    empty = df.filter(F.lit(False))
+    with pytest.raises(ValueError, match="empty"):
+        psi_drift(df, empty, "v")
