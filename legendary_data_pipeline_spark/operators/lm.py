@@ -145,3 +145,102 @@ def perplexity_filter(
         )
     model = train_bigram_lm(texts)
     return score_perplexity(df, model, id_col, text_col, max_ppl)
+
+
+def unigram_surprisal_gate(
+    df: DataFrame,
+    trusted: DataFrame,
+    max_mean_micro: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic DISTRIBUTED unigram surprisal gate — the
+    hash-oracle-able twin of `perplexity_filter` (X149-series fixed
+    variants: mechanics under a full oracle, model quality stays with
+    the trained form).
+
+    Where the CCNet-style filter trains a bigram LM on a driver-side
+    sample (floating log/exp in a UDF — rows-only checkable), this gate
+    derives EXACT add-one unigram statistics from the WHOLE trusted
+    slice with plain aggregations and scores every document with
+    integer fixed-point arithmetic:
+
+        w(tok)  = -floor( ln((c(tok)+1)/(T+V)) · scale )   (integer µnats)
+        doc     = floor( Σ w(tok) / n_tokens )              (mean µnats)
+        kept    = mean ≤ max_mean_micro
+
+    c = trusted count (0 for OOV), T = total trusted tokens, V =
+    trusted vocabulary size. One ln and one multiply per DISTINCT
+    trusted token (plus the shared OOV weight); everything after is
+    exact integer sums — order-independent, replayable in SQL, and the
+    per-token weights are what a 100 TB run would persist as its
+    "model" table.
+
+    Plan: trusted reduces to a (token, weight) table via one
+    map-side-combinable groupBy; scoring explodes doc tokens once and
+    token-keyed-joins the weight table (broadcast when the vocabulary
+    is small; shuffle join with AQE skew handling otherwise — frequent
+    tokens are many-to-one and Spark splits them), then re-aggregates
+    per doc. Documents with no tokens return NULL surprisal and
+    kept=false (fluency cannot be certified from nothing).
+
+    Returns (id, n_tokens, mean_surprisal_micro, kept).
+    """
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    tr = trusted.select(F.explode(toks).alias("__tok"))
+    counts = tr.groupBy("__tok").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    totals = counts.agg(
+        F.sum("__c").cast("long").alias("__t"),
+        F.count(F.lit(1)).cast("long").alias("__v"),
+    )
+
+    def micro(c_plus_1: F.Column, denom: F.Column) -> F.Column:
+        return (
+            -F.floor(
+                F.log(c_plus_1.cast("double") / denom.cast("double"))
+                * F.lit(float(scale))
+            )
+        ).cast("long")
+
+    denom = F.col("__t") + F.col("__v")
+    weights = counts.crossJoin(F.broadcast(totals)).select(
+        "__tok", micro(F.col("__c") + F.lit(1), denom).alias("__w")
+    )
+    oov = totals.select(
+        micro(F.lit(1), denom).alias("__w_oov")
+    )
+
+    doc_toks = df.select(
+        F.col(id_col), F.explode_outer(toks).alias("__tok")
+    )
+    scored = (
+        doc_toks.join(weights, "__tok", "left")
+        .crossJoin(F.broadcast(oov))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.col("__tok")).cast("long").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("__w"), F.col("__w_oov")))
+            .cast("long")
+            .alias("__sum_w"),
+        )
+    )
+    mean_micro = F.when(
+        F.col("n_tokens") > 0,
+        F.floor(
+            F.col("__sum_w").cast("double") / F.col("n_tokens").cast("double")
+        ).cast("long"),
+    )
+    out = scored.select(
+        id_col,
+        "n_tokens",
+        mean_micro.alias("mean_surprisal_micro"),
+        F.coalesce(
+            mean_micro <= F.lit(int(max_mean_micro)), F.lit(False)
+        ).alias("kept"),
+    )
+    return out

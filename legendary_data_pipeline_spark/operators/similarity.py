@@ -1077,3 +1077,80 @@ def ivf_fixed_topk(
         k=k,
         rank_col="rank",
     ).select("query_id", "neighbor_id", "rank", "cos_sim")
+
+
+def semdedup_fixed(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    tau: float = 0.9,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Fixed-codebook SemDeDup twin — the hash-oracle-able variant of
+    `semdedup` (same division of labor as ivf_topk / ivf_fixed_topk).
+
+    Assignment uses the frozen codebook (corpus vectors with the
+    ``n_centroids`` smallest ids; declarative fold arithmetic via
+    `clustering.fixed_codebook_assign`), and the keeper rule is the
+    MIN-ID-ANCHOR form: vector b is a duplicate iff SOME lower-id
+    vector a in the same cluster has round(cos(a,b), 6) ≥ tau, with
+    dup_of = the smallest such a. That rule is a pure join/aggregation
+    (no sequential greedy state), so the ENTIRE operator replays in
+    SQL under the hash oracle. It differs from the trained form's
+    greedy pass only when a duplicate would itself anchor later drops
+    (greedy re-anchors on kept exemplars; min-id-anchor marks against
+    any earlier vector) — the trained form keeps that semantics plus
+    its collapse/keeper contracts; this one pins cluster routing, the
+    threshold arithmetic, and keeper bookkeeping exactly.
+
+    Plan: broadcast codebook + per-vector top-1 window (assignment),
+    then ONE cluster-keyed self-join — the quadratic step is bounded by
+    cluster size exactly as in SemDeDup/IVF. No corpus-wide cartesian.
+
+    Returns (vec_id, cluster, keep, dup_of).
+    """
+    from legendary_data_pipeline_spark.operators.clustering import (
+        fixed_codebook_assign,
+    )
+
+    base = embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("vec")
+    )
+    assigned = fixed_codebook_assign(
+        embeddings, n_centroids, "vec_id", "embedding"
+    )
+    withvec = assigned.join(base, "vec_id")
+    a = withvec.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("__ia"),
+        F.col("vec").alias("__va"),
+    )
+    b = withvec.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("__ib"),
+        F.col("vec").alias("__vb"),
+    )
+    pairs = a.join(b, "cluster").filter(F.col("__ia") < F.col("__ib"))
+    dot = F.aggregate(
+        F.zip_with(F.col("__va"), F.col("__vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(F.col("__va"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    nb = F.sqrt(
+        F.aggregate(F.col("__vb"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    cos = F.round(dot / (na * nb), round_digits)
+    dups = (
+        pairs.filter(cos >= F.lit(float(tau)))
+        .groupBy("__ib")
+        .agg(F.min("__ia").alias("dup_of"))
+        .select(F.col("__ib").alias("vec_id"), "dup_of")
+    )
+    return assigned.join(dups, "vec_id", "left").select(
+        "vec_id",
+        "cluster",
+        F.col("dup_of").isNull().alias("keep"),
+        "dup_of",
+    )

@@ -1430,18 +1430,23 @@ def curation_cluster_fixed_sample(
 # ---------------------------------------------------------------------------
 
 
-@register_shadow(
-    "curation_perplexity_filter",
-    None,  # LM scoring (log/exp over sample-trained counts) — rows-only;
-    # ordering/ratio/determinism contracts pinned in tests/test_lm.py
-    doc="CCNet-style perplexity gate: a bigram Stupid-Backoff LM trains "
-    "driver-side on a bounded hash-gated sample of the trusted slice "
-    "(source='src0') and scores every document in one Arrow-batched "
-    "pass (per-batch bigram memo) — fluent in-domain text scores low, "
-    "garbled/off-domain text high. The model is sample statistics "
-    "shipped in the UDF closure; no corpus scan feeds training.",
-)
+# Two LM-gate variants, same division of labor as the trained/fixed IVF
+# pair: the TRAINED CCNet-style bigram perplexity filter keeps its
+# ordering/ratio/determinism contracts in tests/test_lm.py (its
+# sample-trained log/exp UDF scoring is not SQL-replayable, and round 7
+# retired rows-only registrations wherever a deterministic twin carries
+# a full hash oracle). The surprisal gate below derives EXACT add-one
+# unigram statistics from the whole trusted slice and scores with
+# integer fixed-point µnats — the entire gate replays in DuckDB.
+
+
 def curation_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity gate: a bigram Stupid-Backoff LM trains
+    driver-side on a bounded hash-gated sample of the trusted slice
+    (source='src0') and scores every document in one Arrow-batched
+    pass (per-batch bigram memo). Kept callable for pipelines/tests;
+    correctness is contract-pinned in tests/test_lm.py rather than
+    oracle-paired."""
     from legendary_data_pipeline_spark.operators.lm import perplexity_filter
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1450,6 +1455,79 @@ def curation_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("source") != "src0"), trusted, max_ppl=100.0
     )
     return scored
+
+
+_SURP_SCALE = 1_000_000
+_SURP_MAX = 3_420_000  # mean µnats ≈ ln-perplexity 3.42 (ppl ≈ 30.6)
+_SURP_TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), __w -> __w <> '')"
+
+
+@register_shadow(
+    "curation_unigram_surprisal",
+    f"""
+    WITH tr AS (
+      SELECT unnest({_SURP_TOKS}) AS tok
+      FROM documents WHERE source = 'src0'),
+    counts AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM tr GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS v
+      FROM counts),
+    w AS (
+      SELECT tok,
+             CAST(-floor(ln(CAST(c + 1 AS DOUBLE) / CAST(t + v AS DOUBLE))
+                         * {_SURP_SCALE}.0) AS BIGINT) AS w
+      FROM counts, tot),
+    oov AS (
+      SELECT CAST(-floor(ln(CAST(1 AS DOUBLE) / CAST(t + v AS DOUBLE))
+                         * {_SURP_SCALE}.0) AS BIGINT) AS w_oov
+      FROM tot),
+    dt AS (
+      SELECT doc_id, unnest({_SURP_TOKS}) AS tok
+      FROM documents WHERE source <> 'src0'),
+    g AS (
+      SELECT dt.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(COALESCE(w.w, oov.w_oov)) AS BIGINT) AS sum_w
+      FROM dt LEFT JOIN w USING (tok) CROSS JOIN oov
+      GROUP BY 1),
+    base AS (
+      SELECT doc_id FROM documents WHERE source <> 'src0'),
+    s AS (
+      SELECT base.doc_id,
+             CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+             CASE WHEN COALESCE(n_tokens, 0) > 0
+                  THEN CAST(floor(CAST(sum_w AS DOUBLE)
+                                  / CAST(n_tokens AS DOUBLE)) AS BIGINT)
+             END AS mean_surprisal_micro
+      FROM base LEFT JOIN g USING (doc_id))
+    SELECT doc_id, n_tokens, mean_surprisal_micro,
+           COALESCE(mean_surprisal_micro <= {_SURP_MAX}, FALSE) AS kept
+    FROM s
+    """,
+    doc="Deterministic distributed unigram surprisal gate — the "
+    "hash-oracle-able twin of the CCNet perplexity filter (X150): "
+    "EXACT add-one unigram statistics over the WHOLE trusted slice "
+    "(no sampling), per-token weights as integer fixed-point µnats "
+    "(-floor(ln(p)·1e6)), per-doc mean by integer-safe floor. One ln "
+    "per DISTINCT trusted token; all document-scale arithmetic is "
+    "exact integer sums — order-independent across engines. Plan: "
+    "vocabulary-sized weight table (broadcast or AQE-skew shuffle "
+    "join), one explode + re-agg over scored docs.",
+)
+def curation_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.lm import (
+        unigram_surprisal_gate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    trusted = docs.filter(F.col("source") == "src0")
+    return unigram_surprisal_gate(
+        docs.filter(F.col("source") != "src0"),
+        trusted,
+        max_mean_micro=_SURP_MAX,
+        scale=_SURP_SCALE,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -93,3 +93,97 @@ def test_corpus_scoring_separates_real_from_corrupted(spark, sf_dir):
     assert all(bad[k] > real[k] for k in real)
     mean_ratio = sum(bad[k] / real[k] for k in real) / len(real)
     assert mean_ratio > 2.0, mean_ratio
+
+
+# ---------------------------------------------------------------------------
+# unigram_surprisal_gate (round 7 — the oracle-able LM-gate twin)
+# ---------------------------------------------------------------------------
+
+
+def test_surprisal_in_domain_scores_lower_than_oov(spark):
+    from legendary_data_pipeline_spark.operators.lm import (
+        unigram_surprisal_gate,
+    )
+
+    trusted = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (100, "the quick brown fox"),          # pure in-domain
+            (101, "zzz qqq xxx www"),               # pure OOV
+            (102, "the quick zzz qqq"),             # mixed
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in unigram_surprisal_gate(
+            docs, trusted, max_mean_micro=10**9
+        ).collect()
+    }
+    s100 = out[100]["mean_surprisal_micro"]
+    s101 = out[101]["mean_surprisal_micro"]
+    s102 = out[102]["mean_surprisal_micro"]
+    assert s100 < s102 < s101
+    assert all(out[d]["kept"] for d in (100, 101, 102))  # huge threshold
+
+
+def test_surprisal_empty_doc_and_gate_edge(spark):
+    from legendary_data_pipeline_spark.operators.lm import (
+        unigram_surprisal_gate,
+    )
+
+    trusted = spark.createDataFrame(
+        [(1, "a b c a b a")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(10, "a a a"), (11, ""), (12, None)], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in unigram_surprisal_gate(
+            docs, trusted, max_mean_micro=0
+        ).collect()
+    }
+    # every doc row survives, even token-less ones
+    assert set(rows) == {10, 11, 12}
+    for d in (11, 12):
+        assert rows[d]["n_tokens"] == 0
+        assert rows[d]["mean_surprisal_micro"] is None
+        assert rows[d]["kept"] is False
+    # hand-check doc 10: T=6, V=3, c('a')=3 → w = -floor(ln(4/9)*1e6)
+    import math
+
+    w_a = -math.floor(math.log(4 / 9) * 1_000_000)
+    assert rows[10]["n_tokens"] == 3
+    assert rows[10]["mean_surprisal_micro"] == w_a  # mean of 3 equal weights
+    assert rows[10]["kept"] is False  # threshold 0
+
+
+def test_surprisal_deterministic_across_partitionings(spark):
+    from legendary_data_pipeline_spark.operators.lm import (
+        unigram_surprisal_gate,
+    )
+
+    trusted = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 3} common") for i in range(50)],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [(i, f"common tok{i % 5} novel{i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    a = sorted(
+        map(tuple, unigram_surprisal_gate(docs, trusted, 10**9).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            unigram_surprisal_gate(
+                docs.repartition(13), trusted.repartition(7), 10**9
+            ).collect(),
+        )
+    )
+    assert a == b
