@@ -864,6 +864,177 @@ def correlation_matrix(
     return out
 
 
+def gini_concentration(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    round_digits: int = 6,
+) -> DataFrame:
+    """EXACT Gini concentration coefficient per group — the inequality
+    measure behind "is our spend / token budget / traffic concentrated
+    in a few keys?" (0 = perfectly even, →1 = one key holds all).
+
+    Uses the sorted-position identity with ties compressed to the
+    DISTINCT-VALUE frame (the `spearman_matrix` construction):
+
+        Σ_i i·x_(i) = Σ_v x_v · (below_v·c_v + c_v(c_v+1)/2)
+        gini = (2·Σ_i i·x_(i) − (n+1)·Σx) / (n·Σx)
+
+    ``value_col`` must be NON-NEGATIVE integers (the engine's money
+    convention: cents) — every term is then exact decimal(38,0) and
+    the single final division makes the result bit-identical across
+    engines. NULL values are dropped; a group with Σx = 0 returns NULL
+    gini (undefined).
+
+    Scale: one map-side-combinable groupBy to (group, value, cnt), a
+    cumulative window over the distinct-value frame (cardinality-
+    sized per group, not data-sized), one per-group aggregation.
+
+    Output: group_cols..., n, total, gini.
+    """
+    groups = list(group_cols)
+    v = F.col(value_col).cast("long")
+    d = df.select(*groups, v.alias("__v")).where(v.isNotNull())
+    g = d.groupBy(*groups, "__v").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__c")
+    )
+    w = Window.partitionBy(*groups).orderBy(F.col("__v").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    below = F.coalesce(
+        F.sum("__c").over(w), F.lit(0).cast("decimal(38,0)")
+    )
+    two = F.lit(2).cast("decimal(38,0)")
+    posum = (
+        below * F.col("__c")
+        + (F.col("__c") * (F.col("__c") + F.lit(1)) / two).cast(
+            "decimal(38,0)"
+        )
+    )
+    vd = F.col("__v").cast("decimal(38,0)")
+    terms = g.select(
+        *groups,
+        F.col("__c").alias("__c"),
+        (vd * F.col("__c")).alias("__vx"),
+        (vd * posum).cast("decimal(38,0)").alias("__wpos"),
+    )
+    agg = terms.groupBy(*groups).agg(
+        F.sum("__c").cast("decimal(38,0)").alias("__n"),
+        F.sum("__vx").cast("decimal(38,0)").alias("__s"),
+        F.sum("__wpos").cast("decimal(38,0)").alias("__w"),
+    )
+    num = (two * F.col("__w") - (F.col("__n") + F.lit(1)) * F.col("__s")).cast(
+        "double"
+    )
+    den = (F.col("__n") * F.col("__s")).cast("double")
+    gini = F.round(num / F.nullif(den, F.lit(0.0)), round_digits)
+    return agg.select(
+        *groups,
+        F.col("__n").cast("long").alias("n"),
+        F.col("__s").cast("long").alias("total"),
+        gini.alias("gini"),
+    )
+
+
+def kendall_tau_b(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """EXACT Kendall's tau-b (tie-corrected) for an ordinal column
+    pair, computed from the contingency grid instead of the O(n²)
+    pair enumeration (or the O(n log n) merge sort neither engine can
+    replay deterministically):
+
+        C = Σ n_ij·n_kl over cell pairs with i<k, j<l   (concordant)
+        D = Σ n_ij·n_kl over cell pairs with i<k, j>l   (discordant)
+        τ_b = (C − D) / sqrt((n0 − n1)(n0 − n2))
+        n0 = n(n−1)/2, n1 = Σ rowtot·(rowtot−1)/2, n2 likewise columns
+
+    Everything up to the final sqrt/division is exact decimal(38,0)
+    integer arithmetic (cell products reach ~n² — past int64 at a few
+    billion rows), so the statistic is bit-identical across engines.
+    Rows with a NULL on either side are dropped (no rank position).
+
+    Scale: ONE data-sized groupBy to the (K_a × K_b)-cell grid; the
+    concordance step is a self-join of the CELL table (K² pair terms —
+    metadata, e.g. 550 cells → 300k products), never the data. Use for
+    ordinal/low-cardinality pairs; for continuous columns bin first
+    (the X102 fixed-grid convention) or use `spearman_matrix`.
+
+    Output: one row (n, concordant, discordant, tau_b).
+    """
+    d = df.select(
+        F.col(col_a).alias("__a"), F.col(col_b).alias("__b")
+    ).where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+    cells = d.groupBy("__a", "__b").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n")
+    )
+    left = cells.select(
+        F.col("__a").alias("__a1"),
+        F.col("__b").alias("__b1"),
+        F.col("__n").alias("__n1"),
+    )
+    right = cells.select(
+        F.col("__a").alias("__a2"),
+        F.col("__b").alias("__b2"),
+        F.col("__n").alias("__n2"),
+    )
+    prods = left.join(right, F.col("__a1") < F.col("__a2")).select(
+        "__b1", "__b2", (F.col("__n1") * F.col("__n2")).alias("__p")
+    )
+    cd = prods.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("__b1") < F.col("__b2"), F.col("__p"))),
+            F.lit(0),
+        ).cast("decimal(38,0)").alias("concordant"),
+        F.coalesce(
+            F.sum(F.when(F.col("__b1") > F.col("__b2"), F.col("__p"))),
+            F.lit(0),
+        ).cast("decimal(38,0)").alias("discordant"),
+    )
+    two = F.lit(2).cast("decimal(38,0)")
+
+    def _pairs(tot: Column) -> Column:
+        t = tot.cast("decimal(38,0)")
+        return (t * (t - F.lit(1)) / two).cast("decimal(38,0)")
+
+    n_tot = cells.agg(
+        F.sum("__n").cast("decimal(38,0)").alias("__nt")
+    ).select(_pairs(F.col("__nt")).alias("n0"), F.col("__nt").alias("n"))
+    ties_a = (
+        cells.groupBy("__a")
+        .agg(F.sum("__n").alias("__rt"))
+        .agg(F.sum(_pairs(F.col("__rt"))).cast("decimal(38,0)").alias("n1"))
+    )
+    ties_b = (
+        cells.groupBy("__b")
+        .agg(F.sum("__n").alias("__ct"))
+        .agg(F.sum(_pairs(F.col("__ct"))).cast("decimal(38,0)").alias("n2"))
+    )
+    joined = (
+        cd.crossJoin(F.broadcast(n_tot))
+        .crossJoin(F.broadcast(ties_a))
+        .crossJoin(F.broadcast(ties_b))
+    )
+    denom = F.sqrt(
+        (F.col("n0") - F.col("n1")).cast("double")
+        * (F.col("n0") - F.col("n2")).cast("double")
+    )
+    tau = F.round(
+        (F.col("concordant") - F.col("discordant")).cast("double")
+        / F.nullif(denom, F.lit(0.0)),
+        round_digits,
+    )
+    return joined.select(
+        F.col("n").cast("long").alias("n"),
+        "concordant",
+        "discordant",
+        tau.alias("tau_b"),
+    )
+
+
 def spearman_matrix(
     df: DataFrame,
     cols: Sequence[str],

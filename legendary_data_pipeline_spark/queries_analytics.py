@@ -2273,6 +2273,112 @@ def st_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_shadow(
+    "st_gini_order_value",
+    f"""
+    WITH d AS (
+      SELECT o_orderpriority AS pri, {_cents_sql("o_totalprice")} AS v
+      FROM orders WHERE o_totalprice IS NOT NULL),
+    g AS (
+      SELECT pri, v, CAST(COUNT(*) AS HUGEINT) AS c FROM d GROUP BY 1, 2),
+    cum AS (
+      SELECT pri, v, c,
+             COALESCE(SUM(c) OVER (PARTITION BY pri ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS below
+      FROM g),
+    t AS (
+      SELECT pri,
+             CAST(SUM(c) AS HUGEINT) AS n,
+             CAST(SUM(CAST(v AS HUGEINT) * c) AS HUGEINT) AS s,
+             CAST(SUM(CAST(v AS HUGEINT)
+                      * (below * c + c * (c + 1) / 2)) AS HUGEINT) AS w
+      FROM cum GROUP BY 1)
+    SELECT pri AS o_orderpriority, CAST(n AS BIGINT) AS n,
+           CAST(s AS BIGINT) AS total,
+           round(CAST(2 * w - (n + 1) * s AS DOUBLE)
+                 / nullif(CAST(n * s AS DOUBLE), 0.0), 6) AS gini
+    FROM t
+    """,
+    doc="EXACT Gini concentration of order value (cents) per priority "
+    "band — the inequality measure behind 'is spend concentrated in a "
+    "few orders?'. Sorted-position identity with ties compressed to "
+    "the distinct-value frame (the Spearman construction); every term "
+    "exact decimal(38,0) to the single final division. One groupBy + "
+    "a cardinality-sized cumulative window per group. X153.",
+)
+def st_gini_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.stats import (
+        gini_concentration,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
+    d = orders.select(
+        "o_orderpriority", _cents("o_totalprice").alias("__cents")
+    )
+    return gini_concentration(
+        d, "__cents", group_cols=["o_orderpriority"]
+    )
+
+
+@register_shadow(
+    "st_kendall_tau_qty_discount",
+    """
+    WITH d AS (
+      SELECT CAST(l_quantity AS BIGINT) AS a,
+             CAST(round(l_discount * 100) AS BIGINT) AS b
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL),
+    cells AS (
+      SELECT a, b, CAST(COUNT(*) AS HUGEINT) AS n
+      FROM d GROUP BY 1, 2),
+    cd AS (
+      SELECT
+        CAST(COALESCE(SUM(CASE WHEN l.b < r.b THEN l.n * r.n END), 0)
+             AS DECIMAL(38,0)) AS concordant,
+        CAST(COALESCE(SUM(CASE WHEN l.b > r.b THEN l.n * r.n END), 0)
+             AS DECIMAL(38,0)) AS discordant
+      FROM cells l JOIN cells r ON l.a < r.a),
+    nt AS (
+      SELECT CAST(SUM(n) AS HUGEINT) AS ntot,
+             CAST(SUM(n) * (SUM(n) - 1) / 2 AS HUGEINT) AS n0
+      FROM cells),
+    t1 AS (
+      SELECT CAST(SUM(rt * (rt - 1) / 2) AS HUGEINT) AS n1
+      FROM (SELECT CAST(SUM(n) AS HUGEINT) AS rt FROM cells GROUP BY a)),
+    t2 AS (
+      SELECT CAST(SUM(ct * (ct - 1) / 2) AS HUGEINT) AS n2
+      FROM (SELECT CAST(SUM(n) AS HUGEINT) AS ct FROM cells GROUP BY b))
+    SELECT CAST(ntot AS BIGINT) AS n, concordant, discordant,
+           round(CAST(concordant - discordant AS DOUBLE)
+                 / nullif(sqrt(CAST(n0 - n1 AS DOUBLE)
+                               * CAST(n0 - n2 AS DOUBLE)), 0.0), 6)
+             AS tau_b
+    FROM cd, nt, t1, t2
+    """,
+    doc="EXACT tie-corrected Kendall tau-b for quantity x discount "
+    "from the contingency grid: concordant/discordant pair counts as "
+    "decimal(38,0) cell-product sums over a CELL-table self-join "
+    "(K^2 metadata terms, never the data), tie terms from marginals, "
+    "one final sqrt/division. The ordinal-association companion to "
+    "Spearman (X152). One data-sized groupBy; everything after is "
+    "grid-sized.",
+)
+def st_kendall_tau_qty_discount(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.stats import kendall_tau_b
+
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc_pct"),
+    )
+    return kendall_tau_b(d, "qty", "disc_pct")
+
+
 _SPEAR_CORR = """
            round((CAST(n AS DOUBLE)*CAST({sp} AS DOUBLE)
                   - CAST({sa} AS DOUBLE)*CAST({sb} AS DOUBLE))

@@ -133,3 +133,97 @@ def test_psi_empty_side_raises(spark):
     empty = df.filter(F.lit(False))
     with pytest.raises(ValueError, match="empty"):
         psi_drift(df, empty, "v")
+
+
+# ---------------------------------------------------------------------------
+# kendall_tau_b
+# ---------------------------------------------------------------------------
+
+
+def test_kendall_perfect_concordance_and_discordance(spark):
+    from legendary_data_pipeline_spark.operators.stats import kendall_tau_b
+
+    asc = spark.createDataFrame(
+        [(i, i * 10) for i in range(1, 11)], "a long, b long"
+    )
+    r = kendall_tau_b(asc, "a", "b").collect()[0]
+    assert (r["n"], r["tau_b"]) == (10, 1.0)
+    assert int(r["concordant"]) == 45 and int(r["discordant"]) == 0
+    desc = spark.createDataFrame(
+        [(i, -i) for i in range(1, 11)], "a long, b long"
+    )
+    assert kendall_tau_b(desc, "a", "b").collect()[0]["tau_b"] == -1.0
+
+
+def test_kendall_ties_hand_computed(spark):
+    from legendary_data_pipeline_spark.operators.stats import kendall_tau_b
+
+    # x = [1,1,2,2], y = [1,2,1,2]: C = 1*? hand count:
+    # pairs across x-groups (x=1 vs x=2): (1,1)-(2,1) tie-y... enumerate:
+    # (1,1),(1,2),(2,1),(2,2). Cross pairs: (1,1)v(2,1): y 1=1 tie;
+    # (1,1)v(2,2): 1<2 C; (1,2)v(2,1): 2>1 D; (1,2)v(2,2): tie.
+    # C=1, D=1, n0=6, n1=2 (x ties), n2=2 (y ties)
+    # tau = 0 / sqrt(4*4) = 0
+    df = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 1), (2, 2)], "a long, b long"
+    )
+    r = kendall_tau_b(df, "a", "b").collect()[0]
+    assert int(r["concordant"]) == 1 and int(r["discordant"]) == 1
+    assert r["tau_b"] == 0.0
+
+
+def test_kendall_nulls_dropped_and_degenerate(spark):
+    from legendary_data_pipeline_spark.operators.stats import kendall_tau_b
+
+    df = spark.createDataFrame(
+        [(1, 1), (2, None), (None, 3), (2, 2)], "a long, b long"
+    )
+    r = kendall_tau_b(df, "a", "b").collect()[0]
+    assert r["n"] == 2 and r["tau_b"] == 1.0
+    # constant column → denominator 0 → NULL
+    const = spark.createDataFrame([(1, 5), (2, 5)], "a long, b long")
+    assert kendall_tau_b(const, "a", "b").collect()[0]["tau_b"] is None
+
+
+# ---------------------------------------------------------------------------
+# gini_concentration
+# ---------------------------------------------------------------------------
+
+
+def test_gini_uniform_zero_and_max_concentration(spark):
+    from legendary_data_pipeline_spark.operators.stats import (
+        gini_concentration,
+    )
+
+    even = spark.createDataFrame([(100,)] * 8, "v long")
+    assert gini_concentration(even, "v").collect()[0]["gini"] == 0.0
+    # one holder of everything: gini = (n-1)/n = 0.875
+    conc = spark.createDataFrame([(0,)] * 7 + [(800,)], "v long")
+    r = gini_concentration(conc, "v").collect()[0]
+    assert r["gini"] == 0.875
+    assert (r["n"], r["total"]) == (8, 800)
+
+
+def test_gini_hand_computed_with_ties_and_groups(spark):
+    from legendary_data_pipeline_spark.operators.stats import (
+        gini_concentration,
+    )
+
+    # group g1: [1,1,2] → sorted positions 1,2,3; Σ i·x = 1+2+6 = 9
+    # gini = (2*9 - 4*4)/(3*4) = 2/12 = 0.166667
+    df = spark.createDataFrame(
+        [("g1", 1), ("g1", 1), ("g1", 2), ("g2", 5)], "g string, v long"
+    )
+    out = {r["g"]: r for r in gini_concentration(df, "v", ["g"]).collect()}
+    assert out["g1"]["gini"] == 0.166667
+    # singleton group: (2*1*5 - 2*5)/(1*5) = 0
+    assert out["g2"]["gini"] == 0.0
+
+
+def test_gini_zero_total_is_null(spark):
+    from legendary_data_pipeline_spark.operators.stats import (
+        gini_concentration,
+    )
+
+    z = spark.createDataFrame([(0,), (0,)], "v long")
+    assert gini_concentration(z, "v").collect()[0]["gini"] is None
