@@ -1154,3 +1154,75 @@ def semdedup_fixed(
         F.col("dup_of").isNull().alias("keep"),
         "dup_of",
     )
+
+
+def embedding_quality_report(
+    embeddings: DataFrame,
+    expected_dim: int,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-column hygiene report per label — the pre-flight check
+    every similarity/dedup/IVF job should run before trusting a vector
+    column at scale: NULL vectors, wrong dimensionality, non-finite
+    elements, and zero norms all silently poison cosine math (NaN
+    propagates through dot products; zero norms divide by zero; mixed
+    dims crash zip_with mid-job on some partition hours in).
+
+    Output per label:
+      (label, n_vectors, n_null_vec, n_wrong_dim, n_nonfinite,
+       n_zero_norm, min_norm_micro, max_norm_micro, avg_norm_micro)
+    Norm statistics cover only CLEAN vectors (right dim, finite,
+    non-NULL) and are integer fixed-point micro-units
+    (floor(||v||·10⁶)) with a floored integer mean — every output cell
+    is an exact integer, bit-stable across engines and partitionings.
+
+    One map-side-combinable aggregation over a single projection; no
+    shuffle beyond the label-keyed agg. NULL labels form their own row
+    (GROUP BY semantics).
+    """
+    v = _as_double(F.col(vec_col))
+    is_null = v.isNull()
+    wrong_dim = ~is_null & (F.size(v) != F.lit(int(expected_dim)))
+    nonfinite = (
+        ~is_null
+        & ~wrong_dim
+        & F.exists(
+            v,
+            lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
+        )
+    )
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    clean = ~is_null & ~wrong_dim & ~nonfinite
+    zero_norm = clean & (norm == F.lit(0.0))
+    micro = F.floor(norm * F.lit(1_000_000.0)).cast("long")
+    clean_micro = F.when(clean, micro)
+    agg = embeddings.groupBy(label_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum(is_null.cast("long")).cast("long").alias("n_null_vec"),
+        F.sum(wrong_dim.cast("long")).cast("long").alias("n_wrong_dim"),
+        F.sum(nonfinite.cast("long")).cast("long").alias("n_nonfinite"),
+        F.sum(zero_norm.cast("long")).cast("long").alias("n_zero_norm"),
+        F.min(clean_micro).alias("min_norm_micro"),
+        F.max(clean_micro).alias("max_norm_micro"),
+        F.sum(clean_micro).cast("decimal(38,0)").alias("__sum_micro"),
+        F.sum(clean.cast("long")).cast("long").alias("__n_clean"),
+    )
+    avg_micro = F.when(
+        F.col("__n_clean") > 0,
+        F.floor(
+            F.col("__sum_micro").cast("double")
+            / F.col("__n_clean").cast("double")
+        ).cast("long"),
+    )
+    return agg.select(
+        label_col,
+        "n_vectors",
+        "n_null_vec",
+        "n_wrong_dim",
+        "n_nonfinite",
+        "n_zero_norm",
+        "min_norm_micro",
+        "max_norm_micro",
+        avg_micro.alias("avg_norm_micro"),
+    )

@@ -459,3 +459,69 @@ def register_udtfs(spark) -> None:
 
     ship_package(spark)
     spark.udtf.register("split_sentences", make_sentences_udtf())
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY: what fraction of a doc's distinct
+    word n-grams appear in NO other document? The inverse signal of
+    near-duplication — boilerplate-heavy docs score near 0, genuinely
+    novel text near 1 — and the standard "synthetic-data diversity"
+    probe (is the generator producing new n-grams or recombining the
+    corpus?).
+
+    novelty = |{s ∈ shingles(d) : df(s) = 1}| / |shingles(d)|
+    where df counts DOCUMENTS containing the shingle (distinct per doc
+    before counting, so internal repetition doesn't mask reuse).
+
+    Output: (id, n_shingles, n_novel, novelty); docs with < n tokens
+    have no shingles and return n_shingles = 0 with NULL novelty.
+
+    Scale: explode → distinct(doc, shingle) → shingle-keyed df count
+    (map-side combinable) → join back on shingle → per-doc re-agg. Two
+    shingle-keyed shuffles, both over (doc, shingle) pairs — the same
+    volume every shingle-dedup op here moves; hot shingles are exactly
+    the df>1 ones, and AQE's skew split covers the join-back. Exact
+    integer counts; one final division.
+    """
+    from legendary_data_pipeline_spark.operators.dedup import shingles_expr
+
+    pairs = (
+        df.select(
+            F.col(id_col), F.explode(shingles_expr(text_col, shingle_n)).alias("__s")
+        )
+        .distinct()
+    )
+    dfreq = pairs.groupBy("__s").agg(
+        F.count(F.lit(1)).cast("long").alias("__df")
+    )
+    per_doc = (
+        pairs.join(dfreq, "__s")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("__df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    base = df.select(id_col)
+    out = base.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+        F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+        F.when(
+            F.coalesce("n_shingles", F.lit(0)) > 0,
+            F.round(
+                F.col("n_novel").cast("double")
+                / F.col("n_shingles").cast("double"),
+                round_digits,
+            ),
+        ).alias("novelty"),
+    )
+    return out
