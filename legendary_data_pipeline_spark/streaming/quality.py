@@ -176,3 +176,79 @@ def run_drift_monitor_once(
         .start()
     )
     query.awaitTermination()
+
+
+def psi_monitor_sink(
+    baseline: DataFrame,
+    col: str,
+    report_path: str,
+    psi_alert: float = 0.25,  # the standard "population shifted" bar
+):
+    """`foreachBatch` writer: Population Stability Index of each
+    micro-batch's `col` distribution against a STATIC baseline — the
+    threshold-able companion to `drift_monitor_sink`'s chi-square
+    decomposition (chi-square scales with batch size; PSI measures the
+    SHIFT itself, so one alert bar works across batch sizes).
+
+    Per batch the per-category PSI decomposition is written to
+    `<report_path>/batch_id=N/` (overwrite — idempotent under retries,
+    the module's sink contract) with `alert` set when the feature-level
+    PSI crosses `psi_alert`. Both sides reduce to value-cardinality
+    count tables per batch — metadata-scale.
+    """
+    from legendary_data_pipeline_spark.operators.profiling import psi_drift
+
+    if baseline.limit(1).count() == 0:
+        raise ValueError(
+            "psi_monitor_sink: baseline snapshot is empty — every "
+            "batch would compare against zero totals."
+        )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.limit(1).count() == 0:
+            return
+        rep = psi_drift(baseline, batch_df, col, require_nonempty=False)
+        rows = rep.collect()  # value-cardinality — metadata-scale
+        if not rows:
+            return
+        psi_total = rows[0]["psi"]
+        spark = batch_df.sparkSession
+        out = spark.createDataFrame(rows, rep.schema).select(
+            "*",
+            F.lit(
+                psi_total is not None and psi_total > psi_alert
+            ).alias("alert"),
+        )
+        out.write.mode("overwrite").parquet(
+            f"{report_path}/batch_id={int(batch_id)}"
+        )
+
+    return write_batch
+
+
+def run_psi_monitor_once(
+    spark: SparkSession,
+    input_path: str,
+    input_schema: str,
+    baseline: DataFrame,
+    col: str,
+    report_path: str,
+    checkpoint_path: str,
+    psi_alert: float = 0.25,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Drain all available input files once through the PSI monitor."""
+    reader = spark.readStream.schema(input_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_path)
+    query = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(
+            psi_monitor_sink(baseline, col, report_path, psi_alert)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()

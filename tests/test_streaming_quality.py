@@ -158,3 +158,54 @@ def test_drift_monitor_alerts_on_shifted_batch(spark, tmp_path):
     assert alerts == [False, True]
     # per-category decomposition present for both categories
     assert rep.filter("value = 'bad'").count() == 2
+
+
+def test_psi_monitor_alerts_on_shifted_batch(spark, tmp_path):
+    from legendary_data_pipeline_spark.streaming.quality import (
+        run_psi_monitor_once,
+    )
+
+    schema = "id long, status string"
+    baseline = spark.createDataFrame(
+        [(i, "ok") for i in range(90)] + [(i, "bad") for i in range(10)],
+        schema,
+    )
+    inp = str(tmp_path / "in")
+    # batch matching the baseline mix, then a flipped batch
+    spark.createDataFrame(
+        [(i, "ok") for i in range(45)] + [(i, "bad") for i in range(5)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(inp)
+    spark.createDataFrame(
+        [(i, "bad") for i in range(45)] + [(i, "ok") for i in range(5)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(inp)
+
+    report = str(tmp_path / "psi")
+    run_psi_monitor_once(
+        spark, inp, schema, baseline, "status", report,
+        str(tmp_path / "ckpt_psi"), max_files_per_trigger=1,
+    )
+    rep = spark.read.parquet(report)
+    by_batch = {}
+    for r in rep.collect():
+        by_batch.setdefault(r.batch_id, r.alert)
+    assert sorted(by_batch.values()) == [False, True]
+    # matching batch: tiny PSI; flipped batch: way past 0.25
+    psis = {r.batch_id: r.psi for r in rep.collect()}
+    assert min(psis.values()) < 0.05 and max(psis.values()) > 0.25
+
+
+def test_psi_monitor_rejects_empty_baseline(spark, tmp_path):
+    import pytest as _pytest
+
+    from legendary_data_pipeline_spark.streaming.quality import (
+        psi_monitor_sink,
+    )
+    from pyspark.sql import functions as F
+
+    empty = spark.createDataFrame([("x",)], "status string").filter(
+        F.lit(False)
+    )
+    with _pytest.raises(ValueError, match="baseline snapshot is empty"):
+        psi_monitor_sink(empty, "status", str(tmp_path / "r"))
