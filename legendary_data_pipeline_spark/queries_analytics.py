@@ -3364,3 +3364,70 @@ def st_numeric_mi_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("price_bucket"),
     )
     return mutual_information(binned, "qty_bucket", "price_bucket")
+
+
+# ---------------------------------------------------------------------------
+# X156 SCD Type-2 history from a change log (round 7)
+# ---------------------------------------------------------------------------
+
+
+@register_shadow(
+    "scd2_user_event_state",
+    """
+    WITH d AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_type
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type IS NOT NULL),
+    lw AS (
+      SELECT user_id, t, MAX(event_type) AS event_type
+      FROM d GROUP BY 1, 2),
+    chg AS (
+      SELECT user_id, t, event_type,
+             CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+                    ORDER BY t) IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS c
+      FROM lw),
+    seg AS (
+      SELECT user_id, t, event_type,
+             SUM(c) OVER (PARTITION BY user_id ORDER BY t
+                          ROWS UNBOUNDED PRECEDING) AS s
+      FROM chg),
+    ep AS (
+      SELECT user_id, s, event_type,
+             CAST(MIN(t) AS BIGINT) AS valid_from
+      FROM seg GROUP BY 1, 2, 3),
+    fin AS (
+      SELECT user_id, event_type, valid_from,
+             CAST(lead(valid_from) OVER (PARTITION BY user_id
+                    ORDER BY valid_from) AS BIGINT) AS valid_to
+      FROM ep)
+    SELECT user_id, event_type, valid_from, valid_to,
+           valid_to IS NULL AS is_current
+    FROM fin
+    """,
+    doc="SCD Type-2 history of each user's event-type state from the "
+    "events change log (X156): last-writer-wins within a timestamp, "
+    "consecutive identical states merge into EPISODES with half-open "
+    "[valid_from, valid_to) second-precision intervals, NULL valid_to "
+    "marks the current state. The warehouse-grade companion to the "
+    "reference's in-place keyed upserts (S5-S8) — any past point in "
+    "time reconstructs with a plain filter (scd2_snapshot_at). One "
+    "key shuffle; windows + episode agg reuse the same Exchange.",
+)
+def scd2_user_event_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.scd import (
+        scd2_from_changelog,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull()
+    )
+    log = ev.select(
+        "user_id",
+        F.expr("ts DIV 1000000000").cast("long").alias("t"),
+        "event_type",
+    )
+    return scd2_from_changelog(
+        log, ["user_id"], "t", ["event_type"]
+    )
