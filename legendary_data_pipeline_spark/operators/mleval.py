@@ -284,22 +284,29 @@ def woe_iv(
             F.sum(F.lit(1) - lab).cast("long").alias("n_neg"),
         )
     )
-    tot = per.agg(
-        F.sum("n_pos").cast("long").alias("__pos"),
-        F.sum("n_neg").cast("long").alias("__neg"),
-        F.count(F.lit(1)).cast("long").alias("__k"),
+    # Marginals and the feature-level IV attach via UNPARTITIONED
+    # windows over the category-cardinality frame — separate agg +
+    # crossJoin branches would re-run the corpus aggregation once per
+    # branch (plan-shape suite pins the single pass).
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     s = F.lit(float(smoothing))
-    joined = per.crossJoin(F.broadcast(tot))
-    pos_adj = F.col("__pos").cast("double") + s * F.col("__k").cast("double")
-    neg_adj = F.col("__neg").cast("double") + s * F.col("__k").cast("double")
+    pos_adj = (
+        F.sum("n_pos").over(w_all).cast("double")
+        + s * F.count(F.lit(1)).over(w_all).cast("double")
+    )
+    neg_adj = (
+        F.sum("n_neg").over(w_all).cast("double")
+        + s * F.count(F.lit(1)).over(w_all).cast("double")
+    )
     dp = (F.col("n_pos").cast("double") + s) / pos_adj
     dn = (F.col("n_neg").cast("double") + s) / neg_adj
     woe = F.log(
         (F.col("n_pos").cast("double") + s) * neg_adj
         / ((F.col("n_neg").cast("double") + s) * pos_adj)
     )
-    terms = joined.select(
+    terms = per.select(
         F.col(cat_col),
         "n",
         "n_pos",
@@ -307,10 +314,10 @@ def woe_iv(
         F.round(woe, round_digits).alias("woe"),
         ((dp - dn) * woe).alias("__iv_term"),
     )
-    iv = terms.agg(
-        F.round(F.sum("__iv_term"), round_digits).alias("iv")
+    iv = F.round(F.sum("__iv_term").over(w_all), round_digits)
+    return terms.select(
+        cat_col, "n", "n_pos", "n_neg", "woe", iv.alias("iv")
     )
-    return terms.drop("__iv_term").crossJoin(F.broadcast(iv))
 
 
 def rrf_fuse(

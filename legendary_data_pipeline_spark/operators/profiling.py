@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -498,30 +498,35 @@ def psi_drift(
             F.coalesce("n_current", F.lit(0)).cast("long").alias("n_current"),
         )
     )
-    totals = joined.agg(
-        F.sum("n_base").cast("long").alias("__tb"),
-        F.sum("n_current").cast("long").alias("__tc"),
-        F.count(F.lit(1)).cast("long").alias("__k"),
+    # Totals and the feature-level PSI attach via UNPARTITIONED windows
+    # over the category-cardinality frame (one SinglePartition exchange
+    # over metadata rows) instead of separate agg + crossJoin branches:
+    # each branch would RE-AGGREGATE both corpus scans — 3 data passes
+    # where one suffices (the plan-shape suite pins the single pass).
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     s = F.lit(float(smoothing))
-    j = joined.crossJoin(F.broadcast(totals))
-    p = (F.col("n_base").cast("double") + s) / (
-        F.col("__tb").cast("double") + s * F.col("__k").cast("double")
-    )
-    q = (F.col("n_current").cast("double") + s) / (
-        F.col("__tc").cast("double") + s * F.col("__k").cast("double")
-    )
-    terms = j.select(
+    tb = F.sum("n_base").over(w_all).cast("double")
+    tc = F.sum("n_current").over(w_all).cast("double")
+    k = F.count(F.lit(1)).over(w_all).cast("double")
+    p = (F.col("n_base").cast("double") + s) / (tb + s * k)
+    q = (F.col("n_current").cast("double") + s) / (tc + s * k)
+    term = (p - q) * F.log(p / q)
+    terms = joined.select(
         "value",
         "n_base",
         "n_current",
         F.round(p, round_digits).alias("p_base"),
         F.round(q, round_digits).alias("p_current"),
-        F.round((p - q) * F.log(p / q), round_digits).alias("psi_term"),
-        ((p - q) * F.log(p / q)).alias("__t"),
+        F.round(term, round_digits).alias("psi_term"),
+        term.alias("__t"),
     )
-    psi = terms.agg(F.round(F.sum("__t"), round_digits).alias("psi"))
-    return terms.drop("__t").crossJoin(F.broadcast(psi))
+    psi = F.round(F.sum("__t").over(w_all), round_digits)
+    return terms.select(
+        "value", "n_base", "n_current", "p_base", "p_current",
+        "psi_term", psi.alias("psi"),
+    )
 
 
 def numeric_drift(

@@ -1000,24 +1000,40 @@ def kendall_tau_b(
         t = tot.cast("decimal(38,0)")
         return (t * (t - F.lit(1)) / two).cast("decimal(38,0)")
 
-    n_tot = cells.agg(
-        F.sum("__n").cast("decimal(38,0)").alias("__nt")
-    ).select(_pairs(F.col("__nt")).alias("n0"), F.col("__nt").alias("n"))
-    ties_a = (
-        cells.groupBy("__a")
-        .agg(F.sum("__n").alias("__rt"))
-        .agg(F.sum(_pairs(F.col("__rt"))).cast("decimal(38,0)").alias("n1"))
+    # All marginal statistics (n, n0, tie terms) come from ONE annotated
+    # pass over the grid: per-row/column totals via grid-partitioned
+    # windows, each total counted once through a row_number==1 guard,
+    # then a single aggregation. Separate agg branches would each
+    # re-run the data-sized groupBy that builds `cells` (the self-join
+    # above is the only other consumer).
+    wa = Window.partitionBy("__a")
+    wb = Window.partitionBy("__b")
+    annotated = cells.select(
+        "__n",
+        F.sum("__n").over(wa).alias("__rt"),
+        F.row_number()
+        .over(Window.partitionBy("__a").orderBy("__b"))
+        .alias("__rna"),
+        F.sum("__n").over(wb).alias("__ct"),
+        F.row_number()
+        .over(Window.partitionBy("__b").orderBy("__a"))
+        .alias("__rnb"),
     )
-    ties_b = (
-        cells.groupBy("__b")
-        .agg(F.sum("__n").alias("__ct"))
-        .agg(F.sum(_pairs(F.col("__ct"))).cast("decimal(38,0)").alias("n2"))
+    stats = annotated.agg(
+        F.sum("__n").cast("decimal(38,0)").alias("__nt"),
+        F.sum(F.when(F.col("__rna") == 1, _pairs(F.col("__rt"))))
+        .cast("decimal(38,0)")
+        .alias("n1"),
+        F.sum(F.when(F.col("__rnb") == 1, _pairs(F.col("__ct"))))
+        .cast("decimal(38,0)")
+        .alias("n2"),
+    ).select(
+        F.col("__nt").alias("n"),
+        _pairs(F.col("__nt")).alias("n0"),
+        F.coalesce(F.col("n1"), F.lit(0).cast("decimal(38,0)")).alias("n1"),
+        F.coalesce(F.col("n2"), F.lit(0).cast("decimal(38,0)")).alias("n2"),
     )
-    joined = (
-        cd.crossJoin(F.broadcast(n_tot))
-        .crossJoin(F.broadcast(ties_a))
-        .crossJoin(F.broadcast(ties_b))
-    )
+    joined = cd.crossJoin(F.broadcast(stats))
     denom = F.sqrt(
         (F.col("n0") - F.col("n1")).cast("double")
         * (F.col("n0") - F.col("n2")).cast("double")
