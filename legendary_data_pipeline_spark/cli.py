@@ -483,6 +483,24 @@ def cmd_dq(spark: SparkSession, args) -> int:
         reports.append(check_constraints(df, checks))
     if args.unique_key:
         reports.append(check_unique(df, args.unique_key.split(",")))
+    psi_alerted = False
+    if args.drift_baseline:
+        if not args.drift_col:
+            raise SystemExit("--drift-baseline requires --drift-col")
+        from legendary_data_pipeline_spark.operators.profiling import (
+            psi_drift,
+        )
+
+        baseline = spark.read.parquet(args.drift_baseline)
+        drift = psi_drift(baseline, df, args.drift_col)
+        drift.write.mode("overwrite").parquet(
+            _table(args.warehouse, "dq_drift")
+        )
+        drift_rows = spark.read.parquet(
+            _table(args.warehouse, "dq_drift")
+        ).collect()
+        psi_total = drift_rows[0]["psi"] if drift_rows else None
+        psi_alerted = psi_total is not None and psi_total > args.psi_alert
     n_failed = 0
     if reports:
         report = reports[0]
@@ -497,23 +515,24 @@ def cmd_dq(spark: SparkSession, args) -> int:
     # re-running the full-table aggregation for the summary numbers
     prof_rows = spark.read.parquet(_table(args.warehouse, "dq_profile")).collect()
     n_rows = max((r["n_rows"] for r in prof_rows), default=0)
+    failed = n_failed > 0 or psi_alerted
     finish_run(
         spark, log, run_id, "dq", n_rows,
-        status="finished" if n_failed == 0 else "failed",
+        status="finished" if not failed else "failed",
     )
-    print(
-        _json.dumps(
-            {
-                "job": "dq",
-                "input": args.input,
-                "rows": n_rows,
-                "columns_profiled": len(prof_rows),
-                "checks": len(checks) + (1 if args.unique_key else 0),
-                "checks_failed": n_failed,
-            }
-        )
-    )
-    return 0 if n_failed == 0 else 1
+    summary = {
+        "job": "dq",
+        "input": args.input,
+        "rows": n_rows,
+        "columns_profiled": len(prof_rows),
+        "checks": len(checks) + (1 if args.unique_key else 0),
+        "checks_failed": n_failed,
+    }
+    if args.drift_baseline:
+        summary["psi"] = psi_total
+        summary["psi_alert"] = psi_alerted
+    print(_json.dumps(summary))
+    return 0 if not failed else 1
 
 
 def cmd_sql(spark: SparkSession, args) -> int:
@@ -704,6 +723,22 @@ def build_parser() -> argparse.ArgumentParser:
         metavar="NAME:EXPR",
         help="named boolean SQL constraint, repeatable "
         "(e.g. price_pos:o_totalprice > 0)",
+    )
+    p.add_argument(
+        "--drift-baseline",
+        default=None,
+        help="parquet snapshot to compare --drift-col's distribution "
+        "against (Population Stability Index; report in dq_drift)",
+    )
+    p.add_argument(
+        "--drift-col", default=None, help="categorical column for PSI drift"
+    )
+    p.add_argument(
+        "--psi-alert",
+        type=float,
+        default=0.25,
+        help="fail the audit when feature-level PSI exceeds this "
+        "(0.25 = the standard 'population shifted' bar)",
     )
     p.set_defaults(fn=cmd_dq)
 

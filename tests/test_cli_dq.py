@@ -148,3 +148,50 @@ def test_dq_duplicate_check_name_rejected(spark, tmp_path):
             "dq", "--warehouse", wh, "--input", table,
             "--check", "a:price > 0", "--check", "a:price < 100",
         ])
+
+
+def test_dq_psi_drift_gate(spark, tmp_path, capsys):
+    wh = str(tmp_path / "wh")
+    base = str(tmp_path / "base")
+    cur = str(tmp_path / "cur")
+    spark.createDataFrame(
+        [(i, "ok") for i in range(90)] + [(i, "bad") for i in range(10)],
+        "id long, status string",
+    ).write.parquet(base)
+    # flipped distribution — PSI way past 0.25
+    spark.createDataFrame(
+        [(i, "bad") for i in range(90)] + [(i, "ok") for i in range(10)],
+        "id long, status string",
+    ).write.parquet(cur)
+
+    rc = _run(spark, [
+        "dq", "--warehouse", wh, "--input", cur,
+        "--drift-baseline", base, "--drift-col", "status",
+    ])
+    assert rc == 1
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["psi_alert"] is True and summary["psi"] > 0.25
+    # per-category decomposition persisted
+    rep = spark.read.parquet(f"{wh}/dq_drift")
+    assert {r.value for r in rep.collect()} == {"ok", "bad"}
+
+    # same distribution → quiet gate, exit 0
+    rc2 = _run(spark, [
+        "dq", "--warehouse", wh, "--input", base,
+        "--drift-baseline", base, "--drift-col", "status",
+    ])
+    assert rc2 == 0
+    s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s2["psi_alert"] is False and abs(s2["psi"]) < 0.01
+
+
+def test_dq_drift_requires_col(spark, tmp_path):
+    import pytest as _pytest
+
+    base = str(tmp_path / "b")
+    _write_table(spark, base)
+    with _pytest.raises(SystemExit, match="drift-col"):
+        _run(spark, [
+            "dq", "--warehouse", str(tmp_path / "wh"), "--input", base,
+            "--drift-baseline", base,
+        ])
