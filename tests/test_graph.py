@@ -287,3 +287,35 @@ def test_clustering_coefficients_clique(spark):
     out = clustering_coefficients(edges).collect()
     assert all(r["coeff"] == 1.0 for r in out)
     assert all(r["triangles"] == 6 for r in out)  # C(4,2) per node in K5
+
+
+def test_triangle_count_degree_orientation_equivalent(spark):
+    from legendary_data_pipeline_spark.operators.graph import triangle_count
+
+    # K8 (C(8,3)=56 triangles) + deterministic pseudo-random extra edges
+    rows = [(i, j) for i in range(8) for j in range(i + 1, 8)]
+    rows += [((i * 37) % 50, (i * 61) % 50) for i in range(400)]
+    edges = spark.createDataFrame(rows, "id_a long, id_b long")
+    by_id = triangle_count(edges).collect()[0]
+    by_deg = triangle_count(edges, orient="degree").collect()[0]
+    assert by_id["n_triangles"] == by_deg["n_triangles"] >= 56
+    assert by_id["n_edges"] == by_deg["n_edges"]
+
+    # hub-and-spoke + one rim edge: exactly 1 triangle under both
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 30)] + [(1, 2)], "id_a long, id_b long"
+    )
+    assert triangle_count(star).collect()[0]["n_triangles"] == 1
+    assert (
+        triangle_count(star, orient="degree").collect()[0]["n_triangles"] == 1
+    )
+
+
+def test_triangle_count_orient_validation(spark):
+    import pytest as _pytest
+
+    from legendary_data_pipeline_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with _pytest.raises(ValueError, match="orient"):
+        triangle_count(edges, orient="random")
