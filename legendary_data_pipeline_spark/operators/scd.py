@@ -21,7 +21,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["scd2_from_changelog", "scd2_snapshot_at"]
+__all__ = ["scd2_from_changelog", "scd2_apply", "scd2_snapshot_at"]
 
 
 def scd2_from_changelog(
@@ -93,6 +93,41 @@ def scd2_from_changelog(
         valid_to.alias("valid_to"),
         valid_to.isNull().alias("is_current"),
     )
+
+
+def scd2_apply(
+    existing: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    attr_cols: Sequence[str],
+) -> DataFrame:
+    """Incremental SCD2 maintenance: fold a new change-log batch into an
+    `existing` SCD2 table (the `scd2_from_changelog` output shape) and
+    return the updated history.
+
+    An episode IS a change event at its `valid_from` — so maintenance
+    reduces to re-deriving episodes from (existing episodes replayed as
+    events) ∪ (new changes), which inherits every semantic of the batch
+    builder for free: late/out-of-order changes splice into the middle
+    of history correctly, a change equal to the neighboring state merges
+    instead of fragmenting, and applying batches incrementally is
+    EXACTLY equivalent to one full rebuild (parity-tested).
+
+    `existing` may be empty (bootstrap). Plan: union + the builder's one
+    key shuffle. At 100 TB partition the stored table by key bucket and
+    apply per-partition — only touched keys need rewriting (standard
+    MERGE practice; the math here is per-key independent).
+    """
+    keys = list(key_cols)
+    attrs = list(attr_cols)
+    replay = existing.select(
+        *keys, F.col("valid_from").alias(ts_col), *attrs
+    )
+    combined = replay.unionByName(
+        changes.select(*keys, ts_col, *attrs)
+    )
+    return scd2_from_changelog(combined, keys, ts_col, attrs)
 
 
 def scd2_snapshot_at(scd2: DataFrame, at: Column) -> DataFrame:

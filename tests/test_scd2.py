@@ -112,3 +112,67 @@ def test_multi_key_multi_attr(spark):
     ep = sorted(by[("a", 1)], key=lambda r: r["valid_from"])
     assert (ep[0]["v"], ep[0]["valid_to"]) == (5, 30)
     assert (ep[1]["v"], ep[1]["is_current"]) == (6, True)
+
+
+def test_apply_incremental_equals_full_rebuild(spark):
+    from legendary_data_pipeline_spark.operators.scd import scd2_apply
+
+    full = _log(
+        spark,
+        [
+            ("u1", 10, "a"), ("u1", 30, "b"), ("u1", 50, "c"),
+            ("u2", 15, "x"), ("u2", 45, "y"),
+        ],
+    )
+    batch1 = full.filter(F.col("t") <= 30)
+    batch2 = full.filter(F.col("t") > 30)
+    base = scd2_from_changelog(batch1, ["k"], "t", ["state"])
+    incr = scd2_apply(base, batch2, ["k"], "t", ["state"])
+    rebuilt = scd2_from_changelog(full, ["k"], "t", ["state"])
+    assert sorted(map(tuple, incr.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
+
+
+def test_apply_late_change_splices_history(spark):
+    from legendary_data_pipeline_spark.operators.scd import scd2_apply
+
+    base = scd2_from_changelog(
+        _log(spark, [("u1", 10, "a"), ("u1", 50, "c")]),
+        ["k"], "t", ["state"],
+    )
+    # a LATE event lands between the existing episodes
+    late = _log(spark, [("u1", 30, "b")])
+    out = sorted(
+        scd2_apply(base, late, ["k"], "t", ["state"]).collect(),
+        key=lambda r: r["valid_from"],
+    )
+    assert [(r["state"], r["valid_from"], r["valid_to"]) for r in out] == [
+        ("a", 10, 30), ("b", 30, 50), ("c", 50, None),
+    ]
+
+
+def test_apply_redundant_change_does_not_fragment(spark):
+    from legendary_data_pipeline_spark.operators.scd import scd2_apply
+
+    base = scd2_from_changelog(
+        _log(spark, [("u1", 10, "a")]), ["k"], "t", ["state"]
+    )
+    # new event reports the SAME state later — history must stay 1 episode
+    out = scd2_apply(
+        base, _log(spark, [("u1", 40, "a")]), ["k"], "t", ["state"]
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["valid_from"] == 10 and out[0]["is_current"] is True
+
+
+def test_apply_bootstrap_from_empty(spark):
+    from legendary_data_pipeline_spark.operators.scd import scd2_apply
+
+    empty = scd2_from_changelog(
+        _log(spark, []).filter(F.lit(False)), ["k"], "t", ["state"]
+    )
+    out = scd2_apply(
+        empty, _log(spark, [("u1", 10, "a")]), ["k"], "t", ["state"]
+    ).collect()
+    assert len(out) == 1 and out[0]["is_current"] is True
