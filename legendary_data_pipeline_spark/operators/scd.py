@@ -21,7 +21,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["scd2_from_changelog", "scd2_apply", "scd2_snapshot_at"]
+__all__ = ["scd2_from_changelog", "scd2_apply_changelog", "scd2_snapshot_at"]
 
 
 def scd2_from_changelog(
@@ -95,14 +95,14 @@ def scd2_from_changelog(
     )
 
 
-def scd2_apply(
+def scd2_apply_changelog(
     existing: DataFrame,
     changes: DataFrame,
     key_cols: Sequence[str],
     ts_col: str,
     attr_cols: Sequence[str],
 ) -> DataFrame:
-    """Incremental SCD2 maintenance: fold a new change-log batch into an
+    """Incremental SCD2 maintenance from a CHANGE LOG: fold a new batch into an
     `existing` SCD2 table (the `scd2_from_changelog` output shape) and
     return the updated history.
 
@@ -113,6 +113,12 @@ def scd2_apply(
     of history correctly, a change equal to the neighboring state merges
     instead of fragmenting, and applying batches incrementally is
     EXACTLY equivalent to one full rebuild (parity-tested).
+
+    Complements `operators.upsert.scd2_apply` (the MERGE form): that one
+    takes a KEY-UNIQUE latest-state batch and touches only current
+    rows — cheaper per batch, but late events cannot splice. This form
+    accepts raw, unordered, multi-event logs and guarantees
+    rebuild-equivalence.
 
     `existing` may be empty (bootstrap). Plan: union + the builder's one
     key shuffle. At 100 TB partition the stored table by key bucket and

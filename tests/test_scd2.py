@@ -115,7 +115,7 @@ def test_multi_key_multi_attr(spark):
 
 
 def test_apply_incremental_equals_full_rebuild(spark):
-    from legendary_data_pipeline_spark.operators.scd import scd2_apply
+    from legendary_data_pipeline_spark.operators.scd import scd2_apply_changelog
 
     full = _log(
         spark,
@@ -127,7 +127,7 @@ def test_apply_incremental_equals_full_rebuild(spark):
     batch1 = full.filter(F.col("t") <= 30)
     batch2 = full.filter(F.col("t") > 30)
     base = scd2_from_changelog(batch1, ["k"], "t", ["state"])
-    incr = scd2_apply(base, batch2, ["k"], "t", ["state"])
+    incr = scd2_apply_changelog(base, batch2, ["k"], "t", ["state"])
     rebuilt = scd2_from_changelog(full, ["k"], "t", ["state"])
     assert sorted(map(tuple, incr.collect())) == sorted(
         map(tuple, rebuilt.collect())
@@ -135,7 +135,7 @@ def test_apply_incremental_equals_full_rebuild(spark):
 
 
 def test_apply_late_change_splices_history(spark):
-    from legendary_data_pipeline_spark.operators.scd import scd2_apply
+    from legendary_data_pipeline_spark.operators.scd import scd2_apply_changelog
 
     base = scd2_from_changelog(
         _log(spark, [("u1", 10, "a"), ("u1", 50, "c")]),
@@ -144,7 +144,7 @@ def test_apply_late_change_splices_history(spark):
     # a LATE event lands between the existing episodes
     late = _log(spark, [("u1", 30, "b")])
     out = sorted(
-        scd2_apply(base, late, ["k"], "t", ["state"]).collect(),
+        scd2_apply_changelog(base, late, ["k"], "t", ["state"]).collect(),
         key=lambda r: r["valid_from"],
     )
     assert [(r["state"], r["valid_from"], r["valid_to"]) for r in out] == [
@@ -153,13 +153,13 @@ def test_apply_late_change_splices_history(spark):
 
 
 def test_apply_redundant_change_does_not_fragment(spark):
-    from legendary_data_pipeline_spark.operators.scd import scd2_apply
+    from legendary_data_pipeline_spark.operators.scd import scd2_apply_changelog
 
     base = scd2_from_changelog(
         _log(spark, [("u1", 10, "a")]), ["k"], "t", ["state"]
     )
     # new event reports the SAME state later — history must stay 1 episode
-    out = scd2_apply(
+    out = scd2_apply_changelog(
         base, _log(spark, [("u1", 40, "a")]), ["k"], "t", ["state"]
     ).collect()
     assert len(out) == 1
@@ -167,12 +167,12 @@ def test_apply_redundant_change_does_not_fragment(spark):
 
 
 def test_apply_bootstrap_from_empty(spark):
-    from legendary_data_pipeline_spark.operators.scd import scd2_apply
+    from legendary_data_pipeline_spark.operators.scd import scd2_apply_changelog
 
     empty = scd2_from_changelog(
         _log(spark, []).filter(F.lit(False)), ["k"], "t", ["state"]
     )
-    out = scd2_apply(
+    out = scd2_apply_changelog(
         empty, _log(spark, [("u1", 10, "a")]), ["k"], "t", ["state"]
     ).collect()
     assert len(out) == 1 and out[0]["is_current"] is True
