@@ -529,6 +529,99 @@ def psi_drift(
     )
 
 
+def ks_two_sample(
+    base: DataFrame,
+    current: DataFrame,
+    value: Column,
+    round_digits: int = 6,
+    require_nonempty: bool = True,
+) -> DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov statistic for a numeric
+    column between two snapshots — the unbinned companion to
+    `numeric_drift` (equi-width chi-square) and `psi_drift`
+    (categorical): D = sup_v |F_base(v) − F_current(v)| over the EXACT
+    empirical CDFs, so no binning choice can hide a shift.
+
+    `value` must be engine-exact (integers/cents — the money
+    convention); NULLs are dropped on both sides. Output (1 row):
+
+        (n_base, n_current, d_stat, at_value, sqrt_scaled)
+
+    `at_value` = the smallest value attaining the supremum (the WHERE
+    of the shift); `sqrt_scaled` = D·sqrt(n·m/(n+m)), the quantity
+    compared against Kolmogorov critical values (1.358 ≈ α 0.05).
+
+    Exactness: per-value counts are integers; each CDF difference is
+    |c1·n2 − c2·n1| held as a decimal(38,0) cross-product (no float
+    CDFs), so the argmax and the supremum are bit-deterministic — the
+    one division and sqrt happen after the integer max. Plan: each
+    side reduces to a per-value count table (map-side combinable), one
+    full-outer merge on value, a cumulative window over the
+    DISTINCT-VALUE frame (cardinality-sized, the spearman_matrix
+    construction), one 1-row aggregation.
+    """
+    if require_nonempty:
+        for name, side in (("base", base), ("current", current)):
+            if side.limit(1).count() == 0:
+                raise ValueError(
+                    f"ks_two_sample: {name} snapshot is empty — its "
+                    "empirical CDF is undefined. A missing snapshot "
+                    "usually means a vanished upstream feed."
+                )
+
+    def counts(df: DataFrame, alias: str) -> DataFrame:
+        return (
+            df.select(value.alias("__v"))
+            .where(F.col("__v").isNotNull())
+            .groupBy("__v")
+            .agg(F.count(F.lit(1)).cast("long").alias(alias))
+        )
+
+    merged = (
+        counts(base, "__cb")
+        .join(counts(current, "__cc"), "__v", "full_outer")
+        .select(
+            "__v",
+            F.coalesce("__cb", F.lit(0)).alias("__cb"),
+            F.coalesce("__cc", F.lit(0)).alias("__cc"),
+        )
+    )
+    w_cum = Window.orderBy(F.col("__v").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cb = F.sum("__cb").over(w_cum).cast("decimal(38,0)")
+    cc = F.sum("__cc").over(w_cum).cast("decimal(38,0)")
+    nb = F.sum("__cb").over(w_all).cast("decimal(38,0)")
+    nc = F.sum("__cc").over(w_all).cast("decimal(38,0)")
+    # |F1 - F2| scaled by n_base*n_current: exact integer cross-product
+    diff = F.abs(cb * nc - cc * nb).cast("decimal(38,0)")
+    per_v = merged.select(
+        "__v",
+        diff.alias("__d"),
+        nb.alias("__nb"),
+        nc.alias("__nc"),
+    )
+    w_rank = Window.orderBy(F.col("__d").desc(), F.col("__v").asc())
+    top = per_v.withColumn("__rn", F.row_number().over(w_rank)).where(
+        F.col("__rn") == 1
+    )
+    n_d = F.col("__nb").cast("double")
+    m_d = F.col("__nc").cast("double")
+    d_stat = F.col("__d").cast("double") / (n_d * m_d)
+    return top.select(
+        F.col("__nb").cast("long").alias("n_base"),
+        F.col("__nc").cast("long").alias("n_current"),
+        F.round(d_stat, round_digits).alias("d_stat"),
+        F.col("__v").alias("at_value"),
+        F.round(
+            d_stat * F.sqrt(n_d * m_d / (n_d + m_d)), round_digits
+        ).alias("sqrt_scaled"),
+    )
+
+
 def numeric_drift(
     base: DataFrame,
     current: DataFrame,

@@ -2274,6 +2274,75 @@ def st_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_shadow(
+    "dq_ks_order_totals_drift",
+    f"""
+    WITH b AS (
+      SELECT {_cents_sql("o_totalprice")} AS v,
+             CAST(COUNT(*) AS BIGINT) AS cb
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        AND o_totalprice IS NOT NULL
+      GROUP BY 1),
+    c AS (
+      SELECT {_cents_sql("o_totalprice")} AS v,
+             CAST(COUNT(*) AS BIGINT) AS cc
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        AND o_totalprice IS NOT NULL
+      GROUP BY 1),
+    m AS (
+      SELECT COALESCE(b.v, c.v) AS v,
+             COALESCE(cb, 0) AS cb, COALESCE(cc, 0) AS cc
+      FROM b FULL OUTER JOIN c ON b.v = c.v),
+    cum AS (
+      SELECT v,
+             CAST(SUM(cb) OVER (ORDER BY v
+               ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS rb,
+             CAST(SUM(cc) OVER (ORDER BY v
+               ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS rc,
+             CAST(SUM(cb) OVER () AS HUGEINT) AS nb,
+             CAST(SUM(cc) OVER () AS HUGEINT) AS nc
+      FROM m),
+    d AS (
+      SELECT v, abs(rb * nc - rc * nb) AS dd, nb, nc FROM cum),
+    top AS (
+      SELECT * FROM d ORDER BY dd DESC, v ASC LIMIT 1)
+    SELECT CAST(nb AS BIGINT) AS n_base, CAST(nc AS BIGINT) AS n_current,
+           round(CAST(dd AS DOUBLE)
+                 / (CAST(nb AS DOUBLE) * CAST(nc AS DOUBLE)), 6) AS d_stat,
+           v AS at_value,
+           round((CAST(dd AS DOUBLE)
+                  / (CAST(nb AS DOUBLE) * CAST(nc AS DOUBLE)))
+                 * sqrt(CAST(nb AS DOUBLE) * CAST(nc AS DOUBLE)
+                        / (CAST(nb AS DOUBLE) + CAST(nc AS DOUBLE))),
+                 6) AS sqrt_scaled
+    FROM top
+    """,
+    doc="EXACT two-sample Kolmogorov-Smirnov drift of order totals "
+    "(cents) between pre-/post-1998 snapshots — the unbinned numeric "
+    "companion to PSI and the chi-square monitors: D = sup over the "
+    "exact empirical CDFs, so no binning choice can hide a shift. "
+    "Every CDF difference is an integer cross-product |c1*n2 - c2*n1| "
+    "in decimal(38,0); argmax and supremum are bit-deterministic with "
+    "division/sqrt only in the final 1-row projection. Count tables + "
+    "one distinct-value cumulative window (the Spearman construction). "
+    "X157.",
+)
+def dq_ks_order_totals_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.profiling import (
+        ks_two_sample,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    return ks_two_sample(
+        orders.filter(F.col("o_orderdate") < cut),
+        orders.filter(F.col("o_orderdate") >= cut),
+        _cents("o_totalprice"),
+    )
+
+
+@register_shadow(
     "st_gini_order_value",
     f"""
     WITH d AS (

@@ -227,3 +227,56 @@ def test_gini_zero_total_is_null(spark):
 
     z = spark.createDataFrame([(0,), (0,)], "v long")
     assert gini_concentration(z, "v").collect()[0]["gini"] is None
+
+
+# ---------------------------------------------------------------------------
+# ks_two_sample
+# ---------------------------------------------------------------------------
+
+
+def test_ks_identical_zero_and_disjoint_one(spark):
+    from legendary_data_pipeline_spark.operators.profiling import (
+        ks_two_sample,
+    )
+
+    df = spark.createDataFrame([(v,) for v in [1, 2, 2, 3, 5]], "v long")
+    r = ks_two_sample(df, df, F.col("v")).collect()[0]
+    assert r["d_stat"] == 0.0 and r["sqrt_scaled"] == 0.0
+    lo = spark.createDataFrame([(v,) for v in [1, 2, 3]], "v long")
+    hi = spark.createDataFrame([(v,) for v in [10, 11]], "v long")
+    r = ks_two_sample(lo, hi, F.col("v")).collect()[0]
+    assert r["d_stat"] == 1.0
+    assert r["at_value"] == 3  # CDF gap completes at the last low value
+    assert (r["n_base"], r["n_current"]) == (3, 2)
+
+
+def test_ks_hand_computed_with_ties(spark):
+    import math
+
+    from legendary_data_pipeline_spark.operators.profiling import (
+        ks_two_sample,
+    )
+
+    base = spark.createDataFrame([(v,) for v in [1, 1, 2, 4]], "v long")
+    cur = spark.createDataFrame([(v,) for v in [2, 3, 3, 4]], "v long")
+    # F1: 1→.5, 2→.75, 3→.75, 4→1 ; F2: 1→0, 2→.25, 3→.75, 4→1
+    # diffs: .5, .5, 0, 0 → D=.5 at the SMALLEST attaining value (1)
+    r = ks_two_sample(base, cur, F.col("v")).collect()[0]
+    assert r["d_stat"] == 0.5 and r["at_value"] == 1
+    assert r["sqrt_scaled"] == pytest.approx(
+        0.5 * math.sqrt(16 / 8), abs=1e-6
+    )
+
+
+def test_ks_null_values_dropped_empty_raises(spark):
+    from legendary_data_pipeline_spark.operators.profiling import (
+        ks_two_sample,
+    )
+
+    base = spark.createDataFrame([(1,), (None,)], "v long")
+    cur = spark.createDataFrame([(1,), (2,)], "v long")
+    r = ks_two_sample(base, cur, F.col("v")).collect()[0]
+    assert r["n_base"] == 1 and r["n_current"] == 2
+    empty = base.filter(F.lit(False))
+    with pytest.raises(ValueError, match="empty"):
+        ks_two_sample(base, empty, F.col("v"))
