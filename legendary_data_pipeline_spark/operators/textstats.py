@@ -525,3 +525,75 @@ def ngram_novelty(
         ).alias("novelty"),
     )
     return out
+
+
+#: (name, regex character class) — explicit codepoint ranges, identical
+#: semantics in Java regex (Spark) and RE2 (DuckDB) via the \x{...}
+#: hex form BOTH engines accept (RE2 rejects \uXXXX); \p{Script=...}
+#: names differ across engines, ranges do not.
+SCRIPT_CLASSES: tuple[tuple[str, str], ...] = (
+    ("latin", "[A-Za-z\\x{00C0}-\\x{024F}]"),
+    ("cyrillic", "[\\x{0400}-\\x{04FF}]"),
+    ("greek", "[\\x{0370}-\\x{03FF}]"),
+    ("arabic", "[\\x{0600}-\\x{06FF}]"),
+    ("cjk", "[\\x{3040}-\\x{30FF}\\x{4E00}-\\x{9FFF}]"),
+    ("hangul", "[\\x{AC00}-\\x{D7AF}]"),
+    ("digit", "[0-9]"),
+    ("space", "[ \\t\\r\\n]"),
+)
+
+
+def script_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document Unicode-script composition — the multilingual-corpus
+    primitive under mixing decisions and mojibake detection: a document
+    claiming lang='en' that is 40% Cyrillic is mislabeled or corrupted;
+    a 'zh' doc with zero CJK chars is junk.
+
+    Counts characters per script class (explicit codepoint ranges —
+    engine-portable, unlike \\p{Script=...} names) via the
+    length-minus-stripped identity, plus `other` (anything unclassed)
+    and `dominant_script` — the class with the most hits, ties to the
+    class order above, 'other' only when nothing matched. Zero-shuffle
+    projection: every count is `length(text) - length(regexp_replace(
+    text, class, ''))` inside whole-stage codegen; no tokenization, no
+    Python. NULL text profiles as zero counts with NULL dominant.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_chars = F.length(t)
+    counts = {
+        name: (n_chars - F.length(F.regexp_replace(t, cls, "")))
+        .cast("long")
+        .alias(name)
+        for name, cls in SCRIPT_CLASSES
+    }
+    out = df.select(F.col(id_col), n_chars.cast("long").alias("n_chars"),
+                    *counts.values())
+    classified = None
+    for name, _ in SCRIPT_CLASSES:
+        c = F.col(name)
+        classified = c if classified is None else classified + c
+    dominant = None
+    for name, _ in SCRIPT_CLASSES:
+        cond = None
+        for other, _ in SCRIPT_CLASSES:
+            if other == name:
+                continue
+            clause = F.col(name) >= F.col(other)
+            cond = clause if cond is None else cond & clause
+        cond = cond & (F.col(name) > 0)
+        dominant = (
+            F.when(cond, name) if dominant is None else dominant.when(cond, name)
+        )
+    return out.select(
+        id_col,
+        "n_chars",
+        *[name for name, _ in SCRIPT_CLASSES],
+        (F.col("n_chars") - classified).cast("long").alias("other"),
+        F.when(F.col("n_chars") > 0, dominant.otherwise("other")).alias(
+            "dominant_script"
+        ),
+    )

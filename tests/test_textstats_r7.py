@@ -100,3 +100,48 @@ def test_embedding_quality_all_bad_group_has_null_stats(spark):
     assert r["n_null_vec"] == 1 and r["n_wrong_dim"] == 1
     assert r["min_norm_micro"] is None
     assert r["avg_norm_micro"] is None
+
+
+def test_script_profile_multilingual_and_nulls(spark):
+    from legendary_data_pipeline_spark.operators.textstats import (
+        script_profile,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world"),                    # latin + space
+            (2, "привет мир"),                     # cyrillic
+            (3, "你好 世界 2024"),                  # cjk + digits
+            (4, "مرحبا"),                          # arabic
+            (5, "한국어 텍스트"),                    # hangul
+            (6, "γειά σου"),                       # greek
+            (7, "mixed Привет hello"),             # latin 10 vs cyrillic 6
+            (8, ""),                               # empty
+            (9, None),                             # NULL text
+            (10, "!!!???"),                        # nothing classified
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in script_profile(docs).collect()}
+    assert out[1]["dominant_script"] == "latin" and out[1]["latin"] == 10
+    assert out[2]["dominant_script"] == "cyrillic"
+    assert out[3]["cjk"] == 4 and out[3]["digit"] == 4
+    assert out[4]["dominant_script"] == "arabic"
+    assert out[5]["dominant_script"] == "hangul"
+    assert out[6]["dominant_script"] == "greek"
+    assert out[7]["dominant_script"] == "latin"
+    assert out[7]["cyrillic"] == 6
+    for d in (8, 9):
+        assert out[d]["n_chars"] == 0
+        assert out[d]["dominant_script"] is None
+    assert out[10]["other"] == 6
+    assert out[10]["dominant_script"] == "other"
+    # counts partition the text exactly
+    for d, r in out.items():
+        total = sum(
+            r[c] for c in (
+                "latin", "cyrillic", "greek", "arabic", "cjk", "hangul",
+                "digit", "space", "other",
+            )
+        )
+        assert total == r["n_chars"], d
