@@ -3503,3 +3503,67 @@ def scd2_user_event_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_from_changelog(
         log, ["user_id"], "t", ["event_type"]
     )
+
+
+# ---------------------------------------------------------------------------
+# X159 interval merge + activity coverage (round 7)
+# ---------------------------------------------------------------------------
+
+_COV_WIN_S = 300  # each event covers [t, t+300s) of activity
+
+
+@register_shadow(
+    "ts_user_activity_coverage",
+    f"""
+    WITH spans AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             CAST(floor(epoch(ts)) + {_COV_WIN_S} AS BIGINT) AS e
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  IS NULL
+               OR s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             THEN 1 ELSE 0 END AS o
+      FROM spans),
+    isl AS (
+      SELECT user_id, s, e,
+             SUM(o) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged),
+    merged AS (
+      SELECT user_id, island, MIN(s) AS ms, MAX(e) AS me
+      FROM isl GROUP BY 1, 2)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(me - ms) AS BIGINT) AS covered,
+           CAST(MAX(me) - MIN(ms) AS BIGINT) AS span,
+           CAST(MAX(me) - MIN(ms) - SUM(me - ms) AS BIGINT) AS gaps
+    FROM merged GROUP BY 1
+    """,
+    doc="Per-user activity coverage via interval algebra (X159): each "
+    "event covers a [t, t+300s) span; overlapping/touching spans merge "
+    "into maximal disjoint activity intervals (gaps-and-islands: "
+    "running-max-end open flags, island ids by running sum, one "
+    "aggregation per island — no self-join, no interval explosion), "
+    "then per-user totals: spans, covered seconds, first-to-last span, "
+    "internal gap. All exact integers. One key shuffle; the temporal "
+    "companion to gap-based sessionization for explicit-duration data "
+    "(maintenance windows, ad flights, validity ranges).",
+)
+def ts_user_activity_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.intervals import (
+        interval_coverage,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    t = F.expr("ts DIV 1000000000").cast("long")
+    spans = ev.select(
+        "user_id",
+        t.alias("start"),
+        (t + F.lit(_COV_WIN_S)).alias("end"),
+    )
+    return interval_coverage(spans, ["user_id"], "start", "end")
