@@ -852,16 +852,23 @@ def correlation_matrix(
         denom = F.sqrt(var_a) * F.sqrt(var_b)
         return F.round(num / F.nullif(denom, F.lit(0.0)), round_digits)
 
-    out = None
-    for a, b in pairs:
-        row = m.select(
-            F.lit(a).alias("col_a"),
-            F.lit(b).alias("col_b"),
-            F.col("__n").alias("n"),
-            corr_expr(a, b).alias("corr"),
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+    # ONE branch over the 1-row moment frame: reshape to pair rows via
+    # an explode of literal structs — a per-pair SELECT + union would
+    # replay the entire upstream (scan + rank joins) once per pair
+    # (measured: 3 pairs tripled the Spearman plan's source scans).
+    pair_structs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                corr_expr(a, b).alias("corr"),
+            )
+            for a, b in pairs
+        ]
+    )
+    return m.select(
+        F.col("__n").alias("n"), F.explode(pair_structs).alias("__p")
+    ).select("__p.col_a", "__p.col_b", "n", "__p.corr")
 
 
 def gini_concentration(
@@ -1090,15 +1097,23 @@ def spearman_matrix(
     """
     if len(cols) < 2:
         raise ValueError("spearman_matrix needs at least two columns")
-    d = df.select(
+    base = df.select(
         *[F.col(c).cast(f"decimal(18,{scale})").alias(c) for c in cols]
     )
     notnull = F.lit(True)
     for c in cols:
         notnull = notnull & F.col(c).isNotNull()
-    d = d.filter(notnull)
+    base = base.filter(notnull)
+    # Every rank map derives from the ORIGINAL filtered base, never from
+    # the progressively-joined frame — joining map_k into the frame that
+    # map_{k+1} is built from doubles the whole lineage per column
+    # (measured: 24 source scans for 3 columns before this fix; 1 + p
+    # after, one per map plus the ranked spine).
+    d = base
     for c in cols:
-        g = d.groupBy(c).agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
+        g = base.groupBy(c).agg(
+            F.count(F.lit(1)).cast("long").alias("__cnt")
+        )
         below_w = Window.orderBy(F.col(c).asc()).rowsBetween(
             Window.unboundedPreceding, -1
         )

@@ -72,6 +72,21 @@ def test_spearman_window_rides_on_value_aggregate(spark):
     # compression) feeds them — never a window over the raw scan
     assert "Window" in plan
     assert "HashAggregate" in plan
+    # 1 ranked spine + one branch per rank map — NOT doubled per column
+    # (building maps from the joined frame) and NOT tripled per pair
+    # (per-pair union): 24 scans for 3 columns before the round-7 fixes.
+    assert plan.count("Range (0, 64") == 3  # spine + 2 maps
+
+
+def test_pearson_single_source_pass(spark):
+    from legendary_data_pipeline_spark.operators.stats import (
+        correlation_matrix,
+    )
+
+    plan = _plan(correlation_matrix(_vals(spark), ["x", "y", "a"]))
+    # one moment pass; pair reshape explodes literal structs — a
+    # per-pair union would replay the scan once per pair
+    assert plan.count("Range (0, 64") == 1
 
 
 def test_gini_window_rides_on_value_aggregate(spark):
