@@ -570,8 +570,7 @@ def triangle_count(
     )
     if orient == "degree":
         deg = (
-            e.select(F.col("a").alias("n"))
-            .unionAll(e.select(F.col("b").alias("n")))
+            e.select(F.explode(F.array("a", "b")).alias("n"))
             .groupBy("n")
             .agg(F.count(F.lit(1)).alias("d"))
         )
@@ -641,9 +640,12 @@ def clustering_coefficients(
     hi = F.greatest(F.col(a_col), F.col(b_col)).alias("b")
     e = edges.select(lo, hi).filter(F.col("a") != F.col("b")).distinct()
 
+    # explode, never union-of-selects: a union replays the source
+    # subtree once per branch (the corners union replayed the whole
+    # 3-join triangle enumeration three times — 22 source scans for
+    # the co-purchase query before this fix).
     deg = (
-        e.select(F.col("a").alias("node"))
-        .union(e.select(F.col("b").alias("node")))
+        e.select(F.explode(F.array("a", "b")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
     )
@@ -652,9 +654,7 @@ def clustering_coefficients(
     e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
     tri = e1.join(e2, "y").join(e3, ["x", "z"])
     corners = (
-        tri.select(F.col("x").alias("node"))
-        .union(tri.select(F.col("y").alias("node")))
-        .union(tri.select(F.col("z").alias("node")))
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
     )

@@ -223,10 +223,20 @@ def categorical_drift(
             F.coalesce("n_current", F.lit(0)).alias("n_current"),
         )
     )
-    totals = joined.agg(
-        F.sum("n_base").alias("__tb"), F.sum("n_current").alias("__tc")
+    # Totals attach via an unpartitioned window over the category-
+    # cardinality frame — the aggregate-and-crossJoin form replayed
+    # both snapshot scans once per branch (numeric_drift's binned
+    # sides paid it doubly: 12 source scans before this fix).
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    j = joined.crossJoin(F.broadcast(totals))
+    j = joined.select(
+        "value",
+        "n_base",
+        "n_current",
+        F.sum("n_base").over(w_all).alias("__tb"),
+        F.sum("n_current").over(w_all).alias("__tc"),
+    )
     nb = F.col("n_base").cast("double")
     nc = F.col("n_current").cast("double")
     tb = F.col("__tb").cast("double")

@@ -1139,20 +1139,27 @@ def contingency_counts(
 ) -> DataFrame:
     """Exact contingency table for two categorical columns with
     marginals attached: (a, b, obs, row_tot, col_tot, n). NULL is a
-    category (GROUP BY semantics). One groupBy on (a, b); the marginal
-    joins are category-cardinality-sized → broadcast."""
+    category (GROUP BY semantics — window partitioning groups NULL
+    exactly like the null-safe joins this replaced). One groupBy on
+    (a, b); marginals attach via GRID-SIZED windows over the cell
+    frame, so the corpus is scanned exactly once (the previous
+    aggregate-and-join-back form replayed the cell aggregation once
+    per marginal branch — four source scans per call)."""
     cells = df.groupBy(
         F.col(col_a).alias("a"), F.col(col_b).alias("b")
     ).agg(F.count(F.lit(1)).cast("long").alias("obs"))
-    rows = cells.groupBy("a").agg(F.sum("obs").alias("row_tot"))
-    colns = cells.groupBy("b").agg(F.sum("obs").alias("col_tot"))
-    tot = cells.agg(F.sum("obs").alias("n"))
-    return (
-        cells.join(F.broadcast(rows), cells["a"].eqNullSafe(rows["a"]))
-        .drop(rows["a"])
-        .join(F.broadcast(colns), cells["b"].eqNullSafe(colns["b"]))
-        .drop(colns["b"])
-        .crossJoin(F.broadcast(tot))
+    w_a = Window.partitionBy("a")
+    w_b = Window.partitionBy("b")
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return cells.select(
+        "a",
+        "b",
+        "obs",
+        F.sum("obs").over(w_a).alias("row_tot"),
+        F.sum("obs").over(w_b).alias("col_tot"),
+        F.sum("obs").over(w_all).alias("n"),
     )
 
 
@@ -1187,9 +1194,13 @@ def chi_square_independence(
     # never co-occurs still contributes (0 − e)²/e — exactly the signal
     # of dependence. Complete the observed cells against the marginal
     # cross product (category-cardinality-sized → broadcast).
-    obs_cells = contingency_counts(df, col_a, col_b).select(
-        "a", "b", "obs"
-    )
+    # Cells are aggregated DIRECTLY (not via contingency_counts, whose
+    # attached marginals this function immediately dropped — but whose
+    # lineage it kept: each of the four consumers below then replayed
+    # contingency_counts' own four branches, 16 source scans in all).
+    obs_cells = df.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("obs"))
     rows = obs_cells.groupBy("a").agg(F.sum("obs").alias("row_tot"))
     colns = obs_cells.groupBy("b").agg(F.sum("obs").alias("col_tot"))
     tot = obs_cells.agg(F.sum("obs").alias("n"))
