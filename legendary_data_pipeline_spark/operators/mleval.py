@@ -450,11 +450,15 @@ def mrr_at_k(
     (n_queries, n_hit, mrr round 6).
     """
     lcm = _lcm_1_to(k)
-    first_rel = ranked.where(
-        (F.col(rank_col) <= k) & (F.col(rel_col) == 1)
-    ).groupBy(query_col).agg(F.min(rank_col).alias("__r"))
-    queries = ranked.select(query_col).distinct()
-    per_q = queries.join(first_rel, query_col, "left").select(
+    # ONE query-keyed aggregation: min rank among relevant-within-k
+    # rows (NULL when none) — a separate distinct-queries branch +
+    # join-back would replay the whole retrieval lineage twice.
+    per_q = ranked.groupBy(query_col).agg(
+        F.min(
+            F.when((F.col(rank_col) <= k) & (F.col(rel_col) == 1),
+                   F.col(rank_col))
+        ).alias("__r")
+    ).select(
         F.when(
             F.col("__r").isNotNull(), (F.lit(lcm) / F.col("__r")).cast("long")
         )
