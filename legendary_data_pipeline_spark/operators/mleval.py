@@ -43,6 +43,7 @@ __all__ = [
     "ndcg_weights",
     "target_encode",
     "woe_iv",
+    "two_proportion_test",
     "rrf_fuse",
     "confusion_stats",
 ]
@@ -595,3 +596,60 @@ def stratified_split_exact(
     cut = F.floor(n * train_pct / F.lit(100)).cast("long")
     split = F.when(rn <= cut, F.lit("train")).otherwise(F.lit("val"))
     return df.withColumn("split", split)
+
+
+def two_proportion_test(
+    df: DataFrame,
+    group_col: str,
+    label_col: str,
+    group_a,
+    group_b,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Two-proportion z-test between two named groups — the A/B
+    experiment readout (did variant B's conversion rate move?) and the
+    slice-regression check (did quality drop for source X vs source Y?).
+
+        z = (p_a − p_b) / sqrt( p̂(1−p̂)(1/n_a + 1/n_b) ),  p̂ pooled
+
+    ``label_col`` must be 0/1; NULL labels drop; rows outside the two
+    named groups are ignored. Counts are exact integers from ONE
+    filtered aggregation (no per-group branches); the z expression is
+    a fixed IEEE double tree over them, round(6) (z², not |z|, would
+    lose the direction — sign means A over B). Degenerate inputs (an
+    empty group, pooled rate 0 or 1) yield NULL z.
+
+    Output (1 row): n_a, pos_a, n_b, pos_b, p_a, p_b, diff, z.
+    """
+    lab = F.col(label_col).cast("long")
+    g = F.col(group_col)
+    is_a = g.eqNullSafe(F.lit(group_a))
+    is_b = g.eqNullSafe(F.lit(group_b))
+    agg = df.where(lab.isNotNull() & (is_a | is_b)).agg(
+        F.coalesce(F.sum(is_a.cast("long")), F.lit(0))
+        .cast("long").alias("n_a"),
+        F.coalesce(F.sum(F.when(is_a, lab)), F.lit(0))
+        .cast("long").alias("pos_a"),
+        F.coalesce(F.sum(is_b.cast("long")), F.lit(0))
+        .cast("long").alias("n_b"),
+        F.coalesce(F.sum(F.when(is_b, lab)), F.lit(0))
+        .cast("long").alias("pos_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    pa = F.col("pos_a").cast("double") / na
+    pb = F.col("pos_b").cast("double") / nb
+    pooled = (F.col("pos_a") + F.col("pos_b")).cast("double") / (na + nb)
+    se = F.sqrt(pooled * (F.lit(1.0) - pooled) * (F.lit(1.0) / na + F.lit(1.0) / nb))
+    z = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0), (pa - pb) / F.nullif(se, F.lit(0.0))
+    )
+    return agg.select(
+        "n_a", "pos_a", "n_b", "pos_b",
+        F.when(F.col("n_a") > 0, F.round(pa, round_digits)).alias("p_a"),
+        F.when(F.col("n_b") > 0, F.round(pb, round_digits)).alias("p_b"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.round(pa - pb, round_digits),
+        ).alias("diff"),
+        F.round(z, round_digits).alias("z"),
+    )

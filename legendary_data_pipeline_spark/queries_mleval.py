@@ -642,3 +642,58 @@ def ml_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderstatus") == "F").cast("int").alias("__lab"),
     )
     return M.woe_iv(base, "o_orderpriority", "__lab", smoothing=_WOE_S)
+
+
+# ---------------------------------------------------------------------------
+# X160 — two-proportion z-test (round 7)
+# ---------------------------------------------------------------------------
+
+
+@register_shadow(
+    "ml_two_proportion_test",
+    """
+    WITH agg AS (
+      SELECT
+        CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_a,
+        CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                       AND o_orderstatus = 'F' THEN 1 ELSE 0 END)
+             AS BIGINT) AS pos_a,
+        CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_b,
+        CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
+                       AND o_orderstatus = 'F' THEN 1 ELSE 0 END)
+             AS BIGINT) AS pos_b
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW'))
+    SELECT n_a, pos_a, n_b, pos_b,
+           round(CAST(pos_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS p_a,
+           round(CAST(pos_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS p_b,
+           round(CAST(pos_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                 - CAST(pos_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS diff,
+           round((CAST(pos_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                  - CAST(pos_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                 / nullif(sqrt((CAST(pos_a + pos_b AS DOUBLE)
+                                / CAST(n_a + n_b AS DOUBLE))
+                               * (1.0 - CAST(pos_a + pos_b AS DOUBLE)
+                                        / CAST(n_a + n_b AS DOUBLE))
+                               * (1.0 / CAST(n_a AS DOUBLE)
+                                  + 1.0 / CAST(n_b AS DOUBLE))), 0.0),
+                 6) AS z
+    FROM agg
+    """,
+    doc="Two-proportion z-test: did URGENT orders' fulfillment rate "
+    "move vs LOW-priority orders? (X160 — the A/B experiment readout "
+    "and slice-regression check.) Exact integer counts from ONE "
+    "filtered aggregation; the pooled-variance z is a fixed IEEE "
+    "double tree under round(6); sign carries direction.",
+)
+def ml_two_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_distributed(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderpriority",
+        (F.col("o_orderstatus") == "F").cast("int").alias("__lab"),
+    )
+    return M.two_proportion_test(
+        base, "o_orderpriority", "__lab", "1-URGENT", "5-LOW"
+    )

@@ -317,3 +317,54 @@ def test_stratified_split_rejects_null_ids(spark):
     out = stratified_split_exact(df, ["stratum"], "id")
     with _pytest.raises(Exception, match="NULL id rows"):
         out.collect()
+
+
+# ---------------------------------------------------------------------------
+# two_proportion_test (X160)
+# ---------------------------------------------------------------------------
+
+
+def test_two_proportion_hand_computed_and_sign(spark):
+    import math
+
+    from legendary_data_pipeline_spark.operators.mleval import (
+        two_proportion_test,
+    )
+
+    rows = [("a", 1)] * 30 + [("a", 0)] * 70 + [("b", 1)] * 10 + [("b", 0)] * 90
+    df = spark.createDataFrame(rows, "g string, lab int")
+    r = two_proportion_test(df, "g", "lab", "a", "b").collect()[0]
+    assert (r["n_a"], r["pos_a"], r["n_b"], r["pos_b"]) == (100, 30, 100, 10)
+    assert r["p_a"] == 0.3 and r["p_b"] == 0.1 and r["diff"] == 0.2
+    pooled = 40 / 200
+    se = math.sqrt(pooled * (1 - pooled) * (1 / 100 + 1 / 100))
+    assert r["z"] == round(0.2 / se, 6)
+    # swapped groups flip the sign
+    r2 = two_proportion_test(df, "g", "lab", "b", "a").collect()[0]
+    assert r2["z"] == -r["z"]
+
+
+def test_two_proportion_degenerate_cases(spark):
+    from legendary_data_pipeline_spark.operators.mleval import (
+        two_proportion_test,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("c", 0)], "g string, lab int"
+    )
+    # group b absent → NULL p_b/diff/z, counts zero
+    r = two_proportion_test(df, "g", "lab", "a", "b").collect()[0]
+    assert (r["n_b"], r["pos_b"]) == (0, 0)
+    assert r["p_b"] is None and r["z"] is None
+    # both groups all-positive → pooled = 1 → se = 0 → NULL z
+    df2 = spark.createDataFrame(
+        [("a", 1), ("b", 1)], "g string, lab int"
+    )
+    r2 = two_proportion_test(df2, "g", "lab", "a", "b").collect()[0]
+    assert r2["z"] is None and r2["diff"] == 0.0
+    # NULL labels dropped; out-of-scope groups ignored
+    df3 = spark.createDataFrame(
+        [("a", 1), ("a", None), ("z", 1), ("b", 0)], "g string, lab int"
+    )
+    r3 = two_proportion_test(df3, "g", "lab", "a", "b").collect()[0]
+    assert (r3["n_a"], r3["n_b"]) == (1, 1)
