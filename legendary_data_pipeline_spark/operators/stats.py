@@ -1570,3 +1570,92 @@ def temporal_embargo_split(
         .otherwise(F.lit("val"))
     )
     return out.select(*df.columns, split.alias("split"))
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Kaplan–Meier survival curve with right censoring — the
+    retention/churn estimator that plain "fraction alive at t" gets
+    WRONG whenever observation windows differ (censored subjects leave
+    the risk set without counting as churn).
+
+    Input: one row per subject with an integer ``duration_col`` and a
+    0/1 ``event_col`` (1 = the event happened at that duration,
+    0 = observation ended there, outcome unknown). NULLs drop.
+
+        S(t) = Π_{s ≤ t, d_s > 0} (1 − d_s / n_s)
+
+    with d_s = events at s and n_s = subjects still at risk entering s
+    (N minus everyone who exited strictly earlier — exact integers via
+    one cumulative window over the DISTINCT-TIME frame). The product
+    is evaluated as exp(Σ ln((n_s − d_s)/n_s)) over the time-ordered
+    window, so both engines accumulate the identical sequence of libm
+    terms in the identical order; round(6) absorbs last-ulp drift. A
+    risk set that empties (everyone exits with an event) pins S to
+    exactly 0.0 from that time on via an explicit cumulative flag —
+    Spark's log() NULLs on 0 where DuckDB's ln() gives −∞, so the
+    naive product form silently DROPS the wipe-out term in Spark.
+
+    Output, one row per distinct exit time:
+      (t, n_at_risk, n_events, n_censored, survival)
+
+    Plan: one groupBy to the distinct-time frame (map-side combinable),
+    cumulative windows over it (cardinality-sized — the spearman
+    construction), no joins.
+    """
+    t = F.col(duration_col)
+    ev = F.col(event_col).cast("long")
+    d = df.select(t.alias("__t"), ev.alias("__e")).where(
+        t.isNotNull() & ev.isNotNull()
+    )
+    per_t = d.groupBy("__t").agg(
+        F.sum("__e").cast("long").alias("n_events"),
+        F.sum(F.lit(1) - F.col("__e")).cast("long").alias("n_censored"),
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_before = Window.orderBy(F.col("__t").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    total = F.sum(F.col("n_events") + F.col("n_censored")).over(w_all)
+    exited_before = F.coalesce(
+        F.sum(F.col("n_events") + F.col("n_censored")).over(w_before),
+        F.lit(0),
+    )
+    at_risk = (total - exited_before).cast("long")
+    ann = per_t.select(
+        F.col("__t").alias("t"),
+        at_risk.alias("n_at_risk"),
+        "n_events",
+        "n_censored",
+    )
+    # Spark's log() returns NULL for non-positive input where DuckDB's
+    # ln() returns -inf, so the risk-set-empties case (n_events ==
+    # n_at_risk) is handled EXPLICITLY: a cumulative wipe flag pins
+    # survival to exactly 0.0 from that time on, in both engines.
+    ln_term = F.when(
+        (F.col("n_events") > 0)
+        & (F.col("n_at_risk") > F.col("n_events")),
+        F.log(
+            (F.col("n_at_risk") - F.col("n_events")).cast("double")
+            / F.col("n_at_risk").cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    w_upto_t = Window.orderBy(F.col("t").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wiped = F.max(
+        (F.col("n_events") == F.col("n_at_risk")).cast("int")
+    ).over(w_upto_t)
+    survival = F.when(wiped == 1, F.lit(0.0)).otherwise(
+        F.round(F.exp(F.sum(ln_term).over(w_upto_t)), round_digits)
+    )
+    return ann.select(
+        "t", "n_at_risk", "n_events", "n_censored",
+        survival.alias("survival"),
+    )

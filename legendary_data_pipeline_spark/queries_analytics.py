@@ -25,7 +25,7 @@ Cross-engine determinism notes specific to this module:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from legendary_data_pipeline_spark.catalog import load_table
@@ -3567,3 +3567,85 @@ def ts_user_activity_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         (t + F.lit(_COV_WIN_S)).alias("end"),
     )
     return interval_coverage(spans, ["user_id"], "start", "end")
+
+
+# ---------------------------------------------------------------------------
+# X161 Kaplan-Meier retention curve (round 7)
+# ---------------------------------------------------------------------------
+
+# censoring horizon: lifetimes ending within the last 7 days of the
+# observed window are censored (the user may still be active)
+_KM_HORIZON_S = 7 * 86400
+
+
+@register_shadow(
+    "sv_user_retention_km",
+    f"""
+    WITH spans AS (
+      SELECT user_id,
+             CAST(floor(epoch(MIN(ts))) AS BIGINT) AS first_s,
+             CAST(floor(epoch(MAX(ts))) AS BIGINT) AS last_s
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1),
+    horizon AS (SELECT MAX(last_s) AS maxs FROM spans),
+    subj AS (
+      SELECT (last_s - first_s) AS t,
+             CASE WHEN last_s < maxs - {_KM_HORIZON_S} THEN 1 ELSE 0 END
+               AS e
+      FROM spans, horizon),
+    per_t AS (
+      SELECT t, CAST(SUM(e) AS BIGINT) AS n_events,
+             CAST(SUM(1 - e) AS BIGINT) AS n_censored
+      FROM subj GROUP BY 1),
+    ann AS (
+      SELECT t, n_events, n_censored,
+             CAST(SUM(n_events + n_censored) OVER ()
+                  - COALESCE(SUM(n_events + n_censored) OVER (ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n_at_risk
+      FROM per_t)
+    SELECT t, n_at_risk, n_events, n_censored,
+           CASE WHEN MAX(CASE WHEN n_events = n_at_risk THEN 1 ELSE 0 END)
+                  OVER (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+                THEN 0.0
+                ELSE round(exp(SUM(CASE WHEN n_events > 0
+                         AND n_at_risk > n_events
+                    THEN ln(CAST(n_at_risk - n_events AS DOUBLE)
+                            / CAST(n_at_risk AS DOUBLE))
+                    ELSE 0.0 END) OVER (ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+                  6)
+           END AS survival
+    FROM ann
+    """,
+    doc="Kaplan-Meier user-retention curve with right censoring "
+    "(X161): a user's lifetime spans first to last event; lifetimes "
+    "ending within 7 days of the dataset horizon are CENSORED (may "
+    "still be active) and leave the risk set without counting as "
+    "churn — the correction naive 'fraction alive at t' lacks. Risk "
+    "sets are exact integers from one cumulative window over the "
+    "distinct-time frame; the survival product evaluates as "
+    "exp(ordered sum of ln terms), identical accumulation order in "
+    "both engines under round(6).",
+)
+def sv_user_retention_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.stats import kaplan_meier
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    sec = F.expr("ts DIV 1000000000").cast("long")
+    spans = ev.groupBy("user_id").agg(
+        F.min(sec).alias("__first"), F.max(sec).alias("__last")
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    subj = spans.select(
+        (F.col("__last") - F.col("__first")).alias("__dur"),
+        (
+            F.col("__last") < F.max("__last").over(w_all) - _KM_HORIZON_S
+        ).cast("int").alias("__event"),
+    )
+    return kaplan_meier(subj, "__dur", "__event")

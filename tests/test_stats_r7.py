@@ -280,3 +280,49 @@ def test_ks_null_values_dropped_empty_raises(spark):
     empty = base.filter(F.lit(False))
     with pytest.raises(ValueError, match="empty"):
         ks_two_sample(base, empty, F.col("v"))
+
+
+# ---------------------------------------------------------------------------
+# kaplan_meier
+# ---------------------------------------------------------------------------
+
+
+def test_km_hand_computed_with_censoring(spark):
+    from legendary_data_pipeline_spark.operators.stats import kaplan_meier
+
+    # classic worked example: events at t=1 (1 of 5), t=3 (1 of 3);
+    # censored at t=2 and t=4; event at t=5 (last of 1)
+    rows = [(1, 1), (2, 0), (3, 1), (4, 0), (5, 1)]
+    df = spark.createDataFrame(rows, "t long, e int")
+    out = {r["t"]: r for r in kaplan_meier(df, "t", "e").collect()}
+    assert out[1]["n_at_risk"] == 5 and out[1]["survival"] == 0.8
+    # t=2 censoring leaves survival unchanged
+    assert out[2]["n_at_risk"] == 4 and out[2]["survival"] == 0.8
+    # t=3: 3 at risk, 1 event → 0.8 * 2/3
+    assert out[3]["n_at_risk"] == 3
+    assert out[3]["survival"] == pytest.approx(0.8 * 2 / 3, abs=1e-6)
+    # t=5: last subject exits with an event → survival exactly 0
+    assert out[5]["n_at_risk"] == 1 and out[5]["survival"] == 0.0
+
+
+def test_km_all_censored_stays_at_one(spark):
+    from legendary_data_pipeline_spark.operators.stats import kaplan_meier
+
+    df = spark.createDataFrame([(i, 0) for i in range(1, 6)], "t long, e int")
+    out = kaplan_meier(df, "t", "e").collect()
+    assert all(r["survival"] == 1.0 for r in out)
+    assert all(r["n_events"] == 0 for r in out)
+
+
+def test_km_ties_and_null_drops(spark):
+    from legendary_data_pipeline_spark.operators.stats import kaplan_meier
+
+    rows = [(2, 1), (2, 1), (2, 0), (None, 1), (3, None), (4, 1)]
+    df = spark.createDataFrame(rows, "t long, e int")
+    out = {r["t"]: r for r in kaplan_meier(df, "t", "e").collect()}
+    assert set(out) == {2, 4}
+    # 4 valid subjects; at t=2: 2 events + 1 censored from 4 at risk
+    assert out[2]["n_at_risk"] == 4
+    assert (out[2]["n_events"], out[2]["n_censored"]) == (2, 1)
+    assert out[2]["survival"] == 0.5  # 1 - 2/4
+    assert out[4]["survival"] == 0.0  # last one exits with event
