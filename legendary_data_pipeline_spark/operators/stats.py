@@ -1659,3 +1659,99 @@ def kaplan_meier(
         "t", "n_at_risk", "n_events", "n_censored",
         survival.alias("survival"),
     )
+
+
+def logrank_test(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Two-group log-rank test — "do these retention curves differ?"
+    for the Kaplan–Meier setting (censoring-aware, the standard
+    survival-comparison test; a naive rate comparison double-counts
+    censored subjects as survivors).
+
+    At every pooled event time t with n_gt at risk and d_gt events:
+
+        O_a = Σ d_at          E_a = Σ d_t · n_at / n_t
+        V   = Σ d_t (n_at/n_t)(1 − n_at/n_t)(n_t − d_t)/(n_t − 1)
+        z = (O_a − E_a)/sqrt(V),   chi2 = z²  (1 dof)
+
+    Exits and risk sets are exact integers built the `kaplan_meier`
+    way (one distinct-time frame, cumulative windows per group); the
+    E/V terms are double summands of magnitude ≲1 aggregated under
+    round(6) (the mutual-information convention). Times with n_t ≤ 1
+    contribute no variance (the hypergeometric is degenerate). Rows
+    outside the two named groups, or with NULL duration/event, drop.
+
+    Output (1 row): n_a, n_b, events_a, events_b, exp_a, z, chi2 —
+    sign of z: positive means group A had MORE events than expected
+    (worse survival). NULL z/chi2 when V = 0 (no comparable times).
+    """
+    t = F.col(duration_col)
+    ev = F.col(event_col).cast("long")
+    g = F.col(group_col)
+    is_a = g.eqNullSafe(F.lit(group_a))
+    d = df.where(
+        t.isNotNull() & ev.isNotNull()
+        & (is_a | g.eqNullSafe(F.lit(group_b)))
+    ).select(
+        t.alias("__t"), ev.alias("__e"), is_a.cast("int").alias("__a")
+    )
+    per_t = d.groupBy("__t").agg(
+        F.sum(F.col("__e") * F.col("__a")).cast("long").alias("__d_a"),
+        F.sum(F.col("__e") * (F.lit(1) - F.col("__a")))
+        .cast("long").alias("__d_b"),
+        F.sum(F.col("__a")).cast("long").alias("__x_a"),
+        F.sum(F.lit(1) - F.col("__a")).cast("long").alias("__x_b"),
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_before = Window.orderBy(F.col("__t").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    n_a = (
+        F.sum("__x_a").over(w_all)
+        - F.coalesce(F.sum("__x_a").over(w_before), F.lit(0))
+    ).cast("long")
+    n_b = (
+        F.sum("__x_b").over(w_all)
+        - F.coalesce(F.sum("__x_b").over(w_before), F.lit(0))
+    ).cast("long")
+    ann = per_t.select(
+        "__t", "__d_a", "__d_b",
+        n_a.alias("__n_a"), n_b.alias("__n_b"),
+        F.sum("__x_a").over(w_all).cast("long").alias("__tot_a"),
+        F.sum("__x_b").over(w_all).cast("long").alias("__tot_b"),
+    )
+    nt = (F.col("__n_a") + F.col("__n_b")).cast("double")
+    dt = (F.col("__d_a") + F.col("__d_b")).cast("double")
+    na_d = F.col("__n_a").cast("double")
+    e_term = F.when(nt > 0, dt * na_d / nt).otherwise(F.lit(0.0))
+    v_term = F.when(
+        (nt > 1) & (dt > 0),
+        dt * (na_d / nt) * (F.lit(1.0) - na_d / nt)
+        * (nt - dt) / (nt - F.lit(1.0)),
+    ).otherwise(F.lit(0.0))
+    agg = ann.agg(
+        F.max("__tot_a").alias("n_a"),
+        F.max("__tot_b").alias("n_b"),
+        F.coalesce(F.sum("__d_a"), F.lit(0)).cast("long").alias("events_a"),
+        F.coalesce(F.sum("__d_b"), F.lit(0)).cast("long").alias("events_b"),
+        F.sum(e_term).alias("__exp_a"),
+        F.sum(v_term).alias("__v"),
+    )
+    z = (F.col("events_a").cast("double") - F.col("__exp_a")) / F.sqrt(
+        F.col("__v")
+    )
+    return agg.select(
+        "n_a", "n_b", "events_a", "events_b",
+        F.round(F.col("__exp_a"), round_digits).alias("exp_a"),
+        F.when(F.col("__v") > 0, F.round(z, round_digits)).alias("z"),
+        F.when(F.col("__v") > 0, F.round(z * z, round_digits)).alias("chi2"),
+    )

@@ -3573,9 +3573,12 @@ def ts_user_activity_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X161 Kaplan-Meier retention curve (round 7)
 # ---------------------------------------------------------------------------
 
-# censoring horizon: lifetimes ending within the last 7 days of the
-# observed window are censored (the user may still be active)
-_KM_HORIZON_S = 7 * 86400
+# censoring horizon: lifetimes ending within the last half-day of the
+# observed window are censored (the user may still be active). The
+# fixture's users are near-uniformly active (90% have an event within
+# ~1 day of the horizon), so a long horizon censors EVERYONE — half a
+# day yields a real mix of churned and censored subjects.
+_KM_HORIZON_S = 43200
 
 
 @register_shadow(
@@ -3649,3 +3652,103 @@ def sv_user_retention_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("int").alias("__event"),
     )
     return kaplan_meier(subj, "__dur", "__event")
+
+
+@register_shadow(
+    "sv_logrank_user_segments",
+    f"""
+    WITH spans AS (
+      SELECT user_id,
+             CAST(floor(epoch(MIN(ts))) AS BIGINT) AS first_s,
+             CAST(floor(epoch(MAX(ts))) AS BIGINT) AS last_s
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1),
+    horizon AS (SELECT MAX(last_s) AS maxs FROM spans),
+    subj AS (
+      SELECT (last_s - first_s) AS t,
+             CASE WHEN last_s < maxs - {_KM_HORIZON_S} THEN 1 ELSE 0 END AS e,
+             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS a
+      FROM spans, horizon),
+    per_t AS (
+      SELECT t,
+             CAST(SUM(e * a) AS BIGINT) AS d_a,
+             CAST(SUM(e * (1 - a)) AS BIGINT) AS d_b,
+             CAST(SUM(a) AS BIGINT) AS x_a,
+             CAST(SUM(1 - a) AS BIGINT) AS x_b
+      FROM subj GROUP BY 1),
+    ann AS (
+      SELECT t, d_a, d_b,
+             CAST(SUM(x_a) OVER () - COALESCE(SUM(x_a) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n_a,
+             CAST(SUM(x_b) OVER () - COALESCE(SUM(x_b) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n_b,
+             CAST(SUM(x_a) OVER () AS BIGINT) AS tot_a,
+             CAST(SUM(x_b) OVER () AS BIGINT) AS tot_b
+      FROM per_t),
+    terms AS (
+      SELECT tot_a, tot_b, d_a, d_b,
+             CASE WHEN n_a + n_b > 0
+                  THEN CAST(d_a + d_b AS DOUBLE) * CAST(n_a AS DOUBLE)
+                       / CAST(n_a + n_b AS DOUBLE)
+                  ELSE 0.0 END AS e_t,
+             CASE WHEN n_a + n_b > 1 AND d_a + d_b > 0
+                  THEN CAST(d_a + d_b AS DOUBLE)
+                       * (CAST(n_a AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                       * (1.0 - CAST(n_a AS DOUBLE)
+                                / CAST(n_a + n_b AS DOUBLE))
+                       * (CAST(n_a + n_b AS DOUBLE)
+                          - CAST(d_a + d_b AS DOUBLE))
+                       / (CAST(n_a + n_b AS DOUBLE) - 1.0)
+                  ELSE 0.0 END AS v_t
+      FROM ann),
+    agg AS (
+      SELECT MAX(tot_a) AS n_a, MAX(tot_b) AS n_b,
+             CAST(COALESCE(SUM(d_a), 0) AS BIGINT) AS events_a,
+             CAST(COALESCE(SUM(d_b), 0) AS BIGINT) AS events_b,
+             SUM(e_t) AS exp_a, SUM(v_t) AS v
+      FROM terms)
+    SELECT n_a, n_b, events_a, events_b,
+           round(exp_a, 6) AS exp_a,
+           CASE WHEN v > 0
+                THEN round((CAST(events_a AS DOUBLE) - exp_a) / sqrt(v), 6)
+           END AS z,
+           CASE WHEN v > 0
+                THEN round(((CAST(events_a AS DOUBLE) - exp_a) / sqrt(v))
+                           * ((CAST(events_a AS DOUBLE) - exp_a) / sqrt(v)),
+                           6)
+           END AS chi2
+    FROM agg
+    """,
+    doc="Two-group log-rank test between even/odd user segments' "
+    "retention curves (X162) — the censoring-aware 'do these survival "
+    "curves differ?' test completing the Kaplan-Meier story. Exact "
+    "integer risk sets and event counts per pooled exit time; "
+    "expected/variance terms are magnitude-~1 double summands under "
+    "round(6). One distinct-time frame, cumulative windows, one final "
+    "1-row aggregation.",
+)
+def sv_logrank_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.stats import logrank_test
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    sec = F.expr("ts DIV 1000000000").cast("long")
+    spans = ev.groupBy("user_id").agg(
+        F.min(sec).alias("__first"), F.max(sec).alias("__last")
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    subj = spans.select(
+        (F.col("__last") - F.col("__first")).alias("__dur"),
+        (
+            F.col("__last") < F.max("__last").over(w_all) - _KM_HORIZON_S
+        ).cast("int").alias("__event"),
+        F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd").alias(
+            "__seg"
+        ),
+    )
+    return logrank_test(subj, "__dur", "__event", "__seg", "even", "odd")

@@ -326,3 +326,55 @@ def test_km_ties_and_null_drops(spark):
     assert (out[2]["n_events"], out[2]["n_censored"]) == (2, 1)
     assert out[2]["survival"] == 0.5  # 1 - 2/4
     assert out[4]["survival"] == 0.0  # last one exits with event
+
+
+# ---------------------------------------------------------------------------
+# logrank_test
+# ---------------------------------------------------------------------------
+
+
+def test_logrank_hand_computed(spark):
+    import math
+
+    from legendary_data_pipeline_spark.operators.stats import logrank_test
+
+    # A dies early (t=1,2), B late (t=3,4) — all events, no censoring
+    rows = [("A", 1, 1), ("A", 2, 1), ("B", 3, 1), ("B", 4, 1)]
+    df = spark.createDataFrame(rows, "g string, t long, e int")
+    r = logrank_test(df, "t", "e", "g", "A", "B").collect()[0]
+    assert (r["n_a"], r["n_b"], r["events_a"], r["events_b"]) == (2, 2, 2, 2)
+    e_a = 2 / 4 + 1 / 3  # t=1: d·n_a/n = 1·2/4; t=2: 1·1/3; t=3,4: 0
+    v = (2 / 4) * (2 / 4) * (3 / 3) + (1 / 3) * (2 / 3) * (2 / 2)
+    z = (2 - e_a) / math.sqrt(v)
+    assert r["exp_a"] == round(e_a, 6)
+    assert r["z"] == pytest.approx(z, abs=1e-6)
+    assert r["chi2"] == pytest.approx(z * z, abs=1e-5)
+    # positive z: A had MORE events than expected (worse survival)
+    assert r["z"] > 0
+
+
+def test_logrank_identical_groups_near_zero(spark):
+    from legendary_data_pipeline_spark.operators.stats import logrank_test
+
+    rows = [("A", t, 1) for t in range(1, 21)] + [
+        ("B", t, 1) for t in range(1, 21)
+    ]
+    df = spark.createDataFrame(rows, "g string, t long, e int")
+    r = logrank_test(df, "t", "e", "g", "A", "B").collect()[0]
+    assert abs(r["z"]) < 1e-9 and r["chi2"] == 0.0
+
+
+def test_logrank_censoring_and_degenerate(spark):
+    from legendary_data_pipeline_spark.operators.stats import logrank_test
+
+    # all censored → no events → V = 0 → NULL z
+    rows = [("A", 1, 0), ("B", 2, 0)]
+    df = spark.createDataFrame(rows, "g string, t long, e int")
+    r = logrank_test(df, "t", "e", "g", "A", "B").collect()[0]
+    assert r["z"] is None and r["chi2"] is None
+    assert (r["events_a"], r["events_b"]) == (0, 0)
+    # out-of-scope groups and NULLs ignored
+    rows2 = [("A", 1, 1), ("B", 2, 1), ("C", 1, 1), ("A", None, 1)]
+    df2 = spark.createDataFrame(rows2, "g string, t long, e int")
+    r2 = logrank_test(df2, "t", "e", "g", "A", "B").collect()[0]
+    assert (r2["n_a"], r2["n_b"]) == (1, 1)
