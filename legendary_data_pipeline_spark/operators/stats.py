@@ -1755,3 +1755,81 @@ def logrank_test(
         F.when(F.col("__v") > 0, F.round(z, round_digits)).alias("z"),
         F.when(F.col("__v") > 0, F.round(z * z, round_digits)).alias("chi2"),
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    round_digits: int = 6,
+) -> DataFrame:
+    """CUSUM changepoint localization for an ordered series — WHERE did
+    the level of a daily metric shift? (The monitoring companion to the
+    drift tests, which say THAT two snapshots differ but not when.)
+
+        cusum_k = Σ_{i ≤ k} (x_i − x̄)
+
+    peaks at the most likely single changepoint (largest |cusum|). The
+    running sum is kept EXACT by scaling: n·x_i − S is an integer
+    (decimal(38,0)) per step, so the argmax — the part that picks the
+    changepoint — is bit-deterministic; the reported `cusum` divides by
+    n once per row (IEEE-exact same-order division, round(6)).
+
+    ``value_col`` must be integer (cents convention); NULL order/value
+    rows drop. Output, one row per (group, order) point:
+      (group..., order, value, cusum, is_changepoint)
+    `is_changepoint` marks the first row attaining the max |cusum| per
+    group (ties → earliest point). A flat series has cusum 0 everywhere
+    and flags its first point — interpret alongside the magnitude.
+
+    Plan: two windows over each group's series (bounded partitions; for
+    a global series the frame is day-cardinality — metadata) and no
+    joins; one scan.
+    """
+    groups = list(group_cols)
+    o, v = F.col(order_col), F.col(value_col).cast("decimal(38,0)")
+    d = df.select(*groups, o.alias("__o"), v.alias("__v")).where(
+        o.isNotNull() & v.isNotNull()
+    )
+    w_all = Window.partitionBy(*groups).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_upto = Window.partitionBy(*groups).orderBy(F.col("__o").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    n = F.count(F.lit(1)).over(w_all).cast("decimal(38,0)")
+    s = F.sum("__v").over(w_all).cast("decimal(38,0)")
+    term = (n * F.col("__v") - s).cast("decimal(38,0)")
+    ann = d.select(
+        *groups,
+        F.col("__o"),
+        F.col("__v"),
+        F.sum(term).over(w_upto).cast("decimal(38,0)").alias("__cum"),
+        n.alias("__n"),
+    )
+    ann = ann.withColumn(
+        "__maxabs",
+        F.max(F.abs(F.col("__cum"))).over(
+            Window.partitionBy(*groups).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    )
+    first_at_max = F.row_number().over(
+        Window.partitionBy(*groups).orderBy(
+            (F.abs(F.col("__cum")) == F.col("__maxabs")).desc(),
+            F.col("__o").asc(),
+        )
+    )
+    cusum = F.round(
+        F.col("__cum").cast("double") / F.col("__n").cast("double"),
+        round_digits,
+    )
+    return ann.select(
+        *groups,
+        F.col("__o").alias(order_col),
+        F.col("__v").cast("long").alias(value_col),
+        cusum.alias("cusum"),
+        (first_at_max == 1).alias("is_changepoint"),
+    )

@@ -3752,3 +3752,68 @@ def sv_logrank_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return logrank_test(subj, "__dur", "__event", "__seg", "even", "odd")
+
+
+# ---------------------------------------------------------------------------
+# X163 CUSUM changepoint localization (round 7)
+# ---------------------------------------------------------------------------
+
+
+@register_shadow(
+    "ts_cusum_daily_value",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+             CAST(SUM(CAST(round(CAST(value AS DECIMAL(18,2)) * 100, 0)
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2),
+    tot AS (
+      SELECT event_type, day, cents,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS HUGEINT) AS n,
+             CAST(SUM(CAST(cents AS HUGEINT))
+                  OVER (PARTITION BY event_type) AS HUGEINT) AS s
+      FROM daily),
+    ann AS (
+      SELECT event_type, day, cents, n,
+             CAST(SUM(n * cents - s)
+                  OVER (PARTITION BY event_type ORDER BY day
+                        ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS cum
+      FROM tot),
+    mx0 AS (
+      SELECT *, MAX(abs(cum)) OVER (PARTITION BY event_type) AS maxabs
+      FROM ann),
+    mx AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY (abs(cum) = maxabs) DESC, day ASC) AS rn
+      FROM mx0)
+    SELECT event_type, day, cents,
+           round(CAST(cum AS DOUBLE) / CAST(n AS DOUBLE), 6) AS cusum,
+           rn = 1 AS is_changepoint
+    FROM mx
+    """,
+    doc="CUSUM changepoint localization of each event type's daily "
+    "value series (X163) — WHERE did the level shift? cusum_k = "
+    "cumulative sum of (x - mean), kept exact by integer scaling "
+    "(n*x_i - S per step in decimal(38,0)) so the argmax that picks "
+    "the changepoint is bit-deterministic; the reported value divides "
+    "once per row under round(6). Two windows per group, no joins, "
+    "one scan — the monitoring companion that tells you WHEN, where "
+    "the drift tests only say THAT.",
+)
+def ts_cusum_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.stats import (
+        cusum_changepoint,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    day = F.expr("ts DIV 86400000000000").cast("long")
+    daily = ev.groupBy("event_type", day.alias("day")).agg(
+        F.sum(_cents("value")).cast("long").alias("cents")
+    )
+    return cusum_changepoint(
+        daily, "day", "cents", group_cols=["event_type"]
+    )

@@ -378,3 +378,49 @@ def test_logrank_censoring_and_degenerate(spark):
     df2 = spark.createDataFrame(rows2, "g string, t long, e int")
     r2 = logrank_test(df2, "t", "e", "g", "A", "B").collect()[0]
     assert (r2["n_a"], r2["n_b"]) == (1, 1)
+
+
+# ---------------------------------------------------------------------------
+# cusum_changepoint
+# ---------------------------------------------------------------------------
+
+
+def test_cusum_locates_step_change(spark):
+    from legendary_data_pipeline_spark.operators.stats import (
+        cusum_changepoint,
+    )
+
+    # level 100 for days 1..10, then 200 for days 11..20: the |CUSUM|
+    # peak sits at the last pre-change day (day 10)
+    rows = [(d, 100) for d in range(1, 11)] + [
+        (d, 200) for d in range(11, 21)
+    ]
+    df = spark.createDataFrame(rows, "day long, v long")
+    out = cusum_changepoint(df, "day", "v").collect()
+    cp = [r for r in out if r["is_changepoint"]]
+    assert len(cp) == 1 and cp[0]["day"] == 10
+    # mean is 150; cusum at day 10 = 10 * (100-150) = -500
+    assert cp[0]["cusum"] == -500.0
+    # the full curve partitions: cusum at the last day returns to 0
+    last = next(r for r in out if r["day"] == 20)
+    assert last["cusum"] == 0.0
+
+
+def test_cusum_flat_series_and_groups(spark):
+    from legendary_data_pipeline_spark.operators.stats import (
+        cusum_changepoint,
+    )
+
+    rows = [("a", d, 7) for d in range(5)] + [
+        ("b", 0, 0), ("b", 1, 100), ("b", 2, 0),
+    ]
+    df = spark.createDataFrame(rows, "g string, day long, v long")
+    out = {(r["g"], r["day"]): r for r in
+           cusum_changepoint(df, "day", "v", ["g"]).collect()}
+    # flat: cusum 0 everywhere, first day flagged (documented)
+    assert all(out[("a", d)]["cusum"] == 0.0 for d in range(5))
+    assert out[("a", 0)]["is_changepoint"] is True
+    # spike group: peak |cusum| at day 0 (sum to day0 = -33.33) vs
+    # day1 (+33.33): tie on |.|, earliest day wins
+    flagged = [k for k, r in out.items() if r["g"] == "b" and r["is_changepoint"]]
+    assert flagged == [("b", 0)]
