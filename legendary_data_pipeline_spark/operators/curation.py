@@ -1275,3 +1275,132 @@ def domain_quality_gates(
         scored[domain_col].eqNullSafe(dom["__dom"]),
     ).drop("__dom")
     return joined.withColumn("kept", ~F.col("domain_flagged"))
+
+
+def mixture_allocate(
+    sources: DataFrame,
+    budget: int,
+    source_col: str = "source",
+    capacity_col: str = "capacity",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Capacity-constrained mixture allocation (water-filling): split a
+    total document budget across sources in proportion to integer
+    target weights, letting sources that run out of documents saturate
+    at capacity and redistributing their share among the rest — the
+    planning step in front of every "mix 30/30/40 but source B only
+    has 2M docs" training-mix decision (`temperature_mix` rescales
+    rates; this solves the exact COUNT allocation).
+
+    Greedy-exact algorithm, fully declarative: sort sources by
+    capacity/weight ascending (IEEE double ratio — identical order in
+    every engine — with the source id as tie-break); a source
+    saturates iff its capacity cannot absorb its proportional share of
+    what remains after all cheaper sources saturate, an EXACT integer
+    cross-product test c_i·SW_{i-1} < w_i·(N − C_{i-1}) held in
+    decimal(38,0). Unsaturated sources get floor(w_i·R / SW) of the
+    residual R, and the ≤|unsaturated| leftover goes to the largest
+    fractional remainders (w_i·R mod SW desc, source asc) — so the
+    result is integers, sums to exactly min(budget, Σcapacity), and is
+    bit-deterministic.
+
+    Rows with NULL source/capacity/weight or weight ≤ 0 or capacity
+    < 0 are dropped. Output:
+      (source, capacity, weight, allocation, saturated)
+
+    Plan: windows over the SOURCE-cardinality frame (metadata — a mix
+    table has tens of rows); the corpus is never touched.
+    """
+    n_budget = int(budget)
+    c = F.col(capacity_col).cast("decimal(38,0)")
+    w = F.col(weight_col).cast("decimal(38,0)")
+    d = sources.select(
+        F.col(source_col).alias("__src"),
+        c.alias("__c"),
+        w.alias("__w"),
+    ).where(
+        F.col("__src").isNotNull()
+        & F.col("__c").isNotNull()
+        & F.col("__w").isNotNull()
+        & (F.col("__w") > 0)
+        & (F.col("__c") >= 0)
+    )
+    ratio = F.col("__c").cast("double") / F.col("__w").cast("double")
+    w_ord = Window.orderBy(ratio.asc(), F.col("__src").asc())
+    w_before = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    cum_c_prev = F.coalesce(F.sum("__c").over(w_before), zero)
+    sw_after = (
+        F.sum("__w").over(w_all)
+        - F.coalesce(F.sum("__w").over(w_before), zero)
+        - F.col("__w")
+    )
+    n_lit = F.lit(n_budget).cast("decimal(38,0)")
+    residual_here = n_lit - cum_c_prev
+    # saturate iff the share available when this source's turn comes
+    # cannot cover its capacity: c·(sw_after + w) < w·residual
+    saturated = (
+        F.col("__c") * (sw_after + F.col("__w"))
+        < F.col("__w") * residual_here
+    )
+    ann = d.select(
+        "__src", "__c", "__w", saturated.alias("__sat")
+    )
+    sat_c = F.coalesce(
+        F.sum(F.when(F.col("__sat"), F.col("__c"))).over(w_all), zero
+    )
+    unsat_w = F.coalesce(
+        F.sum(F.when(~F.col("__sat"), F.col("__w"))).over(w_all), zero
+    )
+    r_resid = F.greatest(n_lit - sat_c, zero)
+    base_alloc = F.when(F.col("__sat"), F.col("__c")).otherwise(
+        F.floor(
+            (F.col("__w") * r_resid)
+            / F.when(unsat_w > 0, unsat_w).otherwise(F.lit(1))
+        ).cast("decimal(38,0)")
+    )
+    frac_rem = F.when(
+        ~F.col("__sat") & (unsat_w > 0),
+        (F.col("__w") * r_resid) % unsat_w,
+    ).otherwise(F.lit(-1).cast("decimal(38,0)"))
+    ann2 = ann.select(
+        "__src", "__c", "__w", "__sat",
+        base_alloc.alias("__base"),
+        frac_rem.alias("__fr"),
+        r_resid.alias("__r"),
+    )
+    leftover = (
+        F.col("__r")
+        - F.coalesce(
+            F.sum(F.when(~F.col("__sat"), F.col("__base"))).over(w_all),
+            zero,
+        )
+    )
+    rank_fr = F.row_number().over(
+        Window.orderBy(F.col("__fr").desc(), F.col("__src").asc())
+    )
+    ann3 = ann2.select(
+        "*",
+        leftover.alias("__left"),
+        rank_fr.alias("__rk"),
+    )
+    alloc = F.when(
+        ~F.col("__sat")
+        & (F.col("__rk") <= F.col("__left"))
+        & (F.col("__fr") >= 0),
+        F.col("__base") + 1,
+    ).otherwise(F.col("__base"))
+    # a +1 must never push past capacity: it cannot (a source whose
+    # proportional share reaches capacity is saturated by the test
+    # above), but least() documents the invariant defensively
+    alloc = F.least(alloc, F.col("__c"))
+    return ann3.select(
+        F.col("__src").alias(source_col),
+        F.col("__c").cast("long").alias(capacity_col),
+        F.col("__w").cast("long").alias(weight_col),
+        alloc.cast("long").alias("allocation"),
+        F.col("__sat").alias("saturated"),
+    )

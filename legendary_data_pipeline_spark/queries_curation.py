@@ -2244,3 +2244,94 @@ def curation_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return html_extract(_html_pages(docs))
+
+
+# ---------------------------------------------------------------------------
+# X164 capacity-constrained mixture allocation (round 7)
+# ---------------------------------------------------------------------------
+
+_MIXA_BUDGET = 300
+
+
+@register_shadow(
+    "curation_mixture_allocation",
+    f"""
+    WITH src AS (
+      SELECT source,
+             CAST(COUNT(*) AS HUGEINT) AS c,
+             CAST(CAST(substr(source, 4, 1) AS INTEGER) + 1 AS HUGEINT) AS w
+      FROM documents WHERE source IS NOT NULL GROUP BY 1),
+    ordered AS (
+      SELECT *,
+             COALESCE(SUM(c) OVER (ORDER BY CAST(c AS DOUBLE)
+                 / CAST(w AS DOUBLE) ASC, source ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS cum_c_prev,
+             SUM(w) OVER ()
+               - COALESCE(SUM(w) OVER (ORDER BY CAST(c AS DOUBLE)
+                   / CAST(w AS DOUBLE) ASC, source ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               - w AS sw_after
+      FROM src),
+    flagged AS (
+      SELECT *,
+             c * (sw_after + w) < w * ({_MIXA_BUDGET} - cum_c_prev) AS sat
+      FROM ordered),
+    tot AS (
+      SELECT *,
+             COALESCE(SUM(CASE WHEN sat THEN c END) OVER (), 0) AS sat_c,
+             COALESCE(SUM(CASE WHEN NOT sat THEN w END) OVER (), 0)
+               AS unsat_w
+      FROM flagged),
+    based AS (
+      SELECT *,
+             GREATEST({_MIXA_BUDGET} - sat_c, 0) AS r,
+             CASE WHEN sat THEN c
+                  ELSE CAST(floor((w * GREATEST({_MIXA_BUDGET} - sat_c, 0))
+                       / (CASE WHEN unsat_w > 0 THEN unsat_w ELSE 1 END))
+                    AS HUGEINT)
+             END AS base,
+             CASE WHEN NOT sat AND unsat_w > 0
+                  THEN (w * GREATEST({_MIXA_BUDGET} - sat_c, 0)) % unsat_w
+                  ELSE -1 END AS fr
+      FROM tot),
+    lefted AS (
+      SELECT *,
+             r - COALESCE(SUM(CASE WHEN NOT sat THEN base END) OVER (), 0)
+               AS leftover,
+             ROW_NUMBER() OVER (ORDER BY fr DESC, source ASC) AS rk
+      FROM based)
+    SELECT source,
+           CAST(c AS BIGINT) AS capacity,
+           CAST(w AS BIGINT) AS weight,
+           CAST(LEAST(CASE WHEN NOT sat AND rk <= leftover AND fr >= 0
+                           THEN base + 1 ELSE base END, c) AS BIGINT)
+             AS allocation,
+           sat AS saturated
+    FROM lefted
+    """,
+    doc="Capacity-constrained mixture allocation (X164): water-fill a "
+    "300-doc budget across sources proportional to integer weights, "
+    "saturating sources that run out and redistributing their share — "
+    "the exact-COUNT planning step in front of every training-mix "
+    "decision (temperature_mix rescales rates; this allocates counts). "
+    "Ratio-sorted greedy with exact decimal(38,0) cross-product "
+    "saturation tests, floor shares + largest-remainder distribution: "
+    "integer allocations that sum to exactly min(budget, total "
+    "capacity), bit-deterministic. Source-cardinality windows only; "
+    "the corpus contributes one per-source count.",
+)
+def curation_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("source").isNotNull()
+    )
+    src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("capacity")
+    ).select(
+        "source",
+        "capacity",
+        (F.substring("source", 4, 1).cast("int") + 1).cast("long").alias(
+            "weight"
+        ),
+    )
+    return C.mixture_allocate(src, budget=_MIXA_BUDGET)
