@@ -171,3 +171,34 @@ def test_compaction_with_sort_key_restores_clustering(spark, tmp_path):
     assert len(files) == 1  # tiny table → single target file
     got = spark.read.parquet(out)
     assert got.count() == 5000
+
+
+def test_checksum_invariant_across_storage_formats(spark, tmp_path):
+    """The migration-validation primitive end-to-end across FORMATS:
+    the same rows written as parquet and ORC produce the identical
+    order-independent checksum — exactly the check a real
+    format/engine migration runs on both sides."""
+    from pyspark.sql import functions as F
+
+    from legendary_data_pipeline_spark.operators.profiling import (
+        table_checksum,
+    )
+
+    df = spark.range(5_000).select(
+        F.col("id"),
+        (F.col("id") % 97).cast("string").alias("s"),
+        (F.col("id") * 13 % 10_000).alias("cents"),
+    )
+    pq, orc = str(tmp_path / "t_pq"), str(tmp_path / "t_orc")
+    df.write.parquet(pq)
+    df.write.orc(orc)
+    cols = ["id", "s", "cents"]
+    a = table_checksum(spark.read.parquet(pq), cols).collect()[0]
+    b = table_checksum(spark.read.orc(orc), cols).collect()[0]
+    assert (a.n_rows, a.checksum) == (b.n_rows, b.checksum)
+    # and a single-cell mutation on one side is caught
+    mutated = spark.read.orc(orc).withColumn(
+        "cents", F.when(F.col("id") == 4_999, F.col("cents") + 1).otherwise(F.col("cents"))
+    )
+    c = table_checksum(mutated, cols).collect()[0]
+    assert c.checksum != a.checksum
