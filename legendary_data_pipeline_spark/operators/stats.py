@@ -1757,16 +1757,18 @@ def logrank_test(
     )
 
 
-def cusum_changepoint(
+def cusum_curve(
     df: DataFrame,
     order_col: str,
     value_col: str,
     group_cols: Sequence[str] = (),
     round_digits: int = 6,
 ) -> DataFrame:
-    """CUSUM changepoint localization for an ordered series — WHERE did
-    the level of a daily metric shift? (The monitoring companion to the
-    drift tests, which say THAT two snapshots differ but not when.)
+    """Full CUSUM CURVE for an ordered series, with the changepoint
+    flagged in place — the plottable per-point companion to
+    `cusum_changepoint` above (which reduces each group to a 1-row
+    summary: change_x, peak, means before/after). Use the summary for
+    alerting, this curve for dashboards and post-mortems.
 
         cusum_k = Σ_{i ≤ k} (x_i − x̄)
 

@@ -3794,7 +3794,8 @@ def sv_logrank_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM mx
     """,
     doc="CUSUM changepoint localization of each event type's daily "
-    "value series (X163) — WHERE did the level shift? cusum_k = "
+    "value series (X163) — the plottable per-point companion to the "
+    "1-row ts_cusum_changepoint summary. cusum_k = "
     "cumulative sum of (x - mean), kept exact by integer scaling "
     "(n*x_i - S per step in decimal(38,0)) so the argmax that picks "
     "the changepoint is bit-deterministic; the reported value divides "
@@ -3803,9 +3804,7 @@ def sv_logrank_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the drift tests only say THAT.",
 )
 def ts_cusum_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from legendary_data_pipeline_spark.operators.stats import (
-        cusum_changepoint,
-    )
+    from legendary_data_pipeline_spark.operators.stats import cusum_curve
 
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("value").isNotNull()
@@ -3814,6 +3813,4 @@ def ts_cusum_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy("event_type", day.alias("day")).agg(
         F.sum(_cents("value")).cast("long").alias("cents")
     )
-    return cusum_changepoint(
-        daily, "day", "cents", group_cols=["event_type"]
-    )
+    return cusum_curve(daily, "day", "cents", group_cols=["event_type"])

@@ -381,14 +381,12 @@ def test_logrank_censoring_and_degenerate(spark):
 
 
 # ---------------------------------------------------------------------------
-# cusum_changepoint
+# cusum_curve (per-point companion to the 1-row cusum_changepoint summary)
 # ---------------------------------------------------------------------------
 
 
 def test_cusum_locates_step_change(spark):
-    from legendary_data_pipeline_spark.operators.stats import (
-        cusum_changepoint,
-    )
+    from legendary_data_pipeline_spark.operators.stats import cusum_curve
 
     # level 100 for days 1..10, then 200 for days 11..20: the |CUSUM|
     # peak sits at the last pre-change day (day 10)
@@ -396,7 +394,7 @@ def test_cusum_locates_step_change(spark):
         (d, 200) for d in range(11, 21)
     ]
     df = spark.createDataFrame(rows, "day long, v long")
-    out = cusum_changepoint(df, "day", "v").collect()
+    out = cusum_curve(df, "day", "v").collect()
     cp = [r for r in out if r["is_changepoint"]]
     assert len(cp) == 1 and cp[0]["day"] == 10
     # mean is 150; cusum at day 10 = 10 * (100-150) = -500
@@ -407,16 +405,14 @@ def test_cusum_locates_step_change(spark):
 
 
 def test_cusum_flat_series_and_groups(spark):
-    from legendary_data_pipeline_spark.operators.stats import (
-        cusum_changepoint,
-    )
+    from legendary_data_pipeline_spark.operators.stats import cusum_curve
 
     rows = [("a", d, 7) for d in range(5)] + [
         ("b", 0, 0), ("b", 1, 100), ("b", 2, 0),
     ]
     df = spark.createDataFrame(rows, "g string, day long, v long")
     out = {(r["g"], r["day"]): r for r in
-           cusum_changepoint(df, "day", "v", ["g"]).collect()}
+           cusum_curve(df, "day", "v", ["g"]).collect()}
     # flat: cusum 0 everywhere, first day flagged (documented)
     assert all(out[("a", d)]["cusum"] == 0.0 for d in range(5))
     assert out[("a", 0)]["is_changepoint"] is True
