@@ -584,6 +584,68 @@ def cmd_sql(spark: SparkSession, args) -> int:
     return 0
 
 
+def cmd_stats(spark: SparkSession, args) -> int:
+    """Statistical analyses over a parquet table — the CLI face of the
+    operators/stats.py family. One metric per invocation:
+
+      corr | spearman  --cols a,b,c        pairwise matrices
+      kendall          --cols a,b          tau-b for one ordinal pair
+      gini             --cols v [--group g]  concentration per group
+      cusum            --cols order,value [--group g]  changepoint curve
+      km               --cols duration,event  Kaplan-Meier curve
+
+    Results stream to stdout as JSON lines (or --out parquet). Exact
+    cross-engine-deterministic math throughout — see each operator's
+    docstring for the plan shape.
+    """
+    import json as _json
+
+    from legendary_data_pipeline_spark.operators import stats as S
+
+    df = spark.read.parquet(args.input)
+    cols = args.cols.split(",") if args.cols else []
+    groups = args.group.split(",") if args.group else []
+    m = args.metric
+    if m in ("corr", "spearman"):
+        if len(cols) < 2:
+            raise SystemExit(f"{m} needs --cols with >= 2 columns")
+        fn = S.correlation_matrix if m == "corr" else S.spearman_matrix
+        result = fn(df, cols)
+    elif m == "kendall":
+        if len(cols) != 2:
+            raise SystemExit("kendall needs --cols a,b (exactly two)")
+        result = S.kendall_tau_b(df, cols[0], cols[1])
+    elif m == "gini":
+        if len(cols) != 1:
+            raise SystemExit("gini needs --cols v (exactly one)")
+        result = S.gini_concentration(df, cols[0], group_cols=groups)
+    elif m == "cusum":
+        if len(cols) != 2:
+            raise SystemExit("cusum needs --cols order,value")
+        result = S.cusum_curve(df, cols[0], cols[1], group_cols=groups)
+    elif m == "km":
+        if len(cols) != 2:
+            raise SystemExit("km needs --cols duration,event")
+        result = S.kaplan_meier(df, cols[0], cols[1])
+    else:  # pragma: no cover - argparse choices guard this
+        raise SystemExit(f"unknown metric {m!r}")
+    if args.out:
+        result.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(_json.dumps({"job": "stats", "metric": m, "rows": n,
+                           "out": args.out}))
+        return 0
+    shown = 0
+    for row in result.limit(args.limit).toJSON().toLocalIterator():
+        print(row)
+        shown += 1
+    print(
+        _json.dumps({"job": "stats", "metric": m, "rows_shown": shown}),
+        file=sys.stderr,
+    )
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(prog="legendary_data_pipeline_spark")
     parser.add_argument("--master", default=None)
@@ -741,6 +803,27 @@ def build_parser() -> argparse.ArgumentParser:
         "(0.25 = the standard 'population shifted' bar)",
     )
     p.set_defaults(fn=cmd_dq)
+
+    p = sub.add_parser("stats")
+    # no --warehouse: a pure read-side analysis needs only its input
+    p.add_argument("--input", required=True, help="parquet table")
+    p.add_argument(
+        "--metric", required=True,
+        choices=["corr", "spearman", "kendall", "gini", "cusum", "km"],
+    )
+    p.add_argument(
+        "--cols", required=True,
+        help="comma list; meaning depends on --metric (see docs)",
+    )
+    p.add_argument(
+        "--group", default=None, help="comma list of grouping columns"
+    )
+    p.add_argument("--out", default=None, help="write result parquet here")
+    p.add_argument(
+        "--limit", type=int, default=1000,
+        help="max rows printed to stdout (ignored with --out)",
+    )
+    p.set_defaults(fn=cmd_stats)
 
     p = sub.add_parser("sql")
     common(p)

@@ -195,3 +195,52 @@ def test_dq_drift_requires_col(spark, tmp_path):
             "dq", "--warehouse", str(tmp_path / "wh"), "--input", base,
             "--drift-baseline", base,
         ])
+
+
+def test_stats_cli_metrics(spark, tmp_path, capsys):
+    import json as _json
+
+    table = str(tmp_path / "st")
+    spark.createDataFrame(
+        [(float(i), float(i * i), ("g1" if i < 50 else "g2"), i, i % 2)
+         for i in range(100)],
+        "x double, y double, g string, t long, e int",
+    ).write.parquet(table)
+
+    rc = _run(spark, [
+        "stats", "--input", table, "--metric", "spearman",
+        "--cols", "x,y",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    row = _json.loads(out[0])
+    assert row["col_a"] == "x" and row["rho"] == 1.0  # monotone
+
+    rc = _run(spark, [
+        "stats", "--input", table, "--metric", "gini",
+        "--cols", "t", "--group", "g",
+    ])
+    assert rc == 0
+    rows = [_json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert {r["g"] for r in rows} == {"g1", "g2"}
+
+    out_path = str(tmp_path / "km_out")
+    rc = _run(spark, [
+        "stats", "--input", table, "--metric", "km",
+        "--cols", "t,e", "--out", out_path,
+    ])
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["metric"] == "km" and summary["rows"] > 0
+    assert spark.read.parquet(out_path).count() == summary["rows"]
+
+
+def test_stats_cli_validates_cols(spark, tmp_path):
+    import pytest as _pytest
+
+    table = str(tmp_path / "st2")
+    spark.createDataFrame([(1.0, 2.0)], "x double, y double").write.parquet(table)
+    with _pytest.raises(SystemExit, match="exactly two"):
+        _run(spark, [
+            "stats", "--input", table, "--metric", "kendall", "--cols", "x",
+        ])
