@@ -222,3 +222,104 @@ def test_round6_ops_on_empty_inputs(spark):
     ).count() == 0
     t = spark.createDataFrame([], "k long, v long")
     assert table_diff(t, t, ["k"]).count() == 0
+
+
+def test_round7_operators_on_empty_inputs(spark):
+    """Every round-7 operator must yield an empty (or well-defined
+    1-row NULL-stat) result on empty input, never raise."""
+    from pyspark.sql import functions as F
+
+    from legendary_data_pipeline_spark.operators.clustering import (
+        cluster_fixed_balanced_take_n,
+        fixed_codebook_assign,
+    )
+    from legendary_data_pipeline_spark.operators.curation import (
+        mixture_allocate,
+    )
+    from legendary_data_pipeline_spark.operators.intervals import (
+        interval_coverage,
+        merge_intervals,
+    )
+    from legendary_data_pipeline_spark.operators.lm import (
+        unigram_surprisal_gate,
+    )
+    from legendary_data_pipeline_spark.operators.mleval import (
+        two_proportion_test,
+        woe_iv,
+    )
+    from legendary_data_pipeline_spark.operators.profiling import (
+        ks_two_sample,
+        psi_drift,
+    )
+    from legendary_data_pipeline_spark.operators.scd import (
+        scd2_apply_changelog,
+        scd2_from_changelog,
+    )
+    from legendary_data_pipeline_spark.operators.similarity import (
+        embedding_quality_report,
+        semdedup_fixed,
+    )
+    from legendary_data_pipeline_spark.operators.stats import (
+        cusum_curve,
+        gini_concentration,
+        kaplan_meier,
+        kendall_tau_b,
+        logrank_test,
+        spearman_matrix,
+    )
+    from legendary_data_pipeline_spark.operators.textstats import (
+        ngram_novelty,
+        script_profile,
+    )
+
+    num = spark.createDataFrame([], "x double, y double")
+    r = spearman_matrix(num, ["x", "y"]).first()
+    assert r["n"] == 0 and r["rho"] is None
+    ab = spark.createDataFrame([], "a long, b long")
+    r = kendall_tau_b(ab, "a", "b").first()
+    assert r["tau_b"] is None
+    v = spark.createDataFrame([], "v long")
+    r = gini_concentration(v, "v").first()  # global form: 1 summary row
+    assert r["gini"] is None and (r["n"] is None or r["n"] == 0)
+    cat = spark.createDataFrame([], "cat string, lab int")
+    assert woe_iv(cat, "cat", "lab").count() == 0
+    r = two_proportion_test(cat, "cat", "lab", "a", "b").first()
+    assert r["n_a"] == 0 and r["z"] is None
+    te = spark.createDataFrame([], "t long, e int")
+    assert kaplan_meier(te, "t", "e").count() == 0
+    ge = spark.createDataFrame([], "g string, t long, e int")
+    r = logrank_test(ge, "t", "e", "g", "a", "b").first()
+    assert r["z"] is None
+    dv = spark.createDataFrame([], "day long, v long")
+    assert cusum_curve(dv, "day", "v").count() == 0
+    sp = spark.createDataFrame([], "k string, start long, end long")
+    assert merge_intervals(sp, ["k"]).count() == 0
+    assert interval_coverage(sp, ["k"]).count() == 0
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert ngram_novelty(docs).count() == 0
+    assert script_profile(docs).count() == 0
+    emb = spark.createDataFrame(
+        [], "vec_id long, label string, embedding array<double>"
+    )
+    assert embedding_quality_report(emb, expected_dim=2).count() == 0
+    assert fixed_codebook_assign(emb, 4).count() == 0
+    assert cluster_fixed_balanced_take_n(emb, 5, 4).count() == 0
+    assert semdedup_fixed(emb, 4).count() == 0
+    log = spark.createDataFrame([], "k string, t long, s string")
+    scd = scd2_from_changelog(log, ["k"], "t", ["s"])
+    assert scd.count() == 0
+    assert scd2_apply_changelog(scd, log, ["k"], "t", ["s"]).count() == 0
+    src = spark.createDataFrame(
+        [], "source string, capacity long, weight long"
+    )
+    assert mixture_allocate(src, 100).count() == 0
+    trusted = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    assert unigram_surprisal_gate(docs, trusted, 10**9).count() == 0
+    # psi/ks deliberately RAISE on empty sides (the alert contract)
+    import pytest as _pytest
+
+    one = spark.createDataFrame([("a",)], "v string")
+    with _pytest.raises(ValueError):
+        psi_drift(one, one.filter(F.lit(False)), "v")
+    with _pytest.raises(ValueError):
+        ks_two_sample(one.selectExpr("1 as n"), one.selectExpr("1 as n").filter(F.lit(False)), F.col("n"))
