@@ -1835,3 +1835,73 @@ def cusum_curve(
         cusum.alias("cusum"),
         (first_at_max == 1).alias("is_changepoint"),
     )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    group_col: Column,
+    post_col: Column,
+    value_col: Column,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Difference-in-differences estimate of a treatment effect:
+
+        did = (ȳ_treat,post − ȳ_treat,pre) − (ȳ_ctrl,post − ȳ_ctrl,pre)
+
+    the before/after comparison that nets out the secular trend the
+    control group also experienced — the standard readout for "we
+    changed X for segment A on date D; did it move the metric beyond
+    what happened anyway?".
+
+    ``group_col`` must be 0/1 (1 = treated), ``post_col`` 0/1 (1 =
+    after the intervention), ``value_col`` integer (cents convention).
+    Rows with a NULL in any of the three drop. All four cell sums and
+    counts are exact integers from ONE aggregation; the four means and
+    the estimate are fixed IEEE divisions under round(6). Any empty
+    cell yields NULL did (the design is incomplete, not zero-effect).
+
+    Output (1 row): n_tp, n_tc, n_cp, n_cc (cell counts:
+    treated/control × post/pre), mean_treat_post, mean_treat_pre,
+    mean_ctrl_post, mean_ctrl_pre, did.
+    """
+    g = group_col.cast("long")
+    p = post_col.cast("long")
+    v = value_col.cast("decimal(38,0)")
+    d = df.select(g.alias("__g"), p.alias("__p"), v.alias("__v")).where(
+        g.isNotNull() & p.isNotNull() & v.isNotNull()
+    )
+
+    def cell(gv: int, pv: int, what: str) -> Column:
+        m = (F.col("__g") == gv) & (F.col("__p") == pv)
+        if what == "n":
+            return F.coalesce(F.sum(m.cast("long")), F.lit(0)).cast("long")
+        return F.sum(F.when(m, F.col("__v"))).cast("decimal(38,0)")
+
+    agg = d.agg(
+        cell(1, 1, "n").alias("n_tp"),
+        cell(1, 0, "n").alias("n_tc"),
+        cell(0, 1, "n").alias("n_cp"),
+        cell(0, 0, "n").alias("n_cc"),
+        cell(1, 1, "s").alias("__s_tp"),
+        cell(1, 0, "s").alias("__s_tc"),
+        cell(0, 1, "s").alias("__s_cp"),
+        cell(0, 0, "s").alias("__s_cc"),
+    )
+
+    def mean(s: str, n: str) -> Column:
+        return F.when(
+            F.col(n) > 0,
+            F.col(s).cast("double") / F.col(n).cast("double"),
+        )
+
+    m_tp, m_tc = mean("__s_tp", "n_tp"), mean("__s_tc", "n_tc")
+    m_cp, m_cc = mean("__s_cp", "n_cp"), mean("__s_cc", "n_cc")
+    did = (m_tp - m_tc) - (m_cp - m_cc)
+    return agg.select(
+        "n_tp", "n_tc", "n_cp", "n_cc",
+        F.round(m_tp, round_digits).alias("mean_treat_post"),
+        F.round(m_tc, round_digits).alias("mean_treat_pre"),
+        F.round(m_cp, round_digits).alias("mean_ctrl_post"),
+        F.round(m_cc, round_digits).alias("mean_ctrl_pre"),
+        F.round(did, round_digits).alias("did"),
+    )

@@ -3814,3 +3814,70 @@ def ts_cusum_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_cents("value")).cast("long").alias("cents")
     )
     return cusum_curve(daily, "day", "cents", group_cols=["event_type"])
+
+
+# ---------------------------------------------------------------------------
+# X165 difference-in-differences (round 7)
+# ---------------------------------------------------------------------------
+
+
+@register_shadow(
+    "st_did_urgent_orders",
+    f"""
+    WITH base AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g,
+             CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+                  THEN 1 ELSE 0 END AS p,
+             CAST({_cents_sql("o_totalprice")} AS HUGEINT) AS v
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL),
+    agg AS (
+      SELECT
+        CAST(SUM(CASE WHEN g = 1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_tp,
+        CAST(SUM(CASE WHEN g = 1 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_tc,
+        CAST(SUM(CASE WHEN g = 0 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_cp,
+        CAST(SUM(CASE WHEN g = 0 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_cc,
+        SUM(CASE WHEN g = 1 AND p = 1 THEN v END) AS s_tp,
+        SUM(CASE WHEN g = 1 AND p = 0 THEN v END) AS s_tc,
+        SUM(CASE WHEN g = 0 AND p = 1 THEN v END) AS s_cp,
+        SUM(CASE WHEN g = 0 AND p = 0 THEN v END) AS s_cc
+      FROM base)
+    SELECT n_tp, n_tc, n_cp, n_cc,
+           round(CAST(s_tp AS DOUBLE) / CAST(n_tp AS DOUBLE), 6)
+             AS mean_treat_post,
+           round(CAST(s_tc AS DOUBLE) / CAST(n_tc AS DOUBLE), 6)
+             AS mean_treat_pre,
+           round(CAST(s_cp AS DOUBLE) / CAST(n_cp AS DOUBLE), 6)
+             AS mean_ctrl_post,
+           round(CAST(s_cc AS DOUBLE) / CAST(n_cc AS DOUBLE), 6)
+             AS mean_ctrl_pre,
+           round((CAST(s_tp AS DOUBLE) / CAST(n_tp AS DOUBLE)
+                  - CAST(s_tc AS DOUBLE) / CAST(n_tc AS DOUBLE))
+                 - (CAST(s_cp AS DOUBLE) / CAST(n_cp AS DOUBLE)
+                    - CAST(s_cc AS DOUBLE) / CAST(n_cc AS DOUBLE)), 6)
+             AS did
+    FROM agg
+    """,
+    doc="Difference-in-differences of order value (cents): did URGENT "
+    "orders' average value move after 1997 beyond the trend every "
+    "other order also experienced? (X165 — the causal readout that "
+    "nets out the secular trend the two-proportion test cannot.) Four "
+    "exact integer cell sums from ONE aggregation; means and the "
+    "estimate are fixed IEEE divisions under round(6).",
+)
+def st_did_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.stats import diff_in_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    return diff_in_diff(
+        orders,
+        (F.col("o_orderpriority") == "1-URGENT").cast("int"),
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")).cast(
+            "int"
+        ),
+        _cents("o_totalprice"),
+    )

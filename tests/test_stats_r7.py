@@ -420,3 +420,36 @@ def test_cusum_flat_series_and_groups(spark):
     # day1 (+33.33): tie on |.|, earliest day wins
     flagged = [k for k, r in out.items() if r["g"] == "b" and r["is_changepoint"]]
     assert flagged == [("b", 0)]
+
+
+# ---------------------------------------------------------------------------
+# diff_in_diff
+# ---------------------------------------------------------------------------
+
+
+def test_did_hand_computed(spark):
+    from legendary_data_pipeline_spark.operators.stats import diff_in_diff
+
+    # treated: 100 -> 160 (+60); control: 50 -> 80 (+30) → did = +30
+    rows = (
+        [(1, 0, 100)] * 4 + [(1, 1, 160)] * 2
+        + [(0, 0, 50)] * 3 + [(0, 1, 80)] * 6
+    )
+    df = spark.createDataFrame(rows, "g int, p int, v long")
+    r = diff_in_diff(df, F.col("g"), F.col("p"), F.col("v")).collect()[0]
+    assert (r["n_tp"], r["n_tc"], r["n_cp"], r["n_cc"]) == (2, 4, 6, 3)
+    assert r["mean_treat_post"] == 160.0 and r["mean_ctrl_pre"] == 50.0
+    assert r["did"] == 30.0
+
+
+def test_did_missing_cell_is_null_and_null_rows_drop(spark):
+    from legendary_data_pipeline_spark.operators.stats import diff_in_diff
+
+    rows = [(1, 1, 10), (0, 0, 5), (0, 1, 6), (None, 1, 9), (1, None, 9)]
+    df = spark.createDataFrame(rows, "g int, p int, v long")
+    r = diff_in_diff(df, F.col("g"), F.col("p"), F.col("v")).collect()[0]
+    # treated-pre cell empty → incomplete design → NULL did
+    assert r["n_tc"] == 0 and r["did"] is None
+    assert r["mean_treat_pre"] is None
+    # NULL-keyed rows were excluded from every cell
+    assert (r["n_tp"], r["n_cp"], r["n_cc"]) == (1, 1, 1)
