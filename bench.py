@@ -21,7 +21,10 @@ import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from legendary_data_pipeline_spark.queries import REGISTRY  # noqa: E402
+from legendary_data_pipeline_spark.queries import (  # noqa: E402
+    REGISTRY,
+    SHADOW_REGISTRY,
+)
 from legendary_data_pipeline_spark.session import get_spark  # noqa: E402
 
 
@@ -55,6 +58,12 @@ PINNED_R6 = PINNED_R1 + [
     "sk_hll_distinct_users", "sk_theta_audience_overlap",
     "st_mad_outliers",
 ]
+PINNED_R7 = PINNED_R6 + [
+    "curation_c4_gates", "curation_c4_span_dedup", "curation_html_extract",
+    "gr_copurchase_triangles", "ml_auc_by_segment", "ml_langid_confusion",
+    "ret_rrf_fusion", "sk_cms_partkey_freq", "ss_prefix_jaccard_pairs",
+    "st_correlation_matrix",
+]
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -71,12 +80,20 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     only = os.environ.get("LDP_BENCH_QUERIES")
-    names = sorted(only.split(",")) if only else sorted(REGISTRY)
-    unknown = [n for n in names if n not in REGISTRY]
+    # The gate rotates every round, but the pinned comparison series must
+    # keep timing the SAME queries forever — so the default bench set is
+    # the current gate PLUS any pinned names the rotation has since
+    # demoted to the shadow registry (their specs are unchanged there).
+    specs = {**SHADOW_REGISTRY, **REGISTRY}
+    if only:
+        names = sorted(only.split(","))
+    else:
+        names = sorted(set(REGISTRY) | set(PINNED_R7))
+    unknown = [n for n in names if n not in specs]
     if unknown:
         sys.exit(
             f"unknown query names in LDP_BENCH_QUERIES: {unknown}; "
-            f"available: {sorted(REGISTRY)}"
+            f"available: {sorted(specs)}"
         )
 
     spark = get_spark(
@@ -124,35 +141,31 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     def run_once(name: str) -> float:
-        spec = REGISTRY[name]
+        spec = specs[name]
         start = time.perf_counter()
         df = spec.spark_fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - start
 
-    # Repeat-and-take-min for non-trivial queries: this box is a shared
-    # VM and single runs see 2-5x co-tenant noise spikes (NOTES.md);
-    # the min over two runs measures the engine, not the neighbor. The
-    # threshold bounds added wall time to the handful of heavy queries.
-    # Caches are cleared between runs so the rerun is data-cold (several
-    # dedup queries .cache() intermediates; without this the second run
-    # would time a cache hit, not the pipeline) — and after each query so
-    # cached blocks never accumulate across the bench.
-    RERUN_THRESHOLD_SEC = 1.5
-    # A second rerun for queries whose min-of-2 is still heavy: the
-    # handful of multi-second queries are exactly where a single
-    # co-tenant spike distorts the round-over-round comparison most,
-    # and one extra repeat of ~6 queries bounds the added wall time.
+    # Universal min-of-2 (round-8 bench hygiene): this box is a shared
+    # VM and single runs see 2-5x co-tenant noise spikes (NOTES.md), so
+    # every query is timed twice and the min recorded — the min over two
+    # runs measures the engine, not the neighbor. Heavy queries get a
+    # third run, since multi-second timings are exactly where one spike
+    # distorts the round-over-round comparison most. Caches are cleared
+    # between runs so the rerun is data-cold (several dedup queries
+    # .cache() intermediates; without this the second run would time a
+    # cache hit, not the pipeline) — and after each query so cached
+    # blocks never accumulate across the bench.
     THIRD_RUN_THRESHOLD_SEC = 2.5
     timings: dict[str, float] = {}
     for name in names:
         t = run_once(name)
-        if t > RERUN_THRESHOLD_SEC:
+        spark.catalog.clearCache()
+        t = min(t, run_once(name))
+        if t > THIRD_RUN_THRESHOLD_SEC:
             spark.catalog.clearCache()
             t = min(t, run_once(name))
-            if t > THIRD_RUN_THRESHOLD_SEC:
-                spark.catalog.clearCache()
-                t = min(t, run_once(name))
         spark.catalog.clearCache()
         timings[name] = round(t, 3)
 
@@ -175,6 +188,7 @@ def main() -> None:
                 "sf": _sf_from_dir(sf_dir),
                 "pinned_r1": _pinned(PINNED_R1),
                 "pinned_r6": _pinned(PINNED_R6),
+                "pinned_r7": _pinned(PINNED_R7),
             }
         )
     )

@@ -606,6 +606,14 @@ def cmd_stats(spark: SparkSession, args) -> int:
     cols = args.cols.split(",") if args.cols else []
     groups = args.group.split(",") if args.group else []
     m = args.metric
+    # Fail loud, not silent: only gini and cusum support grouping.
+    # Accepting-and-ignoring --group for the others would hand back
+    # ungrouped results the user believes are per-group.
+    if groups and m not in ("gini", "cusum"):
+        raise SystemExit(
+            f"--group is not supported for metric {m!r} "
+            "(grouping applies to: gini, cusum)"
+        )
     if m in ("corr", "spearman"):
         if len(cols) < 2:
             raise SystemExit(f"{m} needs --cols with >= 2 columns")

@@ -101,7 +101,13 @@ def auc_by_group(
         F.sum("__neg").cast("long").alias("n_neg"),
         F.sum("__num2").cast("decimal(38,0)").alias("__num2"),
     )
-    denom = F.lit(2) * F.col("n_pos") * F.col("n_neg")
+    # Denominator in decimal(38,0) too: 2*P*N wraps int64 at exactly
+    # the same ~2e9-per-class scale the numerator guards against.
+    denom = (
+        F.lit(2).cast("decimal(38,0)")
+        * F.col("n_pos").cast("decimal(38,0)")
+        * F.col("n_neg").cast("decimal(38,0)")
+    )
     auc = F.when(
         denom > 0,
         F.round(F.col("__num2").cast("double") / denom.cast("double"), 6),

@@ -808,6 +808,16 @@ def correlation_matrix(
     Output: (col_a, col_b, n, corr) for each unordered pair, col_a <
     col_b in `cols` order. Zero-variance columns yield NULL corr.
 
+    Input bound: values are quantized via decimal(18,scale), so
+    |v| must be < 10^(18-scale) (10^14 at the default scale=4);
+    larger magnitudes overflow the cast to NULL in non-ANSI mode and
+    are then DROPPED by the listwise filter. The 18-digit width is
+    deliberate — it keeps every product (x·x, x·y) exactly
+    representable in decimal(38,2·scale), which is what makes the
+    moments order-independent. For wider-range data, pre-scale the
+    column (divide by a power of ten) before calling; Pearson
+    correlation is invariant under positive linear rescaling.
+
     Scale: one partial-aggregable global Aggregate (p + p(p+1)/2
     decimal sums for p columns — all map-side combinable); the reshape
     to pair rows happens on the 1-row result. One scan, no shuffle
@@ -1097,8 +1107,13 @@ def spearman_matrix(
     """
     if len(cols) < 2:
         raise ValueError("spearman_matrix needs at least two columns")
+    # decimal(38,scale), not 18: with the default scale=4 an 18-digit
+    # decimal overflows to NULL for |v| >= 10^14 in non-ANSI mode, and
+    # the listwise NULL filter below would then silently DROP that row,
+    # changing n and rho with no warning. 38 digits admit |v| < 10^(38-
+    # scale) — beyond any double that still has integer-scale precision.
     base = df.select(
-        *[F.col(c).cast(f"decimal(18,{scale})").alias(c) for c in cols]
+        *[F.col(c).cast(f"decimal(38,{scale})").alias(c) for c in cols]
     )
     notnull = F.lit(True)
     for c in cols:
@@ -1577,6 +1592,8 @@ def kaplan_meier(
     duration_col: str,
     event_col: str,
     round_digits: int = 6,
+    bucket: int | None = None,
+    max_distinct_times: int = 200_000,
 ) -> DataFrame:
     """Kaplan–Meier survival curve with right censoring — the
     retention/churn estimator that plain "fraction alive at t" gets
@@ -1606,8 +1623,26 @@ def kaplan_meier(
     Plan: one groupBy to the distinct-time frame (map-side combinable),
     cumulative windows over it (cardinality-sized — the spearman
     construction), no joins.
+
+    Guard (round 8): those cumulative windows run through ONE
+    partition, which is only safe while the distinct-time frame stays
+    cardinality-sized. Day- or hour-granularity durations are fine;
+    raw second/nanosecond timestamps make the frame ~the subject
+    count. So either pass ``bucket`` (an integer width — durations
+    are floored to multiples of it before grouping, e.g. 86400 for
+    day buckets over second durations) or accept the in-plan
+    cardinality check: if the distinct-time count exceeds
+    ``max_distinct_times`` and no bucket was given, the job FAILS
+    with a message naming the fix, instead of silently funnelling
+    the dataset through one partition. The guard costs one count
+    over the already-built frame — no extra scan, no eager job.
     """
     t = F.col(duration_col)
+    if bucket is not None:
+        if int(bucket) <= 0:
+            raise ValueError(f"bucket must be a positive integer, got {bucket}")
+        t = (F.floor(t.cast("long") / F.lit(int(bucket)))
+             * F.lit(int(bucket))).cast("long")
     ev = F.col(event_col).cast("long")
     d = df.select(t.alias("__t"), ev.alias("__e")).where(
         t.isNotNull() & ev.isNotNull()
@@ -1619,6 +1654,29 @@ def kaplan_meier(
     w_all = Window.partitionBy().rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
+    if bucket is None:
+        n_times = F.count(F.lit(1)).over(w_all)
+        # Guard rides on n_events (already long — schema unchanged),
+        # not the time key, so orderings and the output type of `t`
+        # are untouched when the guard does not fire.
+        per_t = per_t.select(
+            "__t",
+            F.when(
+                n_times > max_distinct_times,
+                F.raise_error(F.concat(
+                    F.lit("kaplan_meier: "),
+                    n_times.cast("string"),
+                    F.lit(
+                        f" distinct exit times exceeds the "
+                        f"{max_distinct_times}-row single-partition window "
+                        "budget — pass bucket=<integer duration width> "
+                        "(e.g. 86400 for day buckets over second "
+                        "durations) or raise max_distinct_times"
+                    ),
+                )).cast("long"),
+            ).otherwise(F.col("n_events")).alias("n_events"),
+            "n_censored",
+        )
     w_before = Window.orderBy(F.col("__t").asc()).rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -1669,6 +1727,8 @@ def logrank_test(
     group_a,
     group_b,
     round_digits: int = 6,
+    bucket: int | None = None,
+    max_distinct_times: int = 200_000,
 ) -> DataFrame:
     """Two-group log-rank test — "do these retention curves differ?"
     for the Kaplan–Meier setting (censoring-aware, the standard
@@ -1691,8 +1751,18 @@ def logrank_test(
     Output (1 row): n_a, n_b, events_a, events_b, exp_a, z, chi2 —
     sign of z: positive means group A had MORE events than expected
     (worse survival). NULL z/chi2 when V = 0 (no comparable times).
+
+    Guard (round 8): same single-partition distinct-time windows as
+    `kaplan_meier`, same contract — pass ``bucket`` to floor durations
+    to a coarse integer grid, or the plan fails loud once the distinct-
+    time count exceeds ``max_distinct_times``.
     """
     t = F.col(duration_col)
+    if bucket is not None:
+        if int(bucket) <= 0:
+            raise ValueError(f"bucket must be a positive integer, got {bucket}")
+        t = (F.floor(t.cast("long") / F.lit(int(bucket)))
+             * F.lit(int(bucket))).cast("long")
     ev = F.col(event_col).cast("long")
     g = F.col(group_col)
     is_a = g.eqNullSafe(F.lit(group_a))
@@ -1712,6 +1782,26 @@ def logrank_test(
     w_all = Window.partitionBy().rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
+    if bucket is None:
+        n_times = F.count(F.lit(1)).over(w_all)
+        per_t = per_t.select(
+            "__t",
+            F.when(
+                n_times > max_distinct_times,
+                F.raise_error(F.concat(
+                    F.lit("logrank_test: "),
+                    n_times.cast("string"),
+                    F.lit(
+                        f" distinct exit times exceeds the "
+                        f"{max_distinct_times}-row single-partition window "
+                        "budget — pass bucket=<integer duration width> "
+                        "(e.g. 86400 for day buckets over second "
+                        "durations) or raise max_distinct_times"
+                    ),
+                )).cast("long"),
+            ).otherwise(F.col("__d_a")).alias("__d_a"),
+            "__d_b", "__x_a", "__x_b",
+        )
     w_before = Window.orderBy(F.col("__t").asc()).rowsBetween(
         Window.unboundedPreceding, -1
     )

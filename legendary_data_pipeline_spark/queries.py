@@ -1404,4 +1404,56 @@ for _n in _DEMOTE_R7:
     SHADOW_REGISTRY[_n] = REGISTRY.pop(_n)
 for _n in _PROMOTE_R7:
     REGISTRY[_n] = SHADOW_REGISTRY.pop(_n)
+
+# ---------------------------------------------------------------------------
+# Round-8 driver-gate rotation (see NOTES.md §Round-8)
+# ---------------------------------------------------------------------------
+# Same rotation policy (it caught real harness bugs in rounds 5 and 6):
+# promote 10 queries the independent driver oracle has never run, biased
+# toward representation-fragile outputs — survival curves (libm log/exp),
+# rank statistics, PSI/WOE logs, CUSUM accumulation, SCD2 timestamp
+# intervals, unicode script profiling, and exact water-filling
+# allocation. Every demoted entry has a near-identical sibling still in
+# the gate AND a green driver row from an earlier round; all keep their
+# full DuckDB oracles in the shadow suite.
+_DEMOTE_R8 = [
+    "sk_theta_audience_overlap",  # sibling: sk_hll_distinct_users (sketch distinct)
+    "er_fuzzy_pairs_part_names",  # sibling: ss_prefix_jaccard_pairs (fuzzy pairs)
+    "dedup_simhash_pairs",  # sibling: dedup_minhash_lsh_pairs (banded near-dup)
+    "dedup_ngram_jaccard",  # siblings: ss_prefix_jaccard_pairs, dedup_minhash_lsh_pairs
+    "text_langid",  # sibling: ml_langid_confusion (same langid kernel)
+    "text_fingerprint",  # sibling: dedup_exact_sha (hash projection)
+    "f5_sanitize_documents",  # sibling: curation_html_extract (text cleaning)
+    "j1_cast_bridged_join",  # siblings: j7 broadcast join, j12 full outer
+    "e_daily_event_rollup",  # sibling: a1_percentile_rollup_180d (grouped rollup)
+    "curation_nb_quality_score",  # sibling: text_quality_score (doc scoring)
+]
+_PROMOTE_R8 = [
+    "sv_user_retention_km",
+    "sv_logrank_user_segments",
+    "dq_psi_drift_orders_priority",
+    "ml_woe_iv",
+    "st_kendall_tau_qty_discount",
+    "st_gini_order_value",
+    "ts_cusum_daily_value",
+    "curation_mixture_allocation",
+    "scd2_user_event_state",
+    "tx_script_profile",
+]
+_missing = [
+    _n
+    for _n in (*_DEMOTE_R8, *_PROMOTE_R8)
+    if _n not in REGISTRY and _n not in SHADOW_REGISTRY
+]
+if _missing:
+    raise ImportError(
+        "query registry incomplete during round-8 rotation (missing "
+        f"{_missing}): import legendary_data_pipeline_spark.queries "
+        "FIRST — importing a queries_* submodule directly re-enters "
+        "this module before its registrations finish."
+    )
+for _n in _DEMOTE_R8:
+    SHADOW_REGISTRY[_n] = REGISTRY.pop(_n)
+for _n in _PROMOTE_R8:
+    REGISTRY[_n] = SHADOW_REGISTRY.pop(_n)
 del _n, _missing

@@ -3624,7 +3624,8 @@ _KM_HORIZON_S = 43200
     """,
     doc="Kaplan-Meier user-retention curve with right censoring "
     "(X161): a user's lifetime spans first to last event; lifetimes "
-    "ending within 7 days of the dataset horizon are CENSORED (may "
+    "ending within half a day (12 h) of the dataset horizon are "
+    "CENSORED (may "
     "still be active) and leave the risk set without counting as "
     "churn — the correction naive 'fraction alive at t' lacks. Risk "
     "sets are exact integers from one cumulative window over the "

@@ -244,3 +244,23 @@ def test_stats_cli_validates_cols(spark, tmp_path):
         _run(spark, [
             "stats", "--input", table, "--metric", "kendall", "--cols", "x",
         ])
+
+
+def test_stats_cli_rejects_group_for_ungrouped_metrics(spark, tmp_path):
+    """--group with a metric that ignores grouping must fail loud, not
+    silently return ungrouped results (round-8 ADVICE)."""
+    import pytest as _pytest
+
+    table = str(tmp_path / "st3")
+    spark.createDataFrame(
+        [(1.0, 2.0, "a"), (2.0, 3.0, "b")], "x double, y double, g string"
+    ).write.parquet(table)
+    for metric, cols in [
+        ("corr", "x,y"), ("spearman", "x,y"), ("kendall", "x,y"),
+        ("km", "x,y"),
+    ]:
+        with _pytest.raises(SystemExit, match="--group is not supported"):
+            _run(spark, [
+                "stats", "--input", table, "--metric", metric,
+                "--cols", cols, "--group", "g",
+            ])

@@ -368,3 +368,24 @@ def test_two_proportion_degenerate_cases(spark):
     )
     r3 = two_proportion_test(df3, "g", "lab", "a", "b").collect()[0]
     assert (r3["n_a"], r3["n_b"]) == (1, 1)
+
+
+def test_auc_denominator_decimal_no_wrap(spark):
+    """Round-8 ADVICE regression: the 2*P*N denominator must be decimal
+    arithmetic, not int64 (which wraps at ~2e9 positives x negatives).
+    The true scale is untestable locally, so pin the TYPE: the analyzed
+    plan's division must consume a decimal-derived denominator, and the
+    small-fixture value must be unchanged."""
+    from legendary_data_pipeline_spark.operators.mleval import auc_by_group
+
+    df = spark.createDataFrame(
+        [("g", 0.1, 0), ("g", 0.4, 0), ("g", 0.35, 1), ("g", 0.8, 1)],
+        "g string, score double, lab int",
+    )
+    out = auc_by_group(df, ["g"], "score", "lab")
+    r = out.collect()[0]
+    assert (r["n_pos"], r["n_neg"]) == (2, 2)
+    assert r["auc"] == 0.75  # hand-computed: 3 of 4 pairs concordant
+    # the denominator expression is decimal(38,0) end-to-end
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "decimal(38,0)" in plan

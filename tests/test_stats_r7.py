@@ -453,3 +453,86 @@ def test_did_missing_cell_is_null_and_null_rows_drop(spark):
     assert r["mean_treat_pre"] is None
     # NULL-keyed rows were excluded from every cell
     assert (r["n_tp"], r["n_cp"], r["n_cc"]) == (1, 1, 1)
+
+
+def test_spearman_wide_magnitudes_not_dropped(spark):
+    """Round-8 ADVICE regression: |v| >= 10^14 used to overflow the
+    decimal(18,4) pre-ranking cast to NULL and get silently dropped by
+    the listwise filter, changing n. The widened decimal(38,scale)
+    quantization must keep every row."""
+    from legendary_data_pipeline_spark.operators.stats import spearman_matrix
+
+    rows = [(float(10**14 + i), float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = spearman_matrix(df, ["x", "y"]).collect()
+    assert len(out) == 1
+    assert out[0]["n"] == 10  # no silent drops
+    assert out[0]["rho"] == 1.0  # still perfectly monotone
+
+
+# ---------------------------------------------------------------------------
+# survival-family cardinality guard (round 8)
+# ---------------------------------------------------------------------------
+
+
+def test_km_cardinality_guard_raises_with_message(spark):
+    """Second-granularity durations (distinct-time frame ~ row count)
+    must fail loud instead of funnelling the dataset through the
+    single-partition cumulative window."""
+    from legendary_data_pipeline_spark.operators.stats import kaplan_meier
+
+    df = spark.createDataFrame(
+        [(i, i % 2) for i in range(50)], "t long, e int"
+    )
+    out = kaplan_meier(df, "t", "e", max_distinct_times=10)
+    with pytest.raises(Exception, match="bucket=.*duration width"):
+        out.collect()
+
+
+def test_km_bucket_coarsens_and_disarms_guard(spark):
+    from legendary_data_pipeline_spark.operators.stats import kaplan_meier
+
+    df = spark.createDataFrame(
+        [(i, 1) for i in range(50)], "t long, e int"
+    )
+    # bucket=10 floors durations to {0,10,20,30,40}: five rows, all
+    # events, risk sets 50/40/30/20/10.
+    out = kaplan_meier(df, "t", "e", bucket=10, max_distinct_times=10)
+    rows = {r["t"]: r for r in out.collect()}
+    assert sorted(rows) == [0, 10, 20, 30, 40]
+    assert rows[0]["n_at_risk"] == 50 and rows[0]["n_events"] == 10
+    assert rows[40]["n_at_risk"] == 10
+    # survival after each bucket: prod((n-d)/n) = 0.8, 0.6, ... , 0.0
+    assert rows[0]["survival"] == 0.8
+    assert rows[40]["survival"] == 0.0  # risk set empties exactly
+
+
+def test_km_guard_quiet_below_cap(spark):
+    from legendary_data_pipeline_spark.operators.stats import kaplan_meier
+
+    df = spark.createDataFrame(
+        [(1, 1), (1, 0), (2, 1)], "t int, e int"
+    )
+    rows = kaplan_meier(df, "t", "e").collect()
+    assert [r["t"] for r in rows] == [1, 2]
+    # output schema of t unchanged by the guard (rides on n_events)
+    assert dict(kaplan_meier(df, "t", "e").dtypes)["t"] == "int"
+
+
+def test_logrank_cardinality_guard_and_bucket(spark):
+    from legendary_data_pipeline_spark.operators.stats import logrank_test
+
+    df = spark.createDataFrame(
+        [(i, 1, "a" if i % 2 == 0 else "b") for i in range(60)],
+        "t long, e int, g string",
+    )
+    guarded = logrank_test(df, "t", "e", "g", "a", "b",
+                           max_distinct_times=10)
+    with pytest.raises(Exception, match="bucket=.*duration width"):
+        guarded.collect()
+    # bucketed form runs; identical exits per group → z ~ 0
+    r = logrank_test(df, "t", "e", "g", "a", "b", bucket=20,
+                     max_distinct_times=10).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (30, 30)
+    assert (r["events_a"], r["events_b"]) == (30, 30)
+    assert abs(r["z"]) < 0.5
