@@ -436,6 +436,96 @@ def pagerank(
     return ranks.select("node", "rank")
 
 
+def pagerank_fixed_int(
+    edges: DataFrame,
+    iterations: int = 20,
+    scale: int = 10**12,
+    damping_pct: int = 85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """PageRank with FIXED iteration count and scaled-INTEGER rank state
+    → (node, rank_e12) — the cross-engine-replayable twin of `pagerank`.
+
+    Same damped dangling-redistribution recurrence, but every quantity
+    is a BIGINT multiple of 1/scale and every division is integer
+    `div` (truncating; all operands nonnegative, so identical to
+    DuckDB's floor `//`):
+
+        r(0)   = scale div n
+        r(t+1) = (15·scale) div (100·n)
+               + (85·dangling_t) div (100·n)
+               + (85·Σ_in (r_src div deg_src)) div 100
+
+    No floats anywhere, no convergence early-exit — so an unrolled
+    CTE chain replays the exact value sequence in any SQL engine,
+    which is what lifts the domain-authority query from rows-only to
+    a FULL hash oracle. Truncation loses < iterations·n/scale of
+    total mass (~1e-9 here): irrelevant for source weighting, and
+    identical on both engines by construction. The float `pagerank`
+    stays the production form (tol early-exit); this form is for
+    pinned replay. Scale posture matches `pagerank`: per round one
+    rank-vector join + one groupBy(dst) sum, lineage truncated per
+    round, dangling mass a single-row driver aggregation.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank_e12", F.lit(0).cast("long"))
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    degs = (
+        nodes.join(out_deg, nodes["node"] == out_deg["src"], "left")
+        .select(
+            "node", F.coalesce(F.col("__deg"), F.lit(0)).alias("__deg")
+        )
+        .localCheckpoint(eager=True)
+    )
+    d_pct = int(damping_pct)
+    base = ((100 - d_pct) * scale) // (100 * n)
+    ranks = degs.select(
+        "node", "__deg", F.lit(scale // n).cast("long").alias("r")
+    )
+    for _ in range(iterations):
+        dangling = int(
+            ranks.filter(F.col("__deg") == 0).agg(F.sum("r")).first()[0]
+            or 0
+        )
+        dang_term = (d_pct * dangling) // (100 * n)
+        contrib = (
+            ranks.filter(F.col("__deg") > 0)
+            .join(e, ranks["node"] == e["src"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("r div __deg").alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        ranks = (
+            degs.join(contrib, "node", "left")
+            .select(
+                "node",
+                "__deg",
+                (
+                    F.lit(base + dang_term)
+                    + F.expr(f"({d_pct} * coalesce(__in, 0)) div 100")
+                ).cast("long").alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.col("r").alias("rank_e12"))
+
+
 def best_member(
     components: DataFrame,
     attrs: DataFrame,

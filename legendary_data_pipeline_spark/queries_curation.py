@@ -1133,24 +1133,75 @@ def curation_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# domain-authority PageRank (rows-only: iterative float fixpoint)
+# domain-authority PageRank (fixed-iteration integer replay, full oracle)
 # ---------------------------------------------------------------------------
+
+_PR_ITERS = 20
+_PR_SCALE = 10**12
+
+
+def _pagerank_oracle_sql(iterations: int = _PR_ITERS,
+                         scale: int = _PR_SCALE) -> str:
+    """Unrolled-CTE replay of pagerank_fixed_int's exact integer value
+    sequence (DuckDB 1.0 recursive CTEs reject aggregation over the
+    recursive reference, so the fixed iteration count is unrolled —
+    one c/d/r CTE block per round over the 97-node frame)."""
+    n_sq = "(SELECT n FROM nn)"
+    head = f"""
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT (doc_id // 2) % 97 AS src,
+                      (doc_id * 31 + 7) % 97 AS dst
+      FROM documents
+      WHERE (doc_id // 2) % 97 <> (doc_id * 31 + 7) % 97),
+    nodes AS MATERIALIZED (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+    nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+    deg AS MATERIALIZED (
+      SELECT node,
+             (SELECT COUNT(*) FROM e WHERE e.src = nodes.node) AS dg
+      FROM nodes),
+    r0 AS MATERIALIZED (SELECT node, dg, {scale} // {n_sq} AS r FROM deg)"""
+    blocks = []
+    for k in range(iterations):
+        blocks.append(f""",
+    c{k} AS MATERIALIZED (
+      SELECT e.dst AS node, SUM(r.r // r.dg) AS cin
+      FROM r{k} r JOIN e ON e.src = r.node WHERE r.dg > 0
+      GROUP BY e.dst),
+    d{k} AS MATERIALIZED (SELECT COALESCE(SUM(r), 0) AS dang FROM r{k} WHERE dg = 0),
+    r{k + 1} AS MATERIALIZED (
+      SELECT b.node, b.dg,
+             (15 * {scale}) // (100 * {n_sq})
+             + (85 * (SELECT dang FROM d{k})) // (100 * {n_sq})
+             + (85 * COALESCE(c.cin, 0)) // 100 AS r
+      FROM deg b LEFT JOIN c{k} c ON c.node = b.node)""")
+    tail = f"""
+    SELECT node, CAST(r AS BIGINT) AS rank_e12 FROM r{iterations}
+    """
+    return head + "".join(blocks) + tail
 
 
 @register_shadow(
     "curation_domain_pagerank",
-    None,  # iterative damped fixpoint — numpy-parity pinned in
-    # tests/test_graph.py (dangling mass, cycle uniformity, hub order)
+    _pagerank_oracle_sql(),
     doc="Domain-authority PageRank over the inter-site link graph "
     "(synthesized deterministically from the URL fixture's site ids): "
     "the crawl-quality prior that weights sources in a training mix — "
     "rank feeds weighted_sample_n/repeat_by_weight as the weight. "
-    "Per round: one rank-vector join + one groupBy sum, lineage "
-    "truncated; dangling mass and convergence are single-row driver "
-    "aggregations.",
+    "Round 8: fixed-iteration scaled-INTEGER form (rank_e12 = rank x "
+    "1e12 as BIGINT, every division integer `div`), so the exact "
+    "value sequence replays in a DuckDB unrolled-CTE chain — FULL "
+    "hash oracle where the float fixpoint was rows-only. Per round: "
+    "one rank-vector join + one groupBy sum, lineage truncated; "
+    "dangling mass is a single-row driver aggregation. The float "
+    "tol-converging `pagerank` remains the production operator "
+    "(numpy-parity contracts in tests/test_graph.py).",
 )
 def curation_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from legendary_data_pipeline_spark.operators.graph import pagerank
+    from legendary_data_pipeline_spark.operators.graph import (
+        pagerank_fixed_int,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     g = (F.col("doc_id") / 2).cast("long")
@@ -1161,9 +1212,7 @@ def curation_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (g % 97).alias("src"),
         ((F.col("doc_id") * 31 + 7) % 97).alias("dst"),
     ).filter(F.col("src") != F.col("dst"))
-    return pagerank(edges).select(
-        "node", F.round(F.col("rank"), 6).alias("rank")
-    )
+    return pagerank_fixed_int(edges, iterations=_PR_ITERS, scale=_PR_SCALE)
 
 
 # ---------------------------------------------------------------------------

@@ -64,3 +64,30 @@ def test_apply_bpe_compresses_corpus(spark, sf_dir):
     # deterministic).
     again = {r["doc_id"]: r["n_bpe_tokens"] for r in apply_bpe(docs, merges).collect()}
     assert again == {r["doc_id"]: r["n_bpe_tokens"] for r in rows}
+
+
+def test_frozen_sequential_replay_matches_priority_apply(spark, sf_dir):
+    """The registered text_bpe_segment query applies the FROZEN merge
+    table via sequential rank-order string replaces (JVM codegen, SQL-
+    replayable); operators/bpe.apply_bpe applies the same table with
+    the priority-queue form. The two orders can differ only when a
+    later merge re-creates an earlier merge's pair — pin that this
+    table has no such interaction on the real corpus."""
+    import legendary_data_pipeline_spark.queries  # noqa: F401 (registry first)
+    from legendary_data_pipeline_spark.catalog import load_table
+    from legendary_data_pipeline_spark.operators.bpe import apply_bpe
+    from legendary_data_pipeline_spark.queries_llm import (
+        _BPE_MERGES_FROZEN,
+        text_bpe_segment,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    seq = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in text_bpe_segment(spark, sf_dir).collect()
+    }
+    pri = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in apply_bpe(docs, list(_BPE_MERGES_FROZEN)).collect()
+    }
+    assert seq == pri
