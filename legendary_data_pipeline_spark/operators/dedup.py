@@ -339,6 +339,8 @@ def jaccard_pairs(
     shingle_n: int = 3,
     sets: DataFrame | None = None,
     hsets: DataFrame | None = None,
+    max_cache_rows: int = 1_000_000,
+    allow_large_cache: bool = False,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for the given candidate pairs.
 
@@ -351,12 +353,28 @@ def jaccard_pairs(
 
     Pass a cached `hashed_shingle_sets` frame via `hsets` (preferred) or
     a `shingle_sets` frame via `sets` to share the shingling/hashing
-    pass with signature computation in the same pipeline.
+    pass with signature computation in the same pipeline. The
+    convenience path (neither given) `.cache()`s a corpus-sized hashed-
+    shingle frame — fine for notebooks and tests, a memory hazard at
+    corpus scale — so it is GUARDED: above `max_cache_rows` input rows
+    it raises unless `allow_large_cache=True`, directing callers to the
+    staging-table pattern the fused pipelines already use (round 8).
     """
     if hsets is None:
         if sets is None:
             # Probed twice (both pair sides) — cache so shingling runs
             # once. At scale, prefer a staging table keyed by id.
+            if not allow_large_cache:
+                n = df.count()
+                if n > max_cache_rows:
+                    raise ValueError(
+                        f"jaccard_pairs convenience path would .cache() a "
+                        f"{n}-row hashed-shingle frame (> max_cache_rows="
+                        f"{max_cache_rows}). Pass hsets= (a staged "
+                        "hashed_shingle_sets frame — the fused-pipeline "
+                        "pattern), raise max_cache_rows, or opt in with "
+                        "allow_large_cache=True."
+                    )
             hsets = hashed_shingle_sets(
                 df, id_col, text_col, shingle_n
             ).cache()

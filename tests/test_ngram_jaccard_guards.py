@@ -112,3 +112,31 @@ def test_probe_pairs_cap_bounds_pathological_corpus_bucket(spark):
     # Uncapped probe on the same data would be 200 per new doc (sanity
     # that the cap did the bounding).
     assert lsh_probe_pairs(new_banded, corpus_idx).count() == 5 * 200
+
+
+def test_jaccard_pairs_convenience_cache_guard(spark):
+    """Round-8 guard: the no-hsets convenience path caches a corpus-
+    sized frame, so above max_cache_rows it must raise with the staged
+    alternative named; below, and for staged callers, it still works."""
+    import pytest as _pytest
+
+    from legendary_data_pipeline_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox leaps")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    # small input: convenience path fine
+    out = D.jaccard_pairs(docs, pairs).collect()
+    assert len(out) == 1 and 0.0 < out[0]["jaccard"] < 1.0
+    # over threshold: raises, names the fix
+    with _pytest.raises(ValueError, match="hsets=.*allow_large_cache"):
+        D.jaccard_pairs(docs, pairs, max_cache_rows=1)
+    # explicit opt-in still allowed
+    assert len(D.jaccard_pairs(docs, pairs, max_cache_rows=1,
+                               allow_large_cache=True).collect()) == 1
+    # staged path untouched by the guard
+    hsets = D.hashed_shingle_sets(docs, "doc_id", "text", 3)
+    assert len(D.jaccard_pairs(docs, pairs, max_cache_rows=1,
+                               hsets=hsets).collect()) == 1
