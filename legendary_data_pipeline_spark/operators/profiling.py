@@ -457,6 +457,7 @@ def psi_drift(
     smoothing: float = 0.5,
     round_digits: int = 6,
     require_nonempty: bool = True,
+    scaled_e6: bool = False,
 ) -> DataFrame:
     """Population Stability Index between two snapshots of a
     categorical column — the model-monitoring-standard drift score
@@ -523,6 +524,29 @@ def psi_drift(
     p = (F.col("n_base").cast("double") + s) / (tb + s * k)
     q = (F.col("n_current").cast("double") + s) / (tc + s * k)
     term = (p - q) * F.log(p / q)
+    if scaled_e6:
+        # Representation-proof driver-gate form (round-9): fractional
+        # round(DOUBLE, 6) is not engine-version-canonical (NOTES.md
+        # §Round-9 envprobe), so gate outputs scale to exact BIGINT
+        # micro-units instead — a 1-ulp libm/round difference cannot
+        # move the integer except on exact .5 ties.
+        def e6(c):
+            return F.round(c * F.lit(1e6)).cast("long")
+
+        terms = joined.select(
+            "value",
+            "n_base",
+            "n_current",
+            e6(p).alias("p_base_e6"),
+            e6(q).alias("p_current_e6"),
+            e6(term).alias("psi_term_e6"),
+            term.alias("__t"),
+        )
+        psi = e6(F.sum("__t").over(w_all))
+        return terms.select(
+            "value", "n_base", "n_current", "p_base_e6", "p_current_e6",
+            "psi_term_e6", psi.alias("psi_e6"),
+        )
     terms = joined.select(
         "value",
         "n_base",
@@ -545,6 +569,7 @@ def ks_two_sample(
     value: Column,
     round_digits: int = 6,
     require_nonempty: bool = True,
+    scaled_e6: bool = False,
 ) -> DataFrame:
     """EXACT two-sample Kolmogorov–Smirnov statistic for a numeric
     column between two snapshots — the unbinned companion to
@@ -621,6 +646,21 @@ def ks_two_sample(
     n_d = F.col("__nb").cast("double")
     m_d = F.col("__nc").cast("double")
     d_stat = F.col("__d").cast("double") / (n_d * m_d)
+    if scaled_e6:
+        # Round-9 e6 gate convention (see queries._e6): fractional
+        # round(DOUBLE, 6) is not engine-version-canonical.
+        def e6(c):
+            return F.round(c * F.lit(1e6)).cast("long")
+
+        return top.select(
+            F.col("__nb").cast("long").alias("n_base"),
+            F.col("__nc").cast("long").alias("n_current"),
+            e6(d_stat).alias("d_stat_e6"),
+            F.col("__v").alias("at_value"),
+            e6(d_stat * F.sqrt(n_d * m_d / (n_d + m_d))).alias(
+                "sqrt_scaled_e6"
+            ),
+        )
     return top.select(
         F.col("__nb").cast("long").alias("n_base"),
         F.col("__nc").cast("long").alias("n_current"),

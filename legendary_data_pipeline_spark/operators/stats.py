@@ -788,6 +788,7 @@ def correlation_matrix(
     cols: Sequence[str],
     scale: int = 4,
     round_digits: int = 6,
+    scaled_e6: bool = False,
 ) -> DataFrame:
     """Pairwise Pearson correlation over `cols` from ONE aggregation
     pass of exact decimal moments.
@@ -860,8 +861,14 @@ def correlation_matrix(
         var_a = n * ssa - sa * sa
         var_b = n * ssb - sb * sb
         denom = F.sqrt(var_a) * F.sqrt(var_b)
-        return F.round(num / F.nullif(denom, F.lit(0.0)), round_digits)
+        ratio = num / F.nullif(denom, F.lit(0.0))
+        if scaled_e6:
+            # Round-9 e6 gate convention (see queries._e6): fractional
+            # round(DOUBLE, 6) is not engine-version-canonical.
+            return F.round(ratio * F.lit(1e6)).cast("long")
+        return F.round(ratio, round_digits)
 
+    out_col = "corr_e6" if scaled_e6 else "corr"
     # ONE branch over the 1-row moment frame: reshape to pair rows via
     # an explode of literal structs — a per-pair SELECT + union would
     # replay the entire upstream (scan + rank joins) once per pair
@@ -871,14 +878,14 @@ def correlation_matrix(
             F.struct(
                 F.lit(a).alias("col_a"),
                 F.lit(b).alias("col_b"),
-                corr_expr(a, b).alias("corr"),
+                corr_expr(a, b).alias(out_col),
             )
             for a, b in pairs
         ]
     )
     return m.select(
         F.col("__n").alias("n"), F.explode(pair_structs).alias("__p")
-    ).select("__p.col_a", "__p.col_b", "n", "__p.corr")
+    ).select("__p.col_a", "__p.col_b", "n", f"__p.{out_col}")
 
 
 def gini_concentration(
@@ -886,6 +893,7 @@ def gini_concentration(
     value_col: str,
     group_cols: Sequence[str] = (),
     round_digits: int = 6,
+    scaled_e6: bool = False,
 ) -> DataFrame:
     """EXACT Gini concentration coefficient per group — the inequality
     measure behind "is our spend / token budget / traffic concentrated
@@ -944,7 +952,17 @@ def gini_concentration(
         "double"
     )
     den = (F.col("__n") * F.col("__s")).cast("double")
-    gini = F.round(num / F.nullif(den, F.lit(0.0)), round_digits)
+    ratio = num / F.nullif(den, F.lit(0.0))
+    if scaled_e6:
+        # Round-9 e6 gate convention (see queries._e6): fractional
+        # round(DOUBLE, 6) is not engine-version-canonical.
+        return agg.select(
+            *groups,
+            F.col("__n").cast("long").alias("n"),
+            F.col("__s").cast("long").alias("total"),
+            F.round(ratio * F.lit(1e6)).cast("long").alias("gini_e6"),
+        )
+    gini = F.round(ratio, round_digits)
     return agg.select(
         *groups,
         F.col("__n").cast("long").alias("n"),
@@ -958,6 +976,7 @@ def kendall_tau_b(
     col_a: str,
     col_b: str,
     round_digits: int = 6,
+    scaled_e6: bool = False,
 ) -> DataFrame:
     """EXACT Kendall's tau-b (tie-corrected) for an ordinal column
     pair, computed from the contingency grid instead of the O(n²)
@@ -1055,11 +1074,27 @@ def kendall_tau_b(
         (F.col("n0") - F.col("n1")).cast("double")
         * (F.col("n0") - F.col("n2")).cast("double")
     )
-    tau = F.round(
-        (F.col("concordant") - F.col("discordant")).cast("double")
-        / F.nullif(denom, F.lit(0.0)),
-        round_digits,
-    )
+    ratio = (F.col("concordant") - F.col("discordant")).cast(
+        "double"
+    ) / F.nullif(denom, F.lit(0.0))
+    if scaled_e6:
+        # Representation-proof form (round-9): every arithmetic step up
+        # to `ratio` is exact (decimal integers, IEEE sqrt/division —
+        # bit-identical on any compliant engine), so the ONLY fragile
+        # op is the final fractional round: engines disagree on
+        # round(DOUBLE, 6) by 1 ulp across versions (the r8 red driver
+        # cell — see NOTES.md §Round-9 envprobe). Scaling to an exact
+        # BIGINT removes doubles from the output entirely; a 1-ulp
+        # input difference cannot move the integer except on exact .5
+        # ties, which sqrt-derived values never hit.
+        tau = F.round(ratio * F.lit(1e6)).cast("long")
+        return joined.select(
+            F.col("n").cast("long").alias("n"),
+            "concordant",
+            "discordant",
+            tau.alias("tau_b_e6"),
+        )
+    tau = F.round(ratio, round_digits)
     return joined.select(
         F.col("n").cast("long").alias("n"),
         "concordant",
@@ -1073,6 +1108,7 @@ def spearman_matrix(
     cols: Sequence[str],
     scale: int = 4,
     round_digits: int = 6,
+    scaled_e6: bool = False,
 ) -> DataFrame:
     """Pairwise Spearman rank correlation over `cols` — the robust
     (monotone-relationship, outlier-insensitive) companion to the
@@ -1145,7 +1181,10 @@ def spearman_matrix(
         *[F.col(f"__r2_{c}").alias(c) for c in cols]
     )
     out = correlation_matrix(ranked, list(cols), scale=0,
-                             round_digits=round_digits)
+                             round_digits=round_digits,
+                             scaled_e6=scaled_e6)
+    if scaled_e6:
+        return out.withColumnRenamed("corr_e6", "rho_e6")
     return out.withColumnRenamed("corr", "rho")
 
 
@@ -1183,6 +1222,7 @@ def chi_square_independence(
     col_a: str,
     col_b: str,
     round_digits: int = 6,
+    scaled_e6: bool = False,
 ) -> DataFrame:
     """Pearson chi-square test of independence for two categorical
     columns, plus Cramér's V effect size — the DQ primitive behind "is
@@ -1265,8 +1305,24 @@ def chi_square_independence(
         "n_rows",
         "n_cols",
         dof.cast("long").alias("dof"),
-        F.when(dof > 0, F.round(F.col("__chi2"), round_digits)).alias("chi2"),
-        F.when(dof > 0, F.round(v, round_digits)).alias("cramers_v"),
+        *(
+            (
+                # Round-9 e6 gate convention (see queries._e6).
+                F.when(
+                    dof > 0,
+                    F.round(F.col("__chi2") * F.lit(1e6)).cast("long"),
+                ).alias("chi2_e6"),
+                F.when(
+                    dof > 0, F.round(v * F.lit(1e6)).cast("long")
+                ).alias("cramers_v_e6"),
+            )
+            if scaled_e6
+            else (
+                F.when(dof > 0, F.round(F.col("__chi2"), round_digits))
+                .alias("chi2"),
+                F.when(dof > 0, F.round(v, round_digits)).alias("cramers_v"),
+            )
+        ),
     )
 
 
@@ -1275,6 +1331,7 @@ def mutual_information(
     col_a: str,
     col_b: str,
     round_digits: int = 6,
+    scaled_e6: bool = False,
 ) -> DataFrame:
     """Entropy / mutual-information summary for two categorical
     columns (nats): H(a), H(b), I(a;b), and the normalized
@@ -1310,6 +1367,19 @@ def mutual_information(
         F.sum(mi_term).alias("__mi"),
     )
     denom = F.sqrt(F.col("__ha") * F.col("__hb"))
+    if scaled_e6:
+        # Round-9 e6 gate convention (see queries._e6): fractional
+        # round(DOUBLE, 6) is not engine-version-canonical.
+        def e6(c):
+            return F.round(c * F.lit(1e6)).cast("long")
+
+        return agg.select(
+            "n",
+            e6(F.col("__ha")).alias("h_a_e6"),
+            e6(F.col("__hb")).alias("h_b_e6"),
+            e6(F.col("__mi")).alias("mi_e6"),
+            e6(F.col("__mi") / F.nullif(denom, F.lit(0.0))).alias("nmi_e6"),
+        )
     return agg.select(
         "n",
         F.round(F.col("__ha"), round_digits).alias("h_a"),
@@ -1594,6 +1664,7 @@ def kaplan_meier(
     round_digits: int = 6,
     bucket: int | None = None,
     max_distinct_times: int = 200_000,
+    scaled_e6: bool = False,
 ) -> DataFrame:
     """Kaplan–Meier survival curve with right censoring — the
     retention/churn estimator that plain "fraction alive at t" gets
@@ -1641,8 +1712,12 @@ def kaplan_meier(
     if bucket is not None:
         if int(bucket) <= 0:
             raise ValueError(f"bucket must be a positive integer, got {bucket}")
-        t = (F.floor(t.cast("long") / F.lit(int(bucket)))
-             * F.lit(int(bucket))).cast("long")
+        # t - pmod(t, b) == floor(t/b)*b in EXACT integer arithmetic
+        # (pmod is nonnegative, so this floors for negatives too).
+        # The double-division form rounds above 2^53 — nanosecond
+        # epochs, exactly the guard's motivating input.
+        tl = t.cast("long")
+        t = (tl - F.pmod(tl, F.lit(int(bucket)))).cast("long")
     ev = F.col(event_col).cast("long")
     d = df.select(t.alias("__t"), ev.alias("__e")).where(
         t.isNotNull() & ev.isNotNull()
@@ -1710,6 +1785,18 @@ def kaplan_meier(
     wiped = F.max(
         (F.col("n_events") == F.col("n_at_risk")).cast("int")
     ).over(w_upto_t)
+    if scaled_e6:
+        # Round-9 e6 gate convention (see queries._e6): the survival
+        # probability leaves the engine as round(S·1e6) BIGINT — a
+        # fractional round(DOUBLE, 6) is not engine-version-canonical.
+        survival = F.when(wiped == 1, F.lit(0).cast("long")).otherwise(
+            F.round(F.exp(F.sum(ln_term).over(w_upto_t)) * F.lit(1e6))
+            .cast("long")
+        )
+        return ann.select(
+            "t", "n_at_risk", "n_events", "n_censored",
+            survival.alias("survival_e6"),
+        )
     survival = F.when(wiped == 1, F.lit(0.0)).otherwise(
         F.round(F.exp(F.sum(ln_term).over(w_upto_t)), round_digits)
     )
@@ -1729,6 +1816,7 @@ def logrank_test(
     round_digits: int = 6,
     bucket: int | None = None,
     max_distinct_times: int = 200_000,
+    scaled_e6: bool = False,
 ) -> DataFrame:
     """Two-group log-rank test — "do these retention curves differ?"
     for the Kaplan–Meier setting (censoring-aware, the standard
@@ -1761,8 +1849,10 @@ def logrank_test(
     if bucket is not None:
         if int(bucket) <= 0:
             raise ValueError(f"bucket must be a positive integer, got {bucket}")
-        t = (F.floor(t.cast("long") / F.lit(int(bucket)))
-             * F.lit(int(bucket))).cast("long")
+        # Exact integer floor-to-multiple (see kaplan_meier): the
+        # double-division form rounds above 2^53.
+        tl = t.cast("long")
+        t = (tl - F.pmod(tl, F.lit(int(bucket)))).cast("long")
     ev = F.col(event_col).cast("long")
     g = F.col(group_col)
     is_a = g.eqNullSafe(F.lit(group_a))
@@ -1839,6 +1929,19 @@ def logrank_test(
     z = (F.col("events_a").cast("double") - F.col("__exp_a")) / F.sqrt(
         F.col("__v")
     )
+    if scaled_e6:
+        # Round-9 e6 gate convention (see queries._e6): statistics
+        # leave the engine as round(x·1e6) BIGINT — fractional
+        # round(DOUBLE, 6) is not engine-version-canonical.
+        def e6(c):
+            return F.round(c * F.lit(1e6)).cast("long")
+
+        return agg.select(
+            "n_a", "n_b", "events_a", "events_b",
+            e6(F.col("__exp_a")).alias("exp_a_e6"),
+            F.when(F.col("__v") > 0, e6(z)).alias("z_e6"),
+            F.when(F.col("__v") > 0, e6(z * z)).alias("chi2_e6"),
+        )
     return agg.select(
         "n_a", "n_b", "events_a", "events_b",
         F.round(F.col("__exp_a"), round_digits).alias("exp_a"),
@@ -1853,6 +1956,7 @@ def cusum_curve(
     value_col: str,
     group_cols: Sequence[str] = (),
     round_digits: int = 6,
+    scaled_e6: bool = False,
 ) -> DataFrame:
     """Full CUSUM CURVE for an ordered series, with the changepoint
     flagged in place — the plottable per-point companion to
@@ -1914,6 +2018,21 @@ def cusum_curve(
             F.col("__o").asc(),
         )
     )
+    if scaled_e6:
+        # Round-9 e6 gate convention (see queries._e6): the reported
+        # curve value leaves the engine as round(cum/n·1e6) BIGINT —
+        # fractional round(DOUBLE, 6) is not engine-version-canonical.
+        cusum = F.round(
+            F.col("__cum").cast("double") / F.col("__n").cast("double")
+            * F.lit(1e6)
+        ).cast("long")
+        return ann.select(
+            *groups,
+            F.col("__o").alias(order_col),
+            F.col("__v").cast("long").alias(value_col),
+            cusum.alias("cusum_e6"),
+            (first_at_max == 1).alias("is_changepoint"),
+        )
     cusum = F.round(
         F.col("__cum").cast("double") / F.col("__n").cast("double"),
         round_digits,

@@ -120,6 +120,27 @@ def _cents_sql(expr: str) -> str:
     return f"CAST(round(CAST({expr} AS DECIMAL(18,2)) * 100, 0) AS BIGINT)"
 
 
+def _e6(col: F.Column) -> F.Column:
+    """Canonical micro-scaled integer for a double statistic.
+
+    Round-9 representation convention for driver-gate outputs: a
+    fractional `round(x, 6)` DOUBLE is NOT engine-version-canonical
+    (DuckDB changed its double-round algorithm across releases — the r8
+    `st_kendall_tau_qty_discount` red cell; see NOTES.md §Round-9), so
+    gate statistics leave the engine as `round(x * 1e6)` BIGINT instead:
+    scale-0 rounding of a double is nearest-integer in every engine, a
+    1-ulp upstream difference (libm ln/exp, round path) cannot move the
+    integer except on exact .5 ties, and integers hash identically under
+    any harness canonicalization. Pair with `_e6_sql` in the oracle.
+    """
+    return F.round(col.cast("double") * F.lit(1e6)).cast("long")
+
+
+def _e6_sql(expr: str) -> str:
+    """DuckDB twin of `_e6` — same expression tree, same semantics."""
+    return f"CAST(round((CAST({expr} AS DOUBLE)) * 1e6) AS BIGINT)"
+
+
 # ---------------------------------------------------------------------------
 # W1/W2/A4 — priority-ranked best-of-group (the reference's flagship)
 # ---------------------------------------------------------------------------
@@ -1455,5 +1476,59 @@ if _missing:
 for _n in _DEMOTE_R8:
     SHADOW_REGISTRY[_n] = REGISTRY.pop(_n)
 for _n in _PROMOTE_R8:
+    REGISTRY[_n] = SHADOW_REGISTRY.pop(_n)
+
+# ---------------------------------------------------------------------------
+# Round-9 driver-gate rotation (see NOTES.md §Round-9)
+# ---------------------------------------------------------------------------
+# 107 of 191 registry queries had never seen the independent driver
+# oracle entering this round, and two of the three harness bugs to date
+# (r6 dq_table_checksum, r8 st_kendall_tau_qty_discount) were caught
+# ONLY by rotation. Promote 10 more never-driver-checked queries, again
+# biased toward representation-fragile outputs (rank statistics, KS/chi²
+# drift, mutual information, z-scores, calibration fractions, Benford
+# log-expected frequencies, time-weighted averages, surprisal filters);
+# demote 10 rows with a green r8 driver row AND a near-identical sibling
+# still in the gate. Demoted entries keep their full DuckDB oracles in
+# the shadow suite (test_queries_oracle.py runs all of them every time).
+_DEMOTE_R9 = [
+    "w5_price_deciles",  # sibling: a1_percentile_rollup_180d (percentiles)
+    "j12_full_outer_reconcile",  # siblings: j6 anti, j7 broadcast joins
+    "a7_grouping_sets",  # sibling: a1_percentile_rollup_180d (grouped rollup)
+    "mm_media_meta",  # sibling: mm_frame_sample (multimodal mapInPandas)
+    "e_funnel_conversion",  # sibling: e_sessionize_batch (event ordering)
+    "dedup_exact_sha",  # sibling: dedup_minhash_lsh_pairs (dedup family)
+    "text_token_stats_by_lang",  # sibling: text_quality_score (doc stats)
+    "curation_html_extract",  # siblings: curation_c4_gates / c4_span_dedup
+    "o3_latest_order_per_customer",  # sibling: w1_priority_best_of_day (top-1)
+    "s5_upsert_semantics",  # sibling: scd2_user_event_state (keyed state)
+]
+_PROMOTE_R9 = [
+    "st_spearman_matrix",
+    "dq_ks_order_totals_drift",
+    "st_chi_square_independence",
+    "st_numeric_mi_qty_price",
+    "ts_zscore_anomalies",
+    "ml_calibration_bins",
+    "ret_maxsim_topk",
+    "dq_benford_order_totals",
+    "ts_twap_event_values",
+    "curation_unigram_surprisal",
+]
+_missing = [
+    _n
+    for _n in (*_DEMOTE_R9, *_PROMOTE_R9)
+    if _n not in REGISTRY and _n not in SHADOW_REGISTRY
+]
+if _missing:
+    raise ImportError(
+        "query registry incomplete during round-9 rotation (missing "
+        f"{_missing}): import legendary_data_pipeline_spark.queries "
+        "FIRST — importing a queries_* submodule directly re-enters "
+        "this module before its registrations finish."
+    )
+for _n in _DEMOTE_R9:
+    SHADOW_REGISTRY[_n] = REGISTRY.pop(_n)
+for _n in _PROMOTE_R9:
     REGISTRY[_n] = SHADOW_REGISTRY.pop(_n)
 del _n, _missing

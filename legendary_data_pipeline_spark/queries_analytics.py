@@ -724,12 +724,14 @@ _PSI_S = 0.5
       FROM j, t),
     rows_ AS (
       SELECT value, n_base, n_current,
-             round(p, 6) AS p_base, round(q, 6) AS p_current,
-             round((p - q) * ln(p / q), 6) AS psi_term,
+             CAST(round(p * 1e6) AS BIGINT) AS p_base_e6,
+             CAST(round(q * 1e6) AS BIGINT) AS p_current_e6,
+             CAST(round((p - q) * ln(p / q) * 1e6) AS BIGINT) AS psi_term_e6,
              (p - q) * ln(p / q) AS t
       FROM terms),
-    s AS (SELECT round(SUM(t), 6) AS psi FROM rows_)
-    SELECT value, n_base, n_current, p_base, p_current, psi_term, psi
+    s AS (SELECT CAST(round(SUM(t) * 1e6) AS BIGINT) AS psi_e6 FROM rows_)
+    SELECT value, n_base, n_current, p_base_e6, p_current_e6,
+           psi_term_e6, psi_e6
     FROM rows_, s
     """,
     doc="Population Stability Index of order priority between pre-/"
@@ -737,7 +739,8 @@ _PSI_S = 0.5
     "threshold on (<0.1 stable, >0.25 shifted), complementing the "
     "chi-square decomposition with a magnitude measure. Laplace-"
     "smoothed union categories keep one-sided values finite; exact "
-    "integer counts, ln + fixed IEEE divisions under round(6). Both "
+    "integer counts, ln + fixed IEEE divisions emitted as integer "
+    "micro-units (round-9 e6 gate convention; NOTES.md §Round-9). Both "
     "snapshots reduce to value-cardinality count tables before the "
     "metadata-sized join. X147.",
 )
@@ -753,6 +756,7 @@ def dq_psi_drift_orders_priority(
         orders.filter(F.col("o_orderdate") >= cut),
         "o_orderpriority",
         smoothing=_PSI_S,
+        scaled_e6=True,
     )
 
 
@@ -2225,33 +2229,33 @@ def sk_theta_core_audience(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(q*p) AS sqp, SUM(q*di) AS sqd, SUM(p*di) AS spd
       FROM d)
     SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n,
-           round((CAST(n AS DOUBLE)*CAST(sqp AS DOUBLE)
+           CAST(round(((CAST(n AS DOUBLE)*CAST(sqp AS DOUBLE)
                   - CAST(sq AS DOUBLE)*CAST(sp_ AS DOUBLE))
              / nullif(sqrt(CAST(n AS DOUBLE)*CAST(sqq AS DOUBLE)
                            - CAST(sq AS DOUBLE)*CAST(sq AS DOUBLE))
                     * sqrt(CAST(n AS DOUBLE)*CAST(spp AS DOUBLE)
                            - CAST(sp_ AS DOUBLE)*CAST(sp_ AS DOUBLE)),
-                    0.0), 6) AS corr
+                    0.0)) * 1e6) AS BIGINT) AS corr_e6
     FROM m
     UNION ALL
     SELECT 'l_quantity', 'l_discount', n,
-           round((CAST(n AS DOUBLE)*CAST(sqd AS DOUBLE)
+           CAST(round(((CAST(n AS DOUBLE)*CAST(sqd AS DOUBLE)
                   - CAST(sq AS DOUBLE)*CAST(sd AS DOUBLE))
              / nullif(sqrt(CAST(n AS DOUBLE)*CAST(sqq AS DOUBLE)
                            - CAST(sq AS DOUBLE)*CAST(sq AS DOUBLE))
                     * sqrt(CAST(n AS DOUBLE)*CAST(sdd AS DOUBLE)
                            - CAST(sd AS DOUBLE)*CAST(sd AS DOUBLE)),
-                    0.0), 6)
+                    0.0)) * 1e6) AS BIGINT)
     FROM m
     UNION ALL
     SELECT 'l_extendedprice', 'l_discount', n,
-           round((CAST(n AS DOUBLE)*CAST(spd AS DOUBLE)
+           CAST(round(((CAST(n AS DOUBLE)*CAST(spd AS DOUBLE)
                   - CAST(sp_ AS DOUBLE)*CAST(sd AS DOUBLE))
              / nullif(sqrt(CAST(n AS DOUBLE)*CAST(spp AS DOUBLE)
                            - CAST(sp_ AS DOUBLE)*CAST(sp_ AS DOUBLE))
                     * sqrt(CAST(n AS DOUBLE)*CAST(sdd AS DOUBLE)
                            - CAST(sd AS DOUBLE)*CAST(sd AS DOUBLE)),
-                    0.0), 6)
+                    0.0)) * 1e6) AS BIGINT)
     FROM m
     """,
     doc="Pairwise Pearson correlation over three lineitem measures "
@@ -2269,7 +2273,7 @@ def st_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return correlation_matrix(
-        li, ["l_quantity", "l_extendedprice", "l_discount"]
+        li, ["l_quantity", "l_extendedprice", "l_discount"], scaled_e6=True
     )
 
 
@@ -2308,14 +2312,15 @@ def st_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     top AS (
       SELECT * FROM d ORDER BY dd DESC, v ASC LIMIT 1)
     SELECT CAST(nb AS BIGINT) AS n_base, CAST(nc AS BIGINT) AS n_current,
-           round(CAST(dd AS DOUBLE)
-                 / (CAST(nb AS DOUBLE) * CAST(nc AS DOUBLE)), 6) AS d_stat,
+           CAST(round(CAST(dd AS DOUBLE)
+                 / (CAST(nb AS DOUBLE) * CAST(nc AS DOUBLE)) * 1e6)
+             AS BIGINT) AS d_stat_e6,
            v AS at_value,
-           round((CAST(dd AS DOUBLE)
+           CAST(round((CAST(dd AS DOUBLE)
                   / (CAST(nb AS DOUBLE) * CAST(nc AS DOUBLE)))
                  * sqrt(CAST(nb AS DOUBLE) * CAST(nc AS DOUBLE)
-                        / (CAST(nb AS DOUBLE) + CAST(nc AS DOUBLE))),
-                 6) AS sqrt_scaled
+                        / (CAST(nb AS DOUBLE) + CAST(nc AS DOUBLE)))
+                 * 1e6) AS BIGINT) AS sqrt_scaled_e6
     FROM top
     """,
     doc="EXACT two-sample Kolmogorov-Smirnov drift of order totals "
@@ -2339,6 +2344,7 @@ def dq_ks_order_totals_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.filter(F.col("o_orderdate") < cut),
         orders.filter(F.col("o_orderdate") >= cut),
         _cents("o_totalprice"),
+        scaled_e6=True,
     )
 
 
@@ -2365,8 +2371,9 @@ def dq_ks_order_totals_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cum GROUP BY 1)
     SELECT pri AS o_orderpriority, CAST(n AS BIGINT) AS n,
            CAST(s AS BIGINT) AS total,
-           round(CAST(2 * w - (n + 1) * s AS DOUBLE)
-                 / nullif(CAST(n * s AS DOUBLE), 0.0), 6) AS gini
+           CAST(round((CAST(2 * w - (n + 1) * s AS DOUBLE)
+                 / nullif(CAST(n * s AS DOUBLE), 0.0)) * 1e6)
+             AS BIGINT) AS gini_e6
     FROM t
     """,
     doc="EXACT Gini concentration of order value (cents) per priority "
@@ -2388,7 +2395,7 @@ def st_gini_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority", _cents("o_totalprice").alias("__cents")
     )
     return gini_concentration(
-        d, "__cents", group_cols=["o_orderpriority"]
+        d, "__cents", group_cols=["o_orderpriority"], scaled_e6=True
     )
 
 
@@ -2421,10 +2428,10 @@ def st_gini_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(SUM(ct * (ct - 1) / 2) AS HUGEINT) AS n2
       FROM (SELECT CAST(SUM(n) AS HUGEINT) AS ct FROM cells GROUP BY b))
     SELECT CAST(ntot AS BIGINT) AS n, concordant, discordant,
-           round(CAST(concordant - discordant AS DOUBLE)
+           CAST(round((CAST(concordant - discordant AS DOUBLE)
                  / nullif(sqrt(CAST(n0 - n1 AS DOUBLE)
-                               * CAST(n0 - n2 AS DOUBLE)), 0.0), 6)
-             AS tau_b
+                               * CAST(n0 - n2 AS DOUBLE)), 0.0)) * 1e6)
+             AS BIGINT) AS tau_b_e6
     FROM cd, nt, t1, t2
     """,
     doc="EXACT tie-corrected Kendall tau-b for quantity x discount "
@@ -2433,7 +2440,10 @@ def st_gini_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(K^2 metadata terms, never the data), tie terms from marginals, "
     "one final sqrt/division. The ordinal-association companion to "
     "Spearman (X152). One data-sized groupBy; everything after is "
-    "grid-sized.",
+    "grid-sized. Round-9: tau is emitted as the integer-scaled "
+    "tau_b_e6 BIGINT (round(tau*1e6)) instead of round(tau, 6) DOUBLE "
+    "— the r8 red driver cell proved round(DOUBLE, 6) is not "
+    "engine-version-canonical while every upstream step here is exact.",
 )
 def st_kendall_tau_qty_discount(
     spark: SparkSession, sf_dir: str
@@ -2445,17 +2455,17 @@ def st_kendall_tau_qty_discount(
         F.col("l_quantity").cast("long").alias("qty"),
         F.round(F.col("l_discount") * 100).cast("long").alias("disc_pct"),
     )
-    return kendall_tau_b(d, "qty", "disc_pct")
+    return kendall_tau_b(d, "qty", "disc_pct", scaled_e6=True)
 
 
 _SPEAR_CORR = """
-           round((CAST(n AS DOUBLE)*CAST({sp} AS DOUBLE)
+           CAST(round(((CAST(n AS DOUBLE)*CAST({sp} AS DOUBLE)
                   - CAST({sa} AS DOUBLE)*CAST({sb} AS DOUBLE))
              / nullif(sqrt(CAST(n AS DOUBLE)*CAST({ssa} AS DOUBLE)
                            - CAST({sa} AS DOUBLE)*CAST({sa} AS DOUBLE))
                     * sqrt(CAST(n AS DOUBLE)*CAST({ssb} AS DOUBLE)
                            - CAST({sb} AS DOUBLE)*CAST({sb} AS DOUBLE)),
-                    0.0), 6) AS rho
+                    0.0)) * 1e6) AS BIGINT) AS rho_e6
 """
 
 
@@ -2531,7 +2541,7 @@ def st_spearman_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return spearman_matrix(
-        li, ["l_quantity", "l_extendedprice", "l_discount"]
+        li, ["l_quantity", "l_extendedprice", "l_discount"], scaled_e6=True
     )
 
 
@@ -2580,12 +2590,14 @@ _CONTINGENCY_SQL = """
            CAST((COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) AS BIGINT)
              AS dof,
            CASE WHEN (COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) > 0
-                THEN round(SUM(term), 6) END AS chi2,
+                THEN CAST(round(SUM(term) * 1e6) AS BIGINT)
+           END AS chi2_e6,
            CASE WHEN (COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) > 0
-                THEN round(sqrt(SUM(term)
+                THEN CAST(round(sqrt(SUM(term)
                      / (CAST(max(n) AS DOUBLE)
-                        * (least(COUNT(DISTINCT a), COUNT(DISTINCT b)) - 1))),
-                     6) END AS cramers_v
+                        * (least(COUNT(DISTINCT a), COUNT(DISTINCT b)) - 1)))
+                     * 1e6) AS BIGINT)
+           END AS cramers_v_e6
     FROM terms
     """,
     doc="Pearson chi-square independence test + Cramér's V for "
@@ -2600,7 +2612,9 @@ def st_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = load_table(spark, sf_dir, "lineitem")
-    return chi_square_independence(li, "l_returnflag", "l_linestatus")
+    return chi_square_independence(
+        li, "l_returnflag", "l_linestatus", scaled_e6=True
+    )
 
 
 @register_shadow(
@@ -3405,11 +3419,12 @@ _NMI_CONTINGENCY_SQL = f"""
                * ln(CAST(n AS DOUBLE) / CAST(col_tot AS DOUBLE)) AS hb_term
       FROM marg)
     SELECT CAST(max(n) AS BIGINT) AS n,
-           round(SUM(ha_term), 6) AS h_a,
-           round(SUM(hb_term), 6) AS h_b,
-           round(SUM(mi_term), 6) AS mi,
-           round(SUM(mi_term)
-                 / nullif(sqrt(SUM(ha_term) * SUM(hb_term)), 0.0), 6) AS nmi
+           CAST(round(SUM(ha_term) * 1e6) AS BIGINT) AS h_a_e6,
+           CAST(round(SUM(hb_term) * 1e6) AS BIGINT) AS h_b_e6,
+           CAST(round(SUM(mi_term) * 1e6) AS BIGINT) AS mi_e6,
+           CAST(round(SUM(mi_term)
+                 / nullif(sqrt(SUM(ha_term) * SUM(hb_term)), 0.0) * 1e6)
+             AS BIGINT) AS nmi_e6
     FROM terms
     """,
     doc="Mutual information for NUMERIC pairs via fixed-grid binning: "
@@ -3435,7 +3450,9 @@ def st_numeric_mi_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("price_bucket"),
     )
-    return mutual_information(binned, "qty_bucket", "price_bucket")
+    return mutual_information(
+        binned, "qty_bucket", "price_bucket", scaled_e6=True
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3611,15 +3628,15 @@ _KM_HORIZON_S = 43200
            CASE WHEN MAX(CASE WHEN n_events = n_at_risk THEN 1 ELSE 0 END)
                   OVER (ORDER BY t
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
-                THEN 0.0
-                ELSE round(exp(SUM(CASE WHEN n_events > 0
+                THEN CAST(0 AS BIGINT)
+                ELSE CAST(round(exp(SUM(CASE WHEN n_events > 0
                          AND n_at_risk > n_events
                     THEN ln(CAST(n_at_risk - n_events AS DOUBLE)
                             / CAST(n_at_risk AS DOUBLE))
                     ELSE 0.0 END) OVER (ORDER BY t
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-                  6)
-           END AS survival
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                  * 1e6) AS BIGINT)
+           END AS survival_e6
     FROM ann
     """,
     doc="Kaplan-Meier user-retention curve with right censoring "
@@ -3631,7 +3648,8 @@ _KM_HORIZON_S = 43200
     "sets are exact integers from one cumulative window over the "
     "distinct-time frame; the survival product evaluates as "
     "exp(ordered sum of ln terms), identical accumulation order in "
-    "both engines under round(6).",
+    "both engines, emitted as survival_e6 micro-units (round-9 e6 "
+    "gate convention).",
 )
 def sv_user_retention_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     from legendary_data_pipeline_spark.operators.stats import kaplan_meier
@@ -3652,7 +3670,7 @@ def sv_user_retention_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__last") < F.max("__last").over(w_all) - _KM_HORIZON_S
         ).cast("int").alias("__event"),
     )
-    return kaplan_meier(subj, "__dur", "__event")
+    return kaplan_meier(subj, "__dur", "__event", scaled_e6=True)
 
 
 @register_shadow(
@@ -3711,24 +3729,25 @@ def sv_user_retention_km(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(e_t) AS exp_a, SUM(v_t) AS v
       FROM terms)
     SELECT n_a, n_b, events_a, events_b,
-           round(exp_a, 6) AS exp_a,
+           CAST(round(exp_a * 1e6) AS BIGINT) AS exp_a_e6,
            CASE WHEN v > 0
-                THEN round((CAST(events_a AS DOUBLE) - exp_a) / sqrt(v), 6)
-           END AS z,
+                THEN CAST(round((CAST(events_a AS DOUBLE) - exp_a)
+                                / sqrt(v) * 1e6) AS BIGINT)
+           END AS z_e6,
            CASE WHEN v > 0
-                THEN round(((CAST(events_a AS DOUBLE) - exp_a) / sqrt(v))
-                           * ((CAST(events_a AS DOUBLE) - exp_a) / sqrt(v)),
-                           6)
-           END AS chi2
+                THEN CAST(round(((CAST(events_a AS DOUBLE) - exp_a) / sqrt(v))
+                           * ((CAST(events_a AS DOUBLE) - exp_a) / sqrt(v))
+                           * 1e6) AS BIGINT)
+           END AS chi2_e6
     FROM agg
     """,
     doc="Two-group log-rank test between even/odd user segments' "
     "retention curves (X162) — the censoring-aware 'do these survival "
     "curves differ?' test completing the Kaplan-Meier story. Exact "
     "integer risk sets and event counts per pooled exit time; "
-    "expected/variance terms are magnitude-~1 double summands under "
-    "round(6). One distinct-time frame, cumulative windows, one final "
-    "1-row aggregation.",
+    "expected/variance terms are magnitude-~1 double summands emitted "
+    "as e6 micro-units (round-9 gate convention). One distinct-time "
+    "frame, cumulative windows, one final 1-row aggregation.",
 )
 def sv_logrank_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from legendary_data_pipeline_spark.operators.stats import logrank_test
@@ -3752,7 +3771,9 @@ def sv_logrank_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "__seg"
         ),
     )
-    return logrank_test(subj, "__dur", "__event", "__seg", "even", "odd")
+    return logrank_test(
+        subj, "__dur", "__event", "__seg", "even", "odd", scaled_e6=True
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3790,7 +3811,8 @@ def sv_logrank_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                ORDER BY (abs(cum) = maxabs) DESC, day ASC) AS rn
       FROM mx0)
     SELECT event_type, day, cents,
-           round(CAST(cum AS DOUBLE) / CAST(n AS DOUBLE), 6) AS cusum,
+           CAST(round(CAST(cum AS DOUBLE) / CAST(n AS DOUBLE) * 1e6)
+                AS BIGINT) AS cusum_e6,
            rn = 1 AS is_changepoint
     FROM mx
     """,
@@ -3814,7 +3836,9 @@ def ts_cusum_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy("event_type", day.alias("day")).agg(
         F.sum(_cents("value")).cast("long").alias("cents")
     )
-    return cusum_curve(daily, "day", "cents", group_cols=["event_type"])
+    return cusum_curve(
+        daily, "day", "cents", group_cols=["event_type"], scaled_e6=True
+    )
 
 
 # ---------------------------------------------------------------------------
