@@ -64,6 +64,12 @@ PINNED_R7 = PINNED_R6 + [
     "ret_rrf_fusion", "sk_cms_partkey_freq", "ss_prefix_jaccard_pairs",
     "st_correlation_matrix",
 ]
+PINNED_R8 = PINNED_R7 + [
+    "curation_mixture_allocation", "dq_psi_drift_orders_priority",
+    "ml_woe_iv", "scd2_user_event_state", "st_gini_order_value",
+    "st_kendall_tau_qty_discount", "sv_logrank_user_segments",
+    "sv_user_retention_km", "ts_cusum_daily_value", "tx_script_profile",
+]
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -88,7 +94,7 @@ def main() -> None:
     if only:
         names = sorted(only.split(","))
     else:
-        names = sorted(set(REGISTRY) | set(PINNED_R7))
+        names = sorted(set(REGISTRY) | set(PINNED_R8))
     unknown = [n for n in names if n not in specs]
     if unknown:
         sys.exit(
@@ -99,7 +105,13 @@ def main() -> None:
     spark = get_spark(
         app_name="ldp-bench",
         master=f"local[{cpus}]",
-        extra_conf={"spark.ui.enabled": "false"},
+        extra_conf={
+            "spark.ui.enabled": "false",
+            # The final JSON line must be the ONLY stdout the driver's
+            # tail capture has to hold (r8: progress noise + a 2.9 KB
+            # line overflowed it and BENCH_r08 recorded parsed: null).
+            "spark.ui.showConsoleProgress": "false",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -178,20 +190,36 @@ def main() -> None:
             "total_sec": round(sum(timings[n] for n in timed), 3),
         }
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_from_dir(sf_dir),
-                "pinned_r1": _pinned(PINNED_R1),
-                "pinned_r6": _pinned(PINNED_R6),
-                "pinned_r7": _pinned(PINNED_R7),
-            }
-        )
+    # Driver-capture hygiene (r8 lesson: BENCH_r08.json parsed: null —
+    # the single JSON line outgrew the driver's tail capture):
+    #   - compact separators, 3-digit timings
+    #   - totals + pinned subtotals FIRST so truncation degrades
+    #     gracefully, the per-query map last
+    #   - the full artifact is ALSO written to BENCH_DETAIL.json so the
+    #     per-query numbers survive any stdout capture limit
+    payload = {
+        "metric": "total_query_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": _sf_from_dir(sf_dir),
+        "pinned_r1": _pinned(PINNED_R1),
+        "pinned_r6": _pinned(PINNED_R6),
+        "pinned_r7": _pinned(PINNED_R7),
+        "pinned_r8": _pinned(PINNED_R8),
+        "queries": timings,
+    }
+    line = json.dumps(payload, separators=(",", ":"))
+    detail_path = os.environ.get(
+        "LDP_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_DETAIL.json"),
     )
+    try:
+        with open(detail_path, "w") as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass  # read-only checkout — stdout line is still authoritative
+    print(line)
     spark.stop()
 
 

@@ -1217,14 +1217,16 @@ def c4_span_stats(
         F.sum((F.col("__rn") > 1).cast("long")).alias("n_dup_spans"),
     )
     ids = df.select(F.col(id_col))
+    # Raw IEEE ratio of exact integers — bit-stable on any engine; a
+    # fractional round(·, 6) would ADD cross-version fragility
+    # (round-9 representation audit, NOTES.md §Round-9).
     return ids.join(agg, [id_col], "left").select(
         F.col(id_col),
         F.coalesce(F.col("n_spans"), F.lit(0)).alias("n_spans"),
         F.coalesce(F.col("n_dup_spans"), F.lit(0)).alias("n_dup_spans"),
-        F.round(
+        (
             F.col("n_dup_spans").cast("double")
-            / F.nullif(F.col("n_spans").cast("double"), F.lit(0.0)),
-            6,
+            / F.nullif(F.col("n_spans").cast("double"), F.lit(0.0))
         ).alias("dup_span_frac"),
     )
 

@@ -365,15 +365,18 @@ def jaccard_pairs(
             # Probed twice (both pair sides) — cache so shingling runs
             # once. At scale, prefer a staging table keyed by id.
             if not allow_large_cache:
-                n = df.count()
+                # limit(N+1).count() short-circuits: small inputs stop
+                # scanning at the threshold instead of paying a full
+                # input count before any work (round-9 advice).
+                n = df.limit(max_cache_rows + 1).count()
                 if n > max_cache_rows:
                     raise ValueError(
                         f"jaccard_pairs convenience path would .cache() a "
-                        f"{n}-row hashed-shingle frame (> max_cache_rows="
-                        f"{max_cache_rows}). Pass hsets= (a staged "
-                        "hashed_shingle_sets frame — the fused-pipeline "
-                        "pattern), raise max_cache_rows, or opt in with "
-                        "allow_large_cache=True."
+                        f">{max_cache_rows}-row hashed-shingle frame "
+                        f"(max_cache_rows={max_cache_rows}). Pass hsets= "
+                        "(a staged hashed_shingle_sets frame — the fused-"
+                        "pipeline pattern), raise max_cache_rows, or opt "
+                        "in with allow_large_cache=True."
                     )
             hsets = hashed_shingle_sets(
                 df, id_col, text_col, shingle_n

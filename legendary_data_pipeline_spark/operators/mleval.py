@@ -54,6 +54,7 @@ def auc_by_group(
     group_cols: list[str],
     score_col: str,
     label_col: str,
+    scaled_e6: bool = False,
 ) -> DataFrame:
     """Exact tie-corrected ROC-AUC per group (Mann-Whitney U form).
 
@@ -108,10 +109,15 @@ def auc_by_group(
         * F.col("n_pos").cast("decimal(38,0)")
         * F.col("n_neg").cast("decimal(38,0)")
     )
-    auc = F.when(
-        denom > 0,
-        F.round(F.col("__num2").cast("double") / denom.cast("double"), 6),
-    )
+    ratio = F.col("__num2").cast("double") / denom.cast("double")
+    if scaled_e6:
+        # Round-9 e6 gate convention (see queries._e6): fractional
+        # round(DOUBLE, 6) is not engine-version-canonical.
+        auc = F.when(denom > 0, F.round(ratio * F.lit(1e6)).cast("long"))
+        return agg.select(
+            *group_cols, "n_pos", "n_neg", auc.alias("auc_e6")
+        )
+    auc = F.when(denom > 0, F.round(ratio, 6))
     return agg.select(*group_cols, "n_pos", "n_neg", auc.alias("auc"))
 
 
@@ -120,6 +126,7 @@ def calibration_bins(
     pred_col: str,
     label_col: str,
     n_bins: int = 10,
+    scaled_e6: bool = False,
 ) -> DataFrame:
     """Reliability-diagram counts: equal-width bins over pred in [0, 1].
 
@@ -145,9 +152,17 @@ def calibration_bins(
         )
     )
     mid = (F.col("bin").cast("double") + F.lit(0.5)) / F.lit(float(n_bins))
-    frac = F.round(
-        F.col("n_pos").cast("double") / F.col("n").cast("double"), 6
-    )
+    ratio = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    if scaled_e6:
+        # Round-9 e6 gate convention (see queries._e6). bin_mid stays a
+        # double: it is one shared IEEE expression over small integers,
+        # bit-stable without any fractional round.
+        frac = F.round(ratio * F.lit(1e6)).cast("long")
+        return out.select(
+            "bin", mid.alias("bin_mid"), "n", "n_pos",
+            frac.alias("frac_pos_e6"),
+        )
+    frac = F.round(ratio, 6)
     return out.select(
         "bin", mid.alias("bin_mid"), "n", "n_pos", frac.alias("frac_pos")
     )
@@ -257,6 +272,7 @@ def woe_iv(
     label_col: str,
     smoothing: float = 0.5,
     round_digits: int = 6,
+    scaled_e6: bool = False,
 ) -> DataFrame:
     """Weight of evidence per category + the feature's information
     value — the credit-scoring-standard categorical predictiveness
@@ -313,6 +329,23 @@ def woe_iv(
         (F.col("n_pos").cast("double") + s) * neg_adj
         / ((F.col("n_neg").cast("double") + s) * pos_adj)
     )
+    if scaled_e6:
+        # Round-9 e6 gate convention (see queries._e6): fractional
+        # round(DOUBLE, 6) is not engine-version-canonical.
+        terms = per.select(
+            F.col(cat_col),
+            "n",
+            "n_pos",
+            "n_neg",
+            F.round(woe * F.lit(1e6)).cast("long").alias("woe_e6"),
+            ((dp - dn) * woe).alias("__iv_term"),
+        )
+        iv = F.round(F.sum("__iv_term").over(w_all) * F.lit(1e6)).cast(
+            "long"
+        )
+        return terms.select(
+            cat_col, "n", "n_pos", "n_neg", "woe_e6", iv.alias("iv_e6")
+        )
     terms = per.select(
         F.col(cat_col),
         "n",
@@ -367,7 +400,7 @@ def rrf_fuse(
 
 
 def confusion_stats(
-    df: DataFrame, true_col: str, pred_col: str
+    df: DataFrame, true_col: str, pred_col: str, scaled_e6: bool = False
 ) -> DataFrame:
     """Multiclass confusion matrix with exact Cohen's kappa.
 
@@ -404,27 +437,34 @@ def confusion_stats(
             F.col("__agree").cast("long").alias("n_agree"),
             F.when(
                 F.col("__n") > 0,
-                F.round(
+                _acc_kappa_round(
                     F.col("__agree").cast("double")
                     / F.col("__n").cast("double"),
-                    6,
+                    scaled_e6,
                 ),
-            ).alias("accuracy"),
+            ).alias("accuracy_e6" if scaled_e6 else "accuracy"),
             F.when(
                 F.col("__n") * F.col("__n") - F.col("__pe") != 0,
-                F.round(
+                _acc_kappa_round(
                     (F.col("__n") * F.col("__agree") - F.col("__pe")).cast(
                         "double"
                     )
                     / (F.col("__n") * F.col("__n") - F.col("__pe")).cast(
                         "double"
                     ),
-                    6,
+                    scaled_e6,
                 ),
-            ).alias("kappa"),
+            ).alias("kappa_e6" if scaled_e6 else "kappa"),
         )
     )
     return cells.crossJoin(F.broadcast(stats))
+
+
+def _acc_kappa_round(ratio, scaled_e6: bool):
+    """Round-9 e6 gate convention (see queries._e6) or legacy round(6)."""
+    if scaled_e6:
+        return F.round(ratio * F.lit(1e6)).cast("long")
+    return F.round(ratio, 6)
 
 
 def _lcm_1_to(k: int) -> int:

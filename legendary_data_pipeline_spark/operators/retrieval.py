@@ -172,6 +172,7 @@ def maxsim_topk(
     label_col: str = "label",
     vecs_col: str = "vecs",
     round_digits: int = 6,
+    scaled_e6: bool = False,
 ) -> DataFrame:
     """Exact late-interaction top-k: for each query row, the k docs with
     the highest MaxSim score. Rounds before ranking and ties break on
@@ -202,14 +203,22 @@ def maxsim_topk(
     else:
         joined = queries.crossJoin(cands)
     joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
-    score = F.round(maxsim_expr("q_vecs", "c_vecs"), round_digits)
+    # scaled_e6: round-9 e6 gate convention (see queries._e6).
+    if scaled_e6:
+        score = F.round(
+            maxsim_expr("q_vecs", "c_vecs") * F.lit(1e6)
+        ).cast("long")
+        sim_col = "maxsim_e6"
+    else:
+        score = F.round(maxsim_expr("q_vecs", "c_vecs"), round_digits)
+        sim_col = "maxsim"
     scored = joined.select(
-        "query_id", "neighbor_id", score.alias("maxsim")
+        "query_id", "neighbor_id", score.alias(sim_col)
     )
     return top_k_per_group(
         scored,
         ["query_id"],
-        [F.col("maxsim").desc(), F.col("neighbor_id").asc()],
+        [F.col(sim_col).desc(), F.col("neighbor_id").asc()],
         k=k,
         rank_col="rank",
-    ).select("query_id", "neighbor_id", "rank", "maxsim")
+    ).select("query_id", "neighbor_id", "rank", sim_col)

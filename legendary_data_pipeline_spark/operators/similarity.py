@@ -58,6 +58,7 @@ def cosine_topk(
     query_filter: Column | None = None,
     block_on_label: bool = True,
     round_digits: int = 6,
+    scaled_e6: bool = False,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query vector.
 
@@ -86,18 +87,22 @@ def cosine_topk(
     else:
         joined = queries.crossJoin(cands)
     joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
-    cos = F.round(
-        dot_expr("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")),
-        round_digits,
-    )
-    scored = joined.select("query_id", "neighbor_id", cos.alias("cos_sim"))
+    ratio = dot_expr("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm"))
+    # scaled_e6: round-9 e6 gate convention (see queries._e6).
+    if scaled_e6:
+        cos = F.round(ratio * F.lit(1e6)).cast("long")
+        sim_col = "cos_sim_e6"
+    else:
+        cos = F.round(ratio, round_digits)
+        sim_col = "cos_sim"
+    scored = joined.select("query_id", "neighbor_id", cos.alias(sim_col))
     return top_k_per_group(
         scored,
         ["query_id"],
-        [F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
+        [F.col(sim_col).desc(), F.col("neighbor_id").asc()],
         k=k,
         rank_col="rank",
-    ).select("query_id", "neighbor_id", "rank", "cos_sim")
+    ).select("query_id", "neighbor_id", "rank", sim_col)
 
 
 def _lloyd_codebook(X, n_centroids: int, iters: int, seed: int):
@@ -314,6 +319,7 @@ def lsh_bucket_topk(
     k: int = 3,
     query_filter: Column | None = None,
     probes: int = 1,
+    scaled_e6: bool = False,
 ) -> DataFrame:
     """Approximate top-k: sign-bucket vectors, search within buckets.
 
@@ -393,10 +399,15 @@ def lsh_bucket_topk(
     joined = queries.join(cands, F.col("q_bucket") == F.col("c_bucket")).filter(
         F.col("query_id") != F.col("neighbor_id")
     )
-    cos = F.round(
-        dot_expr("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")), 6
-    )
-    scored = joined.select("query_id", "neighbor_id", cos.alias("cos_sim"))
+    ratio = dot_expr("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm"))
+    # scaled_e6: round-9 e6 gate convention (see queries._e6).
+    if scaled_e6:
+        cos = F.round(ratio * F.lit(1e6)).cast("long")
+        sim_col = "cos_sim_e6"
+    else:
+        cos = F.round(ratio, 6)
+        sim_col = "cos_sim"
+    scored = joined.select("query_id", "neighbor_id", cos.alias(sim_col))
     if probes > 1:
         # a neighbor reachable through several probed buckets appears
         # once per bucket — dedupe before ranking
@@ -404,10 +415,10 @@ def lsh_bucket_topk(
     return top_k_per_group(
         scored,
         ["query_id"],
-        [F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
+        [F.col(sim_col).desc(), F.col("neighbor_id").asc()],
         k=k,
         rank_col="rank",
-    ).select("query_id", "neighbor_id", "rank", "cos_sim")
+    ).select("query_id", "neighbor_id", "rank", sim_col)
 
 
 def label_centroid_cosine(
@@ -982,6 +993,7 @@ def ivf_fixed_topk(
     k: int = 3,
     query_filter: Column | None = None,
     round_digits: int = 6,
+    scaled_e6: bool = False,
 ) -> DataFrame:
     """IVF approximate top-k with a FIXED seed codebook — the
     hash-oracle-able ANN variant.
@@ -1062,9 +1074,18 @@ def ivf_fixed_topk(
         F.lit(0.0),
         lambda a, x: a + x,
     )
-    cos = F.round(dot / (qn * cn), round_digits)
+    ratio = dot / (qn * cn)
+    # scaled_e6: round-9 e6 gate convention (see queries._e6) — the
+    # rounded-double form is not engine-version-canonical, and the
+    # ORDER BY over it could flip ranks across engine versions.
+    if scaled_e6:
+        cos = F.round(ratio * F.lit(1e6)).cast("long")
+        sim_col = "cos_sim_e6"
+    else:
+        cos = F.round(ratio, round_digits)
+        sim_col = "cos_sim"
     scored = joined.select(
-        "query_id", "neighbor_id", cos.alias("cos_sim")
+        "query_id", "neighbor_id", cos.alias(sim_col)
     ).distinct()  # a neighbor can appear via several probed lists
     from legendary_data_pipeline_spark.operators.ranking import (
         top_k_per_group,
@@ -1073,10 +1094,10 @@ def ivf_fixed_topk(
     return top_k_per_group(
         scored,
         ["query_id"],
-        [F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
+        [F.col(sim_col).desc(), F.col("neighbor_id").asc()],
         k=k,
         rank_col="rank",
-    ).select("query_id", "neighbor_id", "rank", "cos_sim")
+    ).select("query_id", "neighbor_id", "rank", sim_col)
 
 
 def semdedup_fixed(

@@ -2149,8 +2149,8 @@ def curation_c4_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.doc_id,
            CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans,
            CAST(COALESCE(a.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
-           round(CAST(a.n_dup_spans AS DOUBLE)
-                 / nullif(CAST(a.n_spans AS DOUBLE), 0.0), 6)
+           CAST(a.n_dup_spans AS DOUBLE)
+                 / nullif(CAST(a.n_spans AS DOUBLE), 0.0)
              AS dup_span_frac
     FROM enriched e LEFT JOIN agg a USING (doc_id)
     """,

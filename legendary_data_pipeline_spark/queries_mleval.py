@@ -96,8 +96,8 @@ def _pred_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pairs JOIN s2 x ON x.doc_id = id_a
                  JOIN s2 y ON y.doc_id = id_b)
     SELECT id_a, id_b, inter, size_a, size_b,
-           round(CAST(inter AS DOUBLE)
-                 / CAST(size_a + size_b - inter AS DOUBLE), 6) AS jaccard
+           CAST(inter AS DOUBLE)
+                 / CAST(size_a + size_b - inter AS DOUBLE) AS jaccard
     FROM j WHERE inter * 5 >= (size_a + size_b - inter) * 4
     """,
     doc="Globally EXACT word-3-gram Jaccard pairs at t=4/5 via prefix "
@@ -148,9 +148,10 @@ def ss_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cum GROUP BY 1)
     SELECT CAST(segment AS BIGINT) AS segment, n_pos, n_neg,
            CASE WHEN n_pos > 0 AND n_neg > 0
-                THEN round(CAST(num2 AS DOUBLE)
-                           / CAST(2 * n_pos * n_neg AS DOUBLE), 6)
-           END AS auc
+                THEN CAST(round(CAST(num2 AS DOUBLE)
+                           / CAST(2 * n_pos * n_neg AS DOUBLE) * 1e6)
+                     AS BIGINT)
+           END AS auc_e6
     FROM agg
     """,
     doc="Exact tie-corrected ROC-AUC per model segment via the "
@@ -168,7 +169,9 @@ def ml_auc_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("embedding", 1).cast("double").alias("score"),
         (F.col("label") >= 5).cast("long").alias("lab"),
     )
-    return M.auc_by_group(base, ["segment"], "score", "lab")
+    return M.auc_by_group(
+        base, ["segment"], "score", "lab", scaled_e6=True
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -185,8 +188,9 @@ def ml_auc_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
            (CAST(bin AS DOUBLE) + 0.5) / 10.0 AS bin_mid,
            CAST(count(*) AS BIGINT) AS n,
            CAST(SUM(lab) AS BIGINT) AS n_pos,
-           round(CAST(SUM(lab) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
-             AS frac_pos
+           CAST(round(CAST(SUM(lab) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                      * 1e6) AS BIGINT)
+             AS frac_pos_e6
     FROM b GROUP BY 1
     """,
     doc="Reliability-diagram (calibration) bins: min-max normalized "
@@ -199,7 +203,9 @@ def ml_auc_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = _pred_frame(spark, sf_dir)
-    return M.calibration_bins(pred, "pred", "lab", n_bins=10)
+    return M.calibration_bins(
+        pred, "pred", "lab", n_bins=10, scaled_e6=True
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -513,10 +519,10 @@ def _rrf_half_rank_sql(lo: int, alias: str) -> str:
     return f"""
     {alias}_p AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             round(list_cosine_similarity(
+             CAST(round(list_cosine_similarity(
                CAST(list_slice(q.embedding, {lo}, {lo + 31}) AS DOUBLE[]),
-               CAST(list_slice(c.embedding, {lo}, {lo + 31}) AS DOUBLE[])),
-               6) AS cs
+               CAST(list_slice(c.embedding, {lo}, {lo + 31}) AS DOUBLE[]))
+               * 1e6) AS BIGINT) AS cs
       FROM embeddings q JOIN embeddings c
         ON q.label = c.label AND c.vec_id <> q.vec_id
       WHERE q.vec_id % {_RRF_QMOD} = 0),
@@ -569,6 +575,7 @@ def ret_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=10,
             query_filter=(F.col("vec_id") % _RRF_QMOD == 0),
             block_on_label=True,
+            scaled_e6=True,
         ).select("query_id", "neighbor_id", F.col("rank").alias("rnk"))
         halves.append(ranked)
     union = halves[0].unionByName(halves[1])
@@ -608,11 +615,12 @@ _WOE_S = 0.5
       FROM per),
     terms AS (
       SELECT o_orderpriority, n, n_pos, n_neg,
-             round(ln((CAST(n_pos AS DOUBLE) + {_WOE_S})
+             CAST(round(ln((CAST(n_pos AS DOUBLE) + {_WOE_S})
                       * (CAST(neg AS DOUBLE) + {_WOE_S} * CAST(k AS DOUBLE))
                     / ((CAST(n_neg AS DOUBLE) + {_WOE_S})
                        * (CAST(pos AS DOUBLE)
-                          + {_WOE_S} * CAST(k AS DOUBLE)))), 6) AS woe,
+                          + {_WOE_S} * CAST(k AS DOUBLE)))) * 1e6)
+               AS BIGINT) AS woe_e6,
              ((CAST(n_pos AS DOUBLE) + {_WOE_S})
                 / (CAST(pos AS DOUBLE) + {_WOE_S} * CAST(k AS DOUBLE))
               - (CAST(n_neg AS DOUBLE) + {_WOE_S})
@@ -623,8 +631,8 @@ _WOE_S = 0.5
                    * (CAST(pos AS DOUBLE)
                       + {_WOE_S} * CAST(k AS DOUBLE)))) AS t
       FROM per, tot),
-    iv AS (SELECT round(SUM(t), 6) AS iv FROM terms)
-    SELECT o_orderpriority, n, n_pos, n_neg, woe, iv
+    iv AS (SELECT CAST(round(SUM(t) * 1e6) AS BIGINT) AS iv_e6 FROM terms)
+    SELECT o_orderpriority, n, n_pos, n_neg, woe_e6, iv_e6
     FROM terms, iv
     """,
     doc="Weight of evidence per order priority against the 'order "
@@ -641,7 +649,9 @@ def ml_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         (F.col("o_orderstatus") == "F").cast("int").alias("__lab"),
     )
-    return M.woe_iv(base, "o_orderpriority", "__lab", smoothing=_WOE_S)
+    return M.woe_iv(
+        base, "o_orderpriority", "__lab", smoothing=_WOE_S, scaled_e6=True
+    )
 
 
 # ---------------------------------------------------------------------------
