@@ -18,6 +18,19 @@ cell must be bit-identical across Spark and DuckDB):
   columns appended) so row_number picks identical rows in both engines.
 - Percentiles: `percentile()` (exact) matches DuckDB `quantile_cont`
   bit-for-bit on doubles — verified, and covered by tests.
+- Statistics (round-9 e6 convention): any value that would end in a
+  FRACTIONAL `round(double, k)` is emitted instead as the exact
+  integer `round(x * 1e6)` BIGINT (`_e6` / `_e6_sql`). Fractional
+  double rounding is not engine-version-canonical — DuckDB changed its
+  algorithm across releases, which is what turned the r8
+  `st_kendall_tau_qty_discount` driver cell red while every local run
+  was bit-identical. Scale-0 rounding is nearest-integer everywhere,
+  and integers survive any harness canonicalization. Raw doubles are
+  still fine when they are one shared IEEE expression tree over exact
+  inputs (ratios of integers, sqrt/div of decimal moments) — IEEE
+  mandates correct rounding for + - * / sqrt, so those match
+  bit-for-bit WITHOUT any rounding; the rule is "never let an engine's
+  fractional round be the last op before the driver hash".
 """
 
 from __future__ import annotations

@@ -91,3 +91,47 @@ def test_frozen_sequential_replay_matches_priority_apply(spark, sf_dir):
         for r in apply_bpe(docs, list(_BPE_MERGES_FROZEN)).collect()
     }
     assert seq == pri
+
+
+def test_sanitizer_line_terminators_cross_engine(spark, tmp_path):
+    """Round-9 advice: Java's '(.)' per-char wrap skips line
+    terminators (\\r, NEL, LS, PS) that RE2's '.' matches, and Java \\s
+    eats \\x0B where RE2's does not — unless the shared sanitize class
+    strips them first, n_words/n_bpe_tokens diverge between engines.
+    Pin the frozen-table query against its DuckDB oracle on text
+    containing every such character."""
+    import duckdb
+    import pandas as pd
+
+    import legendary_data_pipeline_spark.queries as Q  # registry first
+
+    rows = [
+        (1, "slow parting words here"),
+        # every divergence char: \x0b, \r, NEL, LS, PS
+        (2, "a" + chr(0x0B) + "b" + chr(0x0D) + "c" + chr(0x85)
+            + "d" + chr(0x2028) + "e" + chr(0x2029) + "f"),
+        (3, "  " + chr(0x0B) + chr(0x0D) + chr(0x85)
+            + chr(0x2028) + chr(0x2029)),  # terminators only
+        (4, "plain filtered text"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    p = str(tmp_path / "documents.parquet")
+    pdf.to_parquet(p)
+
+    spec = Q.REGISTRY.get("text_bpe_segment") or Q.SHADOW_REGISTRY[
+        "text_bpe_segment"
+    ]
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in spec.spark_fn(spark, str(tmp_path)).collect()
+    }
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{p}'")
+    want = {
+        d: (nw, nt)
+        for d, nw, nt, _ in con.sql(spec.oracle).fetchall()
+    }
+    assert got == want
+    # terminators-only text must sanitize to zero words on BOTH sides
+    assert got[3] == (0, 0)
