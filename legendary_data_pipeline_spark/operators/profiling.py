@@ -621,27 +621,42 @@ def ks_two_sample(
             F.coalesce("__cc", F.lit(0)).alias("__cc"),
         )
     )
-    w_cum = Window.orderBy(F.col("__v").asc()).rowsBetween(
-        Window.unboundedPreceding, 0
+    # Inclusive running counts via the distributed prefix-sum (round
+    # 9): a Window.orderBy(value) here would funnel the distinct-value
+    # frame through ONE partition — data-sized for continuous measures
+    # (cents!) at corpus scale. Totals ride along as an extra pair of
+    # count sums over the SAME checkpointed frame (no branch replay).
+    from legendary_data_pipeline_spark.operators.stats import (
+        distributed_below_counts,
     )
-    w_all = Window.partitionBy().rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+
+    cum = distributed_below_counts(
+        merged, "__v", ["__cb", "__cc"], inclusive=True
     )
-    cb = F.sum("__cb").over(w_cum).cast("decimal(38,0)")
-    cc = F.sum("__cc").over(w_cum).cast("decimal(38,0)")
-    nb = F.sum("__cb").over(w_all).cast("decimal(38,0)")
-    nc = F.sum("__cc").over(w_all).cast("decimal(38,0)")
+    totals = cum.groupBy().agg(
+        F.sum("__cb").cast("decimal(38,0)").alias("__nb"),
+        F.sum("__cc").cast("decimal(38,0)").alias("__nc"),
+    )
+    cb = F.col("__cb_cum").cast("decimal(38,0)")
+    cc = F.col("__cc_cum").cast("decimal(38,0)")
     # |F1 - F2| scaled by n_base*n_current: exact integer cross-product
-    diff = F.abs(cb * nc - cc * nb).cast("decimal(38,0)")
-    per_v = merged.select(
+    per_v = cum.crossJoin(F.broadcast(totals)).select(
         "__v",
-        diff.alias("__d"),
-        nb.alias("__nb"),
-        nc.alias("__nc"),
+        F.abs(cb * F.col("__nc") - cc * F.col("__nb"))
+        .cast("decimal(38,0)")
+        .alias("__d"),
+        "__nb",
+        "__nc",
     )
-    w_rank = Window.orderBy(F.col("__d").desc(), F.col("__v").asc())
-    top = per_v.withColumn("__rn", F.row_number().over(w_rank)).where(
-        F.col("__rn") == 1
+    # Supremum + earliest attaining value via two metadata-sized
+    # aggregations instead of a global ORDER BY window (the previous
+    # row_number ranking was the third single-partition stage here).
+    dmax = per_v.groupBy().agg(F.max("__d").alias("__dmax"))
+    top = (
+        per_v.crossJoin(F.broadcast(dmax))
+        .where(F.col("__d") == F.col("__dmax"))
+        .groupBy("__nb", "__nc", "__d")
+        .agg(F.min("__v").alias("__v"))
     )
     n_d = F.col("__nb").cast("double")
     m_d = F.col("__nc").cast("double")

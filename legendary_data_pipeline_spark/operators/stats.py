@@ -783,6 +783,79 @@ def sketch_quantile(
 # exact-moment association statistics
 # ---------------------------------------------------------------------------
 
+def distributed_below_counts(
+    g: DataFrame,
+    value_col: str,
+    cnt_cols: Sequence[str],
+    inclusive: bool = False,
+) -> DataFrame:
+    """Distributed order-statistics prefix sums over a distinct-value
+    frame — the single-partition-free form of the "Spearman
+    construction" cumulative window.
+
+    Input ``g``: one row per distinct value (``value_col`` non-NULL)
+    with integer count columns ``cnt_cols``. Output: ``g``'s columns
+    plus, per count column c, ``{c}_cum`` = Σ c over values strictly
+    below this row's value (``inclusive=False``) or ≤ it
+    (``inclusive=True``). Results are a pure function of the data —
+    identical for any partitioning — so oracle exactness is untouched.
+
+    Why not ``Window.orderBy(value)`` over the whole frame: that plans
+    an Exchange SinglePartition, funnelling the DISTINCT-VALUE frame
+    through one task. For categorical/day-granularity values the frame
+    is metadata and that is fine; for continuous measures (prices,
+    durations) distinct values approach the data size at corpus scale —
+    the same failure mode the KM/logrank guards fail loud on (round 8).
+    This fixes it structurally instead:
+
+    1. ONE range shuffle (`repartitionByRange` on the value — equal
+       values co-located, partition ids monotone in value), pinned with
+       a lazy `localCheckpoint` so the two consumers below read the
+       SAME materialization (pids stay consistent across branches and
+       nothing upstream is replayed — the pagerank lineage-truncation
+       precedent).
+    2. Per-partition totals → a P-row offsets frame (P = shuffle
+       partitions; the only remaining ordered window runs over those P
+       metadata rows).
+    3. Per-PARTITION cumulative windows (bounded by partition size) +
+       a broadcast join of the offsets.
+    """
+    cnts = list(cnt_cols)
+    ranged = g.repartitionByRange(F.col(value_col).asc()).localCheckpoint(
+        eager=False
+    )
+    ann = ranged.withColumn("__pid", F.spark_partition_id())
+    per_p = ann.groupBy("__pid").agg(
+        *[F.sum(c).alias(f"__t_{c}") for c in cnts]
+    )
+    off_w = Window.orderBy(F.col("__pid").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = per_p.select(
+        "__pid",
+        *[
+            F.coalesce(F.sum(f"__t_{c}").over(off_w), F.lit(0)).alias(
+                f"__off_{c}"
+            )
+            for c in cnts
+        ],
+    )
+    end = 0 if inclusive else -1
+    win = Window.partitionBy("__pid").orderBy(
+        F.col(value_col).asc()
+    ).rowsBetween(Window.unboundedPreceding, end)
+    return ann.join(F.broadcast(offs), "__pid").select(
+        *g.columns,
+        *[
+            (
+                F.coalesce(F.sum(c).over(win), F.lit(0))
+                + F.col(f"__off_{c}")
+            ).alias(f"{c}_cum")
+            for c in cnts
+        ],
+    )
+
+
 def correlation_matrix(
     df: DataFrame,
     cols: Sequence[str],
@@ -1133,13 +1206,13 @@ def spearman_matrix(
 
     Output: (col_a, col_b, n, rho) per unordered pair, `cols` order.
 
-    Scale: per column, one map-side-combinable groupBy(value) + ONE
-    single-partition window over the distinct-value frame (cardinality-
-    sized, not data-sized — the same bounded-metadata exchange as
-    `global_row_number`'s offsets; for a genuinely ultra-high-cardinality
-    double column, quantize `scale` down or pre-bucket) + one value-keyed
+    Scale: per column, one map-side-combinable groupBy(value), then
+    below-counts via `distributed_below_counts` (round 9: one range
+    shuffle + per-PARTITION cumulative windows + a P-row offsets frame
+    — no single-partition stage even when a continuous column's
+    distinct-value frame approaches the data size) + one value-keyed
     shuffle join back. Then one global moment aggregation, map-side
-    combinable. No data-sized single-partition stage.
+    combinable. No data-sized single-partition stage anywhere.
     """
     if len(cols) < 2:
         raise ValueError("spearman_matrix needs at least two columns")
@@ -1165,13 +1238,15 @@ def spearman_matrix(
         g = base.groupBy(c).agg(
             F.count(F.lit(1)).cast("long").alias("__cnt")
         )
-        below_w = Window.orderBy(F.col(c).asc()).rowsBetween(
-            Window.unboundedPreceding, -1
-        )
-        rankmap = g.select(
+        # below(v) via the distributed prefix-sum (round 9) — a plain
+        # Window.orderBy(value) here would funnel the distinct-value
+        # frame through ONE partition, which is data-sized for
+        # continuous measures at corpus scale.
+        cum = distributed_below_counts(g, c, ["__cnt"], inclusive=False)
+        rankmap = cum.select(
             F.col(c),
             (
-                F.lit(2) * F.coalesce(F.sum("__cnt").over(below_w), F.lit(0))
+                F.lit(2) * F.col("__cnt_cum")
                 + F.col("__cnt")
                 + F.lit(1)
             ).cast("long").alias(f"__r2_{c}"),
@@ -1815,7 +1890,6 @@ def logrank_test(
     group_b,
     round_digits: int = 6,
     bucket: int | None = None,
-    max_distinct_times: int = 200_000,
     scaled_e6: bool = False,
 ) -> DataFrame:
     """Two-group log-rank test — "do these retention curves differ?"
@@ -1840,10 +1914,16 @@ def logrank_test(
     sign of z: positive means group A had MORE events than expected
     (worse survival). NULL z/chi2 when V = 0 (no comparable times).
 
-    Guard (round 8): same single-partition distinct-time windows as
-    `kaplan_meier`, same contract — pass ``bucket`` to floor durations
-    to a coarse integer grid, or the plan fails loud once the distinct-
-    time count exceeds ``max_distinct_times``.
+    Scale (round 9): the per-group risk sets come from
+    `distributed_below_counts` — exact integer prefix sums over a
+    range-shuffled distinct-time frame, so there is NO data-sized
+    single-partition stage even for continuous (second/nanosecond)
+    durations; the round-8 ``max_distinct_times`` fail-loud guard is
+    gone because the structure it protected against is gone. ``bucket``
+    remains as a semantic coarsener (floor durations to a grid). The
+    E/V double summands are magnitude-≲1 terms aggregated under the
+    round-6/e6 convention (order-tolerant by design); the integer
+    columns stay exact for any partitioning.
     """
     t = F.col(duration_col)
     if bucket is not None:
@@ -1869,45 +1949,22 @@ def logrank_test(
         F.sum(F.col("__a")).cast("long").alias("__x_a"),
         F.sum(F.lit(1) - F.col("__a")).cast("long").alias("__x_b"),
     )
-    w_all = Window.partitionBy().rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    # Exact integer risk sets with NO data-sized single-partition
+    # window (round 9): exited-before counts via the distributed
+    # prefix-sum over the range-shuffled distinct-time frame; totals
+    # ride as a 1-row broadcast over the SAME checkpointed frame.
+    cum = distributed_below_counts(
+        per_t, "__t", ["__x_a", "__x_b"], inclusive=False
     )
-    if bucket is None:
-        n_times = F.count(F.lit(1)).over(w_all)
-        per_t = per_t.select(
-            "__t",
-            F.when(
-                n_times > max_distinct_times,
-                F.raise_error(F.concat(
-                    F.lit("logrank_test: "),
-                    n_times.cast("string"),
-                    F.lit(
-                        f" distinct exit times exceeds the "
-                        f"{max_distinct_times}-row single-partition window "
-                        "budget — pass bucket=<integer duration width> "
-                        "(e.g. 86400 for day buckets over second "
-                        "durations) or raise max_distinct_times"
-                    ),
-                )).cast("long"),
-            ).otherwise(F.col("__d_a")).alias("__d_a"),
-            "__d_b", "__x_a", "__x_b",
-        )
-    w_before = Window.orderBy(F.col("__t").asc()).rowsBetween(
-        Window.unboundedPreceding, -1
+    tot = cum.groupBy().agg(
+        F.sum("__x_a").cast("long").alias("__tot_a"),
+        F.sum("__x_b").cast("long").alias("__tot_b"),
     )
-    n_a = (
-        F.sum("__x_a").over(w_all)
-        - F.coalesce(F.sum("__x_a").over(w_before), F.lit(0))
-    ).cast("long")
-    n_b = (
-        F.sum("__x_b").over(w_all)
-        - F.coalesce(F.sum("__x_b").over(w_before), F.lit(0))
-    ).cast("long")
-    ann = per_t.select(
+    ann = cum.crossJoin(F.broadcast(tot)).select(
         "__t", "__d_a", "__d_b",
-        n_a.alias("__n_a"), n_b.alias("__n_b"),
-        F.sum("__x_a").over(w_all).cast("long").alias("__tot_a"),
-        F.sum("__x_b").over(w_all).cast("long").alias("__tot_b"),
+        (F.col("__tot_a") - F.col("__x_a_cum")).cast("long").alias("__n_a"),
+        (F.col("__tot_b") - F.col("__x_b_cum")).cast("long").alias("__n_b"),
+        "__tot_a", "__tot_b",
     )
     nt = (F.col("__n_a") + F.col("__n_b")).cast("double")
     dt = (F.col("__d_a") + F.col("__d_b")).cast("double")

@@ -72,10 +72,14 @@ def test_spearman_window_rides_on_value_aggregate(spark):
     # compression) feeds them — never a window over the raw scan
     assert "Window" in plan
     assert "HashAggregate" in plan
-    # 1 ranked spine + one branch per rank map — NOT doubled per column
-    # (building maps from the joined frame) and NOT tripled per pair
-    # (per-pair union): 24 scans for 3 columns before the round-7 fixes.
-    assert plan.count("Range (0, 64") == 3  # spine + 2 maps
+    # Round 9: each rank map's distinct-value spine is range-shuffled
+    # and pinned with a localCheckpoint (distributed_below_counts), so
+    # the SQL plan shows ONE Range (the moment-pass join spine) plus
+    # checkpointed RDD scans — two consumers (annotated rows + offsets)
+    # per column's map. The old shape (3 Range scans, cumulative window
+    # over a single partition of the distinct-value frame) is gone.
+    assert plan.count("Range (0, 64") == 1
+    assert plan.count("Scan ExistingRDD") == 4  # 2 maps × 2 consumers
 
 
 def test_pearson_single_source_pass(spark):

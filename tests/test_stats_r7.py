@@ -519,20 +519,27 @@ def test_km_guard_quiet_below_cap(spark):
     assert dict(kaplan_meier(df, "t", "e").dtypes)["t"] == "int"
 
 
-def test_logrank_cardinality_guard_and_bucket(spark):
+def test_logrank_high_cardinality_and_bucket(spark):
     from legendary_data_pipeline_spark.operators.stats import logrank_test
 
     df = spark.createDataFrame(
         [(i, 1, "a" if i % 2 == 0 else "b") for i in range(60)],
         "t long, e int, g string",
     )
-    guarded = logrank_test(df, "t", "e", "g", "a", "b",
-                           max_distinct_times=10)
-    with pytest.raises(Exception, match="bucket=.*duration width"):
-        guarded.collect()
-    # bucketed form runs; identical exits per group → z ~ 0
-    r = logrank_test(df, "t", "e", "g", "a", "b", bucket=20,
-                     max_distinct_times=10).collect()[0]
+    # Round 9: continuous (all-distinct) durations no longer need a
+    # guard — risk sets come from the distributed prefix-sum, so the
+    # unbucketed form runs at any distinct-time cardinality and its
+    # plan has no data-sized single-partition window.
+    plan = (
+        logrank_test(df, "t", "e", "g", "a", "b")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    r0 = logrank_test(df, "t", "e", "g", "a", "b").collect()[0]
+    assert (r0["n_a"], r0["n_b"]) == (30, 30)
+    assert (r0["events_a"], r0["events_b"]) == (30, 30)
+    # bucketed form still runs; identical exits per group → z ~ 0
+    r = logrank_test(df, "t", "e", "g", "a", "b", bucket=20).collect()[0]
     assert (r["n_a"], r["n_b"]) == (30, 30)
     assert (r["events_a"], r["events_b"]) == (30, 30)
     assert abs(r["z"]) < 0.5
