@@ -788,6 +788,7 @@ def distributed_below_counts(
     value_col: str,
     cnt_cols: Sequence[str],
     inclusive: bool = False,
+    group_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Distributed order-statistics prefix sums over a distinct-value
     frame — the single-partition-free form of the "Spearman
@@ -819,20 +820,33 @@ def distributed_below_counts(
        metadata rows).
     3. Per-PARTITION cumulative windows (bounded by partition size) +
        a broadcast join of the offsets.
+
+    ``group_cols`` generalizes to per-GROUP prefix sums for COARSE
+    groupings (the range shuffle keys on (groups…, value); the offsets
+    frame grows to ≤ |groups|·P rows and must stay broadcast-sized).
+    That is exactly the regime where the helper is needed — a few
+    groups over a continuous value, each group's distinct-value frame
+    data-sized. For HIGH-cardinality groupings keep the plain
+    ``Window.partitionBy(groups).orderBy(value)``: per-group frames are
+    naturally bounded there and the offsets broadcast would not be.
+    NULL group keys are honored (null-safe join), matching groupBy
+    semantics.
     """
     cnts = list(cnt_cols)
-    ranged = g.repartitionByRange(F.col(value_col).asc()).localCheckpoint(
-        eager=False
-    )
+    groups = list(group_cols)
+    ranged = g.repartitionByRange(
+        *[F.col(c).asc() for c in groups], F.col(value_col).asc()
+    ).localCheckpoint(eager=False)
     ann = ranged.withColumn("__pid", F.spark_partition_id())
-    per_p = ann.groupBy("__pid").agg(
+    per_p = ann.groupBy(*groups, "__pid").agg(
         *[F.sum(c).alias(f"__t_{c}") for c in cnts]
     )
-    off_w = Window.orderBy(F.col("__pid").asc()).rowsBetween(
+    off_w = Window.partitionBy(*groups).orderBy(F.col("__pid").asc()).rowsBetween(
         Window.unboundedPreceding, -1
     )
     offs = per_p.select(
-        "__pid",
+        *[F.col(c).alias(f"__g_{c}") for c in groups],
+        F.col("__pid").alias("__opid"),
         *[
             F.coalesce(F.sum(f"__t_{c}").over(off_w), F.lit(0)).alias(
                 f"__off_{c}"
@@ -840,12 +854,15 @@ def distributed_below_counts(
             for c in cnts
         ],
     )
+    cond = ann["__pid"] == offs["__opid"]
+    for c in groups:
+        cond = cond & ann[c].eqNullSafe(offs[f"__g_{c}"])
     end = 0 if inclusive else -1
-    win = Window.partitionBy("__pid").orderBy(
+    win = Window.partitionBy(*groups, "__pid").orderBy(
         F.col(value_col).asc()
     ).rowsBetween(Window.unboundedPreceding, end)
-    return ann.join(F.broadcast(offs), "__pid").select(
-        *g.columns,
+    return ann.join(F.broadcast(offs), cond).select(
+        *[ann[c] for c in g.columns],
         *[
             (
                 F.coalesce(F.sum(c).over(win), F.lit(0))
@@ -967,6 +984,7 @@ def gini_concentration(
     group_cols: Sequence[str] = (),
     round_digits: int = 6,
     scaled_e6: bool = False,
+    coarse_groups: bool = True,
 ) -> DataFrame:
     """EXACT Gini concentration coefficient per group — the inequality
     measure behind "is our spend / token budget / traffic concentrated
@@ -984,9 +1002,15 @@ def gini_concentration(
     engines. NULL values are dropped; a group with Σx = 0 returns NULL
     gini (undefined).
 
-    Scale: one map-side-combinable groupBy to (group, value, cnt), a
-    cumulative window over the distinct-value frame (cardinality-
-    sized per group, not data-sized), one per-group aggregation.
+    Scale: one map-side-combinable groupBy to (group, value, cnt),
+    then below-counts. With ``coarse_groups=True`` (default) they come
+    from `distributed_below_counts` — no data-sized window even when
+    the distinct-value frame (cents!) approaches the data size; the
+    offsets broadcast is ≤ |groups|·P rows, so pass
+    ``coarse_groups=False`` for HIGH-cardinality groupings, where the
+    plain per-group cumulative window is naturally bounded instead.
+    Both paths are bit-identical (exact decimal sums are commutative).
+    One per-group aggregation finishes.
 
     Output: group_cols..., n, total, gini.
     """
@@ -996,12 +1020,23 @@ def gini_concentration(
     g = d.groupBy(*groups, "__v").agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("__c")
     )
-    w = Window.partitionBy(*groups).orderBy(F.col("__v").asc()).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    below = F.coalesce(
-        F.sum("__c").over(w), F.lit(0).cast("decimal(38,0)")
-    )
+    if coarse_groups:
+        # Round 9: below-counts via the distributed prefix-sum — no
+        # data-sized single-partition (or per-coarse-group) window even
+        # when the distinct-value frame approaches the data size
+        # (cents!). Exact decimal(38,0) sums are commutative, so the
+        # regrouped summation is bit-identical to the sequential window.
+        g = distributed_below_counts(
+            g, "__v", ["__c"], inclusive=False, group_cols=groups
+        )
+        below = F.col("__c_cum").cast("decimal(38,0)")
+    else:
+        w = Window.partitionBy(*groups).orderBy(
+            F.col("__v").asc()
+        ).rowsBetween(Window.unboundedPreceding, -1)
+        below = F.coalesce(
+            F.sum("__c").over(w), F.lit(0).cast("decimal(38,0)")
+        )
     two = F.lit(2).cast("decimal(38,0)")
     posum = (
         below * F.col("__c")
