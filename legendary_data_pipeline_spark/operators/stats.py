@@ -834,7 +834,14 @@ def distributed_below_counts(
     """
     cnts = list(cnt_cols)
     groups = list(group_cols)
-    ranged = g.repartitionByRange(
+    # repartitionByRange executes a boundary-SAMPLING job that would
+    # recompute the whole upstream subtree (the corpus scan feeding the
+    # distinct-value groupBy) before the real shuffle runs it AGAIN —
+    # pin the input first so the corpus is scanned exactly once and
+    # both the sampler and the shuffle read the cardinality-sized
+    # materialization.
+    src = g.localCheckpoint(eager=False)
+    ranged = src.repartitionByRange(
         *[F.col(c).asc() for c in groups], F.col(value_col).asc()
     ).localCheckpoint(eager=False)
     ann = ranged.withColumn("__pid", F.spark_partition_id())
