@@ -191,16 +191,18 @@ def main() -> None:
         }
 
     # Driver-capture hygiene (r8 lesson: BENCH_r08.json parsed: null —
-    # the single JSON line outgrew the driver's tail capture):
+    # the single JSON line outgrew the driver's 2000-char tail capture,
+    # cutting the line's HEAD, so the whole line must fit):
     #   - compact separators, 3-digit timings
-    #   - totals + pinned subtotals FIRST so truncation degrades
-    #     gracefully, the per-query map last
-    #   - the full artifact is ALSO written to BENCH_DETAIL.json so the
-    #     per-query numbers survive any stdout capture limit
+    #   - the stdout line's per-query map holds the CURRENT GATE only
+    #     (~50 names ≈ 1.8 KB total line; the demoted pinned names are
+    #     timed for the pinned_r* subtotals but their individual numbers
+    #     live in BENCH_DETAIL.json, which carries the FULL map)
     payload = {
         "metric": "total_query_sec",
         "value": total,
         "unit": "sec",
+        "n_timed": len(timings),
         "sf": _sf_from_dir(sf_dir),
         "pinned_r1": _pinned(PINNED_R1),
         "pinned_r6": _pinned(PINNED_R6),
@@ -208,7 +210,12 @@ def main() -> None:
         "pinned_r8": _pinned(PINNED_R8),
         "queries": timings,
     }
-    line = json.dumps(payload, separators=(",", ":"))
+    detail_line = json.dumps(payload, separators=(",", ":"))
+    stdout_payload = dict(payload)
+    stdout_payload["queries"] = {
+        n: t for n, t in timings.items() if n in REGISTRY
+    }
+    line = json.dumps(stdout_payload, separators=(",", ":"))
     detail_path = os.environ.get(
         "LDP_BENCH_DETAIL",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -216,7 +223,7 @@ def main() -> None:
     )
     try:
         with open(detail_path, "w") as fh:
-            fh.write(line + "\n")
+            fh.write(detail_line + "\n")
     except OSError:
         pass  # read-only checkout — stdout line is still authoritative
     print(line)
