@@ -658,6 +658,13 @@ def triangle_count(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    # The oriented edge frame is consumed 3-4× below (n_edges count +
+    # e1/e2/e3 wedge sides, or adjacency build + per-edge join) and
+    # Spark's exchange reuse does NOT stitch the duplicated dedup
+    # subtrees back together (measured: 8 parquet scans in the FINAL
+    # adaptive plan — the whole source self-join + distinct ran four
+    # times). Pin it so the edge dedup materializes exactly once.
+    e = e.localCheckpoint(eager=False)
     if orient == "degree":
         deg = (
             e.select(F.explode(F.array("a", "b")).alias("n"))
@@ -681,11 +688,14 @@ def triangle_count(
                 F.when(first_is_a, F.col("a")).otherwise(F.col("b")).alias("a"),
                 F.when(first_is_a, F.col("b")).otherwise(F.col("a")).alias("b"),
             )
+            .localCheckpoint(eager=False)  # re-pin past the degree joins
         )
     if method == "adjacency":
+        # ax and ay below are two consumers of the SAME neighbor-array
+        # aggregation — pin it so collect_list runs once, not twice.
         adj = e.groupBy("a").agg(
             F.array_sort(F.collect_list("b")).alias("__nb")
-        )
+        ).localCheckpoint(eager=False)
         ax = adj.select(F.col("a").alias("x"), F.col("__nb").alias("__nx"))
         ay = adj.select(F.col("a").alias("y"), F.col("__nb").alias("__ny"))
         per_edge = (
@@ -729,6 +739,10 @@ def clustering_coefficients(
     lo = F.least(F.col(a_col), F.col(b_col)).alias("a")
     hi = F.greatest(F.col(a_col), F.col(b_col)).alias("b")
     e = edges.select(lo, hi).filter(F.col("a") != F.col("b")).distinct()
+    # four consumers (deg + the three wedge sides) — pin the dedup so
+    # the source self-join + distinct materializes once (see
+    # triangle_count; exchange reuse does not recover this).
+    e = e.localCheckpoint(eager=False)
 
     # explode, never union-of-selects: a union replays the source
     # subtree once per branch (the corners union replayed the whole
