@@ -56,13 +56,25 @@ def cms_build(
     key_col: str,
     depth: int = DEFAULT_DEPTH,
     width: int = DEFAULT_WIDTH,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Sketch the frequency of ``key_col`` (cast to string, one md5 per
     row) into (row_idx, col_idx, cnt) cells.
 
     One scan: each row explodes into ``depth`` (row, col) updates — a
     constant fan-out — then a cell-keyed aggregation with map-side
-    combine reduces to ≤ depth × width rows.
+    combine reduces to ≤ depth × width rows. This per-row form never
+    shuffles the data (cells combine map-side), which is the right
+    default for raw streams at scale.
+
+    ``weight_col``: build from an ALREADY-AGGREGATED (key, count)
+    frame instead — each key's cells are credited ``weight_col``
+    occurrences. Bit-identical to the per-row build over the
+    un-aggregated data (cell counts are sums of exact integers), but
+    hashes each distinct key once. Use it when a per-key aggregate
+    already exists in the pipeline; do NOT introduce a key shuffle
+    just to use it (for high-cardinality keys that shuffle is
+    data-sized, while the per-row build's cell combine is not).
     """
     key = F.col(key_col).cast("string")
     cells = F.array(
@@ -73,11 +85,18 @@ def cms_build(
             for i, c in enumerate(_cols_for(key, depth, width))
         ]
     )
+    if weight_col is None:
+        return (
+            df.select(F.explode(cells).alias("__c"))
+            .select("__c.row_idx", "__c.col_idx")
+            .groupBy("row_idx", "col_idx")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
     return (
-        df.select(F.explode(cells).alias("__c"))
-        .select("__c.row_idx", "__c.col_idx")
+        df.select(F.explode(cells).alias("__c"), F.col(weight_col).alias("__w"))
+        .select("__c.row_idx", "__c.col_idx", "__w")
         .groupBy("row_idx", "col_idx")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .agg(F.sum("__w").cast("long").alias("cnt"))
     )
 
 

@@ -3120,9 +3120,16 @@ def sk_cms_partkey_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = load_table(spark, sf_dir, "lineitem")
-    sketch = cms_build(li, "l_partkey", _CMS_DEPTH, _CMS_WIDTH)
+    # ONE lineitem scan: the per-key exact counts are needed in the
+    # output anyway, so the sketch is built FROM that aggregate
+    # (weighted cells — bit-identical to the per-row build) instead of
+    # rescanning and re-hashing every raw row. Pin the aggregate: the
+    # sketch build and the top-N probe pick are two consumers.
     exact = li.groupBy("l_partkey").agg(
         F.count(F.lit(1)).cast("long").alias("exact_cnt")
+    ).localCheckpoint(eager=False)
+    sketch = cms_build(
+        exact, "l_partkey", _CMS_DEPTH, _CMS_WIDTH, weight_col="exact_cnt"
     )
     top = exact.orderBy(
         F.col("exact_cnt").desc(), F.col("l_partkey").asc()

@@ -110,3 +110,13 @@ def test_inner_product_disjoint_and_empty(spark):
     empty = cms_build(spark.createDataFrame([], "k long"), "k", DEPTH, WIDTH)
     assert cms_inner_product(sa, empty).collect()[0]["cms_est"] == 0
     assert cms_inner_product(empty, sb).collect()[0]["cms_est"] == 0
+
+
+def test_weighted_build_equals_per_row_build(spark):
+    items = _items(spark)
+    per_row = cms_build(items, "k", DEPTH, WIDTH)
+    agg = items.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("w"))
+    weighted = cms_build(agg, "k", DEPTH, WIDTH, weight_col="w")
+    a = sorted(tuple(r) for r in per_row.collect())
+    b = sorted(tuple(r) for r in weighted.collect())
+    assert a == b  # bit-identical cell tables
