@@ -191,9 +191,12 @@ def unigram_surprisal_gate(
         F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
     )
     tr = trusted.select(F.explode(toks).alias("__tok"))
+    # Pin the vocab-sized count table: weights and (twice, via the
+    # totals 1-row frame) the OOV weight are three consumers that would
+    # otherwise each replay the trusted scan + token explode + groupBy.
     counts = tr.groupBy("__tok").agg(
         F.count(F.lit(1)).cast("long").alias("__c")
-    )
+    ).localCheckpoint(eager=False)
     totals = counts.agg(
         F.sum("__c").cast("long").alias("__t"),
         F.count(F.lit(1)).cast("long").alias("__v"),

@@ -416,9 +416,13 @@ def confusion_stats(
 
     Output: (true_col, pred_col, n, n_total, n_agree, accuracy, kappa).
     """
+    # Pin the class²-sized cell table: five consumers below (row/col
+    # marginals, agreement, total, the per-cell output join) would
+    # otherwise each replay the input scan + prediction compute +
+    # groupBy (measured: 5 source scans for the langid confusion).
     cells = df.groupBy(true_col, pred_col).agg(
         F.count(F.lit(1)).cast("long").alias("n")
-    )
+    ).localCheckpoint(eager=False)
     rows = cells.groupBy(true_col).agg(F.sum("n").alias("__r"))
     cols = cells.groupBy(pred_col).agg(F.sum("n").alias("__c"))
     chance = (

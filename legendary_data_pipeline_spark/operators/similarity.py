@@ -66,9 +66,11 @@ def cosine_topk(
     selected top-k) is stable across engines/retries; ties break on
     neighbor id.
     """
+    # Pin the parsed-vector frame: the query and candidate sides are
+    # two consumers and would otherwise each replay the scan + parse.
     base = embeddings.select(
         "vec_id", "label", _as_double(F.col("embedding")).alias("vec")
-    )
+    ).localCheckpoint(eager=False)
     queries = base if query_filter is None else base.filter(query_filter)
     queries = queries.select(
         F.col("vec_id").alias("query_id"),
@@ -1017,9 +1019,12 @@ def ivf_fixed_topk(
     joins queries' probed lists to corpus lists on centroid id — no
     cartesian over the corpus.
     """
+    # Pin the parsed-vector frame: three consumers (codebook filter,
+    # corpus assignment, query assignment) otherwise each replay the
+    # scan + double-cast of every embedding (measured: 4 source scans).
     base = embeddings.select(
         "vec_id", _as_double(F.col("embedding")).alias("vec")
-    )
+    ).localCheckpoint(eager=False)
     cents = base.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
     )

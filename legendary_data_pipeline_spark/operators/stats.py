@@ -1370,9 +1370,14 @@ def chi_square_independence(
     # attached marginals this function immediately dropped — but whose
     # lineage it kept: each of the four consumers below then replayed
     # contingency_counts' own four branches, 16 source scans in all).
+    # Pin the category-sized cell table: four consumers below (row/col
+    # marginals, total, grid completion) would otherwise each replay
+    # the corpus scan + pair groupBy (measured: 4 source scans).
     obs_cells = df.groupBy(
         F.col(col_a).alias("a"), F.col(col_b).alias("b")
-    ).agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    ).agg(F.count(F.lit(1)).cast("long").alias("obs")).localCheckpoint(
+        eager=False
+    )
     rows = obs_cells.groupBy("a").agg(F.sum("obs").alias("row_tot"))
     colns = obs_cells.groupBy("b").agg(F.sum("obs").alias("col_tot"))
     tot = obs_cells.agg(F.sum("obs").alias("n"))

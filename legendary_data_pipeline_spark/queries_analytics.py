@@ -1997,16 +1997,21 @@ _MAD_K = "4.4478"
 def st_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     day = F.expr("ts DIV 86400000000000").cast("long")
+    # Pin the day-grain aggregate and the deviation frame: median +
+    # deviation and MAD + final flag are each two consumers, and
+    # without the pins the raw events scan replayed four times.
     daily = ev.groupBy(
         "event_type", day.alias("day")
-    ).agg(F.sum(_cents("value")).cast("long").alias("value_cents"))
+    ).agg(F.sum(_cents("value")).cast("long").alias("value_cents")).localCheckpoint(
+        eager=False
+    )
     med = daily.groupBy("event_type").agg(
         F.expr("percentile(value_cents, 0.5)").alias("med")
     )
     dev = daily.join(F.broadcast(med), "event_type").withColumn(
         "abs_dev",
         F.abs(F.col("value_cents").cast("double") - F.col("med")),
-    )
+    ).localCheckpoint(eager=False)
     mad = dev.groupBy("event_type").agg(
         F.expr("percentile(abs_dev, 0.5)").alias("mad")
     )
