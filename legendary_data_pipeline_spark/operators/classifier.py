@@ -85,8 +85,15 @@ def train_nb(
     data-scale. The two driver-side `.first()` calls pull 1-row totals
     only.
     """
-    pos_counts = hashed_token_counts(pos, id_col, text_col, m)
-    neg_counts = hashed_token_counts(neg, id_col, text_col, m)
+    # Pin each class's token profile: the eager total (.first below)
+    # and the per-bucket weight aggregation are two consumers that
+    # would otherwise each replay the seed scan + tokenize + groupBy.
+    pos_counts = hashed_token_counts(pos, id_col, text_col, m).localCheckpoint(
+        eager=False
+    )
+    neg_counts = hashed_token_counts(neg, id_col, text_col, m).localCheckpoint(
+        eager=False
+    )
 
     def per_bucket(counts: DataFrame, name: str) -> DataFrame:
         return counts.groupBy("bucket").agg(F.sum("cnt").alias(name))

@@ -49,13 +49,21 @@ def funnel_times(
     if len(steps) < 2:
         raise ValueError("funnel needs at least 2 steps")
     horizon_ns = horizon_s * NANOS_PER_SECOND
+    # One source scan for all steps: each step's frame filters the
+    # PINNED step-events projection instead of rescanning the events
+    # table per step (k steps previously meant k full scans).
+    step_events = (
+        events.filter(F.col(type_col).isin(*steps))
+        .select(user_col, ts_col, type_col)
+        .localCheckpoint(eager=False)
+    )
     cur = (
-        events.filter(F.col(type_col) == steps[0])
+        step_events.filter(F.col(type_col) == steps[0])
         .groupBy(user_col)
         .agg(F.min(ts_col).alias("t1"))
     )
     for i, step in enumerate(steps[1:], start=2):
-        nxt = events.filter(F.col(type_col) == step).select(
+        nxt = step_events.filter(F.col(type_col) == step).select(
             user_col, F.col(ts_col).alias("__t")
         )
         prev_cols = [f"t{j}" for j in range(1, i)]

@@ -1119,9 +1119,12 @@ def kendall_tau_b(
     d = df.select(
         F.col(col_a).alias("__a"), F.col(col_b).alias("__b")
     ).where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+    # Pin the (K_a × K_b)-cell grid: three consumers (both self-join
+    # sides + the annotated marginal pass) would otherwise each replay
+    # the data-sized groupBy that builds it.
     cells = d.groupBy("__a", "__b").agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("__n")
-    )
+    ).localCheckpoint(eager=False)
     left = cells.select(
         F.col("__a").alias("__a1"),
         F.col("__b").alias("__b1"),
