@@ -72,14 +72,15 @@ def test_spearman_window_rides_on_value_aggregate(spark):
     # compression) feeds them — never a window over the raw scan
     assert "Window" in plan
     assert "HashAggregate" in plan
-    # Round 9: each rank map's distinct-value spine is range-shuffled
-    # and pinned with a localCheckpoint (distributed_below_counts), so
-    # the SQL plan shows ONE Range (the moment-pass join spine) plus
-    # checkpointed RDD scans — two consumers (annotated rows + offsets)
-    # per column's map. The old shape (3 Range scans, cumulative window
+    # Round 9: the filtered base is pinned (p+1 consumers), and each
+    # rank map's distinct-value spine is range-shuffled and pinned
+    # inside distributed_below_counts — so NO source (Range) scan
+    # appears in the final plan at all: every consumer reads a
+    # checkpointed RDD. The old shape (3 Range scans, cumulative window
     # over a single partition of the distinct-value frame) is gone.
-    assert plan.count("Range (0, 64") == 1
-    assert plan.count("Scan ExistingRDD") == 4  # 2 maps × 2 consumers
+    assert plan.count("Range (0, 64") == 0
+    # 2 maps × 2 consumers (annotated rows + offsets) + the join spine
+    assert plan.count("Scan ExistingRDD") == 5
 
 
 def test_pearson_single_source_pass(spark):
