@@ -691,11 +691,14 @@ def triangle_count(
             .localCheckpoint(eager=False)  # re-pin past the degree joins
         )
     if method == "adjacency":
-        # ax and ay below are two consumers of the SAME neighbor-array
-        # aggregation — pin it so collect_list runs once, not twice.
+        # ax/ay are two consumers, but the adjacency frame is NOT
+        # pinned: its neighbor arrays are edge-sized, so a checkpoint
+        # serializes the same bytes the duplicate groupBy would shuffle
+        # — and both duplicates read the PINNED e (measured: pinning
+        # adj was ~8% slower at sf0.1, min-of-3).
         adj = e.groupBy("a").agg(
             F.array_sort(F.collect_list("b")).alias("__nb")
-        ).localCheckpoint(eager=False)
+        )
         ax = adj.select(F.col("a").alias("x"), F.col("__nb").alias("__nx"))
         ay = adj.select(F.col("a").alias("y"), F.col("__nb").alias("__ny"))
         per_edge = (
