@@ -3918,3 +3918,265 @@ def st_did_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         _cents("o_totalprice"),
     )
+
+# ---------------------------------------------------------------------------
+# X166-X169 hypothesis-test family (round 9)
+# ---------------------------------------------------------------------------
+
+
+@register_shadow(
+    "ht_mann_whitney_qty_flag",
+    """
+    WITH base AS (
+      SELECT CAST(l_quantity AS BIGINT) AS v,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ia,
+             CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END AS ib
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_returnflag IN ('R', 'N')),
+    perv AS (
+      SELECT v, CAST(SUM(ia) AS HUGEINT) AS na,
+             CAST(SUM(ib) AS HUGEINT) AS nb,
+             CAST(COUNT(*) AS HUGEINT) AS c
+      FROM base GROUP BY v),
+    cum AS (
+      SELECT v, na, nb, c,
+             COALESCE(SUM(nb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               CAST(0 AS HUGEINT)) AS bb
+      FROM perv),
+    agg AS (
+      SELECT SUM(na) AS n_a, SUM(nb) AS n_b,
+             SUM(na * (2 * bb + nb)) AS u2,
+             SUM(c * c * c - c) AS tie
+      FROM cum),
+    d AS (
+      SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+             CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+             CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS nd,
+             CAST(u2 AS DOUBLE) AS u2d, CAST(tie AS DOUBLE) AS tied
+      FROM agg)
+    SELECT n_a, n_b,
+           u2d / 2.0 AS u1,
+           CASE WHEN n_a > 0 AND n_b > 0
+                THEN u2d / (2.0 * (nad * nbd)) END AS auc_ab,
+           CASE WHEN n_a > 0 AND n_b > 0 AND
+                     (nad * nbd / 12.0) *
+                     ((nd + 1.0) - tied / (nd * (nd - 1.0))) > 0
+                THEN CAST(round(((u2d - nad * nbd) /
+                       (2.0 * sqrt((nad * nbd / 12.0) *
+                         ((nd + 1.0) - tied / (nd * (nd - 1.0))))))
+                       * 1e6) AS BIGINT) END AS z_e6
+    FROM d
+    """,
+    doc="Two-sample Mann-Whitney U (rank-sum) test: is l_quantity "
+    "stochastically larger for returned (R) than current (N) line "
+    "items? (X166.) Integer quantities 1..50 force heavy ties, "
+    "exercising the tie-corrected variance. Exact decimal rank sums "
+    "via distributed below-counts; z leaves as e6 BIGINT; auc_ab is "
+    "the exact effect size U/(n_a*n_b).",
+)
+def ht_mann_whitney_qty_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.hypotests import (
+        mann_whitney_u,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return mann_whitney_u(li, "l_quantity", "l_returnflag", "R", "N")
+
+
+@register_shadow(
+    "ht_kruskal_value_by_priority",
+    f"""
+    WITH base AS (
+      SELECT o_orderpriority AS g, {_cents_sql('o_totalprice')} AS v
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL),
+    pooled AS (
+      SELECT v, CAST(COUNT(*) AS HUGEINT) AS c FROM base GROUP BY v),
+    cum AS (
+      SELECT v, c,
+             COALESCE(SUM(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               CAST(0 AS HUGEINT)) AS below
+      FROM pooled),
+    rankmap AS (
+      SELECT v, 2 * below + c + 1 AS r2, c * c * c - c AS t3 FROM cum),
+    pergv AS (
+      SELECT g, v, CAST(COUNT(*) AS HUGEINT) AS ngv
+      FROM base GROUP BY g, v),
+    perg AS (
+      SELECT g, SUM(ngv) AS ng, SUM(ngv * r2) AS r2g
+      FROM pergv JOIN rankmap USING (v) GROUP BY g),
+    tie AS (SELECT SUM(t3) AS tie_sum FROM rankmap),
+    stats AS (
+      SELECT SUM(ng) AS n, CAST(COUNT(*) AS BIGINT) AS n_groups,
+             SUM((CAST(r2g AS DOUBLE) * CAST(r2g AS DOUBLE)) /
+                 (4.0 * CAST(ng AS DOUBLE))) AS sumrr
+      FROM perg),
+    d AS (
+      SELECT CAST(n AS BIGINT) AS n, n_groups,
+             CAST(n AS DOUBLE) AS nd, sumrr,
+             CAST(tie_sum AS DOUBLE) AS tied
+      FROM stats, tie)
+    SELECT n, n_groups, CAST(n_groups - 1 AS BIGINT) AS dof,
+           CASE WHEN n_groups >= 2 AND
+                     (1.0 - tied / (nd * nd * nd - nd)) > 0
+                THEN CAST(round((((12.0 / (nd * (nd + 1.0))) * sumrr
+                         - 3.0 * (nd + 1.0))
+                        / (1.0 - tied / (nd * nd * nd - nd)))
+                       * 1e6) AS BIGINT) END AS h_e6
+    FROM d
+    """,
+    doc="Kruskal-Wallis rank ANOVA: does order value (cents) differ "
+    "across the five o_orderpriority classes? (X167.) Near-continuous "
+    "cents make the pooled distinct-value frame data-sized — the "
+    "distributed below-counts path, not a single-partition window. "
+    "Doubled average ranks keep rank sums exact decimal(38,0); "
+    "tie-corrected H leaves as e6 BIGINT.",
+)
+def ht_kruskal_value_by_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.hypotests import (
+        kruskal_wallis,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select(
+        F.col("o_orderpriority").alias("g"),
+        _cents("o_totalprice").alias("v"),
+    )
+    return kruskal_wallis(d, "v", "g")
+
+
+@register_shadow(
+    "ht_welch_value_urgent_low",
+    f"""
+    WITH base AS (
+      SELECT {_cents_sql('o_totalprice')} AS v,
+             o_orderpriority = '1-URGENT' AS ia,
+             o_orderpriority = '5-LOW' AS ib
+      FROM orders
+      WHERE o_totalprice IS NOT NULL
+        AND o_orderpriority IN ('1-URGENT', '5-LOW')),
+    agg AS (
+      SELECT
+        COALESCE(CAST(SUM(CASE WHEN ia THEN 1 ELSE 0 END) AS HUGEINT),
+                 CAST(0 AS HUGEINT)) AS na,
+        COALESCE(SUM(CASE WHEN ia THEN CAST(v AS HUGEINT) END),
+                 CAST(0 AS HUGEINT)) AS sa,
+        COALESCE(SUM(CASE WHEN ia
+                     THEN CAST(v AS HUGEINT) * CAST(v AS HUGEINT) END),
+                 CAST(0 AS HUGEINT)) AS qa,
+        COALESCE(CAST(SUM(CASE WHEN ib THEN 1 ELSE 0 END) AS HUGEINT),
+                 CAST(0 AS HUGEINT)) AS nb,
+        COALESCE(SUM(CASE WHEN ib THEN CAST(v AS HUGEINT) END),
+                 CAST(0 AS HUGEINT)) AS sb,
+        COALESCE(SUM(CASE WHEN ib
+                     THEN CAST(v AS HUGEINT) * CAST(v AS HUGEINT) END),
+                 CAST(0 AS HUGEINT)) AS qb
+      FROM base),
+    d AS (
+      SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+             CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd,
+             CAST(sa AS DOUBLE) AS sad, CAST(sb AS DOUBLE) AS sbd,
+             CAST(na * qa - sa * sa AS DOUBLE) AS numa,
+             CAST(nb * qb - sb * sb AS DOUBLE) AS numb
+      FROM agg),
+    e AS (
+      SELECT n_a, n_b, nad, nbd,
+             sad / nad AS mean_a, sbd / nbd AS mean_b,
+             (numa / (nad * (nad - 1.0))) / nad AS wa,
+             (numb / (nbd * (nbd - 1.0))) / nbd AS wb
+      FROM d)
+    SELECT n_a, n_b,
+           CASE WHEN n_a > 0 THEN mean_a END AS mean_a,
+           CASE WHEN n_b > 0 THEN mean_b END AS mean_b,
+           CASE WHEN n_a >= 2 AND n_b >= 2 AND (wa + wb) > 0
+                THEN CAST(round(((mean_a - mean_b) / sqrt(wa + wb))
+                       * 1e6) AS BIGINT) END AS t_e6,
+           CASE WHEN n_a >= 2 AND n_b >= 2 AND (wa + wb) > 0
+                THEN CAST(round((((wa + wb) * (wa + wb)) /
+                       ((wa * wa) / (nad - 1.0)
+                        + (wb * wb) / (nbd - 1.0)))
+                       * 1e6) AS BIGINT) END AS dof_e6
+    FROM e
+    """,
+    doc="Welch's unequal-variance t-test: do URGENT and LOW priority "
+    "orders have different mean value (cents)? (X168.) One filtered "
+    "aggregation of exact decimal(38,0) n/sum/sumsq per side; exact-"
+    "numerator sample variance; t and Welch-Satterthwaite dof leave "
+    "as e6 BIGINT, means as exact IEEE ratios.",
+)
+def ht_welch_value_urgent_low(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.hypotests import (
+        welch_t_test,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select(
+        F.col("o_orderpriority").alias("g"),
+        _cents("o_totalprice").alias("v"),
+    )
+    return welch_t_test(d, "v", "g", "1-URGENT", "5-LOW")
+
+
+@register_shadow(
+    "ht_anova_value_by_priority",
+    f"""
+    WITH base AS (
+      SELECT o_orderpriority AS g, {_cents_sql('o_totalprice')} AS v
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL),
+    perg AS (
+      SELECT g, CAST(COUNT(*) AS HUGEINT) AS ng,
+             SUM(CAST(v AS HUGEINT)) AS sg,
+             SUM(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS qg
+      FROM base GROUP BY g),
+    agg AS (
+      SELECT SUM(ng) AS n, CAST(COUNT(*) AS BIGINT) AS n_groups,
+             SUM(sg) AS s, SUM(qg) AS q,
+             SUM((CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)) /
+                 CAST(ng AS DOUBLE)) AS sumsq
+      FROM perg),
+    d AS (
+      SELECT CAST(n AS BIGINT) AS n, n_groups,
+             CAST(n AS DOUBLE) AS nd, CAST(n_groups AS DOUBLE) AS kd,
+             CAST(s AS DOUBLE) AS sd, CAST(q AS DOUBLE) AS qd, sumsq
+      FROM agg),
+    e AS (
+      SELECT n, n_groups, nd, kd,
+             sumsq - (sd * sd) / nd AS ssb,
+             qd - sumsq AS ssw,
+             qd - (sd * sd) / nd AS sst
+      FROM d)
+    SELECT n, n_groups,
+           CAST(n_groups - 1 AS BIGINT) AS dof_between,
+           CAST(n - n_groups AS BIGINT) AS dof_within,
+           CASE WHEN n_groups >= 2 AND n > n_groups AND ssw > 0
+                THEN CAST(round(((ssb / (kd - 1.0)) / (ssw / (nd - kd)))
+                       * 1e6) AS BIGINT) END AS f_e6,
+           CASE WHEN sst > 0
+                THEN CAST(round((ssb / sst) * 1e6) AS BIGINT) END
+             AS eta_sq_e6
+    FROM e
+    """,
+    doc="One-way ANOVA F + eta-squared: how much of order-value "
+    "variance does o_orderpriority explain? (X169.) One map-side-"
+    "combinable groupBy to five rows of exact decimal(38,0) moments; "
+    "per-group S_g^2/n_g doubles sum under the chi-square precedent; "
+    "F and eta^2 leave as e6 BIGINT.",
+)
+def ht_anova_value_by_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.hypotests import (
+        anova_oneway,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select(
+        F.col("o_orderpriority").alias("g"),
+        _cents("o_totalprice").alias("v"),
+    )
+    return anova_oneway(d, "v", "g")

@@ -1,0 +1,199 @@
+"""Contracts for the hypothesis-test family (X166-X169,
+operators/hypotests.py): hand-computed statistics against scipy-style
+reference values (computed offline, pinned as literals), tie handling,
+degenerate-input NULLs, and partitioning invariance.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from legendary_data_pipeline_spark.operators.hypotests import (
+    anova_oneway,
+    kruskal_wallis,
+    mann_whitney_u,
+    welch_t_test,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "g string, v long")
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U
+# ---------------------------------------------------------------------------
+
+
+def test_mwu_hand_computed_no_ties(spark):
+    # a = [1, 4, 5], b = [2, 3]: pairs where a > b: (4>2),(4>3),(5>2),
+    # (5>3) = 4; ties 0 → U_a = 4. n_a=3, n_b=2.
+    rows = [("a", 1), ("a", 4), ("a", 5), ("b", 2), ("b", 3)]
+    out = mann_whitney_u(_df(spark, rows), "v", "g", "a", "b").collect()[0]
+    assert out.n_a == 3 and out.n_b == 2
+    assert out.u1 == 4.0
+    assert out.auc_ab == pytest.approx(4 / 6)
+    # z = (U - n_a n_b / 2)/sqrt(n_a n_b (n+1)/12) = (4-3)/sqrt(3) =
+    # 0.57735..., e6 = 577350
+    assert out.z_e6 == 577350
+
+
+def test_mwu_ties_half_credit(spark):
+    # a = [2, 2], b = [2]: every pair tied → U_a = 2 * 0.5 = 1.0
+    rows = [("a", 2), ("a", 2), ("b", 2)]
+    out = mann_whitney_u(_df(spark, rows), "v", "g", "a", "b").collect()[0]
+    assert out.u1 == 1.0
+    assert out.auc_ab == 0.5
+    # all values tied → variance 0 → NULL z
+    assert out.z_e6 is None
+
+
+def test_mwu_empty_group_null(spark):
+    rows = [("a", 1), ("a", 2)]
+    out = mann_whitney_u(_df(spark, rows), "v", "g", "a", "b").collect()[0]
+    assert out.n_b == 0
+    assert out.z_e6 is None and out.auc_ab is None
+
+
+def test_mwu_matches_auc_identity(spark):
+    # U/(n_a n_b) must equal the tie-credited AUC of "is group a"
+    # against v (scores); cross-check with a direct O(n^2) count.
+    import itertools
+
+    rows = [("a", 3), ("a", 7), ("a", 7), ("b", 1), ("b", 7), ("b", 9),
+            ("b", 3)]
+    a_vals = [v for g, v in rows if g == "a"]
+    b_vals = [v for g, v in rows if g == "b"]
+    u = sum(
+        1.0 if x > y else 0.5 if x == y else 0.0
+        for x, y in itertools.product(a_vals, b_vals)
+    )
+    out = mann_whitney_u(_df(spark, rows), "v", "g", "a", "b").collect()[0]
+    assert out.u1 == u
+    assert out.auc_ab == pytest.approx(u / (len(a_vals) * len(b_vals)))
+
+
+def test_mwu_partition_invariance(spark):
+    rows = [("a", i % 7) for i in range(50)] + [
+        ("b", i % 5) for i in range(40)
+    ]
+    df1 = _df(spark, rows).repartition(1)
+    df8 = _df(spark, rows).repartition(8)
+    r1 = mann_whitney_u(df1, "v", "g", "a", "b").collect()[0]
+    r8 = mann_whitney_u(df8, "v", "g", "a", "b").collect()[0]
+    assert r1 == r8
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis
+# ---------------------------------------------------------------------------
+
+
+def test_kruskal_hand_computed(spark):
+    # scipy.stats.kruskal([1,2,3],[4,5,6],[7,8,9]) = 7.2 exactly
+    # (no ties: ranks 1..9, R = [6, 15, 24],
+    #  H = 12/(9*10) * (36/3+225/3+576/3) - 3*10 = 7.2)
+    rows = (
+        [("a", 1), ("a", 2), ("a", 3)]
+        + [("b", 4), ("b", 5), ("b", 6)]
+        + [("c", 7), ("c", 8), ("c", 9)]
+    )
+    out = kruskal_wallis(_df(spark, rows), "v", "g").collect()[0]
+    assert out.n == 9 and out.n_groups == 3 and out.dof == 2
+    assert out.h_e6 == 7_200_000
+
+
+def test_kruskal_tie_correction(spark):
+    # a=[1,1,2], b=[2,3,3]: avg ranks 1.5/3.5/5.5, R_a=6.5, R_b=14.5,
+    # H = 12/42 * (6.5^2/3 + 14.5^2/3) - 21 = 64/21; tie sum = 3*(8-2)
+    # = 18, factor = 1 - 18/210 = 32/35 → H_c = (64/21)/(32/35) = 10/3
+    rows = [("a", 1), ("a", 1), ("a", 2), ("b", 2), ("b", 3), ("b", 3)]
+    out = kruskal_wallis(_df(spark, rows), "v", "g").collect()[0]
+    assert out.h_e6 == 3333333
+
+
+def test_kruskal_degenerate(spark):
+    # single group → NULL; all values identical → tie factor 0 → NULL
+    one = kruskal_wallis(
+        _df(spark, [("a", 1), ("a", 2)]), "v", "g"
+    ).collect()[0]
+    assert one.h_e6 is None and one.n_groups == 1
+    tied = kruskal_wallis(
+        _df(spark, [("a", 5), ("b", 5), ("c", 5)]), "v", "g"
+    ).collect()[0]
+    assert tied.h_e6 is None
+
+
+# ---------------------------------------------------------------------------
+# Welch's t
+# ---------------------------------------------------------------------------
+
+
+def test_welch_hand_computed(spark):
+    # a = [1,2,3,4], b = [2,4,6,8,10]:
+    # mean_a=2.5 var_a=5/3; mean_b=6 var_b=10
+    # se2 = (5/3)/4 + 10/5 = 29/12, t = -3.5/sqrt(29/12) = -2.2514367
+    # dof = se2^2 / ((5/12)^2/3 + 2^2/4) = 5.5207877
+    rows = [("a", 1), ("a", 2), ("a", 3), ("a", 4)] + [
+        ("b", v) for v in (2, 4, 6, 8, 10)
+    ]
+    out = welch_t_test(_df(spark, rows), "v", "g", "a", "b").collect()[0]
+    assert out.n_a == 4 and out.n_b == 5
+    assert out.mean_a == 2.5 and out.mean_b == 6.0
+    assert out.t_e6 == -2251436
+    assert out.dof_e6 == 5520788
+
+
+def test_welch_degenerate(spark):
+    # n_a = 1 → NULL t (variance undefined); means still emitted
+    rows = [("a", 3), ("b", 1), ("b", 2), ("b", 3)]
+    out = welch_t_test(_df(spark, rows), "v", "g", "a", "b").collect()[0]
+    assert out.mean_a == 3.0
+    assert out.t_e6 is None and out.dof_e6 is None
+    # both groups constant → se2 = 0 → NULL
+    rows2 = [("a", 5), ("a", 5), ("b", 7), ("b", 7)]
+    out2 = welch_t_test(_df(spark, rows2), "v", "g", "a", "b").collect()[0]
+    assert out2.t_e6 is None
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA
+# ---------------------------------------------------------------------------
+
+
+def test_anova_hand_computed(spark):
+    # scipy.stats.f_oneway([1,2,3],[2,3,4],[5,6,7]):
+    # means 2,3,6; grand 11/3; SSB = 3*((2-11/3)^2+(3-11/3)^2+(5-11/3)^2
+    # for 6: (6-11/3)^2) = 3*(25/9+4/9+49/9) = 26; SSW = 2+2+2 = 6
+    # F = (26/2)/(6/6) = 13; eta^2 = 26/32 = 0.8125
+    rows = (
+        [("a", 1), ("a", 2), ("a", 3)]
+        + [("b", 2), ("b", 3), ("b", 4)]
+        + [("c", 5), ("c", 6), ("c", 7)]
+    )
+    out = anova_oneway(_df(spark, rows), "v", "g").collect()[0]
+    assert out.n == 9 and out.n_groups == 3
+    assert out.dof_between == 2 and out.dof_within == 6
+    assert out.f_e6 == 13_000_000
+    assert out.eta_sq_e6 == 812500
+
+
+def test_anova_degenerate(spark):
+    # zero within-group variance → NULL F, eta^2 = 1
+    rows = [("a", 1), ("a", 1), ("b", 9), ("b", 9)]
+    out = anova_oneway(_df(spark, rows), "v", "g").collect()[0]
+    assert out.f_e6 is None
+    assert out.eta_sq_e6 == 1_000_000
+    # single group → NULL F
+    one = anova_oneway(
+        _df(spark, [("a", 1), ("a", 2), ("a", 4)]), "v", "g"
+    ).collect()[0]
+    assert one.f_e6 is None
+
+
+def test_anova_null_rows_dropped(spark):
+    rows = [("a", 1), ("a", 2), ("b", 3), ("b", 4), (None, 99), ("c", None)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = anova_oneway(df, "v", "g").collect()[0]
+    assert out.n == 4 and out.n_groups == 2
