@@ -2224,3 +2224,187 @@ def diff_in_diff(
         F.round(m_cc, round_digits).alias("mean_ctrl_pre"),
         F.round(did, round_digits).alias("did"),
     )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    t_col: str,
+    v_col: str,
+    group_cols: Sequence[str] = (),
+    max_points: int = 20000,
+) -> DataFrame:
+    """Theil–Sen robust trend estimate per group: the MEDIAN of all
+    pairwise slopes (v_j − v_i)/(t_j − t_i), i < j — the outlier-proof
+    companion to `linear_trend` (least squares follows one bad day;
+    the median slope needs >50% of PAIRS corrupted before it moves).
+    Intercept is the standard median(v) − slope·median(t) variant.
+
+    ``t_col`` / ``v_col`` must be integer-valued with one row per
+    (group, t) — aggregate to day/hour grain first (the engine's daily
+    cents convention). Slopes are exact IEEE divisions of exact
+    integers; medians use `percentile` (bit-matches DuckDB
+    quantile_cont — the engine's verified convention), so the whole
+    output is cross-engine deterministic with NO rounding step.
+
+    Scale: the pair self-join is O(d²) per group BY DESIGN — Theil–Sen
+    is a pairwise estimator. It is meant for COARSENED series (a year
+    of days = 66k pairs; the 180-day rollup = 16k), never raw rows: an
+    in-plan guard raises above ``max_points`` points per group naming
+    the fix (aggregate coarser / raise the cap). The join is
+    group-keyed (equi-join, no cartesian across groups).
+
+    Output per group: n_points, n_pairs, slope, intercept (slope/
+    intercept NULL when n_points < 2).
+    """
+    groups = list(group_cols)
+    t = F.col(t_col).cast("long")
+    v = F.col(v_col).cast("long")
+    d = df.select(
+        *groups, t.alias("__t"), v.alias("__v")
+    ).where(t.isNotNull() & v.isNotNull())
+    # Pin: the pair join consumes this frame twice (both sides) and the
+    # medians branch a third time (round-9 multi-consumer rule).
+    d = d.localCheckpoint(eager=False)
+    cnt_w = Window.partitionBy(*groups) if groups else Window.partitionBy()
+    guarded = d.withColumn("__np", F.count(F.lit(1)).over(cnt_w))
+    guarded = guarded.withColumn(
+        "__v",
+        F.when(
+            F.col("__np") > max_points,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "theil_sen_trend: a group exceeds "
+                        f"max_points={max_points} points "
+                        "(O(n^2) pairs) - aggregate the series to a "
+                        "coarser grain first, or raise max_points if "
+                        "the pair count is genuinely intended"
+                    )
+                )
+            ).cast("long"),
+        ).otherwise(F.col("__v")),
+    ).drop("__np")
+    left = guarded.select(
+        *groups, F.col("__t").alias("__ti"), F.col("__v").alias("__vi")
+    )
+    right = guarded.select(
+        *[F.col(g).alias(f"__r_{g}") for g in groups],
+        F.col("__t").alias("__tj"),
+        F.col("__v").alias("__vj"),
+    )
+    if groups:
+        cond = [F.col(g) == F.col(f"__r_{g}") for g in groups]
+        pairs = left.join(right, cond).drop(*[f"__r_{g}" for g in groups])
+    else:
+        pairs = left.crossJoin(right)
+    pairs = pairs.where(F.col("__ti") < F.col("__tj"))
+    slope = (F.col("__vj") - F.col("__vi")).cast("double") / (
+        F.col("__tj") - F.col("__ti")
+    ).cast("double")
+    slopes = pairs.groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.percentile(slope, F.lit(0.5)).alias("slope"),
+    )
+    meds = d.groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.percentile(F.col("__v").cast("double"), F.lit(0.5)).alias("__mv"),
+        F.percentile(F.col("__t").cast("double"), F.lit(0.5)).alias("__mt"),
+    )
+    joined = (
+        meds.join(slopes, groups, "left")
+        if groups
+        else meds.crossJoin(slopes)
+    )
+    return joined.select(
+        *groups,
+        "n_points",
+        F.coalesce(F.col("n_pairs"), F.lit(0)).alias("n_pairs"),
+        F.col("slope"),
+        (F.col("__mv") - F.col("slope") * F.col("__mt")).alias("intercept"),
+    )
+
+
+def ewma_anomalies(
+    df: DataFrame,
+    t_col: str,
+    v_col: str,
+    group_cols: Sequence[str] = (),
+    k: int = 8,
+    mad_mult: float = 3.0,
+) -> DataFrame:
+    """Per-point EWMA baseline + residual anomaly flags over an
+    integer series — the exponentially-weighted companion to the
+    rolling z-score detector (recent points dominate, so level shifts
+    are absorbed in ~k points instead of dragging a long window).
+
+    The baseline for point t is PREDICTIVE (lags 1..k only — the point
+    never explains itself): ewma_t = Σ_j w_j·x_{t−j} / Σ_j w_j with
+    halving weights w_j = 2^(k−j), both sums INTEGER (missing lags at
+    the series head drop out of numerator and denominator together).
+    ewma and resid = x − ewma are then exact IEEE expressions;
+    `is_anomaly` = |resid| > mad_mult·MAD(resid) with the per-group
+    median-absolute-residual from `percentile` (bit-matches DuckDB
+    quantile_cont). No fractional rounding anywhere → cross-engine
+    deterministic.
+
+    ``v_col`` must be integer-valued with one row per (group, t);
+    |v|·2^k must fit int64 (coarsen units above ~3.6e16 at the default
+    k=8). Points with no available lag (series head) emit NULL
+    ewma/resid/is_anomaly.
+
+    Scale: k lag columns from ONE per-group ordered window (day-grain
+    frames — bounded per group), one group-sized MAD aggregation
+    joined back. No data-sized single-partition stage; groups are the
+    parallelism unit.
+
+    Output: group_cols..., t, v, ewma, resid, is_anomaly.
+    """
+    if k < 1:
+        raise ValueError(f"ewma_anomalies: k must be >= 1, got {k}")
+    groups = list(group_cols)
+    t = F.col(t_col).cast("long")
+    v = F.col(v_col).cast("long")
+    d = df.select(
+        *groups, t.alias("__t"), v.alias("__v")
+    ).where(t.isNotNull() & v.isNotNull())
+    w = Window.partitionBy(*groups).orderBy(F.col("__t").asc())
+    num = F.lit(0).cast("long")
+    den = F.lit(0).cast("long")
+    for j in range(1, k + 1):
+        lag_j = F.lag("__v", j).over(w)
+        weight = 1 << (k - j)
+        num = num + F.coalesce(lag_j * F.lit(weight), F.lit(0))
+        den = den + F.when(lag_j.isNotNull(), F.lit(weight)).otherwise(
+            F.lit(0)
+        )
+    base = d.select(
+        *groups, "__t", "__v", num.alias("__num"), den.alias("__den")
+    )
+    ewma = F.when(
+        F.col("__den") > 0,
+        F.col("__num").cast("double") / F.col("__den").cast("double"),
+    )
+    resid = F.col("__v").cast("double") - ewma
+    scored = base.select(
+        *groups, "__t", "__v", ewma.alias("__ewma"), resid.alias("__resid")
+    )
+    # Pin: the MAD aggregation and the final projection both consume
+    # the lag-window frame (round-9 multi-consumer rule).
+    scored = scored.localCheckpoint(eager=False)
+    mad = scored.groupBy(*groups).agg(
+        F.percentile(F.abs(F.col("__resid")), F.lit(0.5)).alias("__mad")
+    )
+    joined = (
+        scored.join(mad, groups) if groups else scored.crossJoin(mad)
+    )
+    return joined.select(
+        *groups,
+        F.col("__t").alias(t_col),
+        F.col("__v").alias(v_col),
+        F.col("__ewma").alias("ewma"),
+        F.col("__resid").alias("resid"),
+        F.when(
+            F.col("__resid").isNotNull() & F.col("__mad").isNotNull(),
+            F.abs(F.col("__resid")) > F.lit(mad_mult) * F.col("__mad"),
+        ).alias("is_anomaly"),
+    )

@@ -4180,3 +4180,135 @@ def ht_anova_value_by_priority(
         _cents("o_totalprice").alias("v"),
     )
     return anova_oneway(d, "v", "g")
+
+# ---------------------------------------------------------------------------
+# X170-X171 robust-trend / EWMA time-series family (round 9)
+# ---------------------------------------------------------------------------
+
+_DAILY_CENTS_SQL = """
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+             CAST(SUM(CAST(round(CAST(value AS DECIMAL(18,2)) * 100, 0)
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+"""
+
+
+def _daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    day = F.expr("ts DIV 86400000000000").cast("long")
+    return ev.groupBy("event_type", day.alias("day")).agg(
+        F.sum(_cents("value")).cast("long").alias("cents")
+    )
+
+
+@register_shadow(
+    "ts_theil_sen_daily_value",
+    f"""
+    WITH daily AS ({_DAILY_CENTS_SQL}),
+    pairs AS (
+      SELECT a.event_type,
+             CAST(b.cents - a.cents AS DOUBLE)
+               / CAST(b.day - a.day AS DOUBLE) AS slope
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.day < b.day),
+    slopes AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             quantile_cont(slope, 0.5) AS slope
+      FROM pairs GROUP BY event_type),
+    meds AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_points,
+             quantile_cont(CAST(cents AS DOUBLE), 0.5) AS mv,
+             quantile_cont(CAST(day AS DOUBLE), 0.5) AS mt
+      FROM daily GROUP BY event_type)
+    SELECT m.event_type, m.n_points,
+           COALESCE(s.n_pairs, 0) AS n_pairs,
+           s.slope AS slope,
+           m.mv - s.slope * m.mt AS intercept
+    FROM meds m LEFT JOIN slopes s USING (event_type)
+    """,
+    doc="Theil-Sen robust trend of each event type's daily value "
+    "series (X170): median of all pairwise slopes — one anomalous "
+    "day cannot move it, unlike the least-squares linear_trend. "
+    "Slopes are exact IEEE divisions of exact integer cents; medians "
+    "via percentile/quantile_cont (verified bit-parity) — no rounding "
+    "step anywhere. O(days^2) pairs per group on the day-grain frame "
+    "by design, in-plan guarded at max_points.",
+)
+def ts_theil_sen_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.stats import (
+        theil_sen_trend,
+    )
+
+    return theil_sen_trend(
+        _daily_cents(spark, sf_dir), "day", "cents",
+        group_cols=["event_type"],
+    )
+
+
+@register_shadow(
+    "ts_ewma_daily_anomalies",
+    f"""
+    WITH daily AS ({_DAILY_CENTS_SQL}),
+    lagged AS (
+      SELECT event_type, day, cents,
+             lag(cents, 1) OVER w AS l1, lag(cents, 2) OVER w AS l2,
+             lag(cents, 3) OVER w AS l3, lag(cents, 4) OVER w AS l4,
+             lag(cents, 5) OVER w AS l5, lag(cents, 6) OVER w AS l6,
+             lag(cents, 7) OVER w AS l7, lag(cents, 8) OVER w AS l8
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+    summed AS (
+      SELECT event_type, day, cents,
+             COALESCE(l1 * 128, 0) + COALESCE(l2 * 64, 0)
+             + COALESCE(l3 * 32, 0) + COALESCE(l4 * 16, 0)
+             + COALESCE(l5 * 8, 0) + COALESCE(l6 * 4, 0)
+             + COALESCE(l7 * 2, 0) + COALESCE(l8 * 1, 0) AS num,
+             (CASE WHEN l1 IS NOT NULL THEN 128 ELSE 0 END)
+             + (CASE WHEN l2 IS NOT NULL THEN 64 ELSE 0 END)
+             + (CASE WHEN l3 IS NOT NULL THEN 32 ELSE 0 END)
+             + (CASE WHEN l4 IS NOT NULL THEN 16 ELSE 0 END)
+             + (CASE WHEN l5 IS NOT NULL THEN 8 ELSE 0 END)
+             + (CASE WHEN l6 IS NOT NULL THEN 4 ELSE 0 END)
+             + (CASE WHEN l7 IS NOT NULL THEN 2 ELSE 0 END)
+             + (CASE WHEN l8 IS NOT NULL THEN 1 ELSE 0 END) AS den
+      FROM lagged),
+    based AS (
+      SELECT event_type, day, cents,
+             CASE WHEN den > 0
+                  THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+             END AS ewma
+      FROM summed),
+    scored AS (
+      SELECT event_type, day, cents, ewma,
+             CAST(cents AS DOUBLE) - ewma AS resid
+      FROM based),
+    mad AS (
+      SELECT event_type, quantile_cont(abs(resid), 0.5) AS mad
+      FROM scored GROUP BY event_type)
+    SELECT s.event_type, s.day, s.cents, s.ewma, s.resid,
+           CASE WHEN s.resid IS NOT NULL AND m.mad IS NOT NULL
+                THEN abs(s.resid) > 3.0 * m.mad END AS is_anomaly
+    FROM scored s JOIN mad m USING (event_type)
+    """,
+    doc="Predictive EWMA baseline + residual anomaly flags for each "
+    "event type's daily value series (X171): halving weights 2^(k-j) "
+    "over lags 1..8 keep numerator/denominator exact integers; ewma "
+    "and resid are exact IEEE ratios; flag = |resid| > 3*MAD(resid) "
+    "with the per-group median absolute residual via percentile "
+    "(bit-parity with quantile_cont). The exponentially-weighted "
+    "companion to ts_zscore_anomalies — absorbs level shifts in ~k "
+    "points instead of dragging a long window.",
+)
+def ts_ewma_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.stats import (
+        ewma_anomalies,
+    )
+
+    return ewma_anomalies(
+        _daily_cents(spark, sf_dir), "day", "cents",
+        group_cols=["event_type"], k=8, mad_mult=3.0,
+    )

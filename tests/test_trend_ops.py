@@ -1,0 +1,160 @@
+"""Contracts for the robust-trend / EWMA family (X170-X171,
+operators/stats.py `theil_sen_trend` / `ewma_anomalies`)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from legendary_data_pipeline_spark.operators.stats import (
+    ewma_anomalies,
+    theil_sen_trend,
+)
+
+
+def _series(spark, rows, schema="g string, t long, v long"):
+    return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen
+# ---------------------------------------------------------------------------
+
+
+def test_theil_sen_exact_line(spark):
+    # perfect line v = 3t + 2: every pairwise slope is 3
+    rows = [("a", t, 3 * t + 2) for t in range(10)]
+    out = theil_sen_trend(
+        _series(spark, rows), "t", "v", group_cols=["g"]
+    ).collect()[0]
+    assert out.n_points == 10 and out.n_pairs == 45
+    assert out.slope == 3.0
+    assert out.intercept == 2.0
+
+
+def test_theil_sen_outlier_resistant(spark):
+    # line v = 2t with ONE wild outlier at t=5: least squares moves,
+    # the median slope does not (outlier corrupts only 9/45 pairs)
+    rows = [("a", t, 2 * t) for t in range(10)]
+    rows[5] = ("a", 5, 1000)
+    out = theil_sen_trend(
+        _series(spark, rows), "t", "v", group_cols=["g"]
+    ).collect()[0]
+    assert out.slope == 2.0
+
+
+def test_theil_sen_median_of_pair_slopes(spark):
+    # 3 points (0,0), (1,10), (2,12): slopes 10, 6, 2 → median 6;
+    # intercept = median(v) - 6*median(t) = 10 - 6 = 4
+    rows = [("a", 0, 0), ("a", 1, 10), ("a", 2, 12)]
+    out = theil_sen_trend(
+        _series(spark, rows), "t", "v", group_cols=["g"]
+    ).collect()[0]
+    assert out.slope == 6.0 and out.intercept == 4.0
+
+
+def test_theil_sen_single_point_null(spark):
+    rows = [("a", 1, 5)]
+    out = theil_sen_trend(
+        _series(spark, rows), "t", "v", group_cols=["g"]
+    ).collect()[0]
+    assert out.n_points == 1 and out.n_pairs == 0
+    assert out.slope is None and out.intercept is None
+
+
+def test_theil_sen_groups_isolated(spark):
+    # slopes differ per group; pairs never cross groups
+    rows = [("a", t, 5 * t) for t in range(5)] + [
+        ("b", t, -2 * t) for t in range(5)
+    ]
+    out = {
+        r.g: r
+        for r in theil_sen_trend(
+            _series(spark, rows), "t", "v", group_cols=["g"]
+        ).collect()
+    }
+    assert out["a"].slope == 5.0 and out["b"].slope == -2.0
+    assert out["a"].n_pairs == 10 and out["b"].n_pairs == 10
+
+
+def test_theil_sen_max_points_guard(spark):
+    rows = [("a", t, t) for t in range(30)]
+    df = _series(spark, rows)
+    with pytest.raises(Exception, match="max_points"):
+        theil_sen_trend(
+            df, "t", "v", group_cols=["g"], max_points=10
+        ).collect()
+
+
+def test_theil_sen_ungrouped(spark):
+    rows = [("x", t, 7 * t + 1) for t in range(6)]
+    out = theil_sen_trend(
+        _series(spark, rows).drop("g"), "t", "v"
+    ).collect()[0]
+    assert out.slope == 7.0 and out.intercept == 1.0
+
+
+# ---------------------------------------------------------------------------
+# EWMA anomalies
+# ---------------------------------------------------------------------------
+
+
+def test_ewma_weights_and_head_nulls(spark):
+    # constant series: every ewma equals the constant; head row NULL
+    rows = [("a", t, 100) for t in range(12)]
+    out = ewma_anomalies(
+        _series(spark, rows), "t", "v", group_cols=["g"], k=8
+    ).orderBy("t").collect()
+    assert out[0].ewma is None and out[0].is_anomaly is None
+    for r in out[1:]:
+        assert r.ewma == 100.0 and r.resid == 0.0
+        assert r.is_anomaly is False
+
+
+def test_ewma_partial_window_exact(spark):
+    # v = [10, 20, 40] with k=2 (weights lag1=2, lag2=1):
+    # t1: only lag1=10 → ewma = 20/2 = 10
+    # t2: lag1=20 (w2), lag2=10 (w1) → (40+10)/3 = 50/3
+    rows = [("a", 0, 10), ("a", 1, 20), ("a", 2, 40)]
+    out = ewma_anomalies(
+        _series(spark, rows), "t", "v", group_cols=["g"], k=2
+    ).orderBy("t").collect()
+    assert out[0].ewma is None
+    assert out[1].ewma == 10.0 and out[1].resid == 10.0
+    assert out[2].ewma == 50.0 / 3.0
+    assert out[2].resid == 40.0 - 50.0 / 3.0
+
+
+def test_ewma_flags_spike(spark):
+    # flat series with one big spike: spike flagged, neighbors not
+    rows = [("a", t, 100) for t in range(20)]
+    rows[15] = ("a", 15, 100000)
+    out = {
+        r.t: r
+        for r in ewma_anomalies(
+            _series(spark, rows), "t", "v", group_cols=["g"], k=4
+        ).collect()
+    }
+    assert out[15].is_anomaly is True
+    assert out[10].is_anomaly is False
+    # the point AFTER the spike sees a contaminated baseline but a
+    # modest residual relative to it — still should not crash
+    assert out[16].resid is not None
+
+
+def test_ewma_groups_isolated(spark):
+    rows = [("a", t, 10) for t in range(6)] + [
+        ("b", t, 1000) for t in range(6)
+    ]
+    out = ewma_anomalies(
+        _series(spark, rows), "t", "v", group_cols=["g"], k=3
+    ).collect()
+    for r in out:
+        if r.ewma is not None:
+            assert r.ewma == (10.0 if r.g == "a" else 1000.0)
+
+
+def test_ewma_k_validation(spark):
+    df = _series(spark, [("a", 0, 1)])
+    with pytest.raises(ValueError, match="k must be"):
+        ewma_anomalies(df, "t", "v", group_cols=["g"], k=0)
