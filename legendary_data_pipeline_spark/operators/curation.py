@@ -1406,3 +1406,82 @@ def mixture_allocate(
         alloc.cast("long").alias("allocation"),
         F.col("__sat").alias("saturated"),
     )
+
+
+def token_budget_head(
+    df: DataFrame,
+    budget: int,
+    weight_col: str,
+    order_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Curriculum head selection under a global token budget: rank
+    documents by ``order_col`` DESCENDING (quality first; ``id_col``
+    ascending breaks ties — a total order) and keep whole documents
+    while the running Σ ``weight_col`` stays within ``budget`` — the
+    "best N tokens" primitive behind quality-curriculum corpus cuts
+    and fixed-budget ablations (complements `mixture_allocate`, which
+    splits a budget ACROSS sources; this picks WITHIN one pool).
+
+    All arithmetic is exact integers (weights/cumulative sums as
+    BIGINT), so the selection frontier is bit-deterministic.
+
+    Scale: no global sort and no single-partition window. Two
+    `distributed_below_counts` passes (stats.py): (1) per-ORDER-VALUE
+    weight totals → prefix sums over the distinct-order frame, (2)
+    within-order-value prefix sums keyed by id, range-partitioned per
+    order class. cum(doc) = better-classes total + within-class
+    strictly-below + own weight. The within-class pass uses
+    group_cols=[order class], whose offsets frame must stay
+    broadcast-sized: intended for COARSE scores (quality points,
+    e6-bucketed scores — the common case); for near-unique continuous
+    scores tie classes are singletons, so pass the score itself as
+    ``id_col`` tiebreak grain or pre-bucket.
+
+    Output: (id, order, weight, cum_weight, selected) — every input
+    row, flagged; filter selected for the head.
+    """
+    from legendary_data_pipeline_spark.operators.stats import (
+        distributed_below_counts,
+    )
+
+    if budget < 0:
+        raise ValueError(f"token_budget_head: budget must be >= 0, got {budget}")
+    o = F.col(order_col).cast("long")
+    w = F.col(weight_col).cast("long")
+    d = df.select(
+        F.col(id_col).alias("__id"),
+        o.alias("__o"),
+        w.alias("__w"),
+    ).where(o.isNotNull() & w.isNotNull())
+    # Descending order as an ascending key (below-counts sum ASC).
+    d = d.select("__id", "__o", "__w", (-F.col("__o")).alias("__key"))
+    d = d.localCheckpoint(eager=False)  # two consumers (round-9 rule)
+    per_key = d.groupBy("__key").agg(
+        F.sum("__w").cast("long").alias("__kw")
+    )
+    key_below = distributed_below_counts(
+        per_key, "__key", ["__kw"], inclusive=False
+    ).select("__key", F.col("__kw_cum").cast("long").alias("__above_w"))
+    within = distributed_below_counts(
+        d.select("__key", "__id", "__w"),
+        "__id",
+        ["__w"],
+        inclusive=False,
+        group_cols=["__key"],
+    ).select(
+        "__key",
+        "__id",
+        "__w",
+        F.col("__w_cum").cast("long").alias("__within_w"),
+    )
+    cum = (
+        F.col("__above_w") + F.col("__within_w") + F.col("__w")
+    ).cast("long")
+    return within.join(key_below, "__key").select(
+        F.col("__id").alias(id_col),
+        (-F.col("__key")).cast("long").alias(order_col),
+        F.col("__w").alias(weight_col),
+        cum.alias("cum_weight"),
+        (cum <= F.lit(int(budget))).alias("selected"),
+    )

@@ -247,3 +247,153 @@ def unigram_surprisal_gate(
         ).alias("kept"),
     )
     return out
+
+
+def bigram_surprisal_gate(
+    df: DataFrame,
+    trusted: DataFrame,
+    max_mean_micro: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic DISTRIBUTED bigram surprisal gate — the
+    context-aware upgrade of `unigram_surprisal_gate` (X150): word
+    order now matters ("the the the" scores fluent under a unigram LM,
+    gibberish under a bigram one).
+
+    Add-one bigram statistics come EXACTLY from the whole trusted
+    slice:
+
+        P(w2|w1) = (c2(w1,w2) + 1) / (c1(w1) + V)
+        weight   = -floor( ln(P) · scale )      (integer µnats)
+        doc      = floor( Σ weight / n_bigrams ) (mean µnats)
+        kept     = mean ≤ max_mean_micro
+
+    c2 = trusted bigram count, c1(w1) = trusted count of w1 AS CONTEXT
+    (= Σ_w2 c2), V = trusted unigram vocabulary. Unseen bigram with a
+    seen context falls back to 1/(c1+V); unseen context to 1/V — both
+    from the same formula, so the three weight tables share one
+    expression. One ln per DISTINCT trusted bigram/context; everything
+    document-scale is exact integer sums (order-independent,
+    SQL-replayable).
+
+    Bigrams are built per document with a zero-shuffle array zip
+    (element_at pairs over the whitespace token array) — no
+    posexplode+window. Documents with < 2 tokens have no bigrams:
+    NULL surprisal, kept = false.
+
+    Plan/scale: trusted reduces to bigram-vocabulary-sized (w1, w2,
+    weight) and context-sized (w1, weight) tables via map-side-
+    combinable groupBys (the bigram table is what a 100 TB run
+    persists as its model); scoring explodes doc bigrams once and
+    joins token-keyed (AQE skew-splits frequent contexts), then
+    re-aggregates per doc. No data-sized single-partition stage.
+
+    Returns (id, n_bigrams, mean_surprisal_micro, kept).
+    """
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+
+    def bigrams(arr: F.Column) -> F.Column:
+        n = F.size(arr)
+        return F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.struct(
+                    F.element_at(arr, i).alias("w1"),
+                    F.element_at(arr, i + 1).alias("w2"),
+                ),
+            ),
+        ).otherwise(
+            F.array().cast("array<struct<w1:string,w2:string>>")
+        )
+
+    # Trusted side: one tokenized materialization feeds both the
+    # unigram vocabulary count and the bigram counts (round-9
+    # multi-consumer rule).
+    tr_tok = trusted.select(toks.alias("__ws")).localCheckpoint(
+        eager=False
+    )
+    vocab = tr_tok.select(F.explode("__ws").alias("__tok")).agg(
+        F.count_distinct(F.col("__tok")).cast("long").alias("__v")
+    )
+    c2 = (
+        tr_tok.select(F.explode(bigrams(F.col("__ws"))).alias("__bg"))
+        .select(F.col("__bg.w1").alias("__w1"), F.col("__bg.w2").alias("__w2"))
+        .groupBy("__w1", "__w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c2"))
+        .localCheckpoint(eager=False)
+    )
+    c1 = c2.groupBy("__w1").agg(
+        F.sum("__c2").cast("long").alias("__c1")
+    ).localCheckpoint(eager=False)
+
+    def micro(num: F.Column, denom: F.Column) -> F.Column:
+        return (
+            -F.floor(
+                F.log(num.cast("double") / denom.cast("double"))
+                * F.lit(float(scale))
+            )
+        ).cast("long")
+
+    w_bg = (
+        c2.join(c1, "__w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "__w1",
+            "__w2",
+            micro(
+                F.col("__c2") + F.lit(1), F.col("__c1") + F.col("__v")
+            ).alias("__w"),
+        )
+    )
+    w_ctx = c1.crossJoin(F.broadcast(vocab)).select(
+        "__w1",
+        micro(F.lit(1), F.col("__c1") + F.col("__v")).alias("__w_ctx"),
+    )
+    w_glob = vocab.select(micro(F.lit(1), F.col("__v")).alias("__w_glob"))
+
+    doc_bg = df.select(
+        F.col(id_col), F.explode_outer(bigrams(toks)).alias("__bg")
+    ).select(
+        id_col,
+        F.col("__bg.w1").alias("__w1"),
+        F.col("__bg.w2").alias("__w2"),
+    )
+    scored = (
+        doc_bg.join(w_bg, ["__w1", "__w2"], "left")
+        .join(w_ctx, "__w1", "left")
+        .crossJoin(F.broadcast(w_glob))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.col("__w1")).cast("long").alias("n_bigrams"),
+            F.sum(
+                F.when(
+                    F.col("__w1").isNotNull(),
+                    F.coalesce(
+                        F.col("__w"), F.col("__w_ctx"), F.col("__w_glob")
+                    ),
+                )
+            )
+            .cast("long")
+            .alias("__sum_w"),
+        )
+    )
+    mean_micro = F.when(
+        F.col("n_bigrams") > 0,
+        F.floor(
+            F.col("__sum_w").cast("double")
+            / F.col("n_bigrams").cast("double")
+        ).cast("long"),
+    )
+    return scored.select(
+        id_col,
+        "n_bigrams",
+        mean_micro.alias("mean_surprisal_micro"),
+        F.coalesce(
+            mean_micro <= F.lit(int(max_mean_micro)), F.lit(False)
+        ).alias("kept"),
+    )

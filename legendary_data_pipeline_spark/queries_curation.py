@@ -2384,3 +2384,101 @@ def curation_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return C.mixture_allocate(src, budget=_MIXA_BUDGET)
+
+# ---------------------------------------------------------------------------
+# X172 bigram surprisal gate (round 9)
+# ---------------------------------------------------------------------------
+
+_BSURP_MAX = 3_530_000  # mean bigram µnats — near-median split at sf0.01
+
+
+@register_shadow(
+    "curation_bigram_surprisal",
+    f"""
+    WITH trt AS (
+      SELECT doc_id, {_SURP_TOKS} AS t
+      FROM documents WHERE source = 'src0'),
+    trpos AS (
+      SELECT doc_id, unnest(t) AS w1, generate_subscripts(t, 1) AS pos
+      FROM trt),
+    trbg AS (
+      SELECT doc_id, w1,
+             lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM trpos),
+    c2 AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+      FROM trbg WHERE w2 IS NOT NULL GROUP BY 1, 2),
+    c1 AS (
+      SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+    voc AS (
+      SELECT CAST(COUNT(DISTINCT w1a) AS BIGINT) AS v
+      FROM (SELECT unnest(t) AS w1a FROM trt)),
+    wbg AS (
+      SELECT w1, w2,
+             CAST(-floor(ln(CAST(c2 + 1 AS DOUBLE)
+                            / CAST(c1 + v AS DOUBLE))
+                         * {_SURP_SCALE}.0) AS BIGINT) AS w
+      FROM c2 JOIN c1 USING (w1), voc),
+    wctx AS (
+      SELECT w1,
+             CAST(-floor(ln(CAST(1 AS DOUBLE)
+                            / CAST(c1 + v AS DOUBLE))
+                         * {_SURP_SCALE}.0) AS BIGINT) AS w_ctx
+      FROM c1, voc),
+    wglob AS (
+      SELECT CAST(-floor(ln(CAST(1 AS DOUBLE) / CAST(v AS DOUBLE))
+                         * {_SURP_SCALE}.0) AS BIGINT) AS w_glob
+      FROM voc),
+    dt AS (
+      SELECT doc_id, {_SURP_TOKS} AS t
+      FROM documents WHERE source <> 'src0'),
+    dpos AS (
+      SELECT doc_id, unnest(t) AS w1, generate_subscripts(t, 1) AS pos
+      FROM dt),
+    dbg AS (
+      SELECT doc_id, w1,
+             lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM dpos),
+    g AS (
+      SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(COALESCE(wbg.w, wctx.w_ctx, wglob.w_glob))
+                  AS BIGINT) AS sum_w
+      FROM dbg d LEFT JOIN wbg ON d.w1 = wbg.w1 AND d.w2 = wbg.w2
+      LEFT JOIN wctx ON d.w1 = wctx.w1
+      CROSS JOIN wglob
+      WHERE d.w2 IS NOT NULL GROUP BY 1),
+    base AS (SELECT doc_id FROM documents WHERE source <> 'src0'),
+    s AS (
+      SELECT base.doc_id,
+             CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             CASE WHEN COALESCE(n_bigrams, 0) > 0
+                  THEN CAST(floor(CAST(sum_w AS DOUBLE)
+                                  / CAST(n_bigrams AS DOUBLE)) AS BIGINT)
+             END AS mean_surprisal_micro
+      FROM base LEFT JOIN g USING (doc_id))
+    SELECT doc_id, n_bigrams, mean_surprisal_micro,
+           COALESCE(mean_surprisal_micro <= {_BSURP_MAX}, FALSE) AS kept
+    FROM s
+    """,
+    doc="Deterministic distributed BIGRAM surprisal gate (X172) — the "
+    "context-aware upgrade of curation_unigram_surprisal: word order "
+    "matters now. Exact add-one bigram statistics over the whole "
+    "trusted slice, per-bigram integer µnat weights with context and "
+    "global OOV fallbacks from the same expression, zero-shuffle "
+    "array-zip bigram construction, exact integer per-doc sums. The "
+    "(w1, w2, weight) table is what a 100 TB run persists as its "
+    "model.",
+)
+def curation_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.lm import (
+        bigram_surprisal_gate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    trusted = docs.filter(F.col("source") == "src0")
+    return bigram_surprisal_gate(
+        docs.filter(F.col("source") != "src0"),
+        trusted,
+        max_mean_micro=_BSURP_MAX,
+        scale=_SURP_SCALE,
+    )
