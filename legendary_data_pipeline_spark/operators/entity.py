@@ -215,3 +215,90 @@ def sorted_neighborhood_pairs(
     return probes.join(targets, ["__bkt", "__rn"]).select(
         "id_a", "id_b", "gap"
     )
+
+
+def survivorship_fuse(
+    df: DataFrame,
+    key_cols,
+    most_frequent=(),
+    latest_by: str | None = None,
+    latest_cols=(),
+    max_cols=(),
+    min_cols=(),
+    longest_cols=(),
+) -> DataFrame:
+    """Golden-record survivorship: fuse duplicate records per key into
+    ONE canonical row by per-attribute rules — the step AFTER entity
+    resolution (fuzzy_pairs/best_match find the cluster; this decides
+    which attribute values survive):
+
+    - ``most_frequent``: modal non-NULL value (tie → lexicographically
+      smallest — deterministic, no arbitrary first()).
+    - ``latest_cols`` + ``latest_by``: value from the row with the
+      greatest ``latest_by`` (tie → greatest value) — last-writer-wins.
+    - ``max_cols`` / ``min_cols``: extreme non-NULL value.
+    - ``longest_cols``: longest non-NULL string (tie →
+      lexicographically smallest).
+
+    Every rule is an order-independent aggregation over exact
+    comparisons (struct min/max encodes the tie order), so the golden
+    record is bit-deterministic on any engine/partitioning. A key
+    whose values are all NULL for a column yields NULL.
+
+    Scale: ONE key-shuffle groupBy covers latest/max/min/longest; each
+    ``most_frequent`` column adds one (key, value) groupBy + one
+    key-sized join (value-count tables are the model — what a real MDM
+    run persists). Keys are the parallelism unit.
+
+    Output: key_cols..., n_records, then one column per rule target
+    (original names).
+    """
+    keys = list(key_cols)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_records")]
+    for c in max_cols:
+        aggs.append(F.max(F.col(c)).alias(c))
+    for c in min_cols:
+        aggs.append(F.min(F.col(c)).alias(c))
+    for c in longest_cols:
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col(c).isNotNull(),
+                    F.struct(
+                        (-F.length(F.col(c))).alias("l"),
+                        F.col(c).alias("v"),
+                    ),
+                )
+            )["v"].alias(c)
+        )
+    for c in latest_cols:
+        if latest_by is None:
+            raise ValueError(
+                "survivorship_fuse: latest_cols needs latest_by"
+            )
+        aggs.append(
+            F.max(
+                F.when(
+                    F.col(c).isNotNull() & F.col(latest_by).isNotNull(),
+                    F.struct(
+                        F.col(latest_by).alias("t"), F.col(c).alias("v")
+                    ),
+                )
+            )["v"].alias(c)
+        )
+    out = df.groupBy(*keys).agg(*aggs)
+    for c in most_frequent:
+        vc = (
+            df.where(F.col(c).isNotNull())
+            .groupBy(*keys, c)
+            .agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
+        )
+        pick = vc.groupBy(*keys).agg(
+            F.min(
+                F.struct(
+                    (-F.col("__cnt")).alias("n"), F.col(c).alias("v")
+                )
+            )["v"].alias(c)
+        )
+        out = out.join(pick, keys, "left")
+    return out

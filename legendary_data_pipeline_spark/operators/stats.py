@@ -2408,3 +2408,64 @@ def ewma_anomalies(
             F.abs(F.col("__resid")) > F.lit(mad_mult) * F.col("__mad"),
         ).alias("is_anomaly"),
     )
+
+
+def equal_freq_bins(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Equal-frequency (quantile) binning per group: bin(v) =
+    ⌊n_bins · below(v) / n⌋, where below(v) counts rows strictly below
+    v — every row of one value lands in one bin (ties never split),
+    bins hold ≈ n/n_bins rows each, and the arithmetic is EXACT
+    integer division, so bin boundaries are bit-deterministic (no
+    float quantile estimation). The feature-engineering /
+    stratification primitive behind "decile of spend", "length bucket"
+    — the data-derived companion to the fixed-grid X102 convention.
+
+    Emits the BIN TABLE (compact, joinable back by range):
+    group_cols..., bin, lo, hi (inclusive observed bounds), n_values
+    (distinct values in the bin), n_rows.
+
+    Scale: one map-side-combinable groupBy to the distinct-value
+    frame, below-counts via `distributed_below_counts` (group_cols
+    passes through its coarse-group form — offsets must stay
+    broadcast-sized, the usual coarse-groups-over-continuous-values
+    regime), per-group totals join (group-cardinality-sized), then a
+    bin-table aggregation. No data-sized single-partition stage.
+    """
+    if n_bins < 1:
+        raise ValueError(f"equal_freq_bins: n_bins must be >= 1, got {n_bins}")
+    groups = list(group_cols)
+    v = F.col(value_col).cast("long")
+    d = df.select(*groups, v.alias("__v")).where(v.isNotNull())
+    g = d.groupBy(*groups, "__v").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__c")
+    )
+    cum = distributed_below_counts(
+        g, "__v", ["__c"], inclusive=False, group_cols=groups
+    )
+    totals = g.groupBy(*groups).agg(
+        F.sum("__c").cast("decimal(38,0)").alias("__n")
+    )
+    if groups:
+        joined = cum.join(totals, groups)
+    else:
+        joined = cum.crossJoin(F.broadcast(totals))
+    binned = joined.select(
+        *groups,
+        "__v",
+        "__c",
+        F.expr(
+            f"CAST((CAST({n_bins} AS DECIMAL(38,0)) * __c_cum) DIV __n "
+            "AS BIGINT)"
+        ).alias("bin"),
+    )
+    return binned.groupBy(*groups, "bin").agg(
+        F.min("__v").cast("long").alias("lo"),
+        F.max("__v").cast("long").alias("hi"),
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+        F.sum("__c").cast("long").alias("n_rows"),
+    )

@@ -4312,3 +4312,195 @@ def ts_ewma_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         _daily_cents(spark, sf_dir), "day", "cents",
         group_cols=["event_type"], k=8, mad_mult=3.0,
     )
+
+# ---------------------------------------------------------------------------
+# X175 link prediction over the co-purchase graph (round 9)
+# ---------------------------------------------------------------------------
+
+
+@register_shadow(
+    "gr_link_prediction_topk",
+    """
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e),
+    deg0 AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u),
+    keepn AS (SELECT u FROM deg0 WHERE d <= 150),
+    adj AS (
+      SELECT s.u, s.v FROM sym s
+      JOIN keepn ku ON s.u = ku.u
+      JOIN keepn kv ON s.v = kv.u),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY u),
+    wedges AS (
+      SELECT w1.v AS a, w2.v AS b
+      FROM adj w1 JOIN adj w2 ON w1.u = w2.u AND w1.v < w2.v),
+    cn AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS common_neighbors
+      FROM wedges GROUP BY a, b),
+    ne AS (
+      SELECT cn.* FROM cn ANTI JOIN e ON cn.a = e.a AND cn.b = e.b),
+    scored AS (
+      SELECT ne.a, ne.b, ne.common_neighbors,
+             da.d AS deg_a, db.d AS deg_b,
+             CAST(ne.common_neighbors AS DOUBLE)
+               / CAST(da.d + db.d - ne.common_neighbors AS DOUBLE)
+               AS jaccard
+      FROM ne JOIN deg da ON ne.a = da.u JOIN deg db ON ne.b = db.u)
+    SELECT * FROM scored
+    ORDER BY jaccard DESC, a ASC, b ASC LIMIT 100
+    """,
+    doc="Common-neighbor/Jaccard link prediction on the part "
+    "co-purchase graph (X175): the 100 strongest NON-edges — parts "
+    "that share many co-purchase partners but never co-occur "
+    "themselves (assortment-gap / recommendation candidates). Hub "
+    "nodes (degree > 150) are excluded before the wedge join (the "
+    "sum-of-degree-squared bound — the triangle-count lesson); "
+    "distance-2 candidate generation never materializes cn=0 pairs; "
+    "ranking is a bounded TakeOrderedAndProject under a total order.",
+)
+def gr_link_prediction_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.graph import (
+        link_prediction_topk,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("id_a"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("id_b"))
+    edges = a.join(b, "k").filter(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b"
+    )
+    return link_prediction_topk(edges, top_k=100, max_degree=150)
+
+# ---------------------------------------------------------------------------
+# X176 equal-frequency binning + X177 survivorship fusion (round 9)
+# ---------------------------------------------------------------------------
+
+
+@register_shadow(
+    "dq_equal_freq_bins_price",
+    f"""
+    WITH base AS (
+      SELECT l_returnflag AS flag, {_cents_sql('l_extendedprice')} AS v
+      FROM lineitem WHERE l_extendedprice IS NOT NULL),
+    g AS (
+      SELECT flag, v, CAST(COUNT(*) AS HUGEINT) AS c
+      FROM base GROUP BY 1, 2),
+    cum AS (
+      SELECT flag, v, c,
+             COALESCE(SUM(c) OVER (PARTITION BY flag ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               CAST(0 AS HUGEINT)) AS below
+      FROM g),
+    tot AS (SELECT flag, SUM(c) AS n FROM g GROUP BY 1),
+    b AS (
+      SELECT cum.flag, v, c,
+             CAST((10 * below) // n AS BIGINT) AS bin
+      FROM cum JOIN tot ON cum.flag = tot.flag)
+    SELECT flag, bin,
+           CAST(MIN(v) AS BIGINT) AS lo,
+           CAST(MAX(v) AS BIGINT) AS hi,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(SUM(c) AS BIGINT) AS n_rows
+    FROM b GROUP BY 1, 2
+    """,
+    doc="Equal-frequency decile bin table of line-item price cents per "
+    "return flag (X176): bin = floor(10*below/n) — exact integer "
+    "division over distributed below-counts, ties never split, "
+    "bit-deterministic boundaries. Near-continuous cents over 3 "
+    "coarse groups = the coarse-group distributed-prefix-sum regime.",
+)
+def dq_equal_freq_bins_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.stats import (
+        equal_freq_bins,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        _cents("l_extendedprice").alias("v"),
+    )
+    return equal_freq_bins(li, "v", n_bins=10, group_cols=["flag"]).select(
+        "flag", "bin", "lo", "hi", "n_values", "n_rows"
+    )
+
+
+@register_shadow(
+    "er_golden_record_customers",
+    f"""
+    WITH base AS (
+      SELECT o_custkey, o_orderpriority, o_orderstatus,
+             CAST(o_orderdate AS DATE) AS d,
+             {_cents_sql('o_totalprice')} AS cents
+      FROM orders),
+    agg AS (
+      SELECT o_custkey,
+             CAST(COUNT(*) AS BIGINT) AS n_records,
+             CAST(MAX(cents) AS BIGINT) AS max_value_cents
+      FROM base GROUP BY 1),
+    mf AS (
+      SELECT o_custkey, o_orderpriority,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY COUNT(*) DESC, o_orderpriority ASC) AS rn
+      FROM base WHERE o_orderpriority IS NOT NULL
+      GROUP BY o_custkey, o_orderpriority),
+    latest AS (
+      SELECT o_custkey, o_orderstatus,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY d DESC, o_orderstatus DESC) AS rn
+      FROM base WHERE o_orderstatus IS NOT NULL AND d IS NOT NULL),
+    longest AS (
+      SELECT o_custkey, o_orderpriority AS lp,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY length(o_orderpriority) DESC,
+                        o_orderpriority ASC) AS rn
+      FROM base WHERE o_orderpriority IS NOT NULL)
+    SELECT a.o_custkey, a.n_records, a.max_value_cents,
+           mf.o_orderpriority AS modal_priority,
+           latest.o_orderstatus AS latest_status,
+           longest.lp AS longest_priority
+    FROM agg a
+    LEFT JOIN mf ON a.o_custkey = mf.o_custkey AND mf.rn = 1
+    LEFT JOIN latest ON a.o_custkey = latest.o_custkey AND latest.rn = 1
+    LEFT JOIN longest ON a.o_custkey = longest.o_custkey AND longest.rn = 1
+    """,
+    doc="Golden-record survivorship per customer from their orders "
+    "(X177): modal order priority (tie -> lexicographic min), "
+    "last-writer-wins status by order date (tie -> max value), max "
+    "order value, longest priority string (tie -> lexicographic min) "
+    "- every rule an order-independent struct-min/max aggregation, so "
+    "the golden record is bit-deterministic. The post-ER fusion step: "
+    "clusters in, one canonical row out.",
+)
+def er_golden_record_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.entity import (
+        survivorship_fuse,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderpriority",
+        F.col("o_orderpriority").alias("lp"),
+        "o_orderstatus",
+        F.col("o_orderdate").cast("date").alias("d"),
+        _cents("o_totalprice").alias("cents"),
+    )
+    fused = survivorship_fuse(
+        orders,
+        ["o_custkey"],
+        most_frequent=["o_orderpriority"],
+        latest_by="d",
+        latest_cols=["o_orderstatus"],
+        max_cols=["cents"],
+        longest_cols=["lp"],
+    )
+    return fused.select(
+        "o_custkey",
+        "n_records",
+        F.col("cents").alias("max_value_cents"),
+        F.col("o_orderpriority").alias("modal_priority"),
+        F.col("o_orderstatus").alias("latest_status"),
+        F.col("lp").alias("longest_priority"),
+    )
