@@ -167,8 +167,8 @@ def repetition_stats(
         .select(
             F.col(id_col),
             F.col("n_tokens"),
-            F.round(top_frac, 6).alias("top_token_frac"),
-            F.round(F.coalesce(dup_frac, F.lit(0.0)), 6).alias("dup_bigram_frac"),
+            top_frac.alias("top_token_frac"),
+            F.coalesce(dup_frac, F.lit(0.0)).alias("dup_bigram_frac"),
         )
         .withColumn(
             "low_quality",
@@ -562,7 +562,7 @@ def boilerplate_span_stats(
             id_col,
             "n_spans",
             "n_boilerplate_spans",
-            F.round(frac, 6).alias("boilerplate_frac"),
+            frac.alias("boilerplate_frac"),
         )
     )
 
@@ -719,10 +719,9 @@ def contamination_scores(
             "n_contaminated"
         ),
     )
-    frac = F.round(
+    frac = (
         F.col("n_contaminated").cast("double")
-        / F.col("n_shingles").cast("double"),
-        6,
+        / F.col("n_shingles").cast("double")
     )
     ids = train.select(F.col(id_col))
     return (
@@ -784,28 +783,28 @@ def gopher_gates(
     )
     words = F.col("__words")
     n_words = F.size(words)
-    mean_len = F.round(
+    # Raw IEEE ratios of exact integer counts — bit-stable without a
+    # fractional round (round-9 representation audit); the rule
+    # thresholds compare the same raw doubles on both engines.
+    mean_len = (
         F.aggregate(
             words,
             F.lit(0).cast("long"),
             lambda acc, w: acc + F.length(w),
         ).cast("double")
-        / F.nullif(n_words.cast("double"), F.lit(0.0)),
-        6,
+        / F.nullif(n_words.cast("double"), F.lit(0.0))
     )
     n_hash = F.regexp_count(F.col(text_col), F.lit("#"))
     n_ellipsis = F.regexp_count(F.col(text_col), F.lit(r"\.\.\.|…"))
-    hash_ratio = F.round(
-        n_hash.cast("double") / F.nullif(n_words.cast("double"), F.lit(0.0)), 6
+    hash_ratio = n_hash.cast("double") / F.nullif(
+        n_words.cast("double"), F.lit(0.0)
     )
-    ellipsis_ratio = F.round(
-        n_ellipsis.cast("double")
-        / F.nullif(n_words.cast("double"), F.lit(0.0)),
-        6,
+    ellipsis_ratio = n_ellipsis.cast("double") / F.nullif(
+        n_words.cast("double"), F.lit(0.0)
     )
     n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
-    alpha_frac = F.round(
-        n_alpha.cast("double") / F.nullif(n_words.cast("double"), F.lit(0.0)), 6
+    alpha_frac = n_alpha.cast("double") / F.nullif(
+        n_words.cast("double"), F.lit(0.0)
     )
     stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
     n_stop = F.size(
@@ -868,8 +867,8 @@ def winsorize_outliers(
     gcols = [group_col] if group_col else []
     v = F.col(value_col).cast("double")
     bounds = df.groupBy(*gcols).agg(
-        F.round(F.expr(f"percentile({value_col}, {lo})"), 6).alias("__lo"),
-        F.round(F.expr(f"percentile({value_col}, {hi})"), 6).alias("__hi"),
+        F.expr(f"percentile({value_col}, {lo})").alias("__lo"),
+        F.expr(f"percentile({value_col}, {hi})").alias("__hi"),
     )
     if gcols:
         # Null-safe key: groupBy puts NULL-group rows in their own

@@ -88,7 +88,9 @@ def funnel_report(
     type_col: str = "event_type",
 ) -> DataFrame:
     """Per-step conversion summary: (step_idx, step, n_users,
-    conversion) where conversion = n_users / step-1 users, rounded 6."""
+    conversion) where conversion = n_users / step-1 users — a RAW
+    IEEE ratio of exact integers (bit-stable; the round-9
+    representation audit removed the superfluous fractional round)."""
     times = funnel_times(
         events, steps, horizon_s, user_col, ts_col, type_col
     )
@@ -116,12 +118,9 @@ def funnel_report(
             F.col("s.n_users").alias("n_users"),
             # try_divide: an empty funnel (n1 = 0) reports NULL
             # conversion instead of an ANSI divide-by-zero error.
-            F.round(
-                F.try_divide(
-                    F.col("s.n_users").cast("double"),
-                    F.col("n1").cast("double"),
-                ),
-                6,
+            F.try_divide(
+                F.col("s.n_users").cast("double"),
+                F.col("n1").cast("double"),
             ).alias("conversion"),
         )
     )
@@ -167,10 +166,9 @@ def retention_cohorts(
         F.col("__k").cast("long").alias("day_offset"),
         "n_active",
         "cohort_size",
-        F.round(
+        (
             F.col("n_active").cast("double")
-            / F.col("cohort_size").cast("double"),
-            6,
+            / F.col("cohort_size").cast("double")
         ).alias("retention"),
     )
 
@@ -184,7 +182,7 @@ def event_transitions(
 ) -> DataFrame:
     """First-order transition matrix over each user's event sequence:
     (from_type, to_type, n_transitions, p) with p row-normalized per
-    from_type (rounded 6).
+    from_type (a raw IEEE ratio of exact integers — bit-stable).
 
     The lag/lead window partitions by user — per-partition state is one
     user's events; the count and normalization aggregate over the
@@ -209,9 +207,8 @@ def event_transitions(
         "from_type",
         "to_type",
         "n_transitions",
-        F.round(
+        (
             F.col("n_transitions").cast("double")
-            / F.sum("n_transitions").over(w_from).cast("double"),
-            6,
+            / F.sum("n_transitions").over(w_from).cast("double")
         ).alias("p"),
     )

@@ -775,7 +775,7 @@ def clustering_coefficients(
     denom = (F.col("degree") * (F.col("degree") - 1)).cast("double")
     coeff = F.when(
         F.col("degree") >= 2,
-        F.round(F.lit(2) * F.col("triangles").cast("double") / denom, 6),
+        F.lit(2.0) * F.col("triangles").cast("double") / denom,
     )
     return out.withColumn("coeff", coeff)
 

@@ -143,9 +143,8 @@ def html_extract(
         F.size("__kept").cast("long").alias("n_kept_blocks"),
         text.alias("text"),
         F.length(text).cast("long").alias("text_len"),
-        F.round(
+        (
             (total_chars - kept_chars).cast("double")
-            / F.nullif(total_chars.cast("double"), F.lit(0.0)),
-            6,
+            / F.nullif(total_chars.cast("double"), F.lit(0.0))
         ).alias("boilerplate_frac"),
     )

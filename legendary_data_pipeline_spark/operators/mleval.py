@@ -180,7 +180,9 @@ def pr_at_thresholds(
     rows; the groupBy(threshold) aggregation map-side combines to
     ``len(thresholds)`` rows per partition, so the join adds no real
     shuffle volume. TP/FP/FN are exact integers; the three ratios are
-    final-division-only (round 6). Empty-denominator cells are NULL.
+    RAW final IEEE divisions (exact-integer ratios are bit-stable
+    across engines — the round-9 representation audit removed their
+    superfluous fractional rounds). Empty-denominator cells are NULL.
     Rows with a NULL prediction or label are dropped (a NULL
     comparison is neither >= nor < the threshold, so keeping them
     would silently leak rows out of tp+fn = total positives).
@@ -206,7 +208,7 @@ def pr_at_thresholds(
     rec_den = (F.col("tp") + F.col("fn")).cast("double")
     f1_den = (F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn")).cast("double")
     ratio = lambda num, den: F.when(  # noqa: E731
-        den > 0, F.round(num.cast("double") / den, 6)
+        den > 0, num.cast("double") / den
     )
     return agg.select(
         "threshold",
@@ -497,8 +499,8 @@ def mrr_at_k(
 
         MRR = sum(contrib) / (LCM * n_queries)
 
-    is ONE final double division. Output: a single row
-    (n_queries, n_hit, mrr round 6).
+    is ONE final double division (raw — bit-stable over exact
+    integers). Output: a single row (n_queries, n_hit, mrr).
     """
     lcm = _lcm_1_to(k)
     # ONE query-keyed aggregation: min rank among relevant-within-k
@@ -523,13 +525,11 @@ def mrr_at_k(
         .alias("n_hit"),
         F.coalesce(F.sum("__num"), F.lit(0)).alias("__num_sum"),
     )
+    # Raw final IEEE division of exact integers (round-9 audit).
     mrr = F.when(
         F.col("n_queries") > 0,
-        F.round(
-            F.col("__num_sum").cast("double")
-            / (F.lit(lcm).cast("double") * F.col("n_queries").cast("double")),
-            6,
-        ),
+        F.col("__num_sum").cast("double")
+        / (F.lit(lcm).cast("double") * F.col("n_queries").cast("double")),
     )
     return agg.select("n_queries", "n_hit", mrr.alias("mrr"))
 
@@ -569,7 +569,8 @@ def ndcg_at_k(
     exact and order-independent — and the single double division is the
     only float op. Queries with n_rel = 0 return NULL ndcg.
 
-    Output: one row per query (query, n_rel, ndcg round 6).
+    Output: one row per query (query, n_rel, ndcg — a raw IEEE ratio
+    of exact decimal sums, bit-stable).
     """
     w = ndcg_weights(k)
     w_arr = F.array(*[F.lit(x).cast("decimal(18,12)") for x in w])
@@ -592,9 +593,7 @@ def ndcg_at_k(
     idcg = F.when(m > 0, F.element_at(p_arr, m))
     ndcg = F.when(
         m > 0,
-        F.round(
-            F.col("__dcg").cast("double") / idcg.cast("double"), 6
-        ),
+        F.col("__dcg").cast("double") / idcg.cast("double"),
     )
     return per_q.select(
         F.col(query_col), "n_rel", ndcg.alias("ndcg")
@@ -655,6 +654,7 @@ def two_proportion_test(
     group_a,
     group_b,
     round_digits: int = 6,
+    scaled_e6: bool = False,
 ) -> DataFrame:
     """Two-proportion z-test between two named groups — the A/B
     experiment readout (did variant B's conversion rate move?) and the
@@ -669,7 +669,13 @@ def two_proportion_test(
     lose the direction — sign means A over B). Degenerate inputs (an
     empty group, pooled rate 0 or 1) yield NULL z.
 
-    Output (1 row): n_a, pos_a, n_b, pos_b, p_a, p_b, diff, z.
+    ``scaled_e6=True`` switches to the round-9 representation-proof
+    form: p_a/p_b/diff as RAW IEEE ratios (exact-integer divisions —
+    bit-stable without any round) and z as ``z_e6`` BIGINT, removing
+    the engine-version-fragile fractional round from every output.
+
+    Output (1 row): n_a, pos_a, n_b, pos_b, p_a, p_b, diff, z
+    (or z_e6).
     """
     lab = F.col(label_col).cast("long")
     g = F.col(group_col)
@@ -693,6 +699,16 @@ def two_proportion_test(
     z = F.when(
         (F.col("n_a") > 0) & (F.col("n_b") > 0), (pa - pb) / F.nullif(se, F.lit(0.0))
     )
+    if scaled_e6:
+        return agg.select(
+            "n_a", "pos_a", "n_b", "pos_b",
+            F.when(F.col("n_a") > 0, pa).alias("p_a"),
+            F.when(F.col("n_b") > 0, pb).alias("p_b"),
+            F.when(
+                (F.col("n_a") > 0) & (F.col("n_b") > 0), pa - pb
+            ).alias("diff"),
+            F.round(z * F.lit(1e6)).cast("long").alias("z_e6"),
+        )
     return agg.select(
         "n_a", "pos_a", "n_b", "pos_b",
         F.when(F.col("n_a") > 0, F.round(pa, round_digits)).alias("p_a"),

@@ -775,7 +775,7 @@ def sketch_quantile(
         *group_cols,
         "q_pct",
         F.col("total").alias("n"),
-        F.round(est, 6).alias("estimate"),
+        est.alias("estimate"),
     )
 
 
@@ -1685,7 +1685,8 @@ def contribution_topn(
     ("top 10 sources and everything else").
 
     Ranking is a total order (value desc, category asc) so the cut is
-    engine-deterministic; shares are value/total doubles rounded to 6
+    engine-deterministic; shares are raw value/total IEEE ratios of
+    exact integers (bit-stable — round-9 representation audit)
     (exact integer inputs). NULL categories participate as a category.
 
     Scale: one category groupBy (map-side combinable), top-n via
@@ -1720,10 +1721,9 @@ def contribution_topn(
         .select(
             "category",
             "value_cents",
-            F.round(
+            (
                 F.col("value_cents").cast("double")
-                / F.nullif(F.col("__total").cast("double"), F.lit(0.0)),
-                6,
+                / F.nullif(F.col("__total").cast("double"), F.lit(0.0))
             ).alias("share"),
             "rank",
         )
@@ -1734,10 +1734,9 @@ def contribution_topn(
         .select(
             F.lit(other_label).alias("category"),
             (F.col("__total") - F.col("__top_sum")).alias("value_cents"),
-            F.round(
+            (
                 (F.col("__total") - F.col("__top_sum")).cast("double")
-                / F.nullif(F.col("__total").cast("double"), F.lit(0.0)),
-                6,
+                / F.nullif(F.col("__total").cast("double"), F.lit(0.0))
             ).alias("share"),
             F.lit(None).cast("long").alias("rank"),
         )
@@ -2216,13 +2215,15 @@ def diff_in_diff(
     m_tp, m_tc = mean("__s_tp", "n_tp"), mean("__s_tc", "n_tc")
     m_cp, m_cc = mean("__s_cp", "n_cp"), mean("__s_cc", "n_cc")
     did = (m_tp - m_tc) - (m_cp - m_cc)
+    # Raw IEEE divisions / fixed tree over exact decimal cell sums —
+    # bit-stable without a fractional round (round-9 audit).
     return agg.select(
         "n_tp", "n_tc", "n_cp", "n_cc",
-        F.round(m_tp, round_digits).alias("mean_treat_post"),
-        F.round(m_tc, round_digits).alias("mean_treat_pre"),
-        F.round(m_cp, round_digits).alias("mean_ctrl_post"),
-        F.round(m_cc, round_digits).alias("mean_ctrl_pre"),
-        F.round(did, round_digits).alias("did"),
+        m_tp.alias("mean_treat_post"),
+        m_tc.alias("mean_treat_pre"),
+        m_cp.alias("mean_ctrl_post"),
+        m_cc.alias("mean_ctrl_pre"),
+        did.alias("did"),
     )
 
 

@@ -157,9 +157,9 @@ def dup_span_stats(
         "n_tokens",
         "n_dup_spans",
         "dup_tokens",
-        F.round(
-            F.col("dup_tokens").cast("double") / F.col("n_tokens").cast("double"),
-            6,
+        (
+            F.col("dup_tokens").cast("double")
+            / F.col("n_tokens").cast("double")
         ).alias("dup_frac"),
     )
 

@@ -341,7 +341,9 @@ def readability(
         - F.lit(84.6)
         * (F.col("n_syllables").cast("double") / F.col("n_words").cast("double"))
     )
-    return out.withColumn("flesch", F.round(fre, 6))
+    # raw IEEE tree over exact integer counts — bit-stable without a
+    # fractional round (the round-9 representation audit).
+    return out.withColumn("flesch", fre)
 
 
 def keywords_tf_rarity(
@@ -517,11 +519,8 @@ def ngram_novelty(
         F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
         F.when(
             F.coalesce("n_shingles", F.lit(0)) > 0,
-            F.round(
-                F.col("n_novel").cast("double")
-                / F.col("n_shingles").cast("double"),
-                round_digits,
-            ),
+            F.col("n_novel").cast("double")
+            / F.col("n_shingles").cast("double"),
         ).alias("novelty"),
     )
     return out

@@ -1850,12 +1850,12 @@ _QS_PCTS = [50, 90, 99]
       SELECT event_type, q_pct, rank, total, MIN(bucket) AS bucket
       FROM r WHERE cum >= rank GROUP BY 1, 2, 3, 4)
     SELECT f.event_type, CAST(f.q_pct AS INT) AS q_pct, f.total AS n,
-           round(CAST(b.lo AS DOUBLE)
-                 + (CAST(b.hi - b.lo AS DOUBLE) / {_QS_BINS})
-                   * CAST(f.bucket AS DOUBLE)
-                 + (CAST(b.hi - b.lo AS DOUBLE) / {_QS_BINS})
-                   * (CAST(f.rank - (c.cum - c.cnt) AS DOUBLE)
-                      / CAST(c.cnt AS DOUBLE)), 6) AS estimate
+           CAST(b.lo AS DOUBLE)
+             + (CAST(b.hi - b.lo AS DOUBLE) / {_QS_BINS})
+               * CAST(f.bucket AS DOUBLE)
+             + (CAST(b.hi - b.lo AS DOUBLE) / {_QS_BINS})
+               * (CAST(f.rank - (c.cum - c.cnt) AS DOUBLE)
+                  / CAST(c.cnt AS DOUBLE)) AS estimate
     FROM firstb f
     JOIN cum c ON c.event_type = f.event_type AND c.bucket = f.bucket
     CROSS JOIN b
@@ -2638,17 +2638,19 @@ def st_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
                * ln(CAST(n AS DOUBLE) / CAST(col_tot AS DOUBLE)) AS hb_term
       FROM marg)
     SELECT CAST(max(n) AS BIGINT) AS n,
-           round(SUM(ha_term), 6) AS h_a,
-           round(SUM(hb_term), 6) AS h_b,
-           round(SUM(mi_term), 6) AS mi,
-           round(SUM(mi_term)
-                 / nullif(sqrt(SUM(ha_term) * SUM(hb_term)), 0.0), 6) AS nmi
+           CAST(round(SUM(ha_term) * 1e6) AS BIGINT) AS h_a_e6,
+           CAST(round(SUM(hb_term) * 1e6) AS BIGINT) AS h_b_e6,
+           CAST(round(SUM(mi_term) * 1e6) AS BIGINT) AS mi_e6,
+           CAST(round((SUM(mi_term)
+                 / nullif(sqrt(SUM(ha_term) * SUM(hb_term)), 0.0)) * 1e6)
+                AS BIGINT) AS nmi_e6
     FROM terms
     """,
     doc="Entropy / mutual information (nats) for returnflag × "
     "linestatus from the same exact contingency pass: H(a), H(b), "
-    "I(a;b), and NMI = I/sqrt(H·H). ln is the one libm call — "
-    "round(6) absorbs any last-ulp engine difference at magnitude ~1.",
+    "I(a;b), and NMI = I/sqrt(H·H). ln is the one libm call — e6 "
+    "integer emission absorbs any last-ulp engine difference "
+    "(round-9 representation convention).",
 )
 def st_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     from legendary_data_pipeline_spark.operators.stats import (
@@ -2656,7 +2658,9 @@ def st_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = load_table(spark, sf_dir, "lineitem")
-    return mutual_information(li, "l_returnflag", "l_linestatus")
+    return mutual_information(
+        li, "l_returnflag", "l_linestatus", scaled_e6=True
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2979,14 +2983,14 @@ def dq_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts AS (SELECT CAST(SUM(value_cents) AS BIGINT) AS top_sum,
                   COUNT(*) AS top_k FROM top)
     SELECT CAST(category AS VARCHAR) AS category, value_cents,
-           round(CAST(value_cents AS DOUBLE)
-                 / nullif(CAST(total AS DOUBLE), 0.0), 6) AS share,
+           CAST(value_cents AS DOUBLE)
+             / nullif(CAST(total AS DOUBLE), 0.0) AS share,
            rank
     FROM top, tot
     UNION ALL
     SELECT '__other__', total - top_sum,
-           round(CAST(total - top_sum AS DOUBLE)
-                 / nullif(CAST(total AS DOUBLE), 0.0), 6),
+           CAST(total - top_sum AS DOUBLE)
+             / nullif(CAST(total AS DOUBLE), 0.0),
            NULL
     FROM tot, ts WHERE k > top_k
     """,
@@ -3276,9 +3280,9 @@ def sk_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT deg.node, deg.degree,
            COALESCE(corners.triangles, 0) AS triangles,
            CASE WHEN deg.degree >= 2
-                THEN round(2.0 * COALESCE(corners.triangles, 0)
-                           / (CAST(deg.degree AS DOUBLE)
-                              * CAST(deg.degree - 1 AS DOUBLE)), 6)
+                THEN 2.0 * COALESCE(corners.triangles, 0)
+                     / (CAST(deg.degree AS DOUBLE)
+                        * CAST(deg.degree - 1 AS DOUBLE))
            END AS coeff
     FROM deg LEFT JOIN corners USING (node)
     """,
@@ -3335,8 +3339,8 @@ def gr_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM inter i JOIN sizes sa ON sa.source = i.source_a
                    JOIN sizes sb ON sb.source = i.source_b)
     SELECT source_a, source_b, inter, terms_a, terms_b,
-           round(CAST(inter AS DOUBLE)
-                 / CAST(terms_a + terms_b - inter AS DOUBLE), 6)
+           CAST(inter AS DOUBLE)
+             / CAST(terms_a + terms_b - inter AS DOUBLE)
              AS jaccard
     FROM j WHERE inter * 10 >= (terms_a + terms_b - inter) * 3
     """,
@@ -3380,7 +3384,7 @@ def an_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(sb), "source_b"
     )
     union = F.col("terms_a") + F.col("terms_b") - F.col("inter")
-    jac = F.round(F.col("inter").cast("double") / union.cast("double"), 6)
+    jac = F.col("inter").cast("double") / union.cast("double")
     return (
         j.where(F.col("inter") * 10 >= union * 3)
         .select(
@@ -3884,18 +3888,18 @@ def ts_cusum_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         SUM(CASE WHEN g = 0 AND p = 0 THEN v END) AS s_cc
       FROM base)
     SELECT n_tp, n_tc, n_cp, n_cc,
-           round(CAST(s_tp AS DOUBLE) / CAST(n_tp AS DOUBLE), 6)
+           CAST(s_tp AS DOUBLE) / CAST(n_tp AS DOUBLE)
              AS mean_treat_post,
-           round(CAST(s_tc AS DOUBLE) / CAST(n_tc AS DOUBLE), 6)
+           CAST(s_tc AS DOUBLE) / CAST(n_tc AS DOUBLE)
              AS mean_treat_pre,
-           round(CAST(s_cp AS DOUBLE) / CAST(n_cp AS DOUBLE), 6)
+           CAST(s_cp AS DOUBLE) / CAST(n_cp AS DOUBLE)
              AS mean_ctrl_post,
-           round(CAST(s_cc AS DOUBLE) / CAST(n_cc AS DOUBLE), 6)
+           CAST(s_cc AS DOUBLE) / CAST(n_cc AS DOUBLE)
              AS mean_ctrl_pre,
-           round((CAST(s_tp AS DOUBLE) / CAST(n_tp AS DOUBLE)
-                  - CAST(s_tc AS DOUBLE) / CAST(n_tc AS DOUBLE))
-                 - (CAST(s_cp AS DOUBLE) / CAST(n_cp AS DOUBLE)
-                    - CAST(s_cc AS DOUBLE) / CAST(n_cc AS DOUBLE)), 6)
+           (CAST(s_tp AS DOUBLE) / CAST(n_tp AS DOUBLE)
+            - CAST(s_tc AS DOUBLE) / CAST(n_tc AS DOUBLE))
+           - (CAST(s_cp AS DOUBLE) / CAST(n_cp AS DOUBLE)
+              - CAST(s_cc AS DOUBLE) / CAST(n_cc AS DOUBLE))
              AS did
     FROM agg
     """,

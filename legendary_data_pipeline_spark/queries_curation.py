@@ -216,15 +216,15 @@ def curation_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM bc GROUP BY doc_id)
     SELECT us.doc_id,
            CAST(us.n_tokens AS BIGINT) AS n_tokens,
-           round(CAST(us.top_c AS DOUBLE) / CAST(us.n_tokens AS DOUBLE), 6)
+           CAST(us.top_c AS DOUBLE) / CAST(us.n_tokens AS DOUBLE)
              AS top_token_frac,
-           round(COALESCE(CAST(bs.dup_bg AS DOUBLE)
-                          / CAST(bs.n_bg AS DOUBLE), 0.0), 6)
+           COALESCE(CAST(bs.dup_bg AS DOUBLE)
+                    / CAST(bs.n_bg AS DOUBLE), 0.0)
              AS dup_bigram_frac,
-           (round(CAST(us.top_c AS DOUBLE) / CAST(us.n_tokens AS DOUBLE), 6)
+           (CAST(us.top_c AS DOUBLE) / CAST(us.n_tokens AS DOUBLE)
               > 0.20
-            OR round(COALESCE(CAST(bs.dup_bg AS DOUBLE)
-                              / CAST(bs.n_bg AS DOUBLE), 0.0), 6) > 0.40)
+            OR COALESCE(CAST(bs.dup_bg AS DOUBLE)
+                        / CAST(bs.n_bg AS DOUBLE), 0.0) > 0.40)
              AS low_quality
     FROM us LEFT JOIN bs USING (doc_id)
     """,
@@ -387,8 +387,8 @@ _VOCAB_K = 100
     SELECT w AS token,
            CAST(cnt AS BIGINT) AS n_occurrences,
            CAST(rk AS BIGINT) AS vocab_rank,
-           round(CAST(SUM(cnt) OVER (ORDER BY rk) AS DOUBLE)
-                 / (SELECT CAST(n AS DOUBLE) FROM tot), 6) AS coverage
+           CAST(SUM(cnt) OVER (ORDER BY rk) AS DOUBLE)
+             / (SELECT CAST(n AS DOUBLE) FROM tot) AS coverage
     FROM top
     """,
     doc="Corpus vocabulary: top-100 tokens by frequency with cumulative "
@@ -422,7 +422,7 @@ def curation_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token",
         "n_occurrences",
         "vocab_rank",
-        F.round(F.col("__cum") / F.col("n").cast("double"), 6).alias("coverage"),
+        (F.col("__cum") / F.col("n").cast("double")).alias("coverage"),
     )
 
 
@@ -779,7 +779,7 @@ _SPAN_CTES = f"""
     SELECT doc_id,
            COUNT(*) AS n_spans,
            CAST(SUM(b) AS BIGINT) AS n_boilerplate_spans,
-           round(CAST(SUM(b) AS DOUBLE) / COUNT(*), 6) AS boilerplate_frac
+           CAST(SUM(b) AS DOUBLE) / COUNT(*) AS boilerplate_frac
     FROM flagged GROUP BY doc_id
     """,
     doc="Inter-document boilerplate profile: each doc cut into "
@@ -907,11 +907,11 @@ _SCORE_THRESHOLD = 0.05
     SELECT d.doc_id,
            COALESCE(p.n_shingles, 0) AS n_shingles,
            COALESCE(p.n_contaminated, 0) AS n_contaminated,
-           COALESCE(round(CAST(p.n_contaminated AS DOUBLE)
-                          / CAST(p.n_shingles AS DOUBLE), 6), 0.0)
+           COALESCE(CAST(p.n_contaminated AS DOUBLE)
+                    / CAST(p.n_shingles AS DOUBLE), 0.0)
              AS contamination_frac,
-           COALESCE(round(CAST(p.n_contaminated AS DOUBLE)
-                          / CAST(p.n_shingles AS DOUBLE), 6), 0.0)
+           COALESCE(CAST(p.n_contaminated AS DOUBLE)
+                    / CAST(p.n_shingles AS DOUBLE), 0.0)
              >= {_SCORE_THRESHOLD} AS contaminated
     FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
     LEFT JOIN per p USING (doc_id)
@@ -1234,8 +1234,8 @@ def curation_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.source AS source_a, b.source AS source_b,
            COUNT(*) AS shared_shingles,
            sa.n AS distinct_a, sb.n AS distinct_b,
-           round(CAST(COUNT(*) AS DOUBLE)
-                 / (sa.n + sb.n - COUNT(*)), 6) AS jaccard
+           CAST(COUNT(*) AS DOUBLE)
+             / (sa.n + sb.n - COUNT(*)) AS jaccard
     FROM sh a
     JOIN sh b ON a.s = b.s AND a.source < b.source
     JOIN sizes sa ON sa.source = a.source
@@ -1274,13 +1274,9 @@ def curation_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = sizes.select(
         F.col("source").alias("source_b"), F.col("n").alias("distinct_b")
     )
-    jac = F.round(
-        F.col("shared_shingles").cast("double")
-        / (
-            F.col("distinct_a") + F.col("distinct_b")
-            - F.col("shared_shingles")
-        ),
-        6,
+    jac = F.col("shared_shingles").cast("double") / (
+        F.col("distinct_a") + F.col("distinct_b")
+        - F.col("shared_shingles")
     )
     return (
         pairs.join(F.broadcast(sa), "source_a")
@@ -1354,7 +1350,9 @@ _DSIR_SEED = 29
       SELECT doc_id, log_importance, ROW_NUMBER() OVER (
         ORDER BY k DESC, doc_id ASC) AS rn
       FROM keyed)
-    SELECT doc_id, log_importance, CAST(rn AS INT) AS sample_rank
+    SELECT doc_id,
+           CAST(round(log_importance * 1e6) AS BIGINT) AS log_importance_e6,
+           CAST(rn AS INT) AS sample_rank
     FROM ranked WHERE rn <= {_DSIR_N}
     """,
     doc="DSIR-style data selection (Xie et al. 2023): score raw docs by "
@@ -1374,9 +1372,12 @@ def curation_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = dsir_select(
         raw, target, n=_DSIR_N, shingle_n=2, m=_DSIR_M, seed=_DSIR_SEED
     )
+    # e6 emission of the (already 6-dp-rounded) float-sum score — the
+    # rounded value stays the Gumbel ranking key inside dsir_select.
     return out.select(
         "doc_id",
-        "log_importance",
+        F.round(F.col("log_importance") * F.lit(1e6)).cast("long")
+        .alias("log_importance_e6"),
         F.col("sample_rank").cast("int").alias("sample_rank"),
     )
 
@@ -1593,14 +1594,14 @@ def curation_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig AS (
       SELECT d.doc_id,
              len(t) AS n_words,
-             round(CAST(list_sum(list_transform(t, __w -> length(__w)))
-                        AS DOUBLE) / nullif(len(t), 0), 6) AS mean_word_len,
-             round(CAST(len(regexp_extract_all(d.text, '#'))
-                        AS DOUBLE) / nullif(len(t), 0), 6) AS hash_ratio,
-             round(CAST(len(regexp_extract_all(d.text, '\\.\\.\\.|…'))
-                        AS DOUBLE) / nullif(len(t), 0), 6) AS ellipsis_ratio,
-             round(CAST(len(list_filter(t, __w -> regexp_matches(__w, '[A-Za-z]')))
-                        AS DOUBLE) / nullif(len(t), 0), 6) AS alpha_word_frac,
+             CAST(list_sum(list_transform(t, __w -> length(__w)))
+                  AS DOUBLE) / nullif(len(t), 0) AS mean_word_len,
+             CAST(len(regexp_extract_all(d.text, '#'))
+                  AS DOUBLE) / nullif(len(t), 0) AS hash_ratio,
+             CAST(len(regexp_extract_all(d.text, '\\.\\.\\.|…'))
+                  AS DOUBLE) / nullif(len(t), 0) AS ellipsis_ratio,
+             CAST(len(list_filter(t, __w -> regexp_matches(__w, '[A-Za-z]')))
+                  AS DOUBLE) / nullif(len(t), 0) AS alpha_word_frac,
              len(list_filter(t, __w -> list_contains(
                  {list(C.GOPHER_STOPWORDS)!r}, lower(__w)))) AS n_stopwords
       FROM toks JOIN documents d USING (doc_id)),
@@ -1688,7 +1689,7 @@ _SUBSTR_SPANS_CTES = f"""
       FROM spans GROUP BY doc_id)
     SELECT b.doc_id, CAST(len(b.l) AS BIGINT) AS n_tokens,
            st.n_dup_spans, st.dup_tokens,
-           round(st.dup_tokens * 1.0 / len(b.l), 6) AS dup_frac
+           st.dup_tokens * 1.0 / len(b.l) AS dup_frac
     FROM base b JOIN stats st USING (doc_id)
     """,
     doc="ExactSubstr dedup, report mode (Lee et al. 2022): fraction of "
@@ -1752,8 +1753,8 @@ def dedup_strip_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents),
     bounds AS (
       SELECT lang,
-             round(quantile_cont(n_tokens, 0.05), 6) AS lo_bound,
-             round(quantile_cont(n_tokens, 0.95), 6) AS hi_bound
+             quantile_cont(n_tokens, 0.05) AS lo_bound,
+             quantile_cont(n_tokens, 0.95) AS hi_bound
       FROM base GROUP BY lang)
     SELECT b.doc_id, b.lang, b.n_tokens, bd.lo_bound, bd.hi_bound,
            b.n_tokens >= bd.lo_bound AND b.n_tokens <= bd.hi_bound AS keep
@@ -1802,7 +1803,7 @@ _MIX_SEED = 11
                         / z / nd) AS rate
       FROM nd CROSS JOIN z)
     SELECT b.doc_id, b.lang, b.n_tokens,
-           round(r.rate, 6) AS rate,
+           CAST(round(round(r.rate, 6) * 1e6) AS BIGINT) AS rate_e6,
            ({seeded_md5_long_sql('CAST(b.doc_id AS VARCHAR)', _MIX_SEED)}
             % 10000) < CAST(round(r.rate * 10000, 0) AS BIGINT) AS keep
     FROM base b JOIN rates r USING (lang)
@@ -1822,8 +1823,15 @@ def curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.size(tokens_expr("text")).cast("long").alias("n_tokens"),
     )
-    return C.temperature_mix(
+    out = C.temperature_mix(
         sized, alpha=_MIX_ALPHA, budget_frac=_MIX_BUDGET, seed=_MIX_SEED
+    )
+    # e6 emission of the (already 6-dp-rounded) pow-derived rate —
+    # round-9 representation convention for libm-backed outputs.
+    return out.select(
+        "doc_id", "lang", "n_tokens",
+        F.round(F.col("rate") * F.lit(1e6)).cast("long").alias("rate_e6"),
+        "keep",
     )
 
 
@@ -2273,11 +2281,11 @@ def _html_pages(docs: DataFrame) -> DataFrame:
       array_to_string(list_transform(ks, __s -> __s.txt), chr(10)) AS text,
       CAST(length(array_to_string(list_transform(ks, __s -> __s.txt), chr(10)))
            AS BIGINT) AS text_len,
-      round(CAST(list_sum(list_transform(bs, __s -> length(__s.txt)))
-                 - COALESCE(list_sum(list_transform(ks, __s -> length(__s.txt))), 0)
-                 AS DOUBLE)
-            / nullif(CAST(list_sum(list_transform(bs, __s -> length(__s.txt)))
-                          AS DOUBLE), 0.0), 6) AS boilerplate_frac
+      CAST(list_sum(list_transform(bs, __s -> length(__s.txt)))
+           - COALESCE(list_sum(list_transform(ks, __s -> length(__s.txt))), 0)
+           AS DOUBLE)
+        / nullif(CAST(list_sum(list_transform(bs, __s -> length(__s.txt)))
+                      AS DOUBLE), 0.0) AS boilerplate_frac
     FROM scored
     """,
     doc="HTML→text extraction with jusText-shaped block boilerplate "

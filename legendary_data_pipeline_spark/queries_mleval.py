@@ -3,8 +3,9 @@
 X127 prefix-filter Jaccard join (operators/setsim.py) and X128-X131
 classifier evaluation (operators/mleval.py). Each query pairs the Spark
 program with a full DuckDB oracle; all output numerics are exact
-integers or final-division doubles (round 6) per the registry's
-cross-engine determinism conventions (queries.py module docstring).
+integers, RAW final-division doubles of exact integers, or e6-scaled
+BIGINTs per the registry's cross-engine determinism conventions
+(queries.py module docstring — round-9 representation audit).
 
 The evaluation queries score a synthetic-but-deterministic "model":
 score = embedding[0] (portable: both engines read the same FLOAT and
@@ -232,14 +233,14 @@ _GRID = [k / 10.0 for k in range(1, 10)]
       FROM p, g GROUP BY 1)
     SELECT threshold, tp, fp, fn,
            CASE WHEN tp + fp > 0
-                THEN round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6)
+                THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
            END AS precision,
            CASE WHEN tp + fn > 0
-                THEN round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6)
+                THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
            END AS recall,
            CASE WHEN 2 * tp + fp + fn > 0
-                THEN round(CAST(2 * tp AS DOUBLE)
-                           / CAST(2 * tp + fp + fn AS DOUBLE), 6)
+                THEN CAST(2 * tp AS DOUBLE)
+                     / CAST(2 * tp + fp + fn AS DOUBLE)
            END AS f1
     FROM s
     """,
@@ -331,9 +332,9 @@ _MRR_LCM = M._lcm_1_to(_RET_K)
     SELECT CAST(count(*) AS BIGINT) AS n_queries,
            CAST(SUM(CASE WHEN num > 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_hit,
-           round(CAST(SUM(num) AS DOUBLE)
-                 / (CAST({_MRR_LCM} AS DOUBLE)
-                    * CAST(count(*) AS DOUBLE)), 6) AS mrr
+           CAST(SUM(num) AS DOUBLE)
+             / (CAST({_MRR_LCM} AS DOUBLE)
+                * CAST(count(*) AS DOUBLE)) AS mrr
     FROM per
     """,
     doc="Mean reciprocal rank at 10 over the exact-cosine retrieval of "
@@ -385,8 +386,8 @@ _GAIN_CASE, _IDEAL_CASE = _ndcg_case_sql()
       FROM top GROUP BY 1)
     SELECT d.query_id, n.n_rel,
            CASE WHEN n.n_rel > 0
-                THEN round(CAST(d.dcg AS DOUBLE)
-                           / CAST({_IDEAL_CASE} AS DOUBLE), 6)
+                THEN CAST(d.dcg AS DOUBLE)
+                     / CAST({_IDEAL_CASE} AS DOUBLE)
            END AS ndcg
     FROM dcg d JOIN nrel n ON n.query_id = d.query_id
     """,
@@ -677,26 +678,27 @@ def ml_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
       WHERE o_orderpriority IN ('1-URGENT', '5-LOW'))
     SELECT n_a, pos_a, n_b, pos_b,
-           round(CAST(pos_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS p_a,
-           round(CAST(pos_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS p_b,
-           round(CAST(pos_a AS DOUBLE) / CAST(n_a AS DOUBLE)
-                 - CAST(pos_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS diff,
-           round((CAST(pos_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+           CAST(pos_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+           CAST(pos_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+           CAST(pos_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+             - CAST(pos_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS diff,
+           CAST(round(((CAST(pos_a AS DOUBLE) / CAST(n_a AS DOUBLE)
                   - CAST(pos_b AS DOUBLE) / CAST(n_b AS DOUBLE))
                  / nullif(sqrt((CAST(pos_a + pos_b AS DOUBLE)
                                 / CAST(n_a + n_b AS DOUBLE))
                                * (1.0 - CAST(pos_a + pos_b AS DOUBLE)
                                         / CAST(n_a + n_b AS DOUBLE))
                                * (1.0 / CAST(n_a AS DOUBLE)
-                                  + 1.0 / CAST(n_b AS DOUBLE))), 0.0),
-                 6) AS z
+                                  + 1.0 / CAST(n_b AS DOUBLE))), 0.0))
+                 * 1e6) AS BIGINT) AS z_e6
     FROM agg
     """,
     doc="Two-proportion z-test: did URGENT orders' fulfillment rate "
     "move vs LOW-priority orders? (X160 — the A/B experiment readout "
     "and slice-regression check.) Exact integer counts from ONE "
-    "filtered aggregation; the pooled-variance z is a fixed IEEE "
-    "double tree under round(6); sign carries direction.",
+    "filtered aggregation; rates are raw IEEE ratios of exact "
+    "integers; the pooled-variance z leaves as z_e6 BIGINT (round-9 "
+    "representation convention); sign carries direction.",
 )
 def ml_two_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_distributed(spark, sf_dir, "orders")
@@ -705,5 +707,6 @@ def ml_two_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderstatus") == "F").cast("int").alias("__lab"),
     )
     return M.two_proportion_test(
-        base, "o_orderpriority", "__lab", "1-URGENT", "5-LOW"
+        base, "o_orderpriority", "__lab", "1-URGENT", "5-LOW",
+        scaled_e6=True,
     )

@@ -125,7 +125,7 @@ def test_event_transitions_matrix(spark):
         for r in event_transitions(ev).collect()
     }
     # from 'a': 2x a->b, 1x a->c; from 'b': 1x b->a
-    assert got[("a", "b")] == (2, 0.666667)
-    assert got[("a", "c")] == (1, 0.333333)
+    assert got[("a", "b")] == (2, 2.0 / 3.0)
+    assert got[("a", "c")] == (1, 1.0 / 3.0)
     assert got[("b", "a")] == (1, 1.0)
     assert ("c", "a") not in got  # last event of user 3 has no successor

@@ -28,7 +28,7 @@ def test_novelty_unique_vs_copied_docs(spark):
     # doc 4: shingles = {red green blue, green blue purple, blue purple
     # orange}; only the first is shared → novelty 2/3
     assert out[4]["n_shingles"] == 3 and out[4]["n_novel"] == 2
-    assert out[4]["novelty"] == 0.666667
+    assert out[4]["novelty"] == 2.0 / 3.0
     # doc 5: no shingles → 0 count, NULL novelty (not 0 — unknown, not dup)
     assert out[5]["n_shingles"] == 0 and out[5]["novelty"] is None
 
