@@ -1484,3 +1484,203 @@ def token_budget_head(
         cum.alias("cum_weight"),
         (cum <= F.lit(int(budget))).alias("selected"),
     )
+
+
+#: Gopher §A1.1 repetition thresholds (Rae et al. 2021, Table A1):
+#: a document exceeding ANY fraction is repetition-filtered.
+GOPHER_REP_THRESHOLDS: dict[str, float] = {
+    "dup_line_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13,
+    "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11,
+    "dup_10gram_char_frac": 0.10,
+}
+
+
+def gopher_repetition_suite(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    thresholds: Mapping[str, float] = GOPHER_REP_THRESHOLDS,
+) -> DataFrame:
+    """The COMPLETE Gopher repetition-removal rule set (Rae et al. 2021
+    §A1.1) — `repetition_stats` covers the two headline signals; this
+    emits all eleven:
+
+    - dup_line_frac / dup_line_char_frac: fraction of (trimmed,
+      non-empty, newline-split) lines that are repeats of an earlier
+      identical line, and the character fraction those repeated lines
+      hold.
+    - top_{2,3,4}gram_char_frac: characters claimed by the single most
+      frequent REPEATED word n-gram (occurrences × gram length / doc
+      chars; a gram seen once is not repetition, so a doc with no
+      repeated n-gram scores 0.0 — without this, every short document
+      fails the rule because its unique top trigram still spans ~25%
+      of its characters).
+    - dup_{5..10}gram_char_frac: characters claimed by ALL word
+      n-grams occurring more than once (Σ count·len over duplicated
+      grams / doc chars; overlaps uncounted — may exceed 1 on
+      degenerate inputs, exactly like the reference implementations).
+
+    Exact definitions (engine-canonical): grams join tokens with one
+    space and measure string length including those spaces; the doc
+    denominator is length(text); the top gram tie-breaks by (count,
+    char length, gram string) descending. Every fraction is a RAW IEEE
+    ratio of exact integers; `rep_keep` ANDs frac ≤ threshold per
+    rule, with NULL signals (no lines / too few tokens / empty text)
+    passing — absence of content is the word-count gate's job, not a
+    repetition signal.
+
+    Scale: lines are zero-shuffle array HOFs (per-doc line counts are
+    small; the duplicate scan is O(lines²) within one row). N-grams
+    explode ONCE across n = 2..10 and aggregate keyed by (doc, n,
+    gram) then (doc, n) then doc — the only shuffle key is the doc id,
+    fan-in bounded by document length (the repetition_stats contract).
+
+    Output: id, n_lines, the 11 fractions, rep_keep.
+    """
+    toks = F.filter(tokens_expr(text_col), lambda t: t != F.lit(""))
+    total_chars = F.length(F.coalesce(F.col(text_col), F.lit("")))
+    lines_arr = F.filter(
+        F.transform(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"),
+            lambda x: F.trim(x),
+        ),
+        lambda x: x != F.lit(""),
+    )
+    base = df.select(
+        F.col(id_col),
+        toks.alias("__t"),
+        total_chars.alias("__chars"),
+        lines_arr.alias("__lines"),
+    ).localCheckpoint(eager=False)  # grams + lines consume it (r9 rule)
+
+    n_lines = F.size("__lines")
+    distinct_lines = F.size(F.array_distinct("__lines"))
+    dup_line_frac = F.when(
+        n_lines > 0,
+        (n_lines - distinct_lines).cast("double") / n_lines.cast("double"),
+    )
+    # chars held by line values occurring >= 2 times, over all line chars
+    line_char_tot = F.aggregate(
+        F.col("__lines"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.length(x),
+    )
+    dup_line_chars = F.aggregate(
+        F.array_distinct("__lines"),
+        F.lit(0).cast("long"),
+        lambda acc, val: acc
+        + F.when(
+            F.size(F.filter(F.col("__lines"), lambda x: x == val)) >= 2,
+            F.size(F.filter(F.col("__lines"), lambda x: x == val))
+            * F.length(val),
+        ).otherwise(F.lit(0)),
+    )
+    dup_line_char_frac = F.when(
+        line_char_tot > 0,
+        dup_line_chars.cast("double") / line_char_tot.cast("double"),
+    )
+    lines_part = base.select(
+        id_col,
+        "__chars",
+        n_lines.cast("long").alias("n_lines"),
+        dup_line_frac.alias("dup_line_frac"),
+        dup_line_char_frac.alias("dup_line_char_frac"),
+    )
+
+    def grams_for(n: int) -> Column:
+        t = F.col("__t")
+        return F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
+                lambda j: F.struct(
+                    F.lit(n).alias("n"),
+                    F.array_join(F.slice(t, j, n), " ").alias("g"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<n:int,g:string>>"))
+
+    all_grams = F.flatten(F.array(*[grams_for(n) for n in range(2, 11)]))
+    exploded = base.select(
+        F.col(id_col), F.explode(all_grams).alias("__gr")
+    ).select(id_col, F.col("__gr.n").alias("__n"), F.col("__gr.g").alias("__g"))
+    per_gram = exploded.groupBy(id_col, "__n", "__g").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    per_n = per_gram.groupBy(id_col, "__n").agg(
+        F.max(
+            F.when(
+                F.col("__c") >= 2,
+                F.struct(
+                    F.col("__c").alias("c"),
+                    F.length("__g").alias("l"),
+                    F.col("__g").alias("g"),
+                ),
+            )
+        ).alias("__top"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("__c") >= 2, F.col("__c") * F.length("__g")
+                )
+            ),
+            F.lit(0),
+        ).cast("long").alias("__dupchars"),
+    )
+    top_chars = (F.col("__top.c") * F.col("__top.l")).cast("long")
+    pivot_aggs = []
+    for n in (2, 3, 4):
+        pivot_aggs.append(
+            F.max(F.when(F.col("__n") == n, top_chars)).alias(f"__top{n}")
+        )
+    for n in range(5, 11):
+        pivot_aggs.append(
+            F.max(
+                F.when(F.col("__n") == n, F.col("__dupchars"))
+            ).alias(f"__dup{n}")
+        )
+    pivot_aggs.append(F.count(F.lit(1)).cast("long").alias("__has_grams"))
+    per_doc = per_n.groupBy(id_col).agg(*pivot_aggs)
+
+    joined = lines_part.join(per_doc, id_col, "left")
+    chars_d = F.nullif(F.col("__chars").cast("double"), F.lit(0.0))
+    out_cols = [
+        F.col(id_col),
+        F.col("n_lines"),
+        F.col("dup_line_frac"),
+        F.col("dup_line_char_frac"),
+    ]
+    has_grams = F.col("__has_grams").isNotNull()
+    frac_cols: dict[str, Column] = {}
+    for n in (2, 3, 4):
+        frac_cols[f"top_{n}gram_char_frac"] = F.when(
+            has_grams,
+            F.coalesce(F.col(f"__top{n}"), F.lit(0)).cast("double")
+            / chars_d,
+        )
+    for n in range(5, 11):
+        frac_cols[f"dup_{n}gram_char_frac"] = F.when(
+            has_grams,
+            F.coalesce(F.col(f"__dup{n}"), F.lit(0)).cast("double")
+            / chars_d,
+        )
+    for name, col in frac_cols.items():
+        out_cols.append(col.alias(name))
+    keep = F.lit(True)
+    for name, thr in thresholds.items():
+        sig = (
+            frac_cols[name]
+            if name in frac_cols
+            else F.col(name)  # the two line signals
+        )
+        keep = keep & F.coalesce(sig <= F.lit(float(thr)), F.lit(True))
+    out_cols.append(keep.alias("rep_keep"))
+    return joined.select(*out_cols)

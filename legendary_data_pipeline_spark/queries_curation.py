@@ -2490,3 +2490,149 @@ def curation_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_mean_micro=_BSURP_MAX,
         scale=_SURP_SCALE,
     )
+
+# ---------------------------------------------------------------------------
+# X178 full Gopher repetition suite (round 9)
+# ---------------------------------------------------------------------------
+
+_REP_LINES = (
+    "list_filter(list_transform(string_split(coalesce(text, ''), chr(10)),"
+    " __x -> trim(__x)), __x -> __x <> '')"
+)
+_REP_KEEP_SQL = " AND ".join(
+    f"COALESCE({name} <= {thr}, TRUE)"
+    for name, thr in (
+        ("dup_line_frac", 0.30),
+        ("dup_line_char_frac", 0.20),
+        ("top_2gram_char_frac", 0.20),
+        ("top_3gram_char_frac", 0.18),
+        ("top_4gram_char_frac", 0.16),
+        ("dup_5gram_char_frac", 0.15),
+        ("dup_6gram_char_frac", 0.14),
+        ("dup_7gram_char_frac", 0.13),
+        ("dup_8gram_char_frac", 0.12),
+        ("dup_9gram_char_frac", 0.11),
+        ("dup_10gram_char_frac", 0.10),
+    )
+)
+
+
+@register_shadow(
+    "curation_gopher_repetition",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKS} AS t,
+             length(coalesce(text, '')) AS chars,
+             {_REP_LINES} AS ls
+      FROM documents),
+    lstats AS (
+      SELECT doc_id, chars,
+             CAST(len(ls) AS BIGINT) AS n_lines,
+             CASE WHEN len(ls) > 0
+                  THEN CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE)
+                       / CAST(len(ls) AS DOUBLE) END AS dup_line_frac,
+             CASE WHEN COALESCE(list_sum(list_transform(ls,
+                          __x -> length(__x))), 0) > 0
+                  THEN CAST(COALESCE(list_sum(list_transform(
+                         list_distinct(ls),
+                         __v -> CASE WHEN len(list_filter(ls,
+                                      __x -> __x = __v)) >= 2
+                                THEN len(list_filter(ls, __x -> __x = __v))
+                                     * length(__v) ELSE 0 END)), 0)
+                       AS DOUBLE)
+                       / CAST(list_sum(list_transform(ls,
+                           __x -> length(__x))) AS DOUBLE)
+             END AS dup_line_char_frac
+      FROM base),
+    ns AS (SELECT unnest(range(2, 11)) AS n),
+    grams AS (
+      SELECT doc_id, n,
+             unnest(list_transform(range(1, len(t) - n + 2),
+                    __j -> array_to_string(t[__j:__j + n - 1], ' '))) AS g
+      FROM base, ns WHERE len(t) >= n),
+    pg AS (
+      SELECT doc_id, n, g, CAST(COUNT(*) AS BIGINT) AS c
+      FROM grams GROUP BY 1, 2, 3),
+    tops AS (
+      SELECT doc_id, n, c * length(g) AS top_chars,
+             ROW_NUMBER() OVER (PARTITION BY doc_id, n
+               ORDER BY c DESC, length(g) DESC, g DESC) AS rn
+      FROM pg WHERE c >= 2),
+    dups AS (
+      SELECT doc_id, n,
+             COALESCE(SUM(CASE WHEN c >= 2 THEN c * length(g) END), 0)
+               AS dupchars
+      FROM pg GROUP BY 1, 2),
+    pn AS (
+      SELECT d.doc_id, d.n, t.top_chars, d.dupchars
+      FROM dups d LEFT JOIN tops t
+        ON t.doc_id = d.doc_id AND t.n = d.n AND t.rn = 1),
+    piv AS (
+      SELECT doc_id,
+             MAX(CASE WHEN n = 2 THEN top_chars END) AS top2,
+             MAX(CASE WHEN n = 3 THEN top_chars END) AS top3,
+             MAX(CASE WHEN n = 4 THEN top_chars END) AS top4,
+             MAX(CASE WHEN n = 5 THEN dupchars END) AS dup5,
+             MAX(CASE WHEN n = 6 THEN dupchars END) AS dup6,
+             MAX(CASE WHEN n = 7 THEN dupchars END) AS dup7,
+             MAX(CASE WHEN n = 8 THEN dupchars END) AS dup8,
+             MAX(CASE WHEN n = 9 THEN dupchars END) AS dup9,
+             MAX(CASE WHEN n = 10 THEN dupchars END) AS dup10
+      FROM pn GROUP BY 1),
+    sig AS (
+      SELECT l.doc_id, l.n_lines, l.dup_line_frac, l.dup_line_char_frac,
+             CASE WHEN p.doc_id IS NOT NULL
+                  THEN CAST(COALESCE(p.top2, 0) AS DOUBLE)
+                       / nullif(CAST(l.chars AS DOUBLE), 0.0)
+             END AS top_2gram_char_frac,
+             CASE WHEN p.doc_id IS NOT NULL
+                  THEN CAST(COALESCE(p.top3, 0) AS DOUBLE)
+                       / nullif(CAST(l.chars AS DOUBLE), 0.0)
+             END AS top_3gram_char_frac,
+             CASE WHEN p.doc_id IS NOT NULL
+                  THEN CAST(COALESCE(p.top4, 0) AS DOUBLE)
+                       / nullif(CAST(l.chars AS DOUBLE), 0.0)
+             END AS top_4gram_char_frac,
+             CASE WHEN p.doc_id IS NOT NULL
+                  THEN CAST(COALESCE(p.dup5, 0) AS DOUBLE)
+                       / nullif(CAST(l.chars AS DOUBLE), 0.0)
+             END AS dup_5gram_char_frac,
+             CASE WHEN p.doc_id IS NOT NULL
+                  THEN CAST(COALESCE(p.dup6, 0) AS DOUBLE)
+                       / nullif(CAST(l.chars AS DOUBLE), 0.0)
+             END AS dup_6gram_char_frac,
+             CASE WHEN p.doc_id IS NOT NULL
+                  THEN CAST(COALESCE(p.dup7, 0) AS DOUBLE)
+                       / nullif(CAST(l.chars AS DOUBLE), 0.0)
+             END AS dup_7gram_char_frac,
+             CASE WHEN p.doc_id IS NOT NULL
+                  THEN CAST(COALESCE(p.dup8, 0) AS DOUBLE)
+                       / nullif(CAST(l.chars AS DOUBLE), 0.0)
+             END AS dup_8gram_char_frac,
+             CASE WHEN p.doc_id IS NOT NULL
+                  THEN CAST(COALESCE(p.dup9, 0) AS DOUBLE)
+                       / nullif(CAST(l.chars AS DOUBLE), 0.0)
+             END AS dup_9gram_char_frac,
+             CASE WHEN p.doc_id IS NOT NULL
+                  THEN CAST(COALESCE(p.dup10, 0) AS DOUBLE)
+                       / nullif(CAST(l.chars AS DOUBLE), 0.0)
+             END AS dup_10gram_char_frac
+      FROM lstats l LEFT JOIN piv p USING (doc_id))
+    SELECT *, {_REP_KEEP_SQL} AS rep_keep FROM sig
+    """,
+    doc="The COMPLETE Gopher repetition-removal rule set (Rae et al. "
+    "2021 A1.1, all 11 signals — X178): duplicate-line fraction and "
+    "character fraction, top-2/3/4-gram character fractions, and "
+    "duplicate-5..10-gram character fractions, each gated at the "
+    "published thresholds into one rep_keep verdict. Lines are "
+    "zero-shuffle per-row array HOFs; word n-grams explode ONCE "
+    "across n=2..10 and aggregate keyed by doc id only. Every "
+    "fraction is a raw IEEE ratio of exact integers.",
+)
+def curation_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.curation import (
+        gopher_repetition_suite,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_repetition_suite(docs)

@@ -68,9 +68,11 @@ def test_spearman_window_rides_on_value_aggregate(spark):
     from legendary_data_pipeline_spark.operators.stats import spearman_matrix
 
     plan = _plan(spearman_matrix(_vals(spark), ["x", "y"]))
-    # the rank windows exist, and a hash aggregate (the distinct-value
-    # compression) feeds them — never a window over the raw scan
-    assert "Window" in plan
+    # Round 9: the rank construction (distinct-value aggregate +
+    # distributed prefix-sum windows) now lives BEHIND the pinned
+    # rank-map checkpoint, so the final plan shows no Window at all —
+    # only the moment aggregation over the joined spine remains.
+    assert "Window" not in plan
     assert "HashAggregate" in plan
     # Round 9: the filtered base is pinned (p+1 consumers), and each
     # rank map's distinct-value spine is range-shuffled and pinned
@@ -79,8 +81,10 @@ def test_spearman_window_rides_on_value_aggregate(spark):
     # checkpointed RDD. The old shape (3 Range scans, cumulative window
     # over a single partition of the distinct-value frame) is gone.
     assert plan.count("Range (0, 64") == 0
-    # 2 maps × 2 consumers (annotated rows + offsets) + the join spine
-    assert plan.count("Scan ExistingRDD") == 5
+    # Round 9 (stacked rank build): ONE pinned rank map feeds both
+    # column joins (2 scans) + the pinned spine (1) — down from the
+    # per-column structure's 5 (2 maps x 2 consumers + spine).
+    assert plan.count("Scan ExistingRDD") == 3
 
 
 def test_pearson_single_source_pass(spark):
