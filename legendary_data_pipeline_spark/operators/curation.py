@@ -1684,3 +1684,73 @@ def gopher_repetition_suite(
         keep = keep & F.coalesce(sig <= F.lit(float(thr)), F.lit(True))
     out_cols.append(keep.alias("rep_keep"))
     return joined.select(*out_cols)
+
+
+def fineweb_line_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_short_line_frac: float = 0.67,
+    min_punct_line_frac: float = 0.12,
+    max_bullet_line_frac: float = 0.90,
+    short_line_chars: int = 30,
+) -> DataFrame:
+    """FineWeb-style line-shape quality signals (Penedo et al. 2024
+    §3.3 — the C4/Gopher-complementary gates that FineWeb's ablations
+    found load-bearing): fraction of lines ending in terminal
+    punctuation, fraction of short lines, and fraction of bullet-point
+    lines. Nav menus, link farms, and scraped tables fail these while
+    passing word-count and repetition gates.
+
+    Lines = newline-split, trimmed, non-empty. A line "ends with
+    punctuation" if its last character is one of .!?"' — the FineWeb
+    terminal set; a "bullet" line starts with -, *, •, or a digit
+    followed by ./). All three fractions are raw IEEE ratios of exact
+    integer line counts (representation-proof); docs with no lines
+    emit NULL signals and fail the gate (nothing to certify).
+
+    Zero-shuffle codegen projection (array HOFs per row) at scan
+    parallelism — the cheapest gate in the pipeline; run it first.
+
+    Output: id, n_lines, punct_line_frac, short_line_frac,
+    bullet_line_frac, fineweb_keep.
+    """
+    lines = F.filter(
+        F.transform(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"),
+            lambda x: F.trim(x),
+        ),
+        lambda x: x != F.lit(""),
+    )
+    base = df.select(F.col(id_col), lines.alias("__ls"))
+    n = F.size("__ls")
+
+    def frac_where(pred) -> Column:
+        return F.when(
+            n > 0,
+            F.size(F.filter(F.col("__ls"), pred)).cast("double")
+            / n.cast("double"),
+        )
+
+    punct = frac_where(
+        lambda x: F.substring(x, -1, 1).isin(".", "!", "?", '"', "'")
+    )
+    short = frac_where(lambda x: F.length(x) < short_line_chars)
+    bullet = frac_where(
+        lambda x: x.rlike(r"^(-|\*|•|[0-9]+[.)])")
+    )
+    out = base.select(
+        id_col,
+        n.cast("long").alias("n_lines"),
+        punct.alias("punct_line_frac"),
+        short.alias("short_line_frac"),
+        bullet.alias("bullet_line_frac"),
+    )
+    keep = (
+        (F.col("short_line_frac") <= F.lit(float(max_short_line_frac)))
+        & (F.col("punct_line_frac") >= F.lit(float(min_punct_line_frac)))
+        & (F.col("bullet_line_frac") <= F.lit(float(max_bullet_line_frac)))
+    )
+    return out.withColumn(
+        "fineweb_keep", F.coalesce(keep, F.lit(False))
+    )

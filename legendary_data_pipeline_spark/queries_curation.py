@@ -2636,3 +2636,55 @@ def curation_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return gopher_repetition_suite(docs)
+
+# ---------------------------------------------------------------------------
+# X179 FineWeb line-shape signals (round 9)
+# ---------------------------------------------------------------------------
+
+
+@register_shadow(
+    "curation_fineweb_line_signals",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {_REP_LINES} AS ls FROM documents),
+    sig AS (
+      SELECT doc_id,
+             CAST(len(ls) AS BIGINT) AS n_lines,
+             CASE WHEN len(ls) > 0
+                  THEN CAST(len(list_filter(ls, __x ->
+                         right(__x, 1) IN ('.', '!', '?', '"', '''')))
+                       AS DOUBLE) / CAST(len(ls) AS DOUBLE)
+             END AS punct_line_frac,
+             CASE WHEN len(ls) > 0
+                  THEN CAST(len(list_filter(ls, __x -> length(__x) < 30))
+                       AS DOUBLE) / CAST(len(ls) AS DOUBLE)
+             END AS short_line_frac,
+             CASE WHEN len(ls) > 0
+                  THEN CAST(len(list_filter(ls, __x ->
+                         regexp_matches(__x, '^(-|\\*|•|[0-9]+[.)])')))
+                       AS DOUBLE) / CAST(len(ls) AS DOUBLE)
+             END AS bullet_line_frac
+      FROM base)
+    SELECT doc_id, n_lines, punct_line_frac, short_line_frac,
+           bullet_line_frac,
+           COALESCE(short_line_frac <= 0.67
+                    AND punct_line_frac >= 0.12
+                    AND bullet_line_frac <= 0.90, FALSE) AS fineweb_keep
+    FROM sig
+    """,
+    doc="FineWeb-style line-shape gates (Penedo et al. 2024 — X179): "
+    "terminal-punctuation line fraction, short-line fraction, and "
+    "bullet-line fraction with the ablation-tested thresholds. Nav "
+    "menus and link farms fail these while passing word-count and "
+    "repetition gates. Zero-shuffle array-HOF projection; raw IEEE "
+    "ratios of exact line counts.",
+)
+def curation_fineweb_line_signals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.curation import (
+        fineweb_line_signals,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fineweb_line_signals(docs)
