@@ -1433,9 +1433,11 @@ def token_budget_head(
     strictly-below + own weight. The within-class pass uses
     group_cols=[order class], whose offsets frame must stay
     broadcast-sized: intended for COARSE scores (quality points,
-    e6-bucketed scores — the common case); for near-unique continuous
-    scores tie classes are singletons, so pass the score itself as
-    ``id_col`` tiebreak grain or pre-bucket.
+    e6-bucketed scores — the common case). ``id_col`` values must be
+    UNIQUE per row (the prefix-sum contract — duplicate (score, id)
+    rows would make the within-class order, and thus the selection
+    frontier, partition-dependent); for near-unique continuous scores
+    pre-bucket the score so classes stay coarse.
 
     Output: (id, order, weight, cum_weight, selected) — every input
     row, flagged; filter selected for the head.
@@ -1573,15 +1575,21 @@ def gopher_repetition_suite(
         F.lit(0).cast("long"),
         lambda acc, x: acc + F.length(x),
     )
+    # one count per distinct line (transform binds it), not two — the
+    # duplicate scan is the hottest per-row loop in the suite
     dup_line_chars = F.aggregate(
-        F.array_distinct("__lines"),
+        F.transform(
+            F.array_distinct("__lines"),
+            lambda val: F.struct(
+                F.size(
+                    F.filter(F.col("__lines"), lambda x: x == val)
+                ).alias("c"),
+                F.length(val).alias("l"),
+            ),
+        ),
         F.lit(0).cast("long"),
-        lambda acc, val: acc
-        + F.when(
-            F.size(F.filter(F.col("__lines"), lambda x: x == val)) >= 2,
-            F.size(F.filter(F.col("__lines"), lambda x: x == val))
-            * F.length(val),
-        ).otherwise(F.lit(0)),
+        lambda acc, st: acc
+        + F.when(st["c"] >= 2, st["c"] * st["l"]).otherwise(F.lit(0)),
     )
     dup_line_char_frac = F.when(
         line_char_tot > 0,

@@ -300,5 +300,13 @@ def survivorship_fuse(
                 )
             )["v"].alias(c)
         )
-        out = out.join(pick, keys, "left")
+        # Null-safe key join: a NULL-key cluster is a cluster (groupBy
+        # retains it), so its modal value must attach too.
+        pick = pick.select(
+            *[F.col(k).alias(f"__pk_{k}") for k in keys], c
+        )
+        cond = [F.col(k).eqNullSafe(F.col(f"__pk_{k}")) for k in keys]
+        out = out.join(pick, cond, "left").drop(
+            *[f"__pk_{k}" for k in keys]
+        )
     return out

@@ -732,7 +732,7 @@ def clustering_coefficients(
     triangle credits its three corners — a 3-way explode and a
     node-keyed count. Degrees come from one aggregation over the
     symmetrized edge list. The ratio is exact integers with one final
-    division (round 6); nodes of degree < 2 have no defined coefficient
+    raw IEEE division; nodes of degree < 2 have no defined coefficient
     and report NULL. Distinguishes cliquey neighborhoods (near-dup
     clusters, tight co-purchase sets) from hub-and-spoke ones at a
     per-node granularity the global triangle count can't.
@@ -815,8 +815,15 @@ def link_prediction_topk(
     Output: a, b, common_neighbors, deg_a, deg_b, jaccard (top_k rows).
     """
     e = (
-        edges.select(F.col(id_a).alias("__a"), F.col(id_b).alias("__b"))
-        .where(F.col("__a") < F.col("__b"))
+        edges.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("__a"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("__b"),
+        )
+        .where(
+            F.col("__a").isNotNull()
+            & F.col("__b").isNotNull()
+            & (F.col("__a") < F.col("__b"))  # least<greatest drops loops
+        )
         .distinct()
         .localCheckpoint(eager=False)
     )

@@ -2332,7 +2332,9 @@ def theil_sen_trend(
         F.col("__v").alias("__vj"),
     )
     if groups:
-        cond = [F.col(g) == F.col(f"__r_{g}") for g in groups]
+        # Null-safe: groupBy treats NULL as a group, so the pair join
+        # must too (the winsorize_outliers convention).
+        cond = [F.col(g).eqNullSafe(F.col(f"__r_{g}")) for g in groups]
         pairs = left.join(right, cond).drop(*[f"__r_{g}" for g in groups])
     else:
         pairs = left.crossJoin(right)
@@ -2349,11 +2351,18 @@ def theil_sen_trend(
         F.percentile(F.col("__v").cast("double"), F.lit(0.5)).alias("__mv"),
         F.percentile(F.col("__t").cast("double"), F.lit(0.5)).alias("__mt"),
     )
-    joined = (
-        meds.join(slopes, groups, "left")
-        if groups
-        else meds.crossJoin(slopes)
-    )
+    if groups:
+        sl = slopes.select(
+            *[F.col(g).alias(f"__sg_{g}") for g in groups],
+            "n_pairs",
+            "slope",
+        )
+        cond = [F.col(g).eqNullSafe(F.col(f"__sg_{g}")) for g in groups]
+        joined = meds.join(sl, cond, "left").drop(
+            *[f"__sg_{g}" for g in groups]
+        )
+    else:
+        joined = meds.crossJoin(slopes)
     return joined.select(
         *groups,
         "n_points",
@@ -2433,9 +2442,16 @@ def ewma_anomalies(
     mad = scored.groupBy(*groups).agg(
         F.percentile(F.abs(F.col("__resid")), F.lit(0.5)).alias("__mad")
     )
-    joined = (
-        scored.join(mad, groups) if groups else scored.crossJoin(mad)
-    )
+    if groups:
+        md = mad.select(
+            *[F.col(g).alias(f"__mg_{g}") for g in groups], "__mad"
+        )
+        cond = [F.col(g).eqNullSafe(F.col(f"__mg_{g}")) for g in groups]
+        joined = scored.join(md, cond).drop(
+            *[f"__mg_{g}" for g in groups]
+        )
+    else:
+        joined = scored.crossJoin(mad)
     return joined.select(
         *groups,
         F.col("__t").alias(t_col),
@@ -2490,7 +2506,11 @@ def equal_freq_bins(
         F.sum("__c").cast("decimal(38,0)").alias("__n")
     )
     if groups:
-        joined = cum.join(totals, groups)
+        tt = totals.select(
+            *[F.col(g).alias(f"__tg_{g}") for g in groups], "__n"
+        )
+        cond = [F.col(g).eqNullSafe(F.col(f"__tg_{g}")) for g in groups]
+        joined = cum.join(tt, cond).drop(*[f"__tg_{g}" for g in groups])
     else:
         joined = cum.crossJoin(F.broadcast(totals))
     binned = joined.select(

@@ -72,9 +72,41 @@ def test_link_prediction_degree_cap(spark):
 
 def test_link_prediction_input_canonicalized(spark):
     # duplicate and reversed edges collapse before counting
-    e = [(1, 2), (1, 2), (2, 3), (2, 3)]
+    e = [(1, 2), (1, 2), (2, 3), (3, 2)]
     out = link_prediction_topk(_edges(spark, e), top_k=10).collect()
     assert len(out) == 1 and out[0].common_neighbors == 1
+
+
+def test_link_prediction_reversed_edge_not_predicted(spark):
+    # review regression: a triangle whose third edge arrives reversed
+    # must NOT be emitted as a predicted non-edge — the edge set
+    # canonicalizes with least/greatest before dedup and the anti-join.
+    e = [(1, 2), (2, 3), (3, 1)]
+    out = link_prediction_topk(_edges(spark, e), top_k=10).collect()
+    assert out == []
+    # self-loops are dropped, not counted as wedges
+    e2 = [(1, 2), (2, 2), (2, 3)]
+    out2 = link_prediction_topk(_edges(spark, e2), top_k=10).collect()
+    assert {(r.a, r.b) for r in out2} == {(1, 3)}
+    r = out2[0]
+    assert r.deg_a == 1 and r.deg_b == 1  # loop absent from degrees
+
+
+def test_survivorship_null_key_cluster_gets_modal_value(spark):
+    # review regression: NULL is a cluster key; its modal value must
+    # attach like every other rule's (null-safe join).
+    rows = [
+        (None, "alice", "s", 1, 2),
+        (None, "alice", "s", 2, 3),
+        (None, "bob", "s", 3, 1),
+    ]
+    out = survivorship_fuse(
+        _records(spark, rows), ["k"], most_frequent=["name"],
+        max_cols=["amount"],
+    ).collect()
+    assert len(out) == 1
+    assert out[0].k is None and out[0].name == "alice"
+    assert out[0].amount == 3
 
 
 # ---------------------------------------------------------------------------
@@ -191,3 +223,12 @@ def test_survivorship_latest_requires_ts(spark):
     df = _records(spark, [(1, "a", "s", 1, 1)])
     with pytest.raises(ValueError, match="latest_by"):
         survivorship_fuse(df, ["k"], latest_cols=["status"])
+
+
+def test_equal_freq_bins_null_group_retained(spark):
+    rows = [(None, i) for i in range(20)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = equal_freq_bins(df, "v", n_bins=2, group_cols=["g"]).collect()
+    assert len(out) == 2
+    assert all(r.g is None for r in out)
+    assert sum(r.n_rows for r in out) == 20

@@ -158,3 +158,23 @@ def test_ewma_k_validation(spark):
     df = _series(spark, [("a", 0, 1)])
     with pytest.raises(ValueError, match="k must be"):
         ewma_anomalies(df, "t", "v", group_cols=["g"], k=0)
+
+
+def test_theil_sen_null_group_retained(spark):
+    # review regression: NULL is a group; its pairs and medians must
+    # match up through null-safe joins.
+    rows = [(None, t, 4 * t) for t in range(5)]
+    df = spark.createDataFrame(rows, "g string, t long, v long")
+    out = theil_sen_trend(df, "t", "v", group_cols=["g"]).collect()
+    assert len(out) == 1
+    assert out[0].g is None and out[0].slope == 4.0
+    assert out[0].n_pairs == 10
+
+
+def test_ewma_null_group_retained(spark):
+    rows = [(None, t, 50) for t in range(5)]
+    df = spark.createDataFrame(rows, "g string, t long, v long")
+    out = ewma_anomalies(df, "t", "v", group_cols=["g"], k=2).collect()
+    assert len(out) == 5
+    flagged = [r for r in out if r.ewma is not None]
+    assert flagged and all(r.ewma == 50.0 for r in flagged)
