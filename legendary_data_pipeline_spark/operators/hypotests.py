@@ -385,3 +385,62 @@ def anova_oneway(
         F.when(ok, _e6(f)).alias("f_e6"),
         F.when(sst > 0, _e6(ssb / sst)).alias("eta_sq_e6"),
     )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    flag_a: Column,
+    flag_b: Column,
+    continuity: bool = True,
+) -> DataFrame:
+    """McNemar's test for PAIRED binary outcomes — "do these two
+    quality gates / classifiers disagree beyond chance on the same
+    documents?" The unpaired two-proportion z-test is wrong here (the
+    samples are the same rows); McNemar uses only the discordant
+    cells:
+
+        chi2 = (|b − c| − 1)² / (b + c)     (continuity-corrected)
+
+    with b = A-yes/B-no and c = A-no/B-yes counts. ``flag_a`` /
+    ``flag_b`` are boolean Columns evaluated per row; rows where
+    either is NULL drop (no verdict pair). All four concordance cells
+    are exact integers from ONE aggregation; chi2 is a raw IEEE ratio
+    of exact integers (representation-proof, no rounding). b + c = 0
+    (perfect agreement) yields NULL chi2.
+
+    Output (1 row): n, both_yes, both_no, only_a, only_b, chi2.
+    """
+    a = flag_a.cast("boolean")
+    b = flag_b.cast("boolean")
+    d = df.select(a.alias("__a"), b.alias("__b")).where(
+        a.isNotNull() & b.isNotNull()
+    )
+
+    def cell(pa: bool, pb: bool) -> Column:
+        m = (F.col("__a") == pa) & (F.col("__b") == pb)
+        return F.coalesce(F.sum(m.cast("long")), F.lit(0)).cast("long")
+
+    agg = d.agg(
+        cell(True, True).alias("both_yes"),
+        cell(False, False).alias("both_no"),
+        cell(True, False).alias("only_a"),
+        cell(False, True).alias("only_b"),
+    )
+    bd = F.col("only_a").cast("double")
+    cd = F.col("only_b").cast("double")
+    diff = F.abs(bd - cd) - (F.lit(1.0) if continuity else F.lit(0.0))
+    # the corrected difference floors at 0 (|b-c| <= 1 means no
+    # evidence, not negative evidence)
+    diff = F.greatest(diff, F.lit(0.0))
+    chi2 = F.when(
+        (F.col("only_a") + F.col("only_b")) > 0,
+        (diff * diff) / (bd + cd),
+    )
+    n = (
+        F.col("both_yes") + F.col("both_no")
+        + F.col("only_a") + F.col("only_b")
+    ).cast("long")
+    return agg.select(
+        n.alias("n"), "both_yes", "both_no", "only_a", "only_b",
+        chi2.alias("chi2"),
+    )

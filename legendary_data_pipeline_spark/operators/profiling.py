@@ -1017,3 +1017,98 @@ def table_diff(
         *[F.col(f"l_{c}") for c in compare_cols],
         *[F.col(f"r_{c}") for c in compare_cols],
     )
+
+
+def js_divergence_pairs(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence between the ITEM
+    distributions of every group pair — the symmetric, bounded
+    (0 ≤ JSD ≤ ln 2 nats) corpus-comparison measure behind "how
+    different are these two sources' vocabularies?" in mixture design
+    (KL is asymmetric and infinite on disjoint support; JSD is
+    neither).
+
+        JSD(p, q) = ½·Σ p·ln(p/m) + ½·Σ q·ln(q/m),   m = (p+q)/2
+
+    Counts and totals are exact integers; p/q/m are exact IEEE ratios;
+    ln is the one libm call and the vocabulary-sized term sum is
+    absorbed by the e6 integer emission (the chi²/MI precedent).
+    Items absent from a group contribute through the other side's
+    term only (0·ln 0 = 0). NULL group keys or items drop.
+
+    Scale: one (group, item) groupBy (map-side combinable), a
+    group-cardinality totals broadcast, a vocab × groups dense grid
+    (regularizes the pair join — groups are FEW by contract: sources,
+    langs, snapshots), and one item-keyed pair join summing to the
+    pair matrix. The corpus shuffles once on the item key; everything
+    after is vocab-scale.
+
+    Output per unordered pair: group_a, group_b, n_items (shared
+    vocabulary size of the union), jsd_e6 (nats), jsd_norm_e6
+    (jsd/ln 2 — 0 = identical, 1e6 = disjoint).
+    """
+    g = F.col(group_col)
+    w = F.col(item_col)
+    d = df.select(g.alias("__g"), w.alias("__w")).where(
+        g.isNotNull() & w.isNotNull()
+    )
+    counts = d.groupBy("__g", "__w").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    ).localCheckpoint(eager=False)  # grid + vocab consumers (r9 rule)
+    totals = counts.groupBy("__g").agg(
+        F.sum("__c").cast("long").alias("__t")
+    )
+    vocab = counts.select("__w").distinct()
+    grid = (
+        totals.crossJoin(vocab)
+        .join(counts, ["__g", "__w"], "left")
+        .select(
+            "__g",
+            "__w",
+            "__t",
+            F.coalesce(F.col("__c"), F.lit(0)).cast("long").alias("__c"),
+        )
+    )
+    a = grid.select(
+        F.col("__g").alias("__ga"),
+        "__w",
+        F.col("__c").alias("__ca"),
+        F.col("__t").alias("__ta"),
+    )
+    b = grid.select(
+        F.col("__g").alias("__gb"),
+        F.col("__w").alias("__wb"),
+        F.col("__c").alias("__cb"),
+        F.col("__t").alias("__tb"),
+    )
+    pairs = a.join(
+        b, (F.col("__w") == F.col("__wb")) & (F.col("__ga") < F.col("__gb"))
+    )
+    p = F.col("__ca").cast("double") / F.col("__ta").cast("double")
+    q = F.col("__cb").cast("double") / F.col("__tb").cast("double")
+    m = (p + q) / F.lit(2.0)
+    term = F.when(
+        F.col("__ca") > 0, F.lit(0.5) * (p * F.log(p / m))
+    ).otherwise(F.lit(0.0)) + F.when(
+        F.col("__cb") > 0, F.lit(0.5) * (q * F.log(q / m))
+    ).otherwise(F.lit(0.0))
+    out = pairs.groupBy(
+        F.col("__ga").alias("group_a"), F.col("__gb").alias("group_b")
+    ).agg(
+        F.sum(
+            ((F.col("__ca") > 0) | (F.col("__cb") > 0)).cast("long")
+        ).alias("n_items"),
+        F.sum(term).alias("__jsd"),
+    )
+    e6 = lambda c: F.round(c * F.lit(1e6)).cast("long")  # noqa: E731
+    ln2 = 0.6931471805599453
+    return out.select(
+        "group_a",
+        "group_b",
+        "n_items",
+        e6(F.col("__jsd")).alias("jsd_e6"),
+        e6(F.col("__jsd") / F.lit(ln2)).alias("jsd_norm_e6"),
+    )

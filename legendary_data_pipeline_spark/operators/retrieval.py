@@ -222,3 +222,108 @@ def maxsim_topk(
         k=k,
         rank_col="rank",
     ).select("query_id", "neighbor_id", "rank", sim_col)
+
+
+def rbo_suffix(k: int, p: float):
+    """(LCM(1..k), suffix sums) for `rbo_at_k`: suffix[m-1] =
+    Σ_{d=m..k} (LCM/d)·(1−p)·p^(d−1) as EXACT Decimals built from
+    12-dp-quantized weights — shared verbatim with the DuckDB oracle
+    so both engines sum identical literals."""
+    from decimal import ROUND_HALF_UP, Decimal
+    from math import gcd
+
+    lcm = 1
+    for i in range(2, k + 1):
+        lcm = lcm * i // gcd(lcm, i)
+    q12 = Decimal("0.000000000001")
+    coefs = []
+    for d in range(1, k + 1):
+        w = Decimal(str((1.0 - p) * (p ** (d - 1)))).quantize(
+            q12, rounding=ROUND_HALF_UP
+        )
+        coefs.append(Decimal(lcm // d) * w)
+    suffix = []
+    acc = Decimal(0)
+    for d in range(k, 0, -1):
+        acc += coefs[d - 1]
+        suffix.append(acc)
+    suffix.reverse()  # suffix[m-1] = sum over d >= m
+    return lcm, suffix
+
+
+def rbo_at_k(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    query_col: str = "query_id",
+    item_col: str = "neighbor_id",
+    rank_col: str = "rank",
+    k: int = 10,
+    p: float = 0.9,
+) -> DataFrame:
+    """Truncated Rank-Biased Overlap (Webber et al. 2010) between two
+    rankings of the same queries — "how close is the ANN retriever to
+    the exact one?" as a [0, 1] per-query score (1 = identical
+    prefixes), top-weighted by persistence ``p``:
+
+        RBO@k = Σ_{d=1..k} (X_d / d) · (1−p) · p^(d−1),
+        X_d = |A_{:d} ∩ B_{:d}|
+
+    Exactness: an item appearing at ranks (r_a, r_b) joins every
+    prefix depth d ≥ max(r_a, r_b), so its total contribution is the
+    SUFFIX SUM Σ_{d≥m} coef_d with coef_d = (LCM(1..k)/d)·(1−p)p^(d−1)
+    — the MRR integer-LCM trick fused with NDCG's shared 12-dp decimal
+    literals: every coefficient (and suffix) is a Decimal quantized
+    once here and injected verbatim into both engines, per-query sums
+    accumulate in exact decimal, and RBO is ONE final double division
+    by the LCM. No float summation anywhere.
+
+    Inputs: one row per (query, item, 1-based rank), ranks ≤ k used.
+    Queries present in ``ranked_a`` with no overlapping item score
+    0.0. Output per query: query, n_overlap, rbo.
+
+    Scale: one (query, item)-keyed equi-join of two top-k frames
+    (≤ k rows per query each), one per-query aggregation. Nothing is
+    data-sized; the rankings are the inputs.
+    """
+    if not (0.0 < p < 1.0):
+        raise ValueError(f"rbo_at_k: p must be in (0, 1), got {p}")
+    lcm, suffix = rbo_suffix(k, p)
+
+    a = ranked_a.select(
+        F.col(query_col).alias("__q"),
+        F.col(item_col).alias("__i"),
+        F.col(rank_col).cast("int").alias("__ra"),
+    ).where(F.col("__ra") <= k)
+    b = ranked_b.select(
+        F.col(query_col).alias("__q"),
+        F.col(item_col).alias("__i"),
+        F.col(rank_col).cast("int").alias("__rb"),
+    ).where(F.col("__rb") <= k)
+    joined = a.join(b, ["__q", "__i"])
+    m = F.greatest(F.col("__ra"), F.col("__rb"))
+    contrib = None
+    for depth in range(1, k + 1):
+        lit = F.lit(str(suffix[depth - 1])).cast("decimal(28,12)")
+        contrib = (
+            F.when(m == depth, lit)
+            if contrib is None
+            else contrib.when(m == depth, lit)
+        )
+    per_q = joined.groupBy("__q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlap"),
+        F.sum(contrib).cast("decimal(38,12)").alias("__s"),
+    )
+    queries = ranked_a.select(
+        F.col(query_col).alias("__q")
+    ).distinct()
+    out = queries.join(per_q, "__q", "left")
+    rbo = F.coalesce(
+        F.col("__s").cast("double") / F.lit(float(lcm)), F.lit(0.0)
+    )
+    return out.select(
+        F.col("__q").alias(query_col),
+        F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias(
+            "n_overlap"
+        ),
+        rbo.alias("rbo"),
+    )

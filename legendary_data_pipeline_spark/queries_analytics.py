@@ -4508,3 +4508,76 @@ def er_golden_record_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus").alias("latest_status"),
         F.col("lp").alias("longest_priority"),
     )
+
+# ---------------------------------------------------------------------------
+# X181 Jensen-Shannon source divergence (round 9)
+# ---------------------------------------------------------------------------
+
+
+@register_shadow(
+    "an_source_js_divergence",
+    """
+    WITH d AS (
+      SELECT source AS g,
+             unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                __w -> __w <> '')) AS w
+      FROM documents WHERE source IS NOT NULL),
+    counts AS (
+      SELECT g, w, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY 1, 2),
+    totals AS (SELECT g, CAST(SUM(c) AS BIGINT) AS t FROM counts GROUP BY 1),
+    vocab AS (SELECT DISTINCT w FROM counts),
+    grid AS (
+      SELECT tt.g, v.w, tt.t, CAST(COALESCE(c.c, 0) AS BIGINT) AS c
+      FROM totals tt CROSS JOIN vocab v
+      LEFT JOIN counts c ON c.g = tt.g AND c.w = v.w),
+    pairs AS (
+      SELECT a.g AS group_a, b.g AS group_b, a.w,
+             a.c AS ca, a.t AS ta, b.c AS cb, b.t AS tb
+      FROM grid a JOIN grid b ON a.w = b.w AND a.g < b.g),
+    terms AS (
+      SELECT group_a, group_b,
+             CASE WHEN ca > 0 OR cb > 0 THEN 1 ELSE 0 END AS present,
+             (CASE WHEN ca > 0
+                   THEN 0.5 * ((CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE))
+                        * ln((CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE))
+                             / ((CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)
+                                 + CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))
+                                / 2.0)))
+                   ELSE 0.0 END)
+             + (CASE WHEN cb > 0
+                   THEN 0.5 * ((CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))
+                        * ln((CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))
+                             / ((CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)
+                                 + CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))
+                                / 2.0)))
+                   ELSE 0.0 END) AS term
+      FROM pairs)
+    SELECT group_a, group_b,
+           CAST(SUM(present) AS BIGINT) AS n_items,
+           CAST(round(SUM(term) * 1e6) AS BIGINT) AS jsd_e6,
+           CAST(round((SUM(term) / 0.6931471805599453) * 1e6) AS BIGINT)
+             AS jsd_norm_e6
+    FROM terms GROUP BY 1, 2
+    """,
+    doc="Pairwise Jensen-Shannon divergence between every source "
+    "pair's unigram distribution (X181) — the symmetric, bounded "
+    "'how different are these corpora' measure mixture design needs "
+    "where KL is asymmetric/infinite. Exact integer counts, IEEE "
+    "ratios, one ln per (pair, vocab item); the vocab-sized term sum "
+    "leaves as e6 BIGINT (the chi-square/MI precedent). One item-"
+    "keyed shuffle; everything downstream is vocab x pairs scale.",
+)
+def an_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.dedup import tokens_expr
+    from legendary_data_pipeline_spark.operators.profiling import (
+        js_divergence_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.where(F.col("source").isNotNull()).select(
+        F.col("source").alias("g"),
+        F.explode(
+            F.filter(tokens_expr("text"), lambda w: w != F.lit(""))
+        ).alias("w"),
+    )
+    return js_divergence_pairs(d, "g", "w")

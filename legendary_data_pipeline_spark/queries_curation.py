@@ -2688,3 +2688,86 @@ def curation_fineweb_line_signals(
 
     docs = load_table(spark, sf_dir, "documents")
     return fineweb_line_signals(docs)
+
+# ---------------------------------------------------------------------------
+# X180 McNemar paired-gate disagreement test (round 9)
+# ---------------------------------------------------------------------------
+
+
+@register_shadow(
+    "ht_mcnemar_gate_disagreement",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             len(list_filter({_TOKS}, __w -> __w <> ''))
+               BETWEEN 20 AND 400 AS a,
+             {_REP_LINES} AS ls
+      FROM documents),
+    flags AS (
+      SELECT doc_id, a,
+             COALESCE(
+               (CASE WHEN len(ls) > 0
+                     THEN CAST(len(list_filter(ls, __x -> length(__x) < 30))
+                          AS DOUBLE) / CAST(len(ls) AS DOUBLE) END) <= 0.67
+               AND (CASE WHEN len(ls) > 0
+                     THEN CAST(len(list_filter(ls, __x ->
+                            right(__x, 1) IN ('.', '!', '?', '"', '''')))
+                          AS DOUBLE) / CAST(len(ls) AS DOUBLE) END) >= 0.12
+               AND (CASE WHEN len(ls) > 0
+                     THEN CAST(len(list_filter(ls, __x ->
+                            regexp_matches(__x, '^(-|\\*|•|[0-9]+[.)])')))
+                          AS DOUBLE) / CAST(len(ls) AS DOUBLE) END) <= 0.90,
+               FALSE) AS b
+      FROM base),
+    agg AS (
+      SELECT
+        CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT)
+          AS both_yes,
+        CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+          AS both_no,
+        CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+          AS only_a,
+        CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT)
+          AS only_b
+      FROM flags)
+    SELECT CAST(both_yes + both_no + only_a + only_b AS BIGINT) AS n,
+           both_yes, both_no, only_a, only_b,
+           CASE WHEN only_a + only_b > 0
+                THEN (greatest(abs(CAST(only_a AS DOUBLE)
+                                   - CAST(only_b AS DOUBLE)) - 1.0, 0.0)
+                      * greatest(abs(CAST(only_a AS DOUBLE)
+                                     - CAST(only_b AS DOUBLE)) - 1.0, 0.0))
+                     / (CAST(only_a AS DOUBLE) + CAST(only_b AS DOUBLE))
+           END AS chi2
+    FROM agg
+    """,
+    doc="McNemar's paired test between two quality gates on the SAME "
+    "documents (X180): does the token-length gate (20-400 words) "
+    "disagree with the FineWeb line-shape gate beyond chance? The "
+    "unpaired two-proportion z is wrong here — the samples are the "
+    "same rows; McNemar uses only the discordant counts. Exact "
+    "concordance cells from ONE aggregation; continuity-corrected "
+    "chi2 is a raw IEEE ratio of exact integers.",
+)
+def ht_mcnemar_gate_disagreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.curation import (
+        fineweb_line_signals,
+    )
+    from legendary_data_pipeline_spark.operators.dedup import tokens_expr
+    from legendary_data_pipeline_spark.operators.hypotests import (
+        mcnemar_test,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(tokens_expr("text"), lambda w: w != F.lit(""))
+    flag_a = docs.select(
+        "doc_id",
+        ((F.size(toks) >= 20) & (F.size(toks) <= 400)).alias("a"),
+    )
+    flag_b = fineweb_line_signals(docs).select(
+        "doc_id", F.col("fineweb_keep").alias("b")
+    )
+    paired = flag_a.join(flag_b, "doc_id")
+    return mcnemar_test(paired, F.col("a"), F.col("b"))
