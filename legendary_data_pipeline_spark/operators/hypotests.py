@@ -142,8 +142,8 @@ def mann_whitney_u(
     )
     z = (u2d - nad * nbd) / (F.lit(2.0) * F.sqrt(var))
     return agg.select(
-        F.col("__n_a").cast("long").alias("n_a"),
-        F.col("__n_b").cast("long").alias("n_b"),
+        F.coalesce(F.col("__n_a"), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.col("__n_b"), F.lit(0)).cast("long").alias("n_b"),
         (u2d / F.lit(2.0)).alias("u1"),
         F.when(
             (F.col("__n_a") > 0) & (F.col("__n_b") > 0),
@@ -232,9 +232,11 @@ def kruskal_wallis(
         nd * nd * nd - nd
     )
     return stats.select(
-        F.col("__n").cast("long").alias("n"),
+        F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n"),
         "n_groups",
-        (F.col("n_groups") - F.lit(1)).cast("long").alias("dof"),
+        F.when(
+            F.col("n_groups") > 0, F.col("n_groups") - F.lit(1)
+        ).cast("long").alias("dof"),
         F.when(
             (F.col("n_groups") >= 2) & (tie_factor > 0),
             _e6(h / tie_factor),
@@ -378,10 +380,15 @@ def anova_oneway(
         & (ssw > 0)
     )
     return agg.select(
-        F.col("__n").cast("long").alias("n"),
+        F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n"),
         "n_groups",
-        (F.col("n_groups") - F.lit(1)).cast("long").alias("dof_between"),
-        (F.col("__n").cast("long") - F.col("n_groups")).alias("dof_within"),
+        F.when(
+            F.col("n_groups") > 0, F.col("n_groups") - F.lit(1)
+        ).cast("long").alias("dof_between"),
+        F.when(
+            F.col("n_groups") > 0,
+            F.col("__n").cast("long") - F.col("n_groups"),
+        ).alias("dof_within"),
         F.when(ok, _e6(f)).alias("f_e6"),
         F.when(sst > 0, _e6(ssb / sst)).alias("eta_sq_e6"),
     )

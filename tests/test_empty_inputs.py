@@ -323,3 +323,91 @@ def test_round7_operators_on_empty_inputs(spark):
         psi_drift(one, one.filter(F.lit(False)), "v")
     with _pytest.raises(ValueError):
         ks_two_sample(one.selectExpr("1 as n"), one.selectExpr("1 as n").filter(F.lit(False)), F.col("n"))
+
+
+def test_round9_operators_on_empty_inputs(spark):
+    """Round-9 second-session sweep (X166-X182): empty in, empty (or
+    stable 1-row NULL-stat) out — never a throw."""
+    from legendary_data_pipeline_spark.operators.curation import (
+        fineweb_line_signals,
+        gopher_repetition_suite,
+        token_budget_head,
+    )
+    from legendary_data_pipeline_spark.operators.entity import (
+        survivorship_fuse,
+    )
+    from legendary_data_pipeline_spark.operators.graph import (
+        link_prediction_topk,
+    )
+    from legendary_data_pipeline_spark.operators.hypotests import (
+        anova_oneway,
+        kruskal_wallis,
+        mann_whitney_u,
+        mcnemar_test,
+        welch_t_test,
+    )
+    from legendary_data_pipeline_spark.operators.lm import (
+        bigram_surprisal_gate,
+    )
+    from legendary_data_pipeline_spark.operators.profiling import (
+        js_divergence_pairs,
+    )
+    from legendary_data_pipeline_spark.operators.retrieval import rbo_at_k
+    from legendary_data_pipeline_spark.operators.stats import (
+        equal_freq_bins,
+        ewma_anomalies,
+        theil_sen_trend,
+    )
+
+    gv = spark.createDataFrame([], "g string, v long")
+    # 1-row NULL-stat contracts
+    mwu = mann_whitney_u(gv, "v", "g", "a", "b").collect()[0]
+    assert mwu.n_a == 0 and mwu.z_e6 is None
+    kw = kruskal_wallis(gv, "v", "g").collect()[0]
+    assert kw.n == 0 and kw.h_e6 is None
+    wt = welch_t_test(gv, "v", "g", "a", "b").collect()[0]
+    assert wt.n_a == 0 and wt.t_e6 is None
+    an = anova_oneway(gv, "v", "g").collect()[0]
+    assert an.n == 0 and an.f_e6 is None
+    ab = spark.createDataFrame([], "a boolean, b boolean")
+    mc = mcnemar_test(ab, F.col("a"), F.col("b")).collect()[0]
+    assert mc.n == 0 and mc.chi2 is None
+
+    # empty-frame contracts
+    ser = spark.createDataFrame([], "g string, t long, v long")
+    assert theil_sen_trend(ser, "t", "v", group_cols=["g"]).count() == 0
+    assert ewma_anomalies(ser, "t", "v", group_cols=["g"]).count() == 0
+    assert equal_freq_bins(gv, "v", group_cols=["g"]).count() == 0
+
+    docs = _empty_docs(spark)
+    assert fineweb_line_signals(docs).count() == 0
+    assert gopher_repetition_suite(docs).count() == 0
+    gate = bigram_surprisal_gate(docs, docs, max_mean_micro=1)
+    assert gate.count() == 0 and "kept" in gate.columns
+
+    scored = spark.createDataFrame(
+        [], "doc_id long, quality_score long, token_count long"
+    )
+    assert token_budget_head(
+        scored, budget=100, weight_col="token_count",
+        order_col="quality_score",
+    ).count() == 0
+
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    assert link_prediction_topk(edges, top_k=5).count() == 0
+
+    recs = spark.createDataFrame(
+        [], "k long, name string, ts long, amount long"
+    )
+    assert survivorship_fuse(
+        recs, ["k"], most_frequent=["name"], latest_by="ts",
+        latest_cols=["name"], max_cols=["amount"],
+    ).count() == 0
+
+    items = spark.createDataFrame([], "g string, w string")
+    assert js_divergence_pairs(items, "g", "w").count() == 0
+
+    ranking = spark.createDataFrame(
+        [], "query_id long, neighbor_id long, rank int"
+    )
+    assert rbo_at_k(ranking, ranking).count() == 0
