@@ -1252,3 +1252,86 @@ def embedding_quality_report(
         "max_norm_micro",
         avg_micro.alias("avg_norm_micro"),
     )
+
+
+def semantic_decontamination(
+    train: DataFrame,
+    benchmark: DataFrame,
+    tau_e6: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space decontamination: flag training vectors whose
+    cosine to ANY benchmark vector reaches ``tau_e6`` (micro-scaled) —
+    the semantic complement of the n-gram contamination score
+    (paraphrased or re-formatted eval leakage shares no shingles but
+    lands next to the benchmark in embedding space; see the SemDeDup /
+    Phi decontamination practice).
+
+    Per training vector: max cosine over the benchmark set, selected
+    deterministically by (rounded cosine, benchmark id) — the engine's
+    round-before-ranking convention — and emitted as e6 BIGINT with
+    the arg-max benchmark id.
+
+    Scale: the benchmark side is an EVAL SUITE — thousands of vectors,
+    not a corpus — so it broadcasts and the corpus never shuffles: one
+    broadcast nested-loop scoring pass (JVM fold per pair), one
+    per-training-id max-struct aggregation on the scan partitioning.
+    For multi-million-vector benchmark sides, route through
+    `ivf_fixed_topk`'s shortlist instead (the hard-negatives
+    contract). Training vectors with no valid benchmark pair (empty
+    benchmark) emit NULL max and contaminated = false.
+
+    Output: id, max_cos_e6, nearest_benchmark_id, contaminated.
+    """
+    t = train.select(
+        F.col(id_col).alias("__tid"),
+        _as_double(F.col(vec_col)).alias("__tv"),
+    )
+    b = benchmark.select(
+        F.col(id_col).alias("__bid"),
+        _as_double(F.col(vec_col)).alias("__bv"),
+    )
+    t = t.withColumn("__tn", norm_expr("__tv"))
+    b = b.withColumn("__bn", norm_expr("__bv"))
+    pairs = t.crossJoin(F.broadcast(b))
+    cos = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("__tv"), F.col("__bv"), lambda x, y: x * y
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / (F.col("__tn") * F.col("__bn")),
+        6,
+    )
+    scored = pairs.select(
+        "__tid",
+        "__bid",
+        F.round(cos * F.lit(1e6)).cast("long").alias("__cos_e6"),
+    )
+    best = scored.groupBy("__tid").agg(
+        F.max(
+            F.struct(
+                F.col("__cos_e6").alias("c"), F.col("__bid").alias("b")
+            )
+        ).alias("__best")
+    )
+    out = train.select(F.col(id_col)).join(
+        best.select(
+            F.col("__tid").alias(id_col),
+            F.col("__best.c").alias("max_cos_e6"),
+            F.col("__best.b").alias("nearest_benchmark_id"),
+        ),
+        id_col,
+        "left",
+    )
+    return out.select(
+        id_col,
+        "max_cos_e6",
+        "nearest_benchmark_id",
+        F.coalesce(
+            F.col("max_cos_e6") >= F.lit(int(tau_e6)), F.lit(False)
+        ).alias("contaminated"),
+    )

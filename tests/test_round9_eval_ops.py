@@ -167,3 +167,55 @@ def test_rbo_p_validation(spark):
     a = _ranking(spark, [(1, 1, 1)])
     with pytest.raises(ValueError, match="p must be"):
         rbo_at_k(a, a, p=1.0)
+
+
+# ---------------------------------------------------------------------------
+# semantic decontamination (X183)
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_decontamination_flags_near_copy(spark):
+    from legendary_data_pipeline_spark.operators.similarity import (
+        semantic_decontamination,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, [0.99, 0.01, 0.0]),   # near-copy of bench 100
+            (2, [0.0, 0.0, 1.0]),     # orthogonal to both
+            (3, [0.0, -1.0, 0.0]),    # anti-parallel
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r.vec_id: r
+        for r in semantic_decontamination(
+            train, bench, tau_e6=900_000
+        ).collect()
+    }
+    assert out[1].contaminated is True
+    assert out[1].nearest_benchmark_id == 100
+    assert out[2].contaminated is False and out[2].max_cos_e6 == 0
+    # anti-parallel to 101 but orthogonal to 100: the MAX is 0
+    assert out[3].max_cos_e6 == 0 and not out[3].contaminated
+    assert out[3].nearest_benchmark_id == 100
+
+
+def test_semantic_decontamination_empty_benchmark(spark):
+    from legendary_data_pipeline_spark.operators.similarity import (
+        semantic_decontamination,
+    )
+
+    train = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    bench = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    out = semantic_decontamination(train, bench, tau_e6=1).collect()
+    assert len(out) == 1
+    assert out[0].max_cos_e6 is None and out[0].contaminated is False
