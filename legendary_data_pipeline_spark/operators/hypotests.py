@@ -59,6 +59,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -450,4 +452,151 @@ def mcnemar_test(
     return agg.select(
         n.alias("n"), "both_yes", "both_no", "only_a", "only_b",
         chi2.alias("chi2"),
+    )
+
+
+def wilcoxon_signed_rank(
+    df: DataFrame,
+    value_a_col: str,
+    value_b_col: str,
+) -> DataFrame:
+    """Wilcoxon signed-rank test for PAIRED integer measurements —
+    "did this entity's metric move between the two conditions?"
+    (pre/post per customer, gate-on vs gate-off per document). The
+    paired-values companion to `mcnemar_test` (paired flags) and
+    `mann_whitney_u` (independent samples).
+
+        d_i = a_i − b_i (zeros drop, the standard convention)
+        W+  = Σ ranks of |d_i| where d_i > 0 (average ranks on ties)
+        z   = (W+ − n(n+1)/4)
+              / sqrt(n(n+1)(2n+1)/24 − Σ(t³−t)/48)
+
+    Rows with a NULL on either side drop. Exactness: |d| ranks use the
+    doubled-rank construction over the distinct-|d| frame
+    (distributed below-counts — no single-partition stage even when
+    differences are near-unique), 2·W+ and the tie sum accumulate as
+    decimal(38,0), and z is one fixed IEEE tree emitted as z_e6
+    BIGINT. Degenerate inputs (no nonzero differences, zero variance)
+    yield NULL z_e6.
+
+    Output (1 row): n_pairs, n_nonzero, w_plus, z_e6.
+    """
+    a = F.col(value_a_col).cast("long")
+    b = F.col(value_b_col).cast("long")
+    d = df.select((a - b).alias("__d")).where(
+        a.isNotNull() & b.isNotNull()
+    )
+    # Pin: the total-pairs aggregate and the nonzero pipeline both
+    # consume it (round-9 multi-consumer rule).
+    d = d.localCheckpoint(eager=False)
+    totals = d.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    nz = d.where(F.col("__d") != 0).select(
+        F.abs(F.col("__d")).alias("__ad"),
+        (F.col("__d") > 0).cast("long").alias("__pos"),
+    )
+    per_v = nz.groupBy("__ad").agg(
+        F.sum("__pos").cast(_DEC).alias("__np"),
+        F.count(F.lit(1)).cast(_DEC).alias("__c"),
+    )
+    cum = distributed_below_counts(per_v, "__ad", ["__c"], inclusive=False)
+    # doubled average rank of |d| value v: 2·below + c + 1
+    r2 = (
+        F.lit(2).cast(_DEC) * F.col("__c_cum")
+        + F.col("__c")
+        + F.lit(1).cast(_DEC)
+    )
+    agg = cum.agg(
+        F.coalesce(F.sum("__c"), F.lit(0)).cast(_DEC).alias("__n"),
+        F.coalesce(
+            F.sum((F.col("__np") * r2).cast(_DEC)), F.lit(0)
+        ).cast(_DEC).alias("__w2"),
+        F.coalesce(
+            F.sum(
+                (
+                    F.col("__c") * F.col("__c") * F.col("__c")
+                    - F.col("__c")
+                ).cast(_DEC)
+            ),
+            F.lit(0),
+        ).cast(_DEC).alias("__tie"),
+    ).crossJoin(F.broadcast(totals))
+    nd = F.col("__n").cast("double")
+    w_plus = F.col("__w2").cast("double") / F.lit(2.0)
+    mean = nd * (nd + F.lit(1.0)) / F.lit(4.0)
+    var = nd * (nd + F.lit(1.0)) * (F.lit(2.0) * nd + F.lit(1.0)) / F.lit(
+        24.0
+    ) - F.col("__tie").cast("double") / F.lit(48.0)
+    z = (w_plus - mean) / F.sqrt(var)
+    return agg.select(
+        "n_pairs",
+        F.col("__n").cast("long").alias("n_nonzero"),
+        w_plus.alias("w_plus"),
+        F.when((F.col("__n") > 0) & (var > 0), _e6(z)).alias("z_e6"),
+    )
+
+
+def cochrans_q(df: DataFrame, flag_cols: Sequence[str]) -> DataFrame:
+    """Cochran's Q test across k ≥ 2 PAIRED binary gates — the k-gate
+    generalization of McNemar: "do these quality gates have different
+    pass rates on the same documents?"
+
+    With row sums R_i (gates passed per row), column totals C_j, and
+    T = ΣC_j:
+
+        Q = (k−1) · Σ_j (k·C_j − T)² / (k · (k·ΣR_i − ΣR_i²))
+
+    (the textbook k(k−1)Σ(C_j − T/k)²/(kΣR − ΣR²) with the fractional
+    mean multiplied out — numerator and denominator are EXACT
+    decimal(38,0) integers, so Q is one raw IEEE division). Rows where
+    any flag is NULL drop (no complete verdict vector). Rows that pass
+    all gates or none contribute nothing to the denominator — all-
+    concordant input (denominator 0) yields NULL q. dof = k − 1.
+
+    One aggregation (map-side combinable); the per-gate reshape runs
+    on the 1-row result. Output: n, k, dof, q.
+    """
+    k = len(flag_cols)
+    if k < 2:
+        raise ValueError("cochrans_q needs at least two flag columns")
+    flags = [F.col(c).cast("boolean") for c in flag_cols]
+    notnull = F.lit(True)
+    for f in flags:
+        notnull = notnull & f.isNotNull()
+    longs = [f.cast("long") for f in flags]
+    r = longs[0]
+    for x in longs[1:]:
+        r = r + x
+    d = df.where(notnull).select(
+        *[x.alias(f"__f{j}") for j, x in enumerate(longs)],
+        r.alias("__r"),
+    )
+    agg = d.agg(
+        F.count(F.lit(1)).cast(_DEC).alias("__n"),
+        *[
+            F.coalesce(F.sum(f"__f{j}"), F.lit(0)).cast(_DEC).alias(f"__c{j}")
+            for j in range(k)
+        ],
+        F.coalesce(F.sum("__r"), F.lit(0)).cast(_DEC).alias("__sr"),
+        F.coalesce(
+            F.sum((F.col("__r") * F.col("__r")).cast(_DEC)), F.lit(0)
+        ).cast(_DEC).alias("__sr2"),
+    )
+    kd = F.lit(k).cast(_DEC)
+    t = None
+    for j in range(k):
+        t = F.col(f"__c{j}") if t is None else t + F.col(f"__c{j}")
+    num = None
+    for j in range(k):
+        term = (kd * F.col(f"__c{j}") - t).cast(_DEC)
+        sq = (term * term).cast(_DEC)
+        num = sq if num is None else (num + sq).cast(_DEC)
+    den = (kd * (kd * F.col("__sr") - F.col("__sr2"))).cast(_DEC)
+    q = (
+        F.lit(float(k - 1)) * num.cast("double") / den.cast("double")
+    )
+    return agg.select(
+        F.col("__n").cast("long").alias("n"),
+        F.lit(k).cast("long").alias("k"),
+        F.lit(k - 1).cast("long").alias("dof"),
+        F.when(den > 0, q).alias("q"),
     )

@@ -4581,3 +4581,82 @@ def an_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("w"),
     )
     return js_divergence_pairs(d, "g", "w")
+
+# ---------------------------------------------------------------------------
+# X184 Wilcoxon signed-rank: paired pre/post customer value (round 9)
+# ---------------------------------------------------------------------------
+
+
+@register_shadow(
+    "ht_wilcoxon_customer_value_shift",
+    f"""
+    WITH pc AS (
+      SELECT o_custkey,
+             SUM(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+                      THEN {_cents_sql('o_totalprice')} END) AS a,
+             SUM(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+                      THEN {_cents_sql('o_totalprice')} END) AS b
+      FROM orders GROUP BY 1),
+    d AS (
+      SELECT CAST(a - b AS BIGINT) AS d FROM pc
+      WHERE a IS NOT NULL AND b IS NOT NULL),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM d),
+    nzv AS (
+      SELECT abs(d) AS ad,
+             CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS HUGEINT) AS np,
+             CAST(COUNT(*) AS HUGEINT) AS c
+      FROM d WHERE d <> 0 GROUP BY 1),
+    cum AS (
+      SELECT ad, np, c,
+             COALESCE(SUM(c) OVER (ORDER BY ad
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               CAST(0 AS HUGEINT)) AS below
+      FROM nzv),
+    agg AS (
+      SELECT COALESCE(SUM(c), CAST(0 AS HUGEINT)) AS n,
+             COALESCE(SUM(np * (2 * below + c + 1)),
+                      CAST(0 AS HUGEINT)) AS w2,
+             COALESCE(SUM(c * c * c - c), CAST(0 AS HUGEINT)) AS tie
+      FROM cum)
+    SELECT tot.n_pairs,
+           CAST(n AS BIGINT) AS n_nonzero,
+           CAST(w2 AS DOUBLE) / 2.0 AS w_plus,
+           CASE WHEN n > 0 AND
+                     (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+                      * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0
+                      - CAST(tie AS DOUBLE) / 48.0) > 0
+                THEN CAST(round(((CAST(w2 AS DOUBLE) / 2.0
+                         - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+                           / 4.0)
+                        / sqrt(CAST(n AS DOUBLE)
+                               * (CAST(n AS DOUBLE) + 1.0)
+                               * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0
+                               - CAST(tie AS DOUBLE) / 48.0))
+                       * 1e6) AS BIGINT) END AS z_e6
+    FROM agg, tot
+    """,
+    doc="Wilcoxon signed-rank test on paired customer value: per "
+    "customer, total order cents before vs after 1997 (customers "
+    "active in both periods) — did the typical customer's spend "
+    "SHIFT, robust to the heavy spend tail a paired t-test would "
+    "chase? (X184.) Doubled |d|-ranks over distributed below-counts "
+    "keep everything exact decimal; z leaves as e6 BIGINT.",
+)
+def ht_wilcoxon_customer_value_shift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.hypotests import (
+        wilcoxon_signed_rank,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1997-01-01").cast("timestamp")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.when(F.col("o_orderdate") < cut, _cents("o_totalprice"))
+        ).alias("a"),
+        F.sum(
+            F.when(F.col("o_orderdate") >= cut, _cents("o_totalprice"))
+        ).alias("b"),
+    )
+    return wilcoxon_signed_rank(per_cust, "a", "b")

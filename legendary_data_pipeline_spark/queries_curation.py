@@ -2771,3 +2771,79 @@ def ht_mcnemar_gate_disagreement(
     )
     paired = flag_a.join(flag_b, "doc_id")
     return mcnemar_test(paired, F.col("a"), F.col("b"))
+
+# ---------------------------------------------------------------------------
+# X185 Cochran's Q across the FineWeb line gates (round 9)
+# ---------------------------------------------------------------------------
+
+
+@register_shadow(
+    "ht_cochrans_q_line_gates",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {_REP_LINES} AS ls FROM documents),
+    sig AS (
+      SELECT doc_id,
+             CASE WHEN len(ls) > 0
+                  THEN CAST(len(list_filter(ls, __x -> length(__x) < 30))
+                       AS DOUBLE) / CAST(len(ls) AS DOUBLE) END AS shortf,
+             CASE WHEN len(ls) > 0
+                  THEN CAST(len(list_filter(ls, __x ->
+                         right(__x, 1) IN ('.', '!', '?', '"', '''')))
+                       AS DOUBLE) / CAST(len(ls) AS DOUBLE) END AS punctf,
+             CASE WHEN len(ls) > 0
+                  THEN CAST(len(list_filter(ls, __x ->
+                         regexp_matches(__x, '^(-|\\*|•|[0-9]+[.)])')))
+                       AS DOUBLE) / CAST(len(ls) AS DOUBLE) END AS bulletf
+      FROM base),
+    flags AS (
+      SELECT CAST(shortf <= 0.67 AS INT) AS f0,
+             CAST(punctf >= 0.12 AS INT) AS f1,
+             CAST(bulletf <= 0.90 AS INT) AS f2
+      FROM sig
+      WHERE shortf IS NOT NULL AND punctf IS NOT NULL
+        AND bulletf IS NOT NULL),
+    agg AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(f0) AS HUGEINT) AS c0,
+             CAST(SUM(f1) AS HUGEINT) AS c1,
+             CAST(SUM(f2) AS HUGEINT) AS c2,
+             CAST(SUM(f0 + f1 + f2) AS HUGEINT) AS sr,
+             CAST(SUM((f0 + f1 + f2) * (f0 + f1 + f2)) AS HUGEINT) AS sr2
+      FROM flags)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(3 AS BIGINT) AS k,
+           CAST(2 AS BIGINT) AS dof,
+           CASE WHEN 3 * (3 * sr - sr2) > 0
+                THEN (CAST(2 AS DOUBLE)
+                      * CAST((3 * c0 - (c0 + c1 + c2))
+                             * (3 * c0 - (c0 + c1 + c2))
+                             + (3 * c1 - (c0 + c1 + c2))
+                               * (3 * c1 - (c0 + c1 + c2))
+                             + (3 * c2 - (c0 + c1 + c2))
+                               * (3 * c2 - (c0 + c1 + c2)) AS DOUBLE))
+                     / CAST(3 * (3 * sr - sr2) AS DOUBLE)
+           END AS q
+    FROM agg
+    """,
+    doc="Cochran's Q across the three FineWeb line gates on the SAME "
+    "documents (X185) — the k-gate generalization of McNemar: do the "
+    "short-line, punctuation, and bullet rules pass at different "
+    "rates? Exact integer row/column sums from one aggregation (the "
+    "fractional column mean multiplied out, so numerator and "
+    "denominator are pure integers); Q is one raw IEEE division.",
+)
+def ht_cochrans_q_line_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.curation import (
+        fineweb_line_signals,
+    )
+    from legendary_data_pipeline_spark.operators.hypotests import cochrans_q
+
+    docs = load_table(spark, sf_dir, "documents")
+    fw = fineweb_line_signals(docs)
+    flags = fw.select(
+        (F.col("short_line_frac") <= 0.67).alias("f0"),
+        (F.col("punct_line_frac") >= 0.12).alias("f1"),
+        (F.col("bullet_line_frac") <= 0.90).alias("f2"),
+    )
+    return cochrans_q(flags, ["f0", "f1", "f2"])

@@ -197,3 +197,95 @@ def test_anova_null_rows_dropped(spark):
     df = spark.createDataFrame(rows, "g string, v long")
     out = anova_oneway(df, "v", "g").collect()[0]
     assert out.n == 4 and out.n_groups == 2
+
+
+# ---------------------------------------------------------------------------
+# Wilcoxon signed-rank (X184)
+# ---------------------------------------------------------------------------
+
+
+def test_wilcoxon_hand_computed(spark):
+    from legendary_data_pipeline_spark.operators.hypotests import (
+        wilcoxon_signed_rank,
+    )
+
+    # d = a-b = [1, -2, 3, 4, 5]: |d| ranks 1..5 (no ties),
+    # W+ = 1+3+4+5 = 13; z = (13-7.5)/sqrt(13.75) = 1.483240
+    rows = [(11, 10), (10, 12), (13, 10), (14, 10), (15, 10)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    out = wilcoxon_signed_rank(df, "a", "b").collect()[0]
+    assert out.n_pairs == 5 and out.n_nonzero == 5
+    assert out.w_plus == 13.0
+    assert out.z_e6 == 1483240
+
+
+def test_wilcoxon_zeros_drop_and_ties(spark):
+    from legendary_data_pipeline_spark.operators.hypotests import (
+        wilcoxon_signed_rank,
+    )
+
+    # two zero diffs drop; |d| = [2, 2] tie → avg rank 1.5 each,
+    # one positive → W+ = 1.5
+    rows = [(5, 5), (7, 7), (8, 6), (4, 6)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    out = wilcoxon_signed_rank(df, "a", "b").collect()[0]
+    assert out.n_pairs == 4 and out.n_nonzero == 2
+    assert out.w_plus == 1.5
+
+
+def test_wilcoxon_degenerate(spark):
+    from legendary_data_pipeline_spark.operators.hypotests import (
+        wilcoxon_signed_rank,
+    )
+
+    # all diffs zero → no nonzero pairs → NULL z
+    rows = [(3, 3), (4, 4)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    out = wilcoxon_signed_rank(df, "a", "b").collect()[0]
+    assert out.n_pairs == 2 and out.n_nonzero == 0
+    assert out.z_e6 is None
+    # NULL sides drop from n_pairs entirely
+    rows2 = [(3, None), (None, 4), (6, 5)]
+    df2 = spark.createDataFrame(rows2, "a long, b long")
+    out2 = wilcoxon_signed_rank(df2, "a", "b").collect()[0]
+    assert out2.n_pairs == 1
+
+
+# ---------------------------------------------------------------------------
+# Cochran's Q (X185)
+# ---------------------------------------------------------------------------
+
+
+def test_cochrans_q_hand_computed(spark):
+    from legendary_data_pipeline_spark.operators.hypotests import cochrans_q
+
+    rows = [
+        (True, True, False),
+        (True, False, False),
+        (True, True, True),
+        (False, False, False),
+    ]
+    df = spark.createDataFrame(rows, "f0 boolean, f1 boolean, f2 boolean")
+    out = cochrans_q(df, ["f0", "f1", "f2"]).collect()[0]
+    # C = (3,2,1), T = 6; num = 9+0+9 = 18; den = 3*(18-14) = 12
+    assert out.n == 4 and out.k == 3 and out.dof == 2
+    assert out.q == 3.0
+
+
+def test_cochrans_q_degenerate_and_nulls(spark):
+    from legendary_data_pipeline_spark.operators.hypotests import cochrans_q
+
+    # all-concordant rows → denominator 0 → NULL q
+    rows = [(True, True), (False, False)]
+    df = spark.createDataFrame(rows, "f0 boolean, f1 boolean")
+    out = cochrans_q(df, ["f0", "f1"]).collect()[0]
+    assert out.q is None
+    # NULL flags drop the whole row
+    rows2 = [(True, False), (None, True), (False, True)]
+    df2 = spark.createDataFrame(rows2, "f0 boolean, f1 boolean")
+    out2 = cochrans_q(df2, ["f0", "f1"]).collect()[0]
+    assert out2.n == 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="two flag"):
+        cochrans_q(df2, ["f0"])
