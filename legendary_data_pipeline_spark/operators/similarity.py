@@ -1284,10 +1284,12 @@ def semantic_decontamination(
 
     Output: id, max_cos_e6, nearest_benchmark_id, contaminated.
     """
+    # Pin: the scoring pass and the all-ids left-join base both
+    # consume the training projection (round-9 multi-consumer rule).
     t = train.select(
         F.col(id_col).alias("__tid"),
         _as_double(F.col(vec_col)).alias("__tv"),
-    )
+    ).localCheckpoint(eager=False)
     b = benchmark.select(
         F.col(id_col).alias("__bid"),
         _as_double(F.col(vec_col)).alias("__bv"),
@@ -1318,7 +1320,7 @@ def semantic_decontamination(
             )
         ).alias("__best")
     )
-    out = train.select(F.col(id_col)).join(
+    out = t.select(F.col("__tid").alias(id_col)).join(
         best.select(
             F.col("__tid").alias(id_col),
             F.col("__best.c").alias("max_cos_e6"),
