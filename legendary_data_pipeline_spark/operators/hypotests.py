@@ -600,3 +600,57 @@ def cochrans_q(df: DataFrame, flag_cols: Sequence[str]) -> DataFrame:
         F.lit(k - 1).cast("long").alias("dof"),
         F.when(den > 0, q).alias("q"),
     )
+
+
+def brown_forsythe(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Brown–Forsythe test (Levene's test with the group MEDIAN) for
+    variance homogeneity across k groups — the pre-flight check on
+    `anova_oneway` (the F test assumes equal variances; this tests
+    that assumption robustly, since the median center shrugs off the
+    heavy tails warehouse measures always have):
+
+        W = ANOVA-F computed over z_ij = |x_ij − median(group_j)|
+
+    Exactness: medians of integers land on halves, so the spreads are
+    DOUBLED into exact integers — z2_ij = |2·x_ij − 2·median_j| — and
+    fed through the exact-decimal ANOVA machinery (the F statistic is
+    scale-invariant, so doubling changes nothing). Group medians come
+    from `percentile` (bit-parity with quantile_cont); everything
+    after is the X169 moment path; W leaves as w_e6 BIGINT.
+
+    ``value_col`` must be integer-valued. Output (1 row): n, n_groups,
+    dof_between, dof_within, w_e6.
+
+    Scale: one per-group exact percentile (groups are the parallelism
+    unit — the winsorize contract), a broadcast medians join, then the
+    one-pass ANOVA aggregation.
+    """
+    v = F.col(value_col).cast("long")
+    g = F.col(group_col)
+    d = df.select(g.alias("__g"), v.alias("__v")).where(
+        v.isNotNull() & g.isNotNull()
+    ).localCheckpoint(eager=False)  # medians + spreads (r9 rule)
+    meds = d.groupBy("__g").agg(
+        F.percentile(F.col("__v"), F.lit(0.5)).alias("__med")
+    )
+    joined = d.join(
+        F.broadcast(meds.withColumnRenamed("__g", "__mg")),
+        F.col("__g").eqNullSafe(F.col("__mg")),
+    )
+    # 2·median is integer-valued exactly (median of ints is int or
+    # int + 1/2); round() guards the representation, not the value.
+    z2 = F.abs(
+        F.lit(2) * F.col("__v")
+        - F.round(F.col("__med") * F.lit(2.0)).cast("long")
+    )
+    spreads = joined.select(F.col("__g").alias("g"), z2.alias("z2"))
+    out = anova_oneway(spreads, "z2", "g")
+    return out.select(
+        "n",
+        "n_groups",
+        "dof_between",
+        "dof_within",
+        F.col("f_e6").alias("w_e6"),
+    )

@@ -4660,3 +4660,74 @@ def ht_wilcoxon_customer_value_shift(
         ).alias("b"),
     )
     return wilcoxon_signed_rank(per_cust, "a", "b")
+
+# ---------------------------------------------------------------------------
+# X186 Brown-Forsythe variance homogeneity (round 9)
+# ---------------------------------------------------------------------------
+
+
+@register_shadow(
+    "ht_brown_forsythe_value_by_priority",
+    f"""
+    WITH base AS (
+      SELECT o_orderpriority AS g, {_cents_sql('o_totalprice')} AS v
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL),
+    meds AS (
+      SELECT g, quantile_cont(CAST(v AS DOUBLE), 0.5) AS med
+      FROM base GROUP BY g),
+    z AS (
+      SELECT base.g,
+             abs(2 * v - CAST(round(med * 2.0) AS BIGINT)) AS z2
+      FROM base JOIN meds USING (g)),
+    perg AS (
+      SELECT g, CAST(COUNT(*) AS HUGEINT) AS ng,
+             SUM(CAST(z2 AS HUGEINT)) AS sg,
+             SUM(CAST(z2 AS HUGEINT) * CAST(z2 AS HUGEINT)) AS qg
+      FROM z GROUP BY g),
+    agg AS (
+      SELECT SUM(ng) AS n, CAST(COUNT(*) AS BIGINT) AS n_groups,
+             SUM(sg) AS s, SUM(qg) AS q,
+             SUM((CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)) /
+                 CAST(ng AS DOUBLE)) AS sumsq
+      FROM perg),
+    d AS (
+      SELECT CAST(n AS BIGINT) AS n, n_groups,
+             CAST(n AS DOUBLE) AS nd, CAST(n_groups AS DOUBLE) AS kd,
+             CAST(s AS DOUBLE) AS sd, CAST(q AS DOUBLE) AS qd, sumsq
+      FROM agg),
+    e AS (
+      SELECT n, n_groups, nd, kd,
+             sumsq - (sd * sd) / nd AS ssb,
+             qd - sumsq AS ssw
+      FROM d)
+    SELECT n, n_groups,
+           CASE WHEN n_groups > 0 THEN CAST(n_groups - 1 AS BIGINT) END
+             AS dof_between,
+           CASE WHEN n_groups > 0 THEN CAST(n - n_groups AS BIGINT) END
+             AS dof_within,
+           CASE WHEN n_groups >= 2 AND n > n_groups AND ssw > 0
+                THEN CAST(round(((ssb / (kd - 1.0)) / (ssw / (nd - kd)))
+                       * 1e6) AS BIGINT) END AS w_e6
+    FROM e
+    """,
+    doc="Brown-Forsythe variance-homogeneity test across the five "
+    "order priorities (X186): the robust Levene form (group MEDIAN "
+    "centers) that validates ht_anova_value_by_priority's equal-"
+    "variance assumption. Integer-doubled median spreads keep the "
+    "whole pipeline in the exact-decimal ANOVA machinery (F is "
+    "scale-invariant); W leaves as e6 BIGINT.",
+)
+def ht_brown_forsythe_value_by_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.hypotests import (
+        brown_forsythe,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select(
+        F.col("o_orderpriority").alias("g"),
+        _cents("o_totalprice").alias("v"),
+    )
+    return brown_forsythe(d, "v", "g")

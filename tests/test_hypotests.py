@@ -289,3 +289,59 @@ def test_cochrans_q_degenerate_and_nulls(spark):
 
     with _pytest.raises(ValueError, match="two flag"):
         cochrans_q(df2, ["f0"])
+
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe (X186)
+# ---------------------------------------------------------------------------
+
+
+def test_brown_forsythe_hand_computed(spark):
+    from legendary_data_pipeline_spark.operators.hypotests import (
+        brown_forsythe,
+    )
+
+    # a = [1,2,3] (median 2, spreads 1,0,1); b = [10,20,30]
+    # (median 20, spreads 10,0,10): W = ANOVA-F over the spreads.
+    # spreads means: 2/3 vs 20/3; scipy.stats.levene(center='median')
+    # gives W = 3.0 for this input.
+    rows = (
+        [("a", 1), ("a", 2), ("a", 3)]
+        + [("b", 10), ("b", 20), ("b", 30)]
+    )
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = brown_forsythe(df, "v", "g").collect()[0]
+    assert out.n == 6 and out.n_groups == 2
+    # reference: z_a = [1,0,1], z_b = [10,0,10]; grand mean 11/3
+    # SSB = 3*((2/3-11/3)^2 + (20/3-11/3)^2) = 54; SSW = 2/3 + 200/3
+    # F = (54/1)/( (202/3)/4 ) = 54*12/202 = 3.207921
+    assert out.w_e6 == 3207921
+
+
+def test_brown_forsythe_equal_spread_zero(spark):
+    from legendary_data_pipeline_spark.operators.hypotests import (
+        brown_forsythe,
+    )
+
+    # both groups have IDENTICAL spread shape → W = 0
+    rows = (
+        [("a", 0), ("a", 10), ("a", 20)]
+        + [("b", 100), ("b", 110), ("b", 120)]
+    )
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = brown_forsythe(df, "v", "g").collect()[0]
+    assert out.w_e6 == 0
+
+
+def test_brown_forsythe_half_median_exact(spark):
+    from legendary_data_pipeline_spark.operators.hypotests import (
+        brown_forsythe,
+    )
+
+    # even group size → median on a half (2.5): the doubled-spread
+    # trick must stay exact (|2v - 5| = odd integers)
+    rows = [("a", 1), ("a", 2), ("a", 3), ("a", 4),
+            ("b", 1), ("b", 100)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = brown_forsythe(df, "v", "g").collect()[0]
+    assert out.n == 6 and out.w_e6 is not None
