@@ -1544,4 +1544,72 @@ for _n in _DEMOTE_R9:
     SHADOW_REGISTRY[_n] = REGISTRY.pop(_n)
 for _n in _PROMOTE_R9:
     REGISTRY[_n] = SHADOW_REGISTRY.pop(_n)
+
+# ---------------------------------------------------------------------------
+# Round-10 driver-gate rotation (see NOTES.md §Round-10)
+# ---------------------------------------------------------------------------
+# POLICY CHANGE (r9 verdict #6): the never-driver-checked tail was
+# GROWING — rotation retired 10/round while rounds add ~15-20 new
+# queries (118 of 212 never checked entering r10). From this round the
+# rotation swaps FIFTEEN: ten bias-picked toward the newest operator
+# families and representation-fragile outputs, plus a five-slot
+# round-robin "sweep" band that cycles the oldest never-checked
+# shadows. Every demoted entry has >=2 green driver rows (most have 9)
+# AND a near-identical sibling still in the gate; all keep their full
+# DuckDB oracles in the always-run shadow suite.
+# st_kendall_tau_qty_discount deliberately STAYS in the gate: the
+# round-10 all-BIGINT output must earn a green INDEPENDENT driver row
+# before it can ever be demoted.
+_DEMOTE_R10 = [
+    "a1_percentile_rollup_180d",  # siblings: st_mad_outliers, dq_equal_freq_bins_price (quantiles)
+    "corpus_curation_pipeline",  # siblings: curation_c4_gates, curation_c4_span_dedup
+    "dedup_minhash_lsh_pairs",  # sibling: ss_prefix_jaccard_pairs (banded set-sim pairs)
+    "f1_money_parse_cents",  # siblings: j7 coalesce/cents path, f8 extraction
+    "j6_anti_join_missing",  # sibling: j7_price_resolution_coalesce (join family)
+    "sim_lsh_bucket_topk",  # sibling: sim_ivf_fixed_topk (bucketed ANN top-k)
+    "text_quality_score",  # siblings: tx_script_profile, tx_bpe_fertility_by_lang
+    "e_sessionize_batch",  # sibling: scd2_user_event_state (per-user ordered state)
+    "sk_hll_distinct_users",  # sibling: sk_cms_partkey_freq (mergeable sketches)
+    "st_mad_outliers",  # sibling: ts_zscore_anomalies (robust outlier flags)
+    "dq_table_checksum",  # siblings: dq_ks/dq_psi/dq_benford (DQ suite)
+    "curation_bloom_cross_corpus",  # sibling: curation_semantic_decontamination
+    "st_correlation_matrix",  # sibling: st_spearman_matrix (exact moment matrix)
+    "ml_langid_confusion",  # siblings: ml_auc_by_segment, ml_calibration_bins
+    "ret_rrf_fusion",  # siblings: ret_maxsim_topk, ret_rbo_exact_vs_lsh
+]
+_PROMOTE_R10 = [
+    # ten bias-picked (r9 verdict #2): the round-9 operator families
+    "ht_mann_whitney_qty_flag",
+    "ht_wilcoxon_customer_value_shift",
+    "ts_theil_sen_daily_value",
+    "curation_gopher_repetition",
+    "gr_link_prediction_topk",
+    "er_golden_record_customers",
+    "an_source_js_divergence",
+    "ret_rbo_exact_vs_lsh",
+    "curation_semantic_decontamination",
+    "curation_token_budget_head",
+    # five-slot sweep band: oldest never-checked, family-diverse
+    "ht_kruskal_value_by_priority",
+    "curation_fineweb_line_signals",
+    "dq_equal_freq_bins_price",
+    "ts_ewma_daily_anomalies",
+    "tx_bpe_fertility_by_lang",
+]
+_missing = [
+    _n
+    for _n in (*_DEMOTE_R10, *_PROMOTE_R10)
+    if _n not in REGISTRY and _n not in SHADOW_REGISTRY
+]
+if _missing:
+    raise ImportError(
+        "query registry incomplete during round-10 rotation (missing "
+        f"{_missing}): import legendary_data_pipeline_spark.queries "
+        "FIRST — importing a queries_* submodule directly re-enters "
+        "this module before its registrations finish."
+    )
+for _n in _DEMOTE_R10:
+    SHADOW_REGISTRY[_n] = REGISTRY.pop(_n)
+for _n in _PROMOTE_R10:
+    REGISTRY[_n] = SHADOW_REGISTRY.pop(_n)
 del _n, _missing

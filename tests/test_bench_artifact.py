@@ -29,7 +29,7 @@ def test_stdout_line_fits_driver_tail_capture():
     from legendary_data_pipeline_spark.queries import REGISTRY
 
     bench = _load_bench()
-    names = sorted(set(REGISTRY) | set(bench.PINNED_R8))
+    names = sorted(set(REGISTRY) | set(bench.PINNED_R9))
     # worst-case widths: every timing 3 integer digits + 3 decimals
     timings = {n: 999.999 for n in names}
 
@@ -40,6 +40,9 @@ def test_stdout_line_fits_driver_tail_capture():
             "total_sec": round(sum(timings[n] for n in timed), 3),
         }
 
+    # Mirror bench.main's stdout payload: pinned_r1 only (the r6-r9
+    # short-horizon series moved to BENCH_DETAIL.json in round 10 when
+    # the five-block line outgrew the tail capture).
     payload = {
         "metric": "total_query_sec",
         "value": round(sum(timings.values()), 3),
@@ -47,9 +50,6 @@ def test_stdout_line_fits_driver_tail_capture():
         "n_timed": len(timings),
         "sf": 0.1,
         "pinned_r1": pinned(bench.PINNED_R1),
-        "pinned_r6": pinned(bench.PINNED_R6),
-        "pinned_r7": pinned(bench.PINNED_R7),
-        "pinned_r8": pinned(bench.PINNED_R8),
         "queries": {n: t for n, t in timings.items() if n in REGISTRY},
     }
     line = json.dumps(payload, separators=(",", ":"))
@@ -69,5 +69,5 @@ def test_pinned_names_resolve_in_some_registry():
 
     bench = _load_bench()
     known = set(REGISTRY) | set(SHADOW_REGISTRY)
-    missing = [n for n in bench.PINNED_R8 if n not in known]
+    missing = [n for n in bench.PINNED_R9 if n not in known]
     assert not missing, f"pinned bench names missing from registries: {missing}"
