@@ -1457,6 +1457,32 @@ def token_budget_head(
     ).where(o.isNotNull() & w.isNotNull())
     # Descending order as an ascending key (below-counts sum ASC).
     d = d.select("__id", "__o", "__w", (-F.col("__o")).alias("__key"))
+    # In-plan uniqueness guard (the theil_sen_trend raise_error
+    # precedent): the prefix-sum contract REQUIRES id_col unique per
+    # row — duplicate (score, id) rows silently make cum_weight and
+    # the selected frontier partition-dependent, exactly the
+    # determinism class the rest of this operator exists to remove.
+    # One window count over the same (__key, __id) grain the
+    # within-class pass shuffles on anyway.
+    dup_w = Window.partitionBy("__key", "__id")
+    d = d.withColumn("__dupn", F.count(F.lit(1)).over(dup_w))
+    d = d.withColumn(
+        "__w",
+        F.when(
+            F.col("__dupn") > 1,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "token_budget_head: duplicate (order, id) rows "
+                        "detected - id_col values must be unique per "
+                        "row or the selection frontier is "
+                        "partition-dependent; deduplicate or use a "
+                        "row-unique id"
+                    )
+                )
+            ).cast("long"),
+        ).otherwise(F.col("__w")),
+    ).drop("__dupn")
     d = d.localCheckpoint(eager=False)  # two consumers (round-9 rule)
     per_key = d.groupBy("__key").agg(
         F.sum("__w").cast("long").alias("__kw")
@@ -1517,18 +1543,28 @@ def gopher_repetition_suite(
 
     - dup_line_frac / dup_line_char_frac: fraction of (trimmed,
       non-empty, newline-split) lines that are repeats of an earlier
-      identical line, and the character fraction those repeated lines
-      hold.
+      identical line (Σ(c−1) over duplicated line values / n_lines),
+      and the character fraction those REPEAT occurrences hold —
+      Σ(c−1)·len over duplicated line values / length(text), matching
+      the published reference implementations (occurrences beyond the
+      first, full-document denominator) so the paper's calibrated
+      thresholds apply as published.
     - top_{2,3,4}gram_char_frac: characters claimed by the single most
-      frequent REPEATED word n-gram (occurrences × gram length / doc
-      chars; a gram seen once is not repetition, so a doc with no
-      repeated n-gram scores 0.0 — without this, every short document
-      fails the rule because its unique top trigram still spans ~25%
-      of its characters).
-    - dup_{5..10}gram_char_frac: characters claimed by ALL word
-      n-grams occurring more than once (Σ count·len over duplicated
-      grams / doc chars; overlaps uncounted — may exceed 1 on
-      degenerate inputs, exactly like the reference implementations).
+      frequent REPEATED word n-gram (ALL occurrences × gram length /
+      doc chars, the reference convention for the top gram; a gram
+      seen once is not repetition, so a doc with no repeated n-gram
+      scores 0.0 — without this, every short document fails the rule
+      because its unique top trigram still spans ~25% of its chars).
+    - dup_{5..10}gram_char_frac: characters claimed by REPEAT
+      occurrences of duplicated word n-grams — Σ(c−1)·len over grams
+      occurring more than once / doc chars. Documented deviation from
+      the reference scan: the published implementations walk the
+      token stream sequentially and skip n tokens after each
+      duplicate hit (non-overlapping counting) — an inherently
+      sequential algorithm. The engine counts every repeat occurrence
+      of every duplicated gram, so on self-overlapping repeats ours
+      is ≥ the reference value (slightly STRICTER at the published
+      thresholds), and identical whenever repeats don't overlap.
 
     Exact definitions (engine-canonical): grams join tokens with one
     space and measure string length including those spaces; the doc
@@ -1569,12 +1605,8 @@ def gopher_repetition_suite(
         n_lines > 0,
         (n_lines - distinct_lines).cast("double") / n_lines.cast("double"),
     )
-    # chars held by line values occurring >= 2 times, over all line chars
-    line_char_tot = F.aggregate(
-        F.col("__lines"),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + F.length(x),
-    )
+    # chars held by REPEAT occurrences ((c-1)·len) of duplicated line
+    # values, over length(text) — the reference calibration.
     # one count per distinct line (transform binds it), not two — the
     # duplicate scan is the hottest per-row loop in the suite
     dup_line_chars = F.aggregate(
@@ -1589,11 +1621,13 @@ def gopher_repetition_suite(
         ),
         F.lit(0).cast("long"),
         lambda acc, st: acc
-        + F.when(st["c"] >= 2, st["c"] * st["l"]).otherwise(F.lit(0)),
+        + F.when(
+            st["c"] >= 2, (st["c"] - F.lit(1)) * st["l"]
+        ).otherwise(F.lit(0)),
     )
     dup_line_char_frac = F.when(
-        line_char_tot > 0,
-        dup_line_chars.cast("double") / line_char_tot.cast("double"),
+        F.col("__chars") > 0,
+        dup_line_chars.cast("double") / F.col("__chars").cast("double"),
     )
     lines_part = base.select(
         id_col,
@@ -1637,7 +1671,8 @@ def gopher_repetition_suite(
         F.coalesce(
             F.sum(
                 F.when(
-                    F.col("__c") >= 2, F.col("__c") * F.length("__g")
+                    F.col("__c") >= 2,
+                    (F.col("__c") - F.lit(1)) * F.length("__g"),
                 )
             ),
             F.lit(0),

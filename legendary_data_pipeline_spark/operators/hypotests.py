@@ -104,6 +104,15 @@ def mann_whitney_u(
     auc_ab = U_a/(n_a·n_b) = P(a > b) + ½P(a = b), the effect size
     (exactly the engine's AUC when a = positives, value = score).
     """
+    if group_a == group_b:
+        # With equal labels every row lands in BOTH groups (n_a = n_b
+        # = N) while the pooled tie count __c counts rows once — the
+        # tie-corrected variance then mixes inconsistent n's and emits
+        # a silently meaningless z_e6. Fail loudly instead.
+        raise ValueError(
+            f"mann_whitney_u: group_a and group_b must differ "
+            f"(both = {group_a!r})"
+        )
     v = F.col(value_col).cast("long")
     g = F.col(group_col)
     is_a = g.eqNullSafe(F.lit(group_a))
@@ -270,6 +279,14 @@ def welch_t_test(
     NULL t_e6/dof_e6. Output (1 row): n_a, n_b, mean_a, mean_b, t_e6,
     dof_e6.
     """
+    if group_a == group_b:
+        # Same failure class as mann_whitney_u: equal labels put every
+        # row in both sides and the statistic silently compares a
+        # sample with itself.
+        raise ValueError(
+            f"welch_t_test: group_a and group_b must differ "
+            f"(both = {group_a!r})"
+        )
     v = F.col(value_col).cast("long")
     g = F.col(group_col)
     is_a = g.eqNullSafe(F.lit(group_a))

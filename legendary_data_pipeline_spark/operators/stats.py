@@ -944,7 +944,18 @@ def correlation_matrix(
     ssc = 0 if small_int_fastpath else scale
     aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
     for c in cols:
-        aggs.append(F.sum(F.col(c)).cast(f"decimal(38,{ssc})").alias(f"__s_{c}"))
+        # The first moment must ACCUMULATE as decimal, not merely cast
+        # the finished sum: in the int fastpath a long-typed sum would
+        # overflow int64 (ANSI error) once n*|v| exceeds ~9.2e18 even
+        # though each value fits the documented |v| <= 3e9 bound.
+        # (Products are already decimal-accumulated — the cast sits
+        # inside their F.sum.)
+        first = (
+            F.col(c).cast("decimal(38,0)")
+            if small_int_fastpath
+            else F.col(c)
+        )
+        aggs.append(F.sum(first).cast(f"decimal(38,{ssc})").alias(f"__s_{c}"))
         aggs.append(
             F.sum(
                 (F.col(c) * F.col(c)).cast(f"decimal(38,{psc})")

@@ -2531,17 +2531,15 @@ _REP_KEEP_SQL = " AND ".join(
              CASE WHEN len(ls) > 0
                   THEN CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE)
                        / CAST(len(ls) AS DOUBLE) END AS dup_line_frac,
-             CASE WHEN COALESCE(list_sum(list_transform(ls,
-                          __x -> length(__x))), 0) > 0
+             CASE WHEN chars > 0
                   THEN CAST(COALESCE(list_sum(list_transform(
                          list_distinct(ls),
                          __v -> CASE WHEN len(list_filter(ls,
                                       __x -> __x = __v)) >= 2
-                                THEN len(list_filter(ls, __x -> __x = __v))
-                                     * length(__v) ELSE 0 END)), 0)
+                                THEN (len(list_filter(ls, __x -> __x = __v))
+                                      - 1) * length(__v) ELSE 0 END)), 0)
                        AS DOUBLE)
-                       / CAST(list_sum(list_transform(ls,
-                           __x -> length(__x))) AS DOUBLE)
+                       / CAST(chars AS DOUBLE)
              END AS dup_line_char_frac
       FROM base),
     ns AS (SELECT unnest(range(2, 11)) AS n),
@@ -2560,7 +2558,7 @@ _REP_KEEP_SQL = " AND ".join(
       FROM pg WHERE c >= 2),
     dups AS (
       SELECT doc_id, n,
-             COALESCE(SUM(CASE WHEN c >= 2 THEN c * length(g) END), 0)
+             COALESCE(SUM(CASE WHEN c >= 2 THEN (c - 1) * length(g) END), 0)
                AS dupchars
       FROM pg GROUP BY 1, 2),
     pn AS (
@@ -2624,7 +2622,13 @@ _REP_KEEP_SQL = " AND ".join(
     "2021 A1.1, all 11 signals — X178): duplicate-line fraction and "
     "character fraction, top-2/3/4-gram character fractions, and "
     "duplicate-5..10-gram character fractions, each gated at the "
-    "published thresholds into one rep_keep verdict. Lines are "
+    "published thresholds into one rep_keep verdict. Round-10: dup "
+    "line/gram char fractions count REPEAT occurrences only "
+    "((c-1)*len) over length(text), matching the reference "
+    "implementations so the published thresholds apply as calibrated "
+    "(remaining documented deviation: overlapping gram repeats are "
+    "all counted where the reference's sequential scan skips n tokens "
+    "after a hit — strictly >= the reference value). Lines are "
     "zero-shuffle per-row array HOFs; word n-grams explode ONCE "
     "across n=2..10 and aggregate keyed by doc id only. Every "
     "fraction is a raw IEEE ratio of exact integers.",

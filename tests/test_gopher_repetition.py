@@ -15,12 +15,14 @@ def _docs(spark, rows):
 
 def test_duplicate_lines_counted(spark):
     # 4 lines, "spam" appears 3x → dup_line_frac = (4-2)/4 = 0.5;
-    # dup chars = 3*4 = 12 of total 4+4+4+6 = 18
+    # REPEAT-occurrence chars = (3-1)*4 = 8 of len(text) = 21 chars
+    # (reference semantics: occurrences beyond the first, over the
+    # full document length including newlines)
     text = "spam\nspam\nspam\nunique"
     out = gopher_repetition_suite(_docs(spark, [(1, text)])).collect()[0]
     assert out.n_lines == 4
     assert out.dup_line_frac == 0.5
-    assert out.dup_line_char_frac == 12.0 / 18.0
+    assert out.dup_line_char_frac == 8.0 / 21.0
     assert out.rep_keep is False  # 0.5 > 0.30
 
 
@@ -42,13 +44,14 @@ def test_top_ngram_char_fraction(spark):
 
 
 def test_dup_ngram_char_fraction_exact(spark):
-    # 12 identical tokens "x": every 5-gram "x x x x x" (9 chars)
-    # occurs 8 times (all duplicated) → dup_5gram chars = 8*9 = 72
-    # over 23 text chars (12 tokens + 11 spaces) → 72/23 (uncapped,
-    # like the reference implementations)
+    # 12 identical tokens "x": the 5-gram "x x x x x" (9 chars) occurs
+    # 8 times → REPEAT occurrences = 8-1 = 7 → dup_5gram chars =
+    # 7*9 = 63 over 23 text chars (12 tokens + 11 spaces) → 63/23.
+    # Uncapped: overlapping repeats all count (documented deviation
+    # from the reference's sequential skip-n scan — ours is >= it).
     text = " ".join(["x"] * 12)
     out = gopher_repetition_suite(_docs(spark, [(1, text)])).collect()[0]
-    assert out.dup_5gram_char_frac == 72.0 / 23.0
+    assert out.dup_5gram_char_frac == 63.0 / 23.0
     assert out.rep_keep is False
 
 

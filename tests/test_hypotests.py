@@ -56,6 +56,17 @@ def test_mwu_empty_group_null(spark):
     assert out.z_e6 is None and out.auc_ab is None
 
 
+def test_mwu_and_welch_reject_equal_groups(spark):
+    # group_a == group_b puts every row in both sides (n_a = n_b = N)
+    # while the pooled tie count counts rows once — the statistic is
+    # silently meaningless, so the operators must fail loudly (r10)
+    rows = [("a", 1), ("a", 2), ("b", 3)]
+    with pytest.raises(ValueError, match="must differ"):
+        mann_whitney_u(_df(spark, rows), "v", "g", "a", "a")
+    with pytest.raises(ValueError, match="must differ"):
+        welch_t_test(_df(spark, rows), "v", "g", "b", "b")
+
+
 def test_mwu_matches_auc_identity(spark):
     # U/(n_a n_b) must equal the tie-credited AUC of "is group a"
     # against v (scores); cross-check with a direct O(n^2) count.

@@ -165,6 +165,18 @@ def test_budget_head_zero_budget_and_whole_doc_rule(spark):
         )
 
 
+def test_budget_head_rejects_duplicate_ids(spark):
+    # duplicate (score, id) rows make cum_weight partition-dependent —
+    # the in-plan raise_error guard (r10, the theil_sen precedent)
+    # must fail the job instead of silently picking a frontier
+    rows = [(1, 90, 100), (1, 90, 50), (2, 80, 100)]
+    with pytest.raises(Exception, match="duplicate"):
+        token_budget_head(
+            _scored(spark, rows), budget=250,
+            weight_col="token_count", order_col="quality_score",
+        ).collect()
+
+
 def test_budget_head_partition_invariance(spark):
     rows = [(i, i % 4 * 10, 5 + i % 3) for i in range(60)]
     a = token_budget_head(
