@@ -1575,11 +1575,17 @@ def gopher_repetition_suite(
     passing — absence of content is the word-count gate's job, not a
     repetition signal.
 
-    Scale: lines are zero-shuffle array HOFs (per-doc line counts are
-    small; the duplicate scan is O(lines²) within one row). N-grams
-    explode ONCE across n = 2..10 and aggregate keyed by (doc, n,
-    gram) then (doc, n) then doc — the only shuffle key is the doc id,
-    fan-in bounded by document length (the repetition_stats contract).
+    Scale: the ENTIRE suite is a zero-shuffle per-row projection.
+    Lines are array HOFs (per-doc line counts are small; the duplicate
+    scan is O(lines²) within one row). N-gram signals (round-10
+    rewrite) never explode: per n the gram array is `array_sort`ed and
+    ONE linear `aggregate` pass over the sorted runs accumulates the
+    duplicated-char sum and the (count, length)-max top gram —
+    O(G log G) per document per n, all inside the JVM, versus the old
+    explode → groupBy(doc, n, gram) that shuffled ~9×tokens gram
+    STRINGS (measured 9.5 s → ~2 s at sf0.1, 7.3× → linear at a
+    synthesized sf1). No join, no shuffle, no skew surface beyond
+    document length itself (cap extreme docs upstream).
 
     Output: id, n_lines, the 11 fractions, rep_keep.
     """
@@ -1592,12 +1598,13 @@ def gopher_repetition_suite(
         ),
         lambda x: x != F.lit(""),
     )
+    # Single consumer now (the whole suite is one projection) — no pin.
     base = df.select(
         F.col(id_col),
         toks.alias("__t"),
         total_chars.alias("__chars"),
         lines_arr.alias("__lines"),
-    ).localCheckpoint(eager=False)  # grams + lines consume it (r9 rule)
+    )
 
     n_lines = F.size("__lines")
     distinct_lines = F.size(F.array_distinct("__lines"))
@@ -1631,69 +1638,88 @@ def gopher_repetition_suite(
     )
     lines_part = base.select(
         id_col,
+        "__t",
         "__chars",
         n_lines.cast("long").alias("n_lines"),
         dup_line_frac.alias("dup_line_frac"),
         dup_line_char_frac.alias("dup_line_char_frac"),
     )
 
-    def grams_for(n: int) -> Column:
-        t = F.col("__t")
-        return F.when(
-            F.size(t) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
-                lambda j: F.struct(
-                    F.lit(n).alias("n"),
-                    F.array_join(F.slice(t, j, n), " ").alias("g"),
-                ),
-            ),
-        ).otherwise(F.array().cast("array<struct<n:int,g:string>>"))
+    zero = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
 
-    all_grams = F.flatten(F.array(*[grams_for(n) for n in range(2, 11)]))
-    exploded = base.select(
-        F.col(id_col), F.explode(all_grams).alias("__gr")
-    ).select(id_col, F.col("__gr.n").alias("__n"), F.col("__gr.g").alias("__g"))
-    per_gram = exploded.groupBy(id_col, "__n", "__g").agg(
-        F.count(F.lit(1)).cast("long").alias("__c")
-    )
-    per_n = per_gram.groupBy(id_col, "__n").agg(
-        F.max(
-            F.when(
-                F.col("__c") >= 2,
-                F.struct(
-                    F.col("__c").alias("c"),
-                    F.length("__g").alias("l"),
-                    F.col("__g").alias("g"),
-                ),
-            )
-        ).alias("__top"),
-        F.coalesce(
-            F.sum(
-                F.when(
-                    F.col("__c") >= 2,
-                    (F.col("__c") - F.lit(1)) * F.length("__g"),
+    def ngram_stats(n: int) -> Column:
+        """Per-row (dup_chars, top_chars) for word n-grams: sort the
+        gram array so equal grams form contiguous runs, then ONE
+        linear aggregate closes each run — dup += (c−1)·len for c ≥ 2,
+        top keeps the (count, length)-max duplicated gram (the emitted
+        value is count·length, so equal-(c, l) ties emit identically
+        regardless of which gram wins). NULL when the doc has < n
+        tokens (no n-gram exists — vacuous, not zero repetition)."""
+        t = F.col("__t")
+        grams = F.when(
+            F.size(t) >= n,
+            F.array_sort(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
+                    lambda j: F.array_join(F.slice(t, j, n), " "),
                 )
             ),
-            F.lit(0),
-        ).cast("long").alias("__dupchars"),
-    )
-    top_chars = (F.col("__top.c") * F.col("__top.l")).cast("long")
-    pivot_aggs = []
-    for n in (2, 3, 4):
-        pivot_aggs.append(
-            F.max(F.when(F.col("__n") == n, top_chars)).alias(f"__top{n}")
         )
-    for n in range(5, 11):
-        pivot_aggs.append(
-            F.max(
-                F.when(F.col("__n") == n, F.col("__dupchars"))
-            ).alias(f"__dup{n}")
+        init = F.struct(
+            F.lit("").alias("p"),
+            zero.alias("r"),
+            zero.alias("dup"),
+            zero.alias("tc"),
+            zero.alias("tl"),
         )
-    pivot_aggs.append(F.count(F.lit(1)).cast("long").alias("__has_grams"))
-    per_doc = per_n.groupBy(id_col).agg(*pivot_aggs)
 
-    joined = lines_part.join(per_doc, id_col, "left")
+        def _close(acc):
+            """dup/tc/tl after closing the currently-open run."""
+            c = acc["r"]
+            ln = F.length(acc["p"]).cast("long")
+            dup2 = acc["dup"] + F.when(
+                c >= 2, (c - one) * ln
+            ).otherwise(zero)
+            better = (c >= 2) & (
+                (c > acc["tc"]) | ((c == acc["tc"]) & (ln > acc["tl"]))
+            )
+            tc2 = F.when(better, c).otherwise(acc["tc"])
+            tl2 = F.when(better, ln).otherwise(acc["tl"])
+            return dup2, tc2, tl2
+
+        def merge(acc, x):
+            dup2, tc2, tl2 = _close(acc)
+            return F.when(
+                x == acc["p"],
+                F.struct(
+                    acc["p"].alias("p"),
+                    (acc["r"] + one).alias("r"),
+                    acc["dup"].alias("dup"),
+                    acc["tc"].alias("tc"),
+                    acc["tl"].alias("tl"),
+                ),
+            ).otherwise(
+                F.struct(
+                    x.alias("p"),
+                    one.alias("r"),
+                    dup2.alias("dup"),
+                    tc2.alias("tc"),
+                    tl2.alias("tl"),
+                )
+            )
+
+        def finish(acc):
+            dup2, tc2, tl2 = _close(acc)
+            return F.struct(
+                dup2.alias("dup"), (tc2 * tl2).alias("top")
+            )
+
+        return F.aggregate(grams, init, merge, finish)
+
+    stats = lines_part.withColumns(
+        {f"__st{n}": ngram_stats(n) for n in range(2, 11)}
+    )
     chars_d = F.nullif(F.col("__chars").cast("double"), F.lit(0.0))
     out_cols = [
         F.col(id_col),
@@ -1701,18 +1727,22 @@ def gopher_repetition_suite(
         F.col("dup_line_frac"),
         F.col("dup_line_char_frac"),
     ]
-    has_grams = F.col("__has_grams").isNotNull()
+    # A doc with ANY gram (>= 2 tokens) reports 0.0 — not NULL — for
+    # the n's it is too short to form (nothing repeats there); a doc
+    # with no grams at all reports NULL across the board (vacuous).
+    # Same contract as the pre-r10 exploded form and the oracle SQL.
+    has_grams = F.size("__t") >= 2
     frac_cols: dict[str, Column] = {}
     for n in (2, 3, 4):
         frac_cols[f"top_{n}gram_char_frac"] = F.when(
             has_grams,
-            F.coalesce(F.col(f"__top{n}"), F.lit(0)).cast("double")
+            F.coalesce(F.col(f"__st{n}.top"), zero).cast("double")
             / chars_d,
         )
     for n in range(5, 11):
         frac_cols[f"dup_{n}gram_char_frac"] = F.when(
             has_grams,
-            F.coalesce(F.col(f"__dup{n}"), F.lit(0)).cast("double")
+            F.coalesce(F.col(f"__st{n}.dup"), zero).cast("double")
             / chars_d,
         )
     for name, col in frac_cols.items():
@@ -1726,7 +1756,7 @@ def gopher_repetition_suite(
         )
         keep = keep & F.coalesce(sig <= F.lit(float(thr)), F.lit(True))
     out_cols.append(keep.alias("rep_keep"))
-    return joined.select(*out_cols)
+    return stats.select(*out_cols)
 
 
 def fineweb_line_signals(

@@ -808,6 +808,14 @@ def link_prediction_topk(
     scores are then computed on the hub-free subgraph — standard LP
     practice, since hub co-neighborship carries no signal). Candidate
     generation is distance-2 only: cn = 0 pairs are never materialized.
+    The cap defends against hub TAILS, not hub MEANS: common-neighbor
+    LP presumes a sparse graph, and when the TYPICAL degree is
+    hub-sized the graph is near-complete — distance-2 candidacy then
+    covers almost every pair and carries no ranking signal while Σdeg²
+    explodes (round-10 probe: the unfiltered co-purchase graph at avg
+    degree ~120 → 3×10⁹ wedges at sf1, OOM). Spec a sparser,
+    semantically meaningful edge set instead (the gate query's
+    high-volume slice precedent).
     One edge-list materialization feeds adjacency, degrees, and the
     anti-join (lineage pinned); top-k is a bounded
     TakeOrderedAndProject, never a full sort to disk.
