@@ -2523,7 +2523,14 @@ def equal_freq_bins(
     cum = distributed_below_counts(
         g, "__v", ["__c"], inclusive=False, group_cols=groups
     )
-    totals = g.groupBy(*groups).agg(
+    # Totals come from `cum`, NOT from `g`: distributed_below_counts
+    # pins its range-partitioned frame, so aggregating cum reuses that
+    # materialization — aggregating g would replay the source scan AND
+    # the data-sized distinct-value groupBy a second time (r9
+    # multi-consumer rule; plan-verified FileScan 2 → 0; local timing
+    # is noise-bound at sf0.1 but a second corpus scan is never the
+    # 100 TB plan).
+    totals = cum.groupBy(*groups).agg(
         F.sum("__c").cast("decimal(38,0)").alias("__n")
     )
     if groups:
