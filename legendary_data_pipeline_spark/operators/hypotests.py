@@ -61,7 +61,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from legendary_data_pipeline_spark.operators.stats import (
@@ -670,4 +670,309 @@ def brown_forsythe(
         "dof_between",
         "dof_within",
         F.col("f_e6").alias("w_e6"),
+    )
+
+
+def cliffs_delta(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Cliff's delta ordinal effect size between two named groups —
+    the magnitude companion to `mann_whitney_u`'s significance:
+
+        δ = (#{x ∈ a, y ∈ b: x > y} − #{x < y}) / (n_a · n_b)
+
+    δ ∈ [−1, 1]; |δ| ≥ 0.147/0.33/0.474 are the published
+    negligible/small/medium/large cut points (Romano et al. 2006).
+    Unlike a standardized mean difference it is rank-based — robust to
+    outliers and any monotone rescaling, the right effect size to
+    report next to a rank test.
+
+    ``value_col`` must be integer-valued (cents convention). Rows
+    outside the two named groups and NULL values drop. The pair counts
+    are EXACT decimal(38,0) integers built from per-distinct-value
+    group counts and one distributed below-counts pass (never the
+    O(n_a·n_b) pair materialization); δ is one exact IEEE division and
+    emits RAW (the representation rule for exact ratios). Either group
+    empty → NULL delta.
+
+    Output (1 row): n_a, n_b, gt_pairs, lt_pairs, delta.
+    """
+    if group_a == group_b:
+        raise ValueError(
+            f"cliffs_delta: group_a and group_b must differ "
+            f"(both = {group_a!r})"
+        )
+    v = F.col(value_col).cast("long")
+    g = F.col(group_col)
+    is_a = g.eqNullSafe(F.lit(group_a))
+    is_b = g.eqNullSafe(F.lit(group_b))
+    d = df.select(
+        v.alias("__v"),
+        is_a.cast("long").alias("__ia"),
+        is_b.cast("long").alias("__ib"),
+    ).where(v.isNotNull() & (F.col("__ia") + F.col("__ib") > 0))
+    per_v = d.groupBy("__v").agg(
+        F.sum("__ia").cast(_DEC).alias("__na"),
+        F.sum("__ib").cast(_DEC).alias("__nb"),
+    )
+    cum = distributed_below_counts(per_v, "__v", ["__nb"], inclusive=False)
+    agg = cum.agg(
+        F.sum("__na").cast(_DEC).alias("__n_a"),
+        F.sum("__nb").cast(_DEC).alias("__n_b"),
+        # a-rows strictly above b-rows: for each a value v, b values < v
+        F.sum((F.col("__na") * F.col("__nb_cum")).cast(_DEC))
+        .cast(_DEC)
+        .alias("__gt"),
+        # a-rows strictly below b-rows: b values > v is the complement
+        # of (below + tied); the total n_b term attaches after the agg
+        F.sum(
+            (F.col("__na") * (F.col("__nb_cum") + F.col("__nb"))).cast(_DEC)
+        )
+        .cast(_DEC)
+        .alias("__le"),
+    )
+    na = F.col("__n_a")
+    nb = F.col("__n_b")
+    gt = F.col("__gt")
+    lt = (na * nb - F.col("__le")).cast(_DEC)
+    delta = F.when(
+        (na > 0) & (nb > 0),
+        (gt - lt).cast("double") / (na * nb).cast("double"),
+    )
+    return agg.select(
+        F.coalesce(na, F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(nb, F.lit(0)).cast("long").alias("n_b"),
+        F.coalesce(gt, F.lit(0)).cast("long").alias("gt_pairs"),
+        F.coalesce(lt, F.lit(0)).cast("long").alias("lt_pairs"),
+        delta.alias("delta"),
+    )
+
+
+def runs_test(
+    df: DataFrame,
+    t_col: str,
+    v_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Wald–Wolfowitz one-sample runs test for serial randomness per
+    group: dichotomize the time-ordered series around its group MEDIAN
+    (values equal to the median drop — the standard convention), count
+    runs R of consecutive same-side values, and compare with the
+    random expectation
+
+        E[R] = 2·n1·n2/n + 1
+        Var  = 2·n1·n2·(2·n1·n2 − n) / (n²·(n−1))
+        z    = (R − E[R]) / sqrt(Var)
+
+    A trending or mean-shifting series produces too FEW runs (z < 0);
+    an oscillating/overdispersed one too many (z > 0) — the quick
+    "is this residual stream random?" gate behind CUSUM/EWMA alarms.
+
+    ``v_col`` must be integer-valued; the median uses `percentile`
+    (quantile_cont bit-parity convention) and the above/below compare
+    doubles both sides so a half-integer median stays exact. R/n1/n2
+    are exact integers from one per-group lag window over the
+    time-ordered kept rows; z is a fixed IEEE tree emitted as z_e6
+    BIGINT (NULL when n1 = 0, n2 = 0, or n < 2).
+
+    Scale: one group-keyed median aggregation (broadcast back), one
+    per-group ordered window — group size is the parallelism bound,
+    same contract as every per-group series operator here.
+
+    Output per group: n_above, n_below, runs, z_e6.
+    """
+    groups = list(group_cols)
+    t = F.col(t_col).cast("long")
+    v = F.col(v_col).cast("long")
+    d = df.select(
+        *groups, t.alias("__t"), v.alias("__v")
+    ).where(t.isNotNull() & v.isNotNull())
+    d = d.localCheckpoint(eager=False)  # median + window (r9 rule)
+    meds = d.groupBy(*groups).agg(
+        F.percentile(F.col("__v"), F.lit(0.5)).alias("__med")
+    )
+    if groups:
+        mm = meds.select(
+            *[F.col(g).alias(f"__mg_{g}") for g in groups], "__med"
+        )
+        cond = [F.col(g).eqNullSafe(F.col(f"__mg_{g}")) for g in groups]
+        j = d.join(F.broadcast(mm), cond).drop(
+            *[f"__mg_{g}" for g in groups]
+        )
+    else:
+        j = d.crossJoin(F.broadcast(meds))
+    # 2v vs 2·median keeps the half-integer median exact in integers
+    two_med = F.round(F.col("__med") * F.lit(2.0)).cast("long")
+    side = F.when(F.lit(2) * F.col("__v") > two_med, F.lit(1)).when(
+        F.lit(2) * F.col("__v") < two_med, F.lit(0)
+    )
+    kept = j.select(*groups, "__t", side.alias("__s")).where(
+        F.col("__s").isNotNull()
+    )
+    w = Window.partitionBy(*groups).orderBy("__t")
+    runs_flag = F.when(
+        F.lag("__s").over(w).isNull()
+        | (F.col("__s") != F.lag("__s").over(w)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    ann = kept.select(*groups, "__s", runs_flag.alias("__new_run"))
+    agg = ann.groupBy(*groups).agg(
+        F.sum("__s").cast("long").alias("n_above"),
+        F.sum(F.lit(1) - F.col("__s")).cast("long").alias("n_below"),
+        F.sum("__new_run").cast("long").alias("runs"),
+    )
+    n1 = F.col("n_above").cast("double")
+    n2 = F.col("n_below").cast("double")
+    n = n1 + n2
+    e_r = F.lit(2.0) * n1 * n2 / n + F.lit(1.0)
+    var = (
+        F.lit(2.0)
+        * n1
+        * n2
+        * (F.lit(2.0) * n1 * n2 - n)
+        / (n * n * (n - F.lit(1.0)))
+    )
+    z = (F.col("runs").cast("double") - e_r) / F.sqrt(var)
+    return agg.select(
+        *groups,
+        "n_above",
+        "n_below",
+        "runs",
+        F.when(
+            (F.col("n_above") > 0) & (F.col("n_below") > 0) & (var > 0),
+            _e6(z),
+        ).alias("z_e6"),
+    )
+
+
+def friedman_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Friedman test — the paired k-treatment rank test (repeated
+    measures across blocks): "do k pipeline variants rank the same
+    across days/segments?", the k-group extension of the Wilcoxon
+    signed-rank pairing. Values are ranked WITHIN each block (average
+    ranks on ties), rank sums per treatment are compared via the
+    tie-corrected statistic (Conover 1999 form):
+
+        T = (k−1) · [Σ_j R_j² − n²·k(k+1)²/4] / (A − C)
+        A = Σ_{ij} r_ij²,  C = n·k(k+1)²/4     (χ²_{k−1} under H0)
+
+    Input must have ONE row per (block, treatment); blocks missing any
+    treatment are DROPPED (the complete-block design requirement —
+    dropped count is emitted so silent attrition is visible).
+    Duplicate (block, treatment) rows raise in-plan (the
+    token_budget_head guard precedent).
+
+    Exactness: ranks double (2r = 2·below + c + 1 within the k-sized
+    block) so every term is an exact integer; the doubled factors
+    cancel in T's ratio, leaving ONE IEEE division of exact integers —
+    T emits RAW (the exact-ratio representation rule). All values tied
+    in every block → denominator 0 → NULL t.
+
+    Scale: blocks are the parallelism unit; within-block ranking is a
+    k-sized window. One (block)-keyed shuffle end to end.
+
+    Output (1 row): n_blocks, n_dropped_blocks, k, t.
+    """
+    b = F.col(block_col)
+    tr = F.col(treatment_col)
+    v = F.col(value_col).cast("long")
+    d = df.select(
+        b.alias("__b"), tr.alias("__tr"), v.alias("__v")
+    ).where(b.isNotNull() & tr.isNotNull() & v.isNotNull())
+    d = d.localCheckpoint(eager=False)  # k-count + blocks + ranks
+    # in-plan duplicate guard
+    dup_w = Window.partitionBy("__b", "__tr")
+    d = d.withColumn("__dupn", F.count(F.lit(1)).over(dup_w))
+    d = d.withColumn(
+        "__v",
+        F.when(
+            F.col("__dupn") > 1,
+            F.raise_error(
+                F.lit(
+                    "friedman_test: duplicate (block, treatment) rows - "
+                    "the design requires one observation per cell; "
+                    "aggregate first"
+                )
+            ).cast("long"),
+        ).otherwise(F.col("__v")),
+    ).drop("__dupn")
+    k_row = d.select(
+        F.countDistinct("__tr").cast("long").alias("__k")
+    )
+    sizes = d.groupBy("__b").agg(
+        F.count(F.lit(1)).cast("long").alias("__bk")
+    )
+    complete = sizes.crossJoin(F.broadcast(k_row)).select(
+        "__b",
+        "__k",
+        (F.col("__bk") == F.col("__k")).alias("__ok"),
+    )
+    kept = d.join(
+        complete.where(F.col("__ok")).select("__b", "__k"), "__b"
+    )
+    # tie-safe doubled average rank from rank(): for value v with c
+    # ties starting at position p (rank() = p), avg rank = p + (c−1)/2
+    # → 2r = 2p + c − 1. c comes from a count over the value partition.
+    rw = Window.partitionBy("__b").orderBy("__v")
+    cw = Window.partitionBy("__b", "__v")
+    r2 = (
+        F.lit(2) * F.rank().over(rw)
+        + F.count(F.lit(1)).over(cw)
+        - F.lit(1)
+    ).cast("long")
+    ranked = kept.select("__b", "__tr", "__k", r2.alias("__r2"))
+    per_tr = ranked.groupBy("__tr").agg(
+        F.sum("__r2").cast(_DEC).alias("__s2"),
+        F.sum(
+            (F.col("__r2") * F.col("__r2")).cast(_DEC)
+        ).cast(_DEC).alias("__q2"),
+        F.count(F.lit(1)).cast("long").alias("__nb"),
+    )
+    n_blocks_row = ranked.groupBy().agg(
+        F.countDistinct("__b").cast("long").alias("__n"),
+        F.max("__k").alias("__kk"),
+    )
+    stat = per_tr.crossJoin(F.broadcast(n_blocks_row)).agg(
+        F.max("__n").alias("n_blocks"),
+        F.max("__kk").alias("k"),
+        F.sum((F.col("__s2") * F.col("__s2")).cast(_DEC))
+        .cast(_DEC)
+        .alias("__sum_s2sq"),
+        F.sum("__q2").cast(_DEC).alias("__a2"),
+    )
+    n = F.col("n_blocks").cast(_DEC)
+    kk = F.col("k").cast(_DEC)
+    # doubled units: Σ(2R_j)² = 4ΣR_j²; n²k(k+1)² = 4·(n²k(k+1)²/4);
+    # Σ(2r)² = 4A; nk(k+1)² = 4C — the 4s cancel in the ratio.
+    num = (
+        F.col("__sum_s2sq")
+        - (n * n * kk * (kk + F.lit(1)) * (kk + F.lit(1))).cast(_DEC)
+    ).cast("double")
+    den = (
+        F.col("__a2")
+        - (n * kk * (kk + F.lit(1)) * (kk + F.lit(1))).cast(_DEC)
+    ).cast("double")
+    t_stat = F.when(
+        (F.col("n_blocks") >= 1) & (F.col("k") >= 2) & (den > 0),
+        (F.col("k") - F.lit(1)).cast("double") * num / den,
+    )
+    dropped = complete.agg(
+        F.sum(F.when(~F.col("__ok"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped_blocks")
+    )
+    return stat.crossJoin(F.broadcast(dropped)).select(
+        "n_blocks",
+        "n_dropped_blocks",
+        "k",
+        t_stat.alias("t"),
     )

@@ -2393,6 +2393,139 @@ def theil_sen_trend(
     )
 
 
+def mann_kendall(
+    df: DataFrame,
+    t_col: str,
+    v_col: str,
+    group_cols: Sequence[str] = (),
+    max_points: int = 20000,
+) -> DataFrame:
+    """Mann–Kendall monotone-trend test per group — the SIGNIFICANCE
+    companion to `theil_sen_trend` (the pair ships as the standard
+    nonparametric trend kit: Theil–Sen says how steep, Mann–Kendall
+    says whether the monotone trend is real):
+
+        S   = Σ_{i<j by time} sign(v_j − v_i)          (exact integer)
+        Var = (n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)) / 18   (tie-corrected;
+              t = value tie-group sizes)
+        z   = (S ∓ 1)/sqrt(Var)  (continuity-corrected; 0 when S = 0)
+        τ   = S / (n(n−1)/2)     (Kendall trend strength, exact ratio)
+
+    ``t_col``/``v_col`` must be integer-valued with one row per
+    (group, t) — aggregate to day/hour grain first (the theil_sen
+    contract). S and the variance terms are exact integer arithmetic;
+    τ emits as a RAW double (one exact IEEE division — the
+    representation rule for exact ratios); z emits as z_e6 BIGINT
+    (sqrt involved). Groups with n < 2 or Var = 0 (all values tied)
+    yield NULL z_e6.
+
+    Scale: the pair join is O(d²) per group BY DESIGN (same estimator
+    family as theil_sen — meant for COARSENED series), group-keyed,
+    with the same in-plan ``max_points`` raise_error guard. Tie terms
+    come from a (group, value) groupBy — never the pair frame.
+
+    Output per group: n_points, s, tau, z_e6.
+    """
+    groups = list(group_cols)
+    t = F.col(t_col).cast("long")
+    v = F.col(v_col).cast("long")
+    d = df.select(
+        *groups, t.alias("__t"), v.alias("__v")
+    ).where(t.isNotNull() & v.isNotNull())
+    # Pin: pair join (both sides) + point stats + tie counts (r9 rule).
+    d = d.localCheckpoint(eager=False)
+    cnt_w = Window.partitionBy(*groups) if groups else Window.partitionBy()
+    guarded = d.withColumn("__np", F.count(F.lit(1)).over(cnt_w))
+    guarded = guarded.withColumn(
+        "__v",
+        F.when(
+            F.col("__np") > max_points,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "mann_kendall: a group exceeds "
+                        f"max_points={max_points} points "
+                        "(O(n^2) pairs) - aggregate the series to a "
+                        "coarser grain first, or raise max_points if "
+                        "the pair count is genuinely intended"
+                    )
+                )
+            ).cast("long"),
+        ).otherwise(F.col("__v")),
+    ).drop("__np")
+    left = guarded.select(
+        *groups, F.col("__t").alias("__ti"), F.col("__v").alias("__vi")
+    )
+    right = guarded.select(
+        *[F.col(g).alias(f"__r_{g}") for g in groups],
+        F.col("__t").alias("__tj"),
+        F.col("__v").alias("__vj"),
+    )
+    if groups:
+        cond = [F.col(g).eqNullSafe(F.col(f"__r_{g}")) for g in groups]
+        pairs = left.join(right, cond).drop(*[f"__r_{g}" for g in groups])
+    else:
+        pairs = left.crossJoin(right)
+    pairs = pairs.where(F.col("__ti") < F.col("__tj"))
+    s_agg = pairs.groupBy(*groups).agg(
+        F.sum(F.signum(F.col("__vj") - F.col("__vi")).cast("long"))
+        .cast("long")
+        .alias("__s")
+    )
+    # Tie term Σ t(t−1)(2t+5) from the (group, value) counts — n ≤
+    # max_points so every product fits int64 with orders to spare.
+    ties = (
+        d.groupBy(*groups, "__v")
+        .agg(F.count(F.lit(1)).cast("long").alias("__tc"))
+        .groupBy(*groups)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__nv"),
+            F.sum(
+                F.col("__tc")
+                * (F.col("__tc") - F.lit(1))
+                * (F.lit(2) * F.col("__tc") + F.lit(5))
+            )
+            .cast("long")
+            .alias("__tie"),
+            F.sum("__tc").cast("long").alias("n_points"),
+        )
+    )
+    if groups:
+        sa = s_agg.select(
+            *[F.col(g).alias(f"__sg_{g}") for g in groups], "__s"
+        )
+        cond = [F.col(g).eqNullSafe(F.col(f"__sg_{g}")) for g in groups]
+        joined = ties.join(sa, cond, "left").drop(
+            *[f"__sg_{g}" for g in groups]
+        )
+    else:
+        joined = ties.crossJoin(s_agg)
+    n = F.col("n_points")
+    s = F.coalesce(F.col("__s"), F.lit(0)).cast("long")
+    var_num = (
+        n * (n - F.lit(1)) * (F.lit(2) * n + F.lit(5)) - F.col("__tie")
+    ).cast("double")
+    var = var_num / F.lit(18.0)
+    # continuity correction toward zero; z undefined when Var = 0
+    z = F.when(
+        (n >= 2) & (var > 0),
+        F.when(s > 0, (s.cast("double") - F.lit(1.0)) / F.sqrt(var))
+        .when(s < 0, (s.cast("double") + F.lit(1.0)) / F.sqrt(var))
+        .otherwise(F.lit(0.0)),
+    )
+    n_pairs = (n * (n - F.lit(1)) / F.lit(2)).cast("long")
+    tau = F.when(
+        n >= 2, s.cast("double") / n_pairs.cast("double")
+    )
+    return joined.select(
+        *groups,
+        "n_points",
+        s.alias("s"),
+        tau.alias("tau"),
+        F.round(z * F.lit(1e6)).cast("long").alias("z_e6"),
+    )
+
+
 def ewma_anomalies(
     df: DataFrame,
     t_col: str,

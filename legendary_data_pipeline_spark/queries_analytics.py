@@ -4261,6 +4261,229 @@ def ts_theil_sen_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_shadow(
+    "ts_mann_kendall_daily_value",
+    f"""
+    WITH daily AS ({_DAILY_CENTS_SQL}),
+    s_agg AS (
+      SELECT a.event_type,
+             CAST(SUM(CASE WHEN b.cents > a.cents THEN 1
+                           WHEN b.cents < a.cents THEN -1 ELSE 0 END)
+               AS BIGINT) AS s
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.day < b.day
+      GROUP BY a.event_type),
+    ties AS (
+      SELECT event_type,
+             CAST(SUM(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT) AS tie,
+             CAST(SUM(tc) AS BIGINT) AS n_points
+      FROM (SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS tc
+            FROM daily GROUP BY 1, 2) GROUP BY event_type),
+    j AS (
+      SELECT t.event_type, t.n_points,
+             COALESCE(s.s, 0) AS s,
+             CAST(t.n_points * (t.n_points - 1) * (2 * t.n_points + 5)
+                  - t.tie AS DOUBLE) / 18.0 AS var
+      FROM ties t LEFT JOIN s_agg s USING (event_type))
+    SELECT event_type, n_points, s,
+           CASE WHEN n_points >= 2
+                THEN CAST(s AS DOUBLE)
+                     / CAST(n_points * (n_points - 1) // 2 AS DOUBLE)
+           END AS tau,
+           CAST(round((CASE WHEN n_points >= 2 AND var > 0 THEN
+                  CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0) / sqrt(var)
+                       WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0) / sqrt(var)
+                       ELSE 0.0 END END) * 1e6) AS BIGINT) AS z_e6
+    FROM j
+    """,
+    doc="Mann-Kendall monotone-trend test of each event type's daily "
+    "value series (X187) — the significance companion to Theil-Sen "
+    "(X170): S = sum of pairwise time-ordered value signs (exact "
+    "integer), tie-corrected variance from the (group, value) counts, "
+    "continuity-corrected z as z_e6 BIGINT, Kendall tau as a raw "
+    "exact-ratio double. Same O(days^2)-by-design pair join on the "
+    "coarsened day-grain frame, same in-plan max_points guard.",
+)
+def ts_mann_kendall_daily_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.stats import mann_kendall
+
+    return mann_kendall(
+        _daily_cents(spark, sf_dir), "day", "cents",
+        group_cols=["event_type"],
+    )
+
+
+@register_shadow(
+    "ht_cliffs_delta_qty_flag",
+    """
+    WITH base AS (
+      SELECT CAST(l_quantity AS BIGINT) AS v,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ia,
+             CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END AS ib
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_returnflag IN ('R', 'N')),
+    perv AS (
+      SELECT v, CAST(SUM(ia) AS HUGEINT) AS na,
+             CAST(SUM(ib) AS HUGEINT) AS nb
+      FROM base GROUP BY v),
+    cum AS (
+      SELECT v, na, nb,
+             COALESCE(SUM(nb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               CAST(0 AS HUGEINT)) AS bb
+      FROM perv),
+    agg AS (
+      SELECT SUM(na) AS n_a, SUM(nb) AS n_b,
+             SUM(na * bb) AS gt, SUM(na * (bb + nb)) AS le
+      FROM cum)
+    SELECT CAST(COALESCE(n_a, 0) AS BIGINT) AS n_a,
+           CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b,
+           CAST(COALESCE(gt, 0) AS BIGINT) AS gt_pairs,
+           CAST(COALESCE(n_a * n_b - le, 0) AS BIGINT) AS lt_pairs,
+           CASE WHEN n_a > 0 AND n_b > 0
+                THEN CAST(gt - (n_a * n_b - le) AS DOUBLE)
+                     / CAST(n_a * n_b AS DOUBLE) END AS delta
+    FROM agg
+    """,
+    doc="Cliff's delta ordinal effect size for quantity between "
+    "returned (R) and unreturned (N) lines (X188) — the magnitude "
+    "companion to ht_mann_whitney_qty_flag's significance: "
+    "(P(x>y) - P(x<y)) with exact decimal(38,0) pair counts from the "
+    "distinct-value frame + one distributed below-counts pass (never "
+    "the O(n_a*n_b) pair materialization); delta is one exact IEEE "
+    "division emitted RAW per the exact-ratio representation rule.",
+)
+def ht_cliffs_delta_qty_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.hypotests import (
+        cliffs_delta,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return cliffs_delta(li, "l_quantity", "l_returnflag", "R", "N")
+
+
+@register_shadow(
+    "ts_runs_test_daily_value",
+    f"""
+    WITH daily AS ({_DAILY_CENTS_SQL}),
+    med AS (
+      SELECT event_type,
+             quantile_cont(CAST(cents AS DOUBLE), 0.5) AS med
+      FROM daily GROUP BY 1),
+    sided AS (
+      SELECT d.event_type, d.day,
+             CASE WHEN 2 * d.cents > CAST(round(m.med * 2) AS BIGINT)
+                  THEN 1
+                  WHEN 2 * d.cents < CAST(round(m.med * 2) AS BIGINT)
+                  THEN 0 END AS s
+      FROM daily d JOIN med m USING (event_type)),
+    kept AS (SELECT * FROM sided WHERE s IS NOT NULL),
+    ann AS (
+      SELECT event_type, s,
+             CASE WHEN lag(s) OVER w IS NULL OR s <> lag(s) OVER w
+                  THEN 1 ELSE 0 END AS nr
+      FROM kept WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+    agg AS (
+      SELECT event_type,
+             CAST(SUM(s) AS BIGINT) AS n_above,
+             CAST(SUM(1 - s) AS BIGINT) AS n_below,
+             CAST(SUM(nr) AS BIGINT) AS runs
+      FROM ann GROUP BY 1),
+    d AS (
+      SELECT *, CAST(n_above AS DOUBLE) AS n1, CAST(n_below AS DOUBLE) AS n2,
+             CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE) AS n
+      FROM agg),
+    v AS (
+      SELECT *, 2.0 * n1 * n2 / n + 1.0 AS e_r,
+             2.0 * n1 * n2 * (2.0 * n1 * n2 - n) / (n * n * (n - 1.0)) AS var
+      FROM d)
+    SELECT event_type, n_above, n_below, runs,
+           CASE WHEN n_above > 0 AND n_below > 0 AND var > 0
+                THEN CAST(round((CAST(runs AS DOUBLE) - e_r) / sqrt(var)
+                      * 1e6) AS BIGINT) END AS z_e6
+    FROM v
+    """,
+    doc="Wald-Wolfowitz runs test of each event type's daily value "
+    "series around its median (X189) — the serial-randomness gate "
+    "behind the CUSUM/EWMA alarms: a trending series has too FEW "
+    "same-side runs (z < 0), an oscillating one too many. Median via "
+    "percentile/quantile_cont bit-parity; doubled-value compare keeps "
+    "half-integer medians exact; R/n1/n2 exact integers from one "
+    "per-group ordered lag window; z_e6 BIGINT.",
+)
+def ts_runs_test_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.hypotests import runs_test
+
+    return runs_test(
+        _daily_cents(spark, sf_dir), "day", "cents",
+        group_cols=["event_type"],
+    )
+
+
+@register_shadow(
+    "ht_friedman_daily_event_ranks",
+    f"""
+    WITH daily AS ({_DAILY_CENTS_SQL}),
+    kk AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k
+           FROM daily),
+    sizes AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS bk
+              FROM daily GROUP BY 1),
+    keptb AS (SELECT day FROM sizes, kk WHERE bk = kk.k),
+    kept AS (SELECT d.* FROM daily d JOIN keptb USING (day)),
+    ranked AS (
+      SELECT day, event_type,
+             2 * rank() OVER (PARTITION BY day ORDER BY cents)
+               + COUNT(*) OVER (PARTITION BY day, cents) - 1 AS r2
+      FROM kept),
+    per_tr AS (
+      SELECT event_type, CAST(SUM(r2) AS HUGEINT) AS s2,
+             CAST(SUM(CAST(r2 AS HUGEINT) * r2) AS HUGEINT) AS q2
+      FROM ranked GROUP BY 1),
+    nb AS (SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS n FROM ranked),
+    stat AS (
+      SELECT (SELECT n FROM nb) AS n_blocks, (SELECT k FROM kk) AS k,
+             SUM(s2 * s2) AS sum_s2sq, SUM(q2) AS a2
+      FROM per_tr),
+    dropn AS (
+      SELECT CAST(SUM(CASE WHEN bk <> kk.k THEN 1 ELSE 0 END) AS BIGINT)
+               AS nd
+      FROM sizes, kk)
+    SELECT n_blocks, (SELECT nd FROM dropn) AS n_dropped_blocks, k,
+           CASE WHEN n_blocks >= 1 AND k >= 2
+                 AND (CAST(a2 AS DOUBLE)
+                      - CAST(n_blocks * k * (k+1) * (k+1) AS DOUBLE)) > 0
+                THEN CAST(k - 1 AS DOUBLE)
+                     * (CAST(sum_s2sq AS DOUBLE)
+                        - CAST(n_blocks AS DOUBLE) * CAST(n_blocks AS DOUBLE)
+                          * CAST(k * (k+1) * (k+1) AS DOUBLE))
+                     / (CAST(a2 AS DOUBLE)
+                        - CAST(n_blocks * k * (k+1) * (k+1) AS DOUBLE))
+           END AS t
+    FROM stat
+    """,
+    doc="Friedman paired k-treatment rank test with days as blocks and "
+    "event types as treatments (X190): do the event types keep the "
+    "same daily-value ranking across days? Complete-block design — "
+    "blocks missing any treatment are dropped and counted "
+    "(n_dropped_blocks). Doubled within-block average ranks keep "
+    "every term an exact integer; the tie-corrected Conover statistic "
+    "is one IEEE division of exact integers, emitted RAW; duplicate "
+    "(block, treatment) rows raise in-plan.",
+)
+def ht_friedman_daily_event_ranks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.hypotests import (
+        friedman_test,
+    )
+
+    return friedman_test(
+        _daily_cents(spark, sf_dir), "day", "event_type", "cents"
+    )
+
+
+@register_shadow(
     "ts_ewma_daily_anomalies",
     f"""
     WITH daily AS ({_DAILY_CENTS_SQL}),

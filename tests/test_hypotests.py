@@ -356,3 +356,166 @@ def test_brown_forsythe_half_median_exact(spark):
     df = spark.createDataFrame(rows, "g string, v long")
     out = brown_forsythe(df, "v", "g").collect()[0]
     assert out.n == 6 and out.w_e6 is not None
+
+
+# ---------------------------------------------------------------------------
+# Cliff's delta (X188)
+# ---------------------------------------------------------------------------
+
+
+def test_cliffs_delta_hand_computed(spark):
+    from legendary_data_pipeline_spark.operators.hypotests import (
+        cliffs_delta,
+    )
+
+    # a = [1,2,3], b = [2,2,4]: gt pairs (a>b) = 2 (3>2, 3>2),
+    # lt pairs = 5 (1<2,1<2,1<4, 2<4, 3<4) -> delta = (2-5)/9 = -1/3
+    rows = [("a", 1), ("a", 2), ("a", 3), ("b", 2), ("b", 2), ("b", 4)]
+    out = cliffs_delta(_df(spark, rows), "v", "g", "a", "b").collect()[0]
+    assert out.n_a == 3 and out.n_b == 3
+    assert out.gt_pairs == 2 and out.lt_pairs == 5
+    assert out.delta == (2.0 - 5.0) / 9.0
+
+
+def test_cliffs_delta_extremes_and_guard(spark):
+    from legendary_data_pipeline_spark.operators.hypotests import (
+        cliffs_delta,
+    )
+
+    # complete dominance -> +1; empty side -> NULL; equal labels raise
+    rows = [("a", 10), ("a", 11), ("b", 1), ("b", 2)]
+    out = cliffs_delta(_df(spark, rows), "v", "g", "a", "b").collect()[0]
+    assert out.delta == 1.0
+    empty = cliffs_delta(_df(spark, rows), "v", "g", "a", "zzz").collect()[0]
+    assert empty.n_b == 0 and empty.delta is None
+    with pytest.raises(ValueError, match="must differ"):
+        cliffs_delta(_df(spark, rows), "v", "g", "a", "a")
+
+
+def test_cliffs_delta_matches_mwu_auc_identity(spark):
+    from legendary_data_pipeline_spark.operators.hypotests import (
+        cliffs_delta,
+    )
+
+    # delta = 2*AUC - 1 (both rank-based; AUC gives ties half credit)
+    rows = [("a", i % 7) for i in range(40)] + [
+        ("b", (i * 3) % 9) for i in range(25)
+    ]
+    d = cliffs_delta(_df(spark, rows), "v", "g", "a", "b").collect()[0]
+    m = mann_whitney_u(_df(spark, rows), "v", "g", "a", "b").collect()[0]
+    assert abs(d.delta - (2.0 * m.auc_ab - 1.0)) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Runs test (X189)
+# ---------------------------------------------------------------------------
+
+
+def _series(spark, rows):
+    return spark.createDataFrame(rows, "g string, t long, v long")
+
+
+def test_runs_test_alternating_and_monotone(spark):
+    from legendary_data_pipeline_spark.operators.hypotests import runs_test
+
+    # alternating around median 4: sides 1,0,1,0,1,0 -> 6 runs,
+    # E[R] = 4, Var = 1.2, z = 2/sqrt(1.2)
+    alt = [("a", t, v) for t, v in enumerate([5, 1, 6, 2, 7, 3])]
+    out = runs_test(_series(spark, alt), "t", "v", group_cols=["g"]).collect()[0]
+    assert (out.n_above, out.n_below, out.runs) == (3, 3, 6)
+    assert out.z_e6 == round(2.0 / 1.2 ** 0.5 * 1e6)
+    # monotone: sides 0,0,0,1,1,1 -> 2 runs, z negated
+    mono = [("a", t, v) for t, v in enumerate([1, 2, 3, 4, 5, 6])]
+    o2 = runs_test(_series(spark, mono), "t", "v", group_cols=["g"]).collect()[0]
+    assert o2.runs == 2
+    assert o2.z_e6 == -out.z_e6
+
+
+def test_runs_test_median_values_drop_and_degenerate(spark):
+    from legendary_data_pipeline_spark.operators.hypotests import runs_test
+
+    # [1,2,2,3]: median 2 -> the two 2s drop; kept sides 0,1 -> 2 runs
+    # of n1=n2=1 -> Var = 0 -> z NULL
+    rows = [("a", t, v) for t, v in enumerate([1, 2, 2, 3])]
+    out = runs_test(_series(spark, rows), "t", "v", group_cols=["g"]).collect()[0]
+    assert (out.n_above, out.n_below, out.runs) == (1, 1, 2)
+    assert out.z_e6 is None
+
+
+def test_runs_test_groups_isolated(spark):
+    from legendary_data_pipeline_spark.operators.hypotests import runs_test
+
+    rows = [("a", t, v) for t, v in enumerate([5, 1, 6, 2, 7, 3])] + [
+        ("b", t, v) for t, v in enumerate([1, 2, 3, 4, 5, 6])
+    ]
+    out = {
+        r.g: r
+        for r in runs_test(
+            _series(spark, rows), "t", "v", group_cols=["g"]
+        ).collect()
+    }
+    assert out["a"].runs == 6 and out["b"].runs == 2
+
+
+# ---------------------------------------------------------------------------
+# Friedman test (X190)
+# ---------------------------------------------------------------------------
+
+
+def _blocks(spark, rows):
+    return spark.createDataFrame(rows, "b long, tr string, v long")
+
+
+def test_friedman_hand_computed_no_ties(spark):
+    from legendary_data_pipeline_spark.operators.hypotests import (
+        friedman_test,
+    )
+
+    # 3 blocks x 3 treatments, perfectly consistent ranking:
+    # classical Q = 12/(3*3*4)*(9+36+81) - 3*3*4 = 6 (= Conover T
+    # when tie-free)
+    rows = [
+        (1, "t1", 1), (1, "t2", 2), (1, "t3", 3),
+        (2, "t1", 2), (2, "t2", 4), (2, "t3", 6),
+        (3, "t1", 1), (3, "t2", 5), (3, "t3", 9),
+    ]
+    out = friedman_test(_blocks(spark, rows), "b", "tr", "v").collect()[0]
+    assert out.n_blocks == 3 and out.k == 3 and out.n_dropped_blocks == 0
+    assert out.t == 6.0
+
+
+def test_friedman_incomplete_blocks_dropped(spark):
+    from legendary_data_pipeline_spark.operators.hypotests import (
+        friedman_test,
+    )
+
+    rows = [
+        (1, "t1", 1), (1, "t2", 2), (1, "t3", 3),
+        (2, "t1", 2), (2, "t2", 4), (2, "t3", 6),
+        (9, "t1", 7),  # incomplete block -> dropped, counted
+    ]
+    out = friedman_test(_blocks(spark, rows), "b", "tr", "v").collect()[0]
+    assert out.n_blocks == 2 and out.n_dropped_blocks == 1
+
+
+def test_friedman_all_tied_null(spark):
+    from legendary_data_pipeline_spark.operators.hypotests import (
+        friedman_test,
+    )
+
+    rows = [
+        (1, "t1", 5), (1, "t2", 5),
+        (2, "t1", 7), (2, "t2", 7),
+    ]
+    out = friedman_test(_blocks(spark, rows), "b", "tr", "v").collect()[0]
+    assert out.t is None
+
+
+def test_friedman_duplicate_cell_raises(spark):
+    from legendary_data_pipeline_spark.operators.hypotests import (
+        friedman_test,
+    )
+
+    rows = [(1, "t1", 1), (1, "t1", 2), (1, "t2", 3)]
+    with pytest.raises(Exception, match="duplicate"):
+        friedman_test(_blocks(spark, rows), "b", "tr", "v").collect()

@@ -178,3 +178,76 @@ def test_ewma_null_group_retained(spark):
     assert len(out) == 5
     flagged = [r for r in out if r.ewma is not None]
     assert flagged and all(r.ewma == 50.0 for r in flagged)
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall (X187)
+# ---------------------------------------------------------------------------
+
+
+def test_mann_kendall_perfect_trend(spark):
+    # strictly increasing: every pair concordant -> S = C(10,2) = 45,
+    # tau = 1.0, no ties -> Var = n(n-1)(2n+5)/18 = 10*9*25/18 = 125,
+    # z = (45-1)/sqrt(125)
+    from legendary_data_pipeline_spark.operators.stats import mann_kendall
+
+    rows = [("a", t, 2 * t) for t in range(10)]
+    out = mann_kendall(
+        _series(spark, rows), "t", "v", group_cols=["g"]
+    ).collect()[0]
+    assert out.n_points == 10 and out.s == 45
+    assert out.tau == 1.0
+    assert out.z_e6 == round(44.0 / 125.0 ** 0.5 * 1e6)
+
+
+def test_mann_kendall_tie_correction(spark):
+    # values 1,1,2: pairs (1,1)=0, (1,2)=+1, (1,2)=+1 -> S=2;
+    # tie group t=2 -> tie term 2*1*9 = 18;
+    # Var = (3*2*11 - 18)/18 = 48/18; z = (2-1)/sqrt(48/18)
+    from legendary_data_pipeline_spark.operators.stats import mann_kendall
+
+    rows = [("a", 0, 1), ("a", 1, 1), ("a", 2, 2)]
+    out = mann_kendall(
+        _series(spark, rows), "t", "v", group_cols=["g"]
+    ).collect()[0]
+    assert out.s == 2
+    assert out.tau == 2.0 / 3.0
+    assert out.z_e6 == round(1.0 / (48.0 / 18.0) ** 0.5 * 1e6)
+
+
+def test_mann_kendall_degenerate(spark):
+    # all tied -> S=0, Var=0 -> z NULL; single point -> tau/z NULL
+    from legendary_data_pipeline_spark.operators.stats import mann_kendall
+
+    rows = [("a", 0, 5), ("a", 1, 5), ("a", 2, 5), ("b", 0, 1)]
+    out = {
+        r.g: r
+        for r in mann_kendall(
+            _series(spark, rows), "t", "v", group_cols=["g"]
+        ).collect()
+    }
+    assert out["a"].s == 0 and out["a"].z_e6 is None
+    assert out["b"].n_points == 1
+    assert out["b"].tau is None and out["b"].z_e6 is None
+
+
+def test_mann_kendall_sign_symmetry(spark):
+    # decreasing series: S and z negate the increasing series
+    from legendary_data_pipeline_spark.operators.stats import mann_kendall
+
+    up = [("a", t, t) for t in range(8)]
+    dn = [("a", t, -t) for t in range(8)]
+    o_up = mann_kendall(_series(spark, up), "t", "v", group_cols=["g"]).collect()[0]
+    o_dn = mann_kendall(_series(spark, dn), "t", "v", group_cols=["g"]).collect()[0]
+    assert o_dn.s == -o_up.s and o_dn.z_e6 == -o_up.z_e6
+    assert o_dn.tau == -o_up.tau
+
+
+def test_mann_kendall_max_points_guard(spark):
+    from legendary_data_pipeline_spark.operators.stats import mann_kendall
+
+    rows = [("a", t, t) for t in range(30)]
+    with pytest.raises(Exception, match="max_points"):
+        mann_kendall(
+            _series(spark, rows), "t", "v", group_cols=["g"], max_points=10
+        ).collect()
