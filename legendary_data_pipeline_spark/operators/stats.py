@@ -2393,6 +2393,102 @@ def theil_sen_trend(
     )
 
 
+def autocorrelation(
+    df: DataFrame,
+    t_col: str,
+    v_col: str,
+    group_cols: Sequence[str] = (),
+    max_lag: int = 7,
+) -> DataFrame:
+    """Autocorrelation function (ACF) of a regularly-indexed series
+    per group: Pearson correlation between (v_t, v_{t+ℓ}) pairs for
+    each lag ℓ = 1..max_lag — the seasonality/persistence fingerprint
+    behind "is this weekly?" and the model-residual whiteness check
+    that complements `runs_test`.
+
+    Uses the PAIRED-sample ACF convention (correlation computed over
+    the n−ℓ matched pairs, each lag with its own means) — the
+    definition that is exactly replayable from joins, unlike the
+    fixed-global-mean estimator. Gaps are honest: a missing t+ℓ row
+    simply contributes no pair (no imputation).
+
+    ``t_col``/``v_col`` integer-valued, one row per (group, t) — the
+    coarse-series contract (theil_sen). Moments over pairs accumulate
+    as exact decimal(38,0) (int64 products under the documented
+    |v| ≤ 3e9 bound of the correlation fastpath); each r is one fixed
+    IEEE tree emitted as r_e6 BIGINT (sqrt involved). n < 2 or zero
+    variance on either side → NULL r_e6.
+
+    Scale: the series frame cross-joins the max_lag-row lag literals
+    (≤ max_lag× the COARSE frame — bounded by contract) and
+    equi-joins back on (group, t+ℓ): one shuffle keyed by the join
+    key, partial-aggregable moments, (group × lag)-sized output.
+
+    Output per (group, lag): n, r_e6.
+    """
+    if max_lag < 1:
+        raise ValueError(
+            f"autocorrelation: max_lag must be >= 1, got {max_lag}"
+        )
+    groups = list(group_cols)
+    t = F.col(t_col).cast("long")
+    v = F.col(v_col).cast("long")
+    d = df.select(
+        *groups, t.alias("__t"), v.alias("__v")
+    ).where(t.isNotNull() & v.isNotNull())
+    d = d.localCheckpoint(eager=False)  # both join sides (r9 rule)
+    lags = F.explode(
+        F.sequence(F.lit(1), F.lit(int(max_lag)))
+    ).alias("lag")
+    left = d.select(*groups, "__t", F.col("__v").alias("__x"), lags)
+    right = d.select(
+        *[F.col(g).alias(f"__r_{g}") for g in groups],
+        F.col("__t").alias("__t2"),
+        F.col("__v").alias("__y"),
+    )
+    cond = [F.col("__t") + F.col("lag") == F.col("__t2")] + [
+        F.col(g).eqNullSafe(F.col(f"__r_{g}")) for g in groups
+    ]
+    pairs = left.join(right, cond).drop(
+        "__t2", *[f"__r_{g}" for g in groups]
+    )
+    x = F.col("__x")
+    y = F.col("__y")
+    m = pairs.groupBy(*groups, "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x.cast("decimal(38,0)")).cast("decimal(38,0)").alias("__sx"),
+        F.sum(y.cast("decimal(38,0)")).cast("decimal(38,0)").alias("__sy"),
+        F.sum((x * y).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__sxy"),
+        F.sum((x * x).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__sxx"),
+        F.sum((y * y).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    num = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    denom = F.sqrt(var_x) * F.sqrt(var_y)
+    r = num / F.nullif(denom, F.lit(0.0))
+    return m.select(
+        *groups,
+        F.col("lag").cast("long").alias("lag"),
+        "n",
+        F.when(F.col("n") >= 2, F.round(r * F.lit(1e6)).cast("long")).alias(
+            "r_e6"
+        ),
+    )
+
+
 def mann_kendall(
     df: DataFrame,
     t_col: str,

@@ -596,3 +596,183 @@ def script_profile(
             "dominant_script"
         ),
     )
+
+
+def vocab_richness(
+    df: DataFrame,
+    text_col: str = "text",
+    group_cols: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """Vocabulary-richness estimators per corpus slice — "how much
+    vocabulary have we NOT seen yet?", the coverage question behind
+    corpus-growth and tokenizer-vocab decisions:
+
+    - hapax / doubletons: counts of once- and twice-seen word types
+      (Zipf's tail mass — a high hapax share means sampling is far
+      from saturated).
+    - chao1: the Chao1 lower-bound estimate of TRUE vocabulary size,
+      V + f1²/(2·f2); the bias-corrected form V + f1(f1−1)/2 applies
+      when f2 = 0 (both exact-integer ratios → one IEEE division).
+    - gt_unseen: the Good–Turing estimate of unseen probability mass,
+      f1/N — the chance the NEXT token is a new type.
+
+    All counts are exact integers from one (group, token) groupBy +
+    one group re-aggregation — map-side combinable, the only shuffle
+    keys are (group, token) then group; estimator ratios are exact
+    IEEE divisions of exact integers emitted RAW (the representation
+    rule). Empty slices yield no row; V ≥ 1 always has N ≥ 1.
+
+    Output per group: n_tokens, vocab, hapax, doubletons, chao1,
+    gt_unseen.
+    """
+    groups = list(group_cols)
+    toks = F.filter(tokens_expr(text_col), lambda t: t != F.lit(""))
+    tok = df.select(*groups, F.explode(toks).alias("__w"))
+    counts = tok.groupBy(*groups, "__w").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    agg = counts.groupBy(*groups).agg(
+        F.sum("__c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.when(F.col("__c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("hapax"),
+        F.sum(F.when(F.col("__c") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("doubletons"),
+    )
+    v = F.col("vocab").cast("double")
+    f1 = F.col("hapax").cast("double")
+    f2 = F.col("doubletons").cast("double")
+    chao1 = F.when(
+        F.col("doubletons") > 0, v + f1 * f1 / (F.lit(2.0) * f2)
+    ).otherwise(v + f1 * (f1 - F.lit(1.0)) / F.lit(2.0))
+    gt_unseen = f1 / F.col("n_tokens").cast("double")
+    return agg.select(
+        *groups,
+        "n_tokens",
+        "vocab",
+        "hapax",
+        "doubletons",
+        chao1.alias("chao1"),
+        gt_unseen.alias("gt_unseen"),
+    )
+
+
+def corpus_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    group_cols: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """Unigram/bigram Shannon entropy per corpus slice (nats) — the
+    diversity/compressibility profile: low entropy = templated or
+    repetitive text, a falling conditional entropy across snapshots =
+    the corpus is converging on boilerplate.
+
+    - h1: unigram token entropy, ln N − (Σ c·ln c)/N over the
+      (group, token) counts.
+    - h2: entropy of the within-document adjacent-bigram distribution.
+    - h_cond: H(w₂ | w₁) = h2 − entropy of the bigram first-word
+      marginal — next-token uncertainty given one token of context
+      (computed on the SAME bigram sample space, so it is a true
+      conditional entropy, always ≥ 0 up to quantization).
+    - redundancy: 1 − h1/ln V (0 = uniform vocabulary use, → 1 =
+      concentrated); NULL when V < 2.
+
+    Exactness: counts are exact integers; each entropy is a fixed
+    expression whose only float accumulation is Σ c·ln c — per-term
+    1-ulp noise sums to ≪ 1 micro-nat at any realistic vocabulary, so
+    the *_e6 BIGINT emission is stable (the BM25/MI float-sum
+    precedent; exact-integer emission is impossible for libm terms).
+
+    Scale: one (group, token) and one (group, bigram) groupBy — the
+    bigram table is the big one (corpus-sized fan-in bounded by doc
+    length); both map-side combinable, final re-agg is group-sized.
+
+    Output per group: n_tokens, n_bigrams, h1_e6, h2_e6, h_cond_e6,
+    redundancy_e6.
+    """
+    groups = list(group_cols)
+    toks = F.filter(tokens_expr(text_col), lambda t: t != F.lit(""))
+    base = df.select(*groups, toks.alias("__t"))
+
+    def entropy_over(counts: DataFrame, cnt: str, out: str) -> DataFrame:
+        """group rows → (groups..., n_<out>, sum c·ln c) aggregated."""
+        return counts.groupBy(*groups).agg(
+            F.sum(F.col(cnt)).cast("long").alias(f"__n_{out}"),
+            F.sum(
+                F.col(cnt).cast("double")
+                * F.log(F.col(cnt).cast("double"))
+            ).alias(f"__s_{out}"),
+        )
+
+    uni = base.select(*groups, F.explode("__t").alias("__w"))
+    uni_counts = uni.groupBy(*groups, "__w").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    # vocab for redundancy comes from the same distinct frame
+    uni_agg = uni_counts.groupBy(*groups).agg(
+        F.sum("__c").cast("long").alias("__n_uni"),
+        F.sum(
+            F.col("__c").cast("double") * F.log(F.col("__c").cast("double"))
+        ).alias("__s_uni"),
+        F.count(F.lit(1)).cast("long").alias("__v"),
+    )
+    bi = base.where(F.size("__t") >= 2).select(
+        *groups,
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("__t"), 1, F.size("__t") - 1),
+                F.slice(F.col("__t"), 2, F.size("__t") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("__bg"),
+    )
+    bi_counts = bi.groupBy(
+        *groups, F.col("__bg.w1").alias("__w1"), F.col("__bg.w2").alias("__w2")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    # Pin: the bigram count frame feeds both the joint entropy and the
+    # first-word marginal (r9 multi-consumer rule).
+    bi_counts = bi_counts.localCheckpoint(eager=False)
+    bi_agg = entropy_over(bi_counts, "__c", "bi")
+    ctx_counts = bi_counts.groupBy(*groups, "__w1").agg(
+        F.sum("__c").cast("long").alias("__c")
+    )
+    ctx_agg = entropy_over(ctx_counts, "__c", "ctx")
+
+    def attach(left: DataFrame, right: DataFrame) -> DataFrame:
+        if groups:
+            rr = right.select(
+                *[F.col(g).alias(f"__rg_{g}") for g in groups],
+                *[c for c in right.columns if c not in groups],
+            )
+            cond = [F.col(g).eqNullSafe(F.col(f"__rg_{g}")) for g in groups]
+            return left.join(rr, cond, "left").drop(
+                *[f"__rg_{g}" for g in groups]
+            )
+        return left.crossJoin(right)
+
+    j = attach(attach(uni_agg, bi_agg), ctx_agg)
+
+    def h(n_col: str, s_col: str) -> Column:
+        n = F.col(n_col).cast("double")
+        return F.when(
+            F.col(n_col) > 0, F.log(n) - F.col(s_col) / n
+        )
+
+    h1 = h("__n_uni", "__s_uni")
+    h2 = h("__n_bi", "__s_bi")
+    hctx = h("__n_ctx", "__s_ctx")
+    e6 = lambda c: F.round(c * F.lit(1e6)).cast("long")  # noqa: E731
+    red = F.when(
+        F.col("__v") >= 2, F.lit(1.0) - h1 / F.log(F.col("__v").cast("double"))
+    )
+    return j.select(
+        *groups,
+        F.col("__n_uni").alias("n_tokens"),
+        F.coalesce(F.col("__n_bi"), F.lit(0)).alias("n_bigrams"),
+        e6(h1).alias("h1_e6"),
+        e6(h2).alias("h2_e6"),
+        e6(h2 - hctx).alias("h_cond_e6"),
+        e6(red).alias("redundancy_e6"),
+    )

@@ -4315,6 +4315,52 @@ def ts_mann_kendall_daily_value(
 
 
 @register_shadow(
+    "ts_acf_daily_value",
+    f"""
+    WITH daily AS ({_DAILY_CENTS_SQL}),
+    lags AS (SELECT unnest(range(1, 8)) AS lag),
+    pairs AS (
+      SELECT a.event_type, l.lag,
+             CAST(a.cents AS HUGEINT) AS x, CAST(b.cents AS HUGEINT) AS y
+      FROM daily a CROSS JOIN lags l
+      JOIN daily b ON b.event_type = a.event_type
+                  AND b.day = a.day + l.lag),
+    m AS (
+      SELECT event_type, lag, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM pairs GROUP BY 1, 2)
+    SELECT event_type, CAST(lag AS BIGINT) AS lag, n,
+           CASE WHEN n >= 2 THEN
+             CAST(round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / nullif(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)),
+                         0.0) * 1e6) AS BIGINT)
+           END AS r_e6
+    FROM m
+    """,
+    doc="Autocorrelation function of each event type's daily value "
+    "series at lags 1..7 (X193) — the seasonality/persistence "
+    "fingerprint and residual-whiteness companion to the runs test. "
+    "Paired-sample ACF convention (per-lag means over the matched "
+    "pairs — exactly replayable from joins; gaps contribute no pair). "
+    "Exact decimal moments per (group, lag); r_e6 BIGINT.",
+)
+def ts_acf_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.stats import (
+        autocorrelation,
+    )
+
+    return autocorrelation(
+        _daily_cents(spark, sf_dir), "day", "cents",
+        group_cols=["event_type"], max_lag=7,
+    )
+
+
+@register_shadow(
     "ht_cliffs_delta_qty_flag",
     """
     WITH base AS (

@@ -1,0 +1,137 @@
+"""Contracts for vocabulary richness, corpus entropy, and ACF
+(X191-X193; operators/textstats.py `vocab_richness`/`corpus_entropy`,
+operators/stats.py `autocorrelation`)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from legendary_data_pipeline_spark.operators.stats import autocorrelation
+from legendary_data_pipeline_spark.operators.textstats import (
+    corpus_entropy,
+    vocab_richness,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "source string, text string")
+
+
+def _series(spark, rows):
+    return spark.createDataFrame(rows, "g string, t long, v long")
+
+
+# ---------------------------------------------------------------------------
+# vocab_richness
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_richness_hand_computed(spark):
+    # tokens: a:2 b:2 c:1 d:1 -> N=6 V=4 f1=2 f2=2
+    # chao1 = 4 + 2*2/(2*2) = 5.0; gt_unseen = 2/6
+    rows = [("s1", "a b a c"), ("s1", "b d")]
+    out = vocab_richness(_docs(spark, rows)).collect()[0]
+    assert (out.n_tokens, out.vocab, out.hapax, out.doubletons) == (6, 4, 2, 2)
+    assert out.chao1 == 5.0
+    assert out.gt_unseen == 2.0 / 6.0
+
+
+def test_vocab_richness_bias_corrected_when_no_doubletons(spark):
+    # a:3 b:1 -> f1=1 f2=0 -> chao1 = V + f1(f1-1)/2 = 2.0
+    rows = [("s1", "a a a b")]
+    out = vocab_richness(_docs(spark, rows)).collect()[0]
+    assert out.doubletons == 0 and out.chao1 == 2.0
+
+
+def test_vocab_richness_sources_isolated(spark):
+    rows = [("s1", "a a"), ("s2", "x y z")]
+    out = {r.source: r for r in vocab_richness(_docs(spark, rows)).collect()}
+    assert out["s1"].vocab == 1 and out["s1"].hapax == 0
+    assert out["s2"].vocab == 3 and out["s2"].hapax == 3
+    # all-hapax slice: Chao1 falls back to the bias-corrected form
+    assert out["s2"].chao1 == 3.0 + 3.0 * 2.0 / 2.0
+
+
+# ---------------------------------------------------------------------------
+# corpus_entropy
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_entropy_hand_computed(spark):
+    # "a b a b a": unigrams a:3 b:2, N=5; bigrams ab:2 ba:2, N2=4;
+    # ctx a:2 b:2 -> h2 = hctx = ln2 -> h_cond = 0;
+    # h1 = ln5 - (3ln3 + 2ln2)/5; redundancy = 1 - h1/ln2 (V=2)
+    rows = [("s1", "a b a b a")]
+    out = corpus_entropy(_docs(spark, rows)).collect()[0]
+    h1 = math.log(5) - (3 * math.log(3) + 2 * math.log(2)) / 5
+    assert out.n_tokens == 5 and out.n_bigrams == 4
+    assert out.h1_e6 == round(h1 * 1e6)
+    assert out.h2_e6 == round(math.log(2) * 1e6)
+    assert out.h_cond_e6 == 0
+    assert out.redundancy_e6 == round((1 - h1 / math.log(2)) * 1e6)
+
+
+def test_corpus_entropy_uniform_vs_repetitive(spark):
+    # uniform vocabulary use -> redundancy 0; single repeated token ->
+    # h1 = 0, redundancy NULL (V < 2), no bigram entropy signal
+    rows = [("u", "a b c d"), ("r", "x x x x")]
+    out = {r.source: r for r in corpus_entropy(_docs(spark, rows)).collect()}
+    assert out["u"].h1_e6 == round(math.log(4) * 1e6)
+    assert out["u"].redundancy_e6 == 0
+    assert out["r"].h1_e6 == 0 and out["r"].redundancy_e6 is None
+    assert out["r"].h2_e6 == 0  # xx bigram repeated -> zero entropy
+
+
+def test_corpus_entropy_short_docs_no_bigrams(spark):
+    rows = [("s", "one"), ("s", "two")]
+    out = corpus_entropy(_docs(spark, rows)).collect()[0]
+    assert out.n_bigrams == 0
+    assert out.h2_e6 is None and out.h_cond_e6 is None
+
+
+# ---------------------------------------------------------------------------
+# autocorrelation
+# ---------------------------------------------------------------------------
+
+
+def test_acf_linear_series_perfect(spark):
+    rows = [("a", t, t + 1) for t in range(5)]
+    out = {
+        r.lag: r
+        for r in autocorrelation(
+            _series(spark, rows), "t", "v", group_cols=["g"], max_lag=2
+        ).collect()
+    }
+    assert out[1].n == 4 and out[1].r_e6 == 1_000_000
+    assert out[2].n == 3 and out[2].r_e6 == 1_000_000
+
+
+def test_acf_alternating_series(spark):
+    rows = [("a", t, 1 if t % 2 == 0 else 5) for t in range(6)]
+    out = {
+        r.lag: r
+        for r in autocorrelation(
+            _series(spark, rows), "t", "v", group_cols=["g"], max_lag=2
+        ).collect()
+    }
+    assert out[1].r_e6 == -1_000_000
+    assert out[2].r_e6 == 1_000_000
+
+
+def test_acf_gaps_and_degenerate(spark):
+    # gap at t=2: lag-1 pairs only (0,1) and (3,4); constant series ->
+    # zero variance -> NULL
+    rows = [("a", 0, 1), ("a", 1, 2), ("a", 3, 4), ("a", 4, 8),
+            ("c", 0, 7), ("c", 1, 7), ("c", 2, 7)]
+    out = {
+        (r.g, r.lag): r
+        for r in autocorrelation(
+            _series(spark, rows), "t", "v", group_cols=["g"], max_lag=1
+        ).collect()
+    }
+    assert out[("a", 1)].n == 2
+    assert out[("c", 1)].r_e6 is None
+    with pytest.raises(ValueError, match="max_lag"):
+        autocorrelation(_series(spark, rows), "t", "v", max_lag=0)
