@@ -4315,6 +4315,101 @@ def ts_mann_kendall_daily_value(
 
 
 @register_shadow(
+    "ht_jonckheere_priority_value",
+    f"""
+    WITH base AS (
+      SELECT o_orderpriority AS g, {_cents_sql('o_totalprice')} AS v
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL),
+    cells AS (
+      SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY 1, 2),
+    grid AS (
+      SELECT gg.g, vv.v, COALESCE(c.c, 0) AS c
+      FROM (SELECT DISTINCT g FROM cells) gg
+      CROSS JOIN (SELECT DISTINCT v FROM cells) vv
+      LEFT JOIN cells c USING (g, v)),
+    below AS (
+      SELECT g, v, c,
+             COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS b
+      FROM grid),
+    pref AS (
+      SELECT g, v, c,
+             COALESCE(SUM(b) OVER w, 0) AS p,
+             COALESCE(SUM(c) OVER w, 0) AS q
+      FROM below WINDOW w AS (PARTITION BY v ORDER BY g
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    j2 AS (
+      SELECT CAST(SUM(CAST(c AS HUGEINT) * (2 * CAST(p AS HUGEINT)
+               + CAST(q AS HUGEINT))) AS HUGEINT) AS j2
+      FROM pref),
+    gsz AS (SELECT g, CAST(SUM(c) AS HUGEINT) AS ni FROM cells GROUP BY 1),
+    gstats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(ni) AS HUGEINT) AS n,
+             CAST(SUM(ni * ni) AS HUGEINT) AS sn2,
+             CAST(SUM(ni * (ni - 1) * (2 * ni + 5)) AS HUGEINT) AS sn_a,
+             CAST(SUM(ni * (ni - 1) * (ni - 2)) AS HUGEINT) AS sn_b,
+             CAST(SUM(ni * (ni - 1)) AS HUGEINT) AS sn_c
+      FROM gsz),
+    tsz AS (SELECT v, CAST(SUM(c) AS HUGEINT) AS tv FROM cells GROUP BY 1),
+    tstats AS (
+      SELECT CAST(SUM(tv * (tv - 1) * (2 * tv + 5)) AS HUGEINT) AS st_a,
+             CAST(SUM(tv * (tv - 1) * (tv - 2)) AS HUGEINT) AS st_b,
+             CAST(SUM(tv * (tv - 1)) AS HUGEINT) AS st_c
+      FROM tsz),
+    fin AS (
+      SELECT j2.j2, g.*, t.*,
+             CAST(g.n AS DOUBLE) AS nd,
+             CAST(g.n * (g.n - 1) * (2 * g.n + 5)
+                  - g.sn_a - t.st_a AS DOUBLE) AS a_term,
+             CAST(g.sn_b * t.st_b AS DOUBLE) AS b_term,
+             CAST(g.sn_c * t.st_c AS DOUBLE) AS c_term
+      FROM j2, gstats g, tstats t),
+    v2 AS (
+      SELECT *,
+             a_term / 72.0
+               + b_term / (36.0 * nd * (nd - 1.0) * (nd - 2.0))
+               + c_term / (8.0 * nd * (nd - 1.0)) AS var,
+             CAST(n * n - sn2 AS DOUBLE) / 2.0 AS e_j2
+      FROM fin)
+    SELECT CAST(n AS BIGINT) AS n, k,
+           CAST(j2 AS DOUBLE) / 2.0 AS j,
+           CASE WHEN k >= 2 AND var > 0 THEN
+             CAST(round((CAST(j2 AS DOUBLE) - e_j2)
+                  / (2.0 * sqrt(var)) * 1e6) AS BIGINT)
+           END AS z_e6
+    FROM v2
+    """,
+    doc="Jonckheere-Terpstra ordered-alternative test (X194): does "
+    "order value increase monotonically along the priority ordering "
+    "'1-URGENT' < ... < '5-LOW'? Strictly more powerful than "
+    "Kruskal-Wallis for monotone hypotheses. Exact doubled statistic "
+    "2J and SAS-form tie-corrected variance from exact integer group "
+    "sizes + pooled tie groups; NO pair join - completed k x |V| grid "
+    "with one distributed below-counts pass and k-row per-value "
+    "windows; z_e6 BIGINT.",
+)
+def ht_jonckheere_priority_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.hypotests import (
+        jonckheere_terpstra,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select(
+        F.col("o_orderpriority").alias("g"),
+        _cents("o_totalprice").alias("v"),
+    ).where(
+        F.col("o_totalprice").isNotNull()
+        & F.col("o_orderpriority").isNotNull()
+    )
+    return jonckheere_terpstra(d, "v", "g")
+
+
+@register_shadow(
     "ts_acf_daily_value",
     f"""
     WITH daily AS ({_DAILY_CENTS_SQL}),

@@ -519,3 +519,78 @@ def test_friedman_duplicate_cell_raises(spark):
     rows = [(1, "t1", 1), (1, "t1", 2), (1, "t2", 3)]
     with pytest.raises(Exception, match="duplicate"):
         friedman_test(_blocks(spark, rows), "b", "tr", "v").collect()
+
+
+# ---------------------------------------------------------------------------
+# Jonckheere-Terpstra (X194)
+# ---------------------------------------------------------------------------
+
+
+def test_jt_hand_computed_no_ties(spark):
+    from legendary_data_pipeline_spark.operators.hypotests import (
+        jonckheere_terpstra,
+    )
+
+    # G1=[1,2], G2=[3,4]: J = 4 (all cross pairs ascending);
+    # E = (16-8)/4 = 2; no ties -> Var = A/72 = 120/72 = 5/3;
+    # z = 2/sqrt(5/3)
+    rows = [("g1", 1), ("g1", 2), ("g2", 3), ("g2", 4)]
+    out = jonckheere_terpstra(_df(spark, rows), "v", "g").collect()[0]
+    assert out.n == 4 and out.k == 2
+    assert out.j == 4.0
+    assert out.z_e6 == round(2.0 / (120.0 / 72.0) ** 0.5 * 1e6)
+
+
+def test_jt_tie_half_credit_and_corrected_variance(spark):
+    from legendary_data_pipeline_spark.operators.hypotests import (
+        jonckheere_terpstra,
+    )
+
+    # G1=[1,2], G2=[2,3]: J = 3 + 0.5 = 3.5; E = 2;
+    # A = 156 - 36 - 18 = 102, B = 0, C = 4*2 = 8
+    # Var = 102/72 + 8/(8*4*3) = 1.5; z = 1.5/sqrt(1.5)
+    rows = [("g1", 1), ("g1", 2), ("g2", 2), ("g2", 3)]
+    out = jonckheere_terpstra(_df(spark, rows), "v", "g").collect()[0]
+    assert out.j == 3.5
+    assert out.z_e6 == round(1.5 / 1.5 ** 0.5 * 1e6)
+
+
+def test_jt_descending_trend_negative(spark):
+    from legendary_data_pipeline_spark.operators.hypotests import (
+        jonckheere_terpstra,
+    )
+
+    # reverse the trend: J counts ascending-ordered pairs -> 0, z < 0
+    rows = [("g1", 3), ("g1", 4), ("g2", 1), ("g2", 2)]
+    out = jonckheere_terpstra(_df(spark, rows), "v", "g").collect()[0]
+    assert out.j == 0.0 and out.z_e6 < 0
+
+
+def test_jt_three_group_monotone(spark):
+    from legendary_data_pipeline_spark.operators.hypotests import (
+        jonckheere_terpstra,
+    )
+
+    # perfectly separated ascending groups: J = sum of all cross-pair
+    # counts = 4+4+4 = 12 with n_i = 2 each
+    rows = [("a", 1), ("a", 2), ("b", 3), ("b", 4), ("c", 5), ("c", 6)]
+    out = jonckheere_terpstra(_df(spark, rows), "v", "g").collect()[0]
+    assert out.k == 3 and out.j == 12.0 and out.z_e6 > 0
+
+
+def test_jt_degenerate(spark):
+    from legendary_data_pipeline_spark.operators.hypotests import (
+        jonckheere_terpstra,
+    )
+
+    # single group -> NULL z; all values tied everywhere -> Var > 0
+    # still (group-size terms) but J = half credit only
+    one = jonckheere_terpstra(
+        _df(spark, [("a", 1), ("a", 2)]), "v", "g"
+    ).collect()[0]
+    assert one.k == 1 and one.z_e6 is None
+    tied = jonckheere_terpstra(
+        _df(spark, [("a", 5), ("a", 5), ("b", 5), ("b", 5)]), "v", "g"
+    ).collect()[0]
+    # every cross pair tied: J = 4*0.5 = 2 = E -> z = 0 unless Var = 0
+    assert tied.j == 2.0
