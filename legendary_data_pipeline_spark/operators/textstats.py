@@ -776,3 +776,186 @@ def corpus_entropy(
         e6(h2 - hctx).alias("h_cond_e6"),
         e6(red).alias("redundancy_e6"),
     )
+
+
+def vocab_coverage_points(
+    df: DataFrame,
+    text_col: str = "text",
+    group_cols: tuple[str, ...] = ("source",),
+    targets_ppm: tuple[int, ...] = (500_000, 900_000, 990_000),
+) -> DataFrame:
+    """Vocabulary coverage points per corpus slice: the SMALLEST number
+    of word types (taken most-frequent-first) whose occurrences cover
+    ≥ p of all tokens, for p = 50/90/99% — the tokenizer-vocab-size /
+    head-heaviness readout ("how top-heavy is this slice?"; a tiny
+    types_p90 means boilerplate).
+
+    EXACT everywhere: the distinct-type frame compresses to COUNT
+    CLASSES (count value c, m types with that count); descending
+    prefixes over classes come from one distributed below-counts pass
+    on −c; the crossing class for target T_p = ⌈p·N⌉ satisfies
+    above(c) < T_p ≤ above(c) + c·m and the answer is
+    types_above(c) + ⌈(T_p − tokens_above(c))/c⌉ — all integer
+    arithmetic, bit-deterministic, no per-type ranking window at all
+    (the frame that matters is CLASS-sized: ≤ distinct count values).
+
+    Output per group: n_tokens, vocab, types_p50, types_p90,
+    types_p99 (column per target, ppm-labeled).
+    """
+    groups = list(group_cols)
+    from legendary_data_pipeline_spark.operators.stats import (
+        distributed_below_counts,
+    )
+
+    toks = F.filter(tokens_expr(text_col), lambda t: t != F.lit(""))
+    tok = df.select(*groups, F.explode(toks).alias("__w"))
+    type_counts = tok.groupBy(*groups, "__w").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    classes = type_counts.groupBy(*groups, "__c").agg(
+        F.count(F.lit(1)).cast("long").alias("__m")
+    )
+    classes = classes.withColumn("__negc", -F.col("__c")).withColumn(
+        "__tok", (F.col("__c") * F.col("__m")).cast("long")
+    )
+    cum = distributed_below_counts(
+        classes, "__negc", ["__m", "__tok"], inclusive=False,
+        group_cols=groups,
+    ).select(
+        *groups,
+        "__c",
+        "__m",
+        F.col("__m_cum").cast("long").alias("__types_above"),
+        F.col("__tok_cum").cast("long").alias("__tokens_above"),
+    ).localCheckpoint(eager=False)  # totals + per-target crossing scans
+    totals = cum.groupBy(*groups).agg(
+        F.sum((F.col("__c") * F.col("__m")).cast("long"))
+        .cast("long")
+        .alias("n_tokens"),
+        F.sum("__m").cast("long").alias("vocab"),
+    )
+    tt = (
+        totals.select(
+            *[F.col(g).alias(f"__tg_{g}") for g in groups],
+            "n_tokens",
+            "vocab",
+        )
+        if groups
+        else totals
+    )
+    if groups:
+        cond = [F.col(g).eqNullSafe(F.col(f"__tg_{g}")) for g in groups]
+        joined = cum.join(F.broadcast(tt), cond).drop(
+            *[f"__tg_{g}" for g in groups]
+        )
+    else:
+        joined = cum.crossJoin(F.broadcast(totals))
+    targets = sorted(set(int(p) for p in targets_ppm))
+    agg_cols = [
+        F.max("n_tokens").alias("n_tokens"),
+        F.max("vocab").alias("vocab"),
+    ]
+    for p in targets:
+        # T_p = ceil(p·N/1e6) exactly — integer DIV, never a decimal
+        # round-half-up cast; decimal operand keeps p·N exact past
+        # int64 at petascale token counts
+        joined = joined.withColumn(
+            f"__tp_{p}",
+            F.expr(
+                f"CAST((CAST(n_tokens AS DECIMAL(38,0)) * {p} + 999999) "
+                "DIV 1000000 AS BIGINT)"
+            ),
+        )
+        crossing = (F.col("__tokens_above") < F.col(f"__tp_{p}")) & (
+            F.col(f"__tp_{p}")
+            <= F.col("__tokens_above") + F.col("__c") * F.col("__m")
+        )
+        # ceil((T_p − tokens_above)/c) for positive operands via DIV
+        need = F.col("__types_above") + F.expr(
+            f"CAST((__tp_{p} - __tokens_above + __c - 1) DIV __c "
+            "AS BIGINT)"
+        )
+        agg_cols.append(
+            F.min(F.when(crossing, need)).alias(f"types_p{p // 10_000}")
+        )
+    return joined.groupBy(*groups).agg(*agg_cols)
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    group_cols: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """Binned Zipf rank-frequency fit per corpus slice: weighted OLS of
+    ln(frequency) on ln(rank) with one point per COUNT CLASS at its
+    midpoint rank, weighted by the class's type count — the standard
+    log-binned fit (reduces the low-count tail bias of per-type fits)
+    and the engine-canonical form: no per-type ranking window exists
+    anywhere, so the plan touches only the class-sized frame. Natural
+    text lands near slope ≈ −1; templated/boilerplate slices flatten
+    (more uniform head) or steepen (giant head token).
+
+    Class midpoint rank: types with count c occupy ranks
+    (types_above(c), types_above(c) + m]; x = ln((lo + hi)/2) via the
+    doubled-integer midrank (lo + hi is exact), y = ln c, weight = m.
+    Sums run over ≤ |distinct count values| classes — float noise
+    ≪ 1e-6, the e6 emission absorbs it (the MI/BM25 precedent).
+
+    Output per group: n_classes, vocab, slope_e6, intercept_e6, r2_e6
+    (NULL fit when < 2 classes).
+    """
+    groups = list(group_cols)
+    from legendary_data_pipeline_spark.operators.stats import (
+        distributed_below_counts,
+    )
+
+    toks = F.filter(tokens_expr(text_col), lambda t: t != F.lit(""))
+    tok = df.select(*groups, F.explode(toks).alias("__w"))
+    type_counts = tok.groupBy(*groups, "__w").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    classes = type_counts.groupBy(*groups, "__c").agg(
+        F.count(F.lit(1)).cast("long").alias("__m")
+    ).withColumn("__negc", -F.col("__c"))
+    cum = distributed_below_counts(
+        classes, "__negc", ["__m"], inclusive=False, group_cols=groups
+    ).select(
+        *groups,
+        "__c",
+        "__m",
+        F.col("__m_cum").cast("long").alias("__above"),
+    )
+    # doubled midrank: lo + hi = 2·above + m + 1
+    mid2 = (
+        F.lit(2) * F.col("__above") + F.col("__m") + F.lit(1)
+    ).cast("double")
+    x = F.log(mid2 / F.lit(2.0))
+    y = F.log(F.col("__c").cast("double"))
+    w = F.col("__m").cast("double")
+    agg = cum.groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum("__m").cast("long").alias("vocab"),
+        F.sum(w).alias("__sw"),
+        F.sum(w * x).alias("__swx"),
+        F.sum(w * y).alias("__swy"),
+        F.sum(w * x * x).alias("__swxx"),
+        F.sum(w * y * y).alias("__swyy"),
+        F.sum(w * x * y).alias("__swxy"),
+    )
+    sw = F.col("__sw")
+    num = sw * F.col("__swxy") - F.col("__swx") * F.col("__swy")
+    den_x = sw * F.col("__swxx") - F.col("__swx") * F.col("__swx")
+    den_y = sw * F.col("__swyy") - F.col("__swy") * F.col("__swy")
+    slope = num / F.nullif(den_x, F.lit(0.0))
+    intercept = (F.col("__swy") - slope * F.col("__swx")) / sw
+    r2 = (num * num) / F.nullif(den_x * den_y, F.lit(0.0))
+    e6 = lambda c: F.round(c * F.lit(1e6)).cast("long")  # noqa: E731
+    ok = F.col("n_classes") >= 2
+    return agg.select(
+        *groups,
+        "n_classes",
+        "vocab",
+        F.when(ok, e6(slope)).alias("slope_e6"),
+        F.when(ok, e6(intercept)).alias("intercept_e6"),
+        F.when(ok, e6(r2)).alias("r2_e6"),
+    )

@@ -135,3 +135,89 @@ def test_acf_gaps_and_degenerate(spark):
     assert out[("c", 1)].r_e6 is None
     with pytest.raises(ValueError, match="max_lag"):
         autocorrelation(_series(spark, rows), "t", "v", max_lag=0)
+
+
+# ---------------------------------------------------------------------------
+# vocab_coverage_points (X195)
+# ---------------------------------------------------------------------------
+
+
+def test_coverage_points_hand_computed(spark):
+    from legendary_data_pipeline_spark.operators.textstats import (
+        vocab_coverage_points,
+    )
+
+    # counts a:6 b:3 c:1 -> N=10; T50=5 -> 1 type (a covers 6);
+    # T90=9 -> 2 types; T99=ceil(9.9)=10 -> all 3
+    rows = [("s", "a a a a a a b b b c")]
+    out = vocab_coverage_points(_docs(spark, rows)).collect()[0]
+    assert (out.n_tokens, out.vocab) == (10, 3)
+    assert (out.types_p50, out.types_p90, out.types_p99) == (1, 2, 3)
+
+
+def test_coverage_points_within_class_partial(spark):
+    from legendary_data_pipeline_spark.operators.textstats import (
+        vocab_coverage_points,
+    )
+
+    # four types each with count 2 (one class): N=8, T50=4 -> 2 of the
+    # 4 same-count types; T90=ceil(7.2)=8 -> all 4
+    rows = [("s", "a a b b c c d d")]
+    out = vocab_coverage_points(_docs(spark, rows)).collect()[0]
+    assert out.types_p50 == 2 and out.types_p90 == 4 and out.types_p99 == 4
+
+
+def test_coverage_points_sources_isolated(spark):
+    from legendary_data_pipeline_spark.operators.textstats import (
+        vocab_coverage_points,
+    )
+
+    rows = [("s1", "x x x x y"), ("s2", "p q r s")]
+    out = {
+        r.source: r
+        for r in vocab_coverage_points(_docs(spark, rows)).collect()
+    }
+    assert out["s1"].types_p50 == 1  # x alone covers 4/5
+    assert out["s2"].types_p50 == 2  # uniform: 2 of 4
+
+
+# ---------------------------------------------------------------------------
+# zipf_fit (X196)
+# ---------------------------------------------------------------------------
+
+
+def test_zipf_fit_hand_computed(spark):
+    from legendary_data_pipeline_spark.operators.textstats import zipf_fit
+
+    # classes: (c=4, m=1, above=0 -> midrank 1), (c=2, m=2, above=1 ->
+    # midrank 2.5), (c=1, m=1, above=3 -> midrank 4); weighted OLS of
+    # y=ln c on x=ln midrank, weights m
+    rows = [("s", "a a a a b b c c d")]
+    out = zipf_fit(_docs(spark, rows)).collect()[0]
+    pts = [(math.log(1.0), math.log(4.0), 1.0),
+           (math.log(2.5), math.log(2.0), 2.0),
+           (math.log(4.0), math.log(1.0), 1.0)]
+    sw = sum(w for _, _, w in pts)
+    swx = sum(w * x for x, _, w in pts)
+    swy = sum(w * y for _, y, w in pts)
+    swxx = sum(w * x * x for x, _, w in pts)
+    swyy = sum(w * y * y for _, y, w in pts)
+    swxy = sum(w * x * y for x, y, w in pts)
+    num = sw * swxy - swx * swy
+    slope = num / (sw * swxx - swx * swx)
+    intercept = (swy - slope * swx) / sw
+    r2 = num * num / ((sw * swxx - swx * swx) * (sw * swyy - swy * swy))
+    assert out.n_classes == 3 and out.vocab == 4
+    assert out.slope_e6 == round(slope * 1e6)
+    assert out.intercept_e6 == round(intercept * 1e6)
+    assert out.r2_e6 == round(r2 * 1e6)
+    assert out.slope_e6 < 0  # frequency falls with rank
+
+
+def test_zipf_fit_degenerate_single_class(spark):
+    from legendary_data_pipeline_spark.operators.textstats import zipf_fit
+
+    rows = [("s", "a a b b")]  # one count class -> no fit
+    out = zipf_fit(_docs(spark, rows)).collect()[0]
+    assert out.n_classes == 1
+    assert out.slope_e6 is None and out.r2_e6 is None
