@@ -1153,3 +1153,89 @@ def friedman_test(
         "k",
         t_stat.alias("t"),
     )
+
+
+def cohens_d(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Cohen's d standardized mean difference between two named groups
+    + the Hedges' g small-sample correction — the parametric effect
+    size to report next to `welch_t_test` (as `cliffs_delta` is to
+    `mann_whitney_u`):
+
+        d = (m_a − m_b) / s_p,
+        s_p = sqrt(((n_a−1)s_a² + (n_b−1)s_b²) / (n_a + n_b − 2))
+        g = d · (1 − 3/(4·(n_a+n_b) − 9))      (Hedges' J correction)
+
+    |d| ≈ 0.2/0.5/0.8 are the conventional small/medium/large marks.
+    ``value_col`` must be integer-valued (cents convention).
+
+    Exactness: one filtered aggregation of exact decimal(38,0)
+    n/Σx/Σx² per group (the welch_t_test frame); means emit RAW (exact
+    ratios); d/g emit e6 BIGINT (sqrt involved). Either group with
+    n < 2, or s_p = 0 → NULL d/g.
+
+    Output (1 row): n_a, n_b, mean_a, mean_b, d_e6, g_e6.
+    """
+    if group_a == group_b:
+        raise ValueError(
+            f"cohens_d: group_a and group_b must differ "
+            f"(both = {group_a!r})"
+        )
+    v = F.col(value_col).cast("long")
+    g = F.col(group_col)
+    is_a = g.eqNullSafe(F.lit(group_a))
+    is_b = g.eqNullSafe(F.lit(group_b))
+    d = df.select(
+        v.cast(_DEC).alias("__v"),
+        is_a.alias("__ia"),
+        is_b.alias("__ib"),
+    ).where(v.isNotNull() & (F.col("__ia") | F.col("__ib")))
+
+    def side(flag: str, suffix: str) -> list[Column]:
+        m = F.col(flag)
+        return [
+            F.coalesce(F.sum(m.cast("long")), F.lit(0))
+            .cast(_DEC)
+            .alias(f"__n{suffix}"),
+            F.coalesce(F.sum(F.when(m, F.col("__v"))), F.lit(0))
+            .cast(_DEC)
+            .alias(f"__s{suffix}"),
+            F.coalesce(
+                F.sum(F.when(m, (F.col("__v") * F.col("__v")).cast(_DEC))),
+                F.lit(0),
+            )
+            .cast(_DEC)
+            .alias(f"__q{suffix}"),
+        ]
+
+    agg = d.agg(*side("__ia", "a"), *side("__ib", "b"))
+    na = F.col("__na").cast("double")
+    nb = F.col("__nb").cast("double")
+    sa = F.col("__sa").cast("double")
+    sb = F.col("__sb").cast("double")
+    qa = F.col("__qa").cast("double")
+    qb = F.col("__qb").cast("double")
+    mean_a = F.when(F.col("__na") > 0, sa / na)
+    mean_b = F.when(F.col("__nb") > 0, sb / nb)
+    # (n−1)·s² = Σx² − (Σx)²/n via the exact-numerator identity,
+    # assembled as (n·Σx² − (Σx)²)/n to keep one fixed tree
+    ss_a = (na * qa - sa * sa) / na
+    ss_b = (nb * qb - sb * sb) / nb
+    n_tot = na + nb
+    sp = F.sqrt((ss_a + ss_b) / (n_tot - F.lit(2.0)))
+    d_stat = (mean_a - mean_b) / F.nullif(sp, F.lit(0.0))
+    j_corr = F.lit(1.0) - F.lit(3.0) / (F.lit(4.0) * n_tot - F.lit(9.0))
+    ok = (F.col("__na") >= 2) & (F.col("__nb") >= 2)
+    return agg.select(
+        F.col("__na").cast("long").alias("n_a"),
+        F.col("__nb").cast("long").alias("n_b"),
+        mean_a.alias("mean_a"),
+        mean_b.alias("mean_b"),
+        F.when(ok, _e6(d_stat)).alias("d_e6"),
+        F.when(ok, _e6(d_stat * j_corr)).alias("g_e6"),
+    )

@@ -2393,6 +2393,199 @@ def theil_sen_trend(
     )
 
 
+def seasonal_decompose(
+    df: DataFrame,
+    t_col: str,
+    v_col: str,
+    group_cols: Sequence[str] = (),
+    period: int = 7,
+) -> DataFrame:
+    """Additive seasonal decomposition of a regularly-indexed integer
+    series per group: value = trend + seasonal + remainder, the
+    classical moving-average method at a fixed ``period`` (default 7 —
+    day-of-week):
+
+    - trend: centered moving average over the period window (NULL at
+      the edges / across gaps — the window must hold exactly
+      ``period`` points; gaps are honest, nothing is imputed).
+    - seasonal: the UNCENTERED phase mean of the detrended series
+      (t mod period). Engine-canonical choice: classical decomposition
+      re-centers the phase means to sum to zero, but that subtraction
+      is a float sum over phases in nondeterministic order — here the
+      remainder absorbs the constant instead, and every emitted number
+      stays an exact-integer ratio (documented, deterministic).
+    - remainder: value − trend − seasonal.
+
+    Exactness: the period-scaled detrended series period·v − Σwindow
+    is an EXACT INTEGER, phase sums are exact integers, and
+    trend/seasonal/remainder are fixed per-row IEEE trees over exact
+    integer ratios — RAW doubles, bit-deterministic (the
+    representation rule for exact ratios).
+
+    Scale: one per-group range window (period-bounded frame) + one
+    (group, phase)-keyed aggregation joined back — group size is the
+    parallelism unit, the phase table is period·groups rows.
+
+    Output per row: group…, t, v, trend, seasonal, remainder.
+    """
+    if period < 2:
+        raise ValueError(
+            f"seasonal_decompose: period must be >= 2, got {period}"
+        )
+    half = (period - 1) // 2
+    if 2 * half + 1 != period:
+        raise ValueError(
+            "seasonal_decompose: period must be odd (centered window); "
+            f"got {period}"
+        )
+    groups = list(group_cols)
+    t = F.col(t_col).cast("long")
+    v = F.col(v_col).cast("long")
+    d = df.select(
+        *groups, t.alias("__t"), v.alias("__v")
+    ).where(t.isNotNull() & v.isNotNull())
+    w = (
+        Window.partitionBy(*groups)
+        .orderBy("__t")
+        .rangeBetween(-half, half)
+    )
+    ann = d.select(
+        *groups,
+        "__t",
+        "__v",
+        F.sum("__v").over(w).cast("long").alias("__wsum"),
+        F.count(F.lit(1)).over(w).alias("__wcnt"),
+        F.pmod(F.col("__t"), F.lit(period)).alias("__phase"),
+    )
+    # period-scaled detrended value: period·v − window-sum, exact int,
+    # only where the full window exists
+    detr = F.when(
+        F.col("__wcnt") == period,
+        (F.lit(period) * F.col("__v") - F.col("__wsum")).cast("long"),
+    )
+    ann = ann.withColumn("__detr", detr).localCheckpoint(
+        eager=False
+    )  # phase means + final join (r9 rule)
+    phase = ann.where(F.col("__detr").isNotNull()).groupBy(
+        *groups, "__phase"
+    ).agg(
+        F.sum("__detr").cast("long").alias("__ps"),
+        F.count(F.lit(1)).cast("long").alias("__pn"),
+    )
+    if groups:
+        ph = phase.select(
+            *[F.col(g).alias(f"__pg_{g}") for g in groups],
+            F.col("__phase").alias("__pph"),
+            "__ps",
+            "__pn",
+        )
+        cond = [F.col(g).eqNullSafe(F.col(f"__pg_{g}")) for g in groups] + [
+            F.col("__phase") == F.col("__pph")
+        ]
+        j = ann.join(F.broadcast(ph), cond, "left").drop(
+            "__pph", *[f"__pg_{g}" for g in groups]
+        )
+    else:
+        j = ann.join(
+            F.broadcast(phase), ["__phase"], "left"
+        )
+    pd_ = F.lit(float(period))
+    trend = F.when(
+        F.col("__wcnt") == period,
+        F.col("__wsum").cast("double") / pd_,
+    )
+    seasonal = F.col("__ps").cast("double") / (
+        pd_ * F.col("__pn").cast("double")
+    )
+    return j.select(
+        *groups,
+        F.col("__t").alias(t_col),
+        F.col("__v").alias(v_col),
+        trend.alias("trend"),
+        seasonal.alias("seasonal"),
+        (F.col("__v").cast("double") - trend - seasonal).alias(
+            "remainder"
+        ),
+    )
+
+
+def cross_correlation(
+    df: DataFrame,
+    t_col: str,
+    v_col: str,
+    series_col: str,
+    series_a,
+    series_b,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Lead–lag cross-correlation between two named series: Pearson r
+    between (A_t, B_{t+ℓ}) pairs for ℓ = −max_lag..max_lag — "does A
+    lead B?" (clicks → purchases, deploys → errors). A peak at
+    POSITIVE ℓ means A leads B by ℓ steps.
+
+    Same paired-sample convention, exactness contract (decimal
+    moments, r_e6 BIGINT), gap honesty, and coarse-series contract as
+    `autocorrelation`; ℓ = 0 is the plain contemporaneous correlation.
+
+    Output per lag: lag, n, r_e6.
+    """
+    if max_lag < 1:
+        raise ValueError(
+            f"cross_correlation: max_lag must be >= 1, got {max_lag}"
+        )
+    if series_a == series_b:
+        raise ValueError(
+            "cross_correlation: series_a and series_b must differ "
+            f"(both = {series_a!r}); use autocorrelation for one series"
+        )
+    t = F.col(t_col).cast("long")
+    v = F.col(v_col).cast("long")
+    s = F.col(series_col)
+    base = df.select(
+        s.alias("__s"), t.alias("__t"), v.alias("__v")
+    ).where(t.isNotNull() & v.isNotNull())
+    a = base.where(F.col("__s").eqNullSafe(F.lit(series_a)))
+    b = base.where(F.col("__s").eqNullSafe(F.lit(series_b)))
+    lags = F.explode(
+        F.sequence(F.lit(-int(max_lag)), F.lit(int(max_lag)))
+    ).alias("lag")
+    left = a.select("__t", F.col("__v").alias("__x"), lags)
+    right = b.select(F.col("__t").alias("__t2"), F.col("__v").alias("__y"))
+    pairs = left.join(
+        right, F.col("__t") + F.col("lag") == F.col("__t2")
+    )
+    x = F.col("__x")
+    y = F.col("__y")
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x.cast("decimal(38,0)")).cast("decimal(38,0)").alias("__sx"),
+        F.sum(y.cast("decimal(38,0)")).cast("decimal(38,0)").alias("__sy"),
+        F.sum((x * y).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__sxy"),
+        F.sum((x * x).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__sxx"),
+        F.sum((y * y).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    num = n * F.col("__sxy").cast("double") - sx * sy
+    var_x = n * F.col("__sxx").cast("double") - sx * sx
+    var_y = n * F.col("__syy").cast("double") - sy * sy
+    r = num / F.nullif(F.sqrt(var_x) * F.sqrt(var_y), F.lit(0.0))
+    return m.select(
+        F.col("lag").cast("long").alias("lag"),
+        "n",
+        F.when(F.col("n") >= 2, F.round(r * F.lit(1e6)).cast("long")).alias(
+            "r_e6"
+        ),
+    )
+
+
 def autocorrelation(
     df: DataFrame,
     t_col: str,

@@ -959,3 +959,82 @@ def zipf_fit(
         F.when(ok, e6(intercept)).alias("intercept_e6"),
         F.when(ok, e6(r2)).alias("r2_e6"),
     )
+
+
+def source_cosine_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Pairwise cosine similarity between corpus slices' unigram
+    count vectors — the WEIGHTED companion to the vocabulary-overlap
+    Jaccard (which ignores frequencies): "how alike do these sources
+    actually read?" — the source-drift / mixture-redundancy readout.
+
+        cos(i, j) = Σ_w c_iw·c_jw / (‖c_i‖·‖c_j‖)
+
+    Dot products and squared norms are EXACT integers (decimal(38,0)
+    sums of int64 count products); each cosine is one fixed IEEE tree
+    emitted as cos_e6 BIGINT. Pairs are emitted once (source_a <
+    source_b by natural order); pairs sharing NO token are absent
+    (their cosine is exactly 0 and the token-keyed join never sees
+    them — sparse-matrix semantics, deliberate).
+
+    Scale: one (group, token) groupBy, then a token-keyed self-join of
+    the per-group count vectors — groups are FEW by contract (sources/
+    langs), so the pair fan-out per token is ≤ k²; norms come from the
+    same count frame (pinned, r9 rule). Nothing data-sized funnels
+    anywhere.
+
+    Output per pair: source_a, source_b, dot, cos_e6.
+    """
+    g = F.col(group_col)
+    toks = F.filter(tokens_expr(text_col), lambda t: t != F.lit(""))
+    tok = df.select(g.alias("__g"), F.explode(toks).alias("__w"))
+    counts = tok.groupBy("__g", "__w").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    ).localCheckpoint(eager=False)  # join sides + norms (r9 rule)
+    norms = counts.groupBy("__g").agg(
+        F.sum((F.col("__c") * F.col("__c")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__nrm2")
+    )
+    left = counts.select(
+        F.col("__g").alias("__ga"), "__w", F.col("__c").alias("__ca")
+    )
+    right = counts.select(
+        F.col("__g").alias("__gb"),
+        F.col("__w").alias("__wb"),
+        F.col("__c").alias("__cb"),
+    )
+    dots = (
+        left.join(
+            right,
+            (F.col("__w") == F.col("__wb"))
+            & (F.col("__ga") < F.col("__gb")),
+        )
+        .groupBy("__ga", "__gb")
+        .agg(
+            F.sum((F.col("__ca") * F.col("__cb")).cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("__dot")
+        )
+    )
+    na = norms.select(
+        F.col("__g").alias("__ga"), F.col("__nrm2").alias("__na2")
+    )
+    nb = norms.select(
+        F.col("__g").alias("__gb"), F.col("__nrm2").alias("__nb2")
+    )
+    j = dots.join(F.broadcast(na), "__ga").join(F.broadcast(nb), "__gb")
+    cos = F.col("__dot").cast("double") / F.nullif(
+        F.sqrt(F.col("__na2").cast("double"))
+        * F.sqrt(F.col("__nb2").cast("double")),
+        F.lit(0.0),
+    )
+    return j.select(
+        F.col("__ga").alias("source_a"),
+        F.col("__gb").alias("source_b"),
+        F.col("__dot").cast("long").alias("dot"),
+        F.round(cos * F.lit(1e6)).cast("long").alias("cos_e6"),
+    )

@@ -4315,6 +4315,176 @@ def ts_mann_kendall_daily_value(
 
 
 @register_shadow(
+    "ts_seasonal_decompose_daily",
+    f"""
+    WITH daily AS ({_DAILY_CENTS_SQL}),
+    ann AS (
+      SELECT event_type, day, cents,
+             CAST(SUM(cents) OVER w AS BIGINT) AS wsum,
+             CAST(COUNT(*) OVER w AS BIGINT) AS wcnt,
+             day % 7 AS phase
+      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day
+        RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    detr AS (
+      SELECT *, CASE WHEN wcnt = 7 THEN 7 * cents - wsum END AS dt
+      FROM ann),
+    ph AS (
+      SELECT event_type, phase, CAST(SUM(dt) AS BIGINT) AS ps,
+             CAST(COUNT(dt) AS BIGINT) AS pn
+      FROM detr WHERE dt IS NOT NULL GROUP BY 1, 2),
+    j AS (
+      SELECT d.event_type, d.day, d.cents, d.wsum, d.wcnt, p.ps, p.pn
+      FROM detr d LEFT JOIN ph p
+        ON p.event_type = d.event_type AND p.phase = d.phase)
+    SELECT event_type, day, cents,
+           CASE WHEN wcnt = 7 THEN CAST(wsum AS DOUBLE) / 7.0 END
+             AS trend,
+           CAST(ps AS DOUBLE) / (7.0 * CAST(pn AS DOUBLE)) AS seasonal,
+           CAST(cents AS DOUBLE)
+             - (CASE WHEN wcnt = 7 THEN CAST(wsum AS DOUBLE) / 7.0 END)
+             - CAST(ps AS DOUBLE) / (7.0 * CAST(pn AS DOUBLE))
+             AS remainder
+    FROM j
+    """,
+    doc="Additive seasonal decomposition of each event type's daily "
+    "value series at period 7 (X197): trend = centered 7-day moving "
+    "average (NULL at edges/gaps — the full window must exist), "
+    "seasonal = uncentered day-of-week mean of the detrended series "
+    "(engine-canonical: the classical re-centering is a "
+    "nondeterministic-order float sum; the remainder absorbs the "
+    "constant), remainder = value - trend - seasonal. The "
+    "period-scaled detrended series 7v - windowsum is an exact "
+    "integer, so every emitted number is an exact-ratio RAW double.",
+)
+def ts_seasonal_decompose_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.stats import (
+        seasonal_decompose,
+    )
+
+    return seasonal_decompose(
+        _daily_cents(spark, sf_dir), "day", "cents",
+        group_cols=["event_type"], period=7,
+    )
+
+
+@register_shadow(
+    "ts_cross_correlation_click_purchase",
+    f"""
+    WITH daily AS ({_DAILY_CENTS_SQL}),
+    lags AS (SELECT unnest(range(-7, 8)) AS lag),
+    a AS (SELECT day, cents FROM daily WHERE event_type = 'click'),
+    b AS (SELECT day, cents FROM daily WHERE event_type = 'purchase'),
+    pairs AS (
+      SELECT l.lag, CAST(a.cents AS HUGEINT) AS x,
+             CAST(b.cents AS HUGEINT) AS y
+      FROM a CROSS JOIN lags l
+      JOIN b ON b.day = a.day + l.lag),
+    m AS (
+      SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM pairs GROUP BY 1)
+    SELECT CAST(lag AS BIGINT) AS lag, n,
+           CASE WHEN n >= 2 THEN
+             CAST(round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / nullif(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)),
+                         0.0) * 1e6) AS BIGINT)
+           END AS r_e6
+    FROM m
+    """,
+    doc="Lead-lag cross-correlation between the click and purchase "
+    "daily value series at lags -7..7 (X198): a peak at positive lag "
+    "means clicks lead purchases by that many days. Paired-sample "
+    "convention, exact decimal moments per lag, r_e6 BIGINT - the "
+    "two-series companion to ts_acf_daily_value.",
+)
+def ts_cross_correlation_click_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.stats import (
+        cross_correlation,
+    )
+
+    return cross_correlation(
+        _daily_cents(spark, sf_dir), "day", "cents",
+        "event_type", "click", "purchase", max_lag=7,
+    )
+
+
+@register_shadow(
+    "ht_cohens_d_value_urgent_low",
+    f"""
+    WITH base AS (
+      SELECT {_cents_sql('o_totalprice')} AS v,
+             o_orderpriority = '1-URGENT' AS ia,
+             o_orderpriority = '5-LOW' AS ib
+      FROM orders
+      WHERE o_totalprice IS NOT NULL
+        AND o_orderpriority IN ('1-URGENT', '5-LOW')),
+    agg AS (
+      SELECT
+        CAST(COALESCE(SUM(CASE WHEN ia THEN 1 END), 0) AS HUGEINT) AS na,
+        CAST(COALESCE(SUM(CASE WHEN ia THEN v END), 0) AS HUGEINT) AS sa,
+        CAST(COALESCE(SUM(CASE WHEN ia THEN CAST(v AS HUGEINT) * v END),
+             0) AS HUGEINT) AS qa,
+        CAST(COALESCE(SUM(CASE WHEN ib THEN 1 END), 0) AS HUGEINT) AS nb,
+        CAST(COALESCE(SUM(CASE WHEN ib THEN v END), 0) AS HUGEINT) AS sb,
+        CAST(COALESCE(SUM(CASE WHEN ib THEN CAST(v AS HUGEINT) * v END),
+             0) AS HUGEINT) AS qb
+      FROM base),
+    d AS (
+      SELECT CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd,
+             CAST(sa AS DOUBLE) AS sad, CAST(sb AS DOUBLE) AS sbd,
+             CAST(qa AS DOUBLE) AS qad, CAST(qb AS DOUBLE) AS qbd,
+             na, nb FROM agg),
+    f AS (
+      SELECT *,
+             CASE WHEN na > 0 THEN sad / nad END AS mean_a,
+             CASE WHEN nb > 0 THEN sbd / nbd END AS mean_b,
+             (nad * qad - sad * sad) / nad AS ss_a,
+             (nbd * qbd - sbd * sbd) / nbd AS ss_b,
+             nad + nbd AS ntot
+      FROM d),
+    g AS (
+      SELECT *,
+             (mean_a - mean_b)
+               / nullif(sqrt((ss_a + ss_b) / (ntot - 2.0)), 0.0) AS dd,
+             1.0 - 3.0 / (4.0 * ntot - 9.0) AS jc
+      FROM f)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           mean_a, mean_b,
+           CASE WHEN na >= 2 AND nb >= 2
+                THEN CAST(round(dd * 1e6) AS BIGINT) END AS d_e6,
+           CASE WHEN na >= 2 AND nb >= 2
+                THEN CAST(round(dd * jc * 1e6) AS BIGINT) END AS g_e6
+    FROM g
+    """,
+    doc="Cohen's d + Hedges' g standardized mean difference of order "
+    "value between URGENT and LOW priorities (X199) - the parametric "
+    "effect size companion to ht_welch_value_urgent_low (as Cliff's "
+    "delta is to Mann-Whitney). Exact decimal moments; means RAW; "
+    "d/g as e6 BIGINTs (sqrt involved).",
+)
+def ht_cohens_d_value_urgent_low(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.hypotests import cohens_d
+
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select(
+        F.col("o_orderpriority").alias("g"),
+        _cents("o_totalprice").alias("v"),
+    ).where(F.col("o_totalprice").isNotNull())
+    return cohens_d(d, "v", "g", "1-URGENT", "5-LOW")
+
+
+@register_shadow(
     "ht_jonckheere_priority_value",
     f"""
     WITH base AS (

@@ -221,3 +221,35 @@ def test_zipf_fit_degenerate_single_class(spark):
     out = zipf_fit(_docs(spark, rows)).collect()[0]
     assert out.n_classes == 1
     assert out.slope_e6 is None and out.r2_e6 is None
+
+
+# ---------------------------------------------------------------------------
+# source_cosine_matrix (X200)
+# ---------------------------------------------------------------------------
+
+
+def test_source_cosine_hand_computed(spark):
+    from legendary_data_pipeline_spark.operators.textstats import (
+        source_cosine_matrix,
+    )
+
+    # s1 = {a:2, b:1}, s2 = {a:1, b:2}: dot = 4, norms = sqrt5 each
+    # -> cos = 4/5; s3 shares no token -> its pairs are absent
+    rows = [("s1", "a a b"), ("s2", "a b b"), ("s3", "z z")]
+    out = {
+        (r.source_a, r.source_b): r
+        for r in source_cosine_matrix(_docs(spark, rows)).collect()
+    }
+    assert set(out) == {("s1", "s2")}
+    assert out[("s1", "s2")].dot == 4
+    assert out[("s1", "s2")].cos_e6 == 800_000
+
+
+def test_source_cosine_identical_sources(spark):
+    from legendary_data_pipeline_spark.operators.textstats import (
+        source_cosine_matrix,
+    )
+
+    rows = [("s1", "x y x"), ("s2", "x y x")]
+    out = source_cosine_matrix(_docs(spark, rows)).collect()[0]
+    assert out.cos_e6 == 1_000_000

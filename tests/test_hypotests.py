@@ -594,3 +594,44 @@ def test_jt_degenerate(spark):
     ).collect()[0]
     # every cross pair tied: J = 4*0.5 = 2 = E -> z = 0 unless Var = 0
     assert tied.j == 2.0
+
+
+# ---------------------------------------------------------------------------
+# Cohen's d (X199)
+# ---------------------------------------------------------------------------
+
+
+def test_cohens_d_hand_computed(spark):
+    from legendary_data_pipeline_spark.operators.hypotests import cohens_d
+
+    # the welch test data: a=[1,2,3,4] (mean 2.5, s^2 5/3),
+    # b=[2,4,6,8,10] (mean 6, s^2 10); s_p = sqrt(45/7);
+    # d = -3.5/s_p; g = d * (1 - 3/(4*9-9))
+    rows = [("a", 1), ("a", 2), ("a", 3), ("a", 4)] + [
+        ("b", v) for v in (2, 4, 6, 8, 10)
+    ]
+    out = cohens_d(_df(spark, rows), "v", "g", "a", "b").collect()[0]
+    sp = (45.0 / 7.0) ** 0.5
+    d = -3.5 / sp
+    g = d * (1.0 - 3.0 / 27.0)
+    assert out.mean_a == 2.5 and out.mean_b == 6.0
+    assert out.d_e6 == round(d * 1e6)
+    assert out.g_e6 == round(g * 1e6)
+
+
+def test_cohens_d_degenerate_and_guard(spark):
+    from legendary_data_pipeline_spark.operators.hypotests import cohens_d
+
+    # single-point group -> NULL d/g; zero pooled variance -> NULL;
+    # equal labels raise
+    one = cohens_d(
+        _df(spark, [("a", 3), ("b", 1), ("b", 2)]), "v", "g", "a", "b"
+    ).collect()[0]
+    assert one.d_e6 is None
+    flat = cohens_d(
+        _df(spark, [("a", 5), ("a", 5), ("b", 7), ("b", 7)]),
+        "v", "g", "a", "b",
+    ).collect()[0]
+    assert flat.d_e6 is None
+    with pytest.raises(ValueError, match="must differ"):
+        cohens_d(_df(spark, [("a", 1)]), "v", "g", "a", "a")

@@ -251,3 +251,123 @@ def test_mann_kendall_max_points_guard(spark):
         mann_kendall(
             _series(spark, rows), "t", "v", group_cols=["g"], max_points=10
         ).collect()
+
+
+# ---------------------------------------------------------------------------
+# seasonal_decompose (X197)
+# ---------------------------------------------------------------------------
+
+
+def test_seasonal_decompose_linear_series(spark):
+    from legendary_data_pipeline_spark.operators.stats import (
+        seasonal_decompose,
+    )
+
+    # perfectly linear v = t: interior trend = t, detrended = 0
+    # everywhere -> seasonal 0, remainder 0; edges (t<3 or t>6) NULL
+    rows = [("a", t, t) for t in range(10)]
+    out = {
+        r.day: r
+        for r in seasonal_decompose(
+            _series(spark, rows).withColumnRenamed("t", "day"),
+            "day", "v", group_cols=["g"],
+        ).collect()
+    }
+    for t in range(3, 7):
+        assert out[t].trend == float(t)
+        assert out[t].remainder == 0.0
+    assert out[0].trend is None and out[9].trend is None
+
+
+def test_seasonal_decompose_weekly_spike(spark):
+    from legendary_data_pipeline_spark.operators.stats import (
+        seasonal_decompose,
+    )
+
+    # v = 10 on phase 0, else 3, 3 weeks: the phase-0 seasonal mean is
+    # strictly the largest
+    rows = [("a", t, 10 if t % 7 == 0 else 3) for t in range(21)]
+    out = seasonal_decompose(
+        _series(spark, rows).withColumnRenamed("t", "day"),
+        "day", "v", group_cols=["g"],
+    ).collect()
+    by_phase = {}
+    for r in out:
+        if r.seasonal is not None:
+            by_phase.setdefault(r.day % 7, set()).add(r.seasonal)
+    # seasonal is constant within a phase
+    assert all(len(v) == 1 for v in by_phase.values())
+    assert max(by_phase, key=lambda p: next(iter(by_phase[p]))) == 0
+
+
+def test_seasonal_decompose_gap_breaks_window(spark):
+    from legendary_data_pipeline_spark.operators.stats import (
+        seasonal_decompose,
+    )
+
+    # day 5 missing: every window overlapping the gap holds < 7
+    # points -> NULL trend there; windows clear of the gap recover
+    rows = [("a", t, t) for t in range(16) if t != 5]
+    out = {
+        r.day: r
+        for r in seasonal_decompose(
+            _series(spark, rows).withColumnRenamed("t", "day"),
+            "day", "v", group_cols=["g"],
+        ).collect()
+    }
+    for t in (3, 4, 6, 7, 8):
+        assert out[t].trend is None
+    for t in (9, 10, 11, 12):
+        assert out[t].trend == float(t)
+    # period validation
+    import pytest as _pt
+    from legendary_data_pipeline_spark.operators.stats import (
+        seasonal_decompose as _sd,
+    )
+    with _pt.raises(ValueError, match="odd"):
+        _sd(_series(spark, rows), "t", "v", period=4)
+
+
+# ---------------------------------------------------------------------------
+# cross_correlation (X198)
+# ---------------------------------------------------------------------------
+
+
+def test_ccf_detects_lead(spark):
+    from legendary_data_pipeline_spark.operators.stats import (
+        cross_correlation,
+    )
+
+    # B is A delayed by exactly 2 steps: r = 1 at lag +2
+    vals = [1, 5, 2, 7, 3, 8]
+    rows = [("A", t, v) for t, v in enumerate(vals)] + [
+        ("B", t + 2, v) for t, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "s string, t long, v long")
+    out = {
+        r.lag: r
+        for r in cross_correlation(
+            df, "t", "v", "s", "A", "B", max_lag=3
+        ).collect()
+    }
+    assert out[2].r_e6 == 1_000_000 and out[2].n == 6
+    # two-point lags are trivially r = +/-1; compare only n >= 3
+    assert all(
+        out[lag].r_e6 < 1_000_000
+        for lag in out
+        if lag != 2 and out[lag].r_e6 is not None and out[lag].n >= 3
+    )
+
+
+def test_ccf_guards(spark):
+    from legendary_data_pipeline_spark.operators.stats import (
+        cross_correlation,
+    )
+
+    df = spark.createDataFrame(
+        [("A", 0, 1)], "s string, t long, v long"
+    )
+    with pytest.raises(ValueError, match="must differ"):
+        cross_correlation(df, "t", "v", "s", "A", "A")
+    with pytest.raises(ValueError, match="max_lag"):
+        cross_correlation(df, "t", "v", "s", "A", "B", max_lag=0)
