@@ -1239,3 +1239,101 @@ def cohens_d(
         F.when(ok, _e6(d_stat)).alias("d_e6"),
         F.when(ok, _e6(d_stat * j_corr)).alias("g_e6"),
     )
+
+
+def moods_median_test(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Mood's median test across ALL observed groups: classify every
+    value against the POOLED median and chi-square the resulting
+    2×k table — the most assumption-free k-sample location test
+    (only medians matter; heavy tails, outliers, and wild variance
+    differences cannot move it). The coarse, robust cousin of
+    Kruskal–Wallis: less power, more robustness.
+
+    Ties at the median count BELOW (the scipy/SAS ``ties='below'``
+    convention). The pooled median uses `percentile` (quantile_cont
+    bit-parity) and the compare doubles both sides so a half-integer
+    median stays exact. Cell counts and margins are exact integers;
+    χ² = Σ(o−e)²/e is a fixed IEEE tree over 2k cells emitted as
+    chi2_e6 BIGINT (NULL when k < 2 or either margin is empty —
+    all values on one side of the median).
+
+    Scale: one pooled-median aggregation (broadcast back), one
+    (group)-keyed count aggregation to 2k cells. Nothing data-sized
+    past the first shuffle.
+
+    Output (1 row): n, k, dof, n_above, n_below, chi2_e6.
+    """
+    v = F.col(value_col).cast("long")
+    g = F.col(group_col)
+    d = df.select(g.alias("__g"), v.alias("__v")).where(
+        v.isNotNull() & g.isNotNull()
+    ).localCheckpoint(eager=False)  # median + cells (r9 rule)
+    med = d.agg(
+        F.percentile(F.col("__v"), F.lit(0.5)).alias("__med")
+    )
+    two_med = F.round(F.col("__med") * F.lit(2.0)).cast("long")
+    j = d.crossJoin(F.broadcast(med))
+    cells = j.groupBy("__g").agg(
+        F.sum(
+            F.when(F.lit(2) * F.col("__v") > two_med, 1).otherwise(0)
+        )
+        .cast(_DEC)
+        .alias("__a"),
+        F.sum(
+            F.when(F.lit(2) * F.col("__v") <= two_med, 1).otherwise(0)
+        )
+        .cast(_DEC)
+        .alias("__b"),
+    ).localCheckpoint(eager=False)  # margins + per-group terms (r9 rule)
+    agg = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum((F.col("__a") + F.col("__b")).cast(_DEC))
+        .cast(_DEC)
+        .alias("__n"),
+        F.sum("__a").cast(_DEC).alias("__ta"),
+        F.sum("__b").cast(_DEC).alias("__tb"),
+    )
+    # per-group chi² terms need the margins; broadcast them back
+    withm = cells.crossJoin(
+        F.broadcast(
+            agg.select(
+                "k",
+                "__n",
+                "__ta",
+                "__tb",
+            )
+        )
+    )
+    ng = (F.col("__a") + F.col("__b")).cast("double")
+    nd = F.col("__n").cast("double")
+    ea = F.col("__ta").cast("double") * ng / nd
+    eb = F.col("__tb").cast("double") * ng / nd
+    da = F.col("__a").cast("double") - ea
+    db = F.col("__b").cast("double") - eb
+    # nullif guards the ANSI divide when a margin is EMPTY (all values
+    # on one side of the median) — the output is NULL then anyway
+    term = da * da / F.nullif(ea, F.lit(0.0)) + db * db / F.nullif(
+        eb, F.lit(0.0)
+    )
+    out = withm.groupBy().agg(
+        F.max("k").alias("k"),
+        F.max("__n").cast("long").alias("n"),
+        F.max("__ta").cast("long").alias("n_above"),
+        F.max("__tb").cast("long").alias("n_below"),
+        F.sum(term).alias("__chi2"),
+    )
+    ok = (
+        (F.col("k") >= 2)
+        & (F.col("n_above") > 0)
+        & (F.col("n_below") > 0)
+    )
+    return out.select(
+        "n",
+        "k",
+        (F.col("k") - F.lit(1)).cast("long").alias("dof"),
+        "n_above",
+        "n_below",
+        F.when(ok, _e6(F.col("__chi2"))).alias("chi2_e6"),
+    )

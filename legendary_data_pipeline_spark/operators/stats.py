@@ -2978,3 +2978,138 @@ def equal_freq_bins(
         F.count(F.lit(1)).cast("long").alias("n_values"),
         F.sum("__c").cast("long").alias("n_rows"),
     )
+
+
+def partial_correlation(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    z_col: str,
+) -> DataFrame:
+    """First-order partial correlation r_xy·z — the correlation between
+    x and y with the control variable z's linear effect removed:
+
+        r_xy·z = (r_xy − r_xz·r_yz) / sqrt((1 − r_xz²)(1 − r_yz²))
+
+    The confounder check behind "is this metric pair really related or
+    do both just follow z?" (seasonality, volume, document length).
+
+    All three columns must be integer-valued (cents convention); rows
+    with ANY NULL drop (listwise — the correlation_matrix contract).
+    ONE aggregation of exact decimal(38,0) moments (3 sums, 3 squares,
+    3 cross products); every r and the partial are fixed IEEE trees
+    emitted as *_e6 BIGINT (sqrt involved). Zero variance anywhere or
+    |r_xz| = 1 / |r_yz| = 1 → NULL partial.
+
+    Output (1 row): n, r_xy_e6, r_xz_e6, r_yz_e6, r_xy_z_e6.
+    """
+    cols = [x_col, y_col, z_col]
+    d = df.select(
+        *[F.col(c).cast("long").alias(f"__{i}") for i, c in enumerate(cols)]
+    )
+    notnull = F.lit(True)
+    for i in range(3):
+        notnull = notnull & F.col(f"__{i}").isNotNull()
+    d = d.where(notnull)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for i in range(3):
+        aggs.append(
+            F.sum(F.col(f"__{i}").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias(f"__s{i}")
+        )
+    for i in range(3):
+        for j in range(i, 3):
+            aggs.append(
+                F.sum(
+                    (F.col(f"__{i}") * F.col(f"__{j}")).cast("decimal(38,0)")
+                )
+                .cast("decimal(38,0)")
+                .alias(f"__p{i}{j}")
+            )
+    m = d.agg(*aggs)
+    n = F.col("n").cast("double")
+
+    def r(i: int, j: int) -> Column:
+        si = F.col(f"__s{i}").cast("double")
+        sj = F.col(f"__s{j}").cast("double")
+        pij = F.col(f"__p{min(i, j)}{max(i, j)}").cast("double")
+        pii = F.col(f"__p{i}{i}").cast("double")
+        pjj = F.col(f"__p{j}{j}").cast("double")
+        num = n * pij - si * sj
+        return num / F.nullif(
+            F.sqrt(n * pii - si * si) * F.sqrt(n * pjj - sj * sj),
+            F.lit(0.0),
+        )
+
+    rxy, rxz, ryz = r(0, 1), r(0, 2), r(1, 2)
+    denom = F.sqrt(
+        (F.lit(1.0) - rxz * rxz) * (F.lit(1.0) - ryz * ryz)
+    )
+    partial = (rxy - rxz * ryz) / F.nullif(denom, F.lit(0.0))
+    e6 = lambda c: F.round(c * F.lit(1e6)).cast("long")  # noqa: E731
+    ok = F.col("n") >= 2
+    return m.select(
+        "n",
+        F.when(ok, e6(rxy)).alias("r_xy_e6"),
+        F.when(ok, e6(rxz)).alias("r_xz_e6"),
+        F.when(ok, e6(ryz)).alias("r_yz_e6"),
+        F.when(ok, e6(partial)).alias("r_xy_z_e6"),
+    )
+
+
+def pop_growth(
+    df: DataFrame,
+    t_col: str,
+    v_col: str,
+    group_cols: Sequence[str] = (),
+    lag: int = 7,
+) -> DataFrame:
+    """Period-over-period growth of a regularly-indexed integer series
+    per group: each point joined with the point exactly ``lag`` steps
+    earlier (default 7 — week-over-week on a day grain), emitting the
+    exact difference and the growth ratio. The aligned comparison
+    behind WoW/MoM dashboards — alignment by VALUE of t, so gaps are
+    honest (a missing t−lag row yields NULL prev, not the previous
+    ROW, which is what a naive `lag()` window would silently do).
+
+    diff is an exact integer; growth = v/prev is one exact IEEE
+    division emitted RAW (NULL when prev is 0 or absent).
+
+    Scale: one group-keyed equi-join on (group, t−lag) — same shuffle
+    key both sides; the coarse-series contract applies.
+
+    Output per row: group…, t, v, prev, diff, growth.
+    """
+    if lag < 1:
+        raise ValueError(f"pop_growth: lag must be >= 1, got {lag}")
+    groups = list(group_cols)
+    t = F.col(t_col).cast("long")
+    v = F.col(v_col).cast("long")
+    d = df.select(
+        *groups, t.alias("__t"), v.alias("__v")
+    ).where(t.isNotNull() & v.isNotNull())
+    d = d.localCheckpoint(eager=False)  # both join sides (r9 rule)
+    prev = d.select(
+        *[F.col(g).alias(f"__r_{g}") for g in groups],
+        (F.col("__t") + F.lit(int(lag))).alias("__tp"),
+        F.col("__v").alias("__prev"),
+    )
+    cond = [F.col("__t") == F.col("__tp")] + [
+        F.col(g).eqNullSafe(F.col(f"__r_{g}")) for g in groups
+    ]
+    j = d.join(prev, cond, "left").drop(
+        "__tp", *[f"__r_{g}" for g in groups]
+    )
+    growth = F.when(
+        F.col("__prev") != 0,
+        F.col("__v").cast("double") / F.col("__prev").cast("double"),
+    )
+    return j.select(
+        *groups,
+        F.col("__t").alias(t_col),
+        F.col("__v").alias(v_col),
+        F.col("__prev").alias("prev"),
+        (F.col("__v") - F.col("__prev")).cast("long").alias("diff"),
+        growth.alias("growth"),
+    )

@@ -4315,6 +4315,185 @@ def ts_mann_kendall_daily_value(
 
 
 @register_shadow(
+    "ht_moods_median_value_by_priority",
+    f"""
+    WITH base AS (
+      SELECT o_orderpriority AS g, {_cents_sql('o_totalprice')} AS v
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL),
+    med AS (
+      SELECT CAST(round(quantile_cont(CAST(v AS DOUBLE), 0.5) * 2)
+               AS BIGINT) AS m2 FROM base),
+    cells AS (
+      SELECT g,
+             CAST(SUM(CASE WHEN 2 * v > m2 THEN 1 ELSE 0 END)
+               AS HUGEINT) AS a,
+             CAST(SUM(CASE WHEN 2 * v <= m2 THEN 1 ELSE 0 END)
+               AS HUGEINT) AS b
+      FROM base, med GROUP BY g),
+    marg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(a + b) AS HUGEINT) AS n,
+             CAST(SUM(a) AS HUGEINT) AS ta,
+             CAST(SUM(b) AS HUGEINT) AS tb
+      FROM cells),
+    terms AS (
+      SELECT m.k, m.n, m.ta, m.tb,
+             SUM(power(CAST(c.a AS DOUBLE)
+                   - CAST(m.ta AS DOUBLE) * CAST(c.a + c.b AS DOUBLE)
+                     / CAST(m.n AS DOUBLE), 2)
+                 / (CAST(m.ta AS DOUBLE) * CAST(c.a + c.b AS DOUBLE)
+                    / CAST(m.n AS DOUBLE))
+               + power(CAST(c.b AS DOUBLE)
+                   - CAST(m.tb AS DOUBLE) * CAST(c.a + c.b AS DOUBLE)
+                     / CAST(m.n AS DOUBLE), 2)
+                 / (CAST(m.tb AS DOUBLE) * CAST(c.a + c.b AS DOUBLE)
+                    / CAST(m.n AS DOUBLE))) AS chi2
+      FROM cells c, marg m GROUP BY 1, 2, 3, 4)
+    SELECT CAST(n AS BIGINT) AS n, k,
+           CAST(k - 1 AS BIGINT) AS dof,
+           CAST(ta AS BIGINT) AS n_above, CAST(tb AS BIGINT) AS n_below,
+           CASE WHEN k >= 2 AND ta > 0 AND tb > 0
+                THEN CAST(round(chi2 * 1e6) AS BIGINT) END AS chi2_e6
+    FROM terms
+    """,
+    doc="Mood's median test of order value across priorities (X201): "
+    "classify every value against the POOLED median (ties below, the "
+    "scipy/SAS convention; doubled-value compare keeps half-integer "
+    "medians exact) and chi-square the 2 x k table - the most "
+    "assumption-free k-sample location test, the robust coarse cousin "
+    "of Kruskal-Wallis. Exact integer cells; chi2_e6 BIGINT.",
+)
+def ht_moods_median_value_by_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.hypotests import (
+        moods_median_test,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select(
+        F.col("o_orderpriority").alias("g"),
+        _cents("o_totalprice").alias("v"),
+    )
+    return moods_median_test(d, "v", "g")
+
+
+@register_shadow(
+    "st_partial_corr_qty_price_discount",
+    """
+    WITH d AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+             CAST(round(l_discount * 100) AS BIGINT) AS z
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        AND l_discount IS NOT NULL),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS s0,
+             CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS s1,
+             CAST(SUM(CAST(z AS HUGEINT)) AS HUGEINT) AS s2,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS p00,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS p01,
+             CAST(SUM(CAST(x AS HUGEINT) * z) AS HUGEINT) AS p02,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS p11,
+             CAST(SUM(CAST(y AS HUGEINT) * z) AS HUGEINT) AS p12,
+             CAST(SUM(CAST(z AS HUGEINT) * z) AS HUGEINT) AS p22
+      FROM d),
+    r AS (
+      SELECT n,
+        (CAST(n AS DOUBLE) * CAST(p01 AS DOUBLE)
+          - CAST(s0 AS DOUBLE) * CAST(s1 AS DOUBLE))
+          / nullif(sqrt(CAST(n AS DOUBLE) * CAST(p00 AS DOUBLE)
+                    - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
+                 * sqrt(CAST(n AS DOUBLE) * CAST(p11 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)), 0.0)
+          AS rxy,
+        (CAST(n AS DOUBLE) * CAST(p02 AS DOUBLE)
+          - CAST(s0 AS DOUBLE) * CAST(s2 AS DOUBLE))
+          / nullif(sqrt(CAST(n AS DOUBLE) * CAST(p00 AS DOUBLE)
+                    - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
+                 * sqrt(CAST(n AS DOUBLE) * CAST(p22 AS DOUBLE)
+                    - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)), 0.0)
+          AS rxz,
+        (CAST(n AS DOUBLE) * CAST(p12 AS DOUBLE)
+          - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE))
+          / nullif(sqrt(CAST(n AS DOUBLE) * CAST(p11 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                 * sqrt(CAST(n AS DOUBLE) * CAST(p22 AS DOUBLE)
+                    - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)), 0.0)
+          AS ryz
+      FROM m)
+    SELECT n,
+           CASE WHEN n >= 2 THEN CAST(round(rxy * 1e6) AS BIGINT) END
+             AS r_xy_e6,
+           CASE WHEN n >= 2 THEN CAST(round(rxz * 1e6) AS BIGINT) END
+             AS r_xz_e6,
+           CASE WHEN n >= 2 THEN CAST(round(ryz * 1e6) AS BIGINT) END
+             AS r_yz_e6,
+           CASE WHEN n >= 2 THEN
+             CAST(round((rxy - rxz * ryz)
+                  / nullif(sqrt((1.0 - rxz * rxz)
+                                * (1.0 - ryz * ryz)), 0.0) * 1e6)
+               AS BIGINT)
+           END AS r_xy_z_e6
+    FROM r
+    """,
+    doc="First-order partial correlation of quantity and extended "
+    "price with discount's linear effect removed (X202) - the "
+    "confounder check: is the qty-price relation real or do both "
+    "follow discount? One aggregation of exact decimal moments (3 "
+    "sums, 3 squares, 3 cross products); every r and the partial as "
+    "fixed IEEE trees, *_e6 BIGINT.",
+)
+def st_partial_corr_qty_price_discount(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.stats import (
+        partial_correlation,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("z"),
+    )
+    return partial_correlation(d, "x", "y", "z")
+
+
+@register_shadow(
+    "ts_wow_growth_daily_value",
+    f"""
+    WITH daily AS ({_DAILY_CENTS_SQL})
+    SELECT d.event_type, d.day, d.cents,
+           p.cents AS prev,
+           d.cents - p.cents AS diff,
+           CASE WHEN p.cents <> 0
+                THEN CAST(d.cents AS DOUBLE) / CAST(p.cents AS DOUBLE)
+           END AS growth
+    FROM daily d LEFT JOIN daily p
+      ON p.event_type = d.event_type AND p.day = d.day - 7
+    """,
+    doc="Week-over-week growth of each event type's daily value "
+    "series (X203): alignment by VALUE of day (a missing day-7 row "
+    "yields NULL prev - not the previous ROW, which a naive lag() "
+    "window would silently give). diff exact integer; growth one "
+    "exact IEEE division emitted RAW.",
+)
+def ts_wow_growth_daily_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.stats import pop_growth
+
+    return pop_growth(
+        _daily_cents(spark, sf_dir), "day", "cents",
+        group_cols=["event_type"], lag=7,
+    )
+
+
+@register_shadow(
     "ts_seasonal_decompose_daily",
     f"""
     WITH daily AS ({_DAILY_CENTS_SQL}),

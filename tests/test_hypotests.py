@@ -635,3 +635,42 @@ def test_cohens_d_degenerate_and_guard(spark):
     assert flat.d_e6 is None
     with pytest.raises(ValueError, match="must differ"):
         cohens_d(_df(spark, [("a", 1)]), "v", "g", "a", "a")
+
+
+# ---------------------------------------------------------------------------
+# Mood's median test (X201)
+# ---------------------------------------------------------------------------
+
+
+def test_moods_median_hand_computed(spark):
+    from legendary_data_pipeline_spark.operators.hypotests import (
+        moods_median_test,
+    )
+
+    # pooled [1..8], median 4.5; a=[1,2,3,4] all below, b=[5,6,7,8]
+    # all above -> 2x2 table (0,4 / 4,0), margins 4/4, e = 2 each
+    # chi2 = 4 * (2^2/2) = 8
+    rows = [("a", v) for v in (1, 2, 3, 4)] + [
+        ("b", v) for v in (5, 6, 7, 8)
+    ]
+    out = moods_median_test(_df(spark, rows), "v", "g").collect()[0]
+    assert (out.n, out.k, out.dof) == (8, 2, 1)
+    assert (out.n_above, out.n_below) == (4, 4)
+    assert out.chi2_e6 == 8_000_000
+
+
+def test_moods_median_ties_below_and_degenerate(spark):
+    from legendary_data_pipeline_spark.operators.hypotests import (
+        moods_median_test,
+    )
+
+    # values equal to the median count BELOW: [1,2,2,3] median 2 ->
+    # above = {3}, below = {1,2,2}
+    rows = [("a", 1), ("a", 2), ("b", 2), ("b", 3)]
+    out = moods_median_test(_df(spark, rows), "v", "g").collect()[0]
+    assert out.n_above == 1 and out.n_below == 3
+    # all values identical -> everything below -> NULL chi2
+    flat = moods_median_test(
+        _df(spark, [("a", 5), ("b", 5)]), "v", "g"
+    ).collect()[0]
+    assert flat.chi2_e6 is None

@@ -824,3 +824,40 @@ def test_temporal_embargo_split_ordering(spark):
     assert len(by_split["train"]) + len(by_split["embargo"]) + len(
         by_split["val"]
     ) == 20
+
+
+def test_partial_correlation_hand_computed(spark):
+    from legendary_data_pipeline_spark.operators.stats import (
+        partial_correlation,
+    )
+
+    # y = x + z with x ⟂ z on a full 2x2 design replicated: the
+    # partial r_xy.z must EXCEED the marginal r_xy (z is a suppressor
+    # of none/confounder of part of the variance)
+    rows = []
+    for x in (0, 10):
+        for z in (0, 10):
+            for _ in range(3):
+                rows.append((x, x + z, z))
+    df = spark.createDataFrame(rows, "x long, y long, z long")
+    out = partial_correlation(df, "x", "y", "z").collect()[0]
+    assert out.n == 12
+    # exact design: r_xy = r_yz = 1/sqrt(2), r_xz = 0 ->
+    # partial = (1/sqrt2) / sqrt(1/2) = 1.0
+    assert out.r_xz_e6 == 0
+    assert out.r_xy_e6 == round(1 / 2 ** 0.5 * 1e6)
+    assert out.r_xy_z_e6 == 1_000_000
+
+
+def test_partial_correlation_confounder_removed(spark):
+    from legendary_data_pipeline_spark.operators.stats import (
+        partial_correlation,
+    )
+
+    # x and y are BOTH copies of z (plus nothing): marginal r_xy = 1,
+    # but controlling z leaves no variance -> NULL partial (0/0)
+    rows = [(z, z, z) for z in range(10)]
+    df = spark.createDataFrame(rows, "x long, y long, z long")
+    out = partial_correlation(df, "x", "y", "z").collect()[0]
+    assert out.r_xy_e6 == 1_000_000
+    assert out.r_xy_z_e6 is None

@@ -371,3 +371,42 @@ def test_ccf_guards(spark):
         cross_correlation(df, "t", "v", "s", "A", "A")
     with pytest.raises(ValueError, match="max_lag"):
         cross_correlation(df, "t", "v", "s", "A", "B", max_lag=0)
+
+
+# ---------------------------------------------------------------------------
+# pop_growth (X203)
+# ---------------------------------------------------------------------------
+
+
+def test_pop_growth_alignment_and_gaps(spark):
+    from legendary_data_pipeline_spark.operators.stats import pop_growth
+
+    # days 0..9 with day 2 missing: day 9's prev (day 2) is NULL —
+    # value alignment, not row alignment
+    rows = [("a", t, 10 * (t + 1)) for t in range(10) if t != 2]
+    out = {
+        r.day: r
+        for r in pop_growth(
+            _series(spark, rows).withColumnRenamed("t", "day"),
+            "day", "v", group_cols=["g"], lag=7,
+        ).collect()
+    }
+    assert out[7].prev == 10 and out[7].diff == 70 and out[7].growth == 8.0
+    assert out[9].prev is None and out[9].growth is None
+    assert out[0].prev is None
+    import pytest as _pt
+    with _pt.raises(ValueError, match="lag"):
+        pop_growth(_series(spark, rows), "t", "v", lag=0)
+
+
+def test_pop_growth_zero_prev_null_growth(spark):
+    from legendary_data_pipeline_spark.operators.stats import pop_growth
+
+    rows = [("a", 0, 0), ("a", 1, 5)]
+    out = {
+        r.t: r
+        for r in pop_growth(
+            _series(spark, rows), "t", "v", group_cols=["g"], lag=1
+        ).collect()
+    }
+    assert out[1].prev == 0 and out[1].growth is None and out[1].diff == 5
