@@ -1,0 +1,163 @@
+"""Stateful streaming EWMA anomaly scoring — the continuous form of
+the batch detector (operators/stats.py `ewma_anomalies`).
+
+Per key, the state is the last ≤k observed values in event-time order;
+each arriving point is scored against the PREDICTIVE halving-weight
+EWMA of those lags (the exact batch formula: ewma_t = Σ 2^(k−j)·x_{t−j}
+/ Σ 2^(k−j), integer numerator/denominator, partial windows exact) and
+emitted immediately with its residual. Downstream alerting thresholds
+the residual stream however it likes — the batch operator's per-group
+MAD flag needs the WHOLE group's residuals and is therefore not a
+streaming quantity; this module deliberately emits the score, not the
+verdict (documented divergence, not a silent approximation).
+
+Batch/stream parity: for an IN-ORDER stream the (key, t, ewma, resid)
+rows are bit-identical to `ewma_anomalies`' columns on the same data —
+pinned in tests/test_streaming_anomaly.py. Out-of-order arrivals
+WITHIN one micro-batch are sorted before scoring; a point older than
+already-scored state contributes to FUTURE baselines only (its own
+score used the data seen so far — the only causal option a stream
+has; the batch operator is the backfill oracle).
+
+State is bounded: ≤k int64 values per key, evicted when the WATERMARK
+passes ``last event + idle_timeout`` (event-time timeout — data-driven
+and replayable, the sessions.py convention; a processing-time timeout
+would also never let an availableNow drain terminate, since every
+armed timer keeps scheduling another micro-batch).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+ANOMALY_SCHEMA = (
+    "user_id long, t long, v long, ewma double, resid double"
+)
+
+#: last ≤k values in event-time order (newest last) + their max t
+_STATE_SCHEMA = "vs array<long>, last_t long"
+
+
+def ewma_anomaly_stream(
+    events: DataFrame,
+    k: int = 8,
+    idle_timeout_ms: int = 24 * 3600 * 1000,
+) -> DataFrame:
+    """Score a streaming frame of (user_id long, event_time timestamp,
+    t long, v long) rows — `t` is the series index (e.g. day number),
+    `v` the integer measure (cents convention; |v|·2^k must fit int64,
+    the batch operator's bound).
+
+    Returns the streaming DataFrame of scored rows (append mode). The
+    caller owns watermarking (`events` must already carry a watermark
+    on event_time — the timeout clock).
+    """
+    if k < 1:
+        raise ValueError(f"ewma_anomaly_stream: k must be >= 1, got {k}")
+
+    def update(
+        key: tuple[Any, ...],
+        batches: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        rows = pd.concat(list(batches), ignore_index=True)
+        rows = rows.sort_values("t", kind="mergesort")
+        last_ms = int(rows["event_time"].astype("int64").max() // 1_000_000)
+        vs: list[int] = []
+        if state.exists:
+            stored, _last = state.get
+            vs = list(stored)
+        out_t: list[int] = []
+        out_v: list[int] = []
+        out_ewma: list[float | None] = []
+        out_resid: list[float | None] = []
+        for t_val, v_val in zip(rows["t"].tolist(), rows["v"].tolist()):
+            lags = vs[-k:]
+            num = 0
+            den = 0
+            # lags[-1] is lag 1 (weight 2^(k-1)), matching the batch
+            # operator's F.lag(j) halving weights exactly
+            for j, lv in enumerate(reversed(lags), start=1):
+                weight = 1 << (k - j)
+                num += lv * weight
+                den += weight
+            if den > 0:
+                ewma = float(num) / float(den)
+                resid = float(v_val) - ewma
+            else:
+                ewma = None
+                resid = None
+            out_t.append(int(t_val))
+            out_v.append(int(v_val))
+            out_ewma.append(ewma)
+            out_resid.append(resid)
+            vs.append(int(v_val))
+            if len(vs) > k:
+                vs = vs[-k:]
+        last_t = int(rows["t"].max()) if len(rows) else 0
+        state.update((vs, last_t))
+        # event-time eviction: drop the key's lag buffer once the
+        # watermark passes its last activity + the idle window
+        state.setTimeoutTimestamp(last_ms + idle_timeout_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(out_t),
+                "t": out_t,
+                "v": out_v,
+                "ewma": pd.array(out_ewma, dtype="float64"),
+                "resid": pd.array(out_resid, dtype="float64"),
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        ANOMALY_SCHEMA,
+        _STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def run_ewma_anomaly_once(
+    spark,
+    source_dir: str,
+    target: str,
+    checkpoint: str,
+    k: int = 8,
+    watermark: str = "1 hour",
+) -> None:
+    """availableNow drain: read parquet events (user_id, ts, t, v),
+    score, append to `target`. The backfill-vs-stream harness."""
+    from pyspark.sql import functions as F
+
+    from legendary_data_pipeline_spark.streaming.snapshots import (
+        with_event_time,
+    )
+
+    src = (
+        spark.readStream.schema(
+            "user_id long, ts long, t long, v long"
+        ).parquet(source_dir)
+    )
+    timed = with_event_time(src).withWatermark("event_time", watermark)
+    scored = ewma_anomaly_stream(
+        timed.select("user_id", "event_time", "t", "v"), k=k
+    )
+    (
+        scored.writeStream.format("parquet")
+        .option("path", target)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
