@@ -1337,3 +1337,69 @@ def semantic_decontamination(
             F.col("max_cos_e6") >= F.lit(int(tau_e6)), F.lit(False)
         ).alias("contaminated"),
     )
+
+
+def label_centroid_matrix(
+    embeddings: DataFrame,
+) -> DataFrame:
+    """Pairwise cosine similarity between LABEL CENTROIDS in embedding
+    space — the embedding-space companion to the token-space source
+    cosine (textstats.source_cosine_matrix): "are these two slices'
+    embedding distributions converging?" — source drift, mixture
+    redundancy, and label-confusability readouts.
+
+    Centroids are per-label mean vectors (label × dim — KiB-scale, the
+    `label_centroid_cosine` build); the pair join runs on that
+    metadata frame, never the corpus. Per-dim float means carry
+    partition-order summation noise ≪ 1e-10, absorbed by the cos_e6
+    emission (the emb_* precedent). Pairs emit once (label_a <
+    label_b).
+
+    Output per pair: label_a, label_b, cos_e6.
+    """
+    base = embeddings.select(
+        "label", _as_double(F.col("embedding")).alias("vec")
+    )
+    pos = base.select("label", F.posexplode("vec").alias("pos", "v"))
+    cent = pos.groupBy("label", "pos").agg(F.avg("v").alias("c"))
+    # label×dim frame: pinned — both pair sides + norms read it
+    cent = cent.localCheckpoint(eager=False)
+    left = cent.select(
+        F.col("label").alias("label_a"),
+        "pos",
+        F.col("c").alias("__ca"),
+    )
+    right = cent.select(
+        F.col("label").alias("label_b"),
+        F.col("pos").alias("__pb"),
+        F.col("c").alias("__cb"),
+    )
+    dots = (
+        left.join(
+            right,
+            (F.col("pos") == F.col("__pb"))
+            & (F.col("label_a") < F.col("label_b")),
+        )
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__dot"))
+    )
+    norms = cent.groupBy("label").agg(
+        F.sum(F.col("c") * F.col("c")).alias("__nrm2")
+    )
+    na = norms.select(
+        F.col("label").alias("label_a"), F.col("__nrm2").alias("__na2")
+    )
+    nb = norms.select(
+        F.col("label").alias("label_b"), F.col("__nrm2").alias("__nb2")
+    )
+    j = dots.join(F.broadcast(na), "label_a").join(
+        F.broadcast(nb), "label_b"
+    )
+    cos = F.col("__dot") / F.nullif(
+        F.sqrt(F.col("__na2")) * F.sqrt(F.col("__nb2")), F.lit(0.0)
+    )
+    return j.select(
+        "label_a",
+        "label_b",
+        F.round(cos * F.lit(1e6)).cast("long").alias("cos_e6"),
+    )

@@ -28,7 +28,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from legendary_data_pipeline_spark.catalog import load_table
+from legendary_data_pipeline_spark.catalog import (
+    load_distributed,
+    load_table,
+)
 from legendary_data_pipeline_spark.functions.hashing import (
     md5_long_sql,
     seeded_md5_long_sql,
@@ -4312,6 +4315,110 @@ def ts_mann_kendall_daily_value(
         _daily_cents(spark, sf_dir), "day", "cents",
         group_cols=["event_type"],
     )
+
+
+@register_shadow(
+    "dq_uncertainty_priority_status",
+    """
+    WITH cells AS (
+      SELECT o_orderpriority AS a, o_orderstatus AS b,
+             CAST(COUNT(*) AS BIGINT) AS obs
+      FROM orders GROUP BY 1, 2),
+    marg AS (
+      SELECT a, b, obs,
+             SUM(obs) OVER (PARTITION BY a) AS row_tot,
+             SUM(obs) OVER (PARTITION BY b) AS col_tot,
+             SUM(obs) OVER () AS n
+      FROM cells),
+    terms AS (
+      SELECT n,
+             (CAST(obs AS DOUBLE) / CAST(n AS DOUBLE))
+               * ln(CAST(obs AS DOUBLE) * CAST(n AS DOUBLE)
+                    / (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)))
+               AS mi_term,
+             (CAST(obs AS DOUBLE) / CAST(n AS DOUBLE))
+               * ln(CAST(n AS DOUBLE) / CAST(row_tot AS DOUBLE)) AS hx_term,
+             (CAST(obs AS DOUBLE) / CAST(n AS DOUBLE))
+               * ln(CAST(n AS DOUBLE) / CAST(col_tot AS DOUBLE)) AS hy_term
+      FROM marg)
+    SELECT CAST(max(n) AS BIGINT) AS n,
+           CAST(round(SUM(hx_term) * 1e6) AS BIGINT) AS h_x_e6,
+           CAST(round(SUM(hy_term) * 1e6) AS BIGINT) AS h_y_e6,
+           CAST(round(SUM(mi_term) * 1e6) AS BIGINT) AS mi_e6,
+           CASE WHEN SUM(hy_term) > 0 THEN
+             CAST(round(SUM(mi_term) / SUM(hy_term) * 1e6) AS BIGINT)
+           END AS u_y_given_x_e6,
+           CASE WHEN SUM(hx_term) > 0 THEN
+             CAST(round(SUM(mi_term) / SUM(hx_term) * 1e6) AS BIGINT)
+           END AS u_x_given_y_e6,
+           CASE WHEN SUM(hx_term) + SUM(hy_term) > 0 THEN
+             CAST(round(2.0 * SUM(mi_term)
+                  / (SUM(hx_term) + SUM(hy_term)) * 1e6) AS BIGINT)
+           END AS u_sym_e6
+    FROM terms
+    """,
+    doc="Theil's uncertainty coefficient for order priority vs status "
+    "(X205): the DIRECTIONAL dependency strength U(y|x) = I/H(y) that "
+    "approximate functional-dependency discovery needs and that "
+    "chi-square/Cramer's V/NMI all hide (zip->city vs city->zip score "
+    "identically there). Same exact contingency pass + e6 micro-nat "
+    "emission as st_mutual_information.",
+)
+def dq_uncertainty_priority_status(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.stats import (
+        uncertainty_coefficient,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return uncertainty_coefficient(
+        orders, "o_orderpriority", "o_orderstatus"
+    )
+
+
+@register_shadow(
+    "emb_label_centroid_matrix",
+    """
+    WITH base AS (
+      SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    pos AS (
+      SELECT label, unnest(e) AS v, generate_subscripts(e, 1) AS pos
+      FROM base),
+    cent AS (
+      SELECT label, pos, avg(v) AS c FROM pos GROUP BY label, pos),
+    dots AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             SUM(a.c * b.c) AS dot
+      FROM cent a JOIN cent b
+        ON a.pos = b.pos AND a.label < b.label
+      GROUP BY 1, 2),
+    norms AS (
+      SELECT label, SUM(c * c) AS nrm2 FROM cent GROUP BY 1)
+    SELECT d.label_a, d.label_b,
+           CAST(round(d.dot / nullif(sqrt(na.nrm2) * sqrt(nb.nrm2), 0.0)
+                * 1e6) AS BIGINT) AS cos_e6
+    FROM dots d
+    JOIN norms na ON na.label = d.label_a
+    JOIN norms nb ON nb.label = d.label_b
+    """,
+    doc="Pairwise cosine similarity between label centroids in "
+    "embedding space (X206) - the embedding-space companion to the "
+    "token-space source cosine matrix: source-drift / mixture-"
+    "redundancy / label-confusability readout. The pair join runs on "
+    "the label x dim centroid frame (KiB), never the corpus; per-dim "
+    "float-mean summation noise is absorbed by the cos_e6 emission "
+    "(the emb_* precedent).",
+)
+def emb_label_centroid_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.similarity import (
+        label_centroid_matrix,
+    )
+
+    emb = load_distributed(spark, sf_dir, "embeddings")
+    return label_centroid_matrix(emb)
 
 
 @register_shadow(

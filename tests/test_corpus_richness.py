@@ -253,3 +253,30 @@ def test_source_cosine_identical_sources(spark):
     rows = [("s1", "x y x"), ("s2", "x y x")]
     out = source_cosine_matrix(_docs(spark, rows)).collect()[0]
     assert out.cos_e6 == 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# label_centroid_matrix (X206)
+# ---------------------------------------------------------------------------
+
+
+def test_label_centroid_matrix_hand_computed(spark):
+    from legendary_data_pipeline_spark.operators.similarity import (
+        label_centroid_matrix,
+    )
+
+    # label 0 centroid = (1, 0); label 1 centroid = (0, 1) ->
+    # orthogonal, cos 0; label 2 centroid = (1, 0) -> cos 1 with l0
+    rows = [
+        (1, [1.0, 0.0], 0), (2, [1.0, 0.0], 0),
+        (3, [0.0, 1.0], 1), (4, [0.0, 1.0], 1),
+        (5, [2.0, 0.0], 2),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {
+        (r.label_a, r.label_b): r.cos_e6
+        for r in label_centroid_matrix(df).collect()
+    }
+    assert out[(0, 1)] == 0
+    assert out[(0, 2)] == 1_000_000
+    assert out[(1, 2)] == 0

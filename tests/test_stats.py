@@ -861,3 +861,38 @@ def test_partial_correlation_confounder_removed(spark):
     out = partial_correlation(df, "x", "y", "z").collect()[0]
     assert out.r_xy_e6 == 1_000_000
     assert out.r_xy_z_e6 is None
+
+
+def test_uncertainty_coefficient_directional(spark):
+    from legendary_data_pipeline_spark.operators.stats import (
+        uncertainty_coefficient,
+    )
+
+    # x functionally determines y (y = x mod 2) but not vice versa:
+    # U(y|x) = 1, U(x|y) < 1
+    rows = [(str(i % 4), str(i % 2)) for i in range(40)]
+    df = spark.createDataFrame(rows, "x string, y string")
+    out = uncertainty_coefficient(df, "x", "y").collect()[0]
+    assert out.u_y_given_x_e6 == 1_000_000
+    assert out.u_x_given_y_e6 < 1_000_000
+    # independent columns: all coefficients ~0 (exact 0 on a full
+    # product design)
+    rows2 = [(str(i % 2), str(j % 2)) for i in range(4) for j in range(4)]
+    df2 = spark.createDataFrame(rows2, "x string, y string")
+    out2 = uncertainty_coefficient(df2, "x", "y").collect()[0]
+    assert out2.u_sym_e6 == 0
+
+
+def test_uncertainty_coefficient_constant_column_null(spark):
+    from legendary_data_pipeline_spark.operators.stats import (
+        uncertainty_coefficient,
+    )
+
+    rows = [("a", str(i % 3)) for i in range(9)]
+    df = spark.createDataFrame(rows, "x string, y string")
+    out = uncertainty_coefficient(df, "x", "y").collect()[0]
+    # H(x) = 0: U(x|y) undefined; U(y|x) = 0 (knowing the constant
+    # removes nothing)
+    assert out.h_x_e6 == 0
+    assert out.u_x_given_y_e6 is None
+    assert out.u_y_given_x_e6 == 0
