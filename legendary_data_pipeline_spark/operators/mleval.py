@@ -719,3 +719,84 @@ def two_proportion_test(
         ).alias("diff"),
         F.round(z, round_digits).alias("z"),
     )
+
+
+def precision_recall_at_k(
+    ranked: DataFrame,
+    query_col: str,
+    rank_col: str,
+    rel_col: str,
+    k: int,
+    total_rel: DataFrame | None = None,
+    total_rel_col: str = "n_rel",
+) -> DataFrame:
+    """Exact precision@k / recall@k over a ranked retrieval frame —
+    the set-overlap companions to MRR (first hit) and NDCG (graded
+    positions).
+
+    Input: one row per (query, item) with 1-based rank and 0/1
+    relevance; ``total_rel`` optionally supplies (query, n_rel) — the
+    TRUE relevant count per query in the corpus — for recall. Both
+    emitted metrics are EXACT single divisions of exact integers (the
+    MRR lesson: no per-query float averaging):
+
+    - precision_at_k = Σ_q hits_q / (k · n_queries)  (the macro mean —
+      exact because every query shares the same denominator k)
+    - recall_at_k   = Σ_q hits_q / Σ_q n_rel_q       (the MICRO form —
+      the macro mean of hits_q/n_rel_q would be an order-dependent
+      float sum; micro is the deterministic aggregate, documented)
+
+    Queries in ``total_rel`` with no ranked rows count as zero-hit
+    (full outer semantics); NULL recall when total_rel is absent.
+
+    Output (1 row): n_queries, n_hits, n_rel_total, precision_at_k,
+    recall_at_k.
+    """
+    if k < 1:
+        raise ValueError(f"precision_recall_at_k: k must be >= 1, got {k}")
+    hits = ranked.groupBy(query_col).agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col(rank_col) <= k) & (F.col(rel_col) == 1), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("__hits")
+    )
+    if total_rel is not None:
+        tr = total_rel.select(
+            F.col(query_col).alias("__tq"),
+            F.col(total_rel_col).cast("long").alias("__nrel"),
+        )
+        hits = hits.join(
+            tr, F.col(query_col).eqNullSafe(F.col("__tq")), "full_outer"
+        ).select(
+            F.coalesce(F.col("__hits"), F.lit(0)).alias("__hits"),
+            F.coalesce(F.col("__nrel"), F.lit(0)).alias("__nrel"),
+        )
+    else:
+        hits = hits.select("__hits", F.lit(None).cast("long").alias("__nrel"))
+    agg = hits.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.coalesce(F.sum("__hits"), F.lit(0)).cast("long").alias("n_hits"),
+        F.sum("__nrel").cast("long").alias("n_rel_total"),
+    )
+    prec = F.when(
+        F.col("n_queries") > 0,
+        F.col("n_hits").cast("double")
+        / (F.lit(float(k)) * F.col("n_queries").cast("double")),
+    )
+    rec = F.when(
+        F.col("n_rel_total") > 0,
+        F.col("n_hits").cast("double") / F.col("n_rel_total").cast("double"),
+    )
+    return agg.select(
+        "n_queries",
+        "n_hits",
+        "n_rel_total",
+        prec.alias("precision_at_k"),
+        rec.alias("recall_at_k"),
+    )

@@ -1112,3 +1112,58 @@ def js_divergence_pairs(
         e6(F.col("__jsd")).alias("jsd_e6"),
         e6(F.col("__jsd") / F.lit(ln2)).alias("jsd_norm_e6"),
     )
+
+
+def fk_orphan_report(
+    child: DataFrame,
+    parents: "Sequence[tuple[str, DataFrame, str, str]]",
+) -> DataFrame:
+    """Referential-integrity audit: for each declared foreign key,
+    count child rows whose key value has NO matching parent row — the
+    single most common silent-corruption mode a landing zone sees
+    (late parent loads, partial backfills, truncated dimensions).
+
+    ``parents``: (fk_name, parent_df, child_col, parent_col) tuples.
+    Per FK: n_child counts NON-NULL child keys (NULL FK is the
+    nullability check's job, not referential integrity's), n_orphans
+    counts those with no parent via LEFT ANTI join on DISTINCT parent
+    keys, orphan_rate = one exact IEEE division emitted RAW.
+
+    Scale: one anti-join per FK, each keyed on its own column (AQE
+    handles skewed keys; the parent side reduces to its distinct key
+    column first — never the parent's full width). The report is
+    len(parents) rows.
+
+    Output per FK: fk_name, n_child, n_orphans, orphan_rate.
+    """
+    if not parents:
+        raise ValueError("fk_orphan_report: at least one FK required")
+    reports = []
+    for fk_name, parent_df, child_col, parent_col in parents:
+        keys = child.select(F.col(child_col).alias("__k")).where(
+            F.col(child_col).isNotNull()
+        )
+        pkeys = parent_df.select(
+            F.col(parent_col).alias("__k")
+        ).distinct()
+        n_child = keys.groupBy().agg(
+            F.count(F.lit(1)).cast("long").alias("n_child")
+        )
+        n_orph = keys.join(pkeys, "__k", "left_anti").groupBy().agg(
+            F.count(F.lit(1)).cast("long").alias("n_orphans")
+        )
+        rep = n_child.crossJoin(n_orph).select(
+            F.lit(fk_name).alias("fk_name"),
+            "n_child",
+            "n_orphans",
+            F.when(
+                F.col("n_child") > 0,
+                F.col("n_orphans").cast("double")
+                / F.col("n_child").cast("double"),
+            ).alias("orphan_rate"),
+        )
+        reports.append(rep)
+    out = reports[0]
+    for rep in reports[1:]:
+        out = out.unionByName(rep)
+    return out

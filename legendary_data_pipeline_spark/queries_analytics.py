@@ -4317,6 +4317,84 @@ def ts_mann_kendall_daily_value(
     )
 
 
+_FK_ORPHAN_SQL_ONE = """
+    SELECT '{name}' AS fk_name,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {child}
+            WHERE {ck} IS NOT NULL) AS n_child,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM {child} c
+            ANTI JOIN (SELECT DISTINCT {pk} FROM {parent}) p
+              ON c.{ck} = p.{pk}
+            WHERE c.{ck} IS NOT NULL) AS n_orphans
+"""
+
+
+def _fk_orphan_sql() -> str:
+    fks = [
+        ("l_orderkey->o_orderkey", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("l_partkey->p_partkey", "lineitem", "l_partkey",
+         "part", "p_partkey"),
+        ("l_suppkey->s_suppkey", "lineitem", "l_suppkey",
+         "supplier", "s_suppkey"),
+    ]
+    parts = " UNION ALL ".join(
+        _FK_ORPHAN_SQL_ONE.format(
+            name=n, child=c, ck=ck, parent=p, pk=pk
+        )
+        for n, c, ck, p, pk in fks
+    )
+    return f"""
+    WITH rep AS ({parts})
+    SELECT fk_name, n_child, n_orphans,
+           CASE WHEN n_child > 0
+                THEN CAST(n_orphans AS DOUBLE) / CAST(n_child AS DOUBLE)
+           END AS orphan_rate
+    FROM rep
+    """
+
+
+@register_shadow(
+    "dq_fk_orphan_lineitem",
+    _fk_orphan_sql(),
+    doc="Referential-integrity audit of lineitem's three foreign keys "
+    "(X208): orphan counts and rates against orders/part/supplier via "
+    "LEFT ANTI joins on distinct parent keys - the most common silent-"
+    "corruption mode a landing zone sees (late parent loads, partial "
+    "backfills, truncated dimensions). Exact integer counts; rate one "
+    "exact IEEE division emitted RAW.",
+)
+def dq_fk_orphan_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.profiling import (
+        fk_orphan_report,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return fk_orphan_report(
+        li,
+        [
+            (
+                "l_orderkey->o_orderkey",
+                load_table(spark, sf_dir, "orders"),
+                "l_orderkey",
+                "o_orderkey",
+            ),
+            (
+                "l_partkey->p_partkey",
+                load_table(spark, sf_dir, "part"),
+                "l_partkey",
+                "p_partkey",
+            ),
+            (
+                "l_suppkey->s_suppkey",
+                load_table(spark, sf_dir, "supplier"),
+                "l_suppkey",
+                "s_suppkey",
+            ),
+        ],
+    )
+
+
 @register_shadow(
     "dq_uncertainty_priority_status",
     """

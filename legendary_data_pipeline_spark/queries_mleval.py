@@ -710,3 +710,64 @@ def ml_two_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, "o_orderpriority", "__lab", "1-URGENT", "5-LOW",
         scaled_e6=True,
     )
+
+
+@register_shadow(
+    "ret_precision_recall_at_10",
+    f"""
+    WITH {_RANKED_CTE},
+    hits AS (
+      SELECT query_id,
+             CAST(SUM(CASE WHEN rn <= {_RET_K} AND rel = 1
+                  THEN 1 ELSE 0 END) AS BIGINT) AS h
+      FROM top GROUP BY 1),
+    labcnt AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS lc
+      FROM embeddings GROUP BY 1),
+    tr AS (
+      SELECT e.vec_id AS query_id, l.lc - 1 AS nrel
+      FROM embeddings e JOIN labcnt l USING (label)
+      WHERE e.vec_id % 5 = 0),
+    j AS (
+      SELECT COALESCE(h.h, 0) AS h, COALESCE(t.nrel, 0) AS nrel
+      FROM tr t FULL OUTER JOIN hits h USING (query_id))
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(h) AS BIGINT) AS n_hits,
+           CAST(SUM(nrel) AS BIGINT) AS n_rel_total,
+           CASE WHEN COUNT(*) > 0
+                THEN CAST(SUM(h) AS DOUBLE)
+                     / ({_RET_K}.0 * CAST(COUNT(*) AS DOUBLE))
+           END AS precision_at_k,
+           CASE WHEN SUM(nrel) > 0
+                THEN CAST(SUM(h) AS DOUBLE) / CAST(SUM(nrel) AS DOUBLE)
+           END AS recall_at_k
+    FROM j
+    """,
+    doc="Precision@10 / recall@10 of the exact-cosine retrieval "
+    "(X207) - the set-overlap companions to MRR (first hit) and NDCG "
+    "(graded positions). Macro precision is exact (shared denominator "
+    "k); recall is the MICRO form sum(hits)/sum(n_rel) - the only "
+    "deterministic aggregate (per-query float averaging is order-"
+    "dependent; documented). True per-query relevant counts from the "
+    "corpus label counts minus self.",
+)
+def ret_precision_recall_at_10(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ranked = _ranked_frame(spark, sf_dir)
+    emb = load_distributed(spark, sf_dir, "embeddings")
+    labels = emb.select("vec_id", "label")
+    lab_cnt = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("__lc")
+    )
+    total_rel = (
+        labels.where(F.col("vec_id") % 5 == 0)
+        .join(F.broadcast(lab_cnt), "label")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            (F.col("__lc") - 1).cast("long").alias("n_rel"),
+        )
+    )
+    return M.precision_recall_at_k(
+        ranked, "query_id", "rank", "rel", k=_RET_K, total_rel=total_rel
+    )

@@ -264,3 +264,49 @@ def test_stats_cli_rejects_group_for_ungrouped_metrics(spark, tmp_path):
                 "stats", "--input", table, "--metric", metric,
                 "--cols", cols, "--group", "g",
             ])
+
+
+# ---------------------------------------------------------------------------
+# fk_orphan_report (X208)
+# ---------------------------------------------------------------------------
+
+
+def test_fk_orphan_report_counts(spark):
+    from pyspark.sql import functions as F
+
+    from legendary_data_pipeline_spark.operators.profiling import (
+        fk_orphan_report,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99), (4, None)], "id long, fk long"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    out = fk_orphan_report(
+        child, [("fk->pk", parent, "fk", "pk")]
+    ).collect()[0]
+    # NULL fk excluded from n_child; 99 is the one orphan
+    assert out.fk_name == "fk->pk"
+    assert out.n_child == 3 and out.n_orphans == 1
+    assert out.orphan_rate == 1.0 / 3.0
+
+
+def test_fk_orphan_report_multiple_fks_and_validation(spark):
+    import pytest as _pt
+
+    from legendary_data_pipeline_spark.operators.profiling import (
+        fk_orphan_report,
+    )
+
+    child = spark.createDataFrame([(1, 10, 7)], "id long, a long, b long")
+    pa = spark.createDataFrame([(10,)], "pk long")
+    pb = spark.createDataFrame([(8,)], "pk long")
+    out = {
+        r.fk_name: r
+        for r in fk_orphan_report(
+            child, [("a", pa, "a", "pk"), ("b", pb, "b", "pk")]
+        ).collect()
+    }
+    assert out["a"].n_orphans == 0 and out["b"].n_orphans == 1
+    with _pt.raises(ValueError, match="at least one"):
+        fk_orphan_report(child, [])

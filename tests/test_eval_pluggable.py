@@ -56,3 +56,51 @@ def test_mrr_over_ivf_shortlist_tracks_exact(spark, sf_dir):
         m_exact["mrr"],
     )
     assert m_ivf["n_queries"] == m_exact["n_queries"]
+
+
+# ---------------------------------------------------------------------------
+# precision/recall@k (X207)
+# ---------------------------------------------------------------------------
+
+
+def test_precision_recall_at_k_hand_computed(spark):
+    from legendary_data_pipeline_spark.operators.mleval import (
+        precision_recall_at_k,
+    )
+
+    # q1: hits at ranks 1,3 within k=3 (2 hits of 4 relevant);
+    # q2: no hits in top 3 (0 of 2 relevant)
+    ranked = spark.createDataFrame(
+        [
+            (1, 1, 1), (1, 2, 0), (1, 3, 1), (1, 4, 1),
+            (2, 1, 0), (2, 2, 0), (2, 3, 0), (2, 4, 1),
+        ],
+        "q long, rank long, rel int",
+    )
+    total = spark.createDataFrame([(1, 4), (2, 2)], "q long, n_rel long")
+    out = precision_recall_at_k(
+        ranked, "q", "rank", "rel", k=3, total_rel=total
+    ).collect()[0]
+    assert out.n_queries == 2 and out.n_hits == 2 and out.n_rel_total == 6
+    assert out.precision_at_k == 2.0 / 6.0  # 2 hits / (k=3 * 2 queries)
+    assert out.recall_at_k == 2.0 / 6.0  # micro: 2 / (4+2)
+
+
+def test_precision_recall_zero_hit_query_counted(spark):
+    from legendary_data_pipeline_spark.operators.mleval import (
+        precision_recall_at_k,
+    )
+
+    # a query present only in total_rel (no ranked rows) still counts
+    ranked = spark.createDataFrame(
+        [(1, 1, 1)], "q long, rank long, rel int"
+    )
+    total = spark.createDataFrame([(1, 1), (9, 5)], "q long, n_rel long")
+    out = precision_recall_at_k(
+        ranked, "q", "rank", "rel", k=2, total_rel=total
+    ).collect()[0]
+    assert out.n_queries == 2
+    assert out.recall_at_k == 1.0 / 6.0
+    import pytest as _pt
+    with _pt.raises(ValueError, match="k must be"):
+        precision_recall_at_k(ranked, "q", "rank", "rel", k=0)
