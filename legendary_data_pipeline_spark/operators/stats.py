@@ -3170,3 +3170,87 @@ def uncertainty_coefficient(
             hx + hy > 0, e6(F.lit(2.0) * mi / (hx + hy))
         ).alias("u_sym_e6"),
     )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    trim_ppm: int = 50_000,
+) -> DataFrame:
+    """Symmetric trimmed mean per group — the robust location estimate
+    between the mean (efficient, outlier-fragile) and the median
+    (robust, throws away most of the data): drop the lowest and
+    highest ``trim_ppm`` (parts-per-million, default 5%) of ROWS by
+    value and average the rest.
+
+    EXACT everywhere — no approximate percentile: with t =
+    ⌊n·trim_ppm/1e6⌋ rows trimmed per side, a value v with below(v)
+    rows strictly below and c ties contributes
+    max(0, min(below+c, n−t) − max(below, t)) kept rows (the overlap
+    of its rank interval with [t, n−t)) — integer arithmetic over the
+    distinct-value frame via one distributed below-counts pass. Ties
+    straddling a cut point are trimmed PARTIALLY by row count, so the
+    estimate is a pure function of the multiset (partitioning- and
+    engine-independent). The mean is one exact IEEE division of
+    decimal(38,0) sums; n − 2t = 0 (tiny groups) → NULL.
+
+    Output per group: n, n_trimmed_per_side, trimmed_mean.
+    """
+    if not 0 <= trim_ppm < 500_000:
+        raise ValueError(
+            "trimmed_mean: trim_ppm must be in [0, 500000), got "
+            f"{trim_ppm}"
+        )
+    groups = list(group_cols)
+    v = F.col(value_col).cast("long")
+    d = df.select(*groups, v.alias("__v")).where(v.isNotNull())
+    per_v = d.groupBy(*groups, "__v").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    cum = distributed_below_counts(
+        per_v, "__v", ["__c"], inclusive=False, group_cols=groups
+    ).localCheckpoint(eager=False)  # totals + kept-row scan (r9 rule)
+    totals = cum.groupBy(*groups).agg(
+        F.sum("__c").cast("long").alias("__n")
+    )
+    if groups:
+        tt = totals.select(
+            *[F.col(g).alias(f"__tg_{g}") for g in groups], "__n"
+        )
+        cond = [F.col(g).eqNullSafe(F.col(f"__tg_{g}")) for g in groups]
+        j = cum.join(F.broadcast(tt), cond).drop(
+            *[f"__tg_{g}" for g in groups]
+        )
+    else:
+        j = cum.crossJoin(F.broadcast(totals))
+    # rows trimmed per side: floor(n * ppm / 1e6) via integer DIV
+    j = j.withColumn(
+        "__t",
+        F.expr(
+            f"CAST((CAST(__n AS DECIMAL(38,0)) * {int(trim_ppm)}) "
+            "DIV 1000000 AS BIGINT)"
+        ),
+    )
+    lo = F.greatest(F.col("__c_cum"), F.col("__t"))
+    hi = F.least(
+        F.col("__c_cum") + F.col("__c"), F.col("__n") - F.col("__t")
+    )
+    kept = F.greatest(hi - lo, F.lit(0)).cast("long")
+    agg = j.groupBy(*groups).agg(
+        F.max("__n").alias("n"),
+        F.max("__t").alias("n_trimmed_per_side"),
+        F.sum(kept.cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__kept"),
+        F.sum((kept * F.col("__v")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__sum"),
+    )
+    mean = F.when(
+        F.col("__kept") > 0,
+        F.col("__sum").cast("double") / F.col("__kept").cast("double"),
+    )
+    return agg.select(
+        *groups, "n", "n_trimmed_per_side", mean.alias("trimmed_mean")
+    )

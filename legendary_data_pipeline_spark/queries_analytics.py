@@ -4317,6 +4317,60 @@ def ts_mann_kendall_daily_value(
     )
 
 
+@register_shadow(
+    "st_trimmed_mean_price_by_flag",
+    f"""
+    WITH d AS (
+      SELECT l_returnflag AS flag, {_cents_sql('l_extendedprice')} AS v
+      FROM lineitem WHERE l_extendedprice IS NOT NULL),
+    perv AS (
+      SELECT flag, v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM d GROUP BY 1, 2),
+    cum AS (
+      SELECT flag, v, c,
+             COALESCE(SUM(c) OVER (PARTITION BY flag ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS below
+      FROM perv),
+    tot AS (SELECT flag, CAST(SUM(c) AS BIGINT) AS n FROM perv GROUP BY 1),
+    j AS (
+      SELECT cum.*, t.n,
+             (CAST(t.n AS HUGEINT) * 50000) // 1000000 AS trim
+      FROM cum JOIN tot t USING (flag)),
+    kept AS (
+      SELECT flag, n, trim, v,
+             GREATEST(LEAST(below + c, n - trim)
+                      - GREATEST(below, trim), 0) AS k
+      FROM j)
+    SELECT flag, MAX(n) AS n,
+           CAST(MAX(trim) AS BIGINT) AS n_trimmed_per_side,
+           CASE WHEN SUM(k) > 0
+                THEN CAST(SUM(CAST(k AS HUGEINT) * v) AS DOUBLE)
+                     / CAST(SUM(CAST(k AS HUGEINT)) AS DOUBLE)
+           END AS trimmed_mean
+    FROM kept GROUP BY flag
+    """,
+    doc="5%-symmetric trimmed mean of extended price per return flag "
+    "(X209): the robust location estimate between mean and median. "
+    "EXACT - no approximate percentile: per-side trim counts from "
+    "integer DIV, each value keeps the overlap of its rank interval "
+    "with [t, n-t) (ties straddling a cut trim PARTIALLY by row "
+    "count, a pure function of the multiset), one exact IEEE division "
+    "of decimal sums.",
+)
+def st_trimmed_mean_price_by_flag(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.stats import trimmed_mean
+
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select(
+        F.col("l_returnflag").alias("flag"),
+        _cents("l_extendedprice").alias("v"),
+    )
+    return trimmed_mean(d, "v", group_cols=["flag"], trim_ppm=50_000)
+
+
 _FK_ORPHAN_SQL_ONE = """
     SELECT '{name}' AS fk_name,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM {child}

@@ -896,3 +896,48 @@ def test_uncertainty_coefficient_constant_column_null(spark):
     assert out.h_x_e6 == 0
     assert out.u_x_given_y_e6 is None
     assert out.u_y_given_x_e6 == 0
+
+
+def test_trimmed_mean_hand_computed(spark):
+    from legendary_data_pipeline_spark.operators.stats import trimmed_mean
+
+    # 10 values 1..9 + outlier 1000, trim 10% per side (t=1):
+    # drop min (1) and max (1000) -> mean of 2..9 = 5.5
+    rows = [("a", v) for v in list(range(1, 10)) + [1000]]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = trimmed_mean(
+        df, "v", group_cols=["g"], trim_ppm=100_000
+    ).collect()[0]
+    assert out.n == 10 and out.n_trimmed_per_side == 1
+    assert out.trimmed_mean == 5.5
+
+
+def test_trimmed_mean_partial_tie_at_cut(spark):
+    from legendary_data_pipeline_spark.operators.stats import trimmed_mean
+
+    # values [1,1,1,2,3] with t=1: the tie-group of 1s straddles the
+    # low cut — keep 2 of the 3 ones, drop the 3 (high cut):
+    # kept = 1,1,2 -> mean 4/3
+    rows = [("a", v) for v in (1, 1, 1, 2, 3)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = trimmed_mean(
+        df, "v", group_cols=["g"], trim_ppm=200_000
+    ).collect()[0]
+    assert out.n_trimmed_per_side == 1
+    assert out.trimmed_mean == 4.0 / 3.0
+
+
+def test_trimmed_mean_degenerate_and_validation(spark):
+    from legendary_data_pipeline_spark.operators.stats import trimmed_mean
+
+    # n=2 with 25% trim -> t=0 (floor) -> plain mean; trim_ppm=0 ->
+    # plain mean; invalid ppm raises
+    rows = [("a", 10), ("a", 20)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = trimmed_mean(df, "v", group_cols=["g"], trim_ppm=250_000).collect()[0]
+    assert out.trimmed_mean == 15.0
+    plain = trimmed_mean(df, "v", group_cols=["g"], trim_ppm=0).collect()[0]
+    assert plain.trimmed_mean == 15.0
+    import pytest as _pt
+    with _pt.raises(ValueError, match="trim_ppm"):
+        trimmed_mean(df, "v", trim_ppm=600_000)
