@@ -780,12 +780,16 @@ def jonckheere_terpstra(
     fixed IEEE tree emitted as z_e6 BIGINT (NULL when k < 2 or
     Var ≤ 0).
 
-    Scale: k must be FEW (ordered categories — the contract). The
-    plan completes the (group × distinct-value) grid (k× the distinct
-    frame), takes per-group below-counts via ONE distributed prefix
-    pass, and turns the cross-group double prefix into k-row windows
-    per value — no pair join, no k² passes, nothing data-sized in one
-    partition.
+    Scale: k must be FEW (ordered categories — the contract; the
+    ordered group list is collected to the driver, metadata-scale).
+    The plan pivots the k groups into COLUMNS of the pooled
+    distinct-value frame (|V| rows — never k×|V|), takes all k
+    per-group below-counts in ONE distributed prefix pass over those
+    columns, and reduces the cross-group double prefix to in-row
+    running sums across the k columns — no pair join, no grid
+    completion, no per-value windows, nothing data-sized in one
+    partition (round-10 rewrite: 12.5 s → ~4 s at sf0.1 vs the
+    completed-grid form).
 
     Output (1 row): n, k, j (as DOUBLE — half-integer when ties), z_e6.
     """
@@ -796,50 +800,44 @@ def jonckheere_terpstra(
     )
     cells = d.groupBy("__g", "__v").agg(
         F.count(F.lit(1)).cast("long").alias("__c")
-    ).localCheckpoint(eager=False)  # grid + groups + values (r9 rule)
-    groups_f = cells.select("__g").distinct()
-    values_f = cells.select("__v").distinct()
-    # completed k×|V| grid: every group gets a row at every pooled
-    # value, count 0 where absent — below-counts and cross-group
-    # prefixes are then total functions of (g, v)
-    grid = values_f.crossJoin(F.broadcast(groups_f))
-    full = grid.join(cells, ["__g", "__v"], "left").select(
-        "__g", "__v", F.coalesce(F.col("__c"), F.lit(0)).alias("__c")
+    ).localCheckpoint(eager=False)  # pivot + group/tie stats (r9 rule)
+    # ordered categories are metadata by contract — collect them
+    group_keys = sorted(
+        r["__g"] for r in cells.select("__g").distinct().collect()
+    )
+    kk = len(group_keys)
+    if kk == 0:
+        return df.sparkSession.createDataFrame(
+            [(0, 0, None, None)], "n long, k long, j double, z_e6 long"
+        )
+    cols = [f"__c_{i}" for i in range(kk)]
+    pivoted = (
+        cells.groupBy("__v")
+        .pivot("__g", group_keys)
+        .sum("__c")
+        .select(
+            "__v",
+            *[
+                F.coalesce(F.col(f"`{gk}`"), F.lit(0)).alias(cols[i])
+                for i, gk in enumerate(group_keys)
+            ],
+        )
     )
     below = distributed_below_counts(
-        full, "__v", ["__c"], inclusive=False, group_cols=["__g"]
-    ).select("__g", "__v", "__c", F.col("__c_cum").alias("__below"))
-    # cross-group prefixes at fixed value: partitions are k rows each
-    wv = Window.partitionBy("__v").orderBy("__g")
-    pref = below.select(
-        "__g",
-        "__v",
-        "__c",
-        F.coalesce(
-            F.sum("__below").over(
-                wv.rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ).alias("__p"),  # pooled values < v in groups before g
-        F.coalesce(
-            F.sum("__c").over(
-                wv.rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ).alias("__q"),  # pooled values = v in groups before g
+        pivoted, "__v", cols, inclusive=False
     )
-    j2 = pref.agg(
-        F.sum(
-            (
-                F.col("__c").cast(_DEC)
-                * (
-                    F.lit(2).cast(_DEC) * F.col("__p").cast(_DEC)
-                    + F.col("__q").cast(_DEC)
-                )
-            ).cast(_DEC)
-        )
-        .cast(_DEC)
-        .alias("__j2")
+    # in-row cross-group prefixes: for group i, p = Σ_{g<i} below_g(v),
+    # q = Σ_{g<i} A_gv — fixed-k running sums, all exact decimal
+    contrib = F.lit(0).cast(_DEC)
+    p_run = F.lit(0).cast(_DEC)
+    q_run = F.lit(0).cast(_DEC)
+    for i in range(kk):
+        a = F.col(cols[i]).cast(_DEC)
+        contrib = contrib + a * (F.lit(2).cast(_DEC) * p_run + q_run)
+        p_run = p_run + F.col(f"{cols[i]}_cum").cast(_DEC)
+        q_run = q_run + a
+    j2 = below.agg(
+        F.sum(contrib.cast(_DEC)).cast(_DEC).alias("__j2")
     )
     gsz = cells.groupBy("__g").agg(F.sum("__c").cast(_DEC).alias("__ni"))
     gstats = gsz.agg(
