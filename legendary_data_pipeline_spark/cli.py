@@ -593,6 +593,13 @@ def cmd_stats(spark: SparkSession, args) -> int:
       gini             --cols v [--group g]  concentration per group
       cusum            --cols order,value [--group g]  changepoint curve
       km               --cols duration,event  Kaplan-Meier curve
+      mann_kendall     --cols t,v [--group g]  monotone-trend test
+      theil_sen        --cols t,v [--group g]  robust trend line
+      acf              --cols t,v [--group g]  autocorrelation lags 1..7
+      seasonal         --cols t,v [--group g]  period-7 decomposition
+      trimmed_mean     --cols v [--group g]  5% symmetric trimmed mean
+      partial_corr     --cols x,y,z         r_xy controlling z
+      uncertainty      --cols x,y           Theil's U dependency strength
 
     Results stream to stdout as JSON lines (or --out parquet). Exact
     cross-engine-deterministic math throughout — see each operator's
@@ -609,10 +616,14 @@ def cmd_stats(spark: SparkSession, args) -> int:
     # Fail loud, not silent: only gini and cusum support grouping.
     # Accepting-and-ignoring --group for the others would hand back
     # ungrouped results the user believes are per-group.
-    if groups and m not in ("gini", "cusum"):
+    grouped_metrics = (
+        "gini", "cusum", "mann_kendall", "theil_sen", "acf",
+        "seasonal", "trimmed_mean",
+    )
+    if groups and m not in grouped_metrics:
         raise SystemExit(
             f"--group is not supported for metric {m!r} "
-            "(grouping applies to: gini, cusum)"
+            f"(grouping applies to: {', '.join(grouped_metrics)})"
         )
     if m in ("corr", "spearman"):
         if len(cols) < 2:
@@ -635,6 +646,28 @@ def cmd_stats(spark: SparkSession, args) -> int:
         if len(cols) != 2:
             raise SystemExit("km needs --cols duration,event")
         result = S.kaplan_meier(df, cols[0], cols[1])
+    elif m in ("mann_kendall", "theil_sen", "acf", "seasonal"):
+        if len(cols) != 2:
+            raise SystemExit(f"{m} needs --cols t,v (exactly two)")
+        fn = {
+            "mann_kendall": S.mann_kendall,
+            "theil_sen": S.theil_sen_trend,
+            "acf": S.autocorrelation,
+            "seasonal": S.seasonal_decompose,
+        }[m]
+        result = fn(df, cols[0], cols[1], group_cols=groups)
+    elif m == "trimmed_mean":
+        if len(cols) != 1:
+            raise SystemExit("trimmed_mean needs --cols v (exactly one)")
+        result = S.trimmed_mean(df, cols[0], group_cols=groups)
+    elif m == "partial_corr":
+        if len(cols) != 3:
+            raise SystemExit("partial_corr needs --cols x,y,z")
+        result = S.partial_correlation(df, cols[0], cols[1], cols[2])
+    elif m == "uncertainty":
+        if len(cols) != 2:
+            raise SystemExit("uncertainty needs --cols x,y")
+        result = S.uncertainty_coefficient(df, cols[0], cols[1])
     else:  # pragma: no cover - argparse choices guard this
         raise SystemExit(f"unknown metric {m!r}")
     if args.out:
@@ -817,7 +850,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--input", required=True, help="parquet table")
     p.add_argument(
         "--metric", required=True,
-        choices=["corr", "spearman", "kendall", "gini", "cusum", "km"],
+        choices=[
+            "corr", "spearman", "kendall", "gini", "cusum", "km",
+            "mann_kendall", "theil_sen", "acf", "seasonal",
+            "trimmed_mean", "partial_corr", "uncertainty",
+        ],
     )
     p.add_argument(
         "--cols", required=True,

@@ -377,3 +377,48 @@ def test_cli_curate_decontam_split_manifests(spark, sf_dir, tmp_path):
     # The run log records exactly one finished curate run.
     runs = spark.read.parquet(f"{wh}/pipeline_runs")
     assert runs.filter("job = 'curate' AND status = 'finished'").count() == 1
+
+
+def test_cli_stats_round10_metrics(spark, tmp_path):
+    """The round-10 metric surface: trend/ACF/seasonal/trimmed/partial/
+    uncertainty all reachable from the CLI with JSON-lines output."""
+    import json
+    import subprocess
+    import sys
+
+    src = str(tmp_path / "series")
+    spark.createDataFrame(
+        [("a", t, 3 * t + 2) for t in range(10)],
+        "g string, t long, v long",
+    ).write.mode("overwrite").parquet(src)
+
+    def run(metric, cols, group=None):
+        cmd = [
+            sys.executable, "-m", "legendary_data_pipeline_spark.cli",
+            "stats", "--input", src, "--metric", metric, "--cols", cols,
+        ]
+        if group:
+            cmd += ["--group", group]
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=600
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return [json.loads(line) for line in out.stdout.splitlines()
+                if line.startswith("{")]
+
+    rows = run("mann_kendall", "t,v", group="g")
+    assert rows[0]["tau"] == 1.0
+    rows = run("theil_sen", "t,v", group="g")
+    assert rows[0]["slope"] == 3.0
+    rows = run("trimmed_mean", "v", group="g")
+    assert rows[0]["n"] == 10
+    rows = run("partial_corr", "t,v,v")
+    assert rows[0]["n"] == 10
+    # grouping rejected where unsupported
+    bad = subprocess.run(
+        [sys.executable, "-m", "legendary_data_pipeline_spark.cli",
+         "stats", "--input", src, "--metric", "partial_corr",
+         "--cols", "t,v,v", "--group", "g"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert bad.returncode != 0 and "not supported" in bad.stderr
