@@ -771,3 +771,45 @@ def ret_precision_recall_at_10(
     return M.precision_recall_at_k(
         ranked, "query_id", "rank", "rel", k=_RET_K, total_rel=total_rel
     )
+
+
+@register_shadow(
+    "ml_expected_calibration_error",
+    f"""
+    WITH {_PRED_CTE},
+    b AS (
+      SELECT least(CAST(floor(pred * 10) AS BIGINT), 9) AS bin,
+             lab, pred
+      FROM p),
+    bins AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(lab) AS BIGINT) AS pos,
+             SUM(pred) AS psum
+      FROM b GROUP BY 1),
+    g AS (
+      SELECT n, abs(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
+                    - psum / CAST(n AS DOUBLE)) AS gap
+      FROM bins)
+    SELECT CAST(SUM(n) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_bins_used,
+           CASE WHEN SUM(n) > 0 THEN
+             CAST(round(SUM(CAST(n AS DOUBLE) * gap)
+                  / CAST(SUM(n) AS DOUBLE) * 1e6) AS BIGINT)
+           END AS ece_e6,
+           CASE WHEN SUM(n) > 0 THEN
+             CAST(round(MAX(gap) * 1e6) AS BIGINT)
+           END AS mce_e6
+    FROM g
+    """,
+    doc="Expected / maximum calibration error of the engine's quality "
+    "score (X210) - the one-number reliability summaries over the "
+    "same 10-bin diagram as ml_calibration_bins, with the standard "
+    "mean-prediction confidence per bin (the per-bin prediction sum "
+    "is the one float accumulation; e6 absorbs its sub-1e-10 order "
+    "noise).",
+)
+def ml_expected_calibration_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pred = _pred_frame(spark, sf_dir)
+    return M.expected_calibration_error(pred, "pred", "lab", n_bins=10)

@@ -104,3 +104,40 @@ def test_precision_recall_zero_hit_query_counted(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="k must be"):
         precision_recall_at_k(ranked, "q", "rank", "rel", k=0)
+
+
+# ---------------------------------------------------------------------------
+# expected calibration error (X210)
+# ---------------------------------------------------------------------------
+
+
+def test_ece_hand_computed(spark):
+    from legendary_data_pipeline_spark.operators.mleval import (
+        expected_calibration_error,
+    )
+
+    # two bins: preds 0.1 (x4, 1 positive -> acc .25, conf .1, gap .15)
+    # and 0.9 (x4, 2 positives -> acc .5, conf .9, gap .4)
+    # ECE = (4*.15 + 4*.4)/8 = 0.275; MCE = 0.4
+    rows = [(0.1, 1), (0.1, 0), (0.1, 0), (0.1, 0),
+            (0.9, 1), (0.9, 1), (0.9, 0), (0.9, 0)]
+    df = spark.createDataFrame(rows, "pred double, lab int")
+    out = expected_calibration_error(df, "pred", "lab", n_bins=10).collect()[0]
+    assert out.n == 8 and out.n_bins_used == 2
+    assert out.ece_e6 == 275_000
+    assert out.mce_e6 == 400_000
+
+
+def test_ece_perfect_calibration_zero(spark):
+    from legendary_data_pipeline_spark.operators.mleval import (
+        expected_calibration_error,
+    )
+
+    # bin acc == bin mean confidence exactly -> ECE = MCE = 0
+    rows = [(0.25, 1), (0.25, 0), (0.25, 0), (0.25, 0)]
+    df = spark.createDataFrame(rows, "pred double, lab int")
+    out = expected_calibration_error(df, "pred", "lab").collect()[0]
+    assert out.ece_e6 == 0 and out.mce_e6 == 0
+    import pytest as _pt
+    with _pt.raises(ValueError, match="n_bins"):
+        expected_calibration_error(df, "pred", "lab", n_bins=0)
