@@ -3269,9 +3269,11 @@ def sk_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register_shadow(
     "gr_clustering_coefficient",
     """
-    WITH e AS (
+    WITH li AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 40),
+    e AS (
       SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
-      FROM lineitem a JOIN lineitem b
+      FROM li a JOIN li b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
     deg AS (
       SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
@@ -3296,8 +3298,14 @@ def sk_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
            END AS coeff
     FROM deg LEFT JOIN corners USING (node)
     """,
-    doc="Local clustering coefficient per part in the co-purchase "
-    "graph: C(v) = 2*T(v)/(deg(v)*(deg(v)-1)). Triangles enumerate "
+    doc="Local clustering coefficient per part in the HIGH-VOLUME "
+    "(qty >= 40) co-purchase graph - the gr_link_prediction_topk "
+    "precedent (r10): the unfiltered graph is near-complete (avg "
+    "degree ~120 at sf0.1, sum-deg-squared ~3e8 wedges -> 10 s and "
+    "OOM-class at sf1), and on such graphs every coefficient "
+    "saturates toward the density anyway - the sparse slice is both "
+    "the meaningful and the scalable formulation. "
+    "C(v) = 2*T(v)/(deg(v)*(deg(v)-1)). Triangles enumerate "
     "once via the ordered closure (two equi-joins) and credit their "
     "three corners; degrees are one aggregation over the symmetrized "
     "edge list. Exact integers with one final division — separates "
@@ -3309,8 +3317,10 @@ def gr_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         clustering_coefficients,
     )
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") >= 40)
+        .select("l_orderkey", "l_partkey")
     )
     a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("id_a"))
     b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("id_b"))
