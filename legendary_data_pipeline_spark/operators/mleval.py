@@ -748,6 +748,10 @@ def precision_recall_at_k(
 
     Queries in ``total_rel`` with no ranked rows count as zero-hit
     (full outer semantics); NULL recall when total_rel is absent.
+    A RANKED query missing from ``total_rel`` raises in-plan (the
+    token_budget_head guard precedent): silently coalescing its n_rel
+    to 0 would inflate the micro recall numerator while adding nothing
+    to the denominator — recall could exceed 1.
 
     Output (1 row): n_queries, n_hits, n_rel_total, precision_at_k,
     recall_at_k.
@@ -771,11 +775,22 @@ def precision_recall_at_k(
             F.col(query_col).alias("__tq"),
             F.col(total_rel_col).cast("long").alias("__nrel"),
         )
-        hits = hits.join(
+        joined = hits.join(
             tr, F.col(query_col).eqNullSafe(F.col("__tq")), "full_outer"
-        ).select(
+        )
+        covered_nrel = F.when(
+            F.col("__hits").isNotNull() & F.col("__nrel").isNull(),
+            F.raise_error(
+                F.lit(
+                    "precision_recall_at_k: a ranked query has no "
+                    "total_rel row - supply n_rel for every query or "
+                    "recall's denominator silently undercounts"
+                )
+            ).cast("long"),
+        ).otherwise(F.coalesce(F.col("__nrel"), F.lit(0)))
+        hits = joined.select(
             F.coalesce(F.col("__hits"), F.lit(0)).alias("__hits"),
-            F.coalesce(F.col("__nrel"), F.lit(0)).alias("__nrel"),
+            covered_nrel.alias("__nrel"),
         )
     else:
         hits = hits.select("__hits", F.lit(None).cast("long").alias("__nrel"))

@@ -1129,10 +1129,12 @@ def fk_orphan_report(
     counts those with no parent via LEFT ANTI join on DISTINCT parent
     keys, orphan_rate = one exact IEEE division emitted RAW.
 
-    Scale: one anti-join per FK, each keyed on its own column (AQE
-    handles skewed keys; the parent side reduces to its distinct key
-    column first — never the parent's full width). The report is
-    len(parents) rows.
+    Scale: ONE left join + ONE aggregation per FK (a separate
+    n_child aggregate plus an anti-join would scan the child twice
+    per FK — the round-10 review finding), each keyed on its own
+    column (AQE handles skewed keys; the parent side reduces to its
+    distinct key column first — never the parent's full width). The
+    report is len(parents) rows.
 
     Output per FK: fk_name, n_child, n_orphans, orphan_rate.
     """
@@ -1144,23 +1146,30 @@ def fk_orphan_report(
             F.col(child_col).isNotNull()
         )
         pkeys = parent_df.select(
-            F.col(parent_col).alias("__k")
+            F.col(parent_col).alias("__k"), F.lit(1).alias("__hit")
         ).distinct()
-        n_child = keys.groupBy().agg(
-            F.count(F.lit(1)).cast("long").alias("n_child")
-        )
-        n_orph = keys.join(pkeys, "__k", "left_anti").groupBy().agg(
-            F.count(F.lit(1)).cast("long").alias("n_orphans")
-        )
-        rep = n_child.crossJoin(n_orph).select(
-            F.lit(fk_name).alias("fk_name"),
-            "n_child",
-            "n_orphans",
-            F.when(
-                F.col("n_child") > 0,
-                F.col("n_orphans").cast("double")
-                / F.col("n_child").cast("double"),
-            ).alias("orphan_rate"),
+        rep = (
+            keys.join(pkeys, "__k", "left")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_child"),
+                F.sum(
+                    F.when(F.col("__hit").isNull(), 1).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_orphans"),
+            )
+            .select(
+                F.lit(fk_name).alias("fk_name"),
+                F.coalesce(F.col("n_child"), F.lit(0)).alias("n_child"),
+                F.coalesce(F.col("n_orphans"), F.lit(0)).alias(
+                    "n_orphans"
+                ),
+                F.when(
+                    F.col("n_child") > 0,
+                    F.col("n_orphans").cast("double")
+                    / F.col("n_child").cast("double"),
+                ).alias("orphan_rate"),
+            )
         )
         reports.append(rep)
     out = reports[0]

@@ -2544,6 +2544,9 @@ def cross_correlation(
     base = df.select(
         s.alias("__s"), t.alias("__t"), v.alias("__v")
     ).where(t.isNotNull() & v.isNotNull())
+    # Pin: both series filters read this frame (r9 multi-consumer
+    # rule — without it the source scan replays once per side).
+    base = base.localCheckpoint(eager=False)
     a = base.where(F.col("__s").eqNullSafe(F.lit(series_a)))
     b = base.where(F.col("__s").eqNullSafe(F.lit(series_b)))
     lags = F.explode(
@@ -2768,7 +2771,6 @@ def mann_kendall(
         .agg(F.count(F.lit(1)).cast("long").alias("__tc"))
         .groupBy(*groups)
         .agg(
-            F.count(F.lit(1)).cast("long").alias("__nv"),
             F.sum(
                 F.col("__tc")
                 * (F.col("__tc") - F.lit(1))
@@ -3042,11 +3044,21 @@ def partial_correlation(
             F.lit(0.0),
         )
 
-    rxy, rxz, ryz = r(0, 1), r(0, 2), r(1, 2)
-    denom = F.sqrt(
-        (F.lit(1.0) - rxz * rxz) * (F.lit(1.0) - ryz * ryz)
+    def clamp(c: Column) -> Column:
+        """|r| can exceed 1 by an ulp when two columns are identical
+        (e.g. 6/5.999999999999999): unclamped, (1−r²) goes NEGATIVE,
+        the sqrt returns NaN, and round(NaN).cast(long) ANSI-crashes
+        the job (round-10 review, reproduced live). Clamp to [−1, 1]."""
+        return F.least(F.greatest(c, F.lit(-1.0)), F.lit(1.0))
+
+    rxy, rxz, ryz = clamp(r(0, 1)), clamp(r(0, 2)), clamp(r(1, 2))
+    den2 = (F.lit(1.0) - rxz * rxz) * (F.lit(1.0) - ryz * ryz)
+    # den2 > 0 guard (not nullif == 0.0): a control variable perfectly
+    # collinear with x or y makes the partial 0/0-undefined — emit
+    # NULL, never a confident garbage ratio
+    partial = F.when(
+        den2 > 0, (rxy - rxz * ryz) / F.sqrt(den2)
     )
-    partial = (rxy - rxz * ryz) / F.nullif(denom, F.lit(0.0))
     e6 = lambda c: F.round(c * F.lit(1e6)).cast("long")  # noqa: E731
     ok = F.col("n") >= 2
     return m.select(
@@ -3243,7 +3255,10 @@ def trimmed_mean(
         F.sum(kept.cast("decimal(38,0)"))
         .cast("decimal(38,0)")
         .alias("__kept"),
-        F.sum((kept * F.col("__v")).cast("decimal(38,0)"))
+        # kept is a ROW COUNT: multiply as decimal, not long — a
+        # >3e9-row tie at a near-bound value would overflow an int64
+        # product (round-10 review)
+        F.sum(kept.cast("decimal(38,0)") * F.col("__v"))
         .cast("decimal(38,0)")
         .alias("__sum"),
     )

@@ -851,6 +851,13 @@ def vocab_coverage_points(
     else:
         joined = cum.crossJoin(F.broadcast(totals))
     targets = sorted(set(int(p) for p in targets_ppm))
+    names = [f"types_p{p // 10_000}" for p in targets]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            "vocab_coverage_points: two targets_ppm land in the same "
+            f"10k-ppm output-name band ({targets}) — duplicate column "
+            "names would corrupt the schema; space the targets"
+        )
     agg_cols = [
         F.max("n_tokens").alias("n_tokens"),
         F.max("vocab").alias("vocab"),
@@ -975,10 +982,15 @@ def source_cosine_matrix(
 
     Dot products and squared norms are EXACT integers (decimal(38,0)
     sums of int64 count products); each cosine is one fixed IEEE tree
-    emitted as cos_e6 BIGINT. Pairs are emitted once (source_a <
-    source_b by natural order); pairs sharing NO token are absent
-    (their cosine is exactly 0 and the token-keyed join never sees
-    them — sparse-matrix semantics, deliberate).
+    emitted as cos_e6 BIGINT. The emitted `dot` is BIGINT with a
+    documented envelope (the kendall convention): dot ≤ N_a·N_b, so it
+    is int64-safe while the PRODUCT of the two slices' token counts
+    stays under 9.2×10¹⁸ (e.g. two 3×10⁹-token slices) — beyond that,
+    shard the slices or drop the dot column; the cosine itself is
+    computed from the decimal sums and unaffected. Pairs are emitted
+    once (source_a < source_b by natural order); pairs sharing NO
+    token are absent (their cosine is exactly 0 and the token-keyed
+    join never sees them — sparse-matrix semantics, deliberate).
 
     Scale: one (group, token) groupBy, then a token-keyed self-join of
     the per-group count vectors — groups are FEW by contract (sources/

@@ -4650,7 +4650,7 @@ def ht_moods_median_value_by_priority(
              CAST(SUM(CAST(y AS HUGEINT) * z) AS HUGEINT) AS p12,
              CAST(SUM(CAST(z AS HUGEINT) * z) AS HUGEINT) AS p22
       FROM d),
-    r AS (
+    r0 AS (
       SELECT n,
         (CAST(n AS DOUBLE) * CAST(p01 AS DOUBLE)
           - CAST(s0 AS DOUBLE) * CAST(s1 AS DOUBLE))
@@ -4658,22 +4658,28 @@ def ht_moods_median_value_by_priority(
                     - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
                  * sqrt(CAST(n AS DOUBLE) * CAST(p11 AS DOUBLE)
                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)), 0.0)
-          AS rxy,
+          AS rxy0,
         (CAST(n AS DOUBLE) * CAST(p02 AS DOUBLE)
           - CAST(s0 AS DOUBLE) * CAST(s2 AS DOUBLE))
           / nullif(sqrt(CAST(n AS DOUBLE) * CAST(p00 AS DOUBLE)
                     - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
                  * sqrt(CAST(n AS DOUBLE) * CAST(p22 AS DOUBLE)
                     - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)), 0.0)
-          AS rxz,
+          AS rxz0,
         (CAST(n AS DOUBLE) * CAST(p12 AS DOUBLE)
           - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE))
           / nullif(sqrt(CAST(n AS DOUBLE) * CAST(p11 AS DOUBLE)
                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
                  * sqrt(CAST(n AS DOUBLE) * CAST(p22 AS DOUBLE)
                     - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)), 0.0)
-          AS ryz
-      FROM m)
+          AS ryz0
+      FROM m),
+    r AS (
+      SELECT n,
+             LEAST(GREATEST(rxy0, -1.0), 1.0) AS rxy,
+             LEAST(GREATEST(rxz0, -1.0), 1.0) AS rxz,
+             LEAST(GREATEST(ryz0, -1.0), 1.0) AS ryz
+      FROM r0)
     SELECT n,
            CASE WHEN n >= 2 THEN CAST(round(rxy * 1e6) AS BIGINT) END
              AS r_xy_e6,
@@ -4681,10 +4687,11 @@ def ht_moods_median_value_by_priority(
              AS r_xz_e6,
            CASE WHEN n >= 2 THEN CAST(round(ryz * 1e6) AS BIGINT) END
              AS r_yz_e6,
-           CASE WHEN n >= 2 THEN
+           CASE WHEN n >= 2
+                 AND (1.0 - rxz * rxz) * (1.0 - ryz * ryz) > 0 THEN
              CAST(round((rxy - rxz * ryz)
-                  / nullif(sqrt((1.0 - rxz * rxz)
-                                * (1.0 - ryz * ryz)), 0.0) * 1e6)
+                  / sqrt((1.0 - rxz * rxz)
+                         * (1.0 - ryz * ryz)) * 1e6)
                AS BIGINT)
            END AS r_xy_z_e6
     FROM r

@@ -118,7 +118,16 @@ def ewma_anomaly_stream(
             }
         )
 
-    return events.groupBy("user_id").applyInPandasWithState(
+    from pyspark.sql import functions as F
+
+    # NULL t/v rows drop BEFORE the state function (the batch
+    # operator's .where contract): a nullable parquet column delivers
+    # NaN to pandas, int(NaN) raises inside applyInPandasWithState,
+    # and the poisoned checkpoint replays the crash on every restart.
+    clean = events.where(
+        F.col("t").isNotNull() & F.col("v").isNotNull()
+    )
+    return clean.groupBy("user_id").applyInPandasWithState(
         update,
         ANOMALY_SCHEMA,
         _STATE_SCHEMA,

@@ -280,3 +280,17 @@ def test_label_centroid_matrix_hand_computed(spark):
     assert out[(0, 1)] == 0
     assert out[(0, 2)] == 1_000_000
     assert out[(1, 2)] == 0
+
+
+def test_coverage_points_colliding_targets_raise(spark):
+    import pytest as _pt
+
+    from legendary_data_pipeline_spark.operators.textstats import (
+        vocab_coverage_points,
+    )
+
+    with _pt.raises(ValueError, match="10k-ppm"):
+        vocab_coverage_points(
+            _docs(spark, [("s", "a b")]),
+            targets_ppm=(900_000, 905_000),
+        )

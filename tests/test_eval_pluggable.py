@@ -141,3 +141,23 @@ def test_ece_perfect_calibration_zero(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="n_bins"):
         expected_calibration_error(df, "pred", "lab", n_bins=0)
+
+
+def test_precision_recall_uncovered_ranked_query_raises(spark):
+    """Round-10 review regression: a ranked query missing from
+    total_rel used to coalesce n_rel to 0, inflating micro recall
+    (possible > 1.0); it now raises in-plan."""
+    import pytest as _pt
+
+    from legendary_data_pipeline_spark.operators.mleval import (
+        precision_recall_at_k,
+    )
+
+    ranked = spark.createDataFrame(
+        [(3, 1, 1)], "q long, rank long, rel int"
+    )
+    total = spark.createDataFrame([(9, 1)], "q long, n_rel long")
+    with _pt.raises(Exception, match="no total_rel row"):
+        precision_recall_at_k(
+            ranked, "q", "rank", "rel", k=2, total_rel=total
+        ).collect()

@@ -941,3 +941,24 @@ def test_trimmed_mean_degenerate_and_validation(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="trim_ppm"):
         trimmed_mean(df, "v", trim_ppm=600_000)
+
+
+def test_partial_correlation_clamp_no_ansi_crash(spark):
+    """Round-10 review regression: x identical to z makes r_xz exceed
+    1 by an ulp -> (1-r^2) negative -> sqrt NaN -> ANSI CAST_OVERFLOW
+    killed the job before the clamp; now the partial is NULL."""
+    from legendary_data_pipeline_spark.operators.stats import (
+        partial_correlation,
+    )
+
+    rows = [(0, 1, 0), (1, 0, 1), (2, 2, 2)]
+    df = spark.createDataFrame(rows, "x long, y long, z long")
+    out = partial_correlation(df, "x", "y", "z").collect()[0]
+    assert out.r_xz_e6 == 1_000_000  # clamped, not 1.0000000000000002
+    assert out.r_xy_z_e6 is None  # 0/0 partial -> NULL, never garbage
+    # x=y=z: both den2 factors degenerate -> NULL (previously could
+    # emit a confident -0.5 depending on rounding direction)
+    rows2 = [(v, v, v) for v in (0, 1, 2)]
+    df2 = spark.createDataFrame(rows2, "x long, y long, z long")
+    out2 = partial_correlation(df2, "x", "y", "z").collect()[0]
+    assert out2.r_xy_z_e6 is None

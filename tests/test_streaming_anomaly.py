@@ -67,3 +67,24 @@ def test_stream_state_is_bounded_and_idempotent(spark, tmp_path):
 def test_stream_k_validation(spark):
     with pytest.raises(ValueError, match="k must be"):
         ewma_anomaly_stream(None, k=0)
+
+
+def test_stream_null_rows_dropped_not_poisonous(spark, tmp_path):
+    """Round-10 review regression: a NULL v row reached the pandas
+    state fn as NaN and int(NaN) crashed the stream (and every
+    checkpoint restart). NULLs now drop pre-state, matching the batch
+    operator's .where contract."""
+    rows = [(1, 1_000_000_000, 0, 10), (1, 2_000_000_000, 1, None),
+            (1, 3_000_000_000, 2, 30)]
+    src = str(tmp_path / "events_in")
+    spark.createDataFrame(
+        rows, "user_id long, ts long, t long, v long"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    target = str(tmp_path / "scored")
+    run_ewma_anomaly_once(
+        spark, src, target, str(tmp_path / "ckpt"), k=2
+    )
+    got = {r.t: r for r in spark.read.parquet(target).collect()}
+    assert set(got) == {0, 2}  # the NULL row emitted nothing
+    # t=2's baseline uses only t=0 (the NULL row contributed no lag)
+    assert got[2].ewma == 10.0
