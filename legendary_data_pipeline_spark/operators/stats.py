@@ -3269,3 +3269,107 @@ def trimmed_mean(
     return agg.select(
         *groups, "n", "n_trimmed_per_side", mean.alias("trimmed_mean")
     )
+
+
+def lorenz_points(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    n_points: int = 10,
+) -> DataFrame:
+    """Lorenz curve points per group — the PLOTTABLE companion to the
+    one-number `gini_concentration`: for each decile d (bottom d/k of
+    rows by value), the cumulative share of total value those rows
+    hold. "The bottom 50% of orders carry 18% of revenue" is this
+    curve; the Gini is twice the area above it.
+
+    EXACT everywhere (the trimmed_mean rank-interval machinery): the
+    bottom-T_d row set is T_d = ⌊n·d/k⌋ rows by ascending value, a
+    value with below(v) rows strictly below and c ties contributes
+    min(below+c, T_d) − min(below, T_d) of its rows (ties straddling a
+    cut split PARTIALLY by row count — a pure function of the
+    multiset), and each share is one exact IEEE division of
+    decimal(38,0) sums. Negative values are accepted (shares can dip
+    below 0 — the standard Lorenz behavior for signed measures).
+
+    Scale: one distinct-value groupBy + one distributed below-counts
+    pass + one aggregation with k conditional sums; output is
+    k·groups rows.
+
+    Output per (group, point): point (1..k), frac_rows (= point/k,
+    exact ratio), cum_share.
+    """
+    if n_points < 1:
+        raise ValueError(
+            f"lorenz_points: n_points must be >= 1, got {n_points}"
+        )
+    groups = list(group_cols)
+    v = F.col(value_col).cast("long")
+    d = df.select(*groups, v.alias("__v")).where(v.isNotNull())
+    per_v = d.groupBy(*groups, "__v").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    cum = distributed_below_counts(
+        per_v, "__v", ["__c"], inclusive=False, group_cols=groups
+    ).localCheckpoint(eager=False)  # totals + per-point sums (r9 rule)
+    totals = cum.groupBy(*groups).agg(
+        F.sum("__c").cast("long").alias("__n"),
+        F.sum(F.col("__c").cast("decimal(38,0)") * F.col("__v"))
+        .cast("decimal(38,0)")
+        .alias("__tot"),
+    )
+    if groups:
+        tt = totals.select(
+            *[F.col(g).alias(f"__tg_{g}") for g in groups],
+            "__n",
+            "__tot",
+        )
+        cond = [F.col(g).eqNullSafe(F.col(f"__tg_{g}")) for g in groups]
+        j = cum.join(F.broadcast(tt), cond).drop(
+            *[f"__tg_{g}" for g in groups]
+        )
+    else:
+        j = cum.crossJoin(F.broadcast(totals))
+    agg_cols = [
+        F.max("__n").alias("__n"),
+        F.max("__tot").alias("__tot"),
+    ]
+    for p in range(1, n_points + 1):
+        t_p = F.expr(
+            f"CAST((CAST(__n AS DECIMAL(38,0)) * {p}) "
+            f"DIV {n_points} AS BIGINT)"
+        )
+        kept = F.greatest(
+            F.least(F.col("__c_cum") + F.col("__c"), t_p)
+            - F.least(F.col("__c_cum"), t_p),
+            F.lit(0),
+        )
+        agg_cols.append(
+            F.sum(kept.cast("decimal(38,0)") * F.col("__v"))
+            .cast("decimal(38,0)")
+            .alias(f"__s{p}")
+        )
+    wide = j.groupBy(*groups).agg(*agg_cols)
+    stack_expr = ", ".join(
+        f"{p}L, __s{p}" for p in range(1, n_points + 1)
+    )
+    long = wide.select(
+        *groups,
+        "__n",
+        "__tot",
+        F.expr(
+            f"stack({n_points}, {stack_expr}) AS (point, __cumv)"
+        ),
+    )
+    share = F.when(
+        F.col("__tot") != 0,
+        F.col("__cumv").cast("double") / F.col("__tot").cast("double"),
+    )
+    return long.select(
+        *groups,
+        F.col("point").cast("long").alias("point"),
+        (
+            F.col("point").cast("double") / F.lit(float(n_points))
+        ).alias("frac_rows"),
+        share.alias("cum_share"),
+    )

@@ -4328,6 +4328,60 @@ def ts_mann_kendall_daily_value(
 
 
 @register_shadow(
+    "st_lorenz_order_value",
+    f"""
+    WITH d AS (
+      SELECT o_orderpriority AS g, {_cents_sql('o_totalprice')} AS v
+      FROM orders WHERE o_totalprice IS NOT NULL),
+    perv AS (
+      SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY 1, 2),
+    cum AS (
+      SELECT g, v, c,
+             COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS below
+      FROM perv),
+    tot AS (
+      SELECT g, CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(CAST(c AS HUGEINT) * v) AS HUGEINT) AS totv
+      FROM perv GROUP BY 1),
+    pts AS (SELECT unnest(range(1, 11)) AS point),
+    kept AS (
+      SELECT cum.g, p.point, t.n, t.totv,
+             GREATEST(LEAST(cum.below + cum.c,
+                            (CAST(t.n AS HUGEINT) * p.point) // 10)
+                      - LEAST(cum.below,
+                              (CAST(t.n AS HUGEINT) * p.point) // 10),
+                      0) AS k,
+             cum.v
+      FROM cum JOIN tot t USING (g) CROSS JOIN pts p)
+    SELECT g, CAST(point AS BIGINT) AS point,
+           CAST(point AS DOUBLE) / 10.0 AS frac_rows,
+           CASE WHEN MAX(totv) <> 0
+                THEN CAST(SUM(CAST(k AS HUGEINT) * v) AS DOUBLE)
+                     / CAST(MAX(totv) AS DOUBLE)
+           END AS cum_share
+    FROM kept GROUP BY g, point
+    """,
+    doc="Lorenz curve points of order value per priority (X211) - the "
+    "plottable companion to the one-number Gini: for each decile, the "
+    "cumulative value share of the bottom d/10 of orders. Exact "
+    "rank-interval arithmetic (the trimmed_mean machinery - ties "
+    "straddling a cut split partially by row count); each share one "
+    "exact IEEE division of decimal sums.",
+)
+def st_lorenz_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.stats import lorenz_points
+
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select(
+        F.col("o_orderpriority").alias("g"),
+        _cents("o_totalprice").alias("v"),
+    )
+    return lorenz_points(d, "v", group_cols=["g"], n_points=10)
+
+
+@register_shadow(
     "st_trimmed_mean_price_by_flag",
     f"""
     WITH d AS (

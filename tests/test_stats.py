@@ -962,3 +962,38 @@ def test_partial_correlation_clamp_no_ansi_crash(spark):
     df2 = spark.createDataFrame(rows2, "x long, y long, z long")
     out2 = partial_correlation(df2, "x", "y", "z").collect()[0]
     assert out2.r_xy_z_e6 is None
+
+
+def test_lorenz_points_hand_computed(spark):
+    from legendary_data_pipeline_spark.operators.stats import lorenz_points
+
+    # values 1..10, total 55: bottom 50% (rows 1-5 by value) hold
+    # 15/55; bottom 100% hold all; n_points=2
+    rows = [("a", v) for v in range(1, 11)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {
+        r.point: r
+        for r in lorenz_points(
+            df, "v", group_cols=["g"], n_points=2
+        ).collect()
+    }
+    assert out[1].frac_rows == 0.5 and out[1].cum_share == 15.0 / 55.0
+    assert out[2].cum_share == 1.0
+
+
+def test_lorenz_points_tie_straddle_and_validation(spark):
+    from legendary_data_pipeline_spark.operators.stats import lorenz_points
+
+    # [5,5,5,85]: bottom 50% = 2 rows of the 5-tie -> 10/100
+    rows = [("a", 5), ("a", 5), ("a", 5), ("a", 85)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {
+        r.point: r
+        for r in lorenz_points(
+            df, "v", group_cols=["g"], n_points=2
+        ).collect()
+    }
+    assert out[1].cum_share == 10.0 / 100.0
+    import pytest as _pt
+    with _pt.raises(ValueError, match="n_points"):
+        lorenz_points(df, "v", n_points=0)
