@@ -76,6 +76,16 @@ PINNED_R9 = PINNED_R8 + [
     "st_chi_square_independence", "st_numeric_mi_qty_price",
     "st_spearman_matrix", "ts_twap_event_values", "ts_zscore_anomalies",
 ]
+PINNED_R10 = PINNED_R9 + [
+    "an_source_js_divergence", "curation_fineweb_line_signals",
+    "curation_gopher_repetition", "curation_semantic_decontamination",
+    "curation_token_budget_head", "dq_equal_freq_bins_price",
+    "er_golden_record_customers", "gr_link_prediction_topk",
+    "ht_kruskal_value_by_priority", "ht_mann_whitney_qty_flag",
+    "ht_wilcoxon_customer_value_shift", "ret_rbo_exact_vs_lsh",
+    "ts_ewma_daily_anomalies", "ts_theil_sen_daily_value",
+    "tx_bpe_fertility_by_lang",
+]
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -100,7 +110,7 @@ def main() -> None:
     if only:
         names = sorted(only.split(","))
     else:
-        names = sorted(set(REGISTRY) | set(PINNED_R9))
+        names = sorted(set(REGISTRY) | set(PINNED_R10))
     unknown = [n for n in names if n not in specs]
     if unknown:
         sys.exit(
@@ -215,6 +225,7 @@ def main() -> None:
         "pinned_r7": _pinned(PINNED_R7),
         "pinned_r8": _pinned(PINNED_R8),
         "pinned_r9": _pinned(PINNED_R9),
+        "pinned_r10": _pinned(PINNED_R10),
         "queries": timings,
     }
     detail_line = json.dumps(payload, separators=(",", ":"))
@@ -226,7 +237,8 @@ def main() -> None:
     # 1.9 KB stdout budget (longer r10 query names). The stdout line
     # keeps only pinned_r1 — the long-horizon vs-baseline series; the
     # r6-r9 short-horizon series live in BENCH_DETAIL.json's full map.
-    for _k in ("pinned_r6", "pinned_r7", "pinned_r8", "pinned_r9"):
+    for _k in ("pinned_r6", "pinned_r7", "pinned_r8", "pinned_r9",
+               "pinned_r10"):
         stdout_payload.pop(_k)
     line = json.dumps(stdout_payload, separators=(",", ":"))
     detail_path = os.environ.get(

@@ -1612,4 +1612,85 @@ for _n in _DEMOTE_R10:
     SHADOW_REGISTRY[_n] = REGISTRY.pop(_n)
 for _n in _PROMOTE_R10:
     REGISTRY[_n] = SHADOW_REGISTRY.pop(_n)
+
+# ---------------------------------------------------------------------------
+# Round-11 driver-gate rotation (see NOTES.md §Round-11)
+# ---------------------------------------------------------------------------
+# r10 verdict #1: the never-driver-checked tail GREW 118→127 because 25
+# new queries landed against 15 rotations. This round uses both levers:
+# rotate TWENTY (ten bias-picked from the round-10 operator cohort
+# X187–X211 — nonparametric tests, time-series decomposition/ACF, corpus
+# vocabulary/entropy, calibration error, Lorenz — plus a TEN-slot sweep
+# band cycling the oldest never-checked shadows, family-diverse), and
+# hold new-operator additions below the rotation rate. Every demoted
+# entry has >=1 green driver row (the round-10 promotions earned theirs
+# on first exposure in CORRECTNESS_r10; the rest have 2–10) AND a
+# near-identical sibling still in the gate; all keep their full DuckDB
+# oracles in the always-run shadow suite.
+# st_kendall_tau_qty_discount is demoted per r10 verdict #2: it stayed
+# in the r10 gate to earn an independent green for the all-BIGINT fix
+# and has it now (CORRECTNESS_r10 hash-green).
+_DEMOTE_R11 = [
+    "st_kendall_tau_qty_discount",  # sibling: st_spearman_matrix (rank stats)
+    "ht_mann_whitney_qty_flag",  # sibling: ht_cliffs_delta_qty_flag (two-group rank)
+    "ht_wilcoxon_customer_value_shift",  # sibling: ht_friedman_daily_event_ranks (paired ranks)
+    "ht_kruskal_value_by_priority",  # sibling: ht_friedman_daily_event_ranks (k-group ranks)
+    "ts_theil_sen_daily_value",  # sibling: ts_mann_kendall_daily_value (Kendall-family trend)
+    "ts_ewma_daily_anomalies",  # sibling: ts_zscore_anomalies (anomaly flags, stays)
+    "ts_cusum_daily_value",  # sibling: ts_mann_kendall_daily_value (change/trend detection)
+    "tx_bpe_fertility_by_lang",  # siblings: tx_vocab_richness, tx_corpus_entropy (corpus text)
+    "tx_script_profile",  # siblings: tx_vocab_richness, tx_corpus_entropy
+    "ml_calibration_bins",  # sibling: ml_expected_calibration_error (calibration)
+    "st_gini_order_value",  # sibling: st_lorenz_order_value (same cum-share construction)
+    "st_chi_square_independence",  # sibling: st_numeric_mi_qty_price (contingency grids, stays)
+    "curation_semantic_decontamination",  # sibling: curation_decontaminate (n-gram decontam)
+    "curation_token_budget_head",  # sibling: curation_pack_sequences (token budgets/packing)
+    "curation_gopher_repetition",  # sibling: curation_fineweb_line_signals (doc-quality gates, stays)
+    "an_source_js_divergence",  # sibling: dq_psi_drift_orders_priority (distribution divergence, stays)
+    "ret_rbo_exact_vs_lsh",  # siblings: ret_bm25_topk (incoming), ret_maxsim_topk (stays)
+    "scd2_user_event_state",  # sibling: s9_scd2_part_prices (SCD2 versioned state)
+    "t1_asof_purchase_click",  # sibling: t3_asof_forward_next_purchase (as-of join)
+    "mm_frame_sample",  # sibling: mm_audio_windows (multimodal mapInPandas)
+]
+_PROMOTE_R11 = [
+    # ten bias-picked (r10 verdict #1a): the round-10 operator cohort
+    "ht_cliffs_delta_qty_flag",
+    "ht_friedman_daily_event_ranks",
+    "ts_mann_kendall_daily_value",
+    "ts_seasonal_decompose_daily",
+    "ts_acf_daily_value",
+    "tx_vocab_richness",
+    "tx_corpus_entropy",
+    "st_trimmed_mean_price_by_flag",
+    "ml_expected_calibration_error",
+    "st_lorenz_order_value",
+    # ten-slot sweep band: oldest never-checked shadows, family-diverse
+    # (first-commit order; see NOTES.md §Round-11 for the age table)
+    "curation_decontaminate",
+    "curation_pack_sequences",
+    "curation_pii_scrub",
+    "dedup_cluster_components",
+    "mm_audio_windows",
+    "skew_salted_user_totals",
+    "t3_asof_forward_next_purchase",
+    "text_unicode_fold",
+    "s9_scd2_part_prices",
+    "ret_bm25_topk",
+]
+_missing = [
+    _n
+    for _n in (*_DEMOTE_R11, *_PROMOTE_R11)
+    if _n not in REGISTRY and _n not in SHADOW_REGISTRY
+]
+if _missing:
+    raise ImportError(
+        "query registry incomplete during round-11 rotation (missing "
+        f"{_missing}): import legendary_data_pipeline_spark.queries "
+        "FIRST — importing a queries_* submodule directly re-enters "
+        "this module before its registrations finish."
+    )
+for _n in _DEMOTE_R11:
+    SHADOW_REGISTRY[_n] = REGISTRY.pop(_n)
+for _n in _PROMOTE_R11:
+    REGISTRY[_n] = SHADOW_REGISTRY.pop(_n)
 del _n, _missing

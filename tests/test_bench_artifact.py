@@ -29,7 +29,7 @@ def test_stdout_line_fits_driver_tail_capture():
     from legendary_data_pipeline_spark.queries import REGISTRY
 
     bench = _load_bench()
-    names = sorted(set(REGISTRY) | set(bench.PINNED_R9))
+    names = sorted(set(REGISTRY) | set(bench.PINNED_R10))
     # worst-case widths: every timing 3 integer digits + 3 decimals
     timings = {n: 999.999 for n in names}
 
@@ -69,5 +69,5 @@ def test_pinned_names_resolve_in_some_registry():
 
     bench = _load_bench()
     known = set(REGISTRY) | set(SHADOW_REGISTRY)
-    missing = [n for n in bench.PINNED_R9 if n not in known]
+    missing = [n for n in bench.PINNED_R10 if n not in known]
     assert not missing, f"pinned bench names missing from registries: {missing}"
