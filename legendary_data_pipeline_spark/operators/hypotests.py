@@ -699,6 +699,14 @@ def cliffs_delta(
     emits RAW (the representation rule for exact ratios). Either group
     empty → NULL delta.
 
+    int64 envelope (the kendall_tau_b / source_cosine_matrix
+    convention): gt_pairs/lt_pairs emit as BIGINT and are bounded by
+    n_a·n_b, so the ANSI decimal→long cast is exact while
+    n_a·n_b < 2^63 ≈ 9.2e18 — i.e. until BOTH groups pass ~3e9 rows,
+    beyond any per-key slice this engine feeds it. Past that the cast
+    fails loudly (ANSI), never silently wraps; delta itself stays
+    well-defined (one IEEE division of the exact decimal counts).
+
     Output (1 row): n_a, n_b, gt_pairs, lt_pairs, delta.
     """
     if group_a == group_b:
@@ -1044,7 +1052,10 @@ def friedman_test(
     treatment are DROPPED (the complete-block design requirement —
     dropped count is emitted so silent attrition is visible).
     Duplicate (block, treatment) rows raise in-plan (the
-    token_budget_head guard precedent).
+    token_budget_head guard precedent) — the guard lives in the block
+    SIZES aggregation, before/independent of the complete-block
+    filter, so a duplicate inside an incomplete block raises too
+    instead of being swallowed as a "dropped block" (r10 advice).
 
     Exactness: ranks double (2r = 2·below + c + 1 within the k-sized
     block) so every term is an exact integer; the doubled factors
@@ -1064,32 +1075,38 @@ def friedman_test(
         b.alias("__b"), tr.alias("__tr"), v.alias("__v")
     ).where(b.isNotNull() & tr.isNotNull() & v.isNotNull())
     d = d.localCheckpoint(eager=False)  # k-count + blocks + ranks
-    # in-plan duplicate guard
-    dup_w = Window.partitionBy("__b", "__tr")
-    d = d.withColumn("__dupn", F.count(F.lit(1)).over(dup_w))
-    d = d.withColumn(
-        "__v",
+    k_row = d.select(
+        F.countDistinct("__tr").cast("long").alias("__k")
+    )
+    # Block sizes carry the max per-(block, treatment) cell count so the
+    # in-plan duplicate guard fires for EVERY block — including blocks
+    # the complete-block filter drops (r10 advice: the old guard lived
+    # on __v, which is only evaluated for surviving blocks, so a
+    # duplicate inside an incomplete block was silently swallowed as a
+    # "dropped block"). The where(__ok) below must evaluate __ok for
+    # every block row, so a duplicate anywhere raises.
+    sizes = (
+        d.groupBy("__b", "__tr")
+        .agg(F.count(F.lit(1)).cast("long").alias("__cn"))
+        .groupBy("__b")
+        .agg(
+            F.sum("__cn").cast("long").alias("__bk"),
+            F.max("__cn").alias("__maxcell"),
+        )
+    )
+    complete = sizes.crossJoin(F.broadcast(k_row)).select(
+        "__b",
+        "__k",
         F.when(
-            F.col("__dupn") > 1,
+            F.col("__maxcell") > 1,
             F.raise_error(
                 F.lit(
                     "friedman_test: duplicate (block, treatment) rows - "
                     "the design requires one observation per cell; "
                     "aggregate first"
                 )
-            ).cast("long"),
-        ).otherwise(F.col("__v")),
-    ).drop("__dupn")
-    k_row = d.select(
-        F.countDistinct("__tr").cast("long").alias("__k")
-    )
-    sizes = d.groupBy("__b").agg(
-        F.count(F.lit(1)).cast("long").alias("__bk")
-    )
-    complete = sizes.crossJoin(F.broadcast(k_row)).select(
-        "__b",
-        "__k",
-        (F.col("__bk") == F.col("__k")).alias("__ok"),
+            ).cast("boolean"),
+        ).otherwise(F.col("__bk") == F.col("__k")).alias("__ok"),
     )
     kept = d.join(
         complete.where(F.col("__ok")).select("__b", "__k"), "__b"

@@ -14,16 +14,31 @@ verdict (documented divergence, not a silent approximation).
 Batch/stream parity: for an IN-ORDER stream the (key, t, ewma, resid)
 rows are bit-identical to `ewma_anomalies`' columns on the same data —
 pinned in tests/test_streaming_anomaly.py. Out-of-order arrivals
-WITHIN one micro-batch are sorted before scoring; a point older than
-already-scored state contributes to FUTURE baselines only (its own
-score used the data seen so far — the only causal option a stream
-has; the batch operator is the backfill oracle).
+WITHIN one micro-batch are sorted before scoring. A point arriving
+late ACROSS micro-batches is scored against the retained values that
+PRECEDE it in event time (NULL if none are retained — honest
+"unknown", never a baseline built from its own future) and is
+INSERTED into the lag buffer by t, so the stored state stays "last ≤k
+observed values in event-time order" and future baselines never treat
+a stale point as lag 1. Points newer than the late arrival that were
+already emitted are not rescored (append mode is immutable); the
+batch operator is the backfill oracle.
 
 State is bounded: ≤k int64 values per key, evicted when the WATERMARK
 passes ``last event + idle_timeout`` (event-time timeout — data-driven
 and replayable, the sessions.py convention; a processing-time timeout
 would also never let an availableNow drain terminate, since every
-armed timer keeps scheduling another micro-batch).
+armed timer keeps scheduling another micro-batch). The timeout
+timestamp is clamped to ``current watermark + 1``: Spark requires it
+to exceed the watermark. In Spark 4 the scenario that could violate
+that (a micro-batch holding ONLY events older than
+watermark − idle_timeout for a key) is unreachable through the data
+path — applyInPandasWithState drops sub-watermark rows BEFORE the
+state function (pinned in tests/test_streaming_anomaly.py) — so the
+clamp is defense-in-depth for idle_timeout_ms=0 or an engine version
+without the pre-filter, the same failure class (crash poisons the
+checkpoint, replays on every restart) the NULL t/v pre-filter guards
+against.
 """
 
 from __future__ import annotations
@@ -37,8 +52,9 @@ ANOMALY_SCHEMA = (
     "user_id long, t long, v long, ewma double, resid double"
 )
 
-#: last ≤k values in event-time order (newest last) + their max t
-_STATE_SCHEMA = "vs array<long>, last_t long"
+#: last ≤k (t, value) pairs in event-time order (newest last) — ts is
+#: kept so late cross-batch arrivals insert by t instead of appending
+_STATE_SCHEMA = "vs array<long>, ts array<long>"
 
 
 def ewma_anomaly_stream(
@@ -63,6 +79,8 @@ def ewma_anomaly_stream(
         batches: Iterator["pd.DataFrame"],
         state: GroupState,
     ) -> Iterator["pd.DataFrame"]:
+        import bisect
+
         import pandas as pd
 
         (user_id,) = key
@@ -73,15 +91,25 @@ def ewma_anomaly_stream(
         rows = rows.sort_values("t", kind="mergesort")
         last_ms = int(rows["event_time"].astype("int64").max() // 1_000_000)
         vs: list[int] = []
+        ts: list[int] = []
         if state.exists:
-            stored, _last = state.get
-            vs = list(stored)
+            stored_vs, stored_ts = state.get
+            vs = list(stored_vs)
+            ts = list(stored_ts)
         out_t: list[int] = []
         out_v: list[int] = []
         out_ewma: list[float | None] = []
         out_resid: list[float | None] = []
         for t_val, v_val in zip(rows["t"].tolist(), rows["v"].tolist()):
-            lags = vs[-k:]
+            t_val = int(t_val)
+            v_val = int(v_val)
+            # event-time insertion point: lags are the ≤k retained
+            # values strictly before this point in event time (ties →
+            # after existing equal-t values, i.e. arrival order); for
+            # in-order streams pos == len(vs) and this is the plain
+            # trailing window
+            pos = bisect.bisect_right(ts, t_val)
+            lags = vs[max(0, pos - k):pos]
             num = 0
             den = 0
             # lags[-1] is lag 1 (weight 2^(k-1)), matching the batch
@@ -96,18 +124,26 @@ def ewma_anomaly_stream(
             else:
                 ewma = None
                 resid = None
-            out_t.append(int(t_val))
-            out_v.append(int(v_val))
+            out_t.append(t_val)
+            out_v.append(v_val)
             out_ewma.append(ewma)
             out_resid.append(resid)
-            vs.append(int(v_val))
+            vs.insert(pos, v_val)
+            ts.insert(pos, t_val)
             if len(vs) > k:
                 vs = vs[-k:]
-        last_t = int(rows["t"].max()) if len(rows) else 0
-        state.update((vs, last_t))
+                ts = ts[-k:]
+        state.update((vs, ts))
         # event-time eviction: drop the key's lag buffer once the
-        # watermark passes its last activity + the idle window
-        state.setTimeoutTimestamp(last_ms + idle_timeout_ms)
+        # watermark passes its last activity + the idle window.
+        # Clamped to watermark+1 — Spark rejects a timeout at or below
+        # the current watermark, and a micro-batch holding ONLY very
+        # late events for this key would otherwise compute one and
+        # crash the query (poisoning the checkpoint on every restart).
+        state.setTimeoutTimestamp(
+            max(last_ms + idle_timeout_ms,
+                state.getCurrentWatermarkMs() + 1)
+        )
         yield pd.DataFrame(
             {
                 "user_id": [user_id] * len(out_t),
@@ -143,6 +179,7 @@ def run_ewma_anomaly_once(
     checkpoint: str,
     k: int = 8,
     watermark: str = "1 hour",
+    idle_timeout_ms: int = 24 * 3600 * 1000,
 ) -> None:
     """availableNow drain: read parquet events (user_id, ts, t, v),
     score, append to `target`. The backfill-vs-stream harness."""
@@ -159,7 +196,9 @@ def run_ewma_anomaly_once(
     )
     timed = with_event_time(src).withWatermark("event_time", watermark)
     scored = ewma_anomaly_stream(
-        timed.select("user_id", "event_time", "t", "v"), k=k
+        timed.select("user_id", "event_time", "t", "v"),
+        k=k,
+        idle_timeout_ms=idle_timeout_ms,
     )
     (
         scored.writeStream.format("parquet")

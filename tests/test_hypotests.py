@@ -521,6 +521,26 @@ def test_friedman_duplicate_cell_raises(spark):
         friedman_test(_blocks(spark, rows), "b", "tr", "v").collect()
 
 
+def test_friedman_duplicate_in_incomplete_block_raises(spark):
+    """r10 advice regression: the old guard lived on __v, which only
+    evaluates for blocks surviving the complete-block filter — a
+    duplicate inside an INCOMPLETE block (bk != k) was silently
+    swallowed as a dropped block. The guard now folds into the sizes
+    aggregation and fires regardless."""
+    from legendary_data_pipeline_spark.operators.hypotests import (
+        friedman_test,
+    )
+
+    rows = [
+        # complete block establishes k=3
+        (1, "t1", 1), (1, "t2", 2), (1, "t3", 3),
+        # incomplete block (missing t3, bk=2 != 3) with a duplicate cell
+        (2, "t1", 4), (2, "t1", 5),
+    ]
+    with pytest.raises(Exception, match="duplicate"):
+        friedman_test(_blocks(spark, rows), "b", "tr", "v").collect()
+
+
 # ---------------------------------------------------------------------------
 # Jonckheere-Terpstra (X194)
 # ---------------------------------------------------------------------------
