@@ -130,6 +130,24 @@ def main() -> None:
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # Round-11 (r10 verdict #3): the DAGScheduler stack-trace fragment in
+    # BENCH_r10's tail was root-caused by rerunning the bench with split
+    # stream capture — ONE straggler task completing after its job's
+    # SQL-metric accumulators were unregistered logged 94 "Failed to
+    # update accumulator ... non-existent accumulator" ERROR traces in a
+    # single burst (the min-of-N rerun + clearCache releases the prior
+    # run's plan, ContextCleaner unregisters its accumulators, then the
+    # late task-completion event reports into the void). The job had
+    # already SUCCEEDED — the race is benign — but 90+ traces can eat
+    # the driver's 2 KB tail capture, so this logger is pinned to FATAL
+    # for the bench process only. A REAL scheduling failure still
+    # surfaces as a Python exception → rc != 0 + no metric line, which
+    # is the bench's actual failure signal.
+    _jvm = spark.sparkContext._jvm
+    _jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.scheduler.DAGScheduler",
+        _jvm.org.apache.logging.log4j.Level.FATAL,
+    )
 
     # Warm up the JVM + parquet footer caches outside the timed region:
     # JIT the hot codegen paths (scan, window, join, HOF, md5) on a tiny

@@ -3223,12 +3223,23 @@ def trimmed_mean(
     cum = distributed_below_counts(
         per_v, "__v", ["__c"], inclusive=False, group_cols=groups
     ).localCheckpoint(eager=False)  # totals + kept-row scan (r9 rule)
+    # trim count per side floor(n·ppm/1e6) is a GROUP CONSTANT —
+    # computed here on the group-count-sized totals frame so the
+    # per-distinct-value stage below stays in pure long arithmetic
+    # (the lorenz_points r11 hoist: the per-row decimal DIV was the
+    # dominant cost of the final stage on ~all-distinct columns).
     totals = cum.groupBy(*groups).agg(
         F.sum("__c").cast("long").alias("__n")
+    ).withColumn(
+        "__t",
+        F.expr(
+            f"CAST((CAST(__n AS DECIMAL(38,0)) * {int(trim_ppm)}) "
+            "DIV 1000000 AS BIGINT)"
+        ),
     )
     if groups:
         tt = totals.select(
-            *[F.col(g).alias(f"__tg_{g}") for g in groups], "__n"
+            *[F.col(g).alias(f"__tg_{g}") for g in groups], "__n", "__t"
         )
         cond = [F.col(g).eqNullSafe(F.col(f"__tg_{g}")) for g in groups]
         j = cum.join(F.broadcast(tt), cond).drop(
@@ -3236,14 +3247,6 @@ def trimmed_mean(
         )
     else:
         j = cum.crossJoin(F.broadcast(totals))
-    # rows trimmed per side: floor(n * ppm / 1e6) via integer DIV
-    j = j.withColumn(
-        "__t",
-        F.expr(
-            f"CAST((CAST(__n AS DECIMAL(38,0)) * {int(trim_ppm)}) "
-            "DIV 1000000 AS BIGINT)"
-        ),
-    )
     lo = F.greatest(F.col("__c_cum"), F.col("__t"))
     hi = F.least(
         F.col("__c_cum") + F.col("__c"), F.col("__n") - F.col("__t")
@@ -3312,17 +3315,35 @@ def lorenz_points(
     cum = distributed_below_counts(
         per_v, "__v", ["__c"], inclusive=False, group_cols=groups
     ).localCheckpoint(eager=False)  # totals + per-point sums (r9 rule)
+    # The per-point cut thresholds T_p = ⌊n·p/k⌋ are GROUP CONSTANTS:
+    # computing them here, on the group-count-sized totals frame, and
+    # broadcasting them as plain BIGINTs keeps the big per-row stage
+    # below in pure long arithmetic (r11: the original per-row
+    # `(CAST(__n AS DECIMAL(38,0))·p) DIV k` did k BigDecimal
+    # multiply+divides on EVERY distinct-value row — ~40% of the
+    # query's wall time at a 150k-distinct sf0.1 column).
     totals = cum.groupBy(*groups).agg(
         F.sum("__c").cast("long").alias("__n"),
         F.sum(F.col("__c").cast("decimal(38,0)") * F.col("__v"))
         .cast("decimal(38,0)")
         .alias("__tot"),
     )
+    totals = totals.select(
+        *groups,
+        "__n",
+        "__tot",
+        *[
+            F.expr(
+                f"CAST((CAST(__n AS DECIMAL(38,0)) * {p}) "
+                f"DIV {n_points} AS BIGINT)"
+            ).alias(f"__t{p}")
+            for p in range(1, n_points + 1)
+        ],
+    )
     if groups:
         tt = totals.select(
             *[F.col(g).alias(f"__tg_{g}") for g in groups],
-            "__n",
-            "__tot",
+            *[c for c in totals.columns if c not in groups],
         )
         cond = [F.col(g).eqNullSafe(F.col(f"__tg_{g}")) for g in groups]
         j = cum.join(F.broadcast(tt), cond).drop(
@@ -3335,10 +3356,7 @@ def lorenz_points(
         F.max("__tot").alias("__tot"),
     ]
     for p in range(1, n_points + 1):
-        t_p = F.expr(
-            f"CAST((CAST(__n AS DECIMAL(38,0)) * {p}) "
-            f"DIV {n_points} AS BIGINT)"
-        )
+        t_p = F.col(f"__t{p}")
         kept = F.greatest(
             F.least(F.col("__c_cum") + F.col("__c"), t_p)
             - F.least(F.col("__c_cum"), t_p),
