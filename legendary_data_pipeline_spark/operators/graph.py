@@ -904,3 +904,127 @@ def link_prediction_topk(
     return scored.orderBy(
         F.col("jaccard").desc(), F.col("a").asc(), F.col("b").asc()
     ).limit(top_k)
+
+
+def basket_pair_lift(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+    top_k: int | None = None,
+    max_basket_size: int = 1_000,
+) -> DataFrame:
+    """Market-basket association lift over item pairs — the
+    co-occurrence-STRENGTH companion to the co-purchase graph ops
+    (`triangle_count` counts structure; this scores individual pairs):
+    support, both-direction confidence inputs, and
+
+        lift(a,b) = P(a,b) / (P(a)·P(b)) = N·c_ab / (c_a·c_b)
+
+    — lift > 1 means a and b co-occur more than independence predicts
+    (the "customers who bought X also bought Y" primitive; for corpus
+    work, tag/domain/label co-occurrence strength).
+
+    Exactness: c_a, c_b, c_ab, N are exact basket COUNTS (an item
+    counted once per basket — duplicates within a basket dedup first);
+    lift is one exact IEEE division of decimal(38,0) products
+    (N·c_ab and c_a·c_b pass int64 once N ~ 3e9 with popular items).
+
+    Scale: pair generation is the canonical bounded self-join on the
+    basket key with a < b canonicalization — work is Σ size²/2 over
+    baskets, NOT all-pairs over items. That is only safe while baskets
+    are SMALL (the link-prediction lesson: a cap cannot rescue
+    hub-sized MEANS) — an in-plan guard raises if any basket exceeds
+    ``max_basket_size`` (cap or re-spec upstream; TPC-H orders hold
+    ≤7 items). ``min_pair_count`` prunes the pair tail BEFORE the
+    count joins; ``top_k`` (by lift desc, then pair asc — total order)
+    bounds the output; both counts frames broadcast.
+
+    Output: item_a, item_b, pair_count, count_a, count_b, n_baskets,
+    lift.
+    """
+    if max_basket_size < 2:
+        raise ValueError(
+            f"basket_pair_lift: max_basket_size must be >= 2, got "
+            f"{max_basket_size}"
+        )
+    b = F.col(basket_col)
+    it = F.col(item_col)
+    items = (
+        df.select(b.alias("__b"), it.alias("__i"))
+        .where(b.isNotNull() & it.isNotNull())
+        .distinct()
+    )
+    # in-plan basket-size guard (the kaplan_meier raise pattern): the
+    # pair join is quadratic per basket, so an unexpectedly huge basket
+    # must fail loud, not OOM an executor
+    sizes = items.groupBy("__b").agg(
+        F.count(F.lit(1)).cast("long").alias("__sz")
+    )
+    # The raise lives in a FILTER predicate (the friedman_test guard
+    # pattern) so column pruning cannot elide it: the where must
+    # evaluate the when() for every basket row.
+    guard_ok = F.when(
+        F.col("__sz") > max_basket_size,
+        F.raise_error(F.concat(
+            F.lit("basket_pair_lift: basket size "),
+            F.col("__sz").cast("string"),
+            F.lit(
+                f" exceeds max_basket_size={max_basket_size} — cap "
+                "basket membership upstream or raise the bound"
+            ),
+        )).cast("boolean"),
+    ).otherwise(F.lit(True))
+    items = items.join(sizes.where(guard_ok).select("__b"), "__b")
+    n_baskets_row = items.agg(
+        F.countDistinct("__b").cast("long").alias("__n")
+    )
+    item_counts = items.groupBy("__i").agg(
+        F.count(F.lit(1)).cast("long").alias("__ci")
+    )
+    a = items.select(F.col("__b").alias("__k"), F.col("__i").alias("item_a"))
+    bb = items.select(F.col("__b").alias("__k"), F.col("__i").alias("item_b"))
+    pairs = (
+        a.join(bb, "__k")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_count"))
+        .where(F.col("pair_count") >= int(min_pair_count))
+    )
+    dec = "decimal(38,0)"
+    scored = (
+        pairs.join(
+            F.broadcast(item_counts.select(
+                F.col("__i").alias("item_a"), F.col("__ci").alias("count_a")
+            )),
+            "item_a",
+        )
+        .join(
+            F.broadcast(item_counts.select(
+                F.col("__i").alias("item_b"), F.col("__ci").alias("count_b")
+            )),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(n_baskets_row))
+        .select(
+            "item_a",
+            "item_b",
+            "pair_count",
+            "count_a",
+            "count_b",
+            F.col("__n").alias("n_baskets"),
+            (
+                (F.col("pair_count").cast(dec) * F.col("__n").cast(dec))
+                .cast("double")
+                / (F.col("count_a").cast(dec) * F.col("count_b").cast(dec))
+                .cast("double")
+            ).alias("lift"),
+        )
+    )
+    if top_k is not None:
+        return scored.orderBy(
+            F.col("lift").desc(),
+            F.col("item_a").asc(),
+            F.col("item_b").asc(),
+        ).limit(int(top_k))
+    return scored

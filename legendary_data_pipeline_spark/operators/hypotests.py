@@ -1352,3 +1352,108 @@ def moods_median_test(
         "n_below",
         F.when(ok, _e6(F.col("__chi2"))).alias("chi2_e6"),
     )
+
+
+def cochran_armitage_trend(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+) -> DataFrame:
+    """Cochran–Armitage trend test for a BINARY outcome across ordered
+    groups — "does the success rate increase (or decrease) along the
+    group ordering?" (priority tiers, dose levels, severity grades).
+    The proportions companion to `jonckheere_terpstra`'s ordered-values
+    test: chi² independence asks "any association"; this asks
+    specifically for a monotone trend in p_i and is far more powerful
+    against that alternative.
+
+    With integer scores s_i = 0..k−1 in the NATURAL ascending order of
+    the group key (document your key so label order IS the hypothesis
+    order — the jonckheere convention), group sizes n_i, successes
+    r_i, N = Σn_i, R = Σr_i:
+
+        T   = Σ s_i·r_i − (R/N)·Σ s_i·n_i
+        Var = (R/N)(1 − R/N)·[Σ s_i²·n_i − (Σ s_i·n_i)²/N]
+        z   = T / sqrt(Var)
+
+    Exactness: the numerator and the variance CORE are multiplied out
+    to exact decimal(38,0) integers — A = N·Σs_i r_i − R·Σs_i n_i
+    (= N·T) and C = N·Σs_i²n_i − (Σs_i n_i)² (= N²·[Σs²n − (Σsn)²/N]);
+    then z = A / sqrt(R·(N−R)·C/N) combines the exact FACTORS in one
+    fixed IEEE tree (multiplying R(N−R)·C out as decimal would
+    overflow 38 digits near N ≈ 2×10⁹ — N⁴k²; the factored form holds
+    to N ≈ 10¹⁸/k). Emitted as z_e6 BIGINT (NULL when k < 2, R = 0,
+    R = N, or C ≤ 0 — degenerate inputs).
+
+    Scale: one (group)-keyed aggregation to the k-row frame; the score
+    index is a window over those k rows (k is FEW by contract — the
+    jonckheere convention). NULL groups/outcomes drop; ``success_col``
+    must be 0/1 integer-valued.
+
+    Output (1 row): n, k, n_success, z_e6.
+    """
+    g = F.col(group_col)
+    s = F.col(success_col).cast("long")
+    d = df.select(g.alias("__g"), s.alias("__s")).where(
+        g.isNotNull() & s.isNotNull()
+    )
+    guard = F.when(
+        (F.col("__s") < 0) | (F.col("__s") > 1),
+        F.raise_error(
+            F.lit(
+                "cochran_armitage_trend: success_col must be 0/1 "
+                "integer-valued"
+            )
+        ).cast("long"),
+    ).otherwise(F.col("__s"))
+    per_g = d.select("__g", guard.alias("__s")).groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("__ni"),
+        F.sum("__s").cast("long").alias("__ri"),
+    )
+    # 0-based score in ascending group order: a k-row window (k FEW by
+    # contract — same single-partition budget as the jonckheere pivot)
+    sw = Window.orderBy(F.col("__g").asc())
+    scored = per_g.select(
+        (F.row_number().over(sw) - F.lit(1)).cast("long").alias("__si"),
+        "__ni",
+        "__ri",
+    )
+    agg = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("__ni").cast("long").alias("n"),
+        F.sum("__ri").cast("long").alias("n_success"),
+        F.sum((F.col("__si") * F.col("__ri")).cast(_DEC))
+        .cast(_DEC)
+        .alias("__sr"),
+        F.sum((F.col("__si") * F.col("__ni")).cast(_DEC))
+        .cast(_DEC)
+        .alias("__sn"),
+        F.sum(
+            (F.col("__si") * F.col("__si") * F.col("__ni")).cast(_DEC)
+        )
+        .cast(_DEC)
+        .alias("__ssn"),
+    )
+    nn = F.col("n").cast(_DEC)
+    rr = F.col("n_success").cast(_DEC)
+    a_num = (nn * F.col("__sr") - rr * F.col("__sn")).cast(_DEC)
+    c_core = (
+        nn * F.col("__ssn") - F.col("__sn") * F.col("__sn")
+    ).cast(_DEC)
+    n_d = F.col("n").cast("double")
+    r_d = F.col("n_success").cast("double")
+    z = a_num.cast("double") / F.sqrt(
+        r_d * (n_d - r_d) * c_core.cast("double") / n_d
+    )
+    ok = (
+        (F.col("k") >= 2)
+        & (F.col("n_success") > 0)
+        & (F.col("n_success") < F.col("n"))
+        & (c_core > 0)
+    )
+    return agg.select(
+        "n",
+        "k",
+        "n_success",
+        F.when(ok, _e6(z)).alias("z_e6"),
+    )

@@ -46,6 +46,8 @@ __all__ = [
     "two_proportion_test",
     "rrf_fuse",
     "confusion_stats",
+    "brier_decomposition",
+    "cumulative_gains",
 ]
 
 
@@ -882,4 +884,250 @@ def expected_calibration_error(
             F.col("n") > 0,
             F.round(F.col("__mce") * F.lit(1e6)).cast("long"),
         ).alias("mce_e6"),
+    )
+
+
+def brier_decomposition(
+    df: DataFrame,
+    pred_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Brier score + Murphy (1973) three-way decomposition — the
+    proper-scoring-rule companion to `expected_calibration_error`
+    (X210): ECE says HOW FAR the reliability diagram sits from the
+    diagonal; this says how much of the total squared-error loss that
+    miscalibration costs, versus what better discrimination could buy:
+
+        brier       = (1/N) Σ (p_i − y_i)²
+        reliability = (1/N) Σ_b n_b·(conf_b − acc_b)²   (calibration)
+        resolution  = (1/N) Σ_b n_b·(acc_b − ȳ)²        (discrimination)
+        uncertainty = ȳ·(1 − ȳ)                          (irreducible)
+
+    with conf_b the bin's MEAN PREDICTION and acc_b its exact positive
+    fraction — brier = reliability − resolution + uncertainty holds
+    exactly when predictions are constant within bins; the residual is
+    the (reported) within-bin variance wbv = brier − (rel − res + unc),
+    so the identity is auditable from the output row.
+
+    Same equal-width [0, 1] binning, NULL-drop and 0/1-label contract
+    as `calibration_bins`. Float accumulations (Σp, Σp² per bin) are
+    the ECE precedent — magnitude-≤1 summands whose sub-1e-10 order
+    noise the e6 emission absorbs; counts/positives are exact longs.
+
+    Scale: one map-side-combined groupBy to the ≤n_bins frame, one
+    final reduce — nothing data-sized after the scan.
+
+    Output (1 row): n, n_pos, n_bins_used, brier_e6, reliability_e6,
+    resolution_e6, uncertainty_e6, within_bin_var_e6.
+    """
+    if n_bins < 1:
+        raise ValueError(
+            f"brier_decomposition: n_bins must be >= 1, got {n_bins}"
+        )
+    d = df.where(
+        F.col(pred_col).isNotNull() & F.col(label_col).isNotNull()
+    )
+    lab = F.col(label_col).cast("long")
+    bin_id = F.least(
+        F.floor(F.col(pred_col) * n_bins).cast("long"), F.lit(n_bins - 1)
+    )
+    p = F.col(pred_col).cast("double")
+    bins = (
+        d.select(
+            bin_id.alias("bin"), lab.alias("__lab"), p.alias("__p")
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum("__lab").cast("long").alias("__pos"),
+            F.sum("__p").alias("__psum"),
+            F.sum(F.col("__p") * F.col("__p")).alias("__psq"),
+            # Σ p·y is needed for the DIRECT brier term (per-bin it is
+            # not recoverable from (n, pos, psum)) — same pass
+            F.sum(
+                F.col("__p") * F.col("__lab").cast("double")
+            ).alias("__py"),
+        )
+    )
+    conf_minus_acc = (
+        F.col("__psum") / F.col("__n").cast("double")
+        - F.col("__pos").cast("double") / F.col("__n").cast("double")
+    )
+    agg = bins.agg(
+        F.sum("__n").cast("long").alias("n"),
+        F.sum("__pos").cast("long").alias("n_pos"),
+        F.count(F.lit(1)).cast("long").alias("n_bins_used"),
+        F.sum("__psq").alias("__spp"),
+        F.sum("__py").alias("__spy"),
+        # Σ_b n_b (conf_b − acc_b)²  — reliability numerator
+        F.sum(
+            F.col("__n").cast("double") * conf_minus_acc * conf_minus_acc
+        ).alias("__rel_num"),
+        # Σ_b n_b acc_b² = Σ_b pos_b²/n_b — resolution via the
+        # shifted form Σ n_b(acc_b − ȳ)²/N = Σ n_b acc_b²/N − ȳ²
+        # (Σ n_b acc_b = Σ pos = N·ȳ exactly)
+        F.sum(
+            (F.col("__pos").cast("double") * F.col("__pos").cast("double"))
+            / F.col("__n").cast("double")
+        ).alias("__acc2_num"),
+    )
+    n_d = F.col("n").cast("double")
+    ybar = F.col("n_pos").cast("double") / n_d
+    brier = (
+        F.col("__spp") - 2.0 * F.col("__spy") + F.col("n_pos").cast("double")
+    ) / n_d
+    rel = F.col("__rel_num") / n_d
+    res = (
+        F.col("__acc2_num") / n_d - ybar * ybar
+    )
+    unc = ybar * (F.lit(1.0) - ybar)
+    wbv = brier - (rel - res + unc)
+    def _e6(c):
+        return F.round(c * F.lit(1e6)).cast("long")
+    ok = F.col("n") > 0
+    return agg.select(
+        "n",
+        "n_pos",
+        "n_bins_used",
+        F.when(ok, _e6(brier)).alias("brier_e6"),
+        F.when(ok, _e6(rel)).alias("reliability_e6"),
+        F.when(ok, _e6(res)).alias("resolution_e6"),
+        F.when(ok, _e6(unc)).alias("uncertainty_e6"),
+        F.when(ok, _e6(wbv)).alias("within_bin_var_e6"),
+    )
+
+
+def cumulative_gains(
+    df: DataFrame,
+    pred_col: str,
+    label_col: str,
+    n_points: int = 10,
+) -> DataFrame:
+    """Cumulative gains / lift table — the targeting-eval companion to
+    `auc_by_group`: "if we act on the top d/k of rows by score, what
+    fraction of all positives do we capture, and at what lift over
+    random?" (campaign targeting, review-queue sizing, quality-gate
+    budget planning).
+
+    Cut convention (pure multiset function, ties NEVER split): for
+    point d the row target is T_d = ⌊n·d/k⌋; the kept set is every row
+    whose score strictly exceeds the boundary value whose descending
+    rank interval contains T_d, PLUS all ties at that boundary — so
+    n_kept is the smallest tie-respecting cut ≥ T_d. Emitting the
+    ACTUAL n_kept (which can exceed T_d on heavy ties) keeps every
+    output an exact integer instead of pro-rating tied rows'
+    positives (a fractional, denominator-mixing sum); gain and lift
+    are then single exact IEEE divisions of decimal(38,0) products.
+
+        gain_d = pos_kept / total_pos
+        lift_d = (pos_kept · n) / (total_pos · n_kept)
+
+    Scale: one (pred)-distinct groupBy + one distributed below-counts
+    pass on the DESCENDING order (negated key) + one aggregation with
+    k conditional sums — the lorenz_points plan, cut thresholds
+    hoisted to the broadcast totals frame as BIGINTs. NULLs drop;
+    ``label_col`` must be 0/1 integer-valued.
+
+    Output per point (k rows): point, frac_rows (= point/k, exact
+    ratio), target_rows, n_kept, pos_kept, gain, lift (NULL when
+    total_pos or n_kept is 0).
+    """
+    if n_points < 1:
+        raise ValueError(
+            f"cumulative_gains: n_points must be >= 1, got {n_points}"
+        )
+    from legendary_data_pipeline_spark.operators.stats import (
+        distributed_below_counts,
+    )
+
+    lab = F.col(label_col).cast("long")
+    d = df.select(
+        F.col(pred_col).cast("double").alias("__p"), lab.alias("__y")
+    ).where(F.col(pred_col).isNotNull() & lab.isNotNull())
+    guard = F.when(
+        (F.col("__y") < 0) | (F.col("__y") > 1),
+        F.raise_error(
+            F.lit("cumulative_gains: label_col must be 0/1 integer-valued")
+        ).cast("long"),
+    ).otherwise(F.col("__y"))
+    # descending score order = ascending on the negated key (exact for
+    # doubles); per-distinct-score counts + positives
+    per_v = (
+        d.select((-F.col("__p")).alias("__nv"), guard.alias("__y"))
+        .groupBy("__nv")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__c"),
+            F.sum("__y").cast("long").alias("__pos"),
+        )
+    )
+    cum = distributed_below_counts(
+        per_v, "__nv", ["__c"], inclusive=False
+    ).localCheckpoint(eager=False)  # totals + per-point sums
+    totals = cum.agg(
+        F.sum("__c").cast("long").alias("__n"),
+        F.sum("__pos").cast("long").alias("__tp"),
+    ).select(
+        "__n",
+        "__tp",
+        *[
+            F.expr(
+                f"CAST((CAST(__n AS DECIMAL(38,0)) * {p}) "
+                f"DIV {n_points} AS BIGINT)"
+            ).alias(f"__t{p}")
+            for p in range(1, n_points + 1)
+        ],
+    )
+    j = cum.crossJoin(F.broadcast(totals))
+    agg_cols = [
+        F.max("__n").alias("__n"),
+        F.max("__tp").alias("__tp"),
+    ]
+    for p in range(1, n_points + 1):
+        keep = F.col("__c_cum") < F.col(f"__t{p}")  # above-count < T_p
+        agg_cols.append(F.max(f"__t{p}").alias(f"__tt{p}"))
+        agg_cols.append(
+            F.sum(F.when(keep, F.col("__c")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"__k{p}")
+        )
+        agg_cols.append(
+            F.sum(F.when(keep, F.col("__pos")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"__g{p}")
+        )
+    wide = j.groupBy().agg(*agg_cols)
+    stack_expr = ", ".join(
+        f"{p}L, __tt{p}, __k{p}, __g{p}" for p in range(1, n_points + 1)
+    )
+    long = wide.select(
+        "__n",
+        "__tp",
+        F.expr(
+            f"stack({n_points}, {stack_expr}) "
+            "AS (point, target_rows, n_kept, pos_kept)"
+        ),
+    )
+    dec = "decimal(38,0)"
+    gain = F.when(
+        F.col("__tp") > 0,
+        F.col("pos_kept").cast("double") / F.col("__tp").cast("double"),
+    )
+    lift = F.when(
+        (F.col("__tp") > 0) & (F.col("n_kept") > 0),
+        (F.col("pos_kept").cast(dec) * F.col("__n").cast(dec))
+        .cast("double")
+        / (F.col("__tp").cast(dec) * F.col("n_kept").cast(dec))
+        .cast("double"),
+    )
+    return long.select(
+        F.col("point").cast("long").alias("point"),
+        (
+            F.col("point").cast("double") / F.lit(float(n_points))
+        ).alias("frac_rows"),
+        "target_rows",
+        "n_kept",
+        "pos_kept",
+        gain.alias("gain"),
+        lift.alias("lift"),
     )

@@ -1992,6 +1992,113 @@ def kaplan_meier(
     )
 
 
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    round_digits: int = 6,
+    bucket: int | None = None,
+    max_distinct_times: int = 200_000,
+    scaled_e6: bool = False,
+) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimator — the additive
+    companion to `kaplan_meier`'s multiplicative survival curve:
+
+        H(t) = Σ_{s ≤ t} d_s / n_s
+
+    (d_s events at s, n_s at risk entering s). H is the canonical
+    input to proportional-hazards diagnostics and gives the
+    tied-data-robust survival estimate S̃ = exp(−H) (Fleming–
+    Harrington) — for small d/n the two curves agree to O((d/n)²),
+    and H is often preferred for plotting hazard RATIOS because sums
+    are linear where products are not.
+
+    Same input contract, bucket pre-coarsening, and distinct-time
+    single-partition guard as `kaplan_meier` (one integer duration +
+    0/1 event per subject; NULLs drop; pass ``bucket`` for fine-grain
+    durations). Each d_s/n_s term is one exact IEEE division of exact
+    integers; the cumulative sum runs over the time-ordered window so
+    both engines accumulate the identical sequence in the identical
+    order (the KM exp(Σln) precedent), and round(6)/e6 absorbs
+    last-ulp drift.
+
+    Output, one row per distinct exit time:
+      (t, n_at_risk, n_events, n_censored, cum_hazard[_e6])
+    """
+    t = F.col(duration_col)
+    if bucket is not None:
+        if int(bucket) <= 0:
+            raise ValueError(f"bucket must be a positive integer, got {bucket}")
+        tl = t.cast("long")
+        t = (tl - F.pmod(tl, F.lit(int(bucket)))).cast("long")
+    ev = F.col(event_col).cast("long")
+    d = df.select(t.alias("__t"), ev.alias("__e")).where(
+        t.isNotNull() & ev.isNotNull()
+    )
+    per_t = d.groupBy("__t").agg(
+        F.sum("__e").cast("long").alias("n_events"),
+        F.sum(F.lit(1) - F.col("__e")).cast("long").alias("n_censored"),
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    if bucket is None:
+        n_times = F.count(F.lit(1)).over(w_all)
+        per_t = per_t.select(
+            "__t",
+            F.when(
+                n_times > max_distinct_times,
+                F.raise_error(F.concat(
+                    F.lit("nelson_aalen: "),
+                    n_times.cast("string"),
+                    F.lit(
+                        f" distinct exit times exceeds the "
+                        f"{max_distinct_times}-row single-partition window "
+                        "budget — pass bucket=<integer duration width> "
+                        "(e.g. 86400 for day buckets over second "
+                        "durations) or raise max_distinct_times"
+                    ),
+                )).cast("long"),
+            ).otherwise(F.col("n_events")).alias("n_events"),
+            "n_censored",
+        )
+    w_before = Window.orderBy(F.col("__t").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    total = F.sum(F.col("n_events") + F.col("n_censored")).over(w_all)
+    exited_before = F.coalesce(
+        F.sum(F.col("n_events") + F.col("n_censored")).over(w_before),
+        F.lit(0),
+    )
+    at_risk = (total - exited_before).cast("long")
+    ann = per_t.select(
+        F.col("__t").alias("t"),
+        at_risk.alias("n_at_risk"),
+        "n_events",
+        "n_censored",
+    )
+    term = F.when(
+        (F.col("n_events") > 0) & (F.col("n_at_risk") > 0),
+        F.col("n_events").cast("double")
+        / F.col("n_at_risk").cast("double"),
+    ).otherwise(F.lit(0.0))
+    w_upto_t = Window.orderBy(F.col("t").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    hazard = F.sum(term).over(w_upto_t)
+    if scaled_e6:
+        return ann.select(
+            "t", "n_at_risk", "n_events", "n_censored",
+            F.round(hazard * F.lit(1e6)).cast("long").alias(
+                "cum_hazard_e6"
+            ),
+        )
+    return ann.select(
+        "t", "n_at_risk", "n_events", "n_censored",
+        F.round(hazard, round_digits).alias("cum_hazard"),
+    )
+
+
 def logrank_test(
     df: DataFrame,
     duration_col: str,

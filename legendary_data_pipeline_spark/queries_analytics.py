@@ -5772,3 +5772,193 @@ def ht_brown_forsythe_value_by_priority(
         _cents("o_totalprice").alias("v"),
     )
     return brown_forsythe(d, "v", "g")
+
+
+# ---------------------------------------------------------------------------
+# Cochran–Armitage trend test (operators/hypotests.py, X212)
+# ---------------------------------------------------------------------------
+
+
+@register_shadow(
+    "ht_cochran_armitage_status_by_priority",
+    """
+    WITH d AS (
+      SELECT o_orderpriority AS g,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS s
+      FROM orders
+      WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL),
+    pg AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS ni,
+             CAST(SUM(s) AS BIGINT) AS ri
+      FROM d GROUP BY 1),
+    sc AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY g ASC) - 1 AS BIGINT) AS si,
+             ni, ri
+      FROM pg),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(ni) AS BIGINT) AS n,
+             CAST(SUM(ri) AS BIGINT) AS n_success,
+             CAST(SUM(CAST(si AS HUGEINT) * ri) AS HUGEINT) AS sr,
+             CAST(SUM(CAST(si AS HUGEINT) * ni) AS HUGEINT) AS sn,
+             CAST(SUM(CAST(si AS HUGEINT) * si * ni) AS HUGEINT) AS ssn
+      FROM sc)
+    SELECT n, k, n_success,
+           CASE WHEN k >= 2 AND n_success > 0 AND n_success < n
+                     AND (CAST(n AS HUGEINT) * ssn - sn * sn) > 0
+                THEN CAST(round(
+                  CAST(CAST(n AS HUGEINT) * sr
+                       - CAST(n_success AS HUGEINT) * sn AS DOUBLE)
+                  / sqrt(CAST(n_success AS DOUBLE)
+                         * CAST(n - n_success AS DOUBLE)
+                         * CAST(CAST(n AS HUGEINT) * ssn - sn * sn
+                                AS DOUBLE)
+                         / CAST(n AS DOUBLE)) * 1e6) AS BIGINT)
+           END AS z_e6
+    FROM agg
+    """,
+    doc="Cochran-Armitage trend test (X212): does the fraction of "
+    "FINISHED orders trend monotonically across the priority ordering "
+    "1-URGENT..5-LOW? The binary-outcome companion to Jonckheere's "
+    "ordered-values test. Numerator N*Sum(s*r) - R*Sum(s*n) and "
+    "variance core N*Sum(s^2*n) - (Sum(s*n))^2 are exact decimal "
+    "integers; z combines the exact factors in one IEEE tree (the "
+    "factored form - multiplying R(N-R)*C out would pass 38 digits "
+    "near N~2e9), emitted z_e6.",
+)
+def ht_cochran_armitage_status_by_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.hypotests import (
+        cochran_armitage_trend,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select(
+        F.col("o_orderpriority").alias("g"),
+        (F.col("o_orderstatus") == "F").cast("long").alias("s"),
+    ).where(
+        F.col("o_orderpriority").isNotNull()
+        & F.col("o_orderstatus").isNotNull()
+    )
+    return cochran_armitage_trend(d, "g", "s")
+
+
+# ---------------------------------------------------------------------------
+# Nelson–Aalen cumulative hazard (operators/stats.py, X213)
+# ---------------------------------------------------------------------------
+
+
+@register_shadow(
+    "sv_nelson_aalen_user_tenure",
+    f"""
+    WITH spans AS (
+      SELECT user_id,
+             CAST(floor(epoch(MIN(ts))) AS BIGINT) AS first_s,
+             CAST(floor(epoch(MAX(ts))) AS BIGINT) AS last_s
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1),
+    horizon AS (SELECT MAX(last_s) AS maxs FROM spans),
+    subj AS (
+      SELECT (last_s - first_s) AS t,
+             CASE WHEN last_s < maxs - {_KM_HORIZON_S} THEN 1 ELSE 0 END
+               AS e
+      FROM spans, horizon),
+    per_t AS (
+      SELECT t, CAST(SUM(e) AS BIGINT) AS n_events,
+             CAST(SUM(1 - e) AS BIGINT) AS n_censored
+      FROM subj GROUP BY 1),
+    ann AS (
+      SELECT t, n_events, n_censored,
+             CAST(SUM(n_events + n_censored) OVER ()
+                  - COALESCE(SUM(n_events + n_censored) OVER (ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n_at_risk
+      FROM per_t)
+    SELECT t, n_at_risk, n_events, n_censored,
+           CAST(round(SUM(CASE WHEN n_events > 0 AND n_at_risk > 0
+                  THEN CAST(n_events AS DOUBLE)
+                       / CAST(n_at_risk AS DOUBLE)
+                  ELSE 0.0 END) OVER (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                * 1e6) AS BIGINT) AS cum_hazard_e6
+    FROM ann
+    """,
+    doc="Nelson-Aalen cumulative-hazard curve of user tenure (X213), "
+    "same spans/censoring construction as sv_user_retention_km (12 h "
+    "horizon censor): H(t) = ordered sum of exact-IEEE d/n terms over "
+    "the distinct-time frame — the additive companion KM's product "
+    "form cannot give (hazard sums are linear), emitted "
+    "cum_hazard_e6.",
+)
+def sv_nelson_aalen_user_tenure(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.stats import nelson_aalen
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    sec = F.expr("ts DIV 1000000000").cast("long")
+    spans = ev.groupBy("user_id").agg(
+        F.min(sec).alias("__first"), F.max(sec).alias("__last")
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    subj = spans.select(
+        (F.col("__last") - F.col("__first")).alias("__dur"),
+        (
+            F.col("__last") < F.max("__last").over(w_all) - _KM_HORIZON_S
+        ).cast("int").alias("__event"),
+    )
+    return nelson_aalen(subj, "__dur", "__event", scaled_e6=True)
+
+
+# ---------------------------------------------------------------------------
+# Market-basket pair lift (operators/graph.py, X214)
+# ---------------------------------------------------------------------------
+
+
+@register_shadow(
+    "gr_basket_pair_lift",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+      FROM lineitem
+      WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+    nb AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n_baskets
+           FROM items),
+    ic AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS ci
+           FROM items GROUP BY 1),
+    p AS (
+      SELECT a.i AS item_a, b2.i AS item_b,
+             CAST(COUNT(*) AS BIGINT) AS pair_count
+      FROM items a JOIN items b2 ON a.b = b2.b AND a.i < b2.i
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+    SELECT item_a, item_b, pair_count,
+           ca.ci AS count_a, cb.ci AS count_b, nb.n_baskets,
+           CAST(CAST(pair_count AS HUGEINT) * nb.n_baskets AS DOUBLE)
+           / CAST(CAST(ca.ci AS HUGEINT) * cb.ci AS DOUBLE) AS lift
+    FROM p JOIN ic ca ON p.item_a = ca.i
+           JOIN ic cb ON p.item_b = cb.i
+           CROSS JOIN nb
+    """,
+    doc="Market-basket association lift over co-purchased part pairs "
+    "(X214): lift = N*c_ab/(c_a*c_b) from exact basket counts, pairs "
+    "generated by the canonical bounded a<b self-join on the order "
+    "key (work = Sum(size^2)/2 per basket, in-plan raise above "
+    "max_basket_size - never all-pairs over items), min pair count 2, "
+    "lift one exact IEEE division of decimal products.",
+)
+def gr_basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.graph import (
+        basket_pair_lift,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    return basket_pair_lift(
+        li, "l_orderkey", "l_partkey", min_pair_count=2
+    )

@@ -813,3 +813,126 @@ def ml_expected_calibration_error(
 ) -> DataFrame:
     pred = _pred_frame(spark, sf_dir)
     return M.expected_calibration_error(pred, "pred", "lab", n_bins=10)
+
+
+@register_shadow(
+    "ml_brier_decomposition",
+    f"""
+    WITH {_PRED_CTE},
+    b AS (
+      SELECT least(CAST(floor(pred * 10) AS BIGINT), 9) AS bin,
+             lab, pred
+      FROM p),
+    bins AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(lab) AS BIGINT) AS pos,
+             SUM(pred) AS psum,
+             SUM(pred * pred) AS psq,
+             SUM(pred * CAST(lab AS DOUBLE)) AS py
+      FROM b GROUP BY 1),
+    agg AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n,
+             CAST(SUM(pos) AS BIGINT) AS n_pos,
+             CAST(COUNT(*) AS BIGINT) AS n_bins_used,
+             SUM(psq) AS spp, SUM(py) AS spy,
+             SUM(CAST(n AS DOUBLE)
+                 * (psum / CAST(n AS DOUBLE)
+                    - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (psum / CAST(n AS DOUBLE)
+                    - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)))
+               AS rel_num,
+             SUM(CAST(pos AS DOUBLE) * CAST(pos AS DOUBLE)
+                 / CAST(n AS DOUBLE)) AS acc2_num
+      FROM bins)
+    SELECT n, n_pos, n_bins_used,
+      CASE WHEN n > 0 THEN CAST(round(
+        ((spp - 2.0 * spy + CAST(n_pos AS DOUBLE)) / CAST(n AS DOUBLE))
+        * 1e6) AS BIGINT) END AS brier_e6,
+      CASE WHEN n > 0 THEN CAST(round(
+        (rel_num / CAST(n AS DOUBLE)) * 1e6) AS BIGINT)
+      END AS reliability_e6,
+      CASE WHEN n > 0 THEN CAST(round(
+        (acc2_num / CAST(n AS DOUBLE)
+         - (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+           * (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))) * 1e6)
+        AS BIGINT) END AS resolution_e6,
+      CASE WHEN n > 0 THEN CAST(round(
+        ((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+         * (1.0 - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))) * 1e6)
+        AS BIGINT) END AS uncertainty_e6,
+      CASE WHEN n > 0 THEN CAST(round(
+        (((spp - 2.0 * spy + CAST(n_pos AS DOUBLE)) / CAST(n AS DOUBLE))
+         - ((rel_num / CAST(n AS DOUBLE))
+            - (acc2_num / CAST(n AS DOUBLE)
+               - (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)))
+            + (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+              * (1.0 - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))))
+        * 1e6) AS BIGINT) END AS within_bin_var_e6
+    FROM agg
+    """,
+    doc="Brier score + Murphy three-way decomposition of the engine's "
+    "quality score (X215): reliability (calibration cost) - "
+    "resolution (discrimination credit) + uncertainty (irreducible), "
+    "over the same 10-bin diagram as ml_calibration_bins, plus the "
+    "within-bin variance residual that makes the identity auditable "
+    "from the output row. Counts exact; the per-bin float sums are "
+    "the ECE precedent (e6 absorbs order noise).",
+)
+def ml_brier_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pred = _pred_frame(spark, sf_dir)
+    return M.brier_decomposition(pred, "pred", "lab", n_bins=10)
+
+
+@register_shadow(
+    "ml_cumulative_gains",
+    f"""
+    WITH {_PRED_CTE},
+    perv AS (
+      SELECT pred, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(lab) AS BIGINT) AS pos
+      FROM p GROUP BY 1),
+    cum AS (
+      SELECT pred, c, pos,
+             COALESCE(SUM(c) OVER (ORDER BY pred DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS above
+      FROM perv),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(SUM(pos) AS BIGINT) AS tp FROM perv),
+    pts AS (SELECT unnest(range(1, 11)) AS point),
+    th AS (SELECT point, (CAST(n AS HUGEINT) * point) // 10 AS t, n, tp
+           FROM tot CROSS JOIN pts),
+    kept AS (
+      SELECT th.point, th.t, th.n, th.tp,
+             CAST(SUM(CASE WHEN cum.above < th.t THEN cum.c ELSE 0 END)
+               AS BIGINT) AS n_kept,
+             CAST(SUM(CASE WHEN cum.above < th.t THEN cum.pos ELSE 0 END)
+               AS BIGINT) AS pos_kept
+      FROM th CROSS JOIN cum GROUP BY 1, 2, 3, 4)
+    SELECT CAST(point AS BIGINT) AS point,
+           CAST(point AS DOUBLE) / 10.0 AS frac_rows,
+           CAST(t AS BIGINT) AS target_rows, n_kept, pos_kept,
+           CASE WHEN tp > 0
+                THEN CAST(pos_kept AS DOUBLE) / CAST(tp AS DOUBLE)
+           END AS gain,
+           CASE WHEN tp > 0 AND n_kept > 0 THEN
+                CAST(CAST(pos_kept AS HUGEINT) * n AS DOUBLE)
+                / CAST(CAST(tp AS HUGEINT) * n_kept AS DOUBLE)
+           END AS lift
+    FROM kept
+    """,
+    doc="Cumulative gains / lift table of the engine's quality score "
+    "(X216): per decile d, act on the smallest tie-respecting top set "
+    ">= floor(n*d/10) rows by score — ties NEVER split, so n_kept/"
+    "pos_kept stay exact integers and gain/lift are single exact IEEE "
+    "divisions of decimal products. The lorenz_points plan on the "
+    "descending (negated) key: one distinct-score groupBy, one "
+    "distributed below-counts pass, thresholds hoisted to the "
+    "broadcast totals frame.",
+)
+def ml_cumulative_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = _pred_frame(spark, sf_dir)
+    return M.cumulative_gains(pred, "pred", "lab", n_points=10)

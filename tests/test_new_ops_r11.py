@@ -1,0 +1,237 @@
+"""Hand-computed contracts for the round-11 operators (X212–X216):
+Cochran–Armitage trend, Nelson–Aalen hazard, basket pair lift, Brier
+decomposition, cumulative gains."""
+
+from __future__ import annotations
+
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# Cochran–Armitage trend (X212)
+# ---------------------------------------------------------------------------
+
+
+def _ca(spark, rows):
+    from legendary_data_pipeline_spark.operators.hypotests import (
+        cochran_armitage_trend,
+    )
+
+    df = spark.createDataFrame(rows, "g string, s long")
+    return cochran_armitage_trend(df, "g", "s").collect()[0]
+
+
+def test_cochran_armitage_hand_computed(spark):
+    # groups a,b,c (scores 0,1,2), 10 rows each, successes 2,5,8:
+    # A = 30·21 − 15·30 = 180; C = 30·50 − 30² = 600
+    # z = 180/sqrt(15·15·600/30) = 180/sqrt(4500) = 2.6832815...
+    rows = []
+    for g, succ in (("a", 2), ("b", 5), ("c", 8)):
+        rows += [(g, 1)] * succ + [(g, 0)] * (10 - succ)
+    out = _ca(spark, rows)
+    assert (out.n, out.k, out.n_success) == (30, 3, 15)
+    assert out.z_e6 == 2683282
+
+
+def test_cochran_armitage_sign_and_degenerate(spark):
+    # decreasing trend → negative z (mirror of the hand case)
+    rows = []
+    for g, succ in (("a", 8), ("b", 5), ("c", 2)):
+        rows += [(g, 1)] * succ + [(g, 0)] * (10 - succ)
+    assert _ca(spark, rows).z_e6 == -2683282
+    # all-success → NULL (R = N)
+    assert _ca(spark, [("a", 1), ("b", 1)]).z_e6 is None
+    # single group → NULL (k < 2)
+    assert _ca(spark, [("a", 1), ("a", 0)]).z_e6 is None
+
+
+def test_cochran_armitage_non_binary_raises(spark):
+    with pytest.raises(Exception, match="0/1"):
+        _ca(spark, [("a", 2), ("b", 0)])
+
+
+# ---------------------------------------------------------------------------
+# Nelson–Aalen (X213)
+# ---------------------------------------------------------------------------
+
+
+def test_nelson_aalen_hand_computed(spark):
+    from legendary_data_pipeline_spark.operators.stats import nelson_aalen
+
+    # exits: t=1 event (n=3), t=2 censored (n=2), t=3 event (n=1)
+    # H: 1/3, 1/3, 1/3 + 1 = 4/3
+    df = spark.createDataFrame(
+        [(1, 1), (2, 0), (3, 1)], "d long, e long"
+    )
+    got = {
+        r.t: r for r in nelson_aalen(df, "d", "e").orderBy("t").collect()
+    }
+    assert got[1].n_at_risk == 3 and got[1].cum_hazard == 0.333333
+    assert got[2].n_at_risk == 2 and got[2].n_censored == 1
+    assert got[2].cum_hazard == 0.333333  # censor adds no hazard
+    assert got[3].n_at_risk == 1 and got[3].cum_hazard == 1.333333
+
+
+def test_nelson_aalen_guard_and_bucket(spark):
+    from legendary_data_pipeline_spark.operators.stats import nelson_aalen
+
+    df = spark.createDataFrame(
+        [(t, 1) for t in range(10)], "d long, e long"
+    )
+    with pytest.raises(Exception, match="distinct exit times"):
+        nelson_aalen(df, "d", "e", max_distinct_times=3).collect()
+    # bucket=5 coarsens to 2 exit times — no guard, exact halves
+    out = nelson_aalen(df, "d", "e", bucket=5).orderBy("t").collect()
+    assert [r.t for r in out] == [0, 5]
+    assert out[0].n_at_risk == 10 and out[0].n_events == 5
+    assert out[0].cum_hazard == 0.5
+    assert out[1].cum_hazard == 1.5  # 1/2 + 5/5
+
+
+# ---------------------------------------------------------------------------
+# Basket pair lift (X214)
+# ---------------------------------------------------------------------------
+
+
+def _baskets(spark, rows):
+    return spark.createDataFrame(rows, "b long, i string")
+
+
+def test_basket_pair_lift_hand_computed(spark):
+    from legendary_data_pipeline_spark.operators.graph import (
+        basket_pair_lift,
+    )
+
+    rows = [
+        (1, "a"), (1, "a"), (1, "b"), (1, "c"),  # dup (1, a) dedups
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"),
+        (4, "a"),
+    ]
+    out = {
+        (r.item_a, r.item_b): r
+        for r in basket_pair_lift(
+            _baskets(spark, rows), "b", "i", min_pair_count=1
+        ).collect()
+    }
+    # N=4; c_a=4, c_b=2, c_c=2; pairs ab=2, ac=2, bc=1
+    assert out[("a", "b")].pair_count == 2
+    assert out[("a", "b")].lift == pytest.approx(2 * 4 / (4 * 2))
+    assert out[("b", "c")].pair_count == 1
+    assert out[("b", "c")].lift == pytest.approx(1 * 4 / (2 * 2))
+    assert all(r.n_baskets == 4 for r in out.values())
+    # min_pair_count prunes the tail
+    from legendary_data_pipeline_spark.operators.graph import (
+        basket_pair_lift as bpl,
+    )
+
+    pruned = bpl(_baskets(spark, rows), "b", "i", min_pair_count=2)
+    assert {(r.item_a, r.item_b) for r in pruned.collect()} == {
+        ("a", "b"), ("a", "c")
+    }
+
+
+def test_basket_pair_lift_size_guard(spark):
+    from legendary_data_pipeline_spark.operators.graph import (
+        basket_pair_lift,
+    )
+
+    rows = [(1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b")]
+    with pytest.raises(Exception, match="max_basket_size"):
+        basket_pair_lift(
+            _baskets(spark, rows), "b", "i", max_basket_size=2
+        ).collect()
+
+
+# ---------------------------------------------------------------------------
+# Brier decomposition (X215)
+# ---------------------------------------------------------------------------
+
+
+def test_brier_decomposition_hand_computed(spark):
+    from legendary_data_pipeline_spark.operators.mleval import (
+        brier_decomposition,
+    )
+
+    # 2 bins: (0.2,0),(0.2,1) | (0.8,1),(0.8,1)
+    # brier = 0.19, rel = 0.065, res = 0.0625, unc = 0.1875,
+    # identity exact (constant preds within bins) → wbv = 0
+    df = spark.createDataFrame(
+        [(0.2, 0), (0.2, 1), (0.8, 1), (0.8, 1)], "p double, y long"
+    )
+    out = brier_decomposition(df, "p", "y", n_bins=2).collect()[0]
+    assert (out.n, out.n_pos, out.n_bins_used) == (4, 3, 2)
+    assert out.brier_e6 == 190000
+    assert out.reliability_e6 == 65000
+    assert out.resolution_e6 == 62500
+    assert out.uncertainty_e6 == 187500
+    assert out.within_bin_var_e6 == 0
+
+
+def test_brier_identity_residual_is_within_bin_variance(spark):
+    from legendary_data_pipeline_spark.operators.mleval import (
+        brier_decomposition,
+    )
+
+    # spread preds inside one bin → wbv > 0, identity audit holds
+    df = spark.createDataFrame(
+        [(0.91, 1), (0.99, 1), (0.95, 0), (0.05, 0)], "p double, y long"
+    )
+    out = brier_decomposition(df, "p", "y", n_bins=10).collect()[0]
+    assert out.within_bin_var_e6 > 0
+    assert out.brier_e6 == pytest.approx(
+        out.reliability_e6 - out.resolution_e6 + out.uncertainty_e6
+        + out.within_bin_var_e6,
+        abs=2,  # four independent e6 rounds
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative gains (X216)
+# ---------------------------------------------------------------------------
+
+
+def test_cumulative_gains_hand_computed(spark):
+    from legendary_data_pipeline_spark.operators.mleval import (
+        cumulative_gains,
+    )
+
+    df = spark.createDataFrame(
+        [(0.9, 1), (0.9, 0), (0.5, 1), (0.1, 0)], "p double, y long"
+    )
+    got = {
+        r.point: r
+        for r in cumulative_gains(df, "p", "y", n_points=2).collect()
+    }
+    # T1=2 → the 0.9 tie group exactly: kept 2, pos 1
+    assert got[1].target_rows == 2 and got[1].n_kept == 2
+    assert got[1].pos_kept == 1 and got[1].gain == 0.5
+    assert got[1].lift == pytest.approx(1.0)
+    assert got[2].n_kept == 4 and got[2].gain == 1.0
+
+
+def test_cumulative_gains_ties_never_split(spark):
+    from legendary_data_pipeline_spark.operators.mleval import (
+        cumulative_gains,
+    )
+
+    df = spark.createDataFrame(
+        [(0.9, 1), (0.9, 0), (0.5, 1), (0.1, 0)], "p double, y long"
+    )
+    got = {
+        r.point: r
+        for r in cumulative_gains(df, "p", "y", n_points=4).collect()
+    }
+    # T1=1 but the 0.9 tie group has 2 rows → n_kept=2 > target 1
+    assert got[1].target_rows == 1 and got[1].n_kept == 2
+    assert got[1].pos_kept == 1
+
+
+def test_cumulative_gains_non_binary_raises(spark):
+    from legendary_data_pipeline_spark.operators.mleval import (
+        cumulative_gains,
+    )
+
+    df = spark.createDataFrame([(0.9, 2)], "p double, y long")
+    with pytest.raises(Exception, match="0/1"):
+        cumulative_gains(df, "p", "y").collect()
