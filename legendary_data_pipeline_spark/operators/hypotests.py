@@ -1032,6 +1032,82 @@ def runs_test(
     )
 
 
+def _complete_block_ranks(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+    op_name: str,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared prologue of the complete-block rank family (Friedman,
+    Page, Kendall's W): NULL-drop, in-plan duplicate-cell guard,
+    complete-block filter, tie-safe DOUBLED within-block average
+    ranks. Returns (kept, ranked, complete):
+
+      kept     — (__b, __k, __tr, __v) rows of complete blocks
+      ranked   — (__b, __tr, __k, __r2) with 2r = 2·rank + ties − 1
+      complete — (__b, __k, __ok) one row per block; __ok embeds the
+                 duplicate raise so ANY consumer that filters or
+                 aggregates over it fires the guard for every block
+                 (including dropped ones — the r10 advice fix)
+    """
+    b = F.col(block_col)
+    tr = F.col(treatment_col)
+    v = F.col(value_col).cast("long")
+    d = df.select(
+        b.alias("__b"), tr.alias("__tr"), v.alias("__v")
+    ).where(b.isNotNull() & tr.isNotNull() & v.isNotNull())
+    d = d.localCheckpoint(eager=False)  # k-count + blocks + ranks
+    k_row = d.select(
+        F.countDistinct("__tr").cast("long").alias("__k")
+    )
+    # Block sizes carry the max per-(block, treatment) cell count so the
+    # in-plan duplicate guard fires for EVERY block — including blocks
+    # the complete-block filter drops (r10 advice: a guard attached to
+    # __v is only evaluated for surviving blocks, so a duplicate inside
+    # an incomplete block was silently swallowed as a "dropped block").
+    # The where(__ok) below must evaluate __ok for every block row, so
+    # a duplicate anywhere raises.
+    sizes = (
+        d.groupBy("__b", "__tr")
+        .agg(F.count(F.lit(1)).cast("long").alias("__cn"))
+        .groupBy("__b")
+        .agg(
+            F.sum("__cn").cast("long").alias("__bk"),
+            F.max("__cn").alias("__maxcell"),
+        )
+    )
+    complete = sizes.crossJoin(F.broadcast(k_row)).select(
+        "__b",
+        "__k",
+        F.when(
+            F.col("__maxcell") > 1,
+            F.raise_error(
+                F.lit(
+                    f"{op_name}: duplicate (block, treatment) rows - "
+                    "the design requires one observation per cell; "
+                    "aggregate first"
+                )
+            ).cast("boolean"),
+        ).otherwise(F.col("__bk") == F.col("__k")).alias("__ok"),
+    )
+    kept = d.join(
+        complete.where(F.col("__ok")).select("__b", "__k"), "__b"
+    )
+    # tie-safe doubled average rank from rank(): for value v with c
+    # ties starting at position p (rank() = p), avg rank = p + (c−1)/2
+    # → 2r = 2p + c − 1. c comes from a count over the value partition.
+    rw = Window.partitionBy("__b").orderBy("__v")
+    cw = Window.partitionBy("__b", "__v")
+    r2 = (
+        F.lit(2) * F.rank().over(rw)
+        + F.count(F.lit(1)).over(cw)
+        - F.lit(1)
+    ).cast("long")
+    ranked = kept.select("__b", "__tr", "__k", r2.alias("__r2"))
+    return kept, ranked, complete
+
+
 def friedman_test(
     df: DataFrame,
     block_col: str,
@@ -1068,60 +1144,9 @@ def friedman_test(
 
     Output (1 row): n_blocks, n_dropped_blocks, k, t.
     """
-    b = F.col(block_col)
-    tr = F.col(treatment_col)
-    v = F.col(value_col).cast("long")
-    d = df.select(
-        b.alias("__b"), tr.alias("__tr"), v.alias("__v")
-    ).where(b.isNotNull() & tr.isNotNull() & v.isNotNull())
-    d = d.localCheckpoint(eager=False)  # k-count + blocks + ranks
-    k_row = d.select(
-        F.countDistinct("__tr").cast("long").alias("__k")
+    kept, ranked, complete = _complete_block_ranks(
+        df, block_col, treatment_col, value_col, "friedman_test"
     )
-    # Block sizes carry the max per-(block, treatment) cell count so the
-    # in-plan duplicate guard fires for EVERY block — including blocks
-    # the complete-block filter drops (r10 advice: the old guard lived
-    # on __v, which is only evaluated for surviving blocks, so a
-    # duplicate inside an incomplete block was silently swallowed as a
-    # "dropped block"). The where(__ok) below must evaluate __ok for
-    # every block row, so a duplicate anywhere raises.
-    sizes = (
-        d.groupBy("__b", "__tr")
-        .agg(F.count(F.lit(1)).cast("long").alias("__cn"))
-        .groupBy("__b")
-        .agg(
-            F.sum("__cn").cast("long").alias("__bk"),
-            F.max("__cn").alias("__maxcell"),
-        )
-    )
-    complete = sizes.crossJoin(F.broadcast(k_row)).select(
-        "__b",
-        "__k",
-        F.when(
-            F.col("__maxcell") > 1,
-            F.raise_error(
-                F.lit(
-                    "friedman_test: duplicate (block, treatment) rows - "
-                    "the design requires one observation per cell; "
-                    "aggregate first"
-                )
-            ).cast("boolean"),
-        ).otherwise(F.col("__bk") == F.col("__k")).alias("__ok"),
-    )
-    kept = d.join(
-        complete.where(F.col("__ok")).select("__b", "__k"), "__b"
-    )
-    # tie-safe doubled average rank from rank(): for value v with c
-    # ties starting at position p (rank() = p), avg rank = p + (c−1)/2
-    # → 2r = 2p + c − 1. c comes from a count over the value partition.
-    rw = Window.partitionBy("__b").orderBy("__v")
-    cw = Window.partitionBy("__b", "__v")
-    r2 = (
-        F.lit(2) * F.rank().over(rw)
-        + F.count(F.lit(1)).over(cw)
-        - F.lit(1)
-    ).cast("long")
-    ranked = kept.select("__b", "__tr", "__k", r2.alias("__r2"))
     per_tr = ranked.groupBy("__tr").agg(
         F.sum("__r2").cast(_DEC).alias("__s2"),
         F.sum(
@@ -1456,4 +1481,186 @@ def cochran_armitage_trend(
         "k",
         "n_success",
         F.when(ok, _e6(z)).alias("z_e6"),
+    )
+
+
+def page_trend_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Page's L test for an ORDERED alternative across k paired
+    treatments — the blocked companion to `jonckheere_terpstra`
+    exactly as `friedman_test` is to `kruskal_wallis`: Friedman asks
+    "do the treatments differ at all?"; Page asks "do they increase
+    along the hypothesized order?" and is strictly more powerful
+    against that monotone alternative (pipeline-version curricula,
+    dose tiers, priority ladders measured across days/segments).
+
+        L = Σ_j s_j·R_j     (s_j = 1..k in ascending treatment order,
+                             R_j the within-block rank sums)
+        E[L]   = n·k(k+1)²/4
+        Var[L] = n·k²(k+1)(k²−1)/144
+        z = (L − E[L]) / sqrt(Var[L])
+
+    Same complete-block contract as `friedman_test` (blocks missing a
+    treatment drop and are counted; duplicate cells raise in-plan,
+    incomplete blocks included). Exactness: doubled ranks make
+    2L = Σ s_j·(2R_j) exact decimal(38,0), and z evaluates in the
+    QUADRUPLED frame where the expectation needs no division —
+    z = (2·(2L) − n·k(k+1)²) / sqrt(n·k²(k+1)(k²−1)/9), exact integer
+    numerator, variance from exact integer factors in one IEEE tree.
+    The variance is the PUBLISHED untied form (Page 1963) — ties make
+    the test conservative, documented rather than silently corrected
+    (no tie-corrected Var[L] is in standard use). z emits as z_e6;
+    the doubled statistic l2 = 2L emits as BIGINT (L itself can end
+    in .5 under tied averages).
+
+    Scale: the friedman plan — one (block)-keyed shuffle, k-sized
+    windows, k-row score window.
+
+    Output (1 row): n_blocks, n_dropped_blocks, k, l2, z_e6.
+    """
+    kept, ranked, complete = _complete_block_ranks(
+        df, block_col, treatment_col, value_col, "page_trend_test"
+    )
+    per_tr = ranked.groupBy("__tr").agg(
+        F.sum("__r2").cast(_DEC).alias("__s2"),
+    )
+    # score 1..k in ascending treatment order: k-row window (k FEW)
+    sw = Window.orderBy(F.col("__tr").asc())
+    scored = per_tr.select(
+        F.row_number().over(sw).cast("long").alias("__sj"),
+        "__s2",
+    )
+    n_blocks_row = ranked.groupBy().agg(
+        F.countDistinct("__b").cast("long").alias("__n"),
+        F.max("__k").alias("__kk"),
+    )
+    stat = scored.crossJoin(F.broadcast(n_blocks_row)).agg(
+        F.max("__n").alias("n_blocks"),
+        F.max("__kk").alias("k"),
+        F.sum((F.col("__sj").cast(_DEC) * F.col("__s2")).cast(_DEC))
+        .cast(_DEC)
+        .alias("__l2"),
+    )
+    # doubled ONCE more so E stays an exact integer (n·k(k+1)² needs
+    # no /2): z = (2·L2 − n·k(k+1)²) / sqrt(n·k²(k+1)(k²−1)/9)
+    n = F.col("n_blocks").cast(_DEC)
+    kk = F.col("k").cast(_DEC)
+    e4 = (n * kk * (kk + 1) * (kk + 1)).cast(_DEC)
+    n_d = F.col("n_blocks").cast("double")
+    k_d = F.col("k").cast("double")
+    var4 = (
+        n_d * k_d * k_d * (k_d + 1.0) * (k_d * k_d - 1.0) / F.lit(9.0)
+    )
+    z = (
+        F.lit(2).cast(_DEC) * F.col("__l2") - e4
+    ).cast("double") / F.sqrt(var4)
+    dropped = complete.agg(
+        F.sum(F.when(~F.col("__ok"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped_blocks")
+    )
+    return stat.crossJoin(F.broadcast(dropped)).select(
+        "n_blocks",
+        "n_dropped_blocks",
+        "k",
+        F.col("__l2").cast("long").alias("l2"),
+        F.when(
+            (F.col("n_blocks") >= 1) & (F.col("k") >= 2), _e6(z)
+        ).alias("z_e6"),
+    )
+
+
+def kendalls_w(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Kendall's W coefficient of concordance — the EFFECT-SIZE
+    companion to `friedman_test`'s significance (as `cliffs_delta` is
+    to `mann_whitney_u`): how strongly do the blocks (days, raters,
+    segments) agree on the treatment ranking? W ∈ [0, 1]; 0 = no
+    agreement, 1 = every block ranks identically. Friedman's χ² =
+    n(k−1)·W, so this is the number to REPORT when n makes any
+    agreement "significant".
+
+    Tie-corrected form (Kendall & Babington Smith):
+
+        W = 12·S / (n²(k³−k) − n·ΣT),   S = Σ_j (R_j − n(k+1)/2)²
+        ΣT = Σ_blocks Σ_tie-groups (t³ − t)
+
+    Same complete-block contract as `friedman_test` (drops counted,
+    duplicate cells raise in-plan). Exactness: with doubled ranks
+    S2 = Σ(2R_j − n(k+1))² = 4S and 12S = 3·S2, so W = 3·S2 /
+    (n²(k³−k) − n·ΣT) is ONE exact IEEE division of decimal(38,0)
+    integers — W emits RAW (the exact-ratio representation rule).
+    All values tied in every block → denominator 0 → NULL w.
+
+    Scale: the friedman plan plus one (block, value)-keyed tie count
+    over the kept frame — same single (block)-keyed shuffle.
+
+    Output (1 row): n_blocks, n_dropped_blocks, k, w.
+    """
+    kept, ranked, complete = _complete_block_ranks(
+        df, block_col, treatment_col, value_col, "kendalls_w"
+    )
+    per_tr = ranked.groupBy("__tr").agg(
+        F.sum("__r2").cast(_DEC).alias("__s2"),
+    )
+    n_blocks_row = ranked.groupBy().agg(
+        F.countDistinct("__b").cast("long").alias("__n"),
+        F.max("__k").alias("__kk"),
+    )
+    # tie term from the KEPT frame: Σ over (block, value) groups of
+    # (t³ − t); t ≤ k so t³ fits long, the sum accumulates as decimal
+    ties = kept.groupBy("__b", "__v").agg(
+        F.count(F.lit(1)).cast("long").alias("__t")
+    ).agg(
+        F.sum(
+            (
+                F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t")
+            ).cast(_DEC)
+        )
+        .cast(_DEC)
+        .alias("__tt")
+    )
+    dev = per_tr.crossJoin(F.broadcast(n_blocks_row))
+    mean2 = (
+        F.col("__n").cast(_DEC)
+        * (F.col("__kk").cast(_DEC) + F.lit(1).cast(_DEC))
+    ).cast(_DEC)  # n(k+1) = mean of the DOUBLED rank sums
+    stat = dev.agg(
+        F.max("__n").alias("n_blocks"),
+        F.max("__kk").alias("k"),
+        F.sum(
+            (
+                (F.col("__s2") - mean2) * (F.col("__s2") - mean2)
+            ).cast(_DEC)
+        )
+        .cast(_DEC)
+        .alias("__s2sq"),
+    )
+    n = F.col("n_blocks").cast(_DEC)
+    kk = F.col("k").cast(_DEC)
+    denom = (
+        n * n * (kk * kk * kk - kk) - n * F.col("__tt")
+    ).cast(_DEC)
+    w = F.when(
+        denom > 0,
+        (F.lit(3).cast(_DEC) * F.col("__s2sq")).cast("double")
+        / denom.cast("double"),
+    )
+    dropped = complete.agg(
+        F.sum(F.when(~F.col("__ok"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped_blocks")
+    )
+    return (
+        stat.crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(dropped))
+        .select("n_blocks", "n_dropped_blocks", "k", w.alias("w"))
     )

@@ -5962,3 +5962,142 @@ def gr_basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return basket_pair_lift(
         li, "l_orderkey", "l_partkey", min_pair_count=2
     )
+
+
+# ---------------------------------------------------------------------------
+# Page's L trend + Kendall's W (operators/hypotests.py, X217/X218)
+# ---------------------------------------------------------------------------
+
+
+@register_shadow(
+    "ht_page_trend_daily_event_ranks",
+    f"""
+    WITH daily AS ({_DAILY_CENTS_SQL}),
+    kk AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k
+           FROM daily),
+    sizes AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS bk
+              FROM daily GROUP BY 1),
+    keptb AS (SELECT day FROM sizes, kk WHERE bk = kk.k),
+    kept AS (SELECT d.* FROM daily d JOIN keptb USING (day)),
+    ranked AS (
+      SELECT day, event_type,
+             2 * rank() OVER (PARTITION BY day ORDER BY cents)
+               + COUNT(*) OVER (PARTITION BY day, cents) - 1 AS r2
+      FROM kept),
+    per_tr AS (
+      SELECT event_type, CAST(SUM(r2) AS HUGEINT) AS s2
+      FROM ranked GROUP BY 1),
+    sc AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY event_type ASC)
+               AS HUGEINT) AS sj, s2
+      FROM per_tr),
+    nb AS (SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS n FROM ranked),
+    stat AS (
+      SELECT (SELECT n FROM nb) AS n_blocks, (SELECT k FROM kk) AS k,
+             CAST(SUM(sj * s2) AS HUGEINT) AS l2
+      FROM sc),
+    dropn AS (
+      SELECT CAST(SUM(CASE WHEN bk <> kk.k THEN 1 ELSE 0 END) AS BIGINT)
+               AS nd
+      FROM sizes, kk)
+    SELECT n_blocks, (SELECT nd FROM dropn) AS n_dropped_blocks, k,
+           CAST(l2 AS BIGINT) AS l2,
+           CASE WHEN n_blocks >= 1 AND k >= 2 THEN
+             CAST(round(
+               CAST(2 * l2 - CAST(n_blocks AS HUGEINT) * k * (k + 1)
+                    * (k + 1) AS DOUBLE)
+               / sqrt(CAST(n_blocks AS DOUBLE) * CAST(k AS DOUBLE)
+                      * CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0)
+                      * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)
+                      / 9.0) * 1e6) AS BIGINT)
+           END AS z_e6
+    FROM stat
+    """,
+    doc="Page's L ordered-alternative trend test with days as blocks "
+    "and event types (ascending key = hypothesis order) as treatments "
+    "(X217): do daily values trend monotonically along the event-type "
+    "ordering? The blocked companion to Jonckheere, strictly more "
+    "powerful than Friedman against a monotone alternative. Doubled "
+    "ranks keep 2L exact; z evaluates in the quadrupled frame "
+    "(expectation n*k*(k+1)^2 needs no division) with the published "
+    "untied variance (ties conservative, documented); z_e6.",
+)
+def ht_page_trend_daily_event_ranks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.hypotests import (
+        page_trend_test,
+    )
+
+    return page_trend_test(
+        _daily_cents(spark, sf_dir), "day", "event_type", "cents"
+    )
+
+
+@register_shadow(
+    "ht_kendalls_w_daily_event_ranks",
+    f"""
+    WITH daily AS ({_DAILY_CENTS_SQL}),
+    kk AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k
+           FROM daily),
+    sizes AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS bk
+              FROM daily GROUP BY 1),
+    keptb AS (SELECT day FROM sizes, kk WHERE bk = kk.k),
+    kept AS (SELECT d.* FROM daily d JOIN keptb USING (day)),
+    ranked AS (
+      SELECT day, event_type,
+             2 * rank() OVER (PARTITION BY day ORDER BY cents)
+               + COUNT(*) OVER (PARTITION BY day, cents) - 1 AS r2
+      FROM kept),
+    per_tr AS (
+      SELECT event_type, CAST(SUM(r2) AS HUGEINT) AS s2
+      FROM ranked GROUP BY 1),
+    nb AS (SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS n FROM ranked),
+    ties AS (
+      SELECT CAST(COALESCE(SUM(CAST(t AS HUGEINT) * t * t - t), 0)
+               AS HUGEINT) AS tt
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t
+            FROM kept GROUP BY day, cents)),
+    stat AS (
+      SELECT (SELECT n FROM nb) AS n_blocks, (SELECT k FROM kk) AS k,
+             CAST(SUM((s2 - CAST((SELECT n FROM nb) AS HUGEINT)
+                       * ((SELECT k FROM kk) + 1))
+                      * (s2 - CAST((SELECT n FROM nb) AS HUGEINT)
+                        * ((SELECT k FROM kk) + 1))) AS HUGEINT)
+               AS s2sq
+      FROM per_tr),
+    dropn AS (
+      SELECT CAST(SUM(CASE WHEN bk <> kk.k THEN 1 ELSE 0 END) AS BIGINT)
+               AS nd
+      FROM sizes, kk)
+    SELECT n_blocks, (SELECT nd FROM dropn) AS n_dropped_blocks, k,
+           CASE WHEN (CAST(n_blocks AS HUGEINT) * n_blocks
+                      * (CAST(k AS HUGEINT) * k * k - k)
+                      - CAST(n_blocks AS HUGEINT)
+                        * (SELECT tt FROM ties)) > 0
+                THEN CAST(3 * s2sq AS DOUBLE)
+                     / CAST(CAST(n_blocks AS HUGEINT) * n_blocks
+                            * (CAST(k AS HUGEINT) * k * k - k)
+                            - CAST(n_blocks AS HUGEINT)
+                              * (SELECT tt FROM ties) AS DOUBLE)
+           END AS w
+    FROM stat
+    """,
+    doc="Kendall's W coefficient of concordance with days as blocks "
+    "and event types as treatments (X218): how strongly do days agree "
+    "on the event-type value ranking? The effect size behind "
+    "Friedman's significance (chi2 = n(k-1)W). Tie-corrected "
+    "denominator from exact (day, value) tie counts; with doubled "
+    "ranks 12S = 3*S2 so W is ONE exact IEEE division of decimal "
+    "integers, emitted RAW.",
+)
+def ht_kendalls_w_daily_event_ranks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.hypotests import (
+        kendalls_w,
+    )
+
+    return kendalls_w(
+        _daily_cents(spark, sf_dir), "day", "event_type", "cents"
+    )

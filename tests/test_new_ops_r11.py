@@ -235,3 +235,119 @@ def test_cumulative_gains_non_binary_raises(spark):
     df = spark.createDataFrame([(0.9, 2)], "p double, y long")
     with pytest.raises(Exception, match="0/1"):
         cumulative_gains(df, "p", "y").collect()
+
+
+# ---------------------------------------------------------------------------
+# Page's L trend test (X217)
+# ---------------------------------------------------------------------------
+
+
+def _blocks(spark, rows):
+    return spark.createDataFrame(rows, "b long, tr string, v long")
+
+
+def test_page_trend_hand_computed(spark):
+    from legendary_data_pipeline_spark.operators.hypotests import (
+        page_trend_test,
+    )
+
+    # the friedman fixture: perfectly consistent t1<t2<t3 ranking.
+    # R = (3, 6, 9), L = 1·3+2·6+3·9 = 42; E[L]=36, Var[L]=6
+    # z = 6/sqrt(6) = 2.4494897 → 2449490
+    rows = [
+        (1, "t1", 1), (1, "t2", 2), (1, "t3", 3),
+        (2, "t1", 2), (2, "t2", 4), (2, "t3", 6),
+        (3, "t1", 1), (3, "t2", 5), (3, "t3", 9),
+    ]
+    out = page_trend_test(_blocks(spark, rows), "b", "tr", "v").collect()[0]
+    assert (out.n_blocks, out.k, out.n_dropped_blocks) == (3, 3, 0)
+    assert out.l2 == 84  # doubled L
+    assert out.z_e6 == 2449490
+
+
+def test_page_trend_reverse_order_negative(spark):
+    from legendary_data_pipeline_spark.operators.hypotests import (
+        page_trend_test,
+    )
+
+    # values DECREASE along the treatment order → z mirrors negative
+    rows = [
+        (1, "t1", 3), (1, "t2", 2), (1, "t3", 1),
+        (2, "t1", 6), (2, "t2", 4), (2, "t3", 2),
+        (3, "t1", 9), (3, "t2", 5), (3, "t3", 1),
+    ]
+    out = page_trend_test(_blocks(spark, rows), "b", "tr", "v").collect()[0]
+    assert out.z_e6 == -2449490
+
+
+def test_page_trend_incomplete_and_duplicate(spark):
+    from legendary_data_pipeline_spark.operators.hypotests import (
+        page_trend_test,
+    )
+
+    rows = [
+        (1, "t1", 1), (1, "t2", 2), (1, "t3", 3),
+        (9, "t1", 7),  # incomplete → dropped + counted
+    ]
+    out = page_trend_test(_blocks(spark, rows), "b", "tr", "v").collect()[0]
+    assert out.n_blocks == 1 and out.n_dropped_blocks == 1
+    with pytest.raises(Exception, match="duplicate"):
+        page_trend_test(
+            _blocks(spark, [(1, "t1", 1), (1, "t1", 2), (2, "t2", 3)]),
+            "b", "tr", "v",
+        ).collect()
+
+
+# ---------------------------------------------------------------------------
+# Kendall's W (X218)
+# ---------------------------------------------------------------------------
+
+
+def test_kendalls_w_perfect_agreement(spark):
+    from legendary_data_pipeline_spark.operators.hypotests import (
+        kendalls_w,
+    )
+
+    rows = [
+        (1, "t1", 1), (1, "t2", 2), (1, "t3", 3),
+        (2, "t1", 2), (2, "t2", 4), (2, "t3", 6),
+        (3, "t1", 1), (3, "t2", 5), (3, "t3", 9),
+    ]
+    out = kendalls_w(_blocks(spark, rows), "b", "tr", "v").collect()[0]
+    assert (out.n_blocks, out.k) == (3, 3)
+    assert out.w == 1.0
+
+
+def test_kendalls_w_disagreement_and_all_tied(spark):
+    from legendary_data_pipeline_spark.operators.hypotests import (
+        kendalls_w,
+    )
+
+    # two blocks with OPPOSITE rankings → rank sums all equal → W = 0
+    rows = [
+        (1, "t1", 1), (1, "t2", 2), (1, "t3", 3),
+        (2, "t1", 3), (2, "t2", 2), (2, "t3", 1),
+    ]
+    out = kendalls_w(_blocks(spark, rows), "b", "tr", "v").collect()[0]
+    assert out.w == 0.0
+    # every block fully tied → tie correction empties the denominator
+    tied = [(1, "t1", 5), (1, "t2", 5), (2, "t1", 7), (2, "t2", 7)]
+    out = kendalls_w(_blocks(spark, tied), "b", "tr", "v").collect()[0]
+    assert out.w is None
+
+
+def test_kendalls_w_friedman_identity(spark):
+    """χ²_friedman = n(k−1)·W on tie-free data (the textbook link)."""
+    from legendary_data_pipeline_spark.operators.hypotests import (
+        friedman_test,
+        kendalls_w,
+    )
+
+    rows = [
+        (1, "t1", 1), (1, "t2", 2), (1, "t3", 3),
+        (2, "t1", 2), (2, "t2", 6), (2, "t3", 4),
+        (3, "t1", 9), (3, "t2", 5), (3, "t3", 1),
+    ]
+    w = kendalls_w(_blocks(spark, rows), "b", "tr", "v").collect()[0]
+    f = friedman_test(_blocks(spark, rows), "b", "tr", "v").collect()[0]
+    assert f.t == pytest.approx(w.n_blocks * (w.k - 1) * w.w)
