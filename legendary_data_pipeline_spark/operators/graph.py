@@ -954,6 +954,10 @@ def basket_pair_lift(
         df.select(b.alias("__b"), it.alias("__i"))
         .where(b.isNotNull() & it.isNotNull())
         .distinct()
+        # pinned: five consumers below (size guard, basket count, item
+        # counts, both pair-join sides) would otherwise each replay the
+        # scan+distinct — audited 10 source scans before the pin (r11)
+        .localCheckpoint(eager=False)
     )
     # in-plan basket-size guard (the kaplan_meier raise pattern): the
     # pair join is quadratic per basket, so an unexpectedly huge basket
@@ -975,7 +979,9 @@ def basket_pair_lift(
             ),
         )).cast("boolean"),
     ).otherwise(F.lit(True))
-    items = items.join(sizes.where(guard_ok).select("__b"), "__b")
+    items = items.join(
+        sizes.where(guard_ok).select("__b"), "__b"
+    ).localCheckpoint(eager=False)  # guard fires once; 4 consumers
     n_baskets_row = items.agg(
         F.countDistinct("__b").cast("long").alias("__n")
     )
