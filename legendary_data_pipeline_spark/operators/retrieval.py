@@ -46,8 +46,10 @@ def bm25_topk(
     """
     toks = docs.select(
         F.col(id_col), F.explode(tokens_expr(text_col)).alias("term")
-    )
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    ).localCheckpoint(eager=False)  # tf + dl + avgdl (r11 scan audit)
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).localCheckpoint(eager=False)  # df_ + scored replay otherwise
     dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
     n_docs = docs.count()
     avgdl = (

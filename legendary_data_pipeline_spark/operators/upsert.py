@@ -195,11 +195,20 @@ def scd2_apply(
     four disjoint classes — never an iterative MERGE loop. At 100 TB
     both sides shuffle once on the dimension key (or zero times with
     the dimension bucketed on it); history passthrough is a pure scan.
-    All row classes derive from the SAME join, so Catalyst reuses the
-    exchange under AQE.
+    The join and the dimension are PINNED with lazy localCheckpoints:
+    the four class branches would otherwise each replay the join
+    (exchange reuse does not hold across the filter branches under
+    AQE — the r11 scan audit measured 7 source scans unpinned, 1
+    pinned).
     """
     keys = list(key_cols)
     attrs = list(attr_cols)
+    # pinned: cur + hist both read the dimension, and the four row
+    # classes below each replay the full-outer join — the r11 scan
+    # audit measured 7 source scans in the unpinned final plan (the
+    # "Catalyst reuses the exchange" assumption does not hold across
+    # the four filter branches under AQE)
+    dim = dim.localCheckpoint(eager=False)
     cur = dim.filter(F.col(current_col))
     hist = dim.filter(~F.col(current_col))
 
@@ -212,7 +221,9 @@ def scd2_apply(
     for k in keys:
         c = F.col(k) == F.col(f"__u_{k}")
         cond = c if cond is None else cond & c
-    joined = cur.join(upd, cond, "full_outer")
+    joined = cur.join(upd, cond, "full_outer").localCheckpoint(
+        eager=False
+    )
 
     has_cur = F.col(keys[0]).isNotNull()
     has_upd = F.col(f"__u_{keys[0]}").isNotNull()
