@@ -81,7 +81,9 @@ def dsir_importance(
     """(id, log_importance): per raw document, the log likelihood ratio
     of its hashed profile under target vs raw bucket distributions.
     Documents with no n-grams score 0 (indifferent)."""
-    raw_counts = hashed_ngram_counts(raw, id_col, text_col, shingle_n, m)
+    raw_counts = hashed_ngram_counts(
+        raw, id_col, text_col, shingle_n, m
+    ).localCheckpoint(eager=False)  # LM build + scoring (r11 scan audit)
     tgt_counts = hashed_ngram_counts(target, id_col, text_col, shingle_n, m)
     ratio = (
         _bucket_log_probs(tgt_counts, m, "__lp_t")

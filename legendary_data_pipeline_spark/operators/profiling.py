@@ -725,6 +725,12 @@ def numeric_drift(
                     f"numeric_drift: {name} snapshot is empty — see "
                     "categorical_drift's require_nonempty contract."
                 )
+    # pinned AFTER the cheap limit(1) probes (pinning first would turn
+    # each probe into a full materialization): each side feeds the
+    # pooled-bounds union AND its own binned counts — the r11 scan
+    # audit measured 6 source scans unpinned
+    vb = vb.localCheckpoint(eager=False)
+    vc = vc.localCheckpoint(eager=False)
     bounds = vb.unionByName(vc).agg(
         F.min("__v").alias("__lo"), F.max("__v").alias("__hi")
     )

@@ -1143,8 +1143,10 @@ def semdedup_fixed(
     )
     assigned = fixed_codebook_assign(
         embeddings, n_centroids, "vec_id", "embedding"
-    )
-    withvec = assigned.join(base, "vec_id")
+    ).localCheckpoint(eager=False)  # self-join + final keeper join
+    withvec = assigned.join(base, "vec_id").localCheckpoint(
+        eager=False
+    )  # both pair-join sides (r11 scan audit: 8 embeddings scans)
     a = withvec.select(
         F.col("cluster"),
         F.col("vec_id").alias("__ia"),

@@ -535,6 +535,9 @@ def association_rules(
         )
         .filter(F.col("__b").isNotNull() & F.col("__i").isNotNull())
         .distinct()
+        # basket count + item freq + both pair-join sides (r11 scan
+        # audit: 5 source scans unpinned)
+        .localCheckpoint(eager=False)
     )
     n_baskets = base.select(F.count_distinct("__b").alias("__n"))
     item_freq = base.groupBy("__i").agg(
@@ -1673,8 +1676,10 @@ def rfm_scores(
         F.max("__d").alias("__last"),
         F.count(F.lit(1)).cast("long").alias("frequency"),
         F.sum("__cents").cast("long").alias("monetary_cents"),
-    )
-    anchor = base.agg(F.max("__d").alias("__anchor"))
+    ).localCheckpoint(eager=False)  # anchor + cust (r11 scan audit)
+    # the corpus max date = max over the per-customer maxes — derived
+    # from the customer-sized frame instead of a second fact scan
+    anchor = per_cust.agg(F.max("__last").alias("__anchor"))
     cust = per_cust.crossJoin(F.broadcast(anchor)).select(
         "customer",
         F.datediff(F.col("__anchor"), F.col("__last"))
@@ -1759,10 +1764,12 @@ def contribution_topn(
     # (and NULL categories render distinguishably via coalesce).
     per_cat = df.groupBy(
         F.col(category_col).cast("string").alias("category")
-    ).agg(F.sum(value_cents).cast("long").alias("value_cents"))
+    ).agg(F.sum(value_cents).cast("long").alias("value_cents")).localCheckpoint(
+        eager=False
+    )  # top + total both read it (r11 scan audit: 4 source scans)
     top = per_cat.orderBy(
         F.col("value_cents").desc(), F.col("category").asc_nulls_last()
-    ).limit(n)
+    ).limit(n).localCheckpoint(eager=False)  # top_sum + ranked
     total = per_cat.agg(
         F.sum("value_cents").cast("long").alias("__total"),
         F.count(F.lit(1)).cast("long").alias("__k"),

@@ -233,7 +233,9 @@ def collocations(
 
     toks = df.select(
         F.col(id_col).alias("__id"), tokens_expr(text_col).alias("__t")
-    ).filter(F.size("__t") >= 2)
+    ).filter(F.size("__t") >= 2).localCheckpoint(
+        eager=False
+    )  # n_docs + unigram + bigram consumers (r11 scan audit: 4 scans)
     n_docs = toks.select(F.count_distinct("__id").alias("__n"))
     # .distinct() on (doc, word): array_distinct dedupes within one
     # ROW, but a doc_id ingested twice must still count once toward

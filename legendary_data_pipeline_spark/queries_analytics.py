@@ -873,13 +873,21 @@ def w6_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 def u4_intersect_except_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cut = F.lit("1998-01-01").cast("timestamp")
+    # each side feeds one intersect + one subtract — pinned so the
+    # final plan scans orders twice (one per filter), not six times
+    # (r11 shadow scan audit). The intersect/subtract FORM stays: the
+    # set-operation surface is what this query demonstrates (a single
+    # groupBy with has_before/has_after flags would be one scan, but
+    # then the query no longer exercises the operators it documents).
     before = (
-        orders.filter(F.col("o_orderdate") < cut).select("o_custkey").distinct()
+        orders.filter(F.col("o_orderdate") < cut).select("o_custkey")
+        .distinct().localCheckpoint(eager=False)
     )
     after = (
         orders.filter(F.col("o_orderdate") >= cut)
         .select("o_custkey")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     tag = lambda df, c: df.select(  # noqa: E731
         "o_custkey", F.lit(c).alias("cohort")
@@ -1486,7 +1494,9 @@ def e_incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would land in neither split predicate and silently vanish)
     with_day = ev.select(
         "event_type", day.alias("day"), _cents("value").alias("cents")
-    ).filter(F.col("day").isNotNull())
+    ).filter(F.col("day").isNotNull()).localCheckpoint(
+        eager=False
+    )  # last_day + hist/batch splits (r11 scan audit: 4 scans)
     last_day = with_day.agg(F.max("day").alias("__last"))
     joined = with_day.join(F.broadcast(last_day))
     hist = joined.filter(F.col("day") < F.col("__last"))
@@ -3382,7 +3392,9 @@ def an_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.filter(tokens_expr("text"), lambda x: x != F.lit(""))
         ).alias("w"),
-    ).distinct()
+    ).distinct().localCheckpoint(
+        eager=False
+    )  # sizes + both pair-join sides (r11 scan audit: 4 scans)
     sizes = st.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_terms")
     )

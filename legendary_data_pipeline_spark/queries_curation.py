@@ -1261,6 +1261,8 @@ def curation_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source", F.explode(shingles_expr("text", 4)).alias("s")
         )
         .distinct()
+        # sizes + both pair-join sides (r11 scan audit: 4 scans)
+        .localCheckpoint(eager=False)
     )
     sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("source").alias("source_a"), "s")

@@ -756,7 +756,9 @@ def ret_precision_recall_at_10(
 ) -> DataFrame:
     ranked = _ranked_frame(spark, sf_dir)
     emb = load_distributed(spark, sf_dir, "embeddings")
-    labels = emb.select("vec_id", "label")
+    labels = emb.select("vec_id", "label").localCheckpoint(
+        eager=False
+    )  # label counts + query side (r11 scan audit)
     lab_cnt = labels.groupBy("label").agg(
         F.count(F.lit(1)).cast("long").alias("__lc")
     )
