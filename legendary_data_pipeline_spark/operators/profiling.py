@@ -687,6 +687,100 @@ def ks_two_sample(
     )
 
 
+def cramer_von_mises(
+    base: DataFrame,
+    current: DataFrame,
+    value: Column,
+    require_nonempty: bool = True,
+) -> DataFrame:
+    """EXACT two-sample Cramér–von Mises statistic — the whole-curve
+    companion to `ks_two_sample`'s single-supremum D: KS sees only the
+    worst POINT of CDF separation and is famously blind to tail-heavy
+    or oscillating shifts whose per-point gap stays small; CvM
+    integrates the squared gap over every pooled observation,
+
+        T = n·m/N² · Σ_pooled (F_n(x) − G_m(x))²
+          = Σ_v w_v·(cb_v·m − cc_v·n)² / (n·m·N²)
+
+    with w_v the POOLED count at distinct value v and cb_v/cc_v the
+    inclusive per-side running counts (the anderson-darling family's
+    tie-handling: each tied observation contributes the post-tie CDF
+    gap once). T ≥ 0.461 rejects at α ≈ 0.05 (large-sample).
+
+    Exactness: the cross-product D_v = cb_v·m − cc_v·n and the sum
+    Σ w·D² are exact decimal(38,0) integers; T is one IEEE division
+    tree emitted as t_e6 BIGINT. int64/decimal envelope (the
+    kendall_tau_b convention): w·D² ≤ N·n²·m², inside 38 digits while
+    n ≈ m ≲ 2×10⁹ per side — beyond that the ANSI decimal sum fails
+    loudly, never wraps; pre-aggregate or sample above it.
+
+    `value` must be engine-exact (integers/cents); NULLs drop. Plan:
+    the ks_two_sample plan — two per-value count tables, one
+    full-outer merge, one distributed inclusive prefix pass, one 1-row
+    aggregation.
+
+    Output (1 row): n_base, n_current, t_e6.
+    """
+    if require_nonempty:
+        for name, side in (("base", base), ("current", current)):
+            if side.limit(1).count() == 0:
+                raise ValueError(
+                    f"cramer_von_mises: {name} snapshot is empty — its "
+                    "empirical CDF is undefined. A missing snapshot "
+                    "usually means a vanished upstream feed."
+                )
+
+    def counts(df: DataFrame, alias: str) -> DataFrame:
+        return (
+            df.select(value.alias("__v"))
+            .where(F.col("__v").isNotNull())
+            .groupBy("__v")
+            .agg(F.count(F.lit(1)).cast("long").alias(alias))
+        )
+
+    merged = (
+        counts(base, "__cb")
+        .join(counts(current, "__cc"), "__v", "full_outer")
+        .select(
+            "__v",
+            F.coalesce("__cb", F.lit(0)).alias("__cb"),
+            F.coalesce("__cc", F.lit(0)).alias("__cc"),
+        )
+    )
+    from legendary_data_pipeline_spark.operators.stats import (
+        distributed_below_counts,
+    )
+
+    cum = distributed_below_counts(
+        merged, "__v", ["__cb", "__cc"], inclusive=True
+    )
+    totals = cum.groupBy().agg(
+        F.sum("__cb").cast("decimal(38,0)").alias("__nb"),
+        F.sum("__cc").cast("decimal(38,0)").alias("__nc"),
+    )
+    cb = F.col("__cb_cum").cast("decimal(38,0)")
+    cc = F.col("__cc_cum").cast("decimal(38,0)")
+    w = (F.col("__cb") + F.col("__cc")).cast("decimal(38,0)")
+    dterm = (cb * F.col("__nc") - cc * F.col("__nb")).cast("decimal(38,0)")
+    agg = cum.crossJoin(F.broadcast(totals)).groupBy("__nb", "__nc").agg(
+        F.sum((w * dterm * dterm).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__num"),
+    )
+    n_d = F.col("__nb").cast("double")
+    m_d = F.col("__nc").cast("double")
+    nn_d = n_d + m_d
+    t = F.col("__num").cast("double") / (n_d * m_d * nn_d * nn_d)
+    return agg.select(
+        F.col("__nb").cast("long").alias("n_base"),
+        F.col("__nc").cast("long").alias("n_current"),
+        F.when(
+            (F.col("__nb") > 0) & (F.col("__nc") > 0),
+            F.round(t * F.lit(1e6)).cast("long"),
+        ).alias("t_e6"),
+    )
+
+
 def numeric_drift(
     base: DataFrame,
     current: DataFrame,

@@ -6113,3 +6113,80 @@ def ht_kendalls_w_daily_event_ranks(
     return kendalls_w(
         _daily_cents(spark, sf_dir), "day", "event_type", "cents"
     )
+
+
+# ---------------------------------------------------------------------------
+# Cramér–von Mises two-sample drift (operators/profiling.py, X219)
+# ---------------------------------------------------------------------------
+
+
+@register_shadow(
+    "dq_cvm_order_totals_drift",
+    f"""
+    WITH b AS (
+      SELECT {_cents_sql("o_totalprice")} AS v,
+             CAST(COUNT(*) AS BIGINT) AS cb
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        AND o_totalprice IS NOT NULL
+      GROUP BY 1),
+    c AS (
+      SELECT {_cents_sql("o_totalprice")} AS v,
+             CAST(COUNT(*) AS BIGINT) AS cc
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        AND o_totalprice IS NOT NULL
+      GROUP BY 1),
+    m AS (
+      SELECT COALESCE(b.v, c.v) AS v,
+             COALESCE(cb, 0) AS cb, COALESCE(cc, 0) AS cc
+      FROM b FULL OUTER JOIN c ON b.v = c.v),
+    cum AS (
+      SELECT v, cb, cc,
+             CAST(SUM(cb) OVER (ORDER BY v
+               ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS rb,
+             CAST(SUM(cc) OVER (ORDER BY v
+               ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS rc,
+             CAST(SUM(cb) OVER () AS HUGEINT) AS nb,
+             CAST(SUM(cc) OVER () AS HUGEINT) AS nc
+      FROM m),
+    agg AS (
+      SELECT CAST(MAX(nb) AS BIGINT) AS n_base,
+             CAST(MAX(nc) AS BIGINT) AS n_current,
+             CAST(SUM(CAST(cb + cc AS HUGEINT)
+                      * (rb * nc - rc * nb) * (rb * nc - rc * nb))
+               AS HUGEINT) AS num
+      FROM cum)
+    SELECT n_base, n_current,
+           CASE WHEN n_base > 0 AND n_current > 0 THEN
+             CAST(round(CAST(num AS DOUBLE)
+               / (CAST(n_base AS DOUBLE) * CAST(n_current AS DOUBLE)
+                  * (CAST(n_base AS DOUBLE) + CAST(n_current AS DOUBLE))
+                  * (CAST(n_base AS DOUBLE) + CAST(n_current AS DOUBLE)))
+               * 1e6) AS BIGINT)
+           END AS t_e6
+    FROM agg
+    """,
+    doc="Cramér-von Mises two-sample drift on order totals across the "
+    "1998-01-01 boundary (X219) - the whole-curve companion to "
+    "dq_ks_order_totals_drift: KS sees only the worst single point of "
+    "CDF separation; CvM integrates the squared gap over every pooled "
+    "observation, catching tail-heavy and oscillating shifts KS's "
+    "supremum misses. Exact decimal cross-products over inclusive "
+    "running counts (documented ~2e9-per-side decimal envelope, ANSI "
+    "fails loudly beyond); one IEEE division tree, t_e6.",
+)
+def dq_cvm_order_totals_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.profiling import (
+        cramer_von_mises,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    return cramer_von_mises(
+        orders.filter(F.col("o_orderdate") < cut),
+        orders.filter(F.col("o_orderdate") >= cut),
+        _cents("o_totalprice"),
+    )

@@ -351,3 +351,66 @@ def test_kendalls_w_friedman_identity(spark):
     w = kendalls_w(_blocks(spark, rows), "b", "tr", "v").collect()[0]
     f = friedman_test(_blocks(spark, rows), "b", "tr", "v").collect()[0]
     assert f.t == pytest.approx(w.n_blocks * (w.k - 1) * w.w)
+
+
+# ---------------------------------------------------------------------------
+# Cramér–von Mises two-sample (X219)
+# ---------------------------------------------------------------------------
+
+
+def test_cvm_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    from legendary_data_pipeline_spark.operators.profiling import (
+        cramer_von_mises,
+    )
+
+    # base=[1,2], current=[1,3]: pooled gaps 0, 0.5, 0 →
+    # T = (4/16)·(0 + 0 + 0.25 + 0) = 0.0625
+    base = spark.createDataFrame([(1,), (2,)], "v long")
+    cur = spark.createDataFrame([(1,), (3,)], "v long")
+    out = cramer_von_mises(base, cur, F.col("v")).collect()[0]
+    assert (out.n_base, out.n_current) == (2, 2)
+    assert out.t_e6 == 62500
+
+
+def test_cvm_identical_zero_and_empty_raise(spark):
+    from pyspark.sql import functions as F
+
+    from legendary_data_pipeline_spark.operators.profiling import (
+        cramer_von_mises,
+    )
+
+    same = spark.createDataFrame([(i % 7,) for i in range(50)], "v long")
+    out = cramer_von_mises(same, same, F.col("v")).collect()[0]
+    assert out.t_e6 == 0
+    empty = spark.createDataFrame([], "v long")
+    with pytest.raises(ValueError, match="empty"):
+        cramer_von_mises(same, empty, F.col("v"))
+
+
+def test_cvm_sees_oscillating_shift_ks_underweights(spark):
+    """The motivating case: an oscillating CDF gap whose pointwise
+    supremum is small relative to its integrated square. CvM must be
+    clearly nonzero while KS's D stays at the single-step scale."""
+    from pyspark.sql import functions as F
+
+    from legendary_data_pipeline_spark.operators.profiling import (
+        cramer_von_mises,
+        ks_two_sample,
+    )
+
+    # base holds evens, current holds odds, interleaved 0..199: every
+    # pointwise CDF gap is exactly 1/100 (one step), but it never
+    # closes — the squared gap integrates over all 200 pooled points.
+    base = spark.createDataFrame([(2 * i,) for i in range(100)], "v long")
+    cur = spark.createDataFrame(
+        [(2 * i + 1,) for i in range(100)], "v long"
+    )
+    ks = ks_two_sample(base, cur, F.col("v"), scaled_e6=True).collect()[0]
+    cvm = cramer_von_mises(base, cur, F.col("v")).collect()[0]
+    assert ks.d_stat_e6 == 10000  # D = 1/100
+    # T = (100·100/200²)·Σ gaps² = 0.25·(100·(1/100)² + 100·0)
+    #   = 0.25·0.01 = 0.0025  (odd points carry gap 1/100, evens 0
+    #   after the tie convention) → 2500 in e6
+    assert cvm.t_e6 == 2500
