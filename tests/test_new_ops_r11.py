@@ -414,3 +414,190 @@ def test_cvm_sees_oscillating_shift_ks_underweights(spark):
     #   = 0.25·0.01 = 0.0025  (odd points carry gap 1/100, evens 0
     #   after the tie convention) → 2500 in e6
     assert cvm.t_e6 == 2500
+
+
+# ---------------------------------------------------------------------------
+# Property-based invariants (hypothesis) for the r11 cohort
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def test_cumulative_gains_matches_python_reference(spark):
+    from legendary_data_pipeline_spark.operators.mleval import (
+        cumulative_gains,
+    )
+
+    rows_strat = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),  # coarse score → ties
+            st.integers(min_value=0, max_value=1),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(rows_strat)
+    def check(rows):
+        n = len(rows)
+        tp = sum(y for _, y in rows)
+        # reference: whole tie groups by descending score while the
+        # strictly-above count < T_p
+        from collections import Counter
+
+        by_score: dict[int, list[int]] = {}
+        for s, y in rows:
+            by_score.setdefault(s, []).append(y)
+        ordered = sorted(by_score, reverse=True)
+        ref = {}
+        for p in range(1, 11):
+            t_p = n * p // 10
+            above = 0
+            kept = poskept = 0
+            for s in ordered:
+                if above < t_p:
+                    kept += len(by_score[s])
+                    poskept += sum(by_score[s])
+                above += len(by_score[s])
+            ref[p] = (t_p, kept, poskept)
+        df = spark.createDataFrame(
+            [(float(s), y) for s, y in rows], "p double, y long"
+        )
+        got = {
+            r.point: (r.target_rows, r.n_kept, r.pos_kept)
+            for r in cumulative_gains(df, "p", "y", n_points=10).collect()
+        }
+        assert got == ref
+        assert tp >= 0  # silence unused warning
+
+    check()
+
+
+def test_basket_pair_lift_matches_python_reference(spark):
+    from legendary_data_pipeline_spark.operators.graph import (
+        basket_pair_lift,
+    )
+
+    rows_strat = st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=6),  # basket
+            st.sampled_from(["a", "b", "c", "d"]),  # item
+        ),
+        min_size=1,
+        max_size=40,
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(rows_strat)
+    def check(rows):
+        baskets: dict[int, set] = {}
+        for b, i in rows:
+            baskets.setdefault(b, set()).add(i)
+        n = len(baskets)
+        from collections import Counter
+        from itertools import combinations
+
+        item_c = Counter(i for s in baskets.values() for i in s)
+        pair_c = Counter()
+        for s in baskets.values():
+            for x, y in combinations(sorted(s), 2):
+                pair_c[(x, y)] += 1
+        ref = {
+            k: (v, item_c[k[0]], item_c[k[1]], n)
+            for k, v in pair_c.items()
+        }
+        df = spark.createDataFrame(rows, "b long, i string")
+        got = {
+            (r.item_a, r.item_b): (
+                r.pair_count, r.count_a, r.count_b, r.n_baskets
+            )
+            for r in basket_pair_lift(
+                df, "b", "i", min_pair_count=1
+            ).collect()
+        }
+        assert got == ref
+
+    check()
+
+
+def test_kendalls_w_rank_invariance_and_bounds(spark):
+    """W depends only on within-block RANKS: a per-block strictly
+    monotone transform (3v + block) leaves it bit-identical; and W
+    stays in [0, 1] whenever defined."""
+    from legendary_data_pipeline_spark.operators.hypotests import (
+        kendalls_w,
+    )
+
+    blocks_strat = st.lists(  # 3 blocks × treatments t0..t3, k=4
+        st.lists(
+            st.integers(min_value=0, max_value=9), min_size=4, max_size=4
+        ),
+        min_size=2,
+        max_size=4,
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(blocks_strat)
+    def check(blockvals):
+        rows = [
+            (bi, f"t{j}", v)
+            for bi, vals in enumerate(blockvals)
+            for j, v in enumerate(vals)
+        ]
+        trans = [(b, t, 3 * v + b) for b, t, v in rows]
+        w1 = kendalls_w(
+            _blocks(spark, rows), "b", "tr", "v"
+        ).collect()[0]
+        w2 = kendalls_w(
+            _blocks(spark, trans), "b", "tr", "v"
+        ).collect()[0]
+        assert w1.w == w2.w  # bit-identical: ranks unchanged
+        if w1.w is not None:
+            assert 0.0 <= w1.w <= 1.0
+
+    check()
+
+
+def test_nelson_aalen_matches_python_reference(spark):
+    from legendary_data_pipeline_spark.operators.stats import nelson_aalen
+
+    subj_strat = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),
+            st.integers(min_value=0, max_value=1),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(subj_strat)
+    def check(subjects):
+        from collections import Counter
+
+        d = Counter()
+        c = Counter()
+        for t, e in subjects:
+            (d if e else c)[t] += 1
+        times = sorted(set(d) | set(c))
+        at_risk = len(subjects)
+        h = 0.0
+        ref = {}
+        for t in times:
+            if d[t] > 0 and at_risk > 0:
+                h += d[t] / at_risk
+            ref[t] = (at_risk, d[t], c[t], round(h, 6))
+            at_risk -= d[t] + c[t]
+        df = spark.createDataFrame(subjects, "d long, e long")
+        got = {
+            r.t: (r.n_at_risk, r.n_events, r.n_censored, r.cum_hazard)
+            for r in nelson_aalen(df, "d", "e").collect()
+        }
+        assert set(got) == set(ref)
+        for t in ref:
+            assert got[t][:3] == ref[t][:3]
+            assert got[t][3] == pytest.approx(ref[t][3], abs=1e-6)
+
+    check()
