@@ -139,15 +139,33 @@ def main() -> None:
     # run's plan, ContextCleaner unregisters its accumulators, then the
     # late task-completion event reports into the void). The job had
     # already SUCCEEDED — the race is benign — but 90+ traces can eat
-    # the driver's 2 KB tail capture, so this logger is pinned to FATAL
-    # for the bench process only. A REAL scheduling failure still
-    # surfaces as a Python exception → rc != 0 + no metric line, which
-    # is the bench's actual failure signal.
+    # the driver's 2 KB tail capture.
+    # Round-12 (r11 advice): pinning the whole logger to FATAL also
+    # silenced every REAL DAGScheduler ERROR (stage-abort reasons,
+    # task-failure context) — a failed bench still returned rc != 0 but
+    # with its best diagnostics gone. Replaced with a message-targeted
+    # StringMatchFilter: DENY only the benign accumulator-race line,
+    # NEUTRAL for everything else (verified live: the accumulator
+    # message is dropped while a different ERROR on the same logger
+    # still prints).
     _jvm = spark.sparkContext._jvm
+    _name = "org.apache.spark.scheduler.DAGScheduler"
+    # setLevel first so a DEDICATED LoggerConfig exists for the name —
+    # getLoggerConfig on a fresh context returns root, and attaching the
+    # filter to root would suppress the message for every logger.
     _jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
-        "org.apache.spark.scheduler.DAGScheduler",
-        _jvm.org.apache.logging.log4j.Level.FATAL,
+        _name, _jvm.org.apache.logging.log4j.Level.ERROR
     )
+    _res = _jvm.org.apache.logging.log4j.core.Filter.Result
+    _fb = _jvm.org.apache.logging.log4j.core.filter.StringMatchFilter.newBuilder()
+    _fb.setMatchString("Failed to update accumulator")
+    _fb.setOnMatch(_res.DENY)
+    _fb.setOnMismatch(_res.NEUTRAL)
+    _ctx = _jvm.org.apache.logging.log4j.core.LoggerContext.getContext(False)
+    _lc = _ctx.getConfiguration().getLoggerConfig(_name)
+    assert _lc.getName() == _name, "dedicated LoggerConfig not created"
+    _lc.addFilter(_fb.build())
+    _ctx.updateLoggers()
 
     # Warm up the JVM + parquet footer caches outside the timed region:
     # JIT the hot codegen paths (scan, window, join, HOF, md5) on a tiny
@@ -203,13 +221,19 @@ def main() -> None:
     # .cache() intermediates; without this the second run would time a
     # cache hit, not the pipeline) — and after each query so cached
     # blocks never accumulate across the bench.
+    # Round-12 (r11 verdict #5): the PINNED_R1 anchor series is ALWAYS
+    # min-of-3 — the official pinned_r1 swung 21.5→23.4 s on an
+    # unchanged-code cohort purely from box variance, and that series is
+    # the long-horizon vs-baseline trend, so it gets the extra rep (the
+    # 28 queries cost ~23 s total; one more rep is affordable).
     THIRD_RUN_THRESHOLD_SEC = 2.5
     timings: dict[str, float] = {}
+    pinned_anchor = set(PINNED_R1)
     for name in names:
         t = run_once(name)
         spark.catalog.clearCache()
         t = min(t, run_once(name))
-        if t > THIRD_RUN_THRESHOLD_SEC:
+        if name in pinned_anchor or t > THIRD_RUN_THRESHOLD_SEC:
             spark.catalog.clearCache()
             t = min(t, run_once(name))
         spark.catalog.clearCache()
@@ -238,7 +262,7 @@ def main() -> None:
         "unit": "sec",
         "n_timed": len(timings),
         "sf": _sf_from_dir(sf_dir),
-        "pinned_r1": _pinned(PINNED_R1),
+        "pinned_r1": {**_pinned(PINNED_R1), "reps": 3},
         "pinned_r6": _pinned(PINNED_R6),
         "pinned_r7": _pinned(PINNED_R7),
         "pinned_r8": _pinned(PINNED_R8),

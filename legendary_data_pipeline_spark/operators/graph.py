@@ -938,7 +938,11 @@ def basket_pair_lift(
     ``max_basket_size`` (cap or re-spec upstream; TPC-H orders hold
     ≤7 items). ``min_pair_count`` prunes the pair tail BEFORE the
     count joins; ``top_k`` (by lift desc, then pair asc — total order)
-    bounds the output; both counts frames broadcast.
+    bounds the output. Only the 1-row n_baskets frame broadcasts; the
+    item_counts frame does NOT — its cardinality is the number of
+    DISTINCT ITEMS (data-sized and unbounded, ~20M parts at sf100),
+    so it shuffle-joins like association_rules' item_freq frame
+    rather than risking a driver/executor OOM on collect-to-broadcast.
 
     Output: item_a, item_b, pair_count, count_a, count_b, n_baskets,
     lift.
@@ -999,16 +1003,20 @@ def basket_pair_lift(
     )
     dec = "decimal(38,0)"
     scored = (
+        # item_counts is item-cardinality (unbounded) — shuffle-join,
+        # never broadcast (r11 advice: broadcasting a data-sized frame
+        # here OOMs at the scales the docstring targets; the sibling
+        # association_rules made the same call for item_freq)
         pairs.join(
-            F.broadcast(item_counts.select(
+            item_counts.select(
                 F.col("__i").alias("item_a"), F.col("__ci").alias("count_a")
-            )),
+            ),
             "item_a",
         )
         .join(
-            F.broadcast(item_counts.select(
+            item_counts.select(
                 F.col("__i").alias("item_b"), F.col("__ci").alias("count_b")
-            )),
+            ),
             "item_b",
         )
         .crossJoin(F.broadcast(n_baskets_row))

@@ -1154,18 +1154,25 @@ def friedman_test(
         ).cast(_DEC).alias("__q2"),
         F.count(F.lit(1)).cast("long").alias("__nb"),
     )
+    # Degenerate-input oracle parity (r11 advice): when EVERY block is
+    # incomplete, per_tr is empty and the old per_tr-crossJoin-agg shape
+    # emitted n_blocks=NULL/k=NULL where the DuckDB oracle's scalar
+    # subqueries emit n_blocks=0 and the INPUT-level k. The 1-row frames
+    # are built independently and crossJoined so they survive an empty
+    # per_tr: n_blocks from a global agg over ranked (countDistinct over
+    # empty = 0), k from the `complete` frame (one row per block,
+    # pre-filter — max(__k) is the input-level distinct-treatment count,
+    # coalesced to 0 for a fully empty input, exactly the oracle's kk).
     n_blocks_row = ranked.groupBy().agg(
-        F.countDistinct("__b").cast("long").alias("__n"),
-        F.max("__k").alias("__kk"),
+        F.countDistinct("__b").cast("long").alias("n_blocks"),
     )
-    stat = per_tr.crossJoin(F.broadcast(n_blocks_row)).agg(
-        F.max("__n").alias("n_blocks"),
-        F.max("__kk").alias("k"),
+    sums = per_tr.agg(
         F.sum((F.col("__s2") * F.col("__s2")).cast(_DEC))
         .cast(_DEC)
         .alias("__sum_s2sq"),
         F.sum("__q2").cast(_DEC).alias("__a2"),
     )
+    stat = n_blocks_row.crossJoin(F.broadcast(sums))
     n = F.col("n_blocks").cast(_DEC)
     kk = F.col("k").cast(_DEC)
     # doubled units: Σ(2R_j)² = 4ΣR_j²; n²k(k+1)² = 4·(n²k(k+1)²/4);
@@ -1185,7 +1192,8 @@ def friedman_test(
     dropped = complete.agg(
         F.sum(F.when(~F.col("__ok"), 1).otherwise(0))
         .cast("long")
-        .alias("n_dropped_blocks")
+        .alias("n_dropped_blocks"),
+        F.coalesce(F.max("__k"), F.lit(0)).cast("long").alias("k"),
     )
     return stat.crossJoin(F.broadcast(dropped)).select(
         "n_blocks",
@@ -1534,17 +1542,21 @@ def page_trend_test(
         F.row_number().over(sw).cast("long").alias("__sj"),
         "__s2",
     )
+    # Degenerate-input oracle parity (r11 advice, the friedman_test
+    # restructure): an all-incomplete input empties `scored`, and the
+    # old scored-crossJoin-agg emitted n_blocks=NULL/k=NULL where the
+    # oracle's scalar subqueries emit 0 / the input-level k. n_blocks
+    # and the L sum are built as independent 1-row frames; k rides the
+    # `complete`-frame aggregation below.
     n_blocks_row = ranked.groupBy().agg(
-        F.countDistinct("__b").cast("long").alias("__n"),
-        F.max("__k").alias("__kk"),
+        F.countDistinct("__b").cast("long").alias("n_blocks"),
     )
-    stat = scored.crossJoin(F.broadcast(n_blocks_row)).agg(
-        F.max("__n").alias("n_blocks"),
-        F.max("__kk").alias("k"),
+    l2_row = scored.agg(
         F.sum((F.col("__sj").cast(_DEC) * F.col("__s2")).cast(_DEC))
         .cast(_DEC)
         .alias("__l2"),
     )
+    stat = n_blocks_row.crossJoin(F.broadcast(l2_row))
     # doubled ONCE more so E stays an exact integer (n·k(k+1)² needs
     # no /2): z = (2·L2 − n·k(k+1)²) / sqrt(n·k²(k+1)(k²−1)/9)
     n = F.col("n_blocks").cast(_DEC)
@@ -1561,7 +1573,8 @@ def page_trend_test(
     dropped = complete.agg(
         F.sum(F.when(~F.col("__ok"), 1).otherwise(0))
         .cast("long")
-        .alias("n_dropped_blocks")
+        .alias("n_dropped_blocks"),
+        F.coalesce(F.max("__k"), F.lit(0)).cast("long").alias("k"),
     )
     return stat.crossJoin(F.broadcast(dropped)).select(
         "n_blocks",
@@ -1611,31 +1624,39 @@ def kendalls_w(
     per_tr = ranked.groupBy("__tr").agg(
         F.sum("__r2").cast(_DEC).alias("__s2"),
     )
+    # two consumers below (dev's per-row mean2, stat's n_blocks) — the
+    # 1-row agg is cheap but the pin keeps the ranked lineage from
+    # replaying (the r11 scan-multiplicity rule)
     n_blocks_row = ranked.groupBy().agg(
         F.countDistinct("__b").cast("long").alias("__n"),
         F.max("__k").alias("__kk"),
-    )
+    ).localCheckpoint(eager=False)
     # tie term from the KEPT frame: Σ over (block, value) groups of
-    # (t³ − t); t ≤ k so t³ fits long, the sum accumulates as decimal
+    # (t³ − t); t ≤ k so t³ fits long, the sum accumulates as decimal —
+    # coalesced to 0 on an empty kept frame (the oracle's COALESCE)
     ties = kept.groupBy("__b", "__v").agg(
         F.count(F.lit(1)).cast("long").alias("__t")
     ).agg(
-        F.sum(
-            (
-                F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t")
-            ).cast(_DEC)
-        )
-        .cast(_DEC)
-        .alias("__tt")
+        F.coalesce(
+            F.sum(
+                (
+                    F.col("__t") * F.col("__t") * F.col("__t")
+                    - F.col("__t")
+                ).cast(_DEC)
+            ).cast(_DEC),
+            F.lit(0).cast(_DEC),
+        ).alias("__tt")
     )
     dev = per_tr.crossJoin(F.broadcast(n_blocks_row))
     mean2 = (
         F.col("__n").cast(_DEC)
         * (F.col("__kk").cast(_DEC) + F.lit(1).cast(_DEC))
     ).cast(_DEC)  # n(k+1) = mean of the DOUBLED rank sums
-    stat = dev.agg(
-        F.max("__n").alias("n_blocks"),
-        F.max("__kk").alias("k"),
+    # Degenerate-input oracle parity (r11 advice, the friedman_test
+    # restructure): an empty per_tr empties dev, so n_blocks/k must NOT
+    # be aggregated out of it — n_blocks comes straight from the 1-row
+    # global agg (0 on empty), k from the `complete` aggregation below.
+    s2sq_row = dev.agg(
         F.sum(
             (
                 (F.col("__s2") - mean2) * (F.col("__s2") - mean2)
@@ -1644,6 +1665,9 @@ def kendalls_w(
         .cast(_DEC)
         .alias("__s2sq"),
     )
+    stat = n_blocks_row.select(
+        F.col("__n").alias("n_blocks")
+    ).crossJoin(F.broadcast(s2sq_row))
     n = F.col("n_blocks").cast(_DEC)
     kk = F.col("k").cast(_DEC)
     denom = (
@@ -1657,7 +1681,8 @@ def kendalls_w(
     dropped = complete.agg(
         F.sum(F.when(~F.col("__ok"), 1).otherwise(0))
         .cast("long")
-        .alias("n_dropped_blocks")
+        .alias("n_dropped_blocks"),
+        F.coalesce(F.max("__k"), F.lit(0)).cast("long").alias("k"),
     )
     return (
         stat.crossJoin(F.broadcast(ties))

@@ -1029,9 +1029,10 @@ def cumulative_gains(
     hoisted to the broadcast totals frame as BIGINTs. NULLs drop;
     ``label_col`` must be 0/1 integer-valued.
 
-    Output per point (k rows): point, frac_rows (= point/k, exact
-    ratio), target_rows, n_kept, pos_kept, gain, lift (NULL when
-    total_pos or n_kept is 0).
+    Output per point (k rows; 0 rows on an empty/all-NULL input — the
+    oracle convention): point, frac_rows (= point/k, exact ratio),
+    target_rows, n_kept, pos_kept, gain, lift (NULL when total_pos or
+    n_kept is 0).
     """
     if n_points < 1:
         raise ValueError(
@@ -1096,7 +1097,12 @@ def cumulative_gains(
             .cast("long")
             .alias(f"__g{p}")
         )
-    wide = j.groupBy().agg(*agg_cols)
+    # Degenerate-input oracle parity (r11 advice): on an all-NULL/empty
+    # input the global agg still yields ONE row (all-NULL counts) and
+    # the stack would fan it into k NULL rows where the oracle emits 0
+    # rows — gate the stack on a non-degenerate total (__n is NULL iff
+    # the input was empty).
+    wide = j.groupBy().agg(*agg_cols).where(F.col("__n").isNotNull())
     stack_expr = ", ".join(
         f"{p}L, __tt{p}, __k{p}, __g{p}" for p in range(1, n_points + 1)
     )

@@ -709,10 +709,19 @@ def cramer_von_mises(
 
     Exactness: the cross-product D_v = cb_v·m − cc_v·n and the sum
     Σ w·D² are exact decimal(38,0) integers; T is one IEEE division
-    tree emitted as t_e6 BIGINT. int64/decimal envelope (the
-    kendall_tau_b convention): w·D² ≤ N·n²·m², inside 38 digits while
-    n ≈ m ≲ 2×10⁹ per side — beyond that the ANSI decimal sum fails
-    loudly, never wraps; pre-aggregate or sample above it.
+    tree emitted as t_e6 BIGINT. Decimal envelope (CORRECTED r12 —
+    the r11 docstring's per-TERM bound w·D² ≤ N·n²·m² missed that the
+    SUM is what must fit 38 digits): under H0 the sum grows like
+    n·m·N²/6 (~n⁵·8/3 at n = m), and under real drift |D| stays ~n·m
+    over an O(n) run of values so Σ w·D² ~ n⁵·const — either way the
+    38-digit ceiling is crossed around n ≈ m ≈ 3–5×10⁷ PER SIDE, i.e.
+    tens of millions of NON-NULL DISTINCT-WEIGHTED observations, not
+    the ~2×10⁹ previously claimed. Failure is loud (ANSI decimal
+    overflow), never a silent wrap; above the envelope pre-aggregate
+    (bucket values — CvM on the bucketed CDF) or sample. The exact
+    decimal sum is kept rather than switching the D² accumulation to
+    double because a distributed double sum is order-nondeterministic
+    and would break t_e6 bit-parity with the DuckDB oracle.
 
     `value` must be engine-exact (integers/cents); NULLs drop. Plan:
     the ks_two_sample plan — two per-value count tables, one

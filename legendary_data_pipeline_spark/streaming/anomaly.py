@@ -53,7 +53,17 @@ ANOMALY_SCHEMA = (
 )
 
 #: last ≤k (t, value) pairs in event-time order (newest last) — ts is
-#: kept so late cross-batch arrivals insert by t instead of appending
+#: kept so late cross-batch arrivals insert by t instead of appending.
+#:
+#: STATE-SCHEMA VERSION NOTE (r12): this schema replaced the r10 shape
+#: ``vs array<long>, last_t long``. applyInPandasWithState state is NOT
+#: schema-evolvable — a stream checkpoint written under the old shape
+#: will fail (or silently misdecode: the old scalar last_t occupies the
+#: slot the new ts array reads) on restart with this code. Upgrading a
+#: live stream across this boundary requires a NEW checkpoint directory
+#: (state rebuilds from the retained source offsets / reprocessing
+#: window); there is no in-place migration hook in the
+#: applyInPandasWithState API to version-and-convert old tuples.
 _STATE_SCHEMA = "vs array<long>, ts array<long>"
 
 
