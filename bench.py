@@ -86,6 +86,18 @@ PINNED_R10 = PINNED_R9 + [
     "ts_ewma_daily_anomalies", "ts_theil_sen_daily_value",
     "tx_bpe_fertility_by_lang",
 ]
+PINNED_R11 = PINNED_R10 + [
+    "curation_decontaminate", "curation_pack_sequences",
+    "curation_pii_scrub", "dedup_cluster_components",
+    "ht_cliffs_delta_qty_flag", "ht_friedman_daily_event_ranks",
+    "ml_expected_calibration_error", "mm_audio_windows", "ret_bm25_topk",
+    "s9_scd2_part_prices", "skew_salted_user_totals",
+    "st_lorenz_order_value", "st_trimmed_mean_price_by_flag",
+    "t3_asof_forward_next_purchase", "text_unicode_fold",
+    "ts_acf_daily_value", "ts_mann_kendall_daily_value",
+    "ts_seasonal_decompose_daily", "tx_corpus_entropy",
+    "tx_vocab_richness",
+]
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -110,7 +122,7 @@ def main() -> None:
     if only:
         names = sorted(only.split(","))
     else:
-        names = sorted(set(REGISTRY) | set(PINNED_R10))
+        names = sorted(set(REGISTRY) | set(PINNED_R11))
     unknown = [n for n in names if n not in specs]
     if unknown:
         sys.exit(
@@ -268,6 +280,7 @@ def main() -> None:
         "pinned_r8": _pinned(PINNED_R8),
         "pinned_r9": _pinned(PINNED_R9),
         "pinned_r10": _pinned(PINNED_R10),
+        "pinned_r11": _pinned(PINNED_R11),
         "queries": timings,
     }
     detail_line = json.dumps(payload, separators=(",", ":"))
@@ -280,7 +293,7 @@ def main() -> None:
     # keeps only pinned_r1 — the long-horizon vs-baseline series; the
     # r6-r9 short-horizon series live in BENCH_DETAIL.json's full map.
     for _k in ("pinned_r6", "pinned_r7", "pinned_r8", "pinned_r9",
-               "pinned_r10"):
+               "pinned_r10", "pinned_r11"):
         stdout_payload.pop(_k)
     line = json.dumps(stdout_payload, separators=(",", ":"))
     detail_path = os.environ.get(

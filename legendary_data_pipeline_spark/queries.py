@@ -1694,3 +1694,84 @@ for _n in _DEMOTE_R11:
 for _n in _PROMOTE_R11:
     REGISTRY[_n] = SHADOW_REGISTRY.pop(_n)
 del _n, _missing
+
+# ---------------------------------------------------------------------------
+# Round-12 driver-gate rotation (see NOTES.md §Round-12)
+# ---------------------------------------------------------------------------
+# r11 verdict #1: keep the rotation at 20 and drive the never-checked
+# tail below 100 (115 entering r12). Same two-band policy: the 7-slot
+# bias band takes the entire r11 operator cohort (X212–X219 minus CvM's
+# sibling — all 7 foreign-cwd oracle-green at sf0.01 before this
+# rotation committed), the 13-slot sweep band cycles the oldest
+# never-checked shadows, family-diverse (the NOTES "Round-12 rotation
+# prep" list, verified end of r11 and re-verified this session).
+# Demotions: 18 of the 20 r11 promotions (each earned a hash-green row
+# in CORRECTNESS_r11 on first exposure) plus the two survival queries
+# (multi-round greens; their incoming sibling sv_nelson_aalen is the
+# Kaplan–Meier/logrank family's additive companion).
+# mm_audio_windows and skew_salted_user_totals stay a second round —
+# they are the gate's ONLY multimodal / skew-handling representatives.
+_DEMOTE_R12 = [
+    "ht_cliffs_delta_qty_flag",  # sibling: ht_kendalls_w_daily_event_ranks (rank effect size)
+    "ht_friedman_daily_event_ranks",  # siblings: ht_page_trend + ht_kendalls_w (shared _complete_block_ranks prologue)
+    "ts_mann_kendall_daily_value",  # sibling: ht_page_trend_daily_event_ranks (Kendall-family trend)
+    "ts_seasonal_decompose_daily",  # sibling: ts_zscore_anomalies (daily-series windows, stays)
+    "ts_acf_daily_value",  # sibling: ts_zscore_anomalies (stays)
+    "tx_vocab_richness",  # sibling: curation_vocab_topk (incoming; vocabulary aggregation)
+    "tx_corpus_entropy",  # sibling: curation_unigram_surprisal (corpus LM stats, stays)
+    "st_trimmed_mean_price_by_flag",  # sibling: dq_equal_freq_bins_price (hoisted-threshold rank intervals, stays)
+    "ml_expected_calibration_error",  # sibling: ml_brier_decomposition (incoming; calibration decomposition)
+    "st_lorenz_order_value",  # sibling: ml_cumulative_gains (incoming; the lorenz plan on the negated key)
+    "curation_decontaminate",  # sibling: curation_c4_span_dedup (shingle spans, stays)
+    "curation_pack_sequences",  # sibling: curation_chunk_sequences (incoming; token-budget packing)
+    "curation_pii_scrub",  # sibling: curation_fineweb_line_signals (doc text gates, stays)
+    "dedup_cluster_components",  # sibling: dedup_keep_canonical (incoming; dedup-cluster consumer)
+    "t3_asof_forward_next_purchase",  # sibling: ts_twap_event_values (event-time ordered scan, stays)
+    "text_unicode_fold",  # sibling: text_bpe_segment (incoming; text transforms)
+    "s9_scd2_part_prices",  # sibling: er_golden_record_customers (keyed reconciliation, stays)
+    "ret_bm25_topk",  # sibling: ret_maxsim_topk (stays)
+    "sv_user_retention_km",  # sibling: sv_nelson_aalen_user_tenure (incoming; KM's additive companion)
+    "sv_logrank_user_segments",  # sibling: sv_nelson_aalen_user_tenure (incoming; survival family)
+]
+_PROMOTE_R12 = [
+    # seven bias-picked (r11 verdict #1): the round-11 operator cohort
+    "ht_cochran_armitage_status_by_priority",
+    "sv_nelson_aalen_user_tenure",
+    "gr_basket_pair_lift",
+    "ml_brier_decomposition",
+    "ml_cumulative_gains",
+    "ht_page_trend_daily_event_ranks",
+    "ht_kendalls_w_daily_event_ranks",
+    # thirteen-slot sweep band: oldest never-checked shadows,
+    # family-diverse (NOTES.md "Round-12 rotation prep" list)
+    "curation_repetition_quality",
+    "curation_stratified_sample",
+    "curation_cap_per_source",
+    "curation_vocab_topk",
+    "dedup_keep_canonical",
+    "curation_chunk_sequences",
+    "dedup_incremental_exact",
+    "curation_boilerplate_stats",
+    "curation_weighted_sample",
+    "emb_centroid_outliers",
+    "text_bpe_segment",
+    "curation_url_dedup",
+    "curation_domain_pagerank",
+]
+_missing = [
+    _n
+    for _n in (*_DEMOTE_R12, *_PROMOTE_R12)
+    if _n not in REGISTRY and _n not in SHADOW_REGISTRY
+]
+if _missing:
+    raise ImportError(
+        "query registry incomplete during round-12 rotation (missing "
+        f"{_missing}): import legendary_data_pipeline_spark.queries "
+        "FIRST — importing a queries_* submodule directly re-enters "
+        "this module before its registrations finish."
+    )
+for _n in _DEMOTE_R12:
+    SHADOW_REGISTRY[_n] = REGISTRY.pop(_n)
+for _n in _PROMOTE_R12:
+    REGISTRY[_n] = SHADOW_REGISTRY.pop(_n)
+del _n, _missing
