@@ -62,6 +62,17 @@ class QuerySpec:
     spark_fn: SparkQuery
     oracle: str | None  # DuckDB SQL; None → driver does rows-only check
     doc: str = ""
+    # Scan-multiplicity budget (r11 verdict #3, standing gate): the max
+    # number of parquet FileScans this query's FINAL adaptive plan may
+    # contain. None → the default budget of 2 (one corpus scan + one
+    # auxiliary side). A query whose contract NEEDS more (multi-source
+    # coalesce, exact-vs-sketch harness, single-column FK probes) must
+    # declare the higher budget here WITH the rationale in `doc` — the
+    # declaration is the machine-readable by-contract marker that
+    # tests/test_scan_budget.py enforces for every newly-registered
+    # query (the r11 registry-wide audit found 13 silent corpus
+    # re-reads; this keeps new ones from landing).
+    scan_budget: int | None = None
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -79,29 +90,45 @@ DRIVER_QUERY_CAP = 50
 SHADOW_REGISTRY: dict[str, QuerySpec] = {}
 
 
-def _make_spec(name: str, fn: SparkQuery, oracle: str | None, doc: str) -> QuerySpec:
+def _make_spec(
+    name: str,
+    fn: SparkQuery,
+    oracle: str | None,
+    doc: str,
+    scan_budget: int | None = None,
+) -> QuerySpec:
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         ensure_engine_confs(spark)
         return fn(spark, sf_dir)
 
-    return QuerySpec(name, wrapped, oracle, doc)
+    return QuerySpec(name, wrapped, oracle, doc, scan_budget)
 
 
-def register(name: str, oracle: str | None, doc: str = ""):
+def register(
+    name: str,
+    oracle: str | None,
+    doc: str = "",
+    scan_budget: int | None = None,
+):
     def deco(fn: SparkQuery) -> SparkQuery:
-        spec = _make_spec(name, fn, oracle, doc)
+        spec = _make_spec(name, fn, oracle, doc, scan_budget)
         REGISTRY[name] = spec
         return spec.spark_fn
 
     return deco
 
 
-def register_shadow(name: str, oracle: str | None, doc: str = ""):
+def register_shadow(
+    name: str,
+    oracle: str | None,
+    doc: str = "",
+    scan_budget: int | None = None,
+):
     """Register a query for pytest-only oracle verification (not exported
     to the driver gate — see DRIVER_QUERY_CAP)."""
 
     def deco(fn: SparkQuery) -> SparkQuery:
-        spec = _make_spec(name, fn, oracle, doc)
+        spec = _make_spec(name, fn, oracle, doc, scan_budget)
         SHADOW_REGISTRY[name] = spec
         return spec.spark_fn
 

@@ -2794,7 +2794,13 @@ def gr_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # edge-iterator form: ~2x faster than the wedge join on this 1.2M-
     # edge graph (the sum-of-wedges work runs inside array_intersect
     # instead of shuffling a wedge-sized join); identical count.
-    return triangle_count(edges, method="adjacency")
+    # orient="degree" (r11 verdict #4): this gate query is the pattern
+    # users copy, and real co-purchase graphs are power-law — the
+    # degree orientation bounds per-node adjacency lists by O(sqrt(m))
+    # where the id orientation can hand a hub its full degree. The
+    # count is orientation-invariant (property-tested equivalence in
+    # tests/test_graph.py).
+    return triangle_count(edges, method="adjacency", orient="degree")
 
 
 # ---------------------------------------------------------------------------
