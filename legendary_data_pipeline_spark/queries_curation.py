@@ -2859,3 +2859,261 @@ def ht_cochrans_q_line_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("bullet_line_frac") <= 0.90).alias("f2"),
     )
     return cochrans_q(flags, ["f0", "f1", "f2"])
+
+
+# ---------------------------------------------------------------------------
+# X222/X223 — quality-classifier health readouts: held-out calibration
+# and cross-source score drift for the hashed-NB filter
+# ---------------------------------------------------------------------------
+
+
+def _nb_model_ctes(pos_pred: str, neg_pred: str) -> str:
+    """CTE chain ending in `w` (bucket, w) and `prior` (pr): the
+    hashed-NB model trained on documents rows matching the two
+    predicates — the exact SQL mirror of operators/classifier.train_nb
+    (add-one smoothing over the m buckets, integer micro-nat weights,
+    HALF_UP prior of ln(max(np,1)) − ln(max(nn,1)))."""
+    return f"""
+    trt AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok,
+             CASE WHEN {pos_pred} THEN 1 ELSE 0 END AS is_pos
+      FROM documents WHERE ({pos_pred}) OR ({neg_pred})),
+    featt AS (
+      SELECT is_pos, ({md5_long_sql("tok")}) % {_NB_M} AS bucket,
+             COUNT(*) AS cnt
+      FROM trt WHERE tok <> '' GROUP BY 1, 2),
+    pos_b AS (SELECT bucket, SUM(cnt) AS c FROM featt
+              WHERE is_pos = 1 GROUP BY 1),
+    neg_b AS (SELECT bucket, SUM(cnt) AS c FROM featt
+              WHERE is_pos = 0 GROUP BY 1),
+    tot AS (
+      SELECT (SELECT COALESCE(SUM(c), 0) FROM pos_b) AS pt,
+             (SELECT COALESCE(SUM(c), 0) FROM neg_b) AS nt,
+             (SELECT COUNT(*) FROM documents WHERE {pos_pred}) AS np,
+             (SELECT COUNT(*) FROM documents WHERE {neg_pred}) AS nn),
+    w AS (
+      SELECT b.bucket,
+             CAST(round((ln((COALESCE(p.c, 0) + 1.0) / (tot.pt + {_NB_M}))
+                         - ln((COALESCE(n.c, 0) + 1.0)
+                              / (tot.nt + {_NB_M})))
+                        * {_NB_SCALE}, 0) AS BIGINT) AS w
+      FROM (SELECT unnest(range({_NB_M})) AS bucket) b
+      LEFT JOIN pos_b p USING (bucket)
+      LEFT JOIN neg_b n USING (bucket)
+      CROSS JOIN tot),
+    prior AS (
+      SELECT CAST(round((ln(greatest(np, 1)) - ln(greatest(nn, 1)))
+                        * {_NB_SCALE}, 0) AS BIGINT) AS pr
+      FROM tot)"""
+
+
+def _nb_score_sql(hold_pred: str) -> str:
+    """CTE `sc` (doc_id, source, score): hashed-NB scores for documents
+    rows matching `hold_pred`, given the `w`/`prior` CTEs (mirror of
+    operators/classifier.score_nb — docs with no tokens score exactly
+    the prior)."""
+    return f"""
+    htoks AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok
+      FROM documents WHERE {hold_pred}),
+    hfeat AS (
+      SELECT doc_id, ({md5_long_sql("tok")}) % {_NB_M} AS bucket,
+             COUNT(*) AS cnt
+      FROM htoks WHERE tok <> '' GROUP BY 1, 2),
+    sc AS (
+      SELECT d.doc_id, d.source,
+             CAST(COALESCE(SUM(f.cnt * w.w), 0)
+                  + (SELECT pr FROM prior) AS BIGINT) AS score
+      FROM (SELECT doc_id, source FROM documents WHERE {hold_pred}) d
+      LEFT JOIN hfeat f ON f.doc_id = d.doc_id
+      LEFT JOIN w ON w.bucket = f.bucket
+      GROUP BY 1, 2)"""
+
+
+_NB_TRAIN_POS = "source = 'src0' AND doc_id % 2 = 0"
+_NB_TRAIN_NEG = "source = 'src1' AND doc_id % 2 = 0"
+_NB_HOLDOUT = "source IN ('src0', 'src1') AND doc_id % 2 = 1"
+
+
+@register_shadow(
+    "ml_nb_quality_calibration",
+    f"""
+    WITH {_nb_model_ctes(_NB_TRAIN_POS, _NB_TRAIN_NEG)},
+    {_nb_score_sql(_NB_HOLDOUT)},
+    pp AS (
+      SELECT CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS lab,
+             0.5 + 0.5 * ((CAST(score AS DOUBLE) / 1e6)
+                          / (1.0 + abs(CAST(score AS DOUBLE) / 1e6)))
+               AS p
+      FROM sc),
+    b AS (SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin, lab
+          FROM pp)
+    SELECT bin,
+           (CAST(bin AS DOUBLE) + 0.5) / 10.0 AS bin_mid,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(lab) AS BIGINT) AS n_pos,
+           CAST(round(CAST(SUM(lab) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                      * 1e6) AS BIGINT) AS frac_pos_e6
+    FROM b GROUP BY 1
+    """,
+    doc="Quality-classifier calibration readout (X222): is the "
+    "fastText-style hashed-NB filter's confidence honest on held-out "
+    "seed docs? Train on the EVEN-doc_id half of the src0/src1 seeds, "
+    "score the odd half (label = seed side), map the integer "
+    "micro-nat log-odds through the SOFTSIGN link "
+    "p = 0.5 + 0.5·s/(1+|s|), s = score/1e6 nats — softsign, not the "
+    "logistic, because it is pure IEEE arithmetic (one div, one add, "
+    "one abs: bit-identical across engines, where exp() is a libm "
+    "call whose last-ulp drift could flip an equal-width bin edge) — "
+    "then the standard 10-bin reliability diagram "
+    "(operators/mleval.calibration_bins). The classic NB failure this "
+    "surfaces: independence double-counting pushes |s| to 5-10 nats, "
+    "so the diagram concentrates mass in the outer bins with "
+    "frac_pos far from the bin mid = overconfidence, the readout "
+    "that decides whether the filter's scores can gate by threshold "
+    "or must be rank-ordered. Composes train_nb + score_nb + "
+    "calibration_bins; the seed frame is pinned once so the final "
+    "plan reads documents once (budget 2: pin fill + the m-row "
+    "weight grid side).",
+)
+def ml_nb_quality_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.classifier import (
+        score_nb,
+        train_nb,
+    )
+    from legendary_data_pipeline_spark.operators.mleval import (
+        calibration_bins,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    # One pin feeds train-pos, train-neg, holdout features AND the
+    # holdout label join — without it each consumer replays the scan.
+    seed = docs.filter(
+        F.col("source").isin("src0", "src1")
+    ).localCheckpoint(eager=False)
+    even = F.col("doc_id") % 2 == 0
+    weights, prior = train_nb(
+        seed.filter((F.col("source") == "src0") & even),
+        seed.filter((F.col("source") == "src1") & even),
+        m=_NB_M,
+        scale=_NB_SCALE,
+    )
+    hold = seed.filter(~even)
+    scored = score_nb(hold, weights, prior, m=_NB_M)
+    lab = scored.join(hold.select("doc_id", "source"), "doc_id")
+    s = F.col("score").cast("double") / F.lit(1e6)
+    p = F.lit(0.5) + F.lit(0.5) * (s / (F.lit(1.0) + F.abs(s)))
+    frame = lab.select(
+        p.alias("p"),
+        (F.col("source") == "src0").cast("int").alias("label"),
+    )
+    return calibration_bins(frame, "p", "label", n_bins=10, scaled_e6=True)
+
+
+_NB_PSI_BIN_UNATS = 2_000_000  # 2-nat score bins (~10 categories)
+_NB_PSI_BASE = "source = 'src2'"
+_NB_PSI_CURR = "source = 'src3'"
+
+
+@register_shadow(
+    "dq_quality_score_psi_by_source",
+    f"""
+    WITH {_nb_model_ctes("source = 'src0'", "source = 'src1'")},
+    {_nb_score_sql("source IN ('src2', 'src3')")},
+    binned AS (
+      SELECT source,
+             CAST(CAST(floor(CAST(score AS DOUBLE)
+                             / {_NB_PSI_BIN_UNATS}.0) AS BIGINT)
+                  AS VARCHAR) AS value
+      FROM sc),
+    b AS (SELECT value, CAST(COUNT(*) AS BIGINT) AS n_base
+          FROM binned WHERE {_NB_PSI_BASE} GROUP BY 1),
+    c AS (SELECT value, CAST(COUNT(*) AS BIGINT) AS n_current
+          FROM binned WHERE {_NB_PSI_CURR} GROUP BY 1),
+    j AS (
+      SELECT COALESCE(b.value, c.value) AS value,
+             CAST(COALESCE(n_base, 0) AS BIGINT) AS n_base,
+             CAST(COALESCE(n_current, 0) AS BIGINT) AS n_current
+      FROM b FULL OUTER JOIN c ON b.value = c.value),
+    t AS (SELECT CAST(SUM(n_base) AS BIGINT) AS tb,
+                 CAST(SUM(n_current) AS BIGINT) AS tc,
+                 CAST(COUNT(*) AS BIGINT) AS k FROM j),
+    terms AS (
+      SELECT value, n_base, n_current,
+             (CAST(n_base AS DOUBLE) + 0.5)
+               / (CAST(tb AS DOUBLE) + 0.5 * CAST(k AS DOUBLE)) AS p,
+             (CAST(n_current AS DOUBLE) + 0.5)
+               / (CAST(tc AS DOUBLE) + 0.5 * CAST(k AS DOUBLE)) AS q
+      FROM j, t),
+    rows_ AS (
+      SELECT value, n_base, n_current,
+             CAST(round(p * 1e6) AS BIGINT) AS p_base_e6,
+             CAST(round(q * 1e6) AS BIGINT) AS p_current_e6,
+             CAST(round((p - q) * ln(p / q) * 1e6) AS BIGINT)
+               AS psi_term_e6,
+             (p - q) * ln(p / q) AS t
+      FROM terms),
+    s AS (SELECT CAST(round(SUM(t) * 1e6) AS BIGINT) AS psi_e6
+          FROM rows_)
+    SELECT value, n_base, n_current, p_base_e6, p_current_e6,
+           psi_term_e6, psi_e6
+    FROM rows_, s
+    """,
+    doc="Quality-score drift monitor (X223): PSI of the hashed-NB "
+    "quality score's distribution between two crawl sources (src2 = "
+    "reference snapshot, src3 = current), the 'did corpus quality "
+    "shift under the trained filter' alarm run before every training "
+    "mix refresh — a score drift fires even when no single vocabulary "
+    "bucket moves enough to trip the token-level monitors. Scores "
+    "bin at 2-nat width (integer micro-nat floor-division — exact, "
+    "no quantile estimation), then the standard Laplace-smoothed PSI "
+    "over union categories (operators/profiling.psi_drift, e6 "
+    "emission). Composes train_nb + score_nb + psi_drift; the scored "
+    "frame is pinned so base/current category counts share one "
+    "scoring pass. Budget 3: the seed pin, the m-row weight grid, "
+    "and psi_drift's two count branches reading the scored pin.",
+    scan_budget=3,
+)
+def dq_quality_score_psi_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.classifier import (
+        score_nb,
+        train_nb,
+    )
+    from legendary_data_pipeline_spark.operators.profiling import psi_drift
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    seed = docs.filter(
+        F.col("source").isin("src0", "src1")
+    ).localCheckpoint(eager=False)
+    weights, prior = train_nb(
+        seed.filter(F.col("source") == "src0"),
+        seed.filter(F.col("source") == "src1"),
+        m=_NB_M,
+        scale=_NB_SCALE,
+    )
+    rest = docs.filter(
+        F.col("source").isin("src2", "src3")
+    ).localCheckpoint(eager=False)
+    scored = score_nb(rest, weights, prior, m=_NB_M).join(
+        rest.select("doc_id", "source"), "doc_id"
+    )
+    binned = scored.select(
+        "source",
+        F.floor(
+            F.col("score").cast("double") / F.lit(float(_NB_PSI_BIN_UNATS))
+        ).cast("long").cast("string").alias("score_bin"),
+    ).localCheckpoint(eager=False)
+    return psi_drift(
+        binned.filter(F.expr(_NB_PSI_BASE)),
+        binned.filter(F.expr(_NB_PSI_CURR)),
+        "score_bin",
+        scaled_e6=True,
+    )
