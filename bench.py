@@ -238,18 +238,32 @@ def main() -> None:
     # unchanged-code cohort purely from box variance, and that series is
     # the long-horizon vs-baseline trend, so it gets the extra rep (the
     # 28 queries cost ~23 s total; one more rep is affordable).
+    # METHODOLOGY ISOLATION (r12 code review): the extra anchor rep
+    # feeds ONLY the pinned_r1 subtotal. The headline total and the
+    # pinned_r6..rN series (all supersets of R1) keep the historical
+    # min-of-2 (+ third rep only when heavy) per-query values —
+    # otherwise min-of-3 on the 28 shared queries would bias every
+    # other series downward vs all prior-round BENCH records and read
+    # as a speedup on unchanged code.
     THIRD_RUN_THRESHOLD_SEC = 2.5
     timings: dict[str, float] = {}
+    anchor_timings: dict[str, float] = {}
     pinned_anchor = set(PINNED_R1)
     for name in names:
         t = run_once(name)
         spark.catalog.clearCache()
         t = min(t, run_once(name))
+        third = None
         if name in pinned_anchor or t > THIRD_RUN_THRESHOLD_SEC:
             spark.catalog.clearCache()
-            t = min(t, run_once(name))
+            third = run_once(name)
         spark.catalog.clearCache()
-        timings[name] = round(t, 3)
+        heavy = t > THIRD_RUN_THRESHOLD_SEC
+        t_hist = min(t, third) if (third is not None and heavy) else t
+        timings[name] = round(t_hist, 3)
+        if name in pinned_anchor:
+            t_anchor = min(t, third) if third is not None else t
+            anchor_timings[name] = round(t_anchor, 3)
 
     total = round(sum(timings.values()), 3)
 
@@ -274,7 +288,18 @@ def main() -> None:
         "unit": "sec",
         "n_timed": len(timings),
         "sf": _sf_from_dir(sf_dir),
-        "pinned_r1": {**_pinned(PINNED_R1), "reps": 3},
+        "pinned_r1": {
+            "n": len([n for n in PINNED_R1 if n in anchor_timings]),
+            "total_sec": round(
+                sum(
+                    anchor_timings[n]
+                    for n in PINNED_R1
+                    if n in anchor_timings
+                ),
+                3,
+            ),
+            "reps": 3,
+        },
         "pinned_r6": _pinned(PINNED_R6),
         "pinned_r7": _pinned(PINNED_R7),
         "pinned_r8": _pinned(PINNED_R8),

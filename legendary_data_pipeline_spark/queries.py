@@ -63,8 +63,11 @@ class QuerySpec:
     oracle: str | None  # DuckDB SQL; None → driver does rows-only check
     doc: str = ""
     # Scan-multiplicity budget (r11 verdict #3, standing gate): the max
-    # number of parquet FileScans this query's FINAL adaptive plan may
-    # contain. None → the default budget of 2 (one corpus scan + one
+    # number of parquet FileScans in this query's executed-plan string
+    # as captured by tools/scan_audit.py — a pre-AQE-reuse count, i.e.
+    # conservative (runtime exchange reuse can only lower it, and the
+    # r11 audit lesson is that reuse is not a guarantee).
+    # None → the default budget of 2 (one corpus scan + one
     # auxiliary side). A query whose contract NEEDS more (multi-source
     # coalesce, exact-vs-sketch harness, single-column FK probes) must
     # declare the higher budget here WITH the rationale in `doc` — the

@@ -174,11 +174,20 @@ def test_nb_calibration_bins_identities(spark, sf_dir):
         .count()
     )
     assert sum(r.n for r in rows) == n_hold
+    import decimal
+
     for r in rows:
         assert 0 <= r.bin <= 9
         assert abs(r.bin_mid - (r.bin + 0.5) / 10.0) < 1e-15
         assert 0 <= r.n_pos <= r.n
-        assert r.frac_pos_e6 == round(r.n_pos * 1e6 / r.n)
+        # HALF_UP like Spark's F.round — Python round() is banker's
+        # and would flip an exact .5 micro-tie to the even neighbor
+        expect = int(
+            (
+                decimal.Decimal(r.n_pos) * 1_000_000 / decimal.Decimal(r.n)
+            ).quantize(0, rounding=decimal.ROUND_HALF_UP)
+        )
+        assert r.frac_pos_e6 == expect
 
 
 def test_softsign_link_bins_scores(spark):

@@ -7,8 +7,14 @@ with 2+ consumers lacked a lazy localCheckpoint pin — every one was
 fixed post-hoc. This test makes the audit a REGISTRATION-TIME gate:
 any query registered after the round-12 baseline
 (tests/data_scan_budget_baseline.txt, 244 names) is executed at
-sf0.001 through the noop sink and its FINAL adaptive plan's parquet
-FileScan count must not exceed its declared budget:
+sf0.001 through the noop sink and its executed-plan parquet FileScan
+count must not exceed its declared budget. Plan capture is the SAME
+mechanism as tools/scan_audit.py (a fresh QueryExecution of the
+returned frame — the plan string may print `isFinalPlan=false`, i.e.
+BEFORE any AQE exchange-reuse collapse): deliberately conservative,
+since AQE reuse can only lower the count at runtime and the r11
+audit's standing lesson is that exchange reuse is NOT a
+scan-multiplicity guarantee. Budgets are therefore pre-AQE counts:
 
   - default budget: 2 (one corpus scan + one auxiliary side)
   - a query whose CONTRACT needs more (multi-source coalesce,
@@ -38,7 +44,11 @@ _BASELINE_PATH = os.path.join(
     os.path.dirname(__file__), "data_scan_budget_baseline.txt"
 )
 _DEFAULT_BUDGET = 2
-_SF_DIR = "/root/testdata/sf0.001"
+# Honors the suite-wide sf-dir override (the LDP_TEST_SF_DIR knob of
+# tests/conftest.py — e.g. a checkout whose test data lives elsewhere);
+# default stays the smallest scale, since the scan COUNT is
+# scale-invariant and sf0.001 keeps the per-query execution cheap.
+_SF_DIR = os.environ.get("LDP_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 def _baseline() -> set[str]:
