@@ -6196,3 +6196,164 @@ def dq_cvm_order_totals_drift(
         orders.filter(F.col("o_orderdate") >= cut),
         _cents("o_totalprice"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X224 — ER blocking health report: reduction ratio + cross-method
+# agreement, the label-free blocking evaluation (Fellegi–Sunter step 0)
+# ---------------------------------------------------------------------------
+
+
+@register_shadow(
+    "er_blocking_health_report",
+    f"""
+    WITH names AS (
+      SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL),
+    nrec AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_records FROM names),
+    b AS (SELECT p_name, {_ER_BLOCK_SQL} AS blk FROM names),
+    bs AS (SELECT blk, COUNT(*) AS nb_ FROM b GROUP BY 1),
+    bstats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+             CAST(MAX(nb_) AS BIGINT) AS max_block_size,
+             CAST(SUM((nb_ * (nb_ - 1)) // 2) AS BIGINT)
+               AS cand_pairs_block
+      FROM bs),
+    mb AS (
+      SELECT a.p_name AS na, c.p_name AS nb2
+      FROM b a JOIN b c USING (blk)
+      WHERE a.p_name < c.p_name
+        AND levenshtein(a.p_name, c.p_name) <= {_ER_MAX_DIST}),
+    ranked AS (
+      SELECT p_name, substr(p_name, 1, 1) AS bkt,
+             row_number() OVER (
+               PARTITION BY substr(p_name, 1, 1)
+               ORDER BY p_name, p_name) AS rn
+      FROM names),
+    probes AS (
+      SELECT p_name AS id_a, bkt, rn + g.gap AS rn2
+      FROM ranked,
+           (SELECT unnest(range(1, {_SNM_WINDOW + 1})) AS gap) g),
+    snp AS (
+      SELECT p.id_a, t.p_name AS id_b
+      FROM probes p JOIN ranked t ON p.bkt = t.bkt AND p.rn2 = t.rn),
+    sncand AS (SELECT CAST(COUNT(*) AS BIGINT) AS cand_pairs_sn FROM snp),
+    ms AS (
+      SELECT least(id_a, id_b) AS na, greatest(id_a, id_b) AS nb2
+      FROM snp WHERE levenshtein(id_a, id_b) <= {_ER_MAX_DIST}),
+    mstats AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM mb) AS matched_block,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM ms) AS matched_sn,
+             (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM mb JOIN ms ON mb.na = ms.na AND mb.nb2 = ms.nb2)
+               AS matched_both)
+    SELECT n_records, n_blocks, max_block_size,
+           CAST((n_records * (n_records - 1)) // 2 AS BIGINT)
+             AS total_pairs,
+           cand_pairs_block, cand_pairs_sn,
+           1.0 - CAST(cand_pairs_block AS DOUBLE)
+                 / nullif(CAST((n_records * (n_records - 1)) // 2
+                               AS DOUBLE), 0.0)
+             AS reduction_ratio_block,
+           1.0 - CAST(cand_pairs_sn AS DOUBLE)
+                 / nullif(CAST((n_records * (n_records - 1)) // 2
+                               AS DOUBLE), 0.0)
+             AS reduction_ratio_sn,
+           matched_block, matched_sn, matched_both
+    FROM nrec, bstats, sncand, mstats
+    """,
+    doc="ER blocking health report (X224): the label-free evaluation "
+    "run BEFORE trusting any blocking scheme — reduction ratio "
+    "(1 − candidates/all-pairs) for both classic schemes (last-token "
+    "blocking and first-char sorted-neighborhood, window "
+    f"{_SNM_WINDOW}) plus their CROSS-METHOD AGREEMENT on matched "
+    "pairs (Levenshtein ≤ 3): two methods with independent blind "
+    "spots finding the same matches is the standard recall proxy "
+    "when no labeled duplicates exist (each method's misses bound "
+    "the other's). max_block_size is the skew alarm — one hot block "
+    "re-quadratizes the join. All counts exact integers from "
+    "metadata-scale aggregations over ONE pinned distinct-names "
+    "frame; ratios are raw IEEE divisions. The per-pair frames this "
+    "summarizes are er_fuzzy_pairs_part_names / "
+    "er_sorted_neighborhood; this is their one-row decision readout.",
+)
+def er_blocking_health_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.entity import (
+        sorted_neighborhood_pairs,
+    )
+
+    names = (
+        load_table(spark, sf_dir, "part")
+        .select("p_name")
+        .filter(F.col("p_name").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    blk = F.element_at(F.split(F.col("p_name"), " "), -1)
+    nrec = names.agg(
+        F.count(F.lit(1)).cast("long").alias("n_records")
+    )
+    bsizes = (
+        names.select(blk.alias("__blk"))
+        .groupBy("__blk")
+        .agg(F.count(F.lit(1)).alias("__nb"))
+    )
+    bstats = bsizes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.max("__nb").cast("long").alias("max_block_size"),
+        F.sum(F.expr("(__nb * (__nb - 1)) DIV 2"))
+        .cast("long")
+        .alias("cand_pairs_block"),
+    )
+    mb = fuzzy_pairs_blocked(
+        names,
+        name_col="p_name",
+        id_col="p_name",
+        block_exprs=[blk],
+        max_dist=_ER_MAX_DIST,
+    ).select(
+        F.least("name_a", "name_b").alias("__na"),
+        F.greatest("name_a", "name_b").alias("__nb2"),
+    ).localCheckpoint(eager=False)
+    sn = sorted_neighborhood_pairs(
+        names,
+        sort_expr=F.col("p_name"),
+        id_col="p_name",
+        window=_SNM_WINDOW,
+    ).localCheckpoint(eager=False)
+    sncand = sn.agg(
+        F.count(F.lit(1)).cast("long").alias("cand_pairs_sn")
+    )
+    ms = sn.filter(
+        F.levenshtein(F.col("id_a"), F.col("id_b")) <= _ER_MAX_DIST
+    ).select(
+        F.least("id_a", "id_b").alias("__na"),
+        F.greatest("id_a", "id_b").alias("__nb2"),
+    ).localCheckpoint(eager=False)
+    mstats = (
+        mb.agg(F.count(F.lit(1)).cast("long").alias("matched_block"))
+        .crossJoin(
+            ms.agg(F.count(F.lit(1)).cast("long").alias("matched_sn"))
+        )
+        .crossJoin(
+            mb.join(ms, ["__na", "__nb2"]).agg(
+                F.count(F.lit(1)).cast("long").alias("matched_both")
+            )
+        )
+    )
+    total_pairs = F.expr(
+        "CAST((n_records * (n_records - 1)) DIV 2 AS LONG)"
+    )
+    out = nrec.crossJoin(bstats).crossJoin(sncand).crossJoin(mstats)
+    rr = lambda c: F.lit(1.0) - F.col(c).cast("double") / F.nullif(  # noqa: E731
+        total_pairs.cast("double"), F.lit(0.0)
+    )
+    return out.select(
+        "n_records", "n_blocks", "max_block_size",
+        total_pairs.alias("total_pairs"),
+        "cand_pairs_block", "cand_pairs_sn",
+        rr("cand_pairs_block").alias("reduction_ratio_block"),
+        rr("cand_pairs_sn").alias("reduction_ratio_sn"),
+        "matched_block", "matched_sn", "matched_both",
+    )

@@ -257,3 +257,35 @@ def test_score_bin_floor_divides_negatives(spark):
         ).collect()
     ]
     assert bins == [-2, -1, -1, 0, 0, 1]
+
+
+# ---------------------------------------------------------------------------
+# X224 — ER blocking health report identities
+# ---------------------------------------------------------------------------
+
+
+def test_er_blocking_health_identities(spark, sf_dir):
+    from legendary_data_pipeline_spark.queries_analytics import (
+        er_blocking_health_report,
+        er_fuzzy_pairs_part_names,
+        er_sorted_neighborhood,
+    )
+
+    r = er_blocking_health_report(spark, sf_dir).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert r.total_pairs == r.n_records * (r.n_records - 1) // 2
+    assert 0 <= r.cand_pairs_block <= r.total_pairs
+    assert 0 <= r.cand_pairs_sn <= r.total_pairs
+    assert r.max_block_size <= r.n_records
+    assert r.matched_both <= min(r.matched_block, r.matched_sn)
+    # the summary must agree with the per-pair frames it decides over
+    assert r.matched_block == er_fuzzy_pairs_part_names(
+        spark, sf_dir
+    ).count()
+    sn = er_sorted_neighborhood(spark, sf_dir)
+    assert r.cand_pairs_sn == sn.count()
+    assert abs(
+        r.reduction_ratio_block
+        - (1.0 - r.cand_pairs_block / r.total_pairs)
+    ) < 1e-15
