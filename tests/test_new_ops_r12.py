@@ -289,3 +289,45 @@ def test_er_blocking_health_identities(spark, sf_dir):
         r.reduction_ratio_block
         - (1.0 - r.cand_pairs_block / r.total_pairs)
     ) < 1e-15
+
+
+# ---------------------------------------------------------------------------
+# X225 — dedup threshold sensitivity identities
+# ---------------------------------------------------------------------------
+
+
+def test_threshold_sensitivity_identities(spark, sf_dir):
+    from legendary_data_pipeline_spark.queries_llm import (
+        dedup_threshold_sensitivity,
+        dedup_token_savings_report,
+    )
+
+    rows = {
+        r.threshold: r
+        for r in dedup_threshold_sensitivity(spark, sf_dir).collect()
+    }
+    assert set(rows) == {0.5, 0.7, 0.9}
+    for r in rows.values():
+        # keep-one-per-cluster accounting: removals = members − clusters
+        assert r.n_docs_removed == r.n_dup_docs - r.n_clusters
+        assert 0 <= r.bpe_tokens_removed <= r.bpe_tokens_corpus
+    # lower threshold ⇒ superset dup graph ⇒ monotone savings
+    assert (
+        rows[0.5].n_docs_removed
+        >= rows[0.7].n_docs_removed
+        >= rows[0.9].n_docs_removed
+    )
+    assert (
+        rows[0.5].bpe_tokens_removed
+        >= rows[0.7].bpe_tokens_removed
+        >= rows[0.9].bpe_tokens_removed
+    )
+    # the 0.5 row IS the per-source savings report, corpus-aggregated
+    sav = dedup_token_savings_report(spark, sf_dir).collect()
+    assert rows[0.5].n_docs_removed == sum(r.n_docs_removed for r in sav)
+    assert rows[0.5].bpe_tokens_removed == sum(
+        r.bpe_tokens_removed for r in sav
+    )
+    assert rows[0.5].bpe_tokens_corpus == sum(
+        r.bpe_tokens_total for r in sav
+    )
