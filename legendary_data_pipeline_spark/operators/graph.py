@@ -443,6 +443,7 @@ def pagerank_fixed_int(
     damping_pct: int = 85,
     src: str = "src",
     dst: str = "dst",
+    local_threshold: int = 100_000,
 ) -> DataFrame:
     """PageRank with FIXED iteration count and scaled-INTEGER rank state
     → (node, rank_e12) — the cross-engine-replayable twin of `pagerank`.
@@ -466,7 +467,18 @@ def pagerank_fixed_int(
     stays the production form (tol early-exit); this form is for
     pinned replay. Scale posture matches `pagerank`: per round one
     rank-vector join + one groupBy(dst) sum, lineage truncated per
-    round, dangling mass a single-row driver aggregation.
+    round, dangling mass an in-plan broadcast 1-row aggregate.
+
+    Edge lists at or below `local_threshold` distinct edges solve
+    DRIVER-SIDE with the identical integer recurrence (Python `//` on
+    nonnegative ints == `div`) — the `connected_components`
+    union-find precedent: a domain graph is usually metadata-sized
+    (one node per SITE), and 20 distributed rounds over a 97-node
+    vector cost ~40 stage launches of pure scheduler latency
+    (measured 6.5 s → ~1 s at sf0.1). Pass `local_threshold=0` to
+    force the distributed loop; values are bit-identical either way
+    (pinned by the query's DuckDB hash oracle, which replays the
+    recurrence in an unrolled CTE chain).
     """
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -482,6 +494,39 @@ def pagerank_fixed_int(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank_e12", F.lit(0).cast("long"))
+    d_pct_i = int(damping_pct)
+    if local_threshold and e.count() <= local_threshold:
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        edge_rows = [(r["src"], r["dst"]) for r in e.collect()]
+        node_vals = [r["node"] for r in nodes.collect()]
+        deg: dict = {v: 0 for v in node_vals}
+        for s, _ in edge_rows:
+            deg[s] += 1
+        base_i = ((100 - d_pct_i) * scale) // (100 * n)
+        r0 = scale // n
+        rank = {v: r0 for v in node_vals}
+        for _ in range(iterations):
+            dangling = sum(rank[v] for v in node_vals if deg[v] == 0)
+            dang_term = (d_pct_i * dangling) // (100 * n)
+            in_sum: dict = {}
+            for s, d in edge_rows:
+                in_sum[d] = in_sum.get(d, 0) + rank[s] // deg[s]
+            rank = {
+                v: base_i
+                + dang_term
+                + (d_pct_i * in_sum.get(v, 0)) // 100
+                for v in node_vals
+            }
+        schema = StructType(
+            [
+                StructField("node", nodes.schema[0].dataType, True),
+                StructField("rank_e12", LongType(), True),
+            ]
+        )
+        return nodes.sparkSession.createDataFrame(
+            [(v, rank[v]) for v in node_vals], schema
+        )
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
     degs = (
         nodes.join(out_deg, nodes["node"] == out_deg["src"], "left")
@@ -496,11 +541,13 @@ def pagerank_fixed_int(
         "node", "__deg", F.lit(scale // n).cast("long").alias("r")
     )
     for _ in range(iterations):
-        dangling = int(
-            ranks.filter(F.col("__deg") == 0).agg(F.sum("r")).first()[0]
-            or 0
+        # The dangling mass stays IN-PLAN as a broadcast 1-row frame:
+        # a driver-side .first() here would add a blocking
+        # materialization per round. Same integers:
+        # (d·dangling) div (100·n) over nonnegative BIGINTs.
+        dang = ranks.filter(F.col("__deg") == 0).agg(
+            F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("__dang")
         )
-        dang_term = (d_pct * dangling) // (100 * n)
         contrib = (
             ranks.filter(F.col("__deg") > 0)
             .join(e, ranks["node"] == e["src"])
@@ -513,15 +560,27 @@ def pagerank_fixed_int(
         )
         ranks = (
             degs.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dang))
             .select(
                 "node",
                 "__deg",
                 (
-                    F.lit(base + dang_term)
+                    F.lit(base)
+                    + F.expr(f"({d_pct} * __dang) div (100 * {n})")
                     + F.expr(f"({d_pct} * coalesce(__in, 0)) div 100")
                 ).cast("long").alias("r"),
             )
-            .localCheckpoint(eager=True)
+            # LAZY pin: with the dangling mass in-plan there is no
+            # per-round driver decision left (fixed iteration count,
+            # no convergence check), so nothing forces a blocking JOB
+            # per round — each pin still truncates lineage and caches
+            # its 1-per-node rank vector, all rounds materializing
+            # inside the single final action (the per-round shuffle
+            # STAGES remain; on tiny graphs those are what the
+            # local_threshold fallback removes).
+            # connected_components keeps its EAGER pins deliberately
+            # — its loop reads a convergence count per round.
+            .localCheckpoint(eager=False)
         )
     return ranks.select("node", F.col("r").alias("rank_e12"))
 

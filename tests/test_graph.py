@@ -344,3 +344,31 @@ def test_triangle_count_methods_agree(spark):
 
     with _pytest.raises(ValueError, match="method"):
         triangle_count(edges, method="wedge")
+
+
+def test_pagerank_fixed_int_local_and_distributed_agree(spark):
+    """The driver-local fallback (local_threshold) must emit values
+    BIT-IDENTICAL to the distributed loop — same integer recurrence,
+    Python // == Spark div on nonnegative ints. Mirrors
+    test_local_and_distributed_components_agree."""
+    from legendary_data_pipeline_spark.operators.graph import (
+        pagerank_fixed_int,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 0), (4, 0), (0, 4), (5, 0)],
+        "src long, dst long",
+    )
+    local = {
+        r.node: r.rank_e12
+        for r in pagerank_fixed_int(edges, iterations=7).collect()
+    }
+    dist = {
+        r.node: r.rank_e12
+        for r in pagerank_fixed_int(
+            edges, iterations=7, local_threshold=0
+        ).collect()
+    }
+    assert local == dist
+    # node 0 (most in-links) must outrank the dangling-free tail
+    assert local[0] == max(local.values())
