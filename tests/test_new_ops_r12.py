@@ -331,3 +331,69 @@ def test_threshold_sensitivity_identities(spark, sf_dir):
     assert rows[0.5].bpe_tokens_corpus == sum(
         r.bpe_tokens_total for r in sav
     )
+
+
+# ---------------------------------------------------------------------------
+# X226 — ANN recall@k readout
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_recall_readout_identities(spark, sf_dir):
+    import decimal
+
+    from legendary_data_pipeline_spark.queries_llm import (
+        _IVFX_K,
+        sim_ivf_recall_at_k,
+    )
+
+    rows = sim_ivf_recall_at_k(spark, sf_dir).collect()
+    assert rows
+    means = {r.mean_recall_e6 for r in rows}
+    assert len(means) == 1
+    th = sum(r.n_hits for r in rows)
+    expect_mean = int(
+        (
+            decimal.Decimal(th) * 1_000_000
+            / (decimal.Decimal(len(rows)) * _IVFX_K)
+        ).quantize(0, rounding=decimal.ROUND_HALF_UP)
+    )
+    # double rounding vs decimal: one division of exact ints — equal
+    assert means.pop() == expect_mean
+    for r in rows:
+        assert 0 <= r.n_hits <= _IVFX_K
+        assert 0 <= r.recall_e6 <= 1_000_000
+
+
+def test_ivf_recall_perfect_when_probing_all_lists(spark, sf_dir):
+    """Probing every list makes fixed-IVF exhaustive, so recall@k vs
+    global brute force must be exactly 1.0 for every query — the
+    pigeonhole sanity proof of the whole readout's plumbing."""
+    from pyspark.sql import functions as F
+
+    from legendary_data_pipeline_spark.catalog import load_distributed
+    from legendary_data_pipeline_spark.operators import similarity as S
+    from legendary_data_pipeline_spark.queries_llm import (
+        _IVFX_K,
+        _IVFX_NC,
+    )
+
+    emb = load_distributed(spark, sf_dir, "embeddings")
+    qf = F.col("vec_id") % 5 == 0
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk(
+            emb, k=_IVFX_K, query_filter=qf, block_on_label=False
+        ).collect()
+    }
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_fixed_topk(
+            emb,
+            n_centroids=_IVFX_NC,
+            n_probe=_IVFX_NC,
+            k=_IVFX_K,
+            query_filter=qf,
+            scaled_e6=True,
+        ).collect()
+    }
+    assert truth == full
