@@ -482,6 +482,13 @@ def pagerank_fixed_int(
     """
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        # NULL endpoints drop BEFORE the local/distributed branch: the
+        # distributed leg's equi-joins never match NULL anyway, and
+        # without this shared filter the local leg would keep None as
+        # a real node — the same local/distributed divergence
+        # connected_components fixed with its shared isNotNull filter
+        # (r12 code review).
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -535,7 +542,7 @@ def pagerank_fixed_int(
         )
         .localCheckpoint(eager=True)
     )
-    d_pct = int(damping_pct)
+    d_pct = d_pct_i
     base = ((100 - d_pct) * scale) // (100 * n)
     ranks = degs.select(
         "node", "__deg", F.lit(scale // n).cast("long").alias("r")
@@ -566,7 +573,14 @@ def pagerank_fixed_int(
                 "__deg",
                 (
                     F.lit(base)
-                    + F.expr(f"({d_pct} * __dang) div (100 * {n})")
+                    # 100 * n as a BIGINT literal: at n > ~21.5M the
+                    # bare INT product would overflow under ANSI
+                    # (r12 code review) — the removed Python-side
+                    # computation was arbitrary-precision.
+                    + F.expr(
+                        f"({d_pct} * __dang) div "
+                        f"(100 * CAST({n} AS BIGINT))"
+                    )
                     + F.expr(f"({d_pct} * coalesce(__in, 0)) div 100")
                 ).cast("long").alias("r"),
             )

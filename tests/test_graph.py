@@ -355,8 +355,13 @@ def test_pagerank_fixed_int_local_and_distributed_agree(spark):
         pagerank_fixed_int,
     )
 
+    # node 6 is SINK-ONLY (in-links, no out-links) so the dangling-mass
+    # term — the path this round rewrote twice (in-plan broadcast +
+    # local Python) — is nonzero every iteration, not vacuously 0;
+    # a NULL-endpoint edge pins the shared isNotNull drop on both legs
     edges = spark.createDataFrame(
-        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 0), (4, 0), (0, 4), (5, 0)],
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 0), (4, 0), (0, 4), (5, 0),
+         (0, 6), (None, 3), (3, None)],
         "src long, dst long",
     )
     local = {
@@ -370,5 +375,6 @@ def test_pagerank_fixed_int_local_and_distributed_agree(spark):
         ).collect()
     }
     assert local == dist
+    assert None not in local  # NULL endpoints dropped, not a node
     # node 0 (most in-links) must outrank the dangling-free tail
     assert local[0] == max(local.values())

@@ -382,7 +382,11 @@ def test_ivf_recall_perfect_when_probing_all_lists(spark, sf_dir):
     truth = {
         (r.query_id, r.neighbor_id)
         for r in S.cosine_topk(
-            emb, k=_IVFX_K, query_filter=qf, block_on_label=False
+            emb,
+            k=_IVFX_K,
+            query_filter=qf,
+            block_on_label=False,
+            scaled_e6=True,  # the readout's shared ranking key
         ).collect()
     }
     full = {
