@@ -908,3 +908,102 @@ def lsh_probe_pairs(
         .select(new_id, corpus_id)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — MOSS)
+# ---------------------------------------------------------------------------
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    window: int = 4,
+) -> DataFrame:
+    """(id, pos, fp): winnowed document fingerprints — the MOSS
+    algorithm (Schleimer, Wilkerson & Aiken, SIGMOD'03).
+
+    Token k-gram hashes h_1..h_m; in every window of `window`
+    consecutive hashes select the minimum (RIGHTMOST on ties — the
+    paper's robust-winnowing rule), keeping each selected position
+    once. The selection density is 2/(window+1) of the grams, with
+    the GUARANTEE that any shared token run of length >= window+k-1
+    between two documents yields at least one shared fingerprint —
+    unlike MinHash (probabilistic recall) or exact-substring dedup
+    (which keys on full runs, not a sampled subset).
+
+    Pure array expressions per row (slice / array_min / reverse /
+    array_position over the gram-hash array — O(m·window) JVM work,
+    no shuffle, no Python), so the whole selection replays in DuckDB
+    list functions under a hash oracle. Documents with fewer than
+    k + window - 1 tokens (< `window` grams) produce no fingerprints
+    on both engines.
+    """
+    w = int(window)
+    if w < 1 or k < 1:
+        raise ValueError(f"winnow_fingerprints: k={k}, window={w} must be >= 1")
+    base = df.select(
+        F.col(id_col),
+        F.transform(shingles_expr(text_col, k), md5_long).alias("__H"),
+    )
+    nwin = F.size("__H") - F.lit(w - 1)
+    js = F.filter(
+        F.sequence(F.lit(1), F.greatest(nwin, F.lit(1))),
+        lambda j: j <= nwin,
+    )
+
+    def sel(j):
+        s = F.slice(F.col("__H"), j, w)
+        pos_rev = F.array_position(F.reverse(s), F.array_min(s))
+        return (j.cast("long") + (F.lit(w) - pos_rev)).cast("long")
+
+    positions = F.array_distinct(F.transform(js, sel))
+    out = base.select(
+        F.col(id_col), F.col("__H"), F.explode(positions).alias("__p")
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("__p").alias("pos"),
+        F.element_at("__H", F.col("__p").cast("int")).alias("fp"),
+    )
+
+
+def winnow_pairs(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    min_shared: int = 2,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """(id_a, id_b, shared_fps): document pairs sharing >= `min_shared`
+    distinct winnowed fingerprints.
+
+    Candidates come from a fingerprint-keyed bucket join (the banded-
+    LSH shape — never all-pairs); a fingerprint present in more than
+    `max_bucket` documents is dropped first, the standard boilerplate
+    guard (a navigation-chrome gram shared by the whole corpus would
+    otherwise quadratize its bucket while carrying no dup signal).
+    """
+    from pyspark.sql import Window
+
+    d = fps.select(F.col(id_col).alias("__id"), "fp").distinct()
+    # Both self-join sides consume this frame — pin it or each side
+    # replays the fingerprint scan (the r11 standing rule; the r12
+    # scan-budget gate caught exactly this on first registration).
+    sized = (
+        d.withColumn(
+            "__n", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+        )
+        .filter(F.col("__n") <= max_bucket)
+        .localCheckpoint(eager=False)
+    )
+    a = sized.select(F.col("__id").alias("id_a"), "fp")
+    b = sized.select(F.col("__id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+    )

