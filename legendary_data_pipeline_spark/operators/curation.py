@@ -1033,9 +1033,13 @@ def leakage_safe_split(
     verified near-dup pairs), singletons fall back to their own id, and
     `seeded_md5(key) % 100 < val_pct` routes the whole group to val.
 
-    Engine shape (100 TB): `components` holds ONLY docs that belong to
-    some duplicate pair — a small fraction of the corpus — so it rides a
-    broadcast left join; the corpus never shuffles. The split is a pure
+    Engine shape (100 TB): `components` holds every doc that belongs to
+    some duplicate pair — on real web corpora that is 30-50% of the
+    corpus (C4/RefinedWeb/Gopher dedup rates), i.e. data-sized, NOT
+    broadcastable. The component join therefore carries no broadcast
+    hint: the key is the doc id, so AQE broadcasts when the frame is
+    measured small and falls back to a bounded hash shuffle otherwise.
+    The split is a pure
     deterministic function of (data, seed): reruns and engine swaps
     reproduce it bit-for-bit (the DuckDB oracle replays it).
 
@@ -1049,8 +1053,10 @@ def leakage_safe_split(
         F.col(node_col).alias("__n"),
         F.col(component_col).cast(id_type).alias("__c"),
     )
+    # No broadcast hint: comp is data-sized at real dup rates (see
+    # docstring); AQE chooses the strategy from measured size.
     joined = df.join(
-        F.broadcast(comp), df[id_col] == F.col("__n"), "left"
+        comp, df[id_col] == F.col("__n"), "left"
     )
     group = F.coalesce(F.col("__c"), F.col(id_col))
     bucket = seeded_md5_long(group.cast("string"), seed) % 100
