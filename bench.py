@@ -30,12 +30,21 @@ from legendary_data_pipeline_spark.session import get_spark  # noqa: E402
 
 # Round-over-round comparability across driver-gate rotations: the full
 # total changes composition every time the gate rotates, so the artifact
-# itself carries two pinned-subset totals (computed over whatever pinned
-# names are in the current registry — intersection at run time):
-#   pinned_r1: queries timed in EVERY round since the r1 anchor and
-#     still in the gate — the long-horizon "vs baseline" series.
-#   pinned_r6: queries shared with the round-6 gate — the short-horizon
-#     round-over-round series.
+# carries two FROZEN pinned baskets (frozen composition is what makes a
+# series comparable — adding names each round would change what the
+# subtotal measures):
+#   PINNED_R1: queries timed in EVERY round since the r1 anchor — the
+#     long-horizon "vs baseline" series (min-of-3).
+#   PINNED_LEGACY: every query demoted from the gate through round 12,
+#     consolidated (r12 verdict #3 — replaces the per-round pinned_r6..
+#     r11 series, whose per-query numbers live in the BENCH_DETAIL
+#     history). Single-run drift tripwire: one run per query, subtotal
+#     only — single-run noise averages out over the 77-query SUM, and
+#     any unchanged-code regression big enough to matter moves it.
+#     FROZEN at the r12 state: queries demoted in r13+ already have a
+#     green driver row from their gate round plus their BENCH_DETAIL
+#     history; growing this basket would both break its comparability
+#     and grow the bench without bound (the r12 verdict's complaint).
 PINNED_R1 = [
     "a1_approx_scale_variant", "a1_percentile_rollup_180d",
     "corpus_curation_pipeline", "dedup_exact_sha",
@@ -50,33 +59,30 @@ PINNED_R1 = [
     "text_langid", "text_quality_score", "text_token_stats_by_lang",
     "w1_priority_best_of_day", "w5_price_deciles",
 ]
-PINNED_R6 = PINNED_R1 + [
+PINNED_LEGACY = [
+    # joined the pinned series in r6 (the r6 gate's new cohort)
     "a7_grouping_sets", "curation_bloom_cross_corpus",
     "curation_leakage_safe_split", "curation_nb_quality_score",
     "dedup_simhash_pairs", "dq_table_checksum", "e_funnel_conversion",
     "er_fuzzy_pairs_part_names", "sim_ivf_fixed_topk",
     "sk_hll_distinct_users", "sk_theta_audience_overlap",
     "st_mad_outliers",
-]
-PINNED_R7 = PINNED_R6 + [
+    # joined the pinned series in r7 (the r7 gate's new cohort)
     "curation_c4_gates", "curation_c4_span_dedup", "curation_html_extract",
     "gr_copurchase_triangles", "ml_auc_by_segment", "ml_langid_confusion",
     "ret_rrf_fusion", "sk_cms_partkey_freq", "ss_prefix_jaccard_pairs",
     "st_correlation_matrix",
-]
-PINNED_R8 = PINNED_R7 + [
+    # joined the pinned series in r8 (the r8 gate's new cohort)
     "curation_mixture_allocation", "dq_psi_drift_orders_priority",
     "ml_woe_iv", "scd2_user_event_state", "st_gini_order_value",
     "st_kendall_tau_qty_discount", "sv_logrank_user_segments",
     "sv_user_retention_km", "ts_cusum_daily_value", "tx_script_profile",
-]
-PINNED_R9 = PINNED_R8 + [
+    # joined the pinned series in r9 (the r9 gate's new cohort)
     "curation_unigram_surprisal", "dq_benford_order_totals",
     "dq_ks_order_totals_drift", "ml_calibration_bins", "ret_maxsim_topk",
     "st_chi_square_independence", "st_numeric_mi_qty_price",
     "st_spearman_matrix", "ts_twap_event_values", "ts_zscore_anomalies",
-]
-PINNED_R10 = PINNED_R9 + [
+    # joined the pinned series in r10 (the r10 gate's new cohort)
     "an_source_js_divergence", "curation_fineweb_line_signals",
     "curation_gopher_repetition", "curation_semantic_decontamination",
     "curation_token_budget_head", "dq_equal_freq_bins_price",
@@ -85,8 +91,7 @@ PINNED_R10 = PINNED_R9 + [
     "ht_wilcoxon_customer_value_shift", "ret_rbo_exact_vs_lsh",
     "ts_ewma_daily_anomalies", "ts_theil_sen_daily_value",
     "tx_bpe_fertility_by_lang",
-]
-PINNED_R11 = PINNED_R10 + [
+    # joined the pinned series in r11 (the r11 gate's new cohort)
     "curation_decontaminate", "curation_pack_sequences",
     "curation_pii_scrub", "dedup_cluster_components",
     "ht_cliffs_delta_qty_flag", "ht_friedman_daily_event_ranks",
@@ -122,7 +127,9 @@ def main() -> None:
     if only:
         names = sorted(only.split(","))
     else:
-        names = sorted(set(REGISTRY) | set(PINNED_R11))
+        names = sorted(
+            set(REGISTRY) | set(PINNED_R1) | set(PINNED_LEGACY)
+        )
     unknown = [n for n in names if n not in specs]
     if unknown:
         sys.exit(
@@ -249,6 +256,14 @@ def main() -> None:
     timings: dict[str, float] = {}
     anchor_timings: dict[str, float] = {}
     pinned_anchor = set(PINNED_R1)
+    # Round-13 (r12 verdict #3): the timed set is capped — gate +
+    # PINNED_R1 + the frozen PINNED_LEGACY basket. Legacy-only names
+    # (not in the current gate, not in the anchor) get a SINGLE run:
+    # they feed only the pinned_legacy drift-tripwire subtotal, where
+    # single-run noise averages out over the 77-query sum. Gate and
+    # anchor names keep the historical min-of-2 (+ third rep when heavy
+    # or anchor) so their series stay comparable to prior rounds.
+    gate = set(REGISTRY)
     # The FIRST timed query historically absorbs residual JVM/JIT
     # warmup the generic warmups above miss (a1 read 2.1 s leading the
     # r12 full run, 0.95 s warm; r2 saw the same first-slot pattern) —
@@ -259,6 +274,9 @@ def main() -> None:
     for name in names:
         t = run_once(name)
         spark.catalog.clearCache()
+        if not only and name not in gate and name not in pinned_anchor:
+            timings[name] = round(t, 3)  # legacy tripwire: single run
+            continue
         t = min(t, run_once(name))
         third = None
         if name in pinned_anchor or t > THIRD_RUN_THRESHOLD_SEC:
@@ -272,7 +290,16 @@ def main() -> None:
             t_anchor = min(t, third) if third is not None else t
             anchor_timings[name] = round(t_anchor, 3)
 
-    total = round(sum(timings.values()), 3)
+    # Headline total = current gate + the PINNED_R1 anchor basket (the
+    # two min-of-N series); the single-run legacy numbers are kept OUT
+    # of it so the headline stays flat-sized and rep-consistent. An
+    # explicit LDP_BENCH_QUERIES selection is an ad-hoc run: every
+    # requested name gets full reps and counts toward the headline.
+    headline = [
+        n for n in timings
+        if only or n in gate or n in pinned_anchor
+    ]
+    total = round(sum(timings[n] for n in headline), 3)
 
     def _pinned(pin: list[str]) -> dict:
         timed = [n for n in pin if n in timings]
@@ -286,14 +313,25 @@ def main() -> None:
     # cutting the line's HEAD, so the whole line must fit):
     #   - compact separators, 3-digit timings
     #   - the stdout line's per-query map holds the CURRENT GATE only
-    #     (~50 names ≈ 1.8 KB total line; the demoted pinned names are
-    #     timed for the pinned_r* subtotals but their individual numbers
-    #     live in BENCH_DETAIL.json, which carries the FULL map)
+    #     (~50 names ≈ 1.8 KB total line; the pinned/legacy names are
+    #     timed for their subtotals but their individual numbers live
+    #     in BENCH_DETAIL.json, which carries the FULL map)
+    # The "method" field is the machine-readable methodology marker
+    # (r12 advice #3): segment historical BENCH series on it instead of
+    # reading commit comments. Kept to a short version tag so the
+    # stdout line stays inside the driver's 2000-char tail capture.
+    # Legend: "r13" = headline total is gate+anchor only; frozen
+    # pinned_legacy basket timed single-run (subtotal only); r12's
+    # untimed first-query warm-up and anchor min-of-3 isolation
+    # retained. Records without the field are the pre-r13 methodology
+    # (headline = sum of ALL timed queries; per-round pinned_r6..r11
+    # blocks; r1-r11 warm-up history per BENCH file comments).
     payload = {
         "metric": "total_query_sec",
         "value": total,
         "unit": "sec",
         "n_timed": len(timings),
+        "method": "r13",
         "sf": _sf_from_dir(sf_dir),
         "pinned_r1": {
             "n": len([n for n in PINNED_R1 if n in anchor_timings]),
@@ -307,12 +345,7 @@ def main() -> None:
             ),
             "reps": 3,
         },
-        "pinned_r6": _pinned(PINNED_R6),
-        "pinned_r7": _pinned(PINNED_R7),
-        "pinned_r8": _pinned(PINNED_R8),
-        "pinned_r9": _pinned(PINNED_R9),
-        "pinned_r10": _pinned(PINNED_R10),
-        "pinned_r11": _pinned(PINNED_R11),
+        "pinned_legacy": {**_pinned(PINNED_LEGACY), "reps": 1},
         "queries": timings,
     }
     detail_line = json.dumps(payload, separators=(",", ":"))
@@ -320,13 +353,14 @@ def main() -> None:
     stdout_payload["queries"] = {
         n: t for n, t in timings.items() if n in REGISTRY
     }
-    # Round-10: the 50-name gate map plus five pinned blocks outgrew the
-    # 1.9 KB stdout budget (longer r10 query names). The stdout line
-    # keeps only pinned_r1 — the long-horizon vs-baseline series; the
-    # r6-r9 short-horizon series live in BENCH_DETAIL.json's full map.
-    for _k in ("pinned_r6", "pinned_r7", "pinned_r8", "pinned_r9",
-               "pinned_r10", "pinned_r11"):
-        stdout_payload.pop(_k)
+    # reps live in the detail payload; drop them from stdout to keep
+    # the line inside the tail capture.
+    stdout_payload["pinned_r1"] = {
+        k: v for k, v in payload["pinned_r1"].items() if k != "reps"
+    }
+    stdout_payload["pinned_legacy"] = {
+        k: v for k, v in payload["pinned_legacy"].items() if k != "reps"
+    }
     line = json.dumps(stdout_payload, separators=(",", ":"))
     detail_path = os.environ.get(
         "LDP_BENCH_DETAIL",

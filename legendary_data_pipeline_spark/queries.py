@@ -1805,3 +1805,80 @@ for _n in _DEMOTE_R12:
 for _n in _PROMOTE_R12:
     REGISTRY[_n] = SHADOW_REGISTRY.pop(_n)
 del _n, _missing
+
+# ---------------------------------------------------------------------------
+# Round-13 driver-gate rotation (see NOTES.md §Round-13)
+# ---------------------------------------------------------------------------
+# r12 verdict #2: keep the rotation at 20 and drive the never-checked
+# tail to ≤83 (103 entering r13). Same two-band policy: the 8-slot bias
+# band takes the entire r12 operator cohort (X220–X227 — all
+# foreign-cwd oracle-green at sf0.001 AND sf0.01 at the end of r12,
+# NOTES "Round-13 rotation prep"), the 12-slot sweep band cycles the
+# oldest never-checked shadows in first-commit order, family-diverse.
+# Demotions: all 20 r12 promotions — every one earned a full hash-green
+# driver row in CORRECTNESS_r12 on first exposure (re-checked before
+# this rotation committed).
+_DEMOTE_R13 = [
+    "ht_cochran_armitage_status_by_priority",  # sibling: dq_quality_score_psi_by_source (incoming; scored-bucket drift)
+    "sv_nelson_aalen_user_tenure",  # survival family rests this round (KM/logrank/NA all driver-green r12 or earlier)
+    "gr_basket_pair_lift",  # sibling: er_blocking_health_report (incoming; pair-frame consumer)
+    "ml_brier_decomposition",  # sibling: ml_nb_quality_calibration (incoming; calibration readout)
+    "ml_cumulative_gains",  # sibling: ml_nb_quality_calibration (incoming; score-quality readout)
+    "ht_page_trend_daily_event_ranks",  # hypothesis-test family rests (3 driver-green rows in r12)
+    "ht_kendalls_w_daily_event_ranks",  # hypothesis-test family rests
+    "curation_repetition_quality",  # sibling: curation_strip_boilerplate (incoming; doc text gates)
+    "curation_stratified_sample",  # sibling: curation_stratified_take_n (incoming; stratified sampling)
+    "curation_cap_per_source",  # sibling: curation_stratified_take_n (incoming; per-group caps)
+    "curation_vocab_topk",  # sibling: curation_dsir_select (incoming; vocabulary/importance weights)
+    "dedup_keep_canonical",  # sibling: dedup_token_savings_report (incoming; same closure + drop-set plan)
+    "curation_chunk_sequences",  # sibling: curation_pack_composite_shards (incoming; token-budget packing)
+    "dedup_incremental_exact",  # sibling: dedup_strip_substrings (incoming; exact-hash dedup family)
+    "curation_boilerplate_stats",  # sibling: curation_strip_boilerplate (incoming; boilerplate family)
+    "curation_weighted_sample",  # sibling: curation_stratified_take_n (incoming; sampling family)
+    "emb_centroid_outliers",  # sibling: emb_random_projection (incoming; embedding hygiene)
+    "text_bpe_segment",  # sibling: dedup_bpe_ngram_jaccard (incoming; frozen-BPE consumer)
+    "curation_url_dedup",  # sibling: curation_overlap_matrix (incoming; cross-source dedup views)
+    "curation_domain_pagerank",  # sibling: curation_gopher_gates (incoming; domain-level curation)
+]
+_PROMOTE_R13 = [
+    # eight bias-picked (r12 verdict #2): the round-12 operator cohort
+    "dedup_token_savings_report",
+    "dedup_bpe_ngram_jaccard",
+    "ml_nb_quality_calibration",
+    "dq_quality_score_psi_by_source",
+    "er_blocking_health_report",
+    "dedup_threshold_sensitivity",
+    "sim_ivf_recall_at_k",
+    "dedup_winnow_pairs",
+    # twelve-slot sweep band: oldest never-checked shadows,
+    # family-diverse (NOTES.md "Round-13 rotation prep" list)
+    "curation_stratified_take_n",
+    "curation_pack_composite_shards",
+    "curation_contamination_score",
+    "curation_strip_boilerplate",
+    "curation_overlap_matrix",
+    "t4_click_attribution",
+    "curation_dsir_select",
+    "curation_gopher_gates",
+    "dedup_dup_span_stats",
+    "dedup_strip_substrings",
+    "emb_random_projection",
+    "curation_length_winsorize",
+]
+_missing = [
+    _n
+    for _n in (*_DEMOTE_R13, *_PROMOTE_R13)
+    if _n not in REGISTRY and _n not in SHADOW_REGISTRY
+]
+if _missing:
+    raise ImportError(
+        "query registry incomplete during round-13 rotation (missing "
+        f"{_missing}): import legendary_data_pipeline_spark.queries "
+        "FIRST — importing a queries_* submodule directly re-enters "
+        "this module before its registrations finish."
+    )
+for _n in _DEMOTE_R13:
+    SHADOW_REGISTRY[_n] = REGISTRY.pop(_n)
+for _n in _PROMOTE_R13:
+    REGISTRY[_n] = SHADOW_REGISTRY.pop(_n)
+del _n, _missing

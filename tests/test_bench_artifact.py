@@ -29,7 +29,9 @@ def test_stdout_line_fits_driver_tail_capture():
     from legendary_data_pipeline_spark.queries import REGISTRY
 
     bench = _load_bench()
-    names = sorted(set(REGISTRY) | set(bench.PINNED_R10))
+    names = sorted(
+        set(REGISTRY) | set(bench.PINNED_R1) | set(bench.PINNED_LEGACY)
+    )
     # worst-case widths: every timing 3 integer digits + 3 decimals
     timings = {n: 999.999 for n in names}
 
@@ -40,16 +42,18 @@ def test_stdout_line_fits_driver_tail_capture():
             "total_sec": round(sum(timings[n] for n in timed), 3),
         }
 
-    # Mirror bench.main's stdout payload: pinned_r1 only (the r6-r9
-    # short-horizon series moved to BENCH_DETAIL.json in round 10 when
-    # the five-block line outgrew the tail capture).
+    # Mirror bench.main's stdout payload (r13 shape): pinned_r1 +
+    # pinned_legacy blocks + the methodology marker; per-query map holds
+    # the current gate only (full map lives in BENCH_DETAIL.json).
     payload = {
         "metric": "total_query_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "n_timed": len(timings),
+        "method": "r13",
         "sf": 0.1,
         "pinned_r1": pinned(bench.PINNED_R1),
+        "pinned_legacy": pinned(bench.PINNED_LEGACY),
         "queries": {n: t for n, t in timings.items() if n in REGISTRY},
     }
     line = json.dumps(payload, separators=(",", ":"))
@@ -69,5 +73,6 @@ def test_pinned_names_resolve_in_some_registry():
 
     bench = _load_bench()
     known = set(REGISTRY) | set(SHADOW_REGISTRY)
-    missing = [n for n in bench.PINNED_R10 if n not in known]
+    pinned = set(bench.PINNED_R1) | set(bench.PINNED_LEGACY)
+    missing = [n for n in pinned if n not in known]
     assert not missing, f"pinned bench names missing from registries: {missing}"
