@@ -927,7 +927,12 @@ def winnow_fingerprints(
 
     Token k-gram hashes h_1..h_m; in every window of `window`
     consecutive hashes select the minimum (RIGHTMOST on ties — the
-    paper's robust-winnowing rule), keeping each selected position
+    paper's standard-winnowing tie rule; the paper's separate "robust"
+    variant additionally prefers the hash already selected in the
+    previous window on ties, trading this rule's statelessness for a
+    slightly lower fingerprint density — not implemented here because
+    the per-row array expressions, and the DuckDB oracle that replays
+    them, stay stateless), keeping each selected position
     once. The selection density is 2/(window+1) of the grams, with
     the GUARANTEE that any shared token run of length >= window+k-1
     between two documents yields at least one shared fingerprint —

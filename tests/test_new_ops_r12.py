@@ -504,4 +504,5 @@ def test_winnow_density_and_bucket_guard(spark, sf_dir):
         nwin = r.m - 3
         assert 1 <= r.n <= max(nwin, 1)  # at most one pick per window
     # max_bucket=1 drops every shared fingerprint → no pairs survive
-    assert winnow_pairs(fps, min_shared=1, max_bucket=1).count() >= 0
+    # (a fingerprint held by 2+ docs always exceeds the bucket cap)
+    assert winnow_pairs(fps, min_shared=1, max_bucket=1).count() == 0
