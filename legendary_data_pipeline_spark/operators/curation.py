@@ -536,7 +536,11 @@ def boilerplate_span_stats(
     id. The span frame is built once and reused for both sides of the
     flag join, whose key is again the uniform span_hash.
     """
-    spans = span_frame(df, id_col, text_col, span_tokens)
+    # Pin the span frame (it feeds the frequency table AND the flag
+    # join — exchange reuse is not a scan guarantee, r11 lesson).
+    spans = span_frame(df, id_col, text_col, span_tokens).localCheckpoint(
+        eager=False
+    )
     freq = spans.groupBy("span_hash").agg(
         F.count_distinct(F.col(id_col)).alias("__docs")
     )
@@ -587,7 +591,12 @@ def strip_boilerplate(
     row (array_sort on the struct — span counts are document-sized, not
     corpus-sized).
     """
-    spans = span_frame(df, id_col, text_col, span_tokens)
+    # Pin the span frame: it feeds both the corpus-level frequency
+    # table and the survivor anti-join; unpinned, each consumer
+    # replays the tokenize+span scan (r13 audit: 3 corpus scans).
+    spans = span_frame(df, id_col, text_col, span_tokens).localCheckpoint(
+        eager=False
+    )
     freq = spans.groupBy("span_hash").agg(
         F.count_distinct(F.col(id_col)).alias("__docs")
     )
@@ -760,6 +769,7 @@ def gopher_gates(
     max_symbol_ratio: float = 0.1,
     min_alpha_word_frac: float = 0.8,
     min_stopwords: int = 2,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """The document-level Gopher quality rules (Rae et al. 2021 §A1.1)
     in one pass: word-count bounds, mean word length bounds,
@@ -818,6 +828,10 @@ def gopher_gates(
         ellipsis_ratio.alias("ellipsis_ratio"),
         alpha_frac.alias("alpha_word_frac"),
         n_stop.cast("long").alias("n_stopwords"),
+        # keep_cols: pass-through columns so downstream gate stages can
+        # FUSE into this projection (one corpus scan) instead of
+        # re-scanning and joining per gate — additive, default empty.
+        *[F.col(c) for c in keep_cols],
     )
     rules = {
         "pass_word_count": (F.col("n_words") >= min_words)
@@ -920,9 +934,12 @@ def temperature_mix(
     global token totals — stratum-cardinality frames), broadcast back;
     the gate itself is a pure column expression. No data-sized shuffle.
     """
+    # Pin the stratum totals (stratum-cardinality — KiB-scale): they
+    # feed both the normalizer agg and the rate projection; unpinned,
+    # each consumer replays the corpus scan (r13 audit: 3 scans).
     nd = df.groupBy(stratum_col).agg(
         F.sum(F.col(tokens_col)).cast("double").alias("__nd")
-    )
+    ).localCheckpoint(eager=False)
     z = nd.agg(
         F.sum(F.pow("__nd", F.lit(float(alpha)))).alias("__z"),
         F.sum("__nd").alias("__n_total"),
@@ -1085,6 +1102,7 @@ def c4_gates(
     min_line_words: int = 5,
     min_sentences: int = 3,
     bad_words: tuple[str, ...] = (),
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """The C4 cleaning recipe's line and page rules (Raffel et al. 2020
     §2.2 — the other canonical public filter set next to the Gopher
@@ -1143,6 +1161,9 @@ def c4_gates(
         F.col("clean_text"),
         F.length("clean_text").cast("long").alias("clean_len"),
         F.col(text_col).alias("__text"),
+        # keep_cols: pass-through so upstream gate signals survive this
+        # projection and a multi-gate funnel stays one corpus scan.
+        *[F.col(c) for c in keep_cols],
     )
     rules: dict[str, Column] = {
         "pass_min_sentences": F.col("n_sentences") >= min_sentences,
@@ -1160,6 +1181,82 @@ def c4_gates(
         out = out.withColumn(name, cond)
         keep = keep & cond
     return out.withColumn("c4_keep", keep).drop("__text")
+
+
+def gate_funnel_report(
+    df: DataFrame,
+    stages: list[tuple[str, Column]],
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Sequential gate-attrition funnel: apply `stages` (ordered
+    ``(name, keep_condition)`` pairs over `df`'s rows) cumulatively and
+    report, per stage, how many rows (and optionally how much `weight`
+    — e.g. tokens, the unit a training budget consumes) enter, drop,
+    and survive. This is the pipeline-health readout a curation run
+    publishes after every gate change: WHERE the corpus is lost, in
+    both document and token units, stage by stage.
+
+    Engine shape (100 TB): all stage conditions are evaluated in ONE
+    aggregation over a single pass of `df` (each stage's cumulative
+    conjunction is a map-side-combinable indicator sum), then the
+    single 1-row result unpivots with `stack` — no per-stage scan, no
+    join, no shuffle beyond the one partial-agg fan-in. NULL conditions
+    count as drops (a gate that cannot evaluate must not pass a doc).
+
+    Returns one row per stage: ``stage_idx``, ``stage``, ``docs_in``,
+    ``docs_dropped``, ``docs_out`` (+ ``tokens_in/dropped/out`` when
+    `weight_col` is given) and IEEE survival fractions of the exact
+    long counts — bit-reproducible across engines.
+    """
+    if not stages:
+        raise ValueError("gate_funnel_report needs at least one stage")
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n0")]
+    cum = F.lit(True)
+    cums: list[Column] = []
+    for i, (_, cond) in enumerate(stages, 1):
+        cum = cum & F.coalesce(cond, F.lit(False))
+        cums.append(cum)
+        aggs.append(F.sum(cum.cast("long")).cast("long").alias(f"__n{i}"))
+    if weight_col is not None:
+        w = F.col(weight_col).cast("long")
+        aggs.append(F.sum(w).cast("long").alias("__t0"))
+        for i, c in enumerate(cums, 1):
+            aggs.append(
+                F.sum(F.when(c, w).otherwise(F.lit(0)))
+                .cast("long")
+                .alias(f"__t{i}")
+            )
+    row = df.agg(*aggs)
+    groups = []
+    for i, (name, _) in enumerate(stages, 1):
+        g = [
+            f"CAST({i} AS BIGINT)",
+            f"'{name}'",
+            f"__n{i - 1}",
+            f"__n{i - 1} - __n{i}",
+            f"__n{i}",
+        ]
+        if weight_col is not None:
+            g += [f"__t{i - 1}", f"__t{i - 1} - __t{i}", f"__t{i}"]
+        groups.append(", ".join(g))
+    cols = "stage_idx, stage, docs_in, docs_dropped, docs_out"
+    if weight_col is not None:
+        cols += ", tokens_in, tokens_dropped, tokens_out"
+    stacked = row.selectExpr(
+        f"stack({len(stages)}, {', '.join(groups)}) AS ({cols})"
+    )
+    out = stacked.withColumn(
+        "doc_survival_frac",
+        F.col("docs_out").cast("double")
+        / F.nullif(F.col("docs_in").cast("double"), F.lit(0.0)),
+    )
+    if weight_col is not None:
+        out = out.withColumn(
+            "token_survival_frac",
+            F.col("tokens_out").cast("double")
+            / F.nullif(F.col("tokens_in").cast("double"), F.lit(0.0)),
+        )
+    return out
 
 
 def c4_span_stats(

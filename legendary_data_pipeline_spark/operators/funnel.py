@@ -142,10 +142,16 @@ def retention_cohorts(
     """
     # Integer DIV, not float division: epoch nanos (~1.7e18) exceed a
     # double's 53-bit mantissa, so `/` would misplace day boundaries.
+    # Pin the distinct (user, day) frame: it feeds the cohort agg AND
+    # the activity join, and cohort itself fans out to sizes + the
+    # retained-count join — unpinned, every consumer chain replays the
+    # events scan (r13 registry-wide audit: 3 scans). The pin is the
+    # activity footprint (users × active days), far smaller than the
+    # event log it derives from.
     days = events.select(
         user_col,
         F.expr(f"{ts_col} DIV {NANOS_PER_DAY}").alias("__day"),
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     cohort = days.groupBy(user_col).agg(F.min("__day").alias("__c"))
     activity = days.join(cohort, user_col).select(
         user_col, "__c", (F.col("__day") - F.col("__c")).alias("__k")

@@ -88,7 +88,14 @@ def duplicated_spans(
     covered token runs overlap OR abut merge into one span, so each
     span is a maximal contiguous run of duplicated tokens.
     """
-    grams = positioned_gram_frame(df, id_col, text_col, n)
+    # Pin the positioned-gram frame: it feeds BOTH the corpus-frequency
+    # count and the duplicated-position join, and exchange reuse is not
+    # a scan-multiplicity guarantee (r11 standing lesson) — unpinned,
+    # each consumer replays the tokenize+shingle+md5 scan (the r13
+    # registry-wide audit measured 3 corpus scans here).
+    grams = positioned_gram_frame(df, id_col, text_col, n).localCheckpoint(
+        eager=False
+    )
     freq = (
         grams.groupBy("gram_hash")
         .agg(F.count(F.lit(1)).alias("__cnt"))

@@ -495,11 +495,15 @@ def ngram_novelty(
     """
     from legendary_data_pipeline_spark.operators.dedup import shingles_expr
 
+    # Pin the distinct (doc, shingle) frame: it feeds the document-
+    # frequency count AND the join-back — unpinned, each consumer
+    # replays the explode+distinct corpus scan (r13 audit: 3 scans).
     pairs = (
         df.select(
             F.col(id_col), F.explode(shingles_expr(text_col, shingle_n)).alias("__s")
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     dfreq = pairs.groupBy("__s").agg(
         F.count(F.lit(1)).cast("long").alias("__df")

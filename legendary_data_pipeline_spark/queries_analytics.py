@@ -2946,7 +2946,11 @@ def an_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revalue job implies (it recomputes a table the pipeline also "
     "builds). ONE key shuffle; per-column compare is a projection. At "
     "100 TB diff per-partition checksums first and full-outer only "
-    "disagreeing partitions.",
+    "disagreeing partitions. Budget 3 by contract (r13 sweep): the "
+    "FIXTURE synthesizes left, the changed slice, and the inserted "
+    "slice from the same table (3 pruned 4-column reads); production "
+    "use diffs two distinct tables — 2 scans.",
+    scan_budget=3,
 )
 def dq_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from legendary_data_pipeline_spark.operators.profiling import table_diff

@@ -923,7 +923,12 @@ _SCORE_THRESHOLD = 0.05
     f"distinct word-{_SCORE_N}-grams found anywhere in the benchmark "
     "slice (source='src0') — the tunable dial the binary "
     "one-shared-shingle rule lacks. Benchmark shingles broadcast; hit "
-    "counting is one map-side-combinable groupBy on the doc id.",
+    "counting is one map-side-combinable groupBy on the doc id. "
+    "Budget 3 by contract (the curation_decontaminate disposition, "
+    "r13 sweep): benchmark slice + training shingle probe + the "
+    "output left join each read the table once — pinning would "
+    "materialize the corpus, strictly worse at 100 TB.",
+    scan_budget=3,
 )
 def curation_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -2178,6 +2183,172 @@ def curation_c4_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def curation_c4_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return C.c4_span_stats(_c4_enriched(docs))
+
+
+# ---------------------------------------------------------------------------
+# X228 — gate-attrition funnel report (operators/curation.gate_funnel_report)
+# ---------------------------------------------------------------------------
+
+#: Funnel fixture text: the c4 enrichment plus deterministic PII
+#: suffixes on a doc_id grid, so the third stage has real work (the
+#: fixture corpus is PII-free; same convention as curation_pii_scrub).
+_FUNNEL_ENRICH_SQL = f"""
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 15 = 0
+                 THEN ' call 555-123-4567' ELSE '' END
+           AS text
+  FROM ({_C4_ENRICH_SQL})
+"""
+
+
+def _funnel_enriched(docs: DataFrame) -> DataFrame:
+    e = _c4_enriched(docs)
+    did = F.col("doc_id")
+    email = F.when(
+        did % 5 == 0,
+        F.concat(
+            F.lit(" contact user"), did.cast("string"), F.lit("@example.com")
+        ),
+    ).otherwise("")
+    phone = F.when(did % 15 == 0, F.lit(" call 555-123-4567")).otherwise("")
+    return e.select(
+        "doc_id", F.concat(F.col("text"), email, phone).alias("text")
+    )
+
+
+_FUNNEL_STAGE_COLS = (
+    "docs_in, docs_dropped, docs_out, tokens_in, tokens_dropped, "
+    "tokens_out, doc_survival_frac, token_survival_frac"
+)
+
+
+def _funnel_stage_sql(idx: int, name: str) -> str:
+    i, o = f"n{idx - 1}", f"n{idx}"
+    ti, to = f"t{idx - 1}", f"t{idx}"
+    return f"""
+    SELECT CAST({idx} AS BIGINT) AS stage_idx, '{name}' AS stage,
+           {i} AS docs_in, {i} - {o} AS docs_dropped, {o} AS docs_out,
+           {ti} AS tokens_in, {ti} - {to} AS tokens_dropped,
+           {to} AS tokens_out,
+           CAST({o} AS DOUBLE) / nullif(CAST({i} AS DOUBLE), 0.0)
+             AS doc_survival_frac,
+           CAST({to} AS DOUBLE) / nullif(CAST({ti} AS DOUBLE), 0.0)
+             AS token_survival_frac
+    FROM agg"""
+
+
+@register_shadow(
+    "curation_gate_funnel",
+    f"""
+    WITH enriched AS ({_FUNNEL_ENRICH_SQL}),
+    toks AS (
+      SELECT doc_id, list_filter({_TOKS}, __w -> __w <> '') AS t
+      FROM enriched),
+    gsig AS (
+      SELECT e.doc_id,
+             CAST(len(t) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(t, __w -> length(__w)))
+                  AS DOUBLE) / nullif(len(t), 0) AS mean_word_len,
+             CAST(len(regexp_extract_all(e.text, '#'))
+                  AS DOUBLE) / nullif(len(t), 0) AS hash_ratio,
+             CAST(len(regexp_extract_all(e.text, '\\.\\.\\.|…'))
+                  AS DOUBLE) / nullif(len(t), 0) AS ellipsis_ratio,
+             CAST(len(list_filter(t, __w -> regexp_matches(__w, '[A-Za-z]')))
+                  AS DOUBLE) / nullif(len(t), 0) AS alpha_word_frac,
+             len(list_filter(t, __w -> list_contains(
+                 {list(C.GOPHER_STOPWORDS)!r}, lower(__w)))) AS n_stopwords
+      FROM toks JOIN enriched e USING (doc_id)),
+    gk AS (
+      SELECT doc_id, n_words,
+             COALESCE(n_words >= 50 AND n_words <= 100000, FALSE)
+             AND COALESCE(mean_word_len >= 3.0 AND mean_word_len <= 10.0,
+                          FALSE)
+             AND COALESCE(hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1,
+                          FALSE)
+             AND COALESCE(alpha_word_frac >= 0.8, FALSE)
+             AND COALESCE(n_stopwords >= 2, FALSE) AS g
+      FROM gsig),
+    ck AS (
+      SELECT doc_id,
+             COALESCE(len({_C4_SENTS_SQL.format(
+                 src="array_to_string(__kept, chr(10))")}) >= 3, FALSE)
+             AND COALESCE(NOT contains(text, '{{'), FALSE)
+             AND COALESCE(NOT contains(lower(text), 'lorem ipsum'), FALSE)
+               AS c
+      FROM (
+        SELECT doc_id, text,
+               list_filter(string_split(text, chr(10)), __l ->
+                   regexp_matches(trim(__l), '[.!?"”]$')
+                   AND len(regexp_split_to_array(trim(__l), '\\s+')) >= 5
+                   AND NOT contains(lower(trim(__l)), 'javascript'))
+                 AS __kept
+        FROM enriched)),
+    pk AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '{C.EMAIL_RE}'))
+             + len(regexp_extract_all(text, '{C.PHONE_RE}'))
+             + len(regexp_extract_all(text, '{C.IPV4_RE}')) = 0 AS p
+      FROM enriched),
+    per AS (
+      SELECT gk.doc_id, gk.n_words,
+             gk.g AS s1, gk.g AND ck.c AS s2, gk.g AND ck.c AND pk.p AS s3
+      FROM gk JOIN ck USING (doc_id) JOIN pk USING (doc_id)),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+             CAST(SUM(n_words) AS BIGINT) AS t0,
+             CAST(SUM(CASE WHEN s1 THEN n_words ELSE 0 END) AS BIGINT)
+               AS t1,
+             CAST(SUM(CASE WHEN s2 THEN n_words ELSE 0 END) AS BIGINT)
+               AS t2,
+             CAST(SUM(CASE WHEN s3 THEN n_words ELSE 0 END) AS BIGINT)
+               AS t3
+      FROM per)
+    {_funnel_stage_sql(1, "gopher_quality")}
+    UNION ALL {_funnel_stage_sql(2, "c4_rules")}
+    UNION ALL {_funnel_stage_sql(3, "pii_screen")}
+    """,
+    doc="X228 gate-attrition funnel: the per-stage doc AND token "
+    "survival readout a curation pipeline publishes after every gate "
+    "change — gopher document-quality rules, then the C4 line/page "
+    "rules, then a PII screen, applied cumulatively in THAT order. "
+    "Composes gopher_gates + c4_gates (fused into one projection via "
+    "their keep_cols pass-through) + pii_counts into "
+    "gate_funnel_report: every stage condition is an indicator sum in "
+    "ONE aggregation over ONE corpus scan, unpivoted with stack — no "
+    "per-stage scan, no join. Token units ride the gopher n_words "
+    "count; survival fractions are IEEE divisions of exact longs. "
+    "Deterministic PII suffixes are injected on a doc_id grid (the "
+    "fixture is PII-free), mirroring curation_pii_scrub's convention.",
+    scan_budget=1,
+)
+def curation_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    enriched = _funnel_enriched(docs)
+    g = C.gopher_gates(enriched, keep_cols=("text",))
+    c = C.c4_gates(g, keep_cols=("gopher_keep", "n_words", "text"))
+    pii = C.pii_counts(F.col("text"))
+    per = c.select(
+        "n_words",
+        F.col("gopher_keep").alias("__g"),
+        F.col("c4_keep").alias("__c"),
+        ((pii["emails"] + pii["phones"] + pii["ipv4s"]) == 0).alias("__p"),
+    )
+    return C.gate_funnel_report(
+        per,
+        [
+            ("gopher_quality", F.col("__g")),
+            ("c4_rules", F.col("__c")),
+            ("pii_screen", F.col("__p")),
+        ],
+        weight_col="n_words",
+    )
 
 
 # ---------------------------------------------------------------------------

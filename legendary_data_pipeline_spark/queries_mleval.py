@@ -397,7 +397,11 @@ _GAIN_CASE, _IDEAL_CASE = _ndcg_case_sql()
     "sum in exact decimal arithmetic (order-independent); the single "
     "double division is the only float op. IDCG normalizes by "
     "min(corpus relevant count, 10); queries whose label is unique "
-    "report NULL.",
+    "report NULL. Budget 3 by contract (r13 sweep, the "
+    "ret_precision_recall_at_10 disposition): corpus side + query "
+    "side + the label-count side each read embeddings once — pinning "
+    "the vector frame would materialize the corpus.",
+    scan_budget=3,
 )
 def ret_ndcg_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_distributed(spark, sf_dir, "embeddings")
