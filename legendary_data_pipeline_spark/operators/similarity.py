@@ -1105,6 +1105,78 @@ def ivf_fixed_topk(
     ).select("query_id", "neighbor_id", "rank", sim_col)
 
 
+def ivf_fixed_list_profile(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+) -> DataFrame:
+    """Inverted-list balance profile for the fixed-codebook IVF index:
+    per centroid, its list size, its e6-scaled share of the corpus,
+    and its load factor (list_size x n_centroids / N — 1e6 means
+    perfectly balanced). THE health check before trusting IVF probe
+    latencies: a few overloaded lists mean every probe that routes to
+    them scans a disproportionate corpus slice, and n_probe tuning
+    fights the imbalance instead of the recall target. Empty lists
+    appear with list_size 0 (dead centroids are themselves a finding).
+
+    Same assignment arithmetic as `ivf_fixed_topk` (sequential-fold
+    distances, min-distance/ties-to-smallest-cid routing), so the
+    whole readout replays in DuckDB under a hash oracle. Plan: one
+    corpus scan, broadcast n_centroids-row codebook, per-vector top-1
+    window, then centroid-cardinality aggregation.
+    """
+    base = embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("vec")
+    ).localCheckpoint(eager=False)
+    cents = base.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
+    )
+    xx = F.aggregate(F.col("vec"), F.lit(0.0), lambda a, x: a + x * x)
+    cc = F.aggregate(F.col("cvec"), F.lit(0.0), lambda a, x: a + x * x)
+    dot = F.aggregate(
+        F.zip_with(F.col("vec"), F.col("cvec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    d2 = xx + cc - F.lit(2.0) * dot
+    w = Window.partitionBy("vec_id").orderBy(d2.asc(), F.col("cid").asc())
+    assigned = (
+        base.crossJoin(F.broadcast(cents))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("vec_id", "cid")
+    )
+    sizes = assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("list_size")
+    )
+    full = (
+        cents.select("cid")
+        .join(sizes, "cid", "left")
+        .select(
+            "cid",
+            F.coalesce("list_size", F.lit(0)).cast("long").alias(
+                "list_size"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = full.agg(F.sum("list_size").cast("long").alias("__n"))
+    return full.crossJoin(F.broadcast(tot)).select(
+        "cid",
+        "list_size",
+        F.round(
+            F.col("list_size").cast("double")
+            / F.col("__n").cast("double")
+            * F.lit(1e6)
+        ).cast("long").alias("share_e6"),
+        F.round(
+            F.col("list_size").cast("double")
+            * F.lit(float(n_centroids))
+            / F.col("__n").cast("double")
+            * F.lit(1e6)
+        ).cast("long").alias("load_factor_e6"),
+    )
+
+
 def semdedup_fixed(
     embeddings: DataFrame,
     n_centroids: int = 16,

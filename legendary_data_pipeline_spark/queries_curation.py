@@ -543,6 +543,84 @@ def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# X233 — packing-efficiency report (wasted training compute per shard)
+# ---------------------------------------------------------------------------
+
+
+@register_shadow(
+    "curation_pack_efficiency",
+    f"""
+    WITH t AS (
+      SELECT lang, doc_id, len({_TOKS}) AS n_tokens FROM documents),
+    c AS (
+      SELECT lang, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+      FROM t),
+    packs AS (
+      SELECT lang,
+             CAST(FLOOR((cum - n_tokens) / {_PACK_BUDGET}.0) AS BIGINT)
+               AS pack_id,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+      FROM c GROUP BY lang, pack_id)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_packs,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(pack_tokens) AS BIGINT) AS tokens_total,
+           CAST(round(CAST(SUM(pack_tokens) AS DOUBLE)
+                      / (CAST(COUNT(*) AS DOUBLE) * {_PACK_BUDGET}.0)
+                      * 1e6) AS BIGINT) AS fill_mean_e6,
+           CAST(SUM(CASE WHEN pack_tokens > {_PACK_BUDGET}
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_overflow_packs,
+           CAST(SUM(CASE WHEN pack_tokens < {_PACK_BUDGET}
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_underfull_packs,
+           CAST(MIN(pack_tokens) AS BIGINT) AS min_pack_tokens,
+           CAST(MAX(pack_tokens) AS BIGINT) AS max_pack_tokens
+    FROM packs GROUP BY lang
+    """,
+    doc="X233 packing-efficiency report: per shard, how well the "
+    f"concat-then-chunk packer fills its {_PACK_BUDGET}-token budget — "
+    "pack count, mean fill (e6; under 1e6 = padding waste, the "
+    "training compute a sequence batch burns on pad tokens), overflow "
+    "vs underfull pack counts, and the extreme pack sizes. The dial "
+    "that decides between plain packing and the chunk_sequences "
+    "splitter. Composes pack_sequences; the rollup is two "
+    "map-side-combinable aggregations above the one shard-partitioned "
+    "cumulative-sum window — one corpus scan, no extra shuffle beyond "
+    "the packer's own.",
+)
+def curation_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    packed = C.pack_sequences(docs, budget_tokens=_PACK_BUDGET)
+    packs = packed.groupBy("lang", "pack_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("n_tokens").cast("long")).cast("long").alias(
+            "pack_tokens"
+        ),
+    )
+    return packs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_packs"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("pack_tokens").cast("long").alias("tokens_total"),
+        F.round(
+            F.sum("pack_tokens").cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(float(_PACK_BUDGET)))
+            * F.lit(1e6)
+        ).cast("long").alias("fill_mean_e6"),
+        F.sum(
+            (F.col("pack_tokens") > F.lit(_PACK_BUDGET)).cast("long")
+        ).cast("long").alias("n_overflow_packs"),
+        F.sum(
+            (F.col("pack_tokens") < F.lit(_PACK_BUDGET)).cast("long")
+        ).cast("long").alias("n_underfull_packs"),
+        F.min("pack_tokens").cast("long").alias("min_pack_tokens"),
+        F.max("pack_tokens").cast("long").alias("max_pack_tokens"),
+    )
+
+
 _PACK_SHARD_BUCKETS = 8
 _PACK_SHARD_SEED = 7
 
@@ -1842,6 +1920,131 @@ def curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "n_tokens",
         F.round(F.col("rate") * F.lit(1e6)).cast("long").alias("rate_e6"),
         "keep",
+    )
+
+
+# ---------------------------------------------------------------------------
+# X231 — temperature-mix bias report: realized vs target token shares
+# ---------------------------------------------------------------------------
+
+
+@register_shadow(
+    "curation_mix_bias_report",
+    f"""
+    WITH base AS (
+      SELECT doc_id, lang, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents),
+    nd AS (
+      SELECT lang, CAST(SUM(n_tokens) AS DOUBLE) AS nd FROM base GROUP BY lang),
+    z AS (
+      SELECT SUM(pow(nd, {_MIX_ALPHA!r})) AS z, SUM(nd) AS n_total FROM nd),
+    rates AS (
+      SELECT lang, nd,
+             pow(nd, {_MIX_ALPHA!r}) / z AS target_share,
+             least(1.0, {_MIX_BUDGET!r} * n_total * pow(nd, {_MIX_ALPHA!r})
+                        / z / nd) AS rate
+      FROM nd CROSS JOIN z),
+    gated AS (
+      SELECT b.lang, b.n_tokens,
+             ({seeded_md5_long_sql('CAST(b.doc_id AS VARCHAR)', _MIX_SEED)}
+              % 10000) < CAST(round(r.rate * 10000, 0) AS BIGINT) AS keep
+      FROM base b JOIN rates r USING (lang)),
+    per AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS docs_corpus,
+             CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_kept,
+             CAST(SUM(n_tokens) AS BIGINT) AS tokens_corpus,
+             CAST(SUM(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT)
+               AS tokens_kept
+      FROM gated GROUP BY lang),
+    tot AS (
+      SELECT CAST(SUM(tokens_corpus) AS BIGINT) AS tc,
+             CAST(SUM(tokens_kept) AS BIGINT) AS tk
+      FROM per)
+    SELECT p.lang, p.docs_corpus, p.docs_kept, p.tokens_corpus,
+           p.tokens_kept,
+           CAST(round(round(r.rate, 6) * 1e6) AS BIGINT) AS rate_e6,
+           CAST(round(CAST(p.tokens_corpus AS DOUBLE)
+                      / CAST(t.tc AS DOUBLE) * 1e6) AS BIGINT)
+             AS share_corpus_e6,
+           CAST(round(r.target_share * 1e6) AS BIGINT) AS target_share_e6,
+           CAST(round(CAST(p.tokens_kept AS DOUBLE)
+                      / CAST(t.tk AS DOUBLE) * 1e6) AS BIGINT)
+             AS share_kept_e6
+    FROM per p JOIN rates r USING (lang) CROSS JOIN tot t
+    """,
+    doc="X231 mix-bias audit: did the temperature-mix gate REALIZE its "
+    "target shares? Per language: corpus vs kept doc/token counts, the "
+    "derived keep rate, and three e6-scaled token shares — raw corpus "
+    "share, the temperature target n_d^alpha/Z, and the share the "
+    "seeded gate actually kept. The post-sampling check a mixing "
+    "change ships with: a gap between target_share and share_kept "
+    "localizes hash-gate quantization or capped-rate (rate=1) "
+    "saturation per stratum. Composes temperature_mix; past the gate "
+    "everything is stratum-cardinality aggregation. e6 emission for "
+    "the libm-pow-derived quantities (round-9 convention).",
+)
+def curation_mix_bias_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.dedup import tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokens_expr("text")).cast("long").alias("n_tokens"),
+    )
+    out = C.temperature_mix(
+        sized, alpha=_MIX_ALPHA, budget_frac=_MIX_BUDGET, seed=_MIX_SEED
+    )
+    per = out.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("docs_corpus"),
+        F.sum(F.col("keep").cast("long")).cast("long").alias("docs_kept"),
+        F.sum("n_tokens").cast("long").alias("tokens_corpus"),
+        F.sum(F.when(F.col("keep"), F.col("n_tokens")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("tokens_kept"),
+        # rate is constant per stratum (a pure function of lang) —
+        # carry it through the agg instead of re-joining the rate frame
+        F.max(F.round(F.col("rate") * F.lit(1e6)).cast("long")).alias(
+            "rate_e6"
+        ),
+    ).localCheckpoint(eager=False)
+    tot = per.agg(
+        F.sum("tokens_corpus").cast("long").alias("__tc"),
+        F.sum("tokens_kept").cast("long").alias("__tk"),
+    )
+    nd = F.col("tokens_corpus").cast("double")
+    powed = per.select(
+        "*", F.pow(nd, F.lit(float(_MIX_ALPHA))).alias("__pow")
+    ).localCheckpoint(eager=False)
+    z = powed.agg(F.sum("__pow").alias("__z"))
+    return (
+        powed.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(z))
+        .select(
+            "lang",
+            "docs_corpus",
+            "docs_kept",
+            "tokens_corpus",
+            "tokens_kept",
+            "rate_e6",
+            F.round(
+                F.col("tokens_corpus").cast("double")
+                / F.col("__tc").cast("double")
+                * F.lit(1e6)
+            ).cast("long").alias("share_corpus_e6"),
+            F.round(F.col("__pow") / F.col("__z") * F.lit(1e6))
+            .cast("long")
+            .alias("target_share_e6"),
+            F.round(
+                F.col("tokens_kept").cast("double")
+                / F.col("__tk").cast("double")
+                * F.lit(1e6)
+            ).cast("long").alias("share_kept_e6"),
+        )
     )
 
 
