@@ -1882,3 +1882,45 @@ for _n in _DEMOTE_R13:
 for _n in _PROMOTE_R13:
     REGISTRY[_n] = SHADOW_REGISTRY.pop(_n)
 del _n, _missing
+
+# Round-13 addition-coverage band: the six X228–X233 readouts
+# registered THIS round take gate slots immediately (each foreign-cwd
+# oracle-verified at sf0.001 AND sf0.01 before this rotation committed),
+# so the never-driver-checked tail still lands at the r12 verdict's
+# ≤83 target COUNTING the additions. The six demotions are the gate's
+# most-driver-checked members (7–12 green rows each, recomputed from
+# CORRECTNESS_r01–r12 before demoting), every family keeps a gate
+# representative, and two of them are PINNED_R1 bench anchors whose
+# timing series continues regardless of gate membership.
+_DEMOTE_R13B = [
+    "f8_json_extract_events",  # 12 greens; JSON family: j7 coalesce chain demoted too — f8's oracle re-runs in every pytest
+    "j2_unpivot_part_metrics",  # 12 greens; unpivot/VALUES core row keeps its shadow oracle
+    "j7_price_resolution_coalesce",  # 12 greens; coalesce-priority family
+    "w1_priority_best_of_day",  # 12 greens; window family (PINNED_R1 series continues in bench)
+    "curation_leakage_safe_split",  # 7 greens; curation family amply represented (funnel incoming)
+    "sim_ivf_fixed_topk",  # 7 greens; IVF family: recall@k stays, list-balance incoming
+]
+_PROMOTE_R13B = [
+    "curation_gate_funnel",
+    "dedup_cluster_size_profile",
+    "dedup_keeper_policy_delta",
+    "curation_mix_bias_report",
+    "sim_ivf_list_balance",
+    "curation_pack_efficiency",
+]
+_missing = [
+    _n
+    for _n in (*_DEMOTE_R13B, *_PROMOTE_R13B)
+    if _n not in REGISTRY and _n not in SHADOW_REGISTRY
+]
+if _missing:
+    raise ImportError(
+        "query registry incomplete during round-13 addition-coverage "
+        f"rotation (missing {_missing}): import "
+        "legendary_data_pipeline_spark.queries FIRST."
+    )
+for _n in _DEMOTE_R13B:
+    SHADOW_REGISTRY[_n] = REGISTRY.pop(_n)
+for _n in _PROMOTE_R13B:
+    REGISTRY[_n] = SHADOW_REGISTRY.pop(_n)
+del _n, _missing
