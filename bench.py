@@ -271,9 +271,21 @@ def main() -> None:
     if names:
         run_once(names[0])
         spark.catalog.clearCache()
+    legacy_timings: dict[str, float] = {}
+    legacy = set(PINNED_LEGACY)
     for name in names:
         t = run_once(name)
         spark.catalog.clearCache()
+        # The legacy subtotal always uses the FIRST (cold) run — even
+        # for basket members currently in the gate (23 of 77 at the
+        # r13 rotation), whose headline timing is min-of-N. Mixing rep
+        # counts inside the frozen basket would make the subtotal
+        # drift upward on unchanged code whenever a member leaves the
+        # gate and its contribution flipped from min-of-2 to
+        # single-run; first-run-always keeps the series methodology-
+        # constant at zero extra runs.
+        if name in legacy:
+            legacy_timings[name] = round(t, 3)
         if not only and name not in gate and name not in pinned_anchor:
             timings[name] = round(t, 3)  # legacy tripwire: single run
             continue
@@ -300,13 +312,6 @@ def main() -> None:
         if only or n in gate or n in pinned_anchor
     ]
     total = round(sum(timings[n] for n in headline), 3)
-
-    def _pinned(pin: list[str]) -> dict:
-        timed = [n for n in pin if n in timings]
-        return {
-            "n": len(timed),
-            "total_sec": round(sum(timings[n] for n in timed), 3),
-        }
 
     # Driver-capture hygiene (r8 lesson: BENCH_r08.json parsed: null —
     # the single JSON line outgrew the driver's 2000-char tail capture,
@@ -345,7 +350,11 @@ def main() -> None:
             ),
             "reps": 3,
         },
-        "pinned_legacy": {**_pinned(PINNED_LEGACY), "reps": 1},
+        "pinned_legacy": {
+            "n": len(legacy_timings),
+            "total_sec": round(sum(legacy_timings.values()), 3),
+            "reps": 1,
+        },
         "queries": timings,
     }
     detail_line = json.dumps(payload, separators=(",", ":"))

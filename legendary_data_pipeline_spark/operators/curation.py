@@ -594,6 +594,11 @@ def strip_boilerplate(
     # Pin the span frame: it feeds both the corpus-level frequency
     # table and the survivor anti-join; unpinned, each consumer
     # replays the tokenize+span scan (r13 audit: 3 corpus scans).
+    # The pinned frame is ~1x the corpus text (spans partition the
+    # tokens) — one materialization in exchange for two avoided
+    # full scans + re-tokenizations; at 100 TB this is the standard
+    # checkpoint-vs-recompute trade and either side is one knob away
+    # (drop the pin to trade local disk for scan bandwidth).
     spans = span_frame(df, id_col, text_col, span_tokens).localCheckpoint(
         eager=False
     )
@@ -1229,9 +1234,13 @@ def gate_funnel_report(
     row = df.agg(*aggs)
     groups = []
     for i, (name, _) in enumerate(stages, 1):
+        # stage names are caller-supplied and land inside a SQL string
+        # literal — escape embedded quotes so names like "can't parse"
+        # don't break the stack() expression
+        quoted = name.replace("'", "''")
         g = [
             f"CAST({i} AS BIGINT)",
-            f"'{name}'",
+            f"'{quoted}'",
             f"__n{i - 1}",
             f"__n{i - 1} - __n{i}",
             f"__n{i}",

@@ -988,6 +988,33 @@ def hard_negatives_ivf(
     )
 
 
+def _ivf_fixed_assign(
+    with_cents: DataFrame, id_alias: str, keep_rank: int
+) -> DataFrame:
+    """Nearest-centroid ranking over a (vec, cvec, cid) fan-out frame:
+    sequential-fold squared distances, ties to the smaller cid, keep
+    the `keep_rank` closest — the shared assignment kernel of
+    `ivf_fixed_topk` (corpus top-1 + query probe lists) and
+    `ivf_fixed_list_profile`, factored out so the balance profile can
+    never desynchronize from the index arithmetic it audits. (The
+    public (id, cluster) form of the same arithmetic lives in
+    `clustering.fixed_codebook_assign`.)"""
+    xx = F.aggregate(F.col("vec"), F.lit(0.0), lambda a, x: a + x * x)
+    cc = F.aggregate(F.col("cvec"), F.lit(0.0), lambda a, x: a + x * x)
+    dot = F.aggregate(
+        F.zip_with(F.col("vec"), F.col("cvec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    d2 = xx + cc - F.lit(2.0) * dot
+    w = Window.partitionBy(id_alias).orderBy(d2.asc(), F.col("cid").asc())
+    return (
+        with_cents.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= keep_rank)
+        .select(id_alias, "cid", "vec")
+    )
+
+
 def ivf_fixed_topk(
     embeddings: DataFrame,
     n_centroids: int = 16,
@@ -1029,29 +1056,7 @@ def ivf_fixed_topk(
         F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
     )
 
-    def _assign(df: DataFrame, id_alias: str, keep_rank: int) -> DataFrame:
-        xx = F.aggregate(
-            F.col("vec"), F.lit(0.0), lambda a, x: a + x * x
-        )
-        cc = F.aggregate(
-            F.col("cvec"), F.lit(0.0), lambda a, x: a + x * x
-        )
-        dot = F.aggregate(
-            F.zip_with(F.col("vec"), F.col("cvec"), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-        d2 = xx + cc - F.lit(2.0) * dot
-        w = Window.partitionBy(id_alias).orderBy(
-            d2.asc(), F.col("cid").asc()
-        )
-        return (
-            df.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") <= keep_rank)
-            .select(id_alias, "cid", "vec")
-        )
-
-    corpus = _assign(
+    corpus = _ivf_fixed_assign(
         base.crossJoin(F.broadcast(cents)), "vec_id", 1
     ).select(
         F.col("vec_id").alias("neighbor_id"),
@@ -1059,7 +1064,7 @@ def ivf_fixed_topk(
         F.col("vec").alias("c_vec"),
     )
     q_base = base if query_filter is None else base.filter(query_filter)
-    queries = _assign(
+    queries = _ivf_fixed_assign(
         q_base.crossJoin(F.broadcast(cents)), "vec_id", n_probe
     ).select(
         F.col("vec_id").alias("query_id"), "cid", F.col("vec").alias("q_vec")
@@ -1130,21 +1135,9 @@ def ivf_fixed_list_profile(
     cents = base.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
     )
-    xx = F.aggregate(F.col("vec"), F.lit(0.0), lambda a, x: a + x * x)
-    cc = F.aggregate(F.col("cvec"), F.lit(0.0), lambda a, x: a + x * x)
-    dot = F.aggregate(
-        F.zip_with(F.col("vec"), F.col("cvec"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
-    d2 = xx + cc - F.lit(2.0) * dot
-    w = Window.partitionBy("vec_id").orderBy(d2.asc(), F.col("cid").asc())
-    assigned = (
-        base.crossJoin(F.broadcast(cents))
-        .withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .select("vec_id", "cid")
-    )
+    assigned = _ivf_fixed_assign(
+        base.crossJoin(F.broadcast(cents)), "vec_id", 1
+    ).select("vec_id", "cid")
     sizes = assigned.groupBy("cid").agg(
         F.count(F.lit(1)).cast("long").alias("list_size")
     )

@@ -92,7 +92,13 @@ def duplicated_spans(
     # count and the duplicated-position join, and exchange reuse is not
     # a scan-multiplicity guarantee (r11 standing lesson) — unpinned,
     # each consumer replays the tokenize+shingle+md5 scan (the r13
-    # registry-wide audit measured 3 corpus scans here).
+    # registry-wide audit measured 3 corpus scans here). The pin IS
+    # token-cardinality, but it holds three fixed-width longs per
+    # position — narrower than the text it derives from — and the
+    # replay it avoids re-runs the md5 fold per gram, the kernel's
+    # dominant CPU cost. Contrast contamination_score's by-contract 3
+    # scans, where the replayed side is the full text column and a pin
+    # WOULD materialize the corpus.
     grams = positioned_gram_frame(df, id_col, text_col, n).localCheckpoint(
         eager=False
     )

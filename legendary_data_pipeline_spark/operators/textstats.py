@@ -497,7 +497,11 @@ def ngram_novelty(
 
     # Pin the distinct (doc, shingle) frame: it feeds the document-
     # frequency count AND the join-back — unpinned, each consumer
-    # replays the explode+distinct corpus scan (r13 audit: 3 scans).
+    # replays the explode+distinct corpus scan AND its shuffle (the
+    # distinct is itself an exchange) — r13 audit: 3 scans. The pin is
+    # the same (doc, shingle) volume every shingle-dedup op here
+    # already moves through one shuffle; materializing it once beats
+    # re-deriving it twice (scan + explode + distinct exchange each).
     pairs = (
         df.select(
             F.col(id_col), F.explode(shingles_expr(text_col, shingle_n)).alias("__s")

@@ -1,17 +1,29 @@
 """Hand-computed contracts for the round-13 composite readouts
-(X228–X230): the gate-attrition funnel, the duplicate-cluster size
-profile, and the keeper-policy delta report."""
+(X228–X233): the gate-attrition funnel, the duplicate-cluster size
+profile, the keeper-policy delta report, the temperature-mix bias
+audit, the IVF list-balance profile, and the packing-efficiency
+report."""
 
 from __future__ import annotations
 
+import math
+
 import pytest
 from pyspark.sql import functions as F
+
 
 # the registry package must initialize before any queries_* submodule
 # is imported directly (rotation-time import-order contract)
 import legendary_data_pipeline_spark.queries  # noqa: F401
 
 from tests.conftest import SF_DIR
+
+
+def _round_half_up(x: float) -> int:
+    """Replays Spark F.round's HALF_UP tie rule for positive values —
+    Python's round() is banker's half-even and diverges on exactly-
+    representable .5 ties (e.g. power-of-two denominators)."""
+    return int(math.floor(x + 0.5))
 
 
 # ---------------------------------------------------------------------------
@@ -128,7 +140,7 @@ def test_cluster_size_profile_consistency(spark):
 
 
 # ---------------------------------------------------------------------------
-# X230 — dedup_keeper_policy_delta
+# X231 — curation_mix_bias_report
 # ---------------------------------------------------------------------------
 
 
@@ -158,6 +170,11 @@ def test_mix_bias_report_contracts(spark):
     assert small["target_share_e6"] > small["share_corpus_e6"]
 
 
+# ---------------------------------------------------------------------------
+# X232 — sim_ivf_list_balance
+# ---------------------------------------------------------------------------
+
+
 def test_ivf_list_balance_contracts(spark):
     """X232: exactly n_centroids rows, sizes sum to the corpus, the
     share/load columns replay their defining ratios, and the profile's
@@ -174,10 +191,15 @@ def test_ivf_list_balance_contracts(spark):
     n = load_table(spark, SF_DIR, "embeddings").count()
     assert sum(r["list_size"] for r in rows) == n
     for r in rows:
-        assert r["share_e6"] == round(r["list_size"] / n * 1e6)
-        assert r["load_factor_e6"] == round(
+        assert r["share_e6"] == _round_half_up(r["list_size"] / n * 1e6)
+        assert r["load_factor_e6"] == _round_half_up(
             r["list_size"] * float(_IVFX_NC) / n * 1e6
         )
+
+
+# ---------------------------------------------------------------------------
+# X233 — curation_pack_efficiency
+# ---------------------------------------------------------------------------
 
 
 def test_pack_efficiency_vs_pack_sequences(spark):
@@ -205,9 +227,14 @@ def test_pack_efficiency_vs_pack_sequences(spark):
         assert e["max_pack_tokens"] == max(toks)
         assert e["n_overflow_packs"] == sum(t > _PACK_BUDGET for t in toks)
         assert e["n_underfull_packs"] == sum(t < _PACK_BUDGET for t in toks)
-        assert e["fill_mean_e6"] == round(
+        assert e["fill_mean_e6"] == _round_half_up(
             sum(toks) / (len(ps) * float(_PACK_BUDGET)) * 1e6
         )
+
+
+# ---------------------------------------------------------------------------
+# X230 — dedup_keeper_policy_delta
+# ---------------------------------------------------------------------------
 
 
 def test_keeper_policy_delta_vs_keep_longest(spark):
