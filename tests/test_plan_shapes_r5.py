@@ -40,7 +40,13 @@ def test_bloom_probe_plan_is_join_free(spark):
     assert "Exchange" not in plan  # zero shuffles on the probe side
 
 
-def test_leakage_split_broadcasts_components(spark):
+def test_leakage_split_component_join_unhinted(spark):
+    """r12 verdict #1 (inverted from the r5 original, which pinned a
+    forced broadcast): the component frame scales with the corpus dup
+    rate (30-50% on real web corpora), so the join must carry NO
+    broadcast hint — AQE chooses from measured size, and the bounded
+    hash-shuffle fallback stays available. Pin the hint's ABSENCE in
+    the logical plan and the join's presence in the physical one."""
     from legendary_data_pipeline_spark.operators.curation import (
         leakage_safe_split,
     )
@@ -49,9 +55,10 @@ def test_leakage_split_broadcasts_components(spark):
     comps = spark.createDataFrame(
         [(1, 0), (0, 0)], "node long, component long"
     )
-    plan = _plan(leakage_safe_split(docs, comps))
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    out = leakage_safe_split(docs, comps)
+    logical = out._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical  # no forced broadcast
+    assert "Join" in _plan(out)
 
 
 def test_nb_scoring_broadcasts_weights(spark):
