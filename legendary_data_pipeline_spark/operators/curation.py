@@ -1235,9 +1235,11 @@ def gate_funnel_report(
     groups = []
     for i, (name, _) in enumerate(stages, 1):
         # stage names are caller-supplied and land inside a SQL string
-        # literal — escape embedded quotes so names like "can't parse"
-        # don't break the stack() expression
-        quoted = name.replace("'", "''")
+        # literal — escape backslashes FIRST (Spark's literal parser
+        # treats \ as an escape: unescaped, "pass_no_\d" silently
+        # loses its backslash and a trailing one eats the closing
+        # quote), then double embedded quotes ("can't parse")
+        quoted = name.replace("\\", "\\\\").replace("'", "''")
         g = [
             f"CAST({i} AS BIGINT)",
             f"'{quoted}'",

@@ -1890,8 +1890,9 @@ del _n, _missing
 # ≤83 target COUNTING the additions. The six demotions are the gate's
 # most-driver-checked members (7–12 green rows each, recomputed from
 # CORRECTNESS_r01–r12 before demoting), every family keeps a gate
-# representative, and two of them are PINNED_R1 bench anchors whose
-# timing series continues regardless of gate membership.
+# representative, and four of them (f8/j2/j7/w1) are PINNED_R1 bench
+# anchors whose min-of-3 timing series continues regardless of gate
+# membership.
 _DEMOTE_R13B = [
     "f8_json_extract_events",  # 12 greens; JSON family: j7 coalesce chain demoted too — f8's oracle re-runs in every pytest
     "j2_unpivot_part_metrics",  # 12 greens; unpivot/VALUES core row keeps its shadow oracle

@@ -74,6 +74,23 @@ def test_gate_funnel_hand_computed(spark):
         == (100, 70, 30)
 
 
+def test_gate_funnel_hostile_stage_names(spark):
+    """Caller-supplied stage names pass through the generated stack()
+    literal intact: embedded quotes, backslashes (Spark's literal
+    parser treats \\ as an escape), and a trailing backslash."""
+    from legendary_data_pipeline_spark.operators.curation import (
+        gate_funnel_report,
+    )
+
+    names = ["can't parse", r"pass_no_\d", "trailing\\"]
+    out = gate_funnel_report(
+        _funnel_fixture(spark),
+        [(n, F.col("w") >= 10) for n in names],
+    )
+    got = [r["stage"] for r in sorted(out.collect(), key=lambda r: r["stage_idx"])]
+    assert got == names
+
+
 def test_gate_funnel_no_weight_and_empty_stages(spark):
     from legendary_data_pipeline_spark.operators.curation import (
         gate_funnel_report,

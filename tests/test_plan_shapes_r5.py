@@ -3,8 +3,10 @@
 executed plans:
 
 - Bloom probe is JOIN-FREE (the whole point vs a semi join).
-- The leakage-safe split's component join broadcasts (corpus never
-  shuffles for the split).
+- The leakage-safe split's component join carries NO broadcast hint
+  (r12 verdict #1 inverted the original r5 contract: the component
+  frame is data-sized at real dup rates, so AQE picks the strategy
+  from measured size — the test pins the hint's absence).
 - NB scoring broadcasts the m-row weight table.
 - k-anonymity suppression is a semi join, not an inner join that could
   duplicate rows.
