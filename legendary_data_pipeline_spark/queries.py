@@ -1350,6 +1350,7 @@ from legendary_data_pipeline_spark import queries_llm  # noqa: E402,F401
 from legendary_data_pipeline_spark import queries_curation  # noqa: E402,F401
 from legendary_data_pipeline_spark import queries_analytics  # noqa: E402,F401
 from legendary_data_pipeline_spark import queries_mleval  # noqa: E402,F401
+from legendary_data_pipeline_spark import queries_streaming  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Round-6 driver-gate rotation (see NOTES.md §Round-6)
@@ -1923,5 +1924,118 @@ if _missing:
 for _n in _DEMOTE_R13B:
     SHADOW_REGISTRY[_n] = REGISTRY.pop(_n)
 for _n in _PROMOTE_R13B:
+    REGISTRY[_n] = SHADOW_REGISTRY.pop(_n)
+del _n, _missing
+
+# ---------------------------------------------------------------------------
+# Round-14 driver-gate rotation (see NOTES.md §Round-14)
+# ---------------------------------------------------------------------------
+# r13 verdict #1: execute the prepped rotation and drive the
+# never-driver-checked tail 83 → ≤63. The r13 operator cohort
+# (X228–X233) is already driver-checked, so no bias band this round: a
+# pure 20-slot sweep of the oldest never-checked shadows (first-commit
+# order, family-diverse — the exact list pre-verified oracle-green at
+# sf0.001 AND sf0.01 from a foreign-cwd session at the end of r13,
+# NOTES "Round-14 rotation prep"). Demotions: 20 of the 26 r13
+# promotions — every one earned a full hash-green driver row in
+# CORRECTNESS_r13 on first exposure (re-checked before this rotation
+# committed); the three kept members each hold a family seat the
+# incoming sweep does not re-cover (sim_ivf_recall_at_k: ANN/IVF;
+# dedup_cluster_size_profile: pair-closure dedup; curation_gate_funnel:
+# gate-attrition readout).
+_DEMOTE_R14 = [
+    "dedup_token_savings_report",  # sibling: dedup_cluster_size_profile (kept; same verified-pair closure)
+    "dedup_bpe_ngram_jaccard",  # siblings: ss_prefix_jaccard_pairs (gate), dedup_keep_longest (incoming)
+    "ml_nb_quality_calibration",  # siblings: ml_auc_by_segment, ml_woe_iv (gate; score-quality readouts)
+    "dq_quality_score_psi_by_source",  # siblings: dq_psi_drift_orders_priority (gate), dq_drift_orders_priority (incoming)
+    "er_blocking_health_report",  # siblings: er_sorted_neighborhood, er_best_match_part_names (incoming)
+    "dedup_threshold_sensitivity",  # sibling: dedup_cluster_size_profile (kept; same closure + threshold frames)
+    "dedup_winnow_pairs",  # siblings: ss_prefix_jaccard_pairs (gate), dedup_keep_longest (incoming)
+    "curation_stratified_take_n",  # sibling: st_systematic_weighted_sample (incoming; weighted/stratified draws)
+    "curation_pack_composite_shards",  # sibling: curation_sliding_chunks (incoming; token-budget chunk/pack family)
+    "curation_contamination_score",  # siblings: curation_c4_span_dedup (gate), u4_intersect_except_cohorts (incoming)
+    "curation_strip_boilerplate",  # sibling: curation_fineweb_line_signals (gate; line-level gates)
+    "curation_overlap_matrix",  # sibling: u4_intersect_except_cohorts (incoming; cross-source set overlap)
+    "t4_click_attribution",  # sibling: e_event_transitions (incoming; event-sequence temporal ops)
+    "curation_dsir_select",  # sibling: curation_temperature_mix (incoming; mixture-weight selection)
+    "curation_gopher_gates",  # sibling: curation_c4_gates (gate; doc-quality gate family)
+    "dedup_dup_span_stats",  # sibling: dedup_keep_longest (incoming; dup-structure readouts)
+    "dedup_strip_substrings",  # sibling: dedup_keep_longest (incoming; exact-hash dedup family)
+    "emb_random_projection",  # sibling: sim_ivf_recall_at_k (kept; embedding-column consumers)
+    "curation_length_winsorize",  # sibling: st_hist_order_totalprice (incoming; distribution shaping/binning)
+    "dedup_keeper_policy_delta",  # sibling: dedup_cluster_size_profile (kept; same keeper windows)
+]
+_PROMOTE_R14 = [
+    "curation_mixture_repeat",
+    "curation_shuffle_shard",
+    "curation_temperature_mix",
+    "dedup_keep_longest",
+    "e_retention_cohorts",
+    "e_event_transitions",
+    "curation_sliding_chunks",
+    "dq_constraint_report_orders",
+    "dq_profile_lineitem",
+    "er_best_match_part_names",
+    "skew_heavy_hitters_users",
+    "st_hist_order_totalprice",
+    "st_systematic_weighted_sample",
+    "st_trend_event_value_daily",
+    "dq_drift_orders_priority",
+    "er_sorted_neighborhood",
+    "skew_join_forecast_order_pairs",
+    "u4_intersect_except_cohorts",
+    "w6_percent_rank_cume_dist",
+    "dq_event_calendar_gaps",
+]
+_missing = [
+    _n
+    for _n in (*_DEMOTE_R14, *_PROMOTE_R14)
+    if _n not in REGISTRY and _n not in SHADOW_REGISTRY
+]
+if _missing:
+    raise ImportError(
+        "query registry incomplete during round-14 rotation (missing "
+        f"{_missing}): import legendary_data_pipeline_spark.queries "
+        "FIRST — importing a queries_* submodule directly re-enters "
+        "this module before its registrations finish."
+    )
+for _n in _DEMOTE_R14:
+    SHADOW_REGISTRY[_n] = REGISTRY.pop(_n)
+for _n in _PROMOTE_R14:
+    REGISTRY[_n] = SHADOW_REGISTRY.pop(_n)
+del _n, _missing
+
+# Round-14 addition-coverage band: the three X234–X236 streaming-parity
+# readouts registered THIS round (queries_streaming.py) take gate slots
+# immediately — the streaming family's first driver-oracle exposure
+# (r13 verdict #7) — so the never-driver-checked tail still lands at
+# the ≤63 target COUNTING the additions (83 − 20 sweep − 3 additions
+# + 3 registrations = 63). The three demotions complete the r13-
+# promotion demotion set (all 26 green in CORRECTNESS_r13; each keeps
+# its full shadow oracle).
+_DEMOTE_R14B = [
+    "curation_mix_bias_report",  # sibling: curation_mixture_allocation (gate; mixture readouts)
+    "sim_ivf_list_balance",  # sibling: sim_ivf_recall_at_k (kept; same _ivf_fixed_assign kernel)
+    "curation_pack_efficiency",  # sibling: curation_sliding_chunks (incoming; packing readouts)
+]
+_PROMOTE_R14B = [
+    "stream_daily_rollup_parity",
+    "stream_dedup_parity",
+    "stream_rollup_maintenance_parity",
+]
+_missing = [
+    _n
+    for _n in (*_DEMOTE_R14B, *_PROMOTE_R14B)
+    if _n not in REGISTRY and _n not in SHADOW_REGISTRY
+]
+if _missing:
+    raise ImportError(
+        "query registry incomplete during round-14 addition-coverage "
+        f"rotation (missing {_missing}): import "
+        "legendary_data_pipeline_spark.queries FIRST."
+    )
+for _n in _DEMOTE_R14B:
+    SHADOW_REGISTRY[_n] = REGISTRY.pop(_n)
+for _n in _PROMOTE_R14B:
     REGISTRY[_n] = SHADOW_REGISTRY.pop(_n)
 del _n, _missing

@@ -49,7 +49,9 @@ def with_event_time(events: DataFrame) -> DataFrame:
 
 
 def daily_event_rollup_stream(
-    events: DataFrame, watermark: str = "2 days"
+    events: DataFrame,
+    watermark: str = "2 days",
+    include_approx_users: bool = True,
 ) -> DataFrame:
     """Tumbling-day rollup with late-data tolerance.
 
@@ -57,22 +59,27 @@ def daily_event_rollup_stream(
     bounds state: windows older than it finalize and evict — the
     streaming answer to the reference's "re-run the day" idempotency.
     (approx_count_distinct replaces exact distinct — exact per-key
-    distinct in streaming state is unbounded.)
+    distinct in streaming state is unbounded.) The oracle-paired parity
+    query (`stream_daily_rollup_parity`) sets
+    `include_approx_users=False`: count/sum are exactly replayable in
+    SQL, the HLL sketch column is not.
     """
     timed = with_event_time(events).withWatermark("event_time", watermark)
     cents = F.round(F.col("value").cast("decimal(18,2)") * 100, 0).cast("long")
-    return timed.groupBy(
-        F.window("event_time", "1 day").alias("win"), F.col("event_type")
-    ).agg(
+    aggs = [
         F.count(F.lit(1)).alias("events"),
         F.sum(cents).alias("total_value_cents"),
-        F.approx_count_distinct("user_id").alias("approx_unique_users"),
-    ).select(
+    ]
+    cols = ["events", "total_value_cents"]
+    if include_approx_users:
+        aggs.append(F.approx_count_distinct("user_id").alias("approx_unique_users"))
+        cols.append("approx_unique_users")
+    return timed.groupBy(
+        F.window("event_time", "1 day").alias("win"), F.col("event_type")
+    ).agg(*aggs).select(
         F.date_format(F.col("win.start"), "yyyy-MM-dd").alias("day"),
         "event_type",
-        "events",
-        "total_value_cents",
-        "approx_unique_users",
+        *cols,
     )
 
 
