@@ -45,6 +45,19 @@ from legendary_data_pipeline_spark.session import get_spark  # noqa: E402
 #     green driver row from their gate round plus their BENCH_DETAIL
 #     history; growing this basket would both break its comparability
 #     and grow the bench without bound (the r12 verdict's complaint).
+#
+#     FLAG-DISPOSITION RULE (r13 verdict #2, standing): a per-query
+#     legacy number >2x its historical minimum is NOT actionable by
+#     itself — cold single runs on a loaded box read 2-8x over minimum
+#     for sub-second queries whose cost is plan/JIT warmup (the
+#     driver's r13 window flagged 31 names; the builder's same-code
+#     window ≤4). A flag becomes actionable ONLY after a warm min-of-2
+#     retime on unchanged code confirms >2x — and the disposition
+#     recorded in NOTES must state the retime AND the query's
+#     historical BAND across rounds (w5_price_deciles has oscillated
+#     0.32-1.49 s since r2 on untouched code; a one-off retime proves
+#     nothing a band doesn't). The SUBTOTAL is the intended signal;
+#     per-query legacy numbers exist for localizing a subtotal move.
 PINNED_R1 = [
     "a1_approx_scale_variant", "a1_percentile_rollup_180d",
     "corpus_curation_pipeline", "dedup_exact_sha",
@@ -103,6 +116,40 @@ PINNED_LEGACY = [
     "ts_seasonal_decompose_daily", "tx_corpus_entropy",
     "tx_vocab_richness",
 ]
+
+
+def _layout_fingerprint(sf_dir: str) -> dict:
+    """Parquet layout fingerprint of the benched sf dir (r13 verdict #3).
+
+    w5/f8-class queries have oscillated 2-4x across rounds on untouched
+    code because the driver REGENERATES the testdata each round and the
+    parquet layout (file/row-group split) shifts scan parallelism. The
+    fingerprint — per table: n_files, n_row_groups, n_rows — rides the
+    bench artifact so any two BENCH records can be compared
+    like-for-like: identical layout_sha = identical physical layout,
+    and a timing shift on unchanged code with a CHANGED sha is
+    dispositioned as layout drift, not engine drift. Full per-table
+    map in BENCH_DETAIL.json; the stdout line carries only the sha.
+    """
+    import glob
+
+    import pyarrow.parquet as pq
+
+    fp: dict[str, dict[str, int]] = {}
+    for p in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        table = os.path.basename(p)[: -len(".parquet")]
+        files = (
+            sorted(glob.glob(os.path.join(p, "*.parquet")))
+            if os.path.isdir(p)
+            else [p]
+        )
+        rgs = rows = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            rgs += md.num_row_groups
+            rows += md.num_rows
+        fp[table] = {"files": len(files), "row_groups": rgs, "rows": rows}
+    return fp
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -267,9 +314,16 @@ def main() -> None:
     # The FIRST timed query historically absorbs residual JVM/JIT
     # warmup the generic warmups above miss (a1 read 2.1 s leading the
     # r12 full run, 0.95 s warm; r2 saw the same first-slot pattern) —
-    # one untimed run of it levels the field.
+    # one untimed run levels the field. The warm-up query is a FIXED
+    # anchor, not names[0] (r13 advice #4): names is sorted, so which
+    # name leads shifts with registry composition, and when a
+    # legacy-only name led, its later "first (cold) run" tripwire value
+    # was actually a second, warm execution.
     if names:
-        run_once(names[0])
+        warm_name = "a1_percentile_rollup_180d"
+        if warm_name not in specs:  # renamed/removed — fall back
+            warm_name = names[0]
+        run_once(warm_name)
         spark.catalog.clearCache()
     legacy_timings: dict[str, float] = {}
     legacy = set(PINNED_LEGACY)
@@ -283,8 +337,10 @@ def main() -> None:
         # drift upward on unchanged code whenever a member leaves the
         # gate and its contribution flipped from min-of-2 to
         # single-run; first-run-always keeps the series methodology-
-        # constant at zero extra runs.
-        if name in legacy:
+        # constant at zero extra runs. Ad-hoc LDP_BENCH_QUERIES runs
+        # skip the collection entirely (r13 advice #2): a partial
+        # basket subtotal labeled reps:1 reads as series drift.
+        if name in legacy and not only:
             legacy_timings[name] = round(t, 3)
         if not only and name not in gate and name not in pinned_anchor:
             timings[name] = round(t, 3)  # legacy tripwire: single run
@@ -331,13 +387,23 @@ def main() -> None:
     # retained. Records without the field are the pre-r13 methodology
     # (headline = sum of ALL timed queries; per-round pinned_r6..r11
     # blocks; r1-r11 warm-up history per BENCH file comments).
+    layout = _layout_fingerprint(sf_dir)
+    layout_sha = __import__("hashlib").sha256(
+        json.dumps(layout, sort_keys=True, separators=(",", ":")).encode()
+    ).hexdigest()[:12]
+    # n_timed counts exactly the names the headline `value` sums (gate
+    # + anchor) so value/n_timed stay a coherent pair (r13 advice #1 —
+    # r13 records reported n_timed=131 against a ~78-name value);
+    # legacy-only names are counted inside pinned_legacy.n, and the
+    # detail artifact carries the all-in count as n_timed_all.
     payload = {
         "metric": "total_query_sec",
         "value": total,
         "unit": "sec",
-        "n_timed": len(timings),
+        "n_timed": len(headline),
         "method": "r13",
         "sf": _sf_from_dir(sf_dir),
+        "layout": layout_sha,
         "pinned_r1": {
             "n": len([n for n in PINNED_R1 if n in anchor_timings]),
             "total_sec": round(
@@ -357,7 +423,13 @@ def main() -> None:
         },
         "queries": timings,
     }
-    detail_line = json.dumps(payload, separators=(",", ":"))
+    # full per-table layout map + all-in timed count ride the detail
+    # artifact only; the stdout line carries just the sha (tail-capture
+    # budget)
+    detail_payload = dict(payload)
+    detail_payload["n_timed_all"] = len(timings)
+    detail_payload["layout_tables"] = layout
+    detail_line = json.dumps(detail_payload, separators=(",", ":"))
     stdout_payload = dict(payload)
     stdout_payload["queries"] = {
         n: t for n, t in timings.items() if n in REGISTRY

@@ -1215,19 +1215,26 @@ def gate_funnel_report(
     """
     if not stages:
         raise ValueError("gate_funnel_report needs at least one stage")
+    # every indicator/weight sum is coalesced to 0: F.sum over an EMPTY
+    # input yields NULL, and an empty corpus must report all-zero funnel
+    # rows, not NULL docs_dropped/docs_out (r13 advice)
     aggs = [F.count(F.lit(1)).cast("long").alias("__n0")]
     cum = F.lit(True)
     cums: list[Column] = []
     for i, (_, cond) in enumerate(stages, 1):
         cum = cum & F.coalesce(cond, F.lit(False))
         cums.append(cum)
-        aggs.append(F.sum(cum.cast("long")).cast("long").alias(f"__n{i}"))
+        aggs.append(
+            F.coalesce(F.sum(cum.cast("long")), F.lit(0))
+            .cast("long")
+            .alias(f"__n{i}")
+        )
     if weight_col is not None:
         w = F.col(weight_col).cast("long")
-        aggs.append(F.sum(w).cast("long").alias("__t0"))
+        aggs.append(F.coalesce(F.sum(w), F.lit(0)).cast("long").alias("__t0"))
         for i, c in enumerate(cums, 1):
             aggs.append(
-                F.sum(F.when(c, w).otherwise(F.lit(0)))
+                F.coalesce(F.sum(F.when(c, w).otherwise(F.lit(0))), F.lit(0))
                 .cast("long")
                 .alias(f"__t{i}")
             )

@@ -2019,9 +2019,9 @@ _DEMOTE_R14B = [
     "curation_pack_efficiency",  # sibling: curation_sliding_chunks (incoming; packing readouts)
 ]
 _PROMOTE_R14B = [
-    "stream_daily_rollup_parity",
+    "stream_rollup_parity",
     "stream_dedup_parity",
-    "stream_rollup_maintenance_parity",
+    "stream_maint_parity",
 ]
 _missing = [
     _n

@@ -86,7 +86,7 @@ def _read_staged_stream(spark: SparkSession, staging: str) -> DataFrame:
 
 
 @register_shadow(
-    "stream_daily_rollup_parity",
+    "stream_rollup_parity",
     """
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
            event_type,
@@ -105,7 +105,7 @@ def _read_staged_stream(spark: SparkSession, staging: str) -> DataFrame:
     "the one-shot batch aggregation: decomposable-aggregate algebra + "
     "at-least-once upsert = full recompute.",
 )
-def stream_daily_rollup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_rollup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from legendary_data_pipeline_spark.streaming.snapshots import (
         daily_event_rollup_stream,
         upsert_sink,
@@ -185,7 +185,7 @@ def stream_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_shadow(
-    "stream_rollup_maintenance_parity",
+    "stream_maint_parity",
     """
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
            event_type,
@@ -207,7 +207,7 @@ def stream_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is pre-projected to (day, event_type, v_cents) so the generic "
     "maintenance entry point runs unmodified.",
 )
-def stream_rollup_maintenance_parity(
+def stream_maint_parity(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from legendary_data_pipeline_spark.sources.versioned import read_version

@@ -60,7 +60,7 @@ def daily_event_rollup_stream(
     streaming answer to the reference's "re-run the day" idempotency.
     (approx_count_distinct replaces exact distinct — exact per-key
     distinct in streaming state is unbounded.) The oracle-paired parity
-    query (`stream_daily_rollup_parity`) sets
+    query (`stream_rollup_parity`) sets
     `include_approx_users=False`: count/sum are exactly replayable in
     SQL, the HLL sketch column is not.
     """

@@ -52,6 +52,7 @@ def test_stdout_line_fits_driver_tail_capture():
         "n_timed": len(timings),
         "method": "r13",
         "sf": 0.1,
+        "layout": "0123456789ab",
         "pinned_r1": pinned(bench.PINNED_R1),
         "pinned_legacy": pinned(bench.PINNED_LEGACY),
         "queries": {n: t for n, t in timings.items() if n in REGISTRY},

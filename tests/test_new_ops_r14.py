@@ -146,6 +146,27 @@ def test_maintenance_commits_one_version_per_batch(spark, tmp_path):
     }
 
 
+def test_gate_funnel_empty_input_reports_zero_rows(spark):
+    """An empty corpus must produce all-ZERO funnel rows, not NULL
+    docs_dropped/docs_out (F.sum over an empty frame is NULL; r13
+    advice fix wraps every indicator sum in coalesce)."""
+    from legendary_data_pipeline_spark.operators.curation import (
+        gate_funnel_report,
+    )
+
+    empty = spark.createDataFrame([], "w long, flag boolean")
+    rows = gate_funnel_report(
+        empty,
+        [("min_w", F.col("w") >= 10), ("flagged", F.col("flag"))],
+        weight_col="w",
+    ).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert (r.docs_in, r.docs_dropped, r.docs_out) == (0, 0, 0)
+        assert (r.tokens_in, r.tokens_dropped, r.tokens_out) == (0, 0, 0)
+        assert r.doc_survival_frac is None  # 0/0 stays NULL by contract
+
+
 def test_parity_queries_are_gate_members():
     """The r14 addition-coverage band promised the streaming family its
     first driver-oracle exposure — pin the three parity queries into
@@ -153,7 +174,7 @@ def test_parity_queries_are_gate_members():
     earn a CORRECTNESS row."""
     from legendary_data_pipeline_spark.queries import REGISTRY
 
-    for name in ("stream_daily_rollup_parity", "stream_dedup_parity",
-                 "stream_rollup_maintenance_parity"):
+    for name in ("stream_rollup_parity", "stream_dedup_parity",
+                 "stream_maint_parity"):
         assert name in REGISTRY
         assert REGISTRY[name].oracle is not None
