@@ -200,7 +200,13 @@ def _profile_oracle() -> str:
     "with a tolerance in tests/test_profiling.py instead.",
 )
 def dq_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # load_distributed: six exact count_distincts in one Aggregate plan
+    # as an Expand (6x row multiplication BEFORE the partial agg) — on
+    # the single-row-group local fixture the whole expand would run on
+    # ONE scan task (10.8 s at sf0.1; measured FASTER at the multi-row-
+    # group sf1 replica, the classic under-split signature). A real
+    # 100 TB table arrives pre-split; see catalog.load_distributed.
+    li = load_distributed(spark, sf_dir, "lineitem")
     return profile_columns(li, _PROFILE_COLS).drop("mean")
 
 

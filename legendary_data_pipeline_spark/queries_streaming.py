@@ -14,7 +14,7 @@ against a plain batch-SQL oracle.
 
 Determinism contract (what makes a streaming run oracle-pairable):
 
-- input is a STAGED copy of the sf events table split into 4 parquet
+- input is a STAGED copy of the sf events table split into 2 parquet
   files, so the run genuinely crosses micro-batch boundaries (state
   carried across batches, upsert-by-key re-emission, cross-batch
   dedup state) — the semantics the parity is claiming;
@@ -66,18 +66,30 @@ _NEVER_LATE = "3650 days"
 
 
 def _stage_events(spark: SparkSession, sf_dir: str, root: str, copies: int = 1) -> str:
-    """Write the normalized events table into `root`/in as 4 parquet
-    files per copy (maxFilesPerTrigger=1 then yields ≥4 micro-batches).
+    """Write the normalized events table into `root`/in as 2 parquet
+    files per copy (maxFilesPerTrigger=1 then yields ≥2 micro-batches —
+    the cross-batch semantics the parity claims, at the minimum batch
+    count so the fixed per-batch cost stays off the bench's back).
     `copies=2` appends the same rows twice — exact re-delivery, the
     at-least-once upstream the dedup operator collapses."""
     staging = f"{root}/in"
     ev = load_table(spark, sf_dir, "events")
     for _ in range(copies):
-        ev.repartition(4).write.mode("append").parquet(staging)
+        ev.repartition(2).write.mode("append").parquet(staging)
     return staging
 
 
 def _read_staged_stream(spark: SparkSession, staging: str) -> DataFrame:
+    # Parity-run state sizing: the session default (2x cores, ≥32 —
+    # ensure_engine_confs) is right for corpus-scale shuffles but makes
+    # TINY streaming state expensive: each state partition writes a
+    # delta file per micro-batch, so 64 partitions x N batches of
+    # checkpoint I/O dominates a rollup whose whole state is a few
+    # hundred rows. 8 partitions is plenty for the parity tables;
+    # production streams take the session conf (streaming/*.py entry
+    # points set nothing). The next registered query re-runs
+    # ensure_engine_confs, which restores the session value.
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     return (
         spark.readStream.schema(_STAGED_SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -98,7 +110,7 @@ def _read_staged_stream(spark: SparkSession, staging: str) -> DataFrame:
     """,
     doc="X234 streaming daily-rollup parity: a REAL availableNow run of "
     "daily_event_rollup_stream (windowed streaming aggregation, state "
-    "carried across 4 micro-batches, update-mode re-emission) through "
+    "carried across micro-batches, update-mode re-emission) through "
     "the foreachBatch keyed-upsert sink (S5 semantics per batch — the "
     "reference's ON CONFLICT rerun, 01_import_pricecharting_csv.js:"
     "171-186, run continuously). The maintained snapshot must equal "
@@ -144,7 +156,7 @@ def stream_rollup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1
     """,
     doc="X235 streaming exact-dedup parity: the staged input is the "
-    "events table delivered TWICE (8 files, one per micro-batch) — "
+    "events table delivered TWICE (4 files, one per micro-batch) — "
     "exact at-least-once redelivery. dropDuplicatesWithinWatermark on "
     "event_id (state spanning micro-batches) must collapse it to "
     "exactly-once: the per-type rollup of the deduped append-mode sink "
@@ -198,7 +210,7 @@ def stream_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2
     """,
     doc="X236 versioned-rollup maintenance parity: "
-    "run_rollup_maintenance_once drains 4 micro-batches through the "
+    "run_rollup_maintenance_once drains one micro-batch per staged file through the "
     "merge_rollup sink — each batch aggregated O(batch) and merged "
     "into the versioned table's next snapshot (stage-then-publish, "
     "batch-id manifests; streaming/rollup.py) — and the LATEST "
@@ -227,9 +239,11 @@ def stream_maint_parity(
     cents = F.round(F.col("value").cast("decimal(18,2)") * 100, 0).cast("long")
     ev.select(
         day.alias("day"), "event_type", cents.alias("v_cents")
-    ).repartition(4).write.parquet(staging)
+    ).repartition(2).write.parquet(staging)
 
     table, ckpt = f"{root}/rollup", f"{root}/ckpt"
+    # tiny-state sizing, same rationale as _read_staged_stream
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     run_rollup_maintenance_once(
         spark,
         staging,
