@@ -381,12 +381,18 @@ def main() -> None:
     # (r12 advice #3): segment historical BENCH series on it instead of
     # reading commit comments. Kept to a short version tag so the
     # stdout line stays inside the driver's 2000-char tail capture.
-    # Legend: "r13" = headline total is gate+anchor only; frozen
-    # pinned_legacy basket timed single-run (subtotal only); r12's
-    # untimed first-query warm-up and anchor min-of-3 isolation
-    # retained. Records without the field are the pre-r13 methodology
-    # (headline = sum of ALL timed queries; per-round pinned_r6..r11
-    # blocks; r1-r11 warm-up history per BENCH file comments).
+    # Legend: "r14" = r13 semantics PLUS: n_timed counts only the
+    # headline names (value/n_timed coherent; all-in count in
+    # BENCH_DETAIL n_timed_all), fixed-anchor warm-up slot, layout
+    # fingerprint sha in "layout". "r13" = headline total is
+    # gate+anchor only; frozen pinned_legacy basket timed single-run
+    # (subtotal only); r12's untimed first-query warm-up and anchor
+    # min-of-3 isolation retained — r13 records report n_timed = ALL
+    # timed names (131) against the gate+anchor value. Records without
+    # the field are the pre-r13 methodology (headline = sum of ALL
+    # timed queries; per-round pinned_r6..r11 blocks; r1-r11 warm-up
+    # history per BENCH file comments). The headline `value` series
+    # is composition-comparable across r13/r14 (same gate+anchor sum).
     layout = _layout_fingerprint(sf_dir)
     layout_sha = __import__("hashlib").sha256(
         json.dumps(layout, sort_keys=True, separators=(",", ":")).encode()
@@ -401,7 +407,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "n_timed": len(headline),
-        "method": "r13",
+        "method": "r14",
         "sf": _sf_from_dir(sf_dir),
         "layout": layout_sha,
         "pinned_r1": {

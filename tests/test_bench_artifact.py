@@ -42,15 +42,15 @@ def test_stdout_line_fits_driver_tail_capture():
             "total_sec": round(sum(timings[n] for n in timed), 3),
         }
 
-    # Mirror bench.main's stdout payload (r13 shape): pinned_r1 +
-    # pinned_legacy blocks + the methodology marker; per-query map holds
-    # the current gate only (full map lives in BENCH_DETAIL.json).
+    # Mirror bench.main's stdout payload (r14 shape): pinned_r1 +
+    # pinned_legacy blocks + methodology marker + layout sha; per-query
+    # map holds the current gate only (full map in BENCH_DETAIL.json).
     payload = {
         "metric": "total_query_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "n_timed": len(timings),
-        "method": "r13",
+        "method": "r14",
         "sf": 0.1,
         "layout": "0123456789ab",
         "pinned_r1": pinned(bench.PINNED_R1),
