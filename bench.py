@@ -12,6 +12,7 @@ compute, which is what matters at scale.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import sys
@@ -354,7 +355,12 @@ def main() -> None:
         heavy = t > THIRD_RUN_THRESHOLD_SEC
         t_hist = min(t, third) if (third is not None and heavy) else t
         timings[name] = round(t_hist, 3)
-        if name in pinned_anchor:
+        # Same rule as the legacy block above: ad-hoc runs emit no
+        # partial pinned_r1 subtotal either (an anchor subset's sum
+        # would read as anchor-series drift; pinned_r1.n discloses the
+        # shortfall, but the legacy lesson is that n fields get
+        # overlooked).
+        if name in pinned_anchor and not only:
             t_anchor = min(t, third) if third is not None else t
             anchor_timings[name] = round(t_anchor, 3)
 
@@ -394,7 +400,7 @@ def main() -> None:
     # history per BENCH file comments). The headline `value` series
     # is composition-comparable across r13/r14 (same gate+anchor sum).
     layout = _layout_fingerprint(sf_dir)
-    layout_sha = __import__("hashlib").sha256(
+    layout_sha = hashlib.sha256(
         json.dumps(layout, sort_keys=True, separators=(",", ":")).encode()
     ).hexdigest()[:12]
     # n_timed counts exactly the names the headline `value` sums (gate
