@@ -2039,3 +2039,35 @@ for _n in _DEMOTE_R14B:
 for _n in _PROMOTE_R14B:
     REGISTRY[_n] = SHADOW_REGISTRY.pop(_n)
 del _n, _missing
+
+# Round-14 second addition-coverage band: X237 (streaming CMS
+# maintenance parity) and X238 (gate-disagreement matrix), registered
+# later in r14 — same policy: additions take gate slots immediately so
+# the never-checked tail stays at the ≤63 target counting them. The
+# two demotions are 7-green veterans whose semantics an incoming
+# addition re-covers; both stay in the PINNED_LEGACY bench basket
+# (timed every round) and keep their full shadow oracles.
+_DEMOTE_R14C = [
+    "sk_cms_partkey_freq",  # 7 greens; sibling: stream_cms_parity (incoming; same cell arithmetic + probe shape)
+    "curation_c4_span_dedup",  # 7 greens; siblings: curation_c4_gates (gate), curation_gate_disagreement (incoming; C4-verdict consumer)
+]
+_PROMOTE_R14C = [
+    "stream_cms_parity",
+    "curation_gate_disagreement",
+]
+_missing = [
+    _n
+    for _n in (*_DEMOTE_R14C, *_PROMOTE_R14C)
+    if _n not in REGISTRY and _n not in SHADOW_REGISTRY
+]
+if _missing:
+    raise ImportError(
+        "query registry incomplete during round-14 second "
+        f"addition-coverage rotation (missing {_missing}): import "
+        "legendary_data_pipeline_spark.queries FIRST."
+    )
+for _n in _DEMOTE_R14C:
+    SHADOW_REGISTRY[_n] = REGISTRY.pop(_n)
+for _n in _PROMOTE_R14C:
+    REGISTRY[_n] = SHADOW_REGISTRY.pop(_n)
+del _n, _missing

@@ -2444,9 +2444,11 @@ def _funnel_stage_sql(idx: int, name: str) -> str:
     FROM agg"""
 
 
-@register_shadow(
-    "curation_gate_funnel",
-    f"""
+# Shared gate-signal CTE prefix: independent per-doc gopher (gk.g),
+# C4 (ck.c), and PII (pk.p) keep booleans over the PII-enriched corpus
+# — consumed by BOTH the sequential funnel (X228) and the pairwise
+# disagreement matrix (X238), which must agree on every signal.
+_GATE_SIGNALS_CTES = f"""
     WITH enriched AS ({_FUNNEL_ENRICH_SQL}),
     toks AS (
       SELECT doc_id, list_filter({_TOKS}, __w -> __w <> '') AS t
@@ -2495,7 +2497,14 @@ def _funnel_stage_sql(idx: int, name: str) -> str:
              len(regexp_extract_all(text, '{C.EMAIL_RE}'))
              + len(regexp_extract_all(text, '{C.PHONE_RE}'))
              + len(regexp_extract_all(text, '{C.IPV4_RE}')) = 0 AS p
-      FROM enriched),
+      FROM enriched)
+"""
+
+
+@register_shadow(
+    "curation_gate_funnel",
+    f"""
+    {_GATE_SIGNALS_CTES},
     per AS (
       SELECT gk.doc_id, gk.n_words,
              gk.g AS s1, gk.g AND ck.c AS s2, gk.g AND ck.c AND pk.p AS s3
@@ -2551,6 +2560,61 @@ def curation_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("pii_screen", F.col("__p")),
         ],
         weight_col="n_words",
+    )
+
+
+@register_shadow(
+    "curation_gate_disagreement",
+    f"""
+    {_GATE_SIGNALS_CTES},
+    cells AS (
+      SELECT gk.g AS gopher_keep, ck.c AS c4_keep, pk.p AS pii_keep,
+             CAST(COUNT(*) AS BIGINT) AS docs,
+             CAST(SUM(gk.n_words) AS BIGINT) AS tokens
+      FROM gk JOIN ck USING (doc_id) JOIN pk USING (doc_id)
+      GROUP BY 1, 2, 3)
+    SELECT gopher_keep, c4_keep, pii_keep, docs, tokens,
+           CAST(gopher_keep AS BIGINT) + CAST(c4_keep AS BIGINT)
+           + CAST(pii_keep AS BIGINT) AS n_gates_passed
+    FROM cells
+    """,
+    doc="X238 gate-disagreement matrix: the 2x2x2 truth table of the "
+    "three INDEPENDENT per-doc gate verdicts (gopher quality, C4 "
+    "rules, PII screen) with doc AND token mass per cell — the "
+    "complement of the X228 funnel: the funnel shows where a FIXED "
+    "gate ORDER loses mass, this shows which gates actually disagree "
+    "and on how much corpus (every pairwise agreement/Jaccard/kappa "
+    "derives from these cells), which is the decision readout for "
+    "reordering, dropping, or unioning gates. Same one-scan shape as "
+    "the funnel: the three verdicts are fused into one projection via "
+    "keep_cols pass-through, then ONE <=8-group aggregation (map-side "
+    "combinable). Shares the _GATE_SIGNALS_CTES oracle prefix with "
+    "X228, so the two readouts can never disagree on a signal "
+    "definition.",
+    scan_budget=1,
+)
+def curation_gate_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    enriched = _funnel_enriched(docs)
+    g = C.gopher_gates(enriched, keep_cols=("text",))
+    c = C.c4_gates(g, keep_cols=("gopher_keep", "n_words", "text"))
+    pii = C.pii_counts(F.col("text"))
+    per = c.select(
+        "n_words",
+        F.coalesce(F.col("gopher_keep"), F.lit(False)).alias("gopher_keep"),
+        F.coalesce(F.col("c4_keep"), F.lit(False)).alias("c4_keep"),
+        F.coalesce(
+            (pii["emails"] + pii["phones"] + pii["ipv4s"]) == 0, F.lit(False)
+        ).alias("pii_keep"),
+    )
+    return per.groupBy("gopher_keep", "c4_keep", "pii_keep").agg(
+        F.count(F.lit(1)).cast("long").alias("docs"),
+        F.coalesce(F.sum("n_words"), F.lit(0)).cast("long").alias("tokens"),
+    ).withColumn(
+        "n_gates_passed",
+        F.col("gopher_keep").cast("long")
+        + F.col("c4_keep").cast("long")
+        + F.col("pii_keep").cast("long"),
     )
 
 

@@ -1,4 +1,4 @@
-"""Shadow queries: Structured-Streaming parity readouts (X234–X236).
+"""Shadow queries: Structured-Streaming parity readouts (X234–X237).
 
 The streaming surface (streaming/*.py) replaces the reference's cron
 re-runs (every reference script is a batch job re-run on a schedule —
@@ -265,4 +265,115 @@ def stream_maint_parity(
     )
     return read_version(spark, table).select(
         "day", "event_type", "events", "total_value_cents", "max_value_cents"
+    )
+
+
+# ---------------------------------------------------------------------------
+# X237 — streaming Count-Min maintenance parity
+# ---------------------------------------------------------------------------
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 1024
+_CMS_TOPN = 20
+
+
+def _stream_cms_oracle() -> str:
+    """Same oracle shape as sk_cms_partkey_freq, over events.user_id —
+    the SQL rebuilds the cell table in one shot; the Spark side must
+    arrive at the identical cells through per-batch versioned merges."""
+    from legendary_data_pipeline_spark.operators.cms import cms_sql_parts
+
+    addrs = cms_sql_parts(
+        "CAST(user_id AS VARCHAR)", _CMS_DEPTH, _CMS_WIDTH
+    )
+    updates = "\n      UNION ALL\n".join(
+        f"      SELECT {i} AS row_idx, {a} AS col_idx FROM events"
+        for i, a in enumerate(addrs)
+    )
+    probe_addrs = "\n      UNION ALL\n".join(
+        f"      SELECT user_id, exact_cnt, {i} AS row_idx,"
+        f" {a} AS col_idx FROM top"
+        for i, a in enumerate(addrs)
+    )
+    return f"""
+    WITH u AS (
+{updates}),
+    cells AS (
+      SELECT row_idx, col_idx, CAST(count(*) AS BIGINT) AS cnt
+      FROM u GROUP BY 1, 2),
+    exact AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+      FROM events GROUP BY 1),
+    top AS (
+      SELECT * FROM exact
+      ORDER BY exact_cnt DESC, user_id ASC LIMIT {_CMS_TOPN}),
+    addr AS (
+{probe_addrs}),
+    est AS (
+      SELECT user_id, exact_cnt,
+             min(COALESCE(cnt, 0)) AS cms_est
+      FROM addr LEFT JOIN cells USING (row_idx, col_idx)
+      GROUP BY 1, 2)
+    SELECT user_id, exact_cnt, CAST(cms_est AS BIGINT) AS cms_est,
+           CAST(cms_est - exact_cnt AS BIGINT) AS overcount
+    FROM est
+    """
+
+
+@register_shadow(
+    "stream_cms_parity",
+    _stream_cms_oracle(),
+    doc="X237 streaming Count-Min maintenance parity: "
+    "run_cms_maintenance_once sketches each micro-batch and cell-SUMS "
+    "it into the versioned sketch table (streaming/rollup.py "
+    "cms_maintenance_sink, batch-id replay guards) — state stays "
+    "<= depth x width cells forever while absorbing unbounded stream "
+    "history. Parity: the MAINTAINED sketch's top-20 user-frequency "
+    "estimates (portable md5 affine hash family, bit-deterministic) "
+    "must equal the one-shot sketch the SQL oracle rebuilds — the "
+    "cell-wise merge telescopes exactly. Completes the streaming "
+    "surface's sketch-maintenance story alongside the rollup "
+    "(X236) and exact-aggregate (X234) parities.",
+    scan_budget=2,
+)
+def stream_cms_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.operators.cms import cms_query
+    from legendary_data_pipeline_spark.sources.versioned import read_version
+    from legendary_data_pipeline_spark.streaming.rollup import (
+        run_cms_maintenance_once,
+    )
+
+    root = tempfile.mkdtemp(prefix="ldp_stream_cms_")
+    staging = _stage_events(spark, sf_dir, root)
+    table, ckpt = f"{root}/cms", f"{root}/ckpt"
+    # tiny-state sizing, same rationale as _read_staged_stream
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    run_cms_maintenance_once(
+        spark,
+        staging,
+        _STAGED_SCHEMA,
+        table,
+        key_col="user_id",
+        checkpoint_path=ckpt,
+        depth=_CMS_DEPTH,
+        width=_CMS_WIDTH,
+        max_files_per_trigger=1,
+    )
+    sketch = read_version(spark, table)
+    # probe side: the 20 hottest users by exact count (deterministic
+    # count-then-id ordering) — the exact counts ride the output anyway
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+    )
+    top = exact.orderBy(
+        F.col("exact_cnt").desc(), F.col("user_id").asc()
+    ).limit(_CMS_TOPN)
+    est = cms_query(sketch, top, "user_id", _CMS_DEPTH, _CMS_WIDTH)
+    return est.select(
+        "user_id",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).cast("long").alias("overcount"),
     )

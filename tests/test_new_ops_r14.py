@@ -168,13 +168,81 @@ def test_gate_funnel_empty_input_reports_zero_rows(spark):
 
 
 def test_parity_queries_are_gate_members():
-    """The r14 addition-coverage band promised the streaming family its
-    first driver-oracle exposure — pin the three parity queries into
-    the gate so a later rotation cannot silently undo it before they
-    earn a CORRECTNESS row."""
+    """The r14 addition-coverage bands promised the streaming family its
+    first driver-oracle exposure — pin the parity queries (and the
+    companion gate-disagreement readout) into the gate so a later
+    rotation cannot silently undo it before they earn a CORRECTNESS
+    row."""
     from legendary_data_pipeline_spark.queries import REGISTRY
 
     for name in ("stream_rollup_parity", "stream_dedup_parity",
-                 "stream_maint_parity"):
+                 "stream_maint_parity", "stream_cms_parity",
+                 "curation_gate_disagreement"):
         assert name in REGISTRY
         assert REGISTRY[name].oracle is not None
+
+
+def test_cms_maintenance_equals_one_shot_sketch(spark, tmp_path):
+    """X237's core claim at operator level: per-batch cms_build +
+    versioned cell-merge across micro-batches telescopes to the
+    one-shot sketch over the concatenated input — bit-identical cells,
+    not just close estimates."""
+    from legendary_data_pipeline_spark.operators.cms import cms_build
+    from legendary_data_pipeline_spark.sources.versioned import (
+        read_version,
+        versions,
+    )
+    from legendary_data_pipeline_spark.streaming.rollup import (
+        run_cms_maintenance_once,
+    )
+
+    schema = "k long"
+    b1, b2 = [(1,), (2,), (2,)], [(2,), (3,)]
+    inp = str(tmp_path / "in")
+    for rows in (b1, b2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+    table = str(tmp_path / "cms")
+    run_cms_maintenance_once(
+        spark, inp, schema, table, key_col="k",
+        checkpoint_path=str(tmp_path / "ckpt"),
+        depth=4, width=64, max_files_per_trigger=1,
+    )
+    assert len(versions(table)) == 2  # one sketch commit per batch
+    maintained = {
+        (r.row_idx, r.col_idx): r.cnt
+        for r in read_version(spark, table).collect()
+    }
+    one_shot = {
+        (r.row_idx, r.col_idx): r.cnt
+        for r in cms_build(
+            spark.createDataFrame(b1 + b2, schema), "k", 4, 64
+        ).collect()
+    }
+    assert maintained == one_shot
+
+
+def test_gate_disagreement_cells_sum_to_funnel_head(spark):
+    """The disagreement matrix and the funnel consume the SAME gate
+    signals: total docs/tokens across the 2x2x2 cells must equal the
+    funnel's stage-1 docs_in/tokens_in, and the cumulative funnel
+    survivors (g AND c AND p) must equal the all-true cell."""
+    from legendary_data_pipeline_spark.queries_curation import (
+        curation_gate_disagreement,
+        curation_gate_funnel,
+    )
+
+    cells = curation_gate_disagreement(spark, SF_DIR).collect()
+    funnel = {r.stage: r for r in curation_gate_funnel(spark, SF_DIR).collect()}
+    assert sum(r.docs for r in cells) == funnel["gopher_quality"].docs_in
+    assert sum(r.tokens for r in cells) == funnel["gopher_quality"].tokens_in
+    all_true = [
+        r for r in cells if r.gopher_keep and r.c4_keep and r.pii_keep
+    ]
+    survivors = funnel["pii_screen"].docs_out
+    assert sum(r.docs for r in all_true) == survivors
+    for r in cells:
+        assert r.n_gates_passed == int(r.gopher_keep) + int(r.c4_keep) + int(
+            r.pii_keep
+        )
