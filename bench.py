@@ -320,9 +320,13 @@ def main() -> None:
     # name leads shifts with registry composition, and when a
     # legacy-only name led, its later "first (cold) run" tripwire value
     # was actually a second, warm execution.
+    # Ad-hoc LDP_BENCH_QUERIES runs warm with the FIRST REQUESTED name
+    # instead (r14 advice #4): the fixed anchor is for full runs, where
+    # it is timed anyway; on a one-query ad-hoc run it was an
+    # unrequested extra query execution.
     if names:
         warm_name = "a1_percentile_rollup_180d"
-        if warm_name not in specs:  # renamed/removed — fall back
+        if only or warm_name not in specs:  # ad-hoc, or renamed/removed
             warm_name = names[0]
         run_once(warm_name)
         spark.catalog.clearCache()

@@ -2494,9 +2494,11 @@ _GATE_SIGNALS_CTES = f"""
         FROM enriched)),
     pk AS (
       SELECT doc_id,
-             len(regexp_extract_all(text, '{C.EMAIL_RE}'))
-             + len(regexp_extract_all(text, '{C.PHONE_RE}'))
-             + len(regexp_extract_all(text, '{C.IPV4_RE}')) = 0 AS p
+             COALESCE(
+               len(regexp_extract_all(text, '{C.EMAIL_RE}'))
+               + len(regexp_extract_all(text, '{C.PHONE_RE}'))
+               + len(regexp_extract_all(text, '{C.IPV4_RE}')) = 0,
+               FALSE) AS p
       FROM enriched)
 """
 

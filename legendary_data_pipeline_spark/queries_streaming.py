@@ -32,9 +32,12 @@ Determinism contract (what makes a streaming run oracle-pairable):
 Each callable stages into a fresh mkdtemp (checkpoint, target, input)
 — safe under concurrent/replayed driver invocation; the returned
 DataFrame reads the written target, so driver-side re-collection is
-stable. The staging pass itself reads the corpus once; the RETURNED
-frame scans only the (rollup-sized) target, so the registration-time
-scan gate sees 1 parquet scan.
+stable. `_parity_run` scopes the tiny-state shuffle-partition override
+(prior value restored in a finally) and removes the staging input and
+checkpoint dirs on exit — only the rollup-sized target outlives the
+call (r14 advice #2/#3). The staging pass itself reads the corpus
+once; the RETURNED frame scans only the target, so the
+registration-time scan gate sees 1 parquet scan (declared).
 
 100 TB posture: these queries exist to prove the maintenance algebra,
 not to model production staging — at scale the stream source is the
@@ -45,6 +48,8 @@ O(batch) + one rollup-sized merge (streaming/rollup.py module doc).
 
 from __future__ import annotations
 
+import contextlib
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -80,21 +85,44 @@ def _stage_events(spark: SparkSession, sf_dir: str, root: str, copies: int = 1) 
 
 
 def _read_staged_stream(spark: SparkSession, staging: str) -> DataFrame:
-    # Parity-run state sizing: the session default (2x cores, ≥32 —
-    # ensure_engine_confs) is right for corpus-scale shuffles but makes
-    # TINY streaming state expensive: each state partition writes a
-    # delta file per micro-batch, so 64 partitions x N batches of
-    # checkpoint I/O dominates a rollup whose whole state is a few
-    # hundred rows. 8 partitions is plenty for the parity tables;
-    # production streams take the session conf (streaming/*.py entry
-    # points set nothing). The next registered query re-runs
-    # ensure_engine_confs, which restores the session value.
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
     return (
         spark.readStream.schema(_STAGED_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(staging)
     )
+
+
+@contextlib.contextmanager
+def _parity_run(spark: SparkSession, prefix: str):
+    """Scoped staging root + tiny-state conf for one parity run.
+
+    State sizing: the session default shuffle-partition count (2x
+    cores, ≥32 — ensure_engine_confs) is right for corpus-scale
+    shuffles but makes TINY streaming state expensive: each state
+    partition writes a delta file per micro-batch, so 64 partitions x N
+    batches of checkpoint I/O dominates a rollup whose whole state is a
+    few hundred rows. 8 partitions is plenty for the parity tables;
+    production streams take the session conf (streaming/*.py entry
+    points set nothing).
+
+    The prior value is restored in the finally (r14 advice #2) — a
+    direct caller's session conf is unchanged after the callable
+    returns, instead of depending on the NEXT registered query's
+    ensure_engine_confs. The staging input and checkpoint/state dirs
+    are removed on exit too (r14 advice #3 — repeated bench/driver
+    runs used to accumulate unbounded /tmp); only the written target
+    under the root outlives the call, which is all driver-side
+    re-collection of the returned frame needs.
+    """
+    root = tempfile.mkdtemp(prefix=prefix)
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        yield root
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
+        for sub in ("in", "ckpt"):
+            shutil.rmtree(f"{root}/{sub}", ignore_errors=True)
 
 
 @register_shadow(
@@ -115,7 +143,10 @@ def _read_staged_stream(spark: SparkSession, staging: str) -> DataFrame:
     "reference's ON CONFLICT rerun, 01_import_pricecharting_csv.js:"
     "171-186, run continuously). The maintained snapshot must equal "
     "the one-shot batch aggregation: decomposable-aggregate algebra + "
-    "at-least-once upsert = full recompute.",
+    "at-least-once upsert = full recompute."
+    " Returned frame reads only the maintained table (scan_budget=1);"
+    " the staging pass is a separate job, scoped+cleaned by _parity_run.",
+    scan_budget=1,
 )
 def stream_rollup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from legendary_data_pipeline_spark.streaming.snapshots import (
@@ -123,22 +154,22 @@ def stream_rollup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         upsert_sink,
     )
 
-    root = tempfile.mkdtemp(prefix="ldp_stream_daily_")
-    staging = _stage_events(spark, sf_dir, root)
-    target, ckpt = f"{root}/out", f"{root}/ckpt"
-    rolled = daily_event_rollup_stream(
-        _read_staged_stream(spark, staging),
-        watermark=_NEVER_LATE,
-        include_approx_users=False,
-    )
-    q = (
-        rolled.writeStream.outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .foreachBatch(upsert_sink(target, ["day", "event_type"]))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _parity_run(spark, "ldp_stream_daily_") as root:
+        staging = _stage_events(spark, sf_dir, root)
+        target, ckpt = f"{root}/out", f"{root}/ckpt"
+        rolled = daily_event_rollup_stream(
+            _read_staged_stream(spark, staging),
+            watermark=_NEVER_LATE,
+            include_approx_users=False,
+        )
+        q = (
+            rolled.writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(upsert_sink(target, ["day", "event_type"]))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(target).select(
         "day", "event_type", "events", "total_value_cents"
     )
@@ -162,28 +193,31 @@ def stream_rollup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exactly-once: the per-type rollup of the deduped append-mode sink "
     "equals the batch rollup of the single-delivery table. event_id is "
     "unique in the fixture (asserted in test_new_ops_r14.py), so the "
-    "surviving copy is value-identical whichever arrival wins.",
+    "surviving copy is value-identical whichever arrival wins."
+    " Returned frame reads only the maintained table (scan_budget=1);"
+    " the staging pass is a separate job, scoped+cleaned by _parity_run.",
+    scan_budget=1,
 )
 def stream_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from legendary_data_pipeline_spark.streaming.snapshots import (
         dedup_events_stream,
     )
 
-    root = tempfile.mkdtemp(prefix="ldp_stream_dedup_")
-    staging = _stage_events(spark, sf_dir, root, copies=2)
-    target, ckpt = f"{root}/out", f"{root}/ckpt"
-    deduped = dedup_events_stream(
-        _read_staged_stream(spark, staging), watermark=_NEVER_LATE
-    )
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", target)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _parity_run(spark, "ldp_stream_dedup_") as root:
+        staging = _stage_events(spark, sf_dir, root, copies=2)
+        target, ckpt = f"{root}/out", f"{root}/ckpt"
+        deduped = dedup_events_stream(
+            _read_staged_stream(spark, staging), watermark=_NEVER_LATE
+        )
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", target)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     cents = F.round(F.col("value").cast("decimal(18,2)") * 100, 0).cast("long")
     return (
         spark.read.parquet(target)
@@ -217,7 +251,10 @@ def stream_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "version must equal the full recompute. This is the 100 TB "
     "maintenance shape: history is never rescanned. The staged input "
     "is pre-projected to (day, event_type, v_cents) so the generic "
-    "maintenance entry point runs unmodified.",
+    "maintenance entry point runs unmodified."
+    " Returned frame reads only the maintained table (scan_budget=1);"
+    " the staging pass is a separate job, scoped+cleaned by _parity_run.",
+    scan_budget=1,
 )
 def stream_maint_parity(
     spark: SparkSession, sf_dir: str
@@ -227,42 +264,42 @@ def stream_maint_parity(
         run_rollup_maintenance_once,
     )
 
-    root = tempfile.mkdtemp(prefix="ldp_stream_maint_")
-    staging = f"{root}/in"
-    ev = load_table(spark, sf_dir, "events")
-    day = F.date_format(
-        F.expr(
-            "date_add(DATE '1970-01-01', CAST(ts DIV 86400000000000 AS INT))"
-        ),
-        "yyyy-MM-dd",
-    )
-    cents = F.round(F.col("value").cast("decimal(18,2)") * 100, 0).cast("long")
-    ev.select(
-        day.alias("day"), "event_type", cents.alias("v_cents")
-    ).repartition(2).write.parquet(staging)
+    with _parity_run(spark, "ldp_stream_maint_") as root:
+        staging = f"{root}/in"
+        ev = load_table(spark, sf_dir, "events")
+        day = F.date_format(
+            F.expr(
+                "date_add(DATE '1970-01-01', CAST(ts DIV 86400000000000 AS INT))"
+            ),
+            "yyyy-MM-dd",
+        )
+        cents = F.round(
+            F.col("value").cast("decimal(18,2)") * 100, 0
+        ).cast("long")
+        ev.select(
+            day.alias("day"), "event_type", cents.alias("v_cents")
+        ).repartition(2).write.parquet(staging)
 
-    table, ckpt = f"{root}/rollup", f"{root}/ckpt"
-    # tiny-state sizing, same rationale as _read_staged_stream
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    run_rollup_maintenance_once(
-        spark,
-        staging,
-        "day string, event_type string, v_cents long",
-        table,
-        keys=["day", "event_type"],
-        specs=[
-            ("events", "count", None),
-            ("total_value_cents", "sum", F.col("v_cents")),
-            ("max_value_cents", "max", F.col("v_cents")),
-        ],
-        kinds={
-            "events": "count",
-            "total_value_cents": "sum",
-            "max_value_cents": "max",
-        },
-        checkpoint_path=ckpt,
-        max_files_per_trigger=1,
-    )
+        table, ckpt = f"{root}/rollup", f"{root}/ckpt"
+        run_rollup_maintenance_once(
+            spark,
+            staging,
+            "day string, event_type string, v_cents long",
+            table,
+            keys=["day", "event_type"],
+            specs=[
+                ("events", "count", None),
+                ("total_value_cents", "sum", F.col("v_cents")),
+                ("max_value_cents", "max", F.col("v_cents")),
+            ],
+            kinds={
+                "events": "count",
+                "total_value_cents": "sum",
+                "max_value_cents": "max",
+            },
+            checkpoint_path=ckpt,
+            max_files_per_trigger=1,
+        )
     return read_version(spark, table).select(
         "day", "event_type", "events", "total_value_cents", "max_value_cents"
     )
@@ -343,22 +380,20 @@ def stream_cms_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_cms_maintenance_once,
     )
 
-    root = tempfile.mkdtemp(prefix="ldp_stream_cms_")
-    staging = _stage_events(spark, sf_dir, root)
-    table, ckpt = f"{root}/cms", f"{root}/ckpt"
-    # tiny-state sizing, same rationale as _read_staged_stream
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    run_cms_maintenance_once(
-        spark,
-        staging,
-        _STAGED_SCHEMA,
-        table,
-        key_col="user_id",
-        checkpoint_path=ckpt,
-        depth=_CMS_DEPTH,
-        width=_CMS_WIDTH,
-        max_files_per_trigger=1,
-    )
+    with _parity_run(spark, "ldp_stream_cms_") as root:
+        staging = _stage_events(spark, sf_dir, root)
+        table, ckpt = f"{root}/cms", f"{root}/ckpt"
+        run_cms_maintenance_once(
+            spark,
+            staging,
+            _STAGED_SCHEMA,
+            table,
+            key_col="user_id",
+            checkpoint_path=ckpt,
+            depth=_CMS_DEPTH,
+            width=_CMS_WIDTH,
+            max_files_per_trigger=1,
+        )
     sketch = read_version(spark, table)
     # probe side: the 20 hottest users by exact count (deterministic
     # count-then-id ordering) — the exact counts ride the output anyway
