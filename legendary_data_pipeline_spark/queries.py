@@ -2071,3 +2071,86 @@ for _n in _DEMOTE_R14C:
 for _n in _PROMOTE_R14C:
     REGISTRY[_n] = SHADOW_REGISTRY.pop(_n)
 del _n, _missing
+
+# ---------------------------------------------------------------------------
+# Round-15 driver-gate rotation (see NOTES.md §Round-15)
+# ---------------------------------------------------------------------------
+# r14 verdict #1: execute the prepped rotation and drive the
+# never-driver-checked tail 63 → ≤43. A pure 20-slot sweep of the
+# oldest never-checked shadows (first-commit order, family-diverse —
+# the exact list pre-verified oracle-green at sf0.001 AND sf0.01 from
+# a foreign-cwd session at the end of r14, AND sf1-probed a round
+# early; NOTES "Round-15 rotation prep"). Demotions: all 25 r14
+# promotions — every one earned a full hash-green driver row in
+# CORRECTNESS_r14 on first exposure (re-checked before this rotation
+# committed). The r14 streaming-parity cohort's family seat passes to
+# the FIVE r15 addition parities (X239–X243: EWMA anomaly,
+# stream-stream attribution, quality monitor, PSI monitor,
+# sessionization — the remaining never-oracled runtime surfaces),
+# promoted in the R15B band below.
+_DEMOTE_R15 = [
+    "curation_mixture_repeat",  # sibling: curation_mixture_allocation (gate; mixture-weight family)
+    "curation_shuffle_shard",  # sibling: curation_c4_gates (gate; corpus-curation family)
+    "curation_temperature_mix",  # sibling: curation_mixture_allocation (gate; temperature/mixture draws)
+    "dedup_keep_longest",  # sibling: ss_prefix_jaccard_pairs (gate; dedup/similarity family)
+    "e_retention_cohorts",  # sibling: ts_user_streaks (incoming; per-user temporal behavior)
+    "e_event_transitions",  # sibling: ts_interarrival_gaps (incoming; event-sequence temporal ops)
+    "curation_sliding_chunks",  # sibling: curation_c4_gates (gate; token-budget chunking family)
+    "dq_constraint_report_orders",  # sibling: stream_quality_parity (incoming R15B; same check_constraints kernel)
+    "dq_profile_lineitem",  # sibling: dq_functional_dependencies (incoming; profiling family)
+    "er_best_match_part_names",  # sibling: er_name_clusters (incoming; entity-resolution family)
+    "skew_heavy_hitters_users",  # sibling: sk_rolling_distinct_users (incoming; per-user frequency readouts)
+    "st_hist_order_totalprice",  # sibling: sk_quantile_rollup (incoming; distribution binning family)
+    "st_systematic_weighted_sample",  # sibling: an_rfm_segmentation (incoming; per-customer stratification)
+    "st_trend_event_value_daily",  # sibling: ts_seasonal_profile (incoming; daily-series readouts)
+    "dq_drift_orders_priority",  # siblings: dq_psi_drift_orders_priority (gate), dq_numeric_drift_order_totals (incoming)
+    "er_sorted_neighborhood",  # sibling: er_name_clusters (incoming; blocking/clustering family)
+    "skew_join_forecast_order_pairs",  # sibling: dq_table_diff (incoming; two-sided join readouts)
+    "u4_intersect_except_cohorts",  # sibling: an_rfm_segmentation (incoming; cohort set ops)
+    "w6_percent_rank_cume_dist",  # sibling: st_brand_revenue_concentration (incoming; rank/cume distribution)
+    "dq_event_calendar_gaps",  # sibling: ts_interarrival_gaps (incoming; same gap algebra, per-user grain)
+    "stream_rollup_parity",  # seat → X239–X243 streaming parities (R15B)
+    "stream_dedup_parity",  # seat → X239–X243 streaming parities (R15B)
+    "stream_maint_parity",  # seat → X239–X243 streaming parities (R15B)
+    "stream_cms_parity",  # seat → X239–X243 streaming parities (R15B)
+    "curation_gate_disagreement",  # sibling: curation_c4_gates (gate; gate-verdict family)
+]
+_PROMOTE_R15 = [
+    "txt_collocations",
+    "dq_functional_dependencies",
+    "dq_numeric_drift_order_totals",
+    "er_name_clusters",
+    "ts_cusum_changepoint",
+    "ts_interarrival_gaps",
+    "ts_seasonal_profile",
+    "ab_purchase_conversion_ztest",
+    "st_brand_revenue_concentration",
+    "mb_association_rules",
+    "dq_k_anonymity_customers",
+    "sk_quantile_rollup",
+    "ts_user_streaks",
+    "sim_hard_negatives",
+    "sk_rolling_distinct_users",
+    "sk_theta_core_audience",
+    "st_mutual_information",
+    "an_rfm_segmentation",
+    "dq_table_diff",
+    "an_contribution_topn",
+]
+_missing = [
+    _n
+    for _n in (*_DEMOTE_R15, *_PROMOTE_R15)
+    if _n not in REGISTRY and _n not in SHADOW_REGISTRY
+]
+if _missing:
+    raise ImportError(
+        "query registry incomplete during round-15 rotation (missing "
+        f"{_missing}): import legendary_data_pipeline_spark.queries "
+        "FIRST — importing a queries_* submodule directly re-enters "
+        "this module before its registrations finish."
+    )
+for _n in _DEMOTE_R15:
+    SHADOW_REGISTRY[_n] = REGISTRY.pop(_n)
+for _n in _PROMOTE_R15:
+    REGISTRY[_n] = SHADOW_REGISTRY.pop(_n)
+del _n, _missing
