@@ -2154,3 +2154,30 @@ for _n in _DEMOTE_R15:
 for _n in _PROMOTE_R15:
     REGISTRY[_n] = SHADOW_REGISTRY.pop(_n)
 del _n, _missing
+
+# Round-15 addition-coverage band: the five X239–X243 streaming-parity
+# readouts registered THIS round (queries_streaming.py) take gate slots
+# immediately — first driver-oracle exposure for the remaining
+# never-oracled streaming runtime surfaces (stateful EWMA scoring, the
+# stream-stream interval join, the continuous quality + PSI monitors,
+# gap-based sessionization; r14 verdict #6). With the 25 demotions and
+# 20 sweep promotions above, the gate lands back at exactly 50 and the
+# never-driver-checked tail at the ≤43 target COUNTING the additions
+# (63 − 20 sweep − 5 additions + 5 registrations = 43).
+_PROMOTE_R15B = [
+    "stream_ewma_parity",
+    "stream_attribution_parity",
+    "stream_quality_parity",
+    "stream_psi_parity",
+    "stream_session_parity",
+]
+_missing = [_n for _n in _PROMOTE_R15B if _n not in SHADOW_REGISTRY]
+if _missing:
+    raise ImportError(
+        "query registry incomplete during round-15 addition-coverage "
+        f"rotation (missing {_missing}): import "
+        "legendary_data_pipeline_spark.queries FIRST."
+    )
+for _n in _PROMOTE_R15B:
+    REGISTRY[_n] = SHADOW_REGISTRY.pop(_n)
+del _n, _missing

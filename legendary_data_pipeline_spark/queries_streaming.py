@@ -1,4 +1,5 @@
-"""Shadow queries: Structured-Streaming parity readouts (X234–X237).
+"""Shadow queries: Structured-Streaming parity readouts (X234–X237,
+X239–X243).
 
 The streaming surface (streaming/*.py) replaces the reference's cron
 re-runs (every reference script is a batch job re-run on a schedule —
@@ -411,4 +412,471 @@ def stream_cms_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_cnt",
         "cms_est",
         (F.col("cms_est") - F.col("exact_cnt")).cast("long").alias("overcount"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X239–X243 — round-15 parities for the remaining never-oracled
+# streaming runtime surfaces (r14 verdict #6): stateful EWMA anomaly
+# scoring, the stream-stream interval join, the continuous quality and
+# PSI monitors, and gap-based sessionization. Same recipe as X234–X237:
+# the callable EXECUTES the real runtime entry point over a staged
+# multi-file input (cross-batch state), then returns the written table
+# for the driver to hash against a plain batch-SQL oracle.
+#
+# New determinism tool: _stage_ordered_files. The X234 parities are
+# order-independent (decomposable aggregates / exact dedup), but EWMA,
+# sessionization, and per-batch PSI are ORDER- or BATCH-SENSITIVE, so
+# their staging splits the input by EVENT TIME into files with strictly
+# increasing mtimes — Spark's file stream source lists new files in
+# modification-time order, so maxFilesPerTrigger=1 delivers the stream
+# in event-time order across micro-batches (empirically pinned in
+# tests/test_new_ops_r15.py::test_file_stream_delivers_in_mtime_order).
+# In-order delivery makes the stateful operators' emissions equal the
+# batch recompute (the documented in-order parity contract of
+# streaming/anomaly.py and streaming/sessions.py), and makes the PSI
+# monitor's batch_id↔time-half mapping SQL-reconstructable.
+# ---------------------------------------------------------------------------
+
+#: Oracle-side integer-cents convention (matches catalog/batch loaders).
+_CENTS_SQL = "CAST(round(CAST(value AS DECIMAL(18,2)) * 100, 0) AS BIGINT)"
+
+
+def _stage_ordered_files(spark: SparkSession, parts, root: str) -> str:
+    """Write each frame in `parts` as ONE parquet file under root/in
+    with strictly increasing mtimes — micro-batch i is exactly
+    parts[i] under maxFilesPerTrigger=1 (mtime-ordered source listing).
+    """
+    import glob
+    import os
+
+    staging = f"{root}/in"
+    os.makedirs(staging, exist_ok=True)
+    for i, part in enumerate(parts):
+        if not part.take(1):
+            raise ValueError(
+                f"_stage_ordered_files: part {i} is an empty split — "
+                "an empty micro-batch breaks the batch↔span mapping "
+                "(per-batch sinks skip it, renumbering later batches)."
+            )
+        tmp = f"{root}/stage_{i}"
+        part.coalesce(1).write.parquet(tmp)
+        (src,) = glob.glob(f"{tmp}/part-*.parquet")
+        dst = f"{staging}/batch-{i:03d}.parquet"
+        shutil.move(src, dst)
+        # fixed, strictly increasing mtimes — deterministic across runs
+        os.utime(dst, (1_700_000_000 + 100 * i,) * 2)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return staging
+
+
+def _split_days(spark: SparkSession, sf_dir: str):
+    """(events_df, midpoint_day) — the event-time halving every
+    order-sensitive parity stages by. Mirrored in SQL as
+    `(min(d) + max(d) + 1) // 2` over `epoch_us(ts) // 86400000000`."""
+    ev = load_table(spark, sf_dir, "events")
+    d = F.expr("ts DIV 86400000000000")
+    lo, hi = ev.agg(F.min(d), F.max(d)).first()
+    return ev, (int(lo) + int(hi) + 1) // 2
+
+
+_EWMA_K = 8
+_EWMA_LAGS = "\n             ".join(
+    f"lag(v, {j}) OVER w AS l{j}," for j in range(1, _EWMA_K)
+) + f"\n             lag(v, {_EWMA_K}) OVER w AS l{_EWMA_K}"
+_EWMA_NUM = " + ".join(
+    f"COALESCE(l{j} * {1 << (_EWMA_K - j)}, 0)" for j in range(1, _EWMA_K + 1)
+)
+_EWMA_DEN = " + ".join(
+    f"(CASE WHEN l{j} IS NOT NULL THEN {1 << (_EWMA_K - j)} ELSE 0 END)"
+    for j in range(1, _EWMA_K + 1)
+)
+
+
+@register_shadow(
+    "stream_ewma_parity",
+    f"""
+    WITH daily AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS t,
+             CAST(SUM({_CENTS_SQL}) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2),
+    lagged AS (
+      SELECT user_id, t, v,
+             {_EWMA_LAGS}
+      FROM daily
+      WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+    summed AS (
+      SELECT user_id, t, v,
+             {_EWMA_NUM} AS num,
+             {_EWMA_DEN} AS den
+      FROM lagged),
+    based AS (
+      SELECT user_id, t, v,
+             CASE WHEN den > 0
+                  THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+             END AS ewma
+      FROM summed)
+    SELECT user_id, t, v, ewma,
+           CAST(v AS DOUBLE) - ewma AS resid
+    FROM based
+    """,
+    doc="X239 stateful-EWMA scoring parity: run_ewma_anomaly_once (the "
+    "applyInPandasWithState scorer, streaming/anomaly.py) drains the "
+    "per-user daily-cents series staged as TWO event-time-ordered "
+    "files — the k-deep lag buffer carries across the micro-batch "
+    "boundary — and every emitted (ewma, resid) must equal the batch "
+    "halving-weight formula (operators/stats.ewma_anomalies; same "
+    "lag-window SQL as ts_ewma_daily_anomalies, per-user grain). "
+    "In-order delivery via mtime-staged files is what makes the "
+    "stream bit-identical to the batch recompute (module doc). "
+    "Never-late watermark: timers never fire; all rows emit in data "
+    "batches. Returned frame reads only the scored table "
+    "(scan_budget=1); staging is a separate job, cleaned by "
+    "_parity_run.",
+    scan_budget=1,
+)
+def stream_ewma_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.streaming.anomaly import (
+        run_ewma_anomaly_once,
+    )
+
+    with _parity_run(spark, "ldp_stream_ewma_") as root:
+        ev, mid = _split_days(spark, sf_dir)
+        cents = F.round(
+            F.col("value").cast("decimal(18,2)") * 100, 0
+        ).cast("long")
+        daily = (
+            ev.groupBy(
+                "user_id", F.expr("ts DIV 86400000000000").alias("t")
+            )
+            .agg(F.sum(cents).cast("long").alias("v"))
+            .select(
+                "user_id",
+                (F.col("t") * F.lit(86_400_000_000_000)).cast("long").alias("ts"),
+                "t",
+                "v",
+            )
+        )
+        staging = _stage_ordered_files(
+            spark,
+            [daily.filter(F.col("t") < mid), daily.filter(F.col("t") >= mid)],
+            root,
+        )
+        target, ckpt = f"{root}/out", f"{root}/ckpt"
+        run_ewma_anomaly_once(
+            spark, staging, target, ckpt,
+            k=_EWMA_K, watermark=_NEVER_LATE, max_files_per_trigger=1,
+        )
+    return spark.read.parquet(target).select(
+        "user_id", "t", "v", "ewma", "resid"
+    )
+
+
+_ATTR_HORIZON_MIN = 60
+
+
+@register_shadow(
+    "stream_attribution_parity",
+    """
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us
+      FROM events),
+    c AS (SELECT event_id AS click_event_id, user_id, t_us AS click_us
+          FROM ev WHERE event_type = 'click'),
+    p AS (SELECT event_id AS purchase_event_id, user_id, t_us AS purchase_us
+          FROM ev WHERE event_type = 'purchase')
+    SELECT p.purchase_event_id, c.click_event_id, p.user_id,
+           p.purchase_us - c.click_us AS lag_us
+    FROM p JOIN c ON p.user_id = c.user_id
+      AND c.click_us <= p.purchase_us
+      AND c.click_us >= p.purchase_us - 3600000000
+    """,
+    doc="X240 stream-stream interval-join parity: attribute_purchases "
+    "(streaming/attribution.py) run as a REAL watermarked stream-stream "
+    "inner join over the staged 2-file event stream — click state "
+    "buffered across micro-batches, purchases matched against clicks "
+    "that arrived in EARLIER batches. With the never-late watermark no "
+    "buffered row is evicted, so the emitted pair set must equal the "
+    "batch interval join exactly (the t4_click_attribution predicate "
+    "without the rank-1 winner — the full pair multiset is the "
+    "stronger hash). Returned frame reads only the written pair table "
+    "(scan_budget=1); staging cleaned by _parity_run.",
+    scan_budget=1,
+)
+def stream_attribution_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.streaming.attribution import (
+        attribute_purchases,
+        split_clicks_purchases,
+    )
+
+    with _parity_run(spark, "ldp_stream_attr_") as root:
+        staging = _stage_events(spark, sf_dir, root)
+        target, ckpt = f"{root}/out", f"{root}/ckpt"
+        clicks, purchases = split_clicks_purchases(
+            _read_staged_stream(spark, staging)
+        )
+        pairs = attribute_purchases(
+            clicks, purchases,
+            horizon_minutes=_ATTR_HORIZON_MIN, watermark=_NEVER_LATE,
+        )
+        q = (
+            pairs.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", target)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(target).select(
+        "purchase_event_id", "click_event_id", "user_id", "lag_us"
+    )
+
+
+def _quality_checks():
+    return {
+        "value_positive": F.col("value") > 0,
+        "value_cap_200": F.col("value") <= 200,
+        "event_type_known": F.col("event_type").isin(
+            "click", "view", "purchase", "signup", "error"
+        ),
+        "user_id_present": F.col("user_id").isNotNull(),
+    }
+
+
+def _quality_oracle() -> str:
+    preds = {
+        "value_positive": "value > 0",
+        "value_cap_200": "value <= 200",
+        "event_type_known":
+            "event_type IN ('click','view','purchase','signup','error')",
+        "user_id_present": "user_id IS NOT NULL",
+    }
+    blocks = []
+    for name, p in preds.items():
+        viol = f"SUM(CASE WHEN COALESCE({p}, FALSE) THEN 0 ELSE 1 END)"
+        blocks.append(f"""
+    SELECT '{name}' AS check_name, CAST(2 AS BIGINT) AS n_batches,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST({viol} AS BIGINT) AS n_violations,
+           {viol} = 0 AS passed
+    FROM events""")
+    return "\n    UNION ALL".join(blocks)
+
+
+@register_shadow(
+    "stream_quality_parity",
+    _quality_oracle(),
+    doc="X241 continuous-quality-monitor parity: run_quality_monitor_once "
+    "(streaming/quality.py) audits each staged micro-batch with "
+    "check_constraints inside foreachBatch and appends per-batch "
+    "verdict rows to the idempotent batch_id-partitioned report. "
+    "Row-level violation counts are SUMMABLE across batches, so the "
+    "report aggregated over batch_id must equal the whole-table audit "
+    "regardless of how rows split across batches — with n_batches "
+    "pinned to the 2 staged files, asserting the run really was "
+    "multi-batch. NULL predicate = violation on both sides "
+    "(check_constraints' coalesce contract). Returned frame reads only "
+    "the report (scan_budget=1); staging cleaned by _parity_run.",
+    scan_budget=1,
+)
+def stream_quality_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.streaming.quality import (
+        run_quality_monitor_once,
+    )
+
+    with _parity_run(spark, "ldp_stream_dq_") as root:
+        staging = _stage_events(spark, sf_dir, root)
+        report, ckpt = f"{root}/report", f"{root}/ckpt"
+        run_quality_monitor_once(
+            spark, staging, _STAGED_SCHEMA, report, ckpt,
+            _quality_checks(), max_files_per_trigger=1,
+        )
+    rep = spark.read.parquet(report)
+    return (
+        rep.groupBy("check_name")
+        .agg(
+            F.countDistinct("batch_id").cast("long").alias("n_batches"),
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("n_violations").cast("long").alias("n_violations"),
+        )
+        .withColumn("passed", F.col("n_violations") == 0)
+    )
+
+
+_PSI_SMOOTH = 0.5
+_PSI_ALERT_E6 = 250000  # round(0.25 * 1e6) — the sink's scaled_e6 bar
+
+
+def _psi_half_sql(i: int, cmp: str) -> str:
+    """One PSI block: half `i` (days `cmp` mid) vs the full baseline —
+    the exact psi_drift scaled_e6 association order (see
+    dq_psi_drift_orders_priority's oracle, whose shape this reuses)."""
+    return f"""
+    h{i} AS (
+      SELECT COALESCE(CAST(event_type AS VARCHAR), '<null>') AS value,
+             CAST(COUNT(*) AS BIGINT) AS n_current
+      FROM ev, bounds WHERE d {cmp} mid GROUP BY 1),
+    j{i} AS (
+      SELECT COALESCE(b.value, h.value) AS value,
+             CAST(COALESCE(n_base, 0) AS BIGINT) AS n_base,
+             CAST(COALESCE(n_current, 0) AS BIGINT) AS n_current
+      FROM base b FULL OUTER JOIN h{i} h ON b.value = h.value),
+    t{i} AS (SELECT CAST(SUM(n_base) AS BIGINT) AS tb,
+                    CAST(SUM(n_current) AS BIGINT) AS tc,
+                    CAST(COUNT(*) AS BIGINT) AS k FROM j{i}),
+    terms{i} AS (
+      SELECT value, n_base, n_current,
+             (CAST(n_base AS DOUBLE) + {_PSI_SMOOTH})
+               / (CAST(tb AS DOUBLE) + {_PSI_SMOOTH} * CAST(k AS DOUBLE)) AS p,
+             (CAST(n_current AS DOUBLE) + {_PSI_SMOOTH})
+               / (CAST(tc AS DOUBLE) + {_PSI_SMOOTH} * CAST(k AS DOUBLE)) AS q
+      FROM j{i}, t{i}),
+    rows{i} AS (
+      SELECT value, n_base, n_current,
+             CAST(round(p * 1e6) AS BIGINT) AS p_base_e6,
+             CAST(round(q * 1e6) AS BIGINT) AS p_current_e6,
+             CAST(round((p - q) * ln(p / q) * 1e6) AS BIGINT) AS psi_term_e6,
+             (p - q) * ln(p / q) AS raw_t
+      FROM terms{i}),
+    s{i} AS (SELECT CAST(round(SUM(raw_t) * 1e6) AS BIGINT) AS psi_e6
+             FROM rows{i}),
+    out{i} AS (
+      SELECT CAST({i} AS INTEGER) AS batch_id, value, n_base, n_current,
+             p_base_e6, p_current_e6, psi_term_e6, psi_e6,
+             psi_e6 > {_PSI_ALERT_E6} AS alert
+      FROM rows{i}, s{i})"""
+
+
+@register_shadow(
+    "stream_psi_parity",
+    f"""
+    WITH ev AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS d FROM events),
+    bounds AS (SELECT (min(d) + max(d) + 1) // 2 AS mid FROM ev),
+    base AS (
+      SELECT COALESCE(CAST(event_type AS VARCHAR), '<null>') AS value,
+             CAST(COUNT(*) AS BIGINT) AS n_base
+      FROM ev GROUP BY 1),{_psi_half_sql(0, "<")},{_psi_half_sql(1, ">=")}
+    SELECT * FROM out0 UNION ALL SELECT * FROM out1
+    """,
+    doc="X242 continuous-PSI-monitor parity: run_psi_monitor_once "
+    "(streaming/quality.py) scores each staged micro-batch's "
+    "event_type distribution against the STATIC full-corpus baseline "
+    "in the scaled_e6 driver-gate form (exact BIGINT micro-units — "
+    "the representation-proof convention psi_drift documents). The "
+    "batch_id↔time-half mapping is deterministic because the staging "
+    "is event-time split with mtime-ordered files (module doc), so "
+    "the SQL reconstructs batch 0/1 as days <// >= the (min+max+1)/2 "
+    "midpoint and must reproduce every report cell including the "
+    "alert flag. Returned frame reads only the report "
+    "(scan_budget=1); staging cleaned by _parity_run.",
+    scan_budget=1,
+)
+def stream_psi_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.streaming.quality import (
+        run_psi_monitor_once,
+    )
+
+    with _parity_run(spark, "ldp_stream_psi_") as root:
+        ev, mid = _split_days(spark, sf_dir)
+        d = F.expr("ts DIV 86400000000000")
+        staging = _stage_ordered_files(
+            spark, [ev.filter(d < mid), ev.filter(d >= mid)], root
+        )
+        report, ckpt = f"{root}/report", f"{root}/ckpt"
+        run_psi_monitor_once(
+            spark, staging, _STAGED_SCHEMA, ev, "event_type",
+            report, ckpt, max_files_per_trigger=1, scaled_e6=True,
+        )
+    return spark.read.parquet(report).select(
+        "batch_id", "value", "n_base", "n_current",
+        "p_base_e6", "p_current_e6", "psi_term_e6", "psi_e6", "alert",
+    )
+
+
+_SESSION_GAP_S = 21600  # 6 h — multi-event sessions at fixture density
+
+
+@register_shadow(
+    "stream_session_parity",
+    f"""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS t_us, {_CENTS_SQL} AS cents
+      FROM events),
+    flagged AS (
+      SELECT user_id, t_us, cents,
+             CASE WHEN lag(t_us) OVER w IS NULL
+                    OR t_us - lag(t_us) OVER w > {_SESSION_GAP_S * 1_000_000}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t_us)),
+    sess AS (
+      SELECT user_id, t_us, cents,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY t_us
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged),
+    agg AS (
+      SELECT user_id, sid,
+             CAST(min(t_us) AS BIGINT) AS session_start_us,
+             CAST(max(t_us) AS BIGINT) AS session_end_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(cents) AS BIGINT) AS total_cents
+      FROM sess GROUP BY 1, 2)
+    SELECT user_id, session_start_us, session_end_us, n_events, total_cents
+    FROM agg
+    QUALIFY sid < max(sid) OVER (PARTITION BY user_id)
+    """,
+    doc="X243 gap-sessionization parity: run_sessionize_once (the "
+    "applyInPandasWithState operator, streaming/sessions.py) over the "
+    "event-time-split 2-file stream — session state (start/last/n/"
+    "total) carries across the micro-batch boundary; a session whose "
+    "events span both files must close as ONE session. With the "
+    "never-late watermark timers never fire, so the emitted set is "
+    "exactly the DATA-closed sessions = the batch lag/cumsum "
+    "sessionization minus each user's final (still-open) session — "
+    "the QUALIFY exclusion. Values ride as exact integer cents "
+    "(double-exact), timestamps emitted as epoch micros, so every "
+    "column hashes bit-identically. Returned frame reads only the "
+    "session table (scan_budget=1); staging cleaned by _parity_run.",
+    scan_budget=1,
+)
+def stream_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legendary_data_pipeline_spark.streaming.sessions import (
+        run_sessionize_once,
+    )
+
+    with _parity_run(spark, "ldp_stream_sess_") as root:
+        ev, mid = _split_days(spark, sf_dir)
+        cents = F.round(
+            F.col("value").cast("decimal(18,2)") * 100, 0
+        ).cast("long")
+        d = F.expr("ts DIV 86400000000000")
+        staged = ev.select(
+            "event_id",
+            F.timestamp_micros(F.expr("ts DIV 1000"))
+            .cast("timestamp_ntz")
+            .alias("ts"),
+            "user_id",
+            "event_type",
+            cents.cast("double").alias("value"),
+            "props",
+            d.alias("__d"),
+        )
+        parts = [
+            staged.filter(F.col("__d") < mid).drop("__d"),
+            staged.filter(F.col("__d") >= mid).drop("__d"),
+        ]
+        staging = _stage_ordered_files(spark, parts, root)
+        target, ckpt = f"{root}/out", f"{root}/ckpt"
+        run_sessionize_once(
+            spark, staging, target, ckpt,
+            gap_seconds=_SESSION_GAP_S, watermark=_NEVER_LATE,
+            max_files_per_trigger=1,
+        )
+    return spark.read.parquet(target).select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("total_value").cast("long").alias("total_cents"),
     )

@@ -190,20 +190,23 @@ def run_ewma_anomaly_once(
     k: int = 8,
     watermark: str = "1 hour",
     idle_timeout_ms: int = 24 * 3600 * 1000,
+    max_files_per_trigger: int | None = None,
 ) -> None:
     """availableNow drain: read parquet events (user_id, ts, t, v),
-    score, append to `target`. The backfill-vs-stream harness."""
+    score, append to `target`. The backfill-vs-stream harness.
+    `max_files_per_trigger` splits the backlog into multiple
+    micro-batches (cross-batch lag-buffer state; the parity queries
+    and tests use 1)."""
     from pyspark.sql import functions as F
 
     from legendary_data_pipeline_spark.streaming.snapshots import (
         with_event_time,
     )
 
-    src = (
-        spark.readStream.schema(
-            "user_id long, ts long, t long, v long"
-        ).parquet(source_dir)
-    )
+    reader = spark.readStream.schema("user_id long, ts long, t long, v long")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(source_dir)
     timed = with_event_time(src).withWatermark("event_time", watermark)
     scored = ewma_anomaly_stream(
         timed.select("user_id", "event_time", "t", "v"),

@@ -183,6 +183,7 @@ def psi_monitor_sink(
     col: str,
     report_path: str,
     psi_alert: float = 0.25,  # the standard "population shifted" bar
+    scaled_e6: bool = False,
 ):
     """`foreachBatch` writer: Population Stability Index of each
     micro-batch's `col` distribution against a STATIC baseline — the
@@ -195,6 +196,11 @@ def psi_monitor_sink(
     the module's sink contract) with `alert` set when the feature-level
     PSI crosses `psi_alert`. Both sides reduce to value-cardinality
     count tables per batch — metadata-scale.
+
+    `scaled_e6=True` writes the report in the engine's driver-gate
+    representation-proof form (exact BIGINT micro-units — see
+    psi_drift): the alert compares `psi_e6 > round(psi_alert * 1e6)`,
+    bit-equivalent across engine versions.
     """
     from legendary_data_pipeline_spark.operators.profiling import psi_drift
 
@@ -207,17 +213,24 @@ def psi_monitor_sink(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.limit(1).count() == 0:
             return
-        rep = psi_drift(baseline, batch_df, col, require_nonempty=False)
+        rep = psi_drift(
+            baseline, batch_df, col,
+            require_nonempty=False, scaled_e6=scaled_e6,
+        )
         rows = rep.collect()  # value-cardinality — metadata-scale
         if not rows:
             return
-        psi_total = rows[0]["psi"]
+        if scaled_e6:
+            psi_total = rows[0]["psi_e6"]
+            alert = psi_total is not None and psi_total > round(
+                psi_alert * 1e6
+            )
+        else:
+            psi_total = rows[0]["psi"]
+            alert = psi_total is not None and psi_total > psi_alert
         spark = batch_df.sparkSession
         out = spark.createDataFrame(rows, rep.schema).select(
-            "*",
-            F.lit(
-                psi_total is not None and psi_total > psi_alert
-            ).alias("alert"),
+            "*", F.lit(alert).alias("alert")
         )
         out.write.mode("overwrite").parquet(
             f"{report_path}/batch_id={int(batch_id)}"
@@ -236,6 +249,7 @@ def run_psi_monitor_once(
     checkpoint_path: str,
     psi_alert: float = 0.25,
     max_files_per_trigger: int | None = None,
+    scaled_e6: bool = False,
 ) -> None:
     """Drain all available input files once through the PSI monitor."""
     reader = spark.readStream.schema(input_schema)
@@ -246,7 +260,9 @@ def run_psi_monitor_once(
         stream.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_path)
         .foreachBatch(
-            psi_monitor_sink(baseline, col, report_path, psi_alert)
+            psi_monitor_sink(
+                baseline, col, report_path, psi_alert, scaled_e6=scaled_e6
+            )
         )
         .trigger(availableNow=True)
         .start()

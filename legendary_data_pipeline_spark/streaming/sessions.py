@@ -127,19 +127,26 @@ def run_sessionize_once(
     checkpoint_path: str,
     gap_seconds: int = 1800,
     watermark: str = "1 hour",
+    max_files_per_trigger: int | None = None,
 ) -> None:
     """Drain available events once, append closed sessions to a parquet
     table, and exit — the cron-replacement entry point (mirrors
     snapshots.run_daily_rollup_once). Closed sessions are append-only
     facts keyed by (user_id, session_start); re-runs resume from the
-    checkpoint so nothing re-emits.
+    checkpoint so nothing re-emits. `max_files_per_trigger` splits the
+    backlog into multiple micro-batches (cross-batch session state;
+    the parity query and tests use 1).
     """
     from legendary_data_pipeline_spark.streaming.snapshots import (
         read_events_stream,
         with_event_time,
     )
 
-    stream = with_event_time(read_events_stream(spark, events_path))
+    stream = with_event_time(
+        read_events_stream(
+            spark, events_path, max_files_per_trigger=max_files_per_trigger
+        )
+    )
     sessions = sessionize_stream(
         stream, gap_seconds=gap_seconds, watermark=watermark
     )
