@@ -21,7 +21,7 @@ _ALL = {**REGISTRY, **SHADOW_REGISTRY}
 #: Pinned registry sizes — the self-auditing counts NOTES/SURVEY cite.
 #: Bump EXPECTED_SHADOW when registering a new shadow query; the gate
 #: is always exactly DRIVER_QUERY_CAP (rotations swap 1-for-1).
-EXPECTED_SHADOW = 213
+EXPECTED_SHADOW = 218
 
 
 def test_registry_counts_pinned():
