@@ -262,16 +262,34 @@ def ml_pr_at_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RET_K = 10
 
+#: Bounded query-sample size for the exact-cosine retrieval readouts —
+#: same rationale as _RECALL_MAX_Q/_HARDNEG_MAX_ANCHORS: the exact
+#: scorer is queries × corpus by definition, so the old fixed FRACTION
+#: (vec_id % 5 = 0 → 20% of all vectors) re-quadratized it (r15 early
+#: probe: ~13× wall at 10× vectors), while a fixed md5-first SAMPLE
+#: keeps it linear in the corpus. At the driver scales (sf ≤ 0.01 →
+#: ≤40 eligible) the bound is not binding, so gate outputs are
+#: unchanged there.
+_RET_MAX_Q = 256
+
 # shared ranked-retrieval CTE: unblocked exact cosine top-10 for the
-# query sample (vec_id % 5 == 0), relevance = label match. Similarity is
-# rounded to 6 dp BEFORE ranking with a neighbor-id tiebreaker, the
-# engine-stability convention sim_topk_bruteforce established.
+# BOUNDED query sample (md5-first _RET_MAX_Q of the vec_id % 5 == 0
+# eligibles — the sim_ivf_recall_at_k convention), relevance = label
+# match. Similarity is rounded to 6 dp BEFORE ranking with a
+# neighbor-id tiebreaker, the engine-stability convention
+# sim_topk_bruteforce established.
+from legendary_data_pipeline_spark.functions.hashing import md5_long_sql  # noqa: E402
+
 _RANKED_CTE = f"""
     base AS (
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
       FROM embeddings),
-    q AS (SELECT vec_id AS query_id, label AS q_label, e
-          FROM base WHERE vec_id % 5 = 0),
+    q AS (SELECT vec_id AS query_id, label AS q_label, e FROM (
+            SELECT vec_id, label, e, ROW_NUMBER() OVER (
+              ORDER BY {md5_long_sql("CAST(vec_id AS VARCHAR)")} ASC,
+                       vec_id ASC) AS qrn
+            FROM base WHERE vec_id % 5 = 0)
+          WHERE qrn <= {_RET_MAX_Q}),
     pairs AS (
       SELECT q.query_id, q.q_label,
              c.vec_id AS neighbor_id, c.label AS n_label,
@@ -288,13 +306,38 @@ _RANKED_CTE = f"""
 """
 
 
-def _ranked_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bounded_query_ids(spark: SparkSession, sf_dir: str) -> list[int]:
+    """The md5-first ≤_RET_MAX_Q eligible query ids — a distributed
+    TakeOrderedAndProject, not a global rank window; the ≤-sample-size
+    id pull is the one driver action (the sim_hard_negatives
+    convention)."""
+    from legendary_data_pipeline_spark.functions.hashing import md5_long
+
+    emb = load_distributed(spark, sf_dir, "embeddings")
+    return [
+        r.vec_id
+        for r in emb.filter(F.col("vec_id") % 5 == 0)
+        .select("vec_id")
+        .orderBy(
+            md5_long(F.col("vec_id").cast("string")).asc(),
+            F.col("vec_id").asc(),
+        )
+        .limit(_RET_MAX_Q)
+        .collect()
+    ]
+
+
+def _ranked_frame(
+    spark: SparkSession, sf_dir: str, query_ids: list[int] | None = None
+) -> DataFrame:
     """Spark twin of _RANKED_CTE: (query_id, q_label, rank, rel)."""
     emb = load_distributed(spark, sf_dir, "embeddings")
+    if query_ids is None:
+        query_ids = _bounded_query_ids(spark, sf_dir)
     topk = SIM.cosine_topk(
         emb,
         k=_RET_K,
-        query_filter=(F.col("vec_id") % 5 == 0),
+        query_filter=F.col("vec_id").isin(query_ids),
         block_on_label=False,
     )
     labels = emb.select("vec_id", "label")
@@ -338,7 +381,10 @@ _MRR_LCM = M._lcm_1_to(_RET_K)
     FROM per
     """,
     doc="Mean reciprocal rank at 10 over the exact-cosine retrieval of "
-    "the query sample (relevance = label match). Exact integer trick: "
+    f"the BOUNDED query sample (md5-first {_RET_MAX_Q} eligibles — the "
+    "sim_ivf_recall_at_k convention; a fixed query FRACTION would make "
+    "the exact scorer quadratic in the corpus, the r15 early probe "
+    "read ~13x at 10x vectors; relevance = label match). Exact integer trick: "
     "each query contributes LCM(1..10)/first_rel_rank = an exact "
     "integer, so MRR is one final division — no order-dependent float "
     "summation. How a pipeline scores its retriever before mining hard "
@@ -391,7 +437,8 @@ _GAIN_CASE, _IDEAL_CASE = _ndcg_case_sql()
            END AS ndcg
     FROM dcg d JOIN nrel n ON n.query_id = d.query_id
     """,
-    doc="Per-query binary NDCG@10 over the same exact-cosine retrieval. "
+    doc="Per-query binary NDCG@10 over the same exact-cosine retrieval "
+    "(bounded md5-first query sample — see ret_mrr_at_10). "
     "DCG gains 1/log2(i+1) are 12-dp DECIMAL literals shared verbatim "
     "between engines, so the per-query DCG and the ideal-prefix IDCG "
     "sum in exact decimal arithmetic (order-independent); the single "
@@ -729,9 +776,8 @@ def ml_two_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT label, CAST(COUNT(*) AS BIGINT) AS lc
       FROM embeddings GROUP BY 1),
     tr AS (
-      SELECT e.vec_id AS query_id, l.lc - 1 AS nrel
-      FROM embeddings e JOIN labcnt l USING (label)
-      WHERE e.vec_id % 5 = 0),
+      SELECT q.query_id, l.lc - 1 AS nrel
+      FROM q JOIN labcnt l ON l.label = q.q_label),
     j AS (
       SELECT COALESCE(h.h, 0) AS h, COALESCE(t.nrel, 0) AS nrel
       FROM tr t FULL OUTER JOIN hits h USING (query_id))
@@ -748,7 +794,8 @@ def ml_two_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM j
     """,
     doc="Precision@10 / recall@10 of the exact-cosine retrieval "
-    "(X207) - the set-overlap companions to MRR (first hit) and NDCG "
+    "(X207; bounded md5-first query sample shared with the ranked "
+    "frame - see ret_mrr_at_10) - the set-overlap companions to MRR (first hit) and NDCG "
     "(graded positions). Macro precision is exact (shared denominator "
     "k); recall is the MICRO form sum(hits)/sum(n_rel) - the only "
     "deterministic aggregate (per-query float averaging is order-"
@@ -758,7 +805,8 @@ def ml_two_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ret_precision_recall_at_10(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    ranked = _ranked_frame(spark, sf_dir)
+    qids = _bounded_query_ids(spark, sf_dir)  # shared with the ranked frame
+    ranked = _ranked_frame(spark, sf_dir, query_ids=qids)
     emb = load_distributed(spark, sf_dir, "embeddings")
     labels = emb.select("vec_id", "label").localCheckpoint(
         eager=False
@@ -767,7 +815,7 @@ def ret_precision_recall_at_10(
         F.count(F.lit(1)).cast("long").alias("__lc")
     )
     total_rel = (
-        labels.where(F.col("vec_id") % 5 == 0)
+        labels.where(F.col("vec_id").isin(qids))
         .join(F.broadcast(lab_cnt), "label")
         .select(
             F.col("vec_id").alias("query_id"),
