@@ -1175,6 +1175,7 @@ def semdedup_fixed(
     n_centroids: int = 16,
     tau: float = 0.9,
     round_digits: int = 6,
+    pair_salt: int = 32,
 ) -> DataFrame:
     """Fixed-codebook SemDeDup twin — the hash-oracle-able variant of
     `semdedup` (same division of labor as ivf_topk / ivf_fixed_topk).
@@ -1197,6 +1198,20 @@ def semdedup_fixed(
     then ONE cluster-keyed self-join — the quadratic step is bounded by
     cluster size exactly as in SemDeDup/IVF. No corpus-wide cartesian.
 
+    The pair join is SALTED (``pair_salt``): its natural key is
+    `cluster`, which has only ``n_centroids`` distinct values — an
+    unsalted shuffle join runs each cluster's entire quadratic kernel
+    on ONE task (and near the broadcast threshold the planner's
+    size-estimate coin flip makes the same query read 2 s or 44 s on
+    identical data — the r15 sf1 probe). The a side carries a
+    deterministic per-row salt, the b side replicates once per salt
+    value, so every (a, b) pair meets exactly once while each
+    cluster's kernel spreads over ``pair_salt`` tasks. The b-side
+    replication multiplies shuffle volume by ``pair_salt`` — the
+    standard trade for skew-bounded self-joins (operators/skew.py);
+    at corpus scale the production path remains the trained
+    `semdedup`, whose cluster count grows with the corpus.
+
     Returns (vec_id, cluster, keep, dup_of).
     """
     from legendary_data_pipeline_spark.operators.clustering import (
@@ -1209,32 +1224,46 @@ def semdedup_fixed(
     assigned = fixed_codebook_assign(
         embeddings, n_centroids, "vec_id", "embedding"
     ).localCheckpoint(eager=False)  # self-join + final keeper join
-    withvec = assigned.join(base, "vec_id").localCheckpoint(
-        eager=False
+    # Norms are per-VECTOR, so compute them once here (n rows) rather
+    # than inside the pair expression (n² evaluations of the same fold).
+    withvec = (
+        assigned.join(base, "vec_id")
+        .withColumn(
+            "__norm",
+            F.sqrt(
+                F.aggregate(
+                    F.col("vec"), F.lit(0.0), lambda acc, x: acc + x * x
+                )
+            ),
+        )
+        .localCheckpoint(eager=False)
     )  # both pair-join sides (r11 scan audit: 8 embeddings scans)
+    n_salt = max(1, int(pair_salt))
     a = withvec.select(
         F.col("cluster"),
         F.col("vec_id").alias("__ia"),
         F.col("vec").alias("__va"),
+        F.col("__norm").alias("__na"),
+        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_salt)).alias("__salt"),
     )
     b = withvec.select(
         F.col("cluster"),
         F.col("vec_id").alias("__ib"),
         F.col("vec").alias("__vb"),
+        F.col("__norm").alias("__nb"),
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(n_salt - 1).cast("long"))
+        ).alias("__salt"),
     )
-    pairs = a.join(b, "cluster").filter(F.col("__ia") < F.col("__ib"))
+    pairs = a.join(b, ["cluster", "__salt"]).filter(
+        F.col("__ia") < F.col("__ib")
+    )
     dot = F.aggregate(
         F.zip_with(F.col("__va"), F.col("__vb"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    na = F.sqrt(
-        F.aggregate(F.col("__va"), F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    nb = F.sqrt(
-        F.aggregate(F.col("__vb"), F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    cos = F.round(dot / (na * nb), round_digits)
+    cos = F.round(dot / (F.col("__na") * F.col("__nb")), round_digits)
     dups = (
         pairs.filter(cos >= F.lit(float(tau)))
         .groupBy("__ib")
