@@ -1289,6 +1289,37 @@ def cohens_d(
     )
 
 
+def _pooled_two_median(d: DataFrame) -> DataFrame:
+    """2× the pooled quantile_cont(0.5) median of ``__v`` (long) as an
+    exact BIGINT 1-row frame (column ``__two_med``), computed
+    distributedly: distinct-value counts → ONE range-shuffle
+    below-counts pass (`distributed_below_counts`) → the two middle
+    order statistics by threshold pick, summed. For integer values
+    this equals round(percentile(v, 0.5) * 2) exactly (the median is
+    either an order statistic or the exact half-sum of the two middle
+    ones), so callers keep quantile_cont bit-parity — but WITHOUT the
+    `percentile` ImperativeAggregate, which collects every value into
+    one aggregation buffer (the r15 early probe read 4.9× at 10× rows
+    on exactly that buffer; this form's heaviest step is the
+    distinct-value range shuffle)."""
+    per_v = d.groupBy("__v").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    cum = distributed_below_counts(per_v, "__v", ["__c"], inclusive=False)
+    tot = cum.agg(F.sum("__c").cast("long").alias("__n"))
+    j = cum.crossJoin(F.broadcast(tot))
+    # 1-indexed lower/upper middle ranks: k1 = (n+1)//2, k2 = (n+2)//2
+    k1 = F.shiftright(F.col("__n") + F.lit(1), 1)
+    k2 = F.shiftright(F.col("__n") + F.lit(2), 1)
+    covers = F.col("__c_cum") + F.col("__c")  # top rank this value covers
+    return j.agg(
+        F.min(F.when(covers >= k1, F.col("__v"))).alias("__v1"),
+        F.min(F.when(covers >= k2, F.col("__v"))).alias("__v2"),
+    ).select(
+        (F.col("__v1") + F.col("__v2")).cast("long").alias("__two_med")
+    )
+
+
 def moods_median_test(
     df: DataFrame, value_col: str, group_col: str
 ) -> DataFrame:
@@ -1300,16 +1331,18 @@ def moods_median_test(
     Kruskal–Wallis: less power, more robustness.
 
     Ties at the median count BELOW (the scipy/SAS ``ties='below'``
-    convention). The pooled median uses `percentile` (quantile_cont
-    bit-parity) and the compare doubles both sides so a half-integer
-    median stays exact. Cell counts and margins are exact integers;
+    convention). The pooled doubled-median comes from
+    `_pooled_two_median` (distributed order statistics — exact
+    quantile_cont bit-parity, no single-buffer percentile aggregate)
+    and the compare doubles the value side so a half-integer median
+    stays exact. Cell counts and margins are exact integers;
     χ² = Σ(o−e)²/e is a fixed IEEE tree over 2k cells emitted as
     chi2_e6 BIGINT (NULL when k < 2 or either margin is empty —
     all values on one side of the median).
 
-    Scale: one pooled-median aggregation (broadcast back), one
-    (group)-keyed count aggregation to 2k cells. Nothing data-sized
-    past the first shuffle.
+    Scale: one distinct-value range-shuffle pass for the pooled
+    median (broadcast back), one (group)-keyed count aggregation to
+    2k cells. Nothing data-sized past the first shuffle.
 
     Output (1 row): n, k, dof, n_above, n_below, chi2_e6.
     """
@@ -1318,10 +1351,8 @@ def moods_median_test(
     d = df.select(g.alias("__g"), v.alias("__v")).where(
         v.isNotNull() & g.isNotNull()
     ).localCheckpoint(eager=False)  # median + cells (r9 rule)
-    med = d.agg(
-        F.percentile(F.col("__v"), F.lit(0.5)).alias("__med")
-    )
-    two_med = F.round(F.col("__med") * F.lit(2.0)).cast("long")
+    med = _pooled_two_median(d)
+    two_med = F.col("__two_med")
     j = d.crossJoin(F.broadcast(med))
     cells = j.groupBy("__g").agg(
         F.sum(
