@@ -76,12 +76,32 @@ def _stage_events(spark: SparkSession, sf_dir: str, root: str, copies: int = 1) 
     files per copy (maxFilesPerTrigger=1 then yields ≥2 micro-batches —
     the cross-batch semantics the parity claims, at the minimum batch
     count so the fixed per-batch cost stays off the bench's back).
-    `copies=2` appends the same rows twice — exact re-delivery, the
-    at-least-once upstream the dedup operator collapses."""
+    `copies=2` re-delivers the same rows — exact at-least-once
+    redelivery, the upstream the dedup operator collapses. The
+    redelivered copies are FILESYSTEM copies of the staged files
+    (byte-identical payload — the strictest form of exact redelivery),
+    not a second Spark write of the corpus: one scan+shuffle job stages
+    everything (r15 optimization; the old per-copy `.write` re-ran the
+    corpus scan once per copy for files the first write had already
+    produced bit-identically, since `repartition(2)` hashes rows the
+    same way every run)."""
+    import glob
+    import os
+
     staging = f"{root}/in"
     ev = load_table(spark, sf_dir, "events")
-    for _ in range(copies):
-        ev.repartition(2).write.mode("append").parquet(staging)
+    ev.repartition(2).write.parquet(staging)
+    if copies > 1:
+        parts = sorted(glob.glob(f"{staging}/part-*.parquet"))
+        for c in range(1, copies):
+            for j, src in enumerate(parts):
+                dst = f"{staging}/redelivery-{c}-{j:02d}.parquet"
+                shutil.copy(src, dst)
+                # strictly later mtimes: the copies list (and therefore
+                # stream) after every first-delivery file, like the
+                # append writes they replace
+                st = os.stat(src)
+                os.utime(dst, (st.st_mtime + 100 * c, st.st_mtime + 100 * c))
     return staging
 
 
@@ -94,7 +114,7 @@ def _read_staged_stream(spark: SparkSession, staging: str) -> DataFrame:
 
 
 @contextlib.contextmanager
-def _parity_run(spark: SparkSession, prefix: str):
+def _parity_run(spark: SparkSession, prefix: str, partitions: str = "8"):
     """Scoped staging root + tiny-state conf for one parity run.
 
     State sizing: the session default shuffle-partition count (2x
@@ -105,6 +125,14 @@ def _parity_run(spark: SparkSession, prefix: str):
     few hundred rows. 8 partitions is plenty for the parity tables;
     production streams take the session conf (streaming/*.py entry
     points set nothing).
+
+    `partitions` lets a parity pick its own tiny-state width — measured
+    r15 (serial windows, min-of-2): the applyInPandasWithState parities
+    are PYTHON-COMPUTE-bound (per-group update calls), so 8 beats 2 by
+    ~2x for them, while the JVM-only stream-stream join is
+    state-I/O-bound and runs ~1.5 s faster at 2 (fewer per-batch state
+    store instances x 2 join sides). Both are parity-scoped: production
+    entry points still take the session conf.
 
     The prior value is restored in the finally (r14 advice #2) — a
     direct caller's session conf is unchanged after the callable
@@ -117,12 +145,12 @@ def _parity_run(spark: SparkSession, prefix: str):
     """
     root = tempfile.mkdtemp(prefix=prefix)
     prior = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", partitions)
     try:
         yield root
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prior)
-        for sub in ("in", "ckpt"):
+        for sub in ("in", "ckpt", "stage"):
             shutil.rmtree(f"{root}/{sub}", ignore_errors=True)
 
 
@@ -446,27 +474,46 @@ def _stage_ordered_files(spark: SparkSession, parts, root: str) -> str:
     """Write each frame in `parts` as ONE parquet file under root/in
     with strictly increasing mtimes — micro-batch i is exactly
     parts[i] under maxFilesPerTrigger=1 (mtime-ordered source listing).
+
+    Single Spark job (r15 optimization): the parts are union-tagged and
+    written with `partitionBy` from one coalesced task, so a parent
+    frame every part filters (the ewma daily aggregate, the sessions
+    projection) is computed ONCE — the previous per-part take(1) +
+    write pair re-ran the parent 2x per part (4 corpus-scale jobs for
+    2 parts; measured 3.6 s of the ewma parity's staging at sf0.1).
+    Emptiness is validated from the written layout — a part with no
+    rows produces no `__part=i` directory — instead of a per-part
+    take(1) job. The coalesce(1) single writer task is the same shape
+    the per-part writes already had (each was its own coalesce(1));
+    this staging device is parity-only, never a production path
+    (module doc: at scale the stream source is the landing bucket).
     """
     import glob
     import os
 
     staging = f"{root}/in"
     os.makedirs(staging, exist_ok=True)
-    for i, part in enumerate(parts):
-        if not part.take(1):
+    tmp = f"{root}/stage"
+    tagged = parts[0].withColumn("__part", F.lit(0))
+    for i, part in enumerate(parts[1:], start=1):
+        tagged = tagged.unionByName(part.withColumn("__part", F.lit(i)))
+    tagged.coalesce(1).write.partitionBy("__part").parquet(tmp)
+    moves: list[tuple[str, str]] = []
+    for i in range(len(parts)):
+        found = glob.glob(f"{tmp}/__part={i}/part-*.parquet")
+        if not found:
             raise ValueError(
                 f"_stage_ordered_files: part {i} is an empty split — "
                 "an empty micro-batch breaks the batch↔span mapping "
                 "(per-batch sinks skip it, renumbering later batches)."
             )
-        tmp = f"{root}/stage_{i}"
-        part.coalesce(1).write.parquet(tmp)
-        (src,) = glob.glob(f"{tmp}/part-*.parquet")
-        dst = f"{staging}/batch-{i:03d}.parquet"
+        (src,) = found
+        moves.append((src, f"{staging}/batch-{i:03d}.parquet"))
+    for i, (src, dst) in enumerate(moves):
         shutil.move(src, dst)
         # fixed, strictly increasing mtimes — deterministic across runs
         os.utime(dst, (1_700_000_000 + 100 * i,) * 2)
-        shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
     return staging
 
 
@@ -541,10 +588,17 @@ def stream_ewma_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     with _parity_run(spark, "ldp_stream_ewma_") as root:
-        ev, mid = _split_days(spark, sf_dir)
+        ev = load_table(spark, sf_dir, "events")
         cents = F.round(
             F.col("value").cast("decimal(18,2)") * 100, 0
         ).cast("long")
+        # Pin the per-user daily aggregate: the min/max day probe and
+        # the staging write both consume it, and without the persist
+        # each consumer replays the corpus groupBy (r15 optimization —
+        # the old shape recomputed `daily` once per take(1)/write pair,
+        # 4 corpus aggregations + the _split_days scan; now ONE corpus
+        # aggregation populates the cache and everything downstream is
+        # aggregate-sized). Released in the finally.
         daily = (
             ev.groupBy(
                 "user_id", F.expr("ts DIV 86400000000000").alias("t")
@@ -556,17 +610,28 @@ def stream_ewma_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "t",
                 "v",
             )
+            .persist()
         )
-        staging = _stage_ordered_files(
-            spark,
-            [daily.filter(F.col("t") < mid), daily.filter(F.col("t") >= mid)],
-            root,
-        )
-        target, ckpt = f"{root}/out", f"{root}/ckpt"
-        run_ewma_anomaly_once(
-            spark, staging, target, ckpt,
-            k=_EWMA_K, watermark=_NEVER_LATE, max_files_per_trigger=1,
-        )
+        try:
+            # same midpoint as _split_days: daily's t spans exactly the
+            # event-day range (groupBy preserves the key's min/max)
+            lo, hi = daily.agg(F.min("t"), F.max("t")).first()
+            mid = (int(lo) + int(hi) + 1) // 2
+            staging = _stage_ordered_files(
+                spark,
+                [
+                    daily.filter(F.col("t") < mid),
+                    daily.filter(F.col("t") >= mid),
+                ],
+                root,
+            )
+            target, ckpt = f"{root}/out", f"{root}/ckpt"
+            run_ewma_anomaly_once(
+                spark, staging, target, ckpt,
+                k=_EWMA_K, watermark=_NEVER_LATE, max_files_per_trigger=1,
+            )
+        finally:
+            daily.unpersist()
     return spark.read.parquet(target).select(
         "user_id", "t", "v", "ewma", "resid"
     )
@@ -609,7 +674,10 @@ def stream_attribution_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         split_clicks_purchases,
     )
 
-    with _parity_run(spark, "ldp_stream_attr_") as root:
+    # partitions=2: the stream-stream join is JVM state-I/O-bound (two
+    # buffered sides x per-batch store commits); 2 tiny-state partitions
+    # ran ~1.5 s faster than 8 in the r15 serial probe, same pair set.
+    with _parity_run(spark, "ldp_stream_attr_", partitions="2") as root:
         staging = _stage_events(spark, sf_dir, root)
         target, ckpt = f"{root}/out", f"{root}/ckpt"
         clicks, purchases = split_clicks_purchases(
@@ -779,16 +847,28 @@ def stream_psi_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     with _parity_run(spark, "ldp_stream_psi_") as root:
-        ev, mid = _split_days(spark, sf_dir)
-        d = F.expr("ts DIV 86400000000000")
-        staging = _stage_ordered_files(
-            spark, [ev.filter(d < mid), ev.filter(d >= mid)], root
-        )
-        report, ckpt = f"{root}/report", f"{root}/ckpt"
-        run_psi_monitor_once(
-            spark, staging, _STAGED_SCHEMA, ev, "event_type",
-            report, ckpt, max_files_per_trigger=1, scaled_e6=True,
-        )
+        # Pin the normalized events frame: it is the split probe, the
+        # staging source, AND the static PSI baseline — psi_monitor_sink
+        # re-aggregates the baseline once per micro-batch, so without
+        # the persist the corpus was rescanned per batch (plus the
+        # sink's construction-time emptiness check). One parquet scan
+        # populates the cache; the per-batch baseline aggregations are
+        # cache-local (r15 optimization). Released in the finally.
+        ev = load_table(spark, sf_dir, "events").persist()
+        try:
+            d = F.expr("ts DIV 86400000000000")
+            lo, hi = ev.agg(F.min(d), F.max(d)).first()
+            mid = (int(lo) + int(hi) + 1) // 2
+            staging = _stage_ordered_files(
+                spark, [ev.filter(d < mid), ev.filter(d >= mid)], root
+            )
+            report, ckpt = f"{root}/report", f"{root}/ckpt"
+            run_psi_monitor_once(
+                spark, staging, _STAGED_SCHEMA, ev, "event_type",
+                report, ckpt, max_files_per_trigger=1, scaled_e6=True,
+            )
+        finally:
+            ev.unpersist()
     return spark.read.parquet(report).select(
         "batch_id", "value", "n_base", "n_current",
         "p_base_e6", "p_current_e6", "psi_term_e6", "psi_e6", "alert",
@@ -846,11 +926,14 @@ def stream_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     with _parity_run(spark, "ldp_stream_sess_") as root:
-        ev, mid = _split_days(spark, sf_dir)
+        ev = load_table(spark, sf_dir, "events")
         cents = F.round(
             F.col("value").cast("decimal(18,2)") * 100, 0
         ).cast("long")
         d = F.expr("ts DIV 86400000000000")
+        # Pin the staged projection: the min/max day probe and the
+        # staging write both consume it (r15 optimization — one corpus
+        # scan instead of one per consumer). Released in the finally.
         staged = ev.select(
             "event_id",
             F.timestamp_micros(F.expr("ts DIV 1000"))
@@ -861,18 +944,23 @@ def stream_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             cents.cast("double").alias("value"),
             "props",
             d.alias("__d"),
-        )
-        parts = [
-            staged.filter(F.col("__d") < mid).drop("__d"),
-            staged.filter(F.col("__d") >= mid).drop("__d"),
-        ]
-        staging = _stage_ordered_files(spark, parts, root)
-        target, ckpt = f"{root}/out", f"{root}/ckpt"
-        run_sessionize_once(
-            spark, staging, target, ckpt,
-            gap_seconds=_SESSION_GAP_S, watermark=_NEVER_LATE,
-            max_files_per_trigger=1,
-        )
+        ).persist()
+        try:
+            lo, hi = staged.agg(F.min("__d"), F.max("__d")).first()
+            mid = (int(lo) + int(hi) + 1) // 2
+            parts = [
+                staged.filter(F.col("__d") < mid).drop("__d"),
+                staged.filter(F.col("__d") >= mid).drop("__d"),
+            ]
+            staging = _stage_ordered_files(spark, parts, root)
+            target, ckpt = f"{root}/out", f"{root}/ckpt"
+            run_sessionize_once(
+                spark, staging, target, ckpt,
+                gap_seconds=_SESSION_GAP_S, watermark=_NEVER_LATE,
+                max_files_per_trigger=1,
+            )
+        finally:
+            staged.unpersist()
     return spark.read.parquet(target).select(
         "user_id",
         F.unix_micros("session_start").alias("session_start_us"),

@@ -93,13 +93,27 @@ def ewma_anomaly_stream(
 
         import pandas as pd
 
+        import numpy as np
+
         (user_id,) = key
         if state.hasTimedOut:
             state.remove()
             return
-        rows = pd.concat(list(batches), ignore_index=True)
-        rows = rows.sort_values("t", kind="mergesort")
-        last_ms = int(rows["event_time"].astype("int64").max() // 1_000_000)
+        # Per-(key, micro-batch) call — groups are small, so per-call
+        # pandas overhead (concat, sort_values) dominated the operator
+        # (r15 probe; see sessions.py `update` for the measurement).
+        # Numpy argsort + list conversion keeps identical semantics:
+        # kind="stable" preserves arrival order on equal t exactly like
+        # the mergesort it replaces.
+        chunks = list(batches)
+        rows = chunks[0] if len(chunks) == 1 else pd.concat(
+            chunks, ignore_index=True
+        )
+        t_np = rows["t"].to_numpy()
+        order = np.argsort(t_np, kind="stable")
+        last_ms = int(
+            rows["event_time"].to_numpy().astype("int64").max() // 1_000_000
+        )
         vs: list[int] = []
         ts: list[int] = []
         if state.exists:
@@ -110,7 +124,9 @@ def ewma_anomaly_stream(
         out_v: list[int] = []
         out_ewma: list[float | None] = []
         out_resid: list[float | None] = []
-        for t_val, v_val in zip(rows["t"].tolist(), rows["v"].tolist()):
+        for t_val, v_val in zip(
+            t_np[order].tolist(), rows["v"].to_numpy()[order].tolist()
+        ):
             t_val = int(t_val)
             v_val = int(v_val)
             # event-time insertion point: lags are the ≤k retained

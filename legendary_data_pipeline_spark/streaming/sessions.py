@@ -53,6 +53,7 @@ def sessionize_stream(
         batches: Iterator["pd.DataFrame"],
         state: GroupState,
     ) -> Iterator["pd.DataFrame"]:
+        import numpy as np
         import pandas as pd
 
         (user_id,) = key
@@ -71,24 +72,37 @@ def sessionize_stream(
             )
             return
 
-        rows = pd.concat(list(batches), ignore_index=True)
+        # This function runs once per (key, micro-batch) — groups are
+        # typically a handful of rows, so per-call pandas overhead
+        # (concat, assign, sort_values, fillna) dominated the operator
+        # (r15 probe: the parity's streaming run scaled with partition
+        # parallelism, the per-GROUP-call signature). Numpy views +
+        # argsort keep the identical semantics at a fraction of the
+        # per-call cost; pd.concat is skipped for the common
+        # single-chunk delivery.
+        chunks = list(batches)
+        rows = chunks[0] if len(chunks) == 1 else pd.concat(
+            chunks, ignore_index=True
+        )
         # event_time arrives as datetime64[ns]; state works in int micros.
-        micros = rows["event_time"].astype("int64") // 1000
+        micros = rows["event_time"].to_numpy().astype("int64") // 1000
         closed: list[tuple[int, int, int, float]] = []
         if state.exists:
             start, last, n, total = state.get
         else:
             start = last = int(micros.min())
             n, total = 0, 0.0
-        ordered = rows.assign(__t=micros).sort_values("__t")
-        for t, v in zip(ordered["__t"], ordered["value"].fillna(0.0)):
-            t = int(t)
+        order = np.argsort(micros, kind="stable")
+        vals = np.nan_to_num(
+            rows["value"].to_numpy(dtype="float64")[order], nan=0.0
+        )
+        for t, v in zip(micros[order].tolist(), vals.tolist()):
             if t - last > gap_us:
                 closed.append((start, last, n, total))
                 start, n, total = t, 0, 0.0
             last = max(last, t)
             n += 1
-            total += float(v)
+            total += v
         state.update((start, last, n, total))
         # Close when the watermark passes last_event + gap (ms epoch).
         state.setTimeoutTimestamp(last // 1000 + gap_seconds * 1000)
