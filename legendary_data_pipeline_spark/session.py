@@ -104,6 +104,19 @@ def ensure_engine_confs(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # Pin the broadcast threshold to the engine's get_spark value (r15
+    # optimization round): an externally-created (driver) session's
+    # 10 MB default planned SortMergeJoins where the engine's own
+    # sessions plan broadcasts, so plan shape — and therefore timing
+    # behavior — diverged between the bench and the correctness driver
+    # for joins whose build side straddles the defaults (the r15
+    # semdedup "broadcast-threshold coin flip" was this class). Results
+    # are join-strategy-independent; this only makes the plan, and its
+    # cost, deterministic across sessions. 64 MB is modest for any real
+    # executor (guide §3.1: a few hundred MB is routinely fine).
+    spark.conf.set(
+        "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+    )
     try:
         parallelism = spark.sparkContext.defaultParallelism
     except Exception:
