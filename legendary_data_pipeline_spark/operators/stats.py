@@ -1257,6 +1257,12 @@ def kendall_tau_b(
     )
 
 
+#: Rank maps at or under this many distinct values join back to the
+#: spine via an explicit broadcast (see the r15 note inside
+#: `spearman_matrix`); larger maps keep the shuffle join.
+_RANKMAP_BROADCAST_MAX_ROWS = 1_000_000
+
+
 def spearman_matrix(
     df: DataFrame,
     cols: Sequence[str],
@@ -1353,11 +1359,32 @@ def spearman_matrix(
             F.lit(2) * F.col("__cnt_cum") + F.col("__cnt") + F.lit(1)
         ).cast("long").alias("__r2"),
     ).localCheckpoint(eager=False)  # p join consumers (round-9 rule)
+    # r15 optimization: each rank-map join back to the spine planned as
+    # a SortMergeJoin — the checkpointed rank frame has no stats
+    # (ExistingRDD), so neither the static planner nor AQE broadcast
+    # even an 11-distinct column's map, and every SMJ re-shuffles the
+    # whole spine by the next column (measured: 2 of 3 lineitem-profile
+    # joins ran SMJ at runtime, AQE unconverted). The rank maps'
+    # per-column sizes ARE knowable at plan-build time — one
+    # metadata-scale aggregation over the pinned frame (p rows
+    # collected) — so broadcast the maps that are provably small and
+    # leave genuinely distinct-heavy columns (a continuous measure at
+    # corpus scale) on the shuffle path. 1M rows ≈ tens of MB framed —
+    # inside the engine's 64 MB broadcast posture, and scale-adaptive:
+    # the count, not the local fixture, decides.
+    sizes = {
+        int(r["__i"]): int(r["__n"])
+        for r in rankmap_all.groupBy("__i")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    }
     d = base
     for i, c in enumerate(cols):
         rankmap = rankmap_all.where(F.col("__i") == i).select(
             F.col("__v").alias(c), F.col("__r2").alias(f"__r2_{c}")
         )
+        if sizes.get(i, 1 << 62) <= _RANKMAP_BROADCAST_MAX_ROWS:
+            rankmap = F.broadcast(rankmap)
         d = d.join(rankmap, c)
     ranked = d.select(
         *[F.col(f"__r2_{c}").alias(c) for c in cols]
