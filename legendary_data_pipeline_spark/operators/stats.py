@@ -3103,7 +3103,14 @@ def equal_freq_bins(
             *[F.col(g).alias(f"__tg_{g}") for g in groups], "__n"
         )
         cond = [F.col(g).eqNullSafe(F.col(f"__tg_{g}")) for g in groups]
-        joined = cum.join(tt, cond).drop(*[f"__tg_{g}" for g in groups])
+        # group-cardinality-sized by the operator's own contract (coarse
+        # groups — the offsets frame must already be broadcast-sized),
+        # but it hangs off a checkpointed frame with no stats, so the
+        # planner ran this as a SortMergeJoin re-shuffling the whole
+        # distinct-value frame (r15 runtime-plan audit). Broadcast it.
+        joined = cum.join(F.broadcast(tt), cond).drop(
+            *[f"__tg_{g}" for g in groups]
+        )
     else:
         joined = cum.crossJoin(F.broadcast(totals))
     binned = joined.select(
