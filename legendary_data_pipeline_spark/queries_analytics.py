@@ -2571,8 +2571,15 @@ def st_spearman_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = load_table(spark, sf_dir, "lineitem")
+    # int64_values: lineitem measures are < 10^6, far inside the
+    # fastpath's |v| <= ~9e11 envelope at scale=4; the quantization is
+    # the oracle's own round(v*10000)::BIGINT construction (identical
+    # ranks, ~33% faster rank build — r16 A/B, values bit-identical).
     return spearman_matrix(
-        li, ["l_quantity", "l_extendedprice", "l_discount"], scaled_e6=True
+        li,
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        scaled_e6=True,
+        int64_values=True,
     )
 
 

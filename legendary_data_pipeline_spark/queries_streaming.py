@@ -487,6 +487,14 @@ def _stage_ordered_files(spark: SparkSession, parts, root: str) -> str:
     the per-part writes already had (each was its own coalesce(1));
     this staging device is parity-only, never a production path
     (module doc: at scale the stream source is the landing bucket).
+
+    Ordering contract (r15 advice): only the PART-to-file mapping is
+    guaranteed. The partitionBy write plans a sort on `__part`, which
+    is not stable, so WITHIN-part row order may differ from the
+    source frame's — fine for the current parities (ewma keys are
+    unique per (user, t); sessionization is order-insensitive among
+    equal event times), but an order-sensitive parity with ties must
+    not rely on arrival order inside a part.
     """
     import glob
     import os

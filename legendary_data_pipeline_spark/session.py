@@ -114,9 +114,17 @@ def ensure_engine_confs(spark: SparkSession) -> SparkSession:
     # are join-strategy-independent; this only makes the plan, and its
     # cost, deterministic across sessions. 64 MB is modest for any real
     # executor (guide §3.1: a few hundred MB is routinely fine).
-    spark.conf.set(
-        "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
-    )
+    # r15 advice: only RAISE the Spark default — an operator that
+    # deliberately set a different value (e.g. -1 to disable broadcasts
+    # on memory-constrained executors) keeps it; forcing 64 MB past an
+    # explicit -1 could OOM such a deployment.
+    _cur = str(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    ).strip().lower()
+    if _cur in ("10mb", "10m", "10485760", "10485760b"):
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
     try:
         parallelism = spark.sparkContext.defaultParallelism
     except Exception:

@@ -93,9 +93,13 @@ def sessionize_stream(
             start = last = int(micros.min())
             n, total = 0, 0.0
         order = np.argsort(micros, kind="stable")
-        vals = np.nan_to_num(
-            rows["value"].to_numpy(dtype="float64")[order], nan=0.0
-        )
+        # Replace only NaN/None with 0.0 (the batch path's
+        # coalesce(value, 0.0) / the old fillna(0.0)) — the nan_to_num
+        # default would ALSO clamp ±inf to ±1.8e308, a silent semantics
+        # change (r15 advice): an infinite value must propagate into
+        # the session total exactly like the batch operator.
+        vals = rows["value"].to_numpy(dtype="float64")[order]
+        vals = np.where(np.isnan(vals), 0.0, vals)
         for t, v in zip(micros[order].tolist(), vals.tolist()):
             if t - last > gap_us:
                 closed.append((start, last, n, total))
