@@ -2181,3 +2181,83 @@ if _missing:
 for _n in _PROMOTE_R15B:
     REGISTRY[_n] = SHADOW_REGISTRY.pop(_n)
 del _n, _missing
+
+# ---------------------------------------------------------------------------
+# Round-16 driver-gate rotation (see NOTES.md §Round-16)
+# ---------------------------------------------------------------------------
+# r15 verdict #8: continue the rotation with optimization hygiene —
+# demotions >= additions, every first-exposure row pre-verified, tail
+# shrinking 43 -> 23. A pure 20-slot sweep of the oldest never-checked
+# shadows (first-commit order, family capped at 4) — the exact list
+# pre-verified oracle-green at sf0.001 AND sf0.01 from a FOREIGN-CWD
+# vanilla session during r15 (48/48 including alternates) AND
+# sf1-probed a round early (SCALE.md "Round-15 EARLY probe"; the probe
+# caught and fixed the ranked-retrieval fixed-fraction quadratic and
+# the semdedup unsalted-join nondeterminism before first exposure).
+# Demotions: the 20 r15 SWEEP promotions — every one earned a full
+# hash-green driver row in CORRECTNESS_r15 on first exposure
+# (re-checked before this rotation committed). The five X239–X243
+# streaming parities stay in the gate a second round ON PURPOSE: they
+# are this optimization round's primary target (r15 verdict #3), and
+# their driver-window timings are the before/after evidence.
+_DEMOTE_R16 = [
+    "txt_collocations",  # siblings: tx_keywords_tf_rarity / tx_ngram_novelty (incoming; corpus text statistics)
+    "dq_functional_dependencies",  # sibling: dq_ks_order_totals_drift (gate; DQ structural checks)
+    "dq_numeric_drift_order_totals",  # sibling: dq_psi_drift_orders_priority (gate; drift family)
+    "er_name_clusters",  # sibling: er_golden_record_customers (gate; entity-resolution family)
+    "ts_cusum_changepoint",  # sibling: ts_zscore_anomalies (gate; anomaly-detection family)
+    "ts_interarrival_gaps",  # sibling: ts_user_activity_coverage (incoming; event-gap algebra)
+    "ts_seasonal_profile",  # sibling: ts_gap_fill_daily (incoming; daily-series readouts)
+    "ab_purchase_conversion_ztest",  # sibling: ml_two_proportion_test (incoming; same two-proportion kernel)
+    "st_brand_revenue_concentration",  # sibling: st_did_urgent_orders (incoming; order-measure statistics)
+    "mb_association_rules",  # sibling: gr_copurchase_triangles (gate; co-purchase co-occurrence)
+    "dq_k_anonymity_customers",  # sibling: curation_domain_gates (incoming; threshold-gate readouts)
+    "sk_quantile_rollup",  # sibling: sk_cms_join_size (incoming; sketch family)
+    "ts_user_streaks",  # sibling: ts_user_activity_coverage (incoming; per-user temporal behavior)
+    "sim_hard_negatives",  # sibling: dedup_semdedup_fixed (incoming; embedding-similarity family)
+    "sk_rolling_distinct_users",  # sibling: sk_cms_join_size (incoming; sketch family)
+    "sk_theta_core_audience",  # sibling: sk_cms_join_size (incoming; sketch family)
+    "st_mutual_information",  # sibling: st_numeric_mi_qty_price (gate; MI/contingency family)
+    "an_rfm_segmentation",  # sibling: an_temporal_embargo_split (incoming; per-entity stratification)
+    "dq_table_diff",  # sibling: dq_ks_order_totals_drift (gate; two-sided reconciliation/drift)
+    "an_contribution_topn",  # sibling: an_source_vocab_overlap (incoming; analytics readouts)
+]
+_PROMOTE_R16 = [
+    "ts_gap_fill_daily",
+    "an_temporal_embargo_split",
+    "ml_pr_at_thresholds",
+    "ml_stratified_split",
+    "ret_mrr_at_10",
+    "ret_ndcg_at_10",
+    "tx_keywords_tf_rarity",
+    "tx_readability",
+    "curation_domain_gates",
+    "sk_cms_join_size",
+    "ml_target_encoding",
+    "gr_clustering_coefficient",
+    "an_source_vocab_overlap",
+    "curation_cluster_fixed_sample",
+    "dedup_semdedup_fixed",
+    "emb_quality_report",
+    "tx_ngram_novelty",
+    "ts_user_activity_coverage",
+    "ml_two_proportion_test",
+    "st_did_urgent_orders",
+]
+_missing = [
+    _n
+    for _n in (*_DEMOTE_R16, *_PROMOTE_R16)
+    if _n not in REGISTRY and _n not in SHADOW_REGISTRY
+]
+if _missing:
+    raise ImportError(
+        "query registry incomplete during round-16 rotation (missing "
+        f"{_missing}): import legendary_data_pipeline_spark.queries "
+        "FIRST — importing a queries_* submodule directly re-enters "
+        "this module before its registrations finish."
+    )
+for _n in _DEMOTE_R16:
+    SHADOW_REGISTRY[_n] = REGISTRY.pop(_n)
+for _n in _PROMOTE_R16:
+    REGISTRY[_n] = SHADOW_REGISTRY.pop(_n)
+del _n, _missing

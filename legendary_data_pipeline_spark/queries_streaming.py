@@ -50,6 +50,7 @@ O(batch) + one rollup-sized merge (streaming/rollup.py module doc).
 from __future__ import annotations
 
 import contextlib
+import os
 import shutil
 import tempfile
 
@@ -142,8 +143,27 @@ def _parity_run(spark: SparkSession, prefix: str, partitions: str = "8"):
     runs used to accumulate unbounded /tmp); only the written target
     under the root outlives the call, which is all driver-side
     re-collection of the returned frame needs.
+
+    Scratch placement (r16, guide §6): the root prefers a RAM-backed
+    filesystem (`$LDP_STREAM_SCRATCH`, else /dev/shm when writable,
+    else the tempfile default). Everything under it is ephemeral BY
+    CONSTRUCTION — the checkpoint/state dirs are deleted in this same
+    call and the target is a rollup-sized table the driver collects
+    immediately — so checkpoint durability buys nothing here, while
+    the state store's many small write+rename+fsync cycles per
+    (partition × micro-batch) are exactly the ext4 cost a parity run
+    should not be benchmarking (measured min-of-2 on the streaming-run
+    phase: ewma 4.57 → 3.69 s, psi 3.07 → 2.17 s at width 8).
+    Production entry points (streaming/*.py) take caller-provided
+    checkpoint paths and are untouched — a REAL stream's checkpoint
+    must survive restarts and belongs on durable storage.
     """
-    root = tempfile.mkdtemp(prefix=prefix)
+    scratch = os.environ.get("LDP_STREAM_SCRATCH")
+    if scratch is None and os.path.isdir("/dev/shm") and os.access(
+        "/dev/shm", os.W_OK
+    ):
+        scratch = "/dev/shm"
+    root = tempfile.mkdtemp(prefix=prefix, dir=scratch)
     prior = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", partitions)
     try:
@@ -854,7 +874,12 @@ def stream_psi_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_psi_monitor_once,
     )
 
-    with _parity_run(spark, "ldp_stream_psi_") as root:
+    # partitions=2: the PSI monitor is foreachBatch over tiny per-batch
+    # aggregations (no streaming state), so shuffle width is pure
+    # per-batch overhead — r16 A/B (min-of-2, streaming-run phase):
+    # 3.07 s at 8 -> 2.17 s at 2 on disk scratch, flat on tmpfs; 2 is
+    # never worse.
+    with _parity_run(spark, "ldp_stream_psi_", partitions="2") as root:
         # Pin the normalized events frame: it is the split probe, the
         # staging source, AND the static PSI baseline — psi_monitor_sink
         # re-aggregates the baseline once per micro-batch, so without
@@ -933,7 +958,14 @@ def stream_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_sessionize_once,
     )
 
-    with _parity_run(spark, "ldp_stream_sess_") as root:
+    # partitions=16: sessionization is the Python-compute-bound parity
+    # (per-(user,batch) state calls over the full event corpus), so
+    # wider state means more concurrent Python workers — r16 A/B
+    # (min-of-2, streaming-run phase): 16 beat 8 on both scratch media
+    # (4.42 vs 4.71 disk, 4.84 vs 5.00 tmpfs) while 32 regressed ~50%
+    # (per-partition state-store lifecycle swamps the extra
+    # parallelism at this state size).
+    with _parity_run(spark, "ldp_stream_sess_", partitions="16") as root:
         ev = load_table(spark, sf_dir, "events")
         cents = F.round(
             F.col("value").cast("decimal(18,2)") * 100, 0

@@ -98,15 +98,57 @@ def sessionize_stream(
         # default would ALSO clamp ±inf to ±1.8e308, a silent semantics
         # change (r15 advice): an infinite value must propagate into
         # the session total exactly like the batch operator.
+        t_sorted = micros[order]
         vals = rows["value"].to_numpy(dtype="float64")[order]
         vals = np.where(np.isnan(vals), 0.0, vals)
-        for t, v in zip(micros[order].tolist(), vals.tolist()):
-            if t - last > gap_us:
-                closed.append((start, last, n, total))
-                start, n, total = t, 0, 0.0
-            last = max(last, t)
-            n += 1
-            total += v
+        # Vectorized session splitting (r16, guide §4.2): the per-EVENT
+        # Python loop ran once per row (600k iterations per parity
+        # run); gap breaks and per-segment aggregates are numpy ops,
+        # leaving a loop only over SEGMENTS (sessions touched by this
+        # batch — a handful per call). With t sorted ascending, the
+        # running last before row i is max(carried last, t[i-1]), so
+        # break_i = t[i] - max(last, t[i-1]) > gap.
+        #
+        # Exactness: when every value (and the carried total) is
+        # integer-valued — the engine's cents convention, and the only
+        # regime where stream totals can promise bit-parity with the
+        # batch operator at all — segment totals sum as int64, where
+        # every addition order is exact. Anything else (fractional,
+        # ±inf) falls back to the original per-event loop so the
+        # sequential float association is preserved bit-for-bit.
+        prev_last = np.maximum(
+            np.concatenate((np.array([last], dtype="int64"), t_sorted[:-1])),
+            last,
+        )
+        bounds = [
+            0,
+            *np.flatnonzero((t_sorted - prev_last) > gap_us).tolist(),
+            len(t_sorted),
+        ]
+        exact_int = (
+            float(total).is_integer()
+            and bool(np.all(np.isfinite(vals)))
+            and bool(np.all(vals == np.trunc(vals)))
+        )
+        if exact_int:
+            cs = np.cumsum(vals.astype("int64"))  # exact integer prefix sums
+            for j in range(len(bounds) - 1):
+                s, e = bounds[j], bounds[j + 1]
+                if j > 0:  # a gap closed the running session before row s
+                    closed.append((start, last, n, total))
+                    start, n, total = int(t_sorted[s]), 0, 0.0
+                if e > s:
+                    last = max(last, int(t_sorted[e - 1]))
+                    n += e - s
+                    total += float(cs[e - 1] - (cs[s - 1] if s else 0))
+        else:
+            for t, v in zip(t_sorted.tolist(), vals.tolist()):
+                if t - last > gap_us:
+                    closed.append((start, last, n, total))
+                    start, n, total = t, 0, 0.0
+                last = max(last, t)
+                n += 1
+                total += v
         state.update((start, last, n, total))
         # Close when the watermark passes last_event + gap (ms epoch).
         state.setTimeoutTimestamp(last // 1000 + gap_seconds * 1000)
