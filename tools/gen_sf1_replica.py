@@ -108,7 +108,59 @@ def main() -> None:
         _copy(f"SELECT * FROM '{SRC}/{dim}.parquet'", dim)
 
     if "--all" in sys.argv:
-        print("--all: corpus axes are rebuilt by their own recipes; see NOTES.md")
+        # Corpus axes (r16: committed here instead of living as
+        # git-history snippets — the r10–r13 replica constructions,
+        # verbatim):
+        #   events — RATE growth (10x rows, SAME span): user/event id
+        #     offsets per replica, +i-cent value perturbation, +i us
+        #     ts jitter (ts is integer nanos).
+        #   documents — 10x verbatim with offset doc_ids (verbatim
+        #     duplication is the deliberate dup-graph stress).
+        #   embeddings — offset vec_ids + per-replica first-coordinate
+        #     perturbation (so replicas are near- but not exact dups).
+        ek = duckdb.sql(
+            f"SELECT max(event_id) FROM '{SRC}/events.parquet'"
+        ).fetchone()[0] + 1
+        uk = duckdb.sql(
+            f"SELECT max(user_id) FROM '{SRC}/events.parquet'"
+        ).fetchone()[0] + 1
+        _copy(
+            f"""
+            SELECT event_id + i * {ek} AS event_id,
+                   ts + i * INTERVAL 1 MICROSECOND AS ts,
+                   user_id + i * {uk} AS user_id,
+                   event_type,
+                   value + i * 0.01 AS value,
+                   props
+            FROM '{SRC}/events.parquet', (SELECT range AS i FROM {rng})
+            """,
+            "events",
+        )
+        dk = duckdb.sql(
+            f"SELECT max(doc_id) FROM '{SRC}/documents.parquet'"
+        ).fetchone()[0] + 1
+        _copy(
+            f"""
+            SELECT doc_id + i * {dk} AS doc_id, text, lang, source, n_chars
+            FROM '{SRC}/documents.parquet', (SELECT range AS i FROM {rng})
+            """,
+            "documents",
+        )
+        vk = duckdb.sql(
+            f"SELECT max(vec_id) FROM '{SRC}/embeddings.parquet'"
+        ).fetchone()[0] + 1
+        _copy(
+            f"""
+            SELECT vec_id + i * {vk} AS vec_id,
+                   CASE WHEN i = 0 THEN embedding
+                        ELSE list_concat(
+                            [CAST(embedding[1] + i * 0.0001 AS FLOAT)],
+                            embedding[2:]) END AS embedding,
+                   label
+            FROM '{SRC}/embeddings.parquet', (SELECT range AS i FROM {rng})
+            """,
+            "embeddings",
+        )
 
 
 if __name__ == "__main__":
