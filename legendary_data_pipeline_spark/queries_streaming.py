@@ -114,6 +114,19 @@ def _read_staged_stream(spark: SparkSession, staging: str) -> DataFrame:
     )
 
 
+def _scratch_base() -> str | None:
+    """Directory the parity staging roots are created under:
+    `$LDP_STREAM_SCRATCH`, else /dev/shm when writable, else None
+    (tempfile's default). See the scratch-placement note in
+    `_parity_run`."""
+    scratch = os.environ.get("LDP_STREAM_SCRATCH")
+    if scratch is None and os.path.isdir("/dev/shm") and os.access(
+        "/dev/shm", os.W_OK
+    ):
+        scratch = "/dev/shm"
+    return scratch
+
+
 @contextlib.contextmanager
 def _parity_run(spark: SparkSession, prefix: str, partitions: str = "8"):
     """Scoped staging root + tiny-state conf for one parity run.
@@ -158,12 +171,7 @@ def _parity_run(spark: SparkSession, prefix: str, partitions: str = "8"):
     checkpoint paths and are untouched — a REAL stream's checkpoint
     must survive restarts and belongs on durable storage.
     """
-    scratch = os.environ.get("LDP_STREAM_SCRATCH")
-    if scratch is None and os.path.isdir("/dev/shm") and os.access(
-        "/dev/shm", os.W_OK
-    ):
-        scratch = "/dev/shm"
-    root = tempfile.mkdtemp(prefix=prefix, dir=scratch)
+    root = tempfile.mkdtemp(prefix=prefix, dir=_scratch_base())
     prior = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", partitions)
     try:

@@ -91,15 +91,24 @@ def test_parity_queries_restore_shuffle_partitions_and_clean_tmp(spark):
         ensure_engine_confs(spark)
         engine_val = spark.conf.get("spark.sql.shuffle.partitions")
         assert engine_val != "8"
+        # roots live under the parity scratch base (r16: RAM-backed
+        # when available), not necessarily /tmp
+        import tempfile as _tf
+
+        from legendary_data_pipeline_spark.queries_streaming import (
+            _scratch_base,
+        )
+
+        base = _scratch_base() or _tf.gettempdir()
         for name in _PARITY_QUERIES:
             spec = (REGISTRY | SHADOW_REGISTRY)[name]
-            before = set(glob.glob("/tmp/ldp_stream_*"))
+            before = set(glob.glob(f"{base}/ldp_stream_*"))
             df = spec.spark_fn(spark, SF_DIR)
             assert (
                 spark.conf.get("spark.sql.shuffle.partitions") == engine_val
             ), name
             assert df.count() >= 0  # returned frame survives cleanup
-            new_roots = set(glob.glob("/tmp/ldp_stream_*")) - before
+            new_roots = set(glob.glob(f"{base}/ldp_stream_*")) - before
             assert new_roots, name  # staged at least one fresh root
             for r in new_roots:
                 assert not os.path.exists(f"{r}/in"), name
