@@ -125,10 +125,21 @@ def sessionize_stream(
             *np.flatnonzero((t_sorted - prev_last) > gap_us).tolist(),
             len(t_sorted),
         ]
+        # Fast-path envelope: beyond double's integer-exact range the
+        # int64 segment sums would diverge from the legacy sequential
+        # float accumulation (and a large-enough prefix sum could wrap
+        # int64), so the bounds keep every intermediate BOTH int64-safe
+        # and exactly representable as a double: |v| <= 2^31 per event,
+        # <= 2^16 events per batch (segment sums <= 2^47), carried
+        # total <= 2^48 -> running totals < 2^49 << 2^53. Anything
+        # outside falls back to the sequential loop.
         exact_int = (
             float(total).is_integer()
+            and abs(total) <= float(1 << 48)
+            and len(vals) <= (1 << 16)
             and bool(np.all(np.isfinite(vals)))
             and bool(np.all(vals == np.trunc(vals)))
+            and bool(np.all(np.abs(vals) <= float(1 << 31)))
         )
         if exact_int:
             cs = np.cumsum(vals.astype("int64"))  # exact integer prefix sums
